@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Shared helpers for the verified query surface. */
+object Q {
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Order-insensitive exact SUM over doubles.
+    *
+    * A parallel double sum is order-dependent (Spark's partial/final
+    * aggregation order varies run to run), so a raw `sum(double)` can
+    * never hash-match a sequential DuckDB sum. Summing in DECIMAL is
+    * exact and associative; casting the exact total back to double is
+    * deterministic on both engines. Oracle-side spelling:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    * This also holds on a 1000-executor cluster — correctness does not
+    * depend on partition count or merge order.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Oracle-side spelling of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+}
+
+/** The reference's own query/ETL surface re-expressed over the driver
+  * testdata star schema (SURVEY.md §2). Every query here has a DuckDB
+  * oracle; results carry a total ORDER BY so hashes are stable.
+  */
+object Core {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // A1 — global COUNT(*) (reference athena_queries/count_clientes.sql:1)
+    "q01_count_customers" -> ((s, dir) => {
+      Tables.table(s, dir, "customer").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // A2 — GROUP BY count: suppliers per nation
+    // (reference athena_queries/top_proveedores.sql:1-7; country dim is
+    // a broadcast-joined nation here). Broadcast is explicit: nation is
+    // bounded (25 rows) at any scale, so the join never shuffles the
+    // supplier side.
+    "q02_suppliers_per_nation" -> ((s, dir) => {
+      import s.implicits._
+      val sup = Tables.table(s, dir, "supplier")
+      val nat = Tables.table(s, dir, "nation")
+      sup.join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("supplier_count"))
+        .orderBy($"supplier_count".desc, $"n_name")
+    }),
+
+    // A3 + O1 + O2 — the flagship: filter(year) -> join -> groupBy sum
+    // -> order desc -> top-k (reference
+    // athena_queries/total_cost_per_customer.sql:1-12). Spark plans the
+    // sort+limit as TakeOrderedAndProject (no global sort shuffle); the
+    // year filter prunes before the join; the orders side is the
+    // smaller one post-filter but both are facts, so this stays a
+    // shuffle (sort-merge/shuffled-hash) join on l_orderkey — correct
+    // at 100 TB.
+    "q03_total_cost_per_customer" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("line_cost"))
+      val ord = Tables.table(s, dir, "orders")
+        .filter(year($"o_orderdate".cast("date")) === 1995)
+        .select($"o_orderkey", $"o_custkey")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(dsum($"line_cost").as("total_cost_usd"))
+        .orderBy($"total_cost_usd".desc, $"o_custkey")
+        .limit(10)
+    }),
+
+    // P1/P2 — rename-projection with explicit casts (reference
+    // glue_jobs/dynamic-data-processor.py:110-116 canonicalization).
+    "q04_projection_cast" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .select(
+          $"o_orderkey".cast("string").as("order_id"),
+          $"o_custkey".cast("string").as("customer_id"),
+          $"o_orderstatus".cast("string").as("order_status"),
+          $"o_totalprice".cast("double").as("total_price"),
+          $"o_orderdate".cast("date").as("order_date"))
+        .orderBy($"order_id")
+    }),
+
+    // P4 — 3-arm CASE + LIKE categorization (reference
+    // glue_jobs/dynamic-data-processor.py:88-92 customer-type mapping).
+    "q05_case_segment" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          $"c_mktsegment",
+          when($"c_mktsegment".like("%BUILDING%"), "Construction")
+            .when($"c_mktsegment".like("%AUTOMOBILE%"), "Automotive")
+            .when($"c_mktsegment".like("%MACHINERY%"), "Industrial")
+            .otherwise("Other").as("segment_category"))
+        .orderBy($"c_custkey")
+    }),
+
+    // P5 — sha2-256 PII pseudonymization (reference
+    // glue_jobs/dynamic-data-processor.py:94).
+    "q06_sha2_mask" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select($"c_custkey", sha2($"c_name", 256).as("hashed_customer_id"))
+        .orderBy($"c_custkey")
+    }),
+
+    // P6 — derived metric colA*colB (reference total_cost,
+    // glue_jobs/dynamic-data-processor.py:118). Pure per-row IEEE
+    // arithmetic: deterministic, no rounding needed.
+    "q07_revenue_per_row" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // P3 — null-key guard filter (reference
+    // glue_jobs/dynamic-data-processor.py:64-66).
+    "q08_notnull_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .filter($"user_id".isNotNull && $"value".isNotNull)
+        .select($"event_id", $"user_id", $"value")
+        .orderBy($"event_id")
+    }),
+
+    // P10/P12 — timestamp->date cast + YEAR() predicate (reference
+    // athena_queries/total_cost_per_customer.sql:7). The filter is on a
+    // derived column, so it evaluates post-scan but still inside the
+    // scan stage (whole-stage codegen); only 2 columns are read.
+    "q09_year_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate".cast("date").as("order_date"))
+        .filter(year($"order_date") === 1996)
+        .orderBy($"o_orderkey")
+    }),
+
+    // J1 — keyed dedup, pinned deterministic: the reference's
+    // dropDuplicates(upsert_keys) (etl-s3-processed-to-redshift.py:58-59)
+    // keeps an arbitrary row; we pin "latest ts, then highest event_id
+    // wins" via row_number so the oracle comparison is stable
+    // (SURVEY.md §7.3). One shuffle on the key — same cost as
+    // dropDuplicates' hash aggregate.
+    "q10_dedup_latest" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      Tables.table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // J3 — the keyed upsert (merge) semantics: DELETE matched + INSERT
+    // all (reference etl-s3-processed-to-redshift.py:73-82), expressed
+    // as batch UNION (target ANTI-JOIN batch). Target = latest state
+    // per user before 2024-01-15; batch = latest per user after.
+    // The anti-join key is the upsert key; at scale the batch side is
+    // one micro-batch (small) and would be broadcast.
+    "q11_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+      val cut = lit("2024-01-15").cast("timestamp")
+      def latestPerUser(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", $"ts", $"value")
+      }
+      val target = latestPerUser(ev.filter($"ts" < cut))
+      val batch = latestPerUser(ev.filter($"ts" >= cut))
+      graft.store.Merge.merge(target, batch, Seq("user_id"))
+        .orderBy($"user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_count_customers" ->
+      "SELECT count(*) AS n_customers FROM customer",
+    "q02_suppliers_per_nation" ->
+      """SELECT n_name, count(1) AS supplier_count
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY supplier_count DESC, n_name""",
+    "q03_total_cost_per_customer" ->
+      s"""SELECT o_custkey, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_cost_usd
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(CAST(o_orderdate AS DATE)) = 1995
+          GROUP BY o_custkey
+          ORDER BY total_cost_usd DESC, o_custkey
+          LIMIT 10""",
+    "q04_projection_cast" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+                CAST(o_custkey AS VARCHAR) AS customer_id,
+                CAST(o_orderstatus AS VARCHAR) AS order_status,
+                CAST(o_totalprice AS DOUBLE) AS total_price,
+                CAST(o_orderdate AS DATE) AS order_date
+         FROM orders ORDER BY order_id""",
+    "q05_case_segment" ->
+      """SELECT c_custkey, c_mktsegment,
+                CASE WHEN c_mktsegment LIKE '%BUILDING%' THEN 'Construction'
+                     WHEN c_mktsegment LIKE '%AUTOMOBILE%' THEN 'Automotive'
+                     WHEN c_mktsegment LIKE '%MACHINERY%' THEN 'Industrial'
+                     ELSE 'Other' END AS segment_category
+         FROM customer ORDER BY c_custkey""",
+    "q06_sha2_mask" ->
+      """SELECT c_custkey, sha256(c_name) AS hashed_customer_id
+         FROM customer ORDER BY c_custkey""",
+    "q07_revenue_per_row" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS revenue
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q08_notnull_filter" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id IS NOT NULL AND value IS NOT NULL
+         ORDER BY event_id""",
+    "q09_year_filter" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+         FROM orders
+         WHERE year(CAST(o_orderdate AS DATE)) = 1996
+         ORDER BY o_orderkey""",
+    "q10_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+    "q11_merge_upsert" ->
+      """WITH latest_before AS (
+           SELECT user_id, event_id, event_type, ts, value FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts < TIMESTAMP '2024-01-15')
+           WHERE rn = 1),
+         latest_after AS (
+           SELECT user_id, event_id, event_type, ts, value FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+           WHERE rn = 1)
+         SELECT * FROM latest_after
+         UNION ALL
+         SELECT t.* FROM latest_before t
+         WHERE NOT EXISTS (SELECT 1 FROM latest_after b WHERE b.user_id = t.user_id)
+         ORDER BY user_id""")
+}
