@@ -1,0 +1,86 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Model.TableKind
+
+/** Landing→raw ingestion — the reference's S3-event Lambda
+  * (/root/reference/lambda/ingestion_to_raw.py) as a local-FS utility.
+  *
+  * Semantics preserved: non-CSV objects skipped (:21-23), file type =
+  * name prefix before the first '_' (:28-29), millisecond-timestamped
+  * rename (:31-33), hive-partitioned raw layout
+  * `raw/{type}/fecha_carga={load_date}/...` (:35), move = copy+delete
+  * (:40-47) so the landing dir is a queue, not a store.
+  */
+object Ingest {
+
+  final case class IngestedFile(
+      kind: TableKind, rawPath: Path, loadDate: String, sourceFile: String)
+
+  /** Name-prefix routing (ingestion_to_raw.py:28-29). Like the
+    * reference's `split('_', 1)[0]`, a name with no underscore routes
+    * to its full name (extension included) — faithful to the original,
+    * which would produce an `unrecognized_data_*` table for it. */
+  def routeFileType(fileName: String): String = fileName.split("_", 2)(0)
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+    .withZone(ZoneOffset.UTC)
+
+  def rawKey(fileType: String, loadDate: String, fileName: String, now: Instant): String = {
+    val dot = fileName.lastIndexOf('.')
+    val (base, ext) =
+      if (dot >= 0) (fileName.substring(0, dot), fileName.substring(dot))
+      else (fileName, "")
+    s"raw/$fileType/fecha_carga=$loadDate/${base}_${tsFmt.format(now)}$ext"
+  }
+
+  /** Move one landed file into the raw zone. Returns None for non-CSV
+    * (skipped, like ingestion_to_raw.py:21-23). */
+  def ingestFile(
+      landed: Path, rawZoneRoot: Path,
+      now: Instant = Instant.now(),
+      loadDate: Option[String] = None): Option[IngestedFile] = {
+    val name = landed.getFileName.toString
+    if (!name.endsWith(".csv")) return None
+    val date = loadDate.getOrElse(
+      LocalDate.ofInstant(now, ZoneOffset.UTC).toString)
+    val fileType = routeFileType(name)
+    val dest = rawZoneRoot.resolve(rawKey(fileType, date, name, now))
+    Files.createDirectories(dest.getParent)
+    // copy then delete — the reference's two-step move (:40-47)
+    Files.copy(landed, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.delete(landed)
+    Some(IngestedFile(TableKind.fromFileType(fileType), dest, date, name))
+  }
+
+  /** Drain a landing directory (the reference processes each S3 event
+    * record in a loop, ingestion_to_raw.py:17). */
+  def ingestAll(landingDir: Path, rawZoneRoot: Path,
+      now: Instant = Instant.now()): Seq[IngestedFile] =
+    Files.list(landingDir).iterator().asScala.toSeq.sorted
+      .flatMap(p => ingestFile(p, rawZoneRoot, now))
+
+  /** The reference's CSV scan options
+    * (/root/reference/glue_jobs/dynamic-data-processor.py:31-38),
+    * plus pinned timestamp/date formats: Spark's default lenient
+    * ISO-8601 inference parses an id like "T1" as the time 01:00:00,
+    * silently corrupting key columns. With explicit formats the
+    * inference is strict; the processed schema still comes from the
+    * transform casts, so this cannot change downstream types. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("sep", ",")
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+}

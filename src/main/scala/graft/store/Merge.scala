@@ -1,7 +1,7 @@
 package graft.store
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyed upsert ("merge") — the reference's Redshift staged upsert
@@ -22,13 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Keyed dedup with pinned precedence: keeps the first row per key
+    * under `precedence` ordering. The reference's dropDuplicates
+    * (etl-s3-processed-to-redshift.py:59) keeps an arbitrary row; an
+    * explicit ordering makes re-runs deterministic (SURVEY.md §7.3).
+    * Empty precedence falls back to the reference's arbitrary pick. */
+  def dedupKeyed(df: DataFrame, keys: Seq[String],
+      precedence: Seq[Column]): DataFrame =
+    if (precedence.isEmpty) df.dropDuplicates(keys)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(precedence: _*)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    }
+
   /** Latest-batch-wins keyed upsert as a pure DataFrame transform.
     * Contract (tested): result keys are unique iff target keys were;
     * every batch row is present; target rows survive iff unmatched.
     */
-  def merge(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+  def merge(target: DataFrame, batch: DataFrame, keys: Seq[String],
+      precedence: Seq[Column] = Nil): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    val dedupBatch = batch.dropDuplicates(keys)
+    val dedupBatch = dedupKeyed(batch, keys, precedence)
     target.join(broadcast(dedupBatch), keys, "left_anti")
       .unionByName(dedupBatch.select(target.columns.map(col).toIndexedSeq: _*))
   }
@@ -39,11 +55,12 @@ object Merge {
     */
   def mergeIntoParquet(
       spark: SparkSession, tableDir: String, batch: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], precedence: Seq[Column] = Nil): Unit = {
     val dir = Paths.get(tableDir)
     val merged =
-      if (Files.exists(dir)) merge(spark.read.parquet(tableDir), batch, keys)
-      else batch.dropDuplicates(keys)
+      if (Files.exists(dir))
+        merge(spark.read.parquet(tableDir), batch, keys, precedence)
+      else dedupKeyed(batch, keys, precedence)
     val tmp = tableDir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     swap(Paths.get(tmp), dir)
