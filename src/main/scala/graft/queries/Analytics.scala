@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Analytic extensions beyond the reference's three queries
+  * (SURVEY.md §7.2 step 7): the star-schema joins the reference's
+  * design implies but never exercises, window functions, grouping
+  * sets, set operations, JSON extraction, and event-time windowing
+  * over the events feed. All oracle-verified except approx sketches.
+  */
+object Analytics {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // Star join: fact ⋈ supplier ⋈ nation ⋈ region, revenue per
+    // region/nation. All three dims are bounded → broadcast; the only
+    // shuffle is the final aggregation on a 25-key space. At 100 TB
+    // this plan is scan-heavy but exchange-light — the ideal shape.
+    "q12_star_join_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_suppkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      val sup = Tables.table(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val nat = Tables.table(s, dir, "nation")
+      val reg = Tables.table(s, dir, "region")
+      li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"revenue").as("total_revenue"), count(lit(1)).as("n_lines"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Per-group top-k via row_number window (SURVEY.md §2.7 gap):
+    // top-3 customers by account balance per nation. One shuffle on
+    // nationkey; rank prunes before any further join.
+    "q13_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.table(s, dir, "customer")
+        .withColumn("rank_in_nation", row_number().over(w))
+        .filter($"rank_in_nation" <= 3)
+        .select($"c_nationkey", $"rank_in_nation", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_nationkey", $"rank_in_nation")
+    }),
+
+    // Running (cumulative) sum window. DECIMAL inside the frame sum:
+    // DuckDB evaluates window aggregates with a segment tree (varying
+    // association order), Spark incrementally — only an exact type
+    // makes the two agree bit-for-bit.
+    "q14_running_sum" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, dir, "orders")
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast("decimal(18,4)")).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    // ROLLUP grouping sets: order counts at (region, nation), (region),
+    // () levels. grouping_id disambiguates genuine NULLs from subtotal
+    // rows.
+    "q15_rollup_counts" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val nat = Tables.table(s, dir, "nation")
+      val reg = Tables.table(s, dir, "region")
+      val ords = Tables.table(s, dir, "orders").select($"o_custkey")
+      ords.join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          grouping_id($"r_name", $"n_name").as("gid"))
+        .orderBy($"gid", asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // Exact distinct aggregation (expands to a two-phase aggregate).
+    "q16_distinct_counts" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      li.groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_suppkey").as("n_suppliers"),
+          countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Approximate distinct (HLL++). Sketches are engine-specific, so
+    // no DuckDB oracle — the driver records a rows-only check; the
+    // ScalaTest asserts <5% error vs exact. At 100 TB this replaces a
+    // full distinct shuffle with a constant-size sketch merge.
+    "q17_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Anti join (NOT EXISTS): customers with no 1998 orders. The
+    // filter shrinks the build side before the join.
+    "q18_customers_without_orders" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer")
+      val ords = Tables.table(s, dir, "orders")
+        .filter(year($"o_orderdate".cast("date")) === 1998)
+        .select($"o_custkey")
+      cust.join(ords, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Set operations: INTERSECT and EXCEPT over derived key sets,
+    // tagged and unioned into one result.
+    "q19_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer")
+      val building = cust.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val rich = cust.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val both = building.intersect(rich).withColumn("set_op", lit("building_and_rich"))
+      val only = building.except(rich).withColumn("set_op", lit("building_not_rich"))
+      both.unionByName(only).orderBy($"set_op", $"c_custkey")
+    }),
+
+    // JSON extraction from the events props column (SURVEY.md §7.2
+    // step 8): get_json_object path access + typed cast.
+    "q20_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k_value"))
+        .orderBy($"event_id")
+    }),
+
+    // Event-time tumbling window aggregation (1 day) — the batch
+    // rendering of the streaming windowed agg; window boundaries are
+    // epoch-aligned so they equal date_trunc on the oracle side.
+    "q21_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select($"w.start".cast("date").as("day"), $"event_type",
+          $"n_events", $"total_value")
+        .orderBy($"day", $"event_type")
+    }),
+
+    // Sliding windows (2-day width, 1-day slide): every event lands in
+    // two windows.
+    "q22_sliding_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .groupBy(window($"ts", "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"w.start".cast("date").as("window_start"), $"n_events")
+        .orderBy($"window_start")
+    }),
+
+    // Gap-based sessionization (30-min inactivity) as window
+    // functions: new-session flag via lag, session id via running sum
+    // — the batch equivalent of session_window, expressible on both
+    // engines. Two window passes over one user_id shuffle.
+    "q23_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.table(s, dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum($"new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum($"value").as("session_value"))
+        .orderBy($"user_id", $"session_seq")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q12_star_join_revenue" ->
+      s"""SELECT r_name, n_name,
+            ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+            count(1) AS n_lines
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+          ORDER BY r_name, n_name""",
+    "q13_topk_per_group" ->
+      """SELECT c_nationkey, rank_in_nation, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+           FROM customer)
+         WHERE rank_in_nation <= 3
+         ORDER BY c_nationkey, rank_in_nation""",
+    "q14_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_spend
+         FROM orders
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q15_rollup_counts" ->
+      """SELECT r_name, n_name, count(1) AS n_orders,
+                GROUPING(r_name, n_name) AS gid
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q16_distinct_counts" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_suppkey) AS n_suppliers,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(1) AS n_lines
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q17_approx_distinct: intentionally no oracle (engine-specific HLL)
+    "q18_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND year(CAST(o_orderdate AS DATE)) = 1998)
+         ORDER BY c_custkey""",
+    "q19_set_ops" ->
+      """WITH building AS (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+         SELECT c_custkey, 'building_and_rich' AS set_op
+         FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+         UNION ALL
+         SELECT c_custkey, 'building_not_rich' AS set_op
+         FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+         ORDER BY set_op, c_custkey""",
+    "q20_json_extract" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+         FROM events ORDER BY event_id""",
+    "q21_tumbling_window" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+            count(1) AS n_events, ${dsumSql("value")} AS total_value
+          FROM events
+          GROUP BY day, event_type
+          ORDER BY day, event_type""",
+    "q22_sliding_window" ->
+      """SELECT CAST(date_trunc('day', ts) - (o.off * INTERVAL 1 DAY) AS DATE)
+                  AS window_start,
+                count(1) AS n_events
+         FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+         GROUP BY window_start
+         ORDER BY window_start""",
+    "q23_sessionize" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sessions AS (
+            SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged)
+          SELECT user_id, session_seq,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(1) AS n_events, ${dsumSql("value")} AS session_value
+          FROM sessions
+          GROUP BY user_id, session_seq
+          ORDER BY user_id, session_seq""")
+}

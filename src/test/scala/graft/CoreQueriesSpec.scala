@@ -12,11 +12,30 @@ class CoreQueriesSpec extends SparkSuite {
     }
   }
 
+  /** Queries deliberately without a DuckDB oracle (engine-specific
+    * results); each must have a semantic ScalaTest instead. */
+  val oracleExempt = Set("q17_approx_distinct")
+
   test("every query has an oracle or a documented omission") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val approx = SparkEntry.queries("q17_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
   }
 
   test("entry flagship returns rows") {
