@@ -7,9 +7,12 @@ object SparkEntry {
     queries("q03_total_cost_per_customer")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.queries ++ graft.queries.Analytics.queries
+    graft.queries.Core.queries ++ graft.queries.Analytics.queries ++
+      graft.queries.TextQueries.queries ++ graft.queries.VectorQueries.queries ++
+      graft.queries.VectorQueries.oracleExempt
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracles ++ graft.queries.Analytics.oracles
+    graft.queries.Core.oracles ++ graft.queries.Analytics.oracles ++
+      graft.queries.TextQueries.oracles ++ graft.queries.VectorQueries.oracles
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+
+/** Text-analysis + document-dedup query surface over the documents
+  * table (LLM-pipeline extensions; SURVEY.md §7.2 step 8).
+  */
+object TextQueries {
+  import Q._
+
+  /** Shared oracle CTE: tokenized docs with distinct 3-gram shingles.
+    * generate_series(1, n-2) is empty for short docs, matching the
+    * Spark-side guard in TextFunctions.shingles. */
+  private val docSets =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       d AS (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+             FROM w)"""
+
+  val queries: Map[String, Fn] = Map(
+    // Token counting + quality scoring: whitespace tokens, BPE-ish
+    // subword count, lexical diversity, stopword ratio → [0,1] score.
+    // Pure per-row expressions — scan-parallel, no shuffle.
+    "q24_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(
+          $"doc_id",
+          tokenCount($"text").as("n_tokens"),
+          size(array_distinct(words($"text"))).as("n_uniq_tokens"),
+          bpeTokenCount($"text").as("n_bpe_tokens"),
+          stopwordHits($"text").as("n_stopwords"),
+          qualityScore($"text").as("quality_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID heuristic: per-language stopword hit counts, argmax
+    // with deterministic tiebreak.
+    "q25_langid" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.table(s, dir, "documents")
+      val scores = langStopwords.map { case (lang, stops) =>
+        stopwordHits($"text", stops).as(s"hits_$lang")
+      }
+      d.select(($"doc_id" +: scores :+
+        predictLang($"text").as("predicted_lang")): _*)
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprints: exact sha256, canonicalized (sorted
+    // distinct words) sha256, winnowing-style min-shingle md5.
+    "q26_doc_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(
+          $"doc_id",
+          contentHash($"text").as("content_sha"),
+          normalizedHash($"text").as("normalized_sha"),
+          minShingleFingerprint($"text").as("min_shingle_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Exact dedup groups over the canonicalized hash: one hash
+    // aggregate (the 100 TB-safe shape — no pairwise work at all).
+    "q27_exact_dedup_groups" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactGroups(
+        Tables.table(s, dir, "documents"), "doc_id",
+        normalizedHash($"text"))
+        .orderBy($"content_hash")
+    }),
+
+    // MinHash + LSH near-dup pairs, exactly verified at jaccard ≥ 0.8.
+    // The oracle brute-forces all pairs; the engine only ever touches
+    // LSH candidates (recall ≈ 1 - 1e-18 at the planted 0.98 level).
+    "q28_minhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDupPairs(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Per-doc SimHash fingerprints (md5-portable bit math).
+    "q29_simhash_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashFingerprints(
+        Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup pairs (hamming ≤ 6) via the pigeonhole chunk
+    // join — with 10 chunks recall is guaranteed, not probabilistic.
+    "q30_simhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashNearDupPairs(
+        Tables.table(s, dir, "documents"), "doc_id", "text",
+        maxDist = 6, chunks = 10)
+        .orderBy($"id_a", $"id_b")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q24_text_stats" ->
+      """SELECT doc_id,
+                len(w) AS n_tokens,
+                len(list_distinct(w)) AS n_uniq_tokens,
+                list_sum(list_transform(w, x -> (length(x) + 3) // 4))::BIGINT
+                  AS n_bpe_tokens,
+                len(list_filter(w, x ->
+                  x IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+                round(
+                  least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
+                  (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
+                  least(1.0, len(list_filter(w, x ->
+                    x IN ('the','a','of','and','to','in','is')))::DOUBLE
+                    * 5.0 / len(w)::DOUBLE) * 0.2,
+                  6) AS quality_score
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
+    "q25_langid" ->
+      """SELECT doc_id,
+                len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS hits_en,
+                len(list_filter(w, x -> x IN ('el','la','de','los','que'))) AS hits_es,
+                len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+                CASE
+                  WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) > 0
+                   AND len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+                     >= greatest(
+                          len(list_filter(w, x -> x IN ('el','la','de','los','que'))),
+                          len(list_filter(w, x -> x IN ('der','die','das','und','ist'))))
+                  THEN 'en'
+                  WHEN len(list_filter(w, x -> x IN ('el','la','de','los','que'))) > 0
+                   AND len(list_filter(w, x -> x IN ('el','la','de','los','que')))
+                     >= len(list_filter(w, x -> x IN ('der','die','das','und','ist')))
+                  THEN 'es'
+                  WHEN len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) > 0
+                  THEN 'de'
+                  ELSE 'und' END AS predicted_lang
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
+    "q26_doc_fingerprints" -> (
+      docSets +
+      """ SELECT d.doc_id,
+                 sha256(doc.text) AS content_sha,
+                 sha256(array_to_string(list_sort(list_distinct(
+                   string_split(doc.text, ' '))), ' ')) AS normalized_sha,
+                 list_min(list_transform(d.sh, s -> md5(s))) AS min_shingle_md5
+          FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+          ORDER BY d.doc_id"""),
+    "q27_exact_dedup_groups" ->
+      """SELECT content_hash, min(doc_id) AS canonical_id,
+                count(1) AS n_members
+         FROM (SELECT doc_id,
+                 sha256(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS content_hash
+               FROM documents)
+         GROUP BY content_hash
+         ORDER BY content_hash""",
+    "q28_minhash_neardup" -> (
+      docSets +
+      """ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                    - len(list_intersect(a.sh, b.sh))::DOUBLE) AS jaccard
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                   - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8
+          ORDER BY id_a, id_b"""),
+    "q29_simhash_fingerprints" -> (
+      docSets +
+      """, h AS (SELECT doc_id,
+                  list_transform(sh, s ->
+                    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+               FROM d)
+         SELECT doc_id,
+                list_sum(list_transform(generate_series(0, 59), k ->
+                  CASE WHEN list_sum(list_transform(hs, v ->
+                         CASE WHEN (v >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT
+                  AS simhash
+         FROM h
+         ORDER BY doc_id"""),
+    "q30_simhash_neardup" -> (
+      docSets +
+      """, h AS (SELECT doc_id,
+                  list_transform(sh, s ->
+                    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+               FROM d),
+         f AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 59), k ->
+                   CASE WHEN list_sum(list_transform(hs, v ->
+                          CASE WHEN (v >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT
+                   AS simhash
+               FROM h)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         ORDER BY id_a, id_b"""))
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.vector.VectorFunctions
+
+/** Vector-similarity query surface over the embeddings table
+  * (LLM-pipeline extensions): exact brute-force kNN as the verified
+  * baseline, LSH-bucketed ANN as the scale path, cosine near-dup
+  * pairs.
+  */
+object VectorQueries {
+  import Q._
+
+  /** Oracle-side dot product mirroring VectorFunctions.dotExact: the
+    * same left-fold order over the same double products → identical
+    * bits. */
+  private def dotDec(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+          i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"""
+
+  private def cosSql(av: String, bv: String): String =
+    s"${dotDec(av, bv)} / (sqrt(${dotDec(av, av)}) * sqrt(${dotDec(bv, bv)}))"
+
+  val queries: Map[String, Fn] = Map(
+    // Exact cosine top-5 for the first 20 vectors as queries, brute
+    // force over the corpus: the correctness baseline every ANN method
+    // is judged against. Queries are broadcast; the corpus scan is
+    // shuffle-free until the per-query top-k.
+    "q31_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      VectorFunctions.knnBruteForce(
+        emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        k = 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Embedding near-duplicate pairs at cosine ≥ 0.45 (the planted
+    // similarity level in the testdata). Exact output; the double
+    // prefilter inside cosineNearDupPairs only skips pairs that
+    // cannot reach the threshold.
+    "q32_embedding_neardup" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.cosineNearDupPairs(
+        Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy($"id_a", $"id_b")
+    }))
+
+  /** LSH ANN is approximate by design → no DuckDB oracle; its
+    * correctness contract is the recall-vs-brute-force ScalaTest. */
+  val oracleExempt: Map[String, Fn] = Map(
+    "q33_ann_lsh_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      VectorFunctions.knnLsh(
+        emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        k = 5, planes = 6, tables = 8)
+        .orderBy($"query_id", $"rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q31_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 20),
+           scored AS (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+                    ${cosSql("q.qv", "e.embedding")} AS cosine
+             FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+          SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
+    "q32_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.embedding", "b.embedding")} AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+          ORDER BY id_a, id_b""")
+}

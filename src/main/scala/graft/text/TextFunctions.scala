@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline surface
+  * (SURVEY.md §7.2 step 8): tokenization, shingling, quality/langid
+  * heuristics, and portable content hashes. Everything is built-in
+  * Catalyst expressions (split/transform/aggregate/md5/sha2) — no
+  * UDFs — so the ops stay codegen-friendly and reproducible in the
+  * DuckDB oracle.
+  *
+  * Cross-engine determinism: any hash that must match the oracle is
+  * md5/sha2-derived (both engines agree bit-for-bit); xxhash64 is
+  * used only engine-internally (MinHash signatures), where the oracle
+  * checks the verified output, not the hashes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents.text is space-separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, order-preserving, 1-based like the
+    * oracle's generate_series — empty when the doc has < n words
+    * (Spark's `sequence` would otherwise descend and fabricate
+    * shingles). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, base-16 → long.
+    * Positive (< 2^60), identical in DuckDB via
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: each word contributes ceil(len/4) tokens —
+    * a deterministic stand-in for a real BPE vocab (which would be a
+    * lookup table broadcast to executors). */
+  def bpeTokenCount(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc + ((length(w) + lit(3)).cast("long") / lit(4)).cast("long"))
+
+  /** English-ish stopword list used by quality scoring. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordHits(text: Column, stopwords: Seq[String] = stopwordsEn): Column =
+    size(filter(words(text), w => w.isin(stopwords.map(lit): _*)))
+
+  /** Document quality score in [0,1]: length saturation, lexical
+    * diversity, stopword presence — the classic cheap pre-filters for
+    * LLM corpus curation. Pure double arithmetic on exact ints →
+    * bit-identical on both engines. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val uniq = size(array_distinct(words(text))).cast("double")
+    val stops = stopwordHits(text).cast("double")
+    round(
+      least(lit(1.0), n / lit(100.0)) * lit(0.4) +
+        (uniq / n) * lit(0.4) +
+        least(lit(1.0), stops * lit(5.0) / n) * lit(0.2),
+      6)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword langid
+    * heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** Language-ID heuristic: argmax of stopword hit counts with a
+    * deterministic tiebreak (first list order wins; all-zero → "und").
+    */
+  def predictLang(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, stops) =>
+      lang -> stopwordHits(text, stops)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Full-content hash for exact dedup (sha2 like the reference's PII
+    * masking, dynamic-data-processor.py:94). */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Canonicalized content hash: sorted distinct words — catches
+    * reordered/repeated word-soup dups that byte-exact hashing
+    * misses. */
+  def normalizedHash(text: Column): Column =
+    sha2(array_join(sort_array(array_distinct(words(text))), " "), 256)
+
+  /** Winnowing-style document fingerprint: lexicographic min of the
+    * shingle md5s (stable under small edits away from the minimum). */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** 60-bit SimHash over the shingle set, from precomputed hash60
+    * values: bit k is set iff the sum over shingles of ±1 (by bit k of
+    * the shingle hash) is positive. Built as a SQL expression (the
+    * DSL's shift functions only take literal shift amounts). */
+  def simhash60(hashArrayCol: String): Column = {
+    val h = hashArrayCol
+    expr(
+      s"""aggregate(
+            transform(sequence(0, 59), k ->
+              if(aggregate($h, 0L, (acc, v) ->
+                   acc + if((shiftright(v, k) & 1) = 1, 1L, -1L)) > 0,
+                 shiftleft(1L, k), 0L)),
+            0L, (a, b) -> a + b)""")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over `array<float>` embedding columns
+  * (FIXTURES.md §B.8): exact cosine via higher-order functions, brute
+  * force top-k as the correctness baseline, and a hyperplane-LSH
+  * bucketed variant as the scale path.
+  *
+  * Determinism: dot products accumulate in DECIMAL(25,18) — the
+  * per-element products are bit-identical doubles on any engine, and
+  * decimal addition is associative, so the result is independent of
+  * evaluation order (Spark fold, DuckDB list_sum, cluster partial
+  * aggregation — all agree). float→double widening is exact.
+  */
+object VectorFunctions {
+
+  /** Sequential left-fold dot product in double. Unlike a cross-row
+    * aggregation, a per-row array fold has ONE fixed evaluation order
+    * (the array's), so the result is deterministic on any cluster
+    * layout; the oracle mirrors it with list_reduce (also a left
+    * fold, and IEEE 0.0+x == x makes the seeds agree). */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dotExact(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dotExact(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against
+    * the corpus, rank per query. At scale the corpus scan is
+    * embarrassingly parallel and shuffle-free until the final
+    * per-query top-k (TakeOrdered per partition + merge). */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryId: String = "query_id", corpusId: String = "neighbor_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // norms once per row, not once per pair — O(n+q) folds instead of O(n·q)
+    val q = queries.select(col(queryId), col(vecCol).as("q_vec"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"))
+    val c = corpus.select(col(corpusId), col(vecCol).as("c_vec"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cosine",
+        dotExact(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a double in
+    * [-0.5, 0.5) derived from md5(plane, dim) — no RNG state, so
+    * executors agree without any broadcast. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat_ws("_", lit(plane), dim)), 1, 12), 16, 10)
+      .cast("double") / lit((1L << 48).toDouble)) - lit(0.5)
+
+  /** Sign-random-projection (hyperplane LSH) bucket id over `planes`
+    * bits for hash table `table`. Vectors in the same bucket tend to
+    * have high cosine. */
+  def hyperplaneBucket(vec: Column, planes: Int, table: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(table * 64 + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate NN via multi-table hyperplane LSH with 1-bit
+    * multi-probe: `tables` independent hash tables of `planes` bits;
+    * a query probes its own bucket plus every 1-bit flip in each
+    * table, and candidates are the union. For moderately similar
+    * neighbors (cos ≈ 0.4 → per-plane agreement ≈ 0.63) recall at
+    * (8 tables × 6 planes, 1-probe) is ≈ 0.9 — one table would give
+    * ≈ 0.1.
+    *
+    * Scale: the corpus is bucketed once ((table, bucket) keys —
+    * written bucketed at rest in a real deployment); each query
+    * touches tables·(planes+1) buckets ≈ a constant fraction of data
+    * that shrinks as 2^-planes. The bucket equi-join replaces the
+    * O(n·q) cross product.
+    */
+  def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 6,
+      tables: Int = 8, queryId: String = "query_id",
+      corpusId: String = "neighbor_id", vecCol: String = "embedding"):
+      DataFrame = {
+    val c = corpus.select(
+      col(corpusId), col(vecCol).as("c_vec"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"))
+    val cBucketed = c.select(col(corpusId), col("c_vec"), col("c_norm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          hyperplaneBucket(col("c_vec"), planes, t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col(corpusId), col("c_vec"), col("c_norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qBase = queries.select(col(queryId), col(vecCol).as("q_vec"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"))
+    val qBucketed = qBase.select(col(queryId), col("q_vec"), col("q_norm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          hyperplaneBucket(col("q_vec"), planes, t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col(queryId), col("q_vec"), col("q_norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket0"))
+    // multi-probe: own bucket + every 1-bit flip
+    val probes = qBucketed.select(
+      col(queryId), col("q_vec"), col("q_norm"), col("tbl"),
+      explode(expr(
+        s"array_union(array(bucket0), transform(sequence(0, ${planes - 1}), p -> bucket0 ^ shiftleft(cast(1 as bigint), p)))"))
+        .as("bucket"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    probes.join(cBucketed, Seq("tbl", "bucket"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId), col("q_vec"), col("c_vec"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates(queryId, corpusId) // a pair may collide in several tables/probes
+      .withColumn("cosine",
+        dotExact(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup). Brute
+    * force with per-row norm precompute; the LSH bucket join above is
+    * the scale path when O(n²) dot products are too much. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = df.select(
+      col(idCol), col(vecCol),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("norm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("norm").as("norm_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("norm").as("norm_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dotExact(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+import graft.vector.VectorFunctions
+
+/** Semantic checks for the LLM-pipeline operators (the hash-match
+  * gate is the DuckDB oracle; these pin the properties the oracle
+  * can't express). */
+class TextVectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles: distinct n-grams, empty for short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextFunctions.shingles($"text", 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq("x y x", "y x y"), "distinct keeps first occurrence")
+  }
+
+  test("minhash LSH finds exactly the brute-force pairs at tau=0.8 (sf0.001)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val lsh = SparkEntry.queries("q28_minhash_neardup")(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs with the same shingle sets
+    val sets = docs.select($"doc_id",
+      TextFunctions.shingles($"text", 3).as("sh"))
+    val brute = sets.toDF("id_a", "sh_a")
+      .crossJoin(sets.toDF("id_b", "sh_b"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("j", Dedup.jaccard($"sh_a", $"sh_b"))
+      .filter($"j" >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === brute, "LSH + verify must equal brute force here")
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("simhash near-dup pairs are a subset of minhash pairs' similarity regime") {
+    val sim = SparkEntry.queries("q30_simhash_neardup")(spark, sf0001)
+    // hamming bound respected and pairs unique
+    val rows = sim.collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 6))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val brute = SparkEntry.queries("q31_cosine_topk")(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries("q33_ann_lsh_topk")(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(s"ANN recall@5 = $recall")
+    assert(recall >= 0.8,
+      s"multi-probe hyperplane LSH should catch most true neighbors, got $recall")
+  }
+
+  test("cosine is exact and symmetric on a known case") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = VectorFunctions
+      .cosineNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 3L, 1.0)), "only colinear pair survives")
+  }
+
+  test("quality score bounded in [0,1]") {
+    val scores = SparkEntry.queries("q24_text_stats")(spark, sf0001)
+      .select("quality_score").as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
