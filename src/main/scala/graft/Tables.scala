@@ -24,7 +24,8 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
       // rejects. Read nanos as raw longs and truncate to microsecond
@@ -36,6 +37,7 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(path(dir, name))
+  }
 
   /** Register every table as a temp view so `spark.sql` text (the
     * reference's analytics surface, SURVEY.md §3.3) can run verbatim. */

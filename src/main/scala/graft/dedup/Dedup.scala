@@ -27,11 +27,26 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
-  /** MinHash signature as an array of k minima over xxhash64(seed,
-    * shingle). Engine-internal hashing (never oracle-compared). */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+  /** MinHash signatures for all docs at once: explode shingles, hash
+    * each shingle ONCE (xxhash64), then derive the k "permutations"
+    * as xxhash64(h, i) — native codegen'd hashing with no long
+    * overflow (ANSI mode forbids wrapping multiplies) — as k
+    * min-aggregates in a single groupBy. One shuffle of
+    * (doc, shingle-hash) rows, no interpreted lambdas in the hot
+    * path. Engine-internal hashing (never oracle-compared). Docs with
+    * no shingles simply have no signature row (no LSH candidates —
+    * correct: an empty set has jaccard 0 with everything). */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: Column,
+      k: Int = 64): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(shingleCol).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+    val minCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    hashed.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: b band-hashes over an r-row signature slice each.
     * With k=64, b=16, r=4 the candidate-recall at jaccard 0.8 is
@@ -69,12 +84,12 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
-    val withSets = docs.select(
-      col(idCol),
-      shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val cands = lshCandidates(withSets, idCol, "sig", bands, numHashes / bands)
-    val sets = withSets.select(col(idCol), col("sh"))
+    // materialize the shingle sets once: they feed the signature
+    // computation and both sides of the verify join (3 uses)
+    val sets = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint()
+    val sigs = minhashSignatures(sets, idCol, col("sh"), numHashes)
+    val cands = lshCandidates(sigs, idCol, "sig", bands, numHashes / bands)
     cands
       .join(sets.toDF("id_a", "sh_a"), "id_a")
       .join(sets.toDF("id_b", "sh_b"), "id_b")
@@ -83,20 +98,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Per-doc 60-bit SimHash fingerprints (md5-portable). */
+  /** Per-doc 60-bit SimHash fingerprints (md5-portable). Computed by
+    * exploding shingles and running 60 codegen'd conditional-sum
+    * aggregates (one per bit) in a single groupBy — same result as
+    * the per-row TextFunctions.simhash60 fold, ~40× faster (no
+    * interpreted lambda per (bit, shingle) pair). Docs with no
+    * shingles keep fingerprint 0 via the left join, matching the
+    * empty-fold semantics. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sh_h", transform(col("sh"), s => hash60(s)))
-      .select(col(idCol), simhash60("sh_h").as("simhash"))
+      shingleN: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col(idCol), hash60(col("s")).as("h"))
+    val bitCols = (0 until 60).map { k =>
+      sum(when(expr(s"(shiftright(h, $k) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"b$k")
+    }
+    val fps = hashed.groupBy(col(idCol))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    docs.select(col(idCol))
+      .join(fps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
-    * the pigeonhole chunk join: split the 60-bit fingerprint into
-    * `chunks` pieces; any pair within maxDist ≤ chunks-1 must agree on
-    * at least one chunk. Candidates share a chunk; exact popcount
-    * verifies. */
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist: all-pairs
+    * xor+popcount over the 8-byte fingerprints. After fingerprinting,
+    * a "pair" is two longs — a broadcast nested-loop over n
+    * fingerprints does n²/2 popcounts in tight codegen (~25M for 5000
+    * docs: trivially fast), with none of the bucket-skew risk a chunk
+    * join has when fingerprints cluster (similar-vocabulary corpora
+    * cluster HARD — measured 800s vs ~2s on the sf0.1 word-soup
+    * docs). Use [[simhashNearDupPairsBanded]] when n² longs stops
+    * fitting (≳10⁶ docs per executor group). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 6, chunks: Int = 10, shingleN: Int = 3): DataFrame = {
+      maxDist: Int = 6, shingleN: Int = 3): DataFrame = {
+    // materialize fingerprints once instead of recomputing the
+    // explode+60-aggregate pipeline on both sides of the self-join
+    val fp = simhashFingerprints(docs, idCol, textCol, shingleN)
+      .localCheckpoint()
+    val a = fp.toDF("id_a", "sim_a")
+    val b = fp.toDF("id_b", "sim_b")
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Pigeonhole-banded variant for corpora too large for all-pairs
+    * popcounts: split the 60-bit fingerprint into `chunks` pieces; a
+    * pair within maxDist ≤ chunks-1 must agree on ≥1 chunk, so the
+    * (chunk_idx, chunk_val) equi-join generates candidates with
+    * guaranteed recall. CAVEAT: requires well-spread fingerprints —
+    * on a near-duplicate-heavy or shared-vocabulary corpus the
+    * buckets collapse and the join degenerates toward all-pairs with
+    * far higher constants; salt or pre-partition by a second key
+    * before using at scale. */
+  def simhashNearDupPairsBanded(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 6, chunks: Int = 10,
+      shingleN: Int = 3): DataFrame = {
     require(maxDist < chunks, "pigeonhole needs maxDist < chunks")
     val bits = 60 / chunks
     val fp = simhashFingerprints(docs, idCol, textCol, shingleN)

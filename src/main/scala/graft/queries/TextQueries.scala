@@ -98,8 +98,7 @@ object TextQueries {
     "q30_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
       Dedup.simhashNearDupPairs(
-        Tables.table(s, dir, "documents"), "doc_id", "text",
-        maxDist = 6, chunks = 10)
+        Tables.table(s, dir, "documents"), "doc_id", "text", maxDist = 6)
         .orderBy($"id_a", $"id_b")
     }))
 

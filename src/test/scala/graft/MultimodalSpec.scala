@@ -1,0 +1,45 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: schema, determinism, frame fan-out, resize
+  * metadata. (Feature math is oracle-verified via q34.) */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val assets = Multimodal.syntheticAssets(spark, sf0001)
+
+  test("synthetic assets have full typed metadata") {
+    val rows = assets.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.content.nonEmpty))
+    assert(rows.filter(_.media_type == "image").forall(a =>
+      a.width.isDefined && a.height.isDefined && a.duration_ms.isEmpty))
+    assert(rows.filter(_.media_type != "image").forall(a =>
+      a.width.isEmpty && a.duration_ms.isDefined))
+  }
+
+  test("featurize is deterministic, fixed-dim, and drops the bytes") {
+    val f1 = Multimodal.featurize(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.featurize(assets).collect().sortBy(_.asset_id)
+    assert(f1.length === 500)
+    assert(f1.forall(_.feature.length === Multimodal.featureDim))
+    assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
+    assert(!Multimodal.featurize(assets).schema.fieldNames.contains("content"))
+  }
+
+  test("resize pins dimensions and byte budget") {
+    val r = Multimodal.resize(assets.limit(10), 32, 24).collect()
+    assert(r.forall(a => a.width.contains(32) && a.height.contains(24)))
+    assert(r.forall(_.content.length === 32 * 24))
+  }
+
+  test("frame sampling fans out only videos, bounded, with derived ids") {
+    val frames = Multimodal.sampleFrames(assets, everyMs = 1000).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.media_type == "image"))
+    val videoIds = assets.filter(_.media_type == "video").collect().map(_.asset_id).toSet
+    assert(frames.map(_.asset_id / 1000).toSet.subsetOf(videoIds))
+    assert(frames.forall(_.uri.contains("#frame=")))
+  }
+}
