@@ -11,12 +11,14 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++ graft.queries.VectorQueries.queries ++
       graft.queries.VectorQueries.oracleExempt ++
       graft.queries.MultimodalQueries.queries ++
-      graft.streaming.StreamingQueries.queries
+      graft.streaming.StreamingQueries.queries ++
+      graft.queries.OperatorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Analytics.oracles ++
       graft.queries.TextQueries.oracles ++ graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.streaming.StreamingQueries.oracles
+      graft.streaming.StreamingQueries.oracles ++
+      graft.queries.OperatorQueries.oracles
 }

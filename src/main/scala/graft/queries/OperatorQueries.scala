@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Queries exercising the composed custom operators (as-of join,
+  * pivot) with DuckDB oracles.
+  */
+object OperatorQueries {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // As-of join: attach to every purchase event the user's latest
+    // view event at or before it (session attribution). The right
+    // side is pre-deduped to one row per (user, ts) so the match is
+    // unambiguous on both engines.
+    "q36_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("view_event_id"))
+      AsOfJoin.asOf(purchases, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("view_event_id"))
+        .select($"event_id", $"user_id", $"ts", $"value",
+          $"__match.ts".as("view_ts"),
+          $"__match.view_event_id".as("view_event_id"))
+        .orderBy($"event_id")
+    }),
+
+    // Pivot: per-day event counts spread into one column per type —
+    // plans as a single hash aggregate with conditional counters, the
+    // same shape as the oracle's FILTER aggregation.
+    "q37_pivot_event_counts" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.table(s, dir, "events")
+        .withColumn("day", $"ts".cast("date"))
+        .groupBy($"day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted
+        .select(($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+        .orderBy($"day")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q36_asof_join" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         views AS (
+           SELECT user_id, ts, max(event_id) AS view_event_id FROM events
+           WHERE event_type = 'view' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.ts, p.value,
+                v.ts AS view_ts, v.view_event_id
+         FROM purchases p
+         ASOF LEFT JOIN views v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
+    "q37_pivot_event_counts" ->
+      """SELECT CAST(ts AS DATE) AS day,
+                count(1) FILTER (event_type = 'click') AS click,
+                count(1) FILTER (event_type = 'error') AS error,
+                count(1) FILTER (event_type = 'purchase') AS purchase,
+                count(1) FILTER (event_type = 'signup') AS signup,
+                count(1) FILTER (event_type = 'view') AS view
+         FROM events
+         GROUP BY day
+         ORDER BY day""")
+}
