@@ -113,7 +113,8 @@ object Analytics {
       import s.implicits._
       val cust = Tables.table(s, dir, "customer")
       val ords = Tables.table(s, dir, "orders")
-        .filter(year($"o_orderdate".cast("date")) === 1998)
+        .filter($"o_orderdate" >= to_timestamp_ntz(lit("1998-01-01")) &&
+          $"o_orderdate" < to_timestamp_ntz(lit("1999-01-01")))
         .select($"o_custkey")
       cust.join(ords, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")

@@ -69,8 +69,12 @@ object Core {
       import s.implicits._
       val li = Tables.table(s, dir, "lineitem")
         .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("line_cost"))
+      // YEAR(x)=1995 spelled as a half-open range so it pushes down to
+      // the parquet scan (row-group min/max + partition pruning at
+      // scale); equivalent to year() for non-null timestamps.
       val ord = Tables.table(s, dir, "orders")
-        .filter(year($"o_orderdate".cast("date")) === 1995)
+        .filter($"o_orderdate" >= to_timestamp_ntz(lit("1995-01-01")) &&
+          $"o_orderdate" < to_timestamp_ntz(lit("1996-01-01")))
         .select($"o_orderkey", $"o_custkey")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_custkey")
@@ -140,14 +144,14 @@ object Core {
     }),
 
     // P10/P12 — timestamp->date cast + YEAR() predicate (reference
-    // athena_queries/total_cost_per_customer.sql:7). The filter is on a
-    // derived column, so it evaluates post-scan but still inside the
-    // scan stage (whole-stage codegen); only 2 columns are read.
+    // athena_queries/total_cost_per_customer.sql:7), spelled as a
+    // pushable half-open range on the raw column (see q03).
     "q09_year_filter" -> ((s, dir) => {
       import s.implicits._
       Tables.table(s, dir, "orders")
+        .filter($"o_orderdate" >= to_timestamp_ntz(lit("1996-01-01")) &&
+          $"o_orderdate" < to_timestamp_ntz(lit("1997-01-01")))
         .select($"o_orderkey", $"o_orderdate".cast("date").as("order_date"))
-        .filter(year($"order_date") === 1996)
         .orderBy($"o_orderkey")
     }),
 
