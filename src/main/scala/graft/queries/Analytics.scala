@@ -167,6 +167,39 @@ object Analytics {
         .orderBy($"window_start")
     }),
 
+    // Ranking-function family over one per-nation window: rank,
+    // dense_rank, ntile, percent_rank, lag/lead — one shuffle total
+    // (all functions share the window spec).
+    "q38_rank_functions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.table(s, dir, "customer")
+        .select(
+          $"c_nationkey", $"c_custkey", $"c_acctbal",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          lag($"c_custkey", 1).over(w).as("prev_cust"),
+          lead($"c_custkey", 1).over(w).as("next_cust"))
+        .orderBy($"c_nationkey", $"rnk")
+    }),
+
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`: both linear interpolation over the
+    // sorted values).
+    "q39_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Gap-based sessionization (30-min inactivity) as window
     // functions: new-session flag via lag, session id via running sum
     // — the batch equivalent of session_window, expressible on both
@@ -267,6 +300,26 @@ object Analytics {
          FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
          GROUP BY window_start
          ORDER BY window_start""",
+    "q38_rank_functions" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 9) AS pct_rank,
+                lag(c_custkey, 1) OVER w AS prev_cust,
+                lead(c_custkey, 1) OVER w AS next_cust
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_nationkey, rnk""",
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+                round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+                round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q23_sessionize" ->
       s"""WITH flagged AS (
             SELECT user_id, event_id, ts, value,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.vector.VectorFunctions
+import graft.vector.{Ivf, VectorFunctions}
 
 /** Vector-similarity query surface over the embeddings table
   * (LLM-pipeline extensions): exact brute-force kNN as the verified
@@ -49,7 +49,7 @@ object VectorQueries {
         .orderBy($"id_a", $"id_b")
     }))
 
-  /** LSH ANN is approximate by design → no DuckDB oracle; its
+  /** ANN variants are approximate by design → no DuckDB oracle; their
     * correctness contract is the recall-vs-brute-force ScalaTest. */
   val oracleExempt: Map[String, Fn] = Map(
     "q33_ann_lsh_topk" -> ((s, dir) => {
@@ -59,6 +59,16 @@ object VectorQueries {
         emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
         emb.withColumnRenamed("vec_id", "neighbor_id"),
         k = 5, planes = 6, tables = 8)
+        .orderBy($"query_id", $"rank")
+    }),
+    "q40_ann_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 2)
+      Ivf.search(
+        emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        model, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
     }))
 

@@ -14,7 +14,8 @@ class CoreQueriesSpec extends SparkSuite {
 
   /** Queries deliberately without a DuckDB oracle (engine-specific
     * results); each must have a semantic ScalaTest instead. */
-  val oracleExempt = Set("q17_approx_distinct", "q33_ann_lsh_topk")
+  val oracleExempt =
+    Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk")
 
   test("every query has an oracle or a documented omission") {
     val missing =

@@ -48,15 +48,26 @@ class TextVectorSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
   }
 
-  test("LSH ANN recall@5 vs brute force") {
+  private def recallVsBrute(annQuery: String): Double = {
     val brute = SparkEntry.queries("q31_cosine_topk")(spark, sf0001)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ann = SparkEntry.queries("q33_ann_lsh_topk")(spark, sf0001)
+    val ann = SparkEntry.queries(annQuery)(spark, sf0001)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (brute & ann).size.toDouble / brute.size
-    info(s"ANN recall@5 = $recall")
+    (brute & ann).size.toDouble / brute.size
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val recall = recallVsBrute("q33_ann_lsh_topk")
+    info(s"LSH ANN recall@5 = $recall")
     assert(recall >= 0.8,
       s"multi-probe hyperplane LSH should catch most true neighbors, got $recall")
+  }
+
+  test("IVF ANN recall@5 vs brute force") {
+    val recall = recallVsBrute("q40_ann_ivf_topk")
+    info(s"IVF ANN recall@5 = $recall")
+    assert(recall >= 0.75,
+      s"IVF nprobe=4/16 should catch most true neighbors, got $recall")
   }
 
   test("cosine is exact and symmetric on a known case") {
