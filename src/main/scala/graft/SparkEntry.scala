@@ -12,6 +12,7 @@ object SparkEntry {
       graft.queries.VectorQueries.oracleExempt ++
       graft.queries.MultimodalQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
+      graft.streaming.StatefulSessionize.queries ++
       graft.queries.OperatorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -20,5 +21,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++ graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
+      graft.streaming.StatefulSessionize.oracles ++
       graft.queries.OperatorQueries.oracles
 }
