@@ -26,6 +26,7 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
+    graft.plans.GraftExtensions.install(spark) // idempotent
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
       // rejects. Read nanos as raw longs and truncate to microsecond

@@ -144,13 +144,14 @@ object Core {
     }),
 
     // P10/P12 — timestamp->date cast + YEAR() predicate (reference
-    // athena_queries/total_cost_per_customer.sql:7), spelled as a
-    // pushable half-open range on the raw column (see q03).
+    // athena_queries/total_cost_per_customer.sql:7), written in the
+    // natural year() form: the YearRangeRewrite optimizer rule
+    // (graft.plans) turns it into a pushable half-open range — the
+    // plan shows GreaterThanOrEqual/LessThan in PushedFilters.
     "q09_year_filter" -> ((s, dir) => {
       import s.implicits._
       Tables.table(s, dir, "orders")
-        .filter($"o_orderdate" >= to_timestamp_ntz(lit("1996-01-01")) &&
-          $"o_orderdate" < to_timestamp_ntz(lit("1997-01-01")))
+        .filter(year($"o_orderdate".cast("date")) === 1996)
         .select($"o_orderkey", $"o_orderdate".cast("date").as("order_date"))
         .orderBy($"o_orderkey")
     }),
