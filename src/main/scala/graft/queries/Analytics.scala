@@ -167,6 +167,28 @@ object Analytics {
         .orderBy($"window_start")
     }),
 
+    // Pricing-summary aggregate suite (TPC-H Q1 shape): multiple
+    // exact sums + averages per small group key — the map-side
+    // partial aggregation workhorse. Averages are dsum/count in
+    // double (both engines divide identical exact values).
+    "q42_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .filter($"l_shipdate" < to_timestamp_ntz(lit("1998-09-01")))
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsumAt($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"),
+            scale = 8).as("sum_charge"),
+          (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+          (dsum($"l_discount") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // Ranking-function family over one per-nation window: rank,
     // dense_rank, ntile, percent_rank, lag/lead — one shuffle total
     // (all functions share the window spec).
@@ -300,6 +322,20 @@ object Analytics {
          FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
          GROUP BY window_start
          ORDER BY window_start""",
+    "q42_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${dsumSql("l_quantity")} AS sum_qty,
+            ${dsumSql("l_extendedprice")} AS sum_base_price,
+            ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+            ${dsumAtSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 8)} AS sum_charge,
+            ${dsumSql("l_quantity")} / count(1) AS avg_qty,
+            ${dsumSql("l_extendedprice")} / count(1) AS avg_price,
+            ${dsumSql("l_discount")} / count(1) AS avg_disc,
+            count(1) AS count_order
+          FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1998-09-01'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
     "q38_rank_functions" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
                 rank() OVER w AS rnk,

@@ -27,6 +27,17 @@ object Q {
   /** Oracle-side spelling of [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** dsum at a chosen scale. Pick a scale with headroom beyond the
+    * value's true decimal digits: double→decimal casts round
+    * differently across engines exactly AT a value's last digit (a
+    * 6-decimal product cast at scale 4 diverged; at scale 8 the double
+    * is unambiguously nearest one representable value on both). */
+  def dsumAt(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  def dsumAtSql(expr: String, scale: Int): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,$scale))) AS DOUBLE)"
 }
 
 /** The reference's own query/ETL surface re-expressed over the driver
