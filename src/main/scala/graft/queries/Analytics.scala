@@ -222,6 +222,35 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // RANGE window frame (value-based, not row-based): per customer,
+    // spend in the 30 days up to and including each order. Ordered by
+    // epoch-day so the frame is numeric on both engines.
+    "q43_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"order_day")
+        .rangeBetween(-30, Window.currentRow)
+      Tables.table(s, dir, "orders")
+        .withColumn("order_day", datediff($"o_orderdate".cast("date"),
+          lit("1970-01-01").cast("date")))
+        .withColumn("spend_30d",
+          sum($"o_totalprice".cast("decimal(18,4)")).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"order_day", $"spend_30d")
+        .orderBy($"o_custkey", $"order_day", $"o_orderkey")
+    }),
+
+    // JSON → typed map → explode: from_json into map<string,bigint>,
+    // one row per key, aggregated per key.
+    "q44_json_map_explode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .select($"event_id",
+          explode(from_json($"props", lit("map<string,bigint>"))))
+        .groupBy($"key")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .orderBy($"key")
+    }),
+
     // Gap-based sessionization (30-min inactivity) as window
     // functions: new-session flag via lag, session id via running sum
     // — the batch equivalent of session_window, expressible on both
@@ -356,6 +385,26 @@ object Analytics {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q43_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS order_day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS spend_30d
+         FROM orders
+         ORDER BY o_custkey, order_day, o_orderkey""",
+    "q44_json_map_explode" ->
+      """SELECT k AS key, count(1) AS n,
+                SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS total
+         FROM (SELECT event_id, props,
+                      unnest(json_keys(props::JSON)) AS k
+               FROM events)
+         GROUP BY k
+         ORDER BY k""",
     "q23_sessionize" ->
       s"""WITH flagged AS (
             SELECT user_id, event_id, ts, value,
