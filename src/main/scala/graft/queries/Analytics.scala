@@ -14,6 +14,11 @@ import graft.Tables
 object Analytics {
   import Q._
 
+  /** Typed row for the Dataset-API query (top-level: local case
+    * classes cannot derive Encoders). */
+  final case class Cust(c_custkey: Long, c_name: String,
+      c_nationkey: Int, c_acctbal: Double, c_mktsegment: String)
+
   val queries: Map[String, Fn] = Map(
     // Star join: fact ⋈ supplier ⋈ nation ⋈ region, revenue per
     // region/nation. All three dims are bounded → broadcast; the only
@@ -222,6 +227,21 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // Typed Dataset path: case-class rows, groupByKey + custom
+    // Aggregators (compile-time field checks; the aggregator mirrors
+    // dsum's decimal-exact semantics so it still oracle-matches).
+    "q45_typed_segment_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TypedAggregators._
+      val ds = Tables.table(s, dir, "customer").as[Cust]
+      ds.groupByKey(_.c_mktsegment)
+        .agg(
+          new DecimalSumAgg[Cust](_.c_acctbal).toColumn.name("sum_acctbal"),
+          new CountAgg[Cust].toColumn.name("n_customers"))
+        .toDF("c_mktsegment", "sum_acctbal", "n_customers")
+        .orderBy($"c_mktsegment")
+    }),
+
     // RANGE window frame (value-based, not row-based): per customer,
     // spend in the 30 days up to and including each order. Ordered by
     // epoch-day so the frame is numeric on both engines.
@@ -385,6 +405,12 @@ object Analytics {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q45_typed_segment_stats" ->
+      s"""SELECT c_mktsegment, ${dsumSql("c_acctbal")} AS sum_acctbal,
+            count(1) AS n_customers
+          FROM customer
+          GROUP BY c_mktsegment
+          ORDER BY c_mktsegment""",
     "q43_range_frame" ->
       """SELECT o_custkey, o_orderkey,
                 datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
