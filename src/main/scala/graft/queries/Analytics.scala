@@ -227,6 +227,22 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // Correlated scalar subquery through the SQL front end: orders
+    // worth more than 3x their customer's average order. Catalyst
+    // decorrelates this into an aggregate + join — no per-row
+    // subquery execution.
+    "q46_correlated_subquery" -> ((s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders_v o
+            WHERE o_totalprice > 3.0 * (
+              SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(1)
+              FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+            ORDER BY o_orderkey""")
+    }),
+
     // Typed Dataset path: case-class rows, groupByKey + custom
     // Aggregators (compile-time field checks; the aggregator mirrors
     // dsum's decimal-exact semantics so it still oracle-matches).
@@ -405,6 +421,14 @@ object Analytics {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q46_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 3.0 * (
+           SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(1)
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
     "q45_typed_segment_stats" ->
       s"""SELECT c_mktsegment, ${dsumSql("c_acctbal")} AS sum_acctbal,
             count(1) AS n_customers
