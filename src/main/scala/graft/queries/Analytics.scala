@@ -227,6 +227,42 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // Array higher-order functions over the embedding column:
+    // transform / filter / exists / element stats — the array-function
+    // surface, per-row (scan-parallel).
+    "q47_array_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "embeddings")
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          round(array_max(transform($"embedding", x => abs(x.cast("double")))), 6)
+            .as("max_abs"),
+          size(filter($"embedding", x => x > 0f)).as("n_positive"),
+          exists($"embedding", x => x.cast("double") > 0.3)
+            .cast("int").as("has_large"),
+          round(element_at($"embedding", 1).cast("double"), 6).as("first_component"))
+        .orderBy($"vec_id")
+    }),
+
+    // String-function pack: case mapping, substring, regexp capture,
+    // concat, trim-family, edit distance (levenshtein exists on both
+    // engines with identical semantics).
+    "q48_string_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          upper($"c_mktsegment").as("seg_upper"),
+          lower($"c_name").as("name_lower"),
+          regexp_extract($"c_name", "([0-9]+)", 1).as("name_digits"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          concat_ws("-", $"c_mktsegment", $"c_custkey").as("seg_key"),
+          length($"c_name").as("name_len"),
+          levenshtein($"c_name", $"c_mktsegment").as("edit_dist"))
+        .orderBy($"c_custkey")
+    }),
+
     // Correlated scalar subquery through the SQL front end: orders
     // worth more than 3x their customer's average order. Catalyst
     // decorrelates this into an aggregate + join — no per-row
@@ -421,6 +457,28 @@ object Analytics {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q47_array_functions" ->
+      """SELECT vec_id,
+                len(embedding) AS dim,
+                round(list_max(list_transform(embedding,
+                  x -> abs(x::DOUBLE))), 6) AS max_abs,
+                len(list_filter(embedding, x -> x > 0)) AS n_positive,
+                CASE WHEN len(list_filter(embedding,
+                  x -> x::DOUBLE > 0.3)) > 0 THEN 1 ELSE 0 END AS has_large,
+                round(embedding[1]::DOUBLE, 6) AS first_component
+         FROM embeddings
+         ORDER BY vec_id""",
+    "q48_string_functions" ->
+      """SELECT c_custkey,
+                upper(c_mktsegment) AS seg_upper,
+                lower(c_name) AS name_lower,
+                regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+                substr(c_name, 1, 8) AS name_prefix,
+                concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
+                length(c_name) AS name_len,
+                levenshtein(c_name, c_mktsegment) AS edit_dist
+         FROM customer
+         ORDER BY c_custkey""",
     "q46_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders o
