@@ -85,6 +85,26 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Exact n-gram jaccard within blocking groups: all-pairs is only
+    // computed inside (lang, source) blocks — the classic blocking
+    // technique that keeps exact pairwise dedup tractable (O(Σ
+    // block²) instead of O(n²)); MinHash (q28) is the unblocked
+    // scale path.
+    "q49_ngram_jaccard_blocked" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source",
+          shingles($"text", 2).as("sh"))
+      val a = d.toDF("id_a", "lang", "source", "sh_a")
+      val b = d.toDF("id_b", "lang", "source", "sh_b")
+      a.join(b, Seq("lang", "source"))
+        .filter($"id_a" < $"id_b")
+        .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+        .filter($"jaccard" >= 0.5)
+        .select($"lang", $"source", $"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Per-doc SimHash fingerprints (md5-portable bit math).
     "q29_simhash_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -170,6 +190,23 @@ object TextQueries {
                   (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
                    - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8
           ORDER BY id_a, id_b"""),
+    "q49_ngram_jaccard_blocked" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS sh
+           FROM (SELECT doc_id, lang, source,
+                        string_split(text, ' ') AS w FROM documents))
+         SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                   - len(list_intersect(a.sh, b.sh))::DOUBLE) AS jaccard
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                  - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
     "q29_simhash_fingerprints" -> (
       docSets +
       """, h AS (SELECT doc_id,
