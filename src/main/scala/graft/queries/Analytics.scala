@@ -112,6 +112,20 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // Approximate percentiles (Greenwald-Khanna sketch): like HLL for
+    // distincts, the sketch replaces a full sort with a constant-size
+    // mergeable summary — the 100 TB path for quantiles. No oracle
+    // (sketch internals are engine-specific); the test bounds error
+    // vs the exact percentile.
+    "q50_percentile_approx" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("p50_price_approx"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Anti join (NOT EXISTS): customers with no 1998 orders. The
     // filter shrinks the build side before the join.
     "q18_customers_without_orders" -> ((s, dir) => {

@@ -15,7 +15,22 @@ class CoreQueriesSpec extends SparkSuite {
   /** Queries deliberately without a DuckDB oracle (engine-specific
     * results); each must have a semantic ScalaTest instead. */
   val oracleExempt =
-    Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk")
+    Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk",
+      "q50_percentile_approx")
+
+  test("percentile_approx within 1% of exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val approx = SparkEntry.queries("q50_percentile_approx")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, p) =>
+      assert(math.abs(approx(k) - p) / p < 0.01,
+        s"$k: approx=${approx(k)} exact=$p")
+    }
+  }
 
   test("every query has an oracle or a documented omission") {
     val missing =
