@@ -112,6 +112,23 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // UNPIVOT/melt — wide metrics to long (metric, value) rows, the
+    // inverse of pivot (q37); plans as a generator expand, no shuffle.
+    "q51_unpivot_metrics" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+        .unpivot(
+          ids = Array($"l_orderkey", $"l_linenumber"),
+          values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        // (l_orderkey, l_linenumber) is not unique in the testdata —
+        // value joins the sort key for a total order
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric", $"value")
+    }),
+
     // Approximate percentiles (Greenwald-Khanna sketch): like HLL for
     // distincts, the sketch replaces a full sort with a constant-size
     // mergeable summary — the 100 TB path for quantiles. No oracle
@@ -471,6 +488,13 @@ object Analytics {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q51_unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax FROM lineitem)
+         UNPIVOT (value FOR metric IN
+           (l_quantity, l_extendedprice, l_discount, l_tax))
+         ORDER BY l_orderkey, l_linenumber, metric, value""",
     "q47_array_functions" ->
       """SELECT vec_id,
                 len(embedding) AS dim,

@@ -141,7 +141,9 @@ object Core {
         .select(
           $"l_orderkey", $"l_linenumber",
           ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique in the testdata —
+        // revenue joins the sort key for a stable total order
+        .orderBy($"l_orderkey", $"l_linenumber", $"revenue")
     }),
 
     // P3 — null-key guard filter (reference
@@ -240,7 +242,7 @@ object Core {
     "q07_revenue_per_row" ->
       """SELECT l_orderkey, l_linenumber,
                 l_extendedprice * (1.0 - l_discount) AS revenue
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""",
     "q08_notnull_filter" ->
       """SELECT event_id, user_id, value FROM events
          WHERE user_id IS NOT NULL AND value IS NOT NULL
