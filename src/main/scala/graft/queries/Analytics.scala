@@ -112,6 +112,41 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // Date/time function pack (cross-engine-safe subset: weekday is
+    // Spark's Monday=0 == DuckDB isodow-1; dayofweek's Sunday origin
+    // differs between engines and is avoided).
+    "q52_date_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate".cast("date").as("d"))
+        .select(
+          $"o_orderkey",
+          $"d",
+          month($"d").as("order_month"),
+          quarter($"d").as("order_quarter"),
+          weekday($"d").as("order_weekday"),
+          last_day($"d").as("month_end"),
+          date_trunc("month", $"d").cast("date").as("month_start"),
+          add_months($"d", 3).as("plus_quarter"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Null-handling semantics: coalesce, nullif, null-safe equality
+    // (<=> / IS NOT DISTINCT FROM). Nulls are synthesized via nullif
+    // since the testdata is null-free.
+    "q53_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_discount", $"l_tax")
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          nullif($"l_discount", lit(0.0)).as("disc_or_null"),
+          coalesce(nullif($"l_discount", lit(0.0)), lit(-1.0)).as("disc_coalesced"),
+          (nullif($"l_discount", lit(0.0)) <=> nullif($"l_tax", lit(0.0)))
+            .cast("int").as("null_safe_eq"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"disc_coalesced", $"null_safe_eq")
+    }),
+
     // UNPIVOT/melt — wide metrics to long (metric, value) rows, the
     // inverse of pivot (q37); plans as a generator expand, no shuffle.
     "q51_unpivot_metrics" -> ((s, dir) => {
@@ -488,6 +523,26 @@ object Analytics {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    "q52_date_functions" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                month(CAST(o_orderdate AS DATE)) AS order_month,
+                quarter(CAST(o_orderdate AS DATE)) AS order_quarter,
+                isodow(CAST(o_orderdate AS DATE)) - 1 AS order_weekday,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  AS month_start,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                  AS plus_quarter
+         FROM orders ORDER BY o_orderkey""",
+    "q53_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+                nullif(l_discount, 0.0) AS disc_or_null,
+                coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+                CASE WHEN nullif(l_discount, 0.0)
+                       IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+                     THEN 1 ELSE 0 END AS null_safe_eq
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, disc_coalesced, null_safe_eq""",
     "q51_unpivot_metrics" ->
       """SELECT l_orderkey, l_linenumber, metric, value
          FROM (SELECT l_orderkey, l_linenumber, l_quantity,
