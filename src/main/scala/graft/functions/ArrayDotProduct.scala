@@ -86,7 +86,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 /** Session registration for the graft SQL function extensions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSigAgg(exprs.head), "built-in")
+  }
 }

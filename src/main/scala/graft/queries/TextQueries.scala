@@ -85,6 +85,26 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Corpus-level overlap: exact jaccard of per-source 2-gram shingle
+    // SETS for every source pair — group set-union then pairwise
+    // intersect (400 group pairs, not 125k doc pairs). The custom
+    // MinHashSigAgg (TypedImperativeAggregate) is the constant-memory
+    // estimate of exactly this quantity (bounded in ScalaTest).
+    "q54_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val bySource = Tables.table(s, dir, "documents")
+        .select($"source", explode(shingles($"text", 2)).as("sh"))
+        .groupBy($"source")
+        .agg(collect_set($"sh").as("shs"))
+      val a = bySource.toDF("src_a", "shs_a")
+      val b = bySource.toDF("src_b", "shs_b")
+      a.crossJoin(b).filter($"src_a" < $"src_b")
+        .withColumn("jaccard",
+          graft.dedup.Dedup.jaccard($"shs_a", $"shs_b"))
+        .select($"src_a", $"src_b", $"jaccard")
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Exact n-gram jaccard within blocking groups: all-pairs is only
     // computed inside (lang, source) blocks — the classic blocking
     // technique that keeps exact pairwise dedup tractable (O(Σ
@@ -190,6 +210,20 @@ object TextQueries {
                   (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
                    - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8
           ORDER BY id_a, id_b"""),
+    "q54_source_overlap" ->
+      """WITH d AS (
+           SELECT source,
+                  list_distinct(flatten(list(
+                    list_transform(generate_series(1, len(w) - 1),
+                      i -> concat_ws(' ', w[i], w[i+1]))))) AS shs
+           FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+           GROUP BY source)
+         SELECT a.source AS src_a, b.source AS src_b,
+                len(list_intersect(a.shs, b.shs))::DOUBLE /
+                  (len(a.shs)::DOUBLE + len(b.shs)::DOUBLE
+                   - len(list_intersect(a.shs, b.shs))::DOUBLE) AS jaccard
+         FROM d a JOIN d b ON a.source < b.source
+         ORDER BY src_a, src_b""",
     "q49_ngram_jaccard_blocked" ->
       """WITH d AS (
            SELECT doc_id, lang, source,
