@@ -119,6 +119,11 @@ object TextQueries {
       val b = d.toDF("id_b", "lang", "source", "sh_b")
       a.join(b, Seq("lang", "source"))
         .filter($"id_a" < $"id_b")
+        // size-ratio prune: jaccard >= t needs |A| and |B| within 1/t
+        // of each other (|A∩B| ≤ min(|A|,|B|)) — cheap codegen filter
+        // before the expensive set intersection, exact-preserving
+        .filter(size($"sh_a") * 2 >= size($"sh_b") &&
+          size($"sh_b") * 2 >= size($"sh_a"))
         .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
         .filter($"jaccard" >= 0.5)
         .select($"lang", $"source", $"id_a", $"id_b", $"jaccard")
