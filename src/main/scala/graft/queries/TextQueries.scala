@@ -112,9 +112,11 @@ object TextQueries {
     // scale path.
     "q49_ngram_jaccard_blocked" -> ((s, dir) => {
       import s.implicits._
+      // materialized once: both sides of the self-join read it
       val d = Tables.table(s, dir, "documents")
         .select($"doc_id", $"lang", $"source",
           shingles($"text", 2).as("sh"))
+        .localCheckpoint()
       val a = d.toDF("id_a", "lang", "source", "sh_a")
       val b = d.toDF("id_b", "lang", "source", "sh_b")
       a.join(b, Seq("lang", "source"))
