@@ -64,7 +64,7 @@ object VectorQueries {
     "q40_ann_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.table(s, dir, "embeddings")
-      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 2)
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 1)
       Ivf.search(
         emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
         emb.withColumnRenamed("vec_id", "neighbor_id"),
