@@ -92,5 +92,8 @@ object GraftFunctions {
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSigAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
   }
 }

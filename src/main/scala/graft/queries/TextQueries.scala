@@ -112,10 +112,11 @@ object TextQueries {
     // scale path.
     "q49_ngram_jaccard_blocked" -> ((s, dir) => {
       import s.implicits._
-      // materialized once: both sides of the self-join read it
+      // materialized once (both join sides), sorted once per doc so
+      // the per-pair intersection is a codegen merge scan
       val d = Tables.table(s, dir, "documents")
         .select($"doc_id", $"lang", $"source",
-          shingles($"text", 2).as("sh"))
+          sort_array(shingles($"text", 2)).as("sh"))
         .localCheckpoint()
       val a = d.toDF("id_a", "lang", "source", "sh_a")
       val b = d.toDF("id_b", "lang", "source", "sh_b")
@@ -126,7 +127,7 @@ object TextQueries {
         // before the expensive set intersection, exact-preserving
         .filter(size($"sh_a") * 2 >= size($"sh_b") &&
           size($"sh_b") * 2 >= size($"sh_a"))
-        .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+        .withColumn("jaccard", Dedup.jaccardSorted($"sh_a", $"sh_b"))
         .filter($"jaccard" >= 0.5)
         .select($"lang", $"source", $"id_a", $"id_b", $"jaccard")
         .orderBy($"id_a", $"id_b")
