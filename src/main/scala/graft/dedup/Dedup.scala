@@ -93,8 +93,11 @@ object Dedup {
       threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     // materialize the shingle sets once: they feed the signature
-    // computation and both sides of the verify join (3 uses)
-    val sets = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    // computation and both sides of the verify join (3 uses); fanout
+    // first so shingling isn't serialized onto a small scan's single
+    // partition (see Q.fanout)
+    val sets = graft.queries.Q.fanout(docs)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .localCheckpoint()
     val sigs = minhashSignatures(sets, idCol, col("sh"), numHashes)
     val cands = lshCandidates(sigs, idCol, "sig", bands, numHashes / bands)
@@ -115,7 +118,9 @@ object Dedup {
     * empty-fold semantics. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val hashed = docs
+    // fanout: the explode + per-shingle md5 is the heavy stage and
+    // must not run on a small scan's single partition (see Q.fanout)
+    val hashed = graft.queries.Q.fanout(docs)
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
       .select(col(idCol), hash60(col("s")).as("h"))
     val bitCols = (0 until 60).map { k =>

@@ -398,9 +398,12 @@ object Analytics {
       val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       Tables.table(s, dir, "events")
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        // gap test in exact MICROseconds on both engines:
+        // second-truncated unix_timestamp vs the oracle's fractional
+        // epoch() moved borderline events between adjacent sessions
         .withColumn("new_session",
           when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_seq",
           sum($"new_session").over(
@@ -600,7 +603,8 @@ object Analytics {
          ORDER BY o_custkey, order_day, o_orderkey""",
     "q44_json_map_explode" ->
       """SELECT k AS key, count(1) AS n,
-                SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS total
+                CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+                     AS BIGINT) AS total
          FROM (SELECT event_id, props,
                       unnest(json_keys(props::JSON)) AS k
                FROM events)
@@ -610,7 +614,7 @@ object Analytics {
       s"""WITH flagged AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

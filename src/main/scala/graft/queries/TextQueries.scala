@@ -92,15 +92,19 @@ object TextQueries {
     // estimate of exactly this quantity (bounded in ScalaTest).
     "q54_source_overlap" -> ((s, dir) => {
       import s.implicits._
-      val bySource = Tables.table(s, dir, "documents")
+      // per-source sets sorted ONCE at aggregation time so each of the
+      // O(sources²) pair comparisons is a codegen merge scan
+      // (graft_sorted_intersect) instead of rebuilding a hash set over
+      // ~10⁵-element arrays per pair
+      val bySource = fanout(Tables.table(s, dir, "documents"))
         .select($"source", explode(shingles($"text", 2)).as("sh"))
         .groupBy($"source")
-        .agg(collect_set($"sh").as("shs"))
+        .agg(sort_array(collect_set($"sh")).as("shs"))
       val a = bySource.toDF("src_a", "shs_a")
       val b = bySource.toDF("src_b", "shs_b")
       a.crossJoin(b).filter($"src_a" < $"src_b")
         .withColumn("jaccard",
-          graft.dedup.Dedup.jaccard($"shs_a", $"shs_b"))
+          graft.dedup.Dedup.jaccardSorted($"shs_a", $"shs_b"))
         .select($"src_a", $"src_b", $"jaccard")
         .orderBy($"src_a", $"src_b")
     }),
@@ -113,8 +117,9 @@ object TextQueries {
     "q49_ngram_jaccard_blocked" -> ((s, dir) => {
       import s.implicits._
       // materialized once (both join sides), sorted once per doc so
-      // the per-pair intersection is a codegen merge scan
-      val d = Tables.table(s, dir, "documents")
+      // the per-pair intersection is a codegen merge scan; fanout so
+      // shingling AND the probe side of the pair join use all cores
+      val d = fanout(Tables.table(s, dir, "documents"))
         .select($"doc_id", $"lang", $"source",
           sort_array(shingles($"text", 2)).as("sh"))
         .localCheckpoint()

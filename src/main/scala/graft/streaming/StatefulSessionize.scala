@@ -123,7 +123,7 @@ object StatefulSessionize {
       s"""WITH flagged AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
