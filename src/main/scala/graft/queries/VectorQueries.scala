@@ -63,12 +63,17 @@ object VectorQueries {
     }),
     "q40_ann_ivf_topk" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.table(s, dir, "embeddings")
+      // fanout: the assignment scans (fit means + index build) are
+      // 16-cell × 64-dim dot products per row — spread them
+      val emb = fanout(Tables.table(s, dir, "embeddings"))
       val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 1)
-      Ivf.search(
+      // index build once (the cached corpus assignment), then search
+      val assigned = Ivf.assign(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), model)
+        .localCheckpoint()
+      Ivf.searchAssigned(
         emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
-        emb.withColumnRenamed("vec_id", "neighbor_id"),
-        model, k = 5, nprobe = 4)
+        assigned, model, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
     }))
 

@@ -87,13 +87,21 @@ object StatefulSessionize {
   private val runId = new AtomicInteger(0)
 
   /** Streaming run over the events parquet with AvailableNow: emits
-    * every CLOSED session (the open tail per user remains in state). */
+    * every CLOSED session (the open tail per user remains in state).
+    *
+    * Sink: `foreachBatch` appending to parquet — closed sessions grow
+    * with users × time, so a driver-side memory sink is the wrong
+    * shape at scale; the appended parquet table keeps the stream
+    * distributed end to end (tests exercise the memory-free
+    * [[sessionize]] core directly). */
   def streamedSessions(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val table = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_sessions_${runId.incrementAndGet()}_")
+      .toString
     val evs = spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque*")
@@ -103,13 +111,17 @@ object StatefulSessionize {
       .as[Ev]
     val q = sessionize(evs, gapSeconds)
       .writeStream
-      .format("memory")
-      .queryName(table)
       .outputMode("append")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: Dataset[Session], _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(table)
+    spark.read.parquet(s"$out/result")
+      .select("user_id", "session_seq", "session_start", "session_end",
+        "n_events", "session_value")
       .orderBy(col("user_id"), col("session_seq"))
   }
 

@@ -10,23 +10,31 @@ import graft.queries.Q
 
 /** Structured-Streaming analytics over the events feed: the streaming
   * rendering of the batch windowed aggregation (q21), run with
-  * Trigger.AvailableNow into a memory sink. Because event-time
-  * tumbling windows are deterministic and the trigger drains all
-  * available input, the streaming result equals the batch result —
-  * which is exactly what the DuckDB oracle checks.
+  * Trigger.AvailableNow into a `foreachBatch` → parquet sink. Because
+  * event-time tumbling windows are deterministic and the trigger
+  * drains all available input, the streaming result equals the batch
+  * result — which is exactly what the DuckDB oracle checks.
+  *
+  * Sink choice: a memory sink materializes the whole result on the
+  * driver and regrows every batch in complete mode — fine for unit
+  * tests, wrong at scale. foreachBatch overwrites a parquet table
+  * with each complete-mode snapshot, so the result stays distributed
+  * end to end and downstream readers see a normal table.
   */
 object StreamingQueries {
   private val runId = new AtomicInteger(0)
 
   /** Per-day, per-type counts and exact decimal sums over a stream of
     * the events parquet. Complete output mode (no watermark needed for
-    * a drained finite source). */
+    * a drained finite source). Returns a reader over the parquet sink. */
   def streamedTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS): stream it as raw longs, convert
     // like Tables.table does for batch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val table = s"graft_stream_counts_${runId.incrementAndGet()}"
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_counts_${runId.incrementAndGet()}_")
+      .toString
     // glob form: the file stream source requires a directory or glob
     // basePath; events.parquet is a single file
     val q = spark.readStream
@@ -38,13 +46,17 @@ object StreamingQueries {
       .select(col("w.start").cast("date").as("day"), col("event_type"),
         col("n_events"), col("total_value"))
       .writeStream
-      .format("memory")
-      .queryName(table)
       .outputMode("complete")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // complete mode: each batch carries the full refreshed
+        // aggregate — overwrite is the snapshot semantics
+        batch.write.mode("overwrite").parquet(s"$out/result")
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(table).orderBy(col("day"), col("event_type"))
+    spark.read.parquet(s"$out/result").orderBy(col("day"), col("event_type"))
   }
 
   val queries: Map[String, Q.Fn] = Map(

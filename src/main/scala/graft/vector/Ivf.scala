@@ -54,11 +54,13 @@ object Ivf {
     * by id) and DECIMAL-exact mean updates. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       cells: Int, iters: Int = 2): Model = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
     var cents: IndexedSeq[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(cells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toIndexedSeq
+    require(cents.nonEmpty, "IVF fit needs a non-empty corpus")
+    // dims from the init vectors — saves a separate head() job
+    val dims = cents.head.length
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
         assignCell(col(vecCol), Model(cents)).as("cell"),
@@ -79,23 +81,33 @@ object Ivf {
     Model(cents)
   }
 
-  /** ANN search: assign corpus cells, probe nprobe cells per query,
-    * exact cosine over candidates, per-query top-k. */
-  def search(queries: DataFrame, corpus: DataFrame, m: Model, k: Int,
-      nprobe: Int, queryId: String = "query_id",
+  /** Corpus cell assignment + norm, the index-build step: compute it
+    * ONCE per model and reuse across every search (at 100 TB: write
+    * this out bucketed/partitioned by `cell` so a query stream reads
+    * only nprobe/cells of the data — the partition-pruning analogue
+    * for vectors). Output columns: corpusId, c_vec, c_norm, cell. */
+  def assign(corpus: DataFrame, m: Model,
       corpusId: String = "neighbor_id", vecCol: String = "embedding"):
-      DataFrame = {
-    val c = corpus.select(
+      DataFrame =
+    corpus.select(
       col(corpusId), col(vecCol).as("c_vec"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"),
       assignCell(col(vecCol), m).as("cell"))
+
+  /** ANN search over a pre-assigned corpus (see [[assign]]): probe
+    * nprobe cells per query, exact cosine over candidates, per-query
+    * top-k. The only shuffle is the equi-join on cell id. */
+  def searchAssigned(queries: DataFrame, assigned: DataFrame, m: Model,
+      k: Int, nprobe: Int, queryId: String = "query_id",
+      corpusId: String = "neighbor_id", vecCol: String = "embedding"):
+      DataFrame = {
     val q = queries.select(
       col(queryId), col(vecCol).as("q_vec"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"),
       explode(probeCells(col(vecCol), m, nprobe)).as("cell"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
-    q.join(c, "cell")
+    q.join(assigned, "cell")
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cosine",
         dotExact(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
@@ -103,4 +115,12 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
+
+  /** One-shot search for callers without a cached assignment. */
+  def search(queries: DataFrame, corpus: DataFrame, m: Model, k: Int,
+      nprobe: Int, queryId: String = "query_id",
+      corpusId: String = "neighbor_id", vecCol: String = "embedding"):
+      DataFrame =
+    searchAssigned(queries, assign(corpus, m, corpusId, vecCol), m, k,
+      nprobe, queryId, corpusId, vecCol)
 }

@@ -9,11 +9,12 @@ import org.apache.spark.sql.expressions.Window
   * force top-k as the correctness baseline, and a hyperplane-LSH
   * bucketed variant as the scale path.
   *
-  * Determinism: dot products accumulate in DECIMAL(25,18) — the
-  * per-element products are bit-identical doubles on any engine, and
-  * decimal addition is associative, so the result is independent of
-  * evaluation order (Spark fold, DuckDB list_sum, cluster partial
-  * aggregation — all agree). float→double widening is exact.
+  * Determinism: dot products are per-ROW left folds in double with
+  * ONE fixed evaluation order (the array's), so the result does not
+  * depend on partitioning or merge order — nothing is ever
+  * accumulated across rows. The oracle mirrors the same order with
+  * DuckDB list_reduce (also a left fold); float→double widening is
+  * exact, so both engines see identical bit patterns.
   */
 object VectorFunctions {
 
