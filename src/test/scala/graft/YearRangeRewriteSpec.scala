@@ -47,4 +47,42 @@ class YearRangeRewriteSpec extends SparkSuite {
       .select($"ds".cast("date").as("d"))
     assert(df.filter(year($"d") === 2024).count() === 1)
   }
+
+  test("property: TIMESTAMP rewrite matches year() across DST zones") {
+    // the rule derives its range literals from the SESSION time zone
+    // (rangeFor → SQLConf.sessionLocalTimeZone); a zone where legal
+    // time shifts around new year is exactly where a UTC-offset slip
+    // would misclassify boundary instants. Pacific/Apia skipped an
+    // entire day (30 Dec 2011); Pacific/Kiritimati skipped 31 Dec
+    // 1994; the others have ordinary DST but non-integral or negative
+    // offsets at midnight Jan 1.
+    GraftExtensions.install(spark)
+    val zones = Seq("UTC", "America/New_York", "Australia/Lord_Howe",
+      "Pacific/Apia", "Pacific/Kiritimati", "America/Santiago")
+    val years = Seq(1995, 2011, 2012, 2024)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (z <- zones) {
+        spark.conf.set("spark.sql.session.timeZone", z)
+        val zone = java.time.ZoneId.of(z)
+        // instants bracketing each year boundary by ±50 h in 7h steps
+        val instants = for {
+          y <- years
+          base = java.time.LocalDate.of(y, 1, 1).atStartOfDay(zone)
+            .toInstant.getEpochSecond
+          off <- -50L * 3600 to 50L * 3600 by 7 * 3600
+        } yield base + off
+        val df = instants.toDF("epoch")
+          .select(timestamp_seconds($"epoch").as("ts"), $"epoch")
+        for (y <- years) {
+          val got = df.filter(year($"ts") === y)
+            .select($"epoch").as[Long].collect().sorted.toSeq
+          val want = instants.filter(e =>
+            java.time.Instant.ofEpochSecond(e).atZone(zone).getYear == y)
+            .sorted
+          assert(got === want, s"zone=$z year=$y")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
