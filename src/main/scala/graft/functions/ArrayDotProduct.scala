@@ -95,5 +95,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_ivf_top_cells",
+      exprs => IvfTopCells(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -28,27 +28,23 @@ object Ivf {
     def numCells: Int = centroids.length
   }
 
-  /** Score of a vector against cell c under the L2-argmin ⇔
-    * dot-argmax(v·c − ||c||²/2) equivalence. */
-  private def cellScore(vec: Column, cent: Array[Double]): Column = {
-    val halfNormSq = cent.map(x => x * x).sum / 2.0
-    dotExact(vec, typedlit(cent)) - lit(halfNormSq)
-  }
+  /** The nprobe best cells for a vector (score desc, larger cell id
+    * on ties), via the graft_ivf_top_cells codegen expression — the
+    * centroid matrix ships as one reference object, so the generated
+    * source stays O(1) in the cell count (a composed array_max over
+    * per-cell structs took seconds of janino compile at 16×64 and
+    * grows with cells). */
+  private def topCells(vec: Column, m: Model, nprobe: Int): Column =
+    call_function("graft_ivf_top_cells", vec,
+      typedlit(m.centroids.map(_.toSeq).toSeq), lit(nprobe))
 
-  /** Argmax cell as array_max over (score, cell) structs — field-order
-    * comparison makes ties break deterministically on cell id. */
+  /** Argmax cell (deterministic tie toward the larger cell id). */
   private def assignCell(vec: Column, m: Model): Column =
-    array_max(array(m.centroids.zipWithIndex.map { case (c, i) =>
-      struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+    element_at(topCells(vec, m, 1), 1)
 
   /** The nprobe best cells for a query vector, as an array. */
   private def probeCells(vec: Column, m: Model, nprobe: Int): Column =
-    slice(
-      reverse(array_sort(array(m.centroids.zipWithIndex.map { case (c, i) =>
-        struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
-      }: _*))),
-      1, nprobe).getField("cell")
+    topCells(vec, m, nprobe)
 
   /** Lloyd iterations with deterministic init (first `cells` vectors
     * by id) and DECIMAL-exact mean updates. */
