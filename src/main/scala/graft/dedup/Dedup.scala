@@ -27,26 +27,25 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
-  /** MinHash signatures for all docs at once: explode shingles, hash
-    * each shingle ONCE (xxhash64), then derive the k "permutations"
-    * as xxhash64(h, i) — native codegen'd hashing with no long
-    * overflow (ANSI mode forbids wrapping multiplies) — as k
-    * min-aggregates in a single groupBy. One shuffle of
-    * (doc, shingle-hash) rows, no interpreted lambdas in the hot
-    * path. Engine-internal hashing (never oracle-compared). Docs with
-    * no shingles simply have no signature row (no LSH candidates —
-    * correct: an empty set has jaccard 0 with everything). */
+  /** MinHash signatures for all docs at once: explode shingles and
+    * fold them with the MinHashSigAgg TypedImperativeAggregate — one
+    * aggregate with a constant k-long mergeable buffer (each shingle
+    * is hashed once, the k "permutations" derive by splitmix64
+    * finalization inside the update). The previous spelling — k
+    * separate min(xxhash64(h, i)) columns — produced equivalent
+    * signatures but compiled a huge whole-stage-codegen class
+    * (seconds of janino per plan) and shipped k-column intermediate
+    * rows. One shuffle of (doc, shingle) rows either way.
+    * Engine-internal hashing (never oracle-compared; near-dup output
+    * is exact because LSH candidates are verified with true jaccard).
+    * Docs with no shingles simply have no signature row (no LSH
+    * candidates — correct: an empty set has jaccard 0 with
+    * everything). */
   def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: Column,
-      k: Int = 64): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode(shingleCol).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("h"))
-    val minCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    hashed.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      k: Int = 64): DataFrame =
+    docs.select(col(idCol), explode(shingleCol).as("s"))
+      .groupBy(col(idCol))
+      .agg(call_function("graft_minhash_sig", col("s"), lit(k)).as("sig"))
 
   /** LSH banding: b band-hashes over an r-row signature slice each.
     * With k=64, b=16, r=4 the candidate-recall at jaccard 0.8 is
@@ -110,10 +109,11 @@ object Dedup {
   }
 
   /** Per-doc 60-bit SimHash fingerprints (md5-portable). Computed by
-    * exploding shingles and running 60 codegen'd conditional-sum
-    * aggregates (one per bit) in a single groupBy — same result as
-    * the per-row TextFunctions.simhash60 fold, ~40× faster (no
-    * interpreted lambda per (bit, shingle) pair). Docs with no
+    * exploding shingles and folding the per-shingle hashes with the
+    * SimHashBitsAgg TypedImperativeAggregate — one aggregate with a
+    * constant 60-int mergeable buffer instead of 60 codegen'd sum
+    * columns (same value; the 60-column form compiled a huge
+    * whole-stage class, seconds of janino per plan). Docs with no
     * shingles keep fingerprint 0 via the left join, matching the
     * empty-fold semantics. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
@@ -123,16 +123,8 @@ object Dedup {
     val hashed = graft.queries.Q.fanout(docs)
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
       .select(col(idCol), hash60(col("s")).as("h"))
-    val bitCols = (0 until 60).map { k =>
-      sum(when(expr(s"(shiftright(h, $k) & 1) = 1"), 1L).otherwise(-1L))
-        .as(s"b$k")
-    }
     val fps = hashed.groupBy(col(idCol))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col(idCol),
-        (0 until 60).map(k =>
-          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      .agg(call_function("graft_simhash_bits", col("h")).as("simhash"))
     docs.select(col(idCol))
       .join(fps, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))

@@ -91,12 +91,23 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinHashSigAgg(exprs.head), "built-in")
+      "graft_minhash_sig", exprs => {
+        // optional second arg: signature length k (foldable int)
+        val k = if (exprs.length > 1)
+          exprs(1).eval(null).asInstanceOf[Int] else 64
+        MinHashSigAgg(exprs.head, k)
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_ivf_top_cells",
       exprs => IvfTopCells(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash_bits",
+      exprs => SimHashBitsAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_buckets",
+      exprs => LshBuckets(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }

@@ -84,6 +84,21 @@ object VectorFunctions {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-table bucket ids for ALL `tables` tables at once via the
+    * graft_lsh_buckets codegen expression (same sign bits as
+    * [[hyperplaneBucket]] — identical dot order — but the plane
+    * matrix ships as one reference object, so generated source stays
+    * constant-size instead of tables × planes literal dot trees that
+    * took seconds of janino compile). */
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int): Column = {
+    val matrix: Seq[Seq[Double]] = for {
+      t <- 0 until tables
+      p <- 0 until planes
+    } yield planeVector(t * 64 + p).toSeq
+    call_function("graft_lsh_buckets", vec, typedlit(matrix),
+      lit(tables), lit(planes))
+  }
+
   /** Approximate NN via multi-table hyperplane LSH with 1-bit
     * multi-probe: `tables` independent hash tables of `planes` bits;
     * a query probes its own bucket plus every 1-bit flip in each
@@ -106,21 +121,13 @@ object VectorFunctions {
       col(corpusId), col(vecCol).as("c_vec"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"))
     val cBucketed = c.select(col(corpusId), col("c_vec"), col("c_norm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          hyperplaneBucket(col("c_vec"), planes, t).as("bucket"))): _*))
-        .as("tb"))
-      .select(col(corpusId), col("c_vec"), col("c_norm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(hyperplaneBuckets(col("c_vec"), planes, tables)))
+      .toDF(corpusId, "c_vec", "c_norm", "tbl", "bucket")
     val qBase = queries.select(col(queryId), col(vecCol).as("q_vec"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"))
     val qBucketed = qBase.select(col(queryId), col("q_vec"), col("q_norm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          hyperplaneBucket(col("q_vec"), planes, t).as("bucket"))): _*))
-        .as("tb"))
-      .select(col(queryId), col("q_vec"), col("q_norm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket0"))
+      posexplode(hyperplaneBuckets(col("q_vec"), planes, tables)))
+      .toDF(queryId, "q_vec", "q_norm", "tbl", "bucket0")
     // multi-probe: own bucket + every 1-bit flip
     val probes = qBucketed.select(
       col(queryId), col("q_vec"), col("q_norm"), col("tbl"),
