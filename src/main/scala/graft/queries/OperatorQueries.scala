@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Queries exercising the composed custom operators (as-of join,
   * pivot) with DuckDB oracles.
@@ -32,6 +32,30 @@ object OperatorQueries {
         .orderBy($"event_id")
     }),
 
+    // Banded time-range join: for each purchase, count and value-sum
+    // of the same user's events strictly within the preceding hour —
+    // the equi-join-on-(key, band) rendering of an interval predicate
+    // Spark would otherwise plan as a nested loop.
+    "q56_range_join_prior_activity" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val prior = RangeJoin.timeRange(
+        purchases, ev.select($"user_id", $"ts", $"value"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        before = 3600L, after = 0L)
+        .filter($"r_ts" < $"ts") // strictly before (drops self-match)
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n_prior"),
+          dsum($"value").as("prior_value"))
+      purchases.join(prior, Seq("event_id"), "left")
+        .select($"event_id", $"user_id",
+          coalesce($"n_prior", lit(0L)).as("n_prior"),
+          coalesce($"prior_value", lit(0.0)).as("prior_value"))
+        .orderBy($"event_id")
+    }),
+
     // Pivot: per-day event counts spread into one column per type —
     // plans as a single hash aggregate with conditional counters, the
     // same shape as the oracle's FILTER aggregation.
@@ -49,6 +73,19 @@ object OperatorQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q56_range_join_prior_activity" ->
+      s"""WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id,
+                 count(e.ts) AS n_prior,
+                 COALESCE(${Q.dsumSql("e.value")}, 0) AS prior_value
+          FROM purchases p LEFT JOIN events e
+            ON e.user_id = p.user_id
+           AND epoch_us(e.ts) >= epoch_us(p.ts) - 3600000000
+           AND epoch_us(e.ts) < epoch_us(p.ts)
+          GROUP BY p.event_id, p.user_id
+          ORDER BY p.event_id""",
     "q36_asof_join" ->
       """WITH purchases AS (
            SELECT event_id, user_id, ts, value FROM events

@@ -138,6 +138,20 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // End-to-end curation pipeline: quality gate (≥0.45) → exact
+    // dedup (canonical min-id per normalized hash) → near-dup removal
+    // (LSH candidates, exact jaccard ≥0.8, drop the larger id of each
+    // pair) → per-source doc/token accounting. The composed flow a
+    // training-data run executes, verified end to end.
+    "q55_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val survivors = graft.text.Curation.curate(
+        Tables.table(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.45, nearDupThreshold = 0.8)
+      graft.text.Curation.sourceStats(survivors, "source", "text")
+        .orderBy($"source")
+    }),
+
     // Per-doc SimHash fingerprints (md5-portable bit math).
     "q29_simhash_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -156,6 +170,52 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q55_curation_pipeline" ->
+      """WITH s AS (
+           SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source, w,
+                  round(least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
+                    (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
+                    least(1.0, len(list_filter(w, x ->
+                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
+                      * 5.0 / len(w)::DOUBLE) * 0.2,
+                    6) AS q
+           FROM s),
+         qualified AS (SELECT * FROM scored WHERE q >= 0.45),
+         canon AS (
+           SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+                    sha256(array_to_string(list_sort(list_distinct(w)), ' '))
+                      AS h
+             FROM qualified)
+           GROUP BY h),
+         kept1 AS (
+           SELECT * FROM qualified
+           WHERE doc_id IN (SELECT doc_id FROM canon)),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+           FROM kept1),
+         pairs AS (
+           SELECT b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) + len(b.sh) > 0
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                    - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8),
+         kept2 AS (
+           SELECT * FROM kept1
+           WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+         SELECT source, count(1) AS n_docs,
+                CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+                CAST(SUM(list_sum(list_transform(w, x ->
+                  (length(x) + 3) // 4))) AS BIGINT) AS n_bpe_tokens
+         FROM kept2
+         GROUP BY source
+         ORDER BY source""",
     "q24_text_stats" ->
       """SELECT doc_id,
                 len(w) AS n_tokens,
