@@ -153,6 +153,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Adaptive SimHash near-dup: all-pairs popcount while the corpus
+    * is small enough that n² 8-byte comparisons are trivial (codegen
+    * xor+bit_count, no bucket-skew risk), the pigeonhole-banded
+    * equi-join beyond. The count is a one-scalar aggregate — bounded
+    * driver-side metadata, the legitimate collect exception. The
+    * default cutoff (10⁶ docs ⇒ ≤5·10¹¹ popcounts across a cluster)
+    * marks where the banded join's candidate generation starts to
+    * win DESPITE its bucket-collapse caveat (see
+    * [[simhashNearDupPairsBanded]]). */
+  def simhashNearDupPairsAdaptive(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 6, shingleN: Int = 3,
+      allPairsLimit: Long = 1000000L): DataFrame =
+    if (docs.select(col(idCol)).count() <= allPairsLimit)
+      simhashNearDupPairs(docs, idCol, textCol, maxDist, shingleN)
+    else
+      simhashNearDupPairsBanded(docs, idCol, textCol, maxDist,
+        chunks = maxDist + 4, shingleN = shingleN)
+
   /** Pigeonhole-banded variant for corpora too large for all-pairs
     * popcounts: split the 60-bit fingerprint into `chunks` pieces; a
     * pair within maxDist ≤ chunks-1 must agree on ≥1 chunk, so the

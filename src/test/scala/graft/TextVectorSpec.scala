@@ -48,6 +48,23 @@ class TextVectorSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
   }
 
+  test("adaptive simhash: banded path returns exactly the all-pairs set") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val allPairs = pairs(
+      graft.dedup.Dedup.simhashNearDupPairs(docs, "doc_id", "text"))
+    // limit 0 forces the banded path; pigeonhole recall is guaranteed,
+    // and the exact hamming filter makes precision exact, so the sets
+    // must be identical — not merely similar
+    val banded = pairs(graft.dedup.Dedup.simhashNearDupPairsAdaptive(
+      docs, "doc_id", "text", allPairsLimit = 0L))
+    val adaptiveSmall = pairs(graft.dedup.Dedup.simhashNearDupPairsAdaptive(
+      docs, "doc_id", "text"))
+    assert(banded === allPairs)
+    assert(adaptiveSmall === allPairs)
+  }
+
   private def recallVsBrute(annQuery: String): Double = {
     val brute = SparkEntry.queries("q31_cosine_topk")(spark, sf0001)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
