@@ -152,6 +152,21 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Deterministic stratified hash sample — the data-mixture
+    // primitive: membership is a pure function of (doc_id, salt), so
+    // the sample is identical across runs/partitionings/engines
+    // (unlike Bernoulli df.sample) and the oracle reproduces it
+    // exactly from the same md5 arithmetic.
+    "q57_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.stratifiedHashSample(
+        Tables.table(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 0.8, "src1" -> 0.1, "src2" -> 0.5),
+        defaultRate = 0.25, salt = "mix1")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
     // Per-doc SimHash fingerprints (md5-portable bit math).
     "q29_simhash_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -170,6 +185,20 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q57_stratified_sample" -> {
+      def t(rate: Double) = graft.text.Sampling.thresholdFor(rate)
+      s"""SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(doc_id::VARCHAR || '_mix1'), 1, 15)
+                        AS BIGINT) AS bucket,
+                   CASE source WHEN 'src0' THEN ${t(0.8)}
+                               WHEN 'src1' THEN ${t(0.1)}
+                               WHEN 'src2' THEN ${t(0.5)}
+                               ELSE ${t(0.25)} END AS threshold
+            FROM documents)
+          WHERE bucket < threshold
+          ORDER BY doc_id"""
+    },
     "q55_curation_pipeline" ->
       """WITH s AS (
            SELECT doc_id, source, string_split(text, ' ') AS w

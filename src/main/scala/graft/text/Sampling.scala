@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling — the data-mixture primitive. A row
+  * survives iff a portable 60-bit hash of (id, salt) falls below
+  * rate × 2⁶⁰. Unlike `df.sample`/`sampleBy` (Bernoulli on a per-task
+  * RNG stream, so membership depends on partitioning and row order),
+  * the decision here is a pure function of the row's id: stable
+  * across runs, partitionings, cluster sizes, and engines — re-runs
+  * of a 100 TB mixture job sample the SAME documents, and two
+  * overlapping rates nest (rate 0.1 ⊂ rate 0.2 at the same salt —
+  * growing a mixture keeps everything already sampled). The salt
+  * decorrelates independent draws.
+  *
+  * The hash is md5-derived (see TextFunctions.hash60), so the exact
+  * sample is reproducible in SQL on any engine for auditing — the
+  * q57 oracle does.
+  */
+object Sampling {
+
+  private def bucket(id: Column, salt: String): Column =
+    TextFunctions.hash60(concat(id.cast("string"), lit("_"), lit(salt)))
+
+  /** threshold = rate × 2⁶⁰, exact in Long for rate ∈ [0,1]. Public
+    * so oracles/audits can reproduce the cut in SQL. */
+  def thresholdFor(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate=$rate outside [0,1]")
+    math.round(rate * (1L << 60).toDouble)
+  }
+
+  /** Uniform deterministic sample at `rate`. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "s0"): DataFrame =
+    df.filter(bucket(col(idCol), salt) < lit(thresholdFor(rate)))
+
+  /** Per-stratum rates (e.g. per source), `defaultRate` elsewhere —
+    * the mixture table of a training-data run. The rate map is
+    * bounded (it is configuration), rendered as a literal CASE chain
+    * so the filter stays codegen'd and pushdown-friendly. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "s0"): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(thresholdFor(defaultRate)): Column) {
+        case ((stratum, rate), acc) =>
+          when(col(strataCol) === stratum, lit(thresholdFor(rate)))
+            .otherwise(acc)
+      }
+    df.filter(bucket(col(idCol), salt) < threshold)
+  }
+}

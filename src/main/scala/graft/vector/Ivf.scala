@@ -119,4 +119,21 @@ object Ivf {
       DataFrame =
     searchAssigned(queries, assign(corpus, m, corpusId, vecCol), m, k,
       nprobe, queryId, corpusId, vecCol)
+
+  /** Persist an assignment as the at-rest index: parquet partitioned
+    * by cell, so `cell=<i>/` directories ARE the inverted lists. A
+    * probe with a cell predicate then partition-prunes at the file
+    * listing — the reader never opens the other cells' files. This is
+    * the 100 TB layout: a query stream reads nprobe/cells of the
+    * corpus bytes. */
+  def writeIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Reopen a persisted index for [[searchAssigned]]. The returned
+    * frame's `cell` is a partition column: the searchAssigned
+    * equi-join on cell prunes directories via dynamic partition
+    * pruning, or statically when probing an explicit cell list. */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
 }
