@@ -34,6 +34,24 @@ object MultimodalQueries {
         .select(($"asset_id" +: $"media_type" +: $"n_bytes" +:
           $"content_sha" +: flat): _*)
         .orderBy($"asset_id")
+    }),
+
+    // Frame sampling: one child image asset per sampled video frame
+    // (flatMap — 1 row in, n out). The stub slices the byte stream
+    // deterministically, so the oracle reproduces every frame's id,
+    // uri, size, and content hash — verifying the real flatMap
+    // plumbing end to end.
+    "q58_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.syntheticAssets(s, dir),
+        everyMs = 500L)
+        .toDF()
+        .select($"asset_id", $"media_type", $"uri",
+          length($"content").cast("long").as("n_bytes"),
+          // hash the lowercase hex rendering: DuckDB's sha256 is
+          // VARCHAR-only, so both engines hash the same hex string
+          sha2(lower(hex($"content")), 256).as("content_sha"))
+        .orderBy($"asset_id")
     }))
 
   private val featureCols = (0 until dim).map { i =>
@@ -51,5 +69,39 @@ object MultimodalQueries {
                 sha256(text) AS content_sha,
                 $featureCols
          FROM documents
+         ORDER BY asset_id""",
+    "q58_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, encode(text) AS content,
+                  'synthetic://doc/' || doc_id AS uri,
+                  (n_chars * 10)::BIGINT AS dur
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (
+           SELECT doc_id, uri, content,
+                  octet_length(content)::BIGINT AS len,
+                  least((dur + 499) // 500, 64) AS n
+           FROM v WHERE dur > 0 AND octet_length(content) > 0),
+         exploded AS (
+           SELECT doc_id, uri, content, len, n,
+                  greatest(1, len // greatest(n, 1)) AS chunk,
+                  unnest(generate_series(0, n - 1)) AS i
+           FROM f),
+         sliced AS (
+           SELECT doc_id * 1000 + i AS asset_id,
+                  'image' AS media_type,
+                  uri || '#frame=' || i AS uri,
+                  least(i * chunk, len - 1) AS f0,
+                  least((i + 1) * chunk, len) AS f1,
+                  content
+           FROM exploded)
+         SELECT asset_id, media_type, uri,
+                (f1 - f0) AS n_bytes,
+                -- DuckDB has no BLOB substring or BLOB sha256: slice
+                -- the lowercase hex rendering (2 chars/byte) and hash
+                -- THAT string, mirrored by the engine's
+                -- sha2(lower(hex(content)))
+                sha256(lower(substr(to_hex(content),
+                  2 * f0 + 1, 2 * (f1 - f0)))) AS content_sha
+         FROM sliced
          ORDER BY asset_id""")
 }
