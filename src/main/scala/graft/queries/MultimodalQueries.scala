@@ -36,6 +36,19 @@ object MultimodalQueries {
         .orderBy($"asset_id")
     }),
 
+    // Resize: truncate/pad every asset's bytes to the target
+    // "resolution" (stub kernel; a real one rescales pixels) — the
+    // 1:1 mapPartitions transform verified by size + content hash.
+    "q59_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resize(Multimodal.syntheticAssets(s, dir), w = 40, h = 30)
+        .toDF()
+        .select($"asset_id", $"media_type", $"width", $"height",
+          length($"content").cast("long").as("n_bytes"),
+          sha2(lower(hex($"content")), 256).as("content_sha"))
+        .orderBy($"asset_id")
+    }),
+
     // Frame sampling: one child image asset per sampled video frame
     // (flatMap — 1 row in, n out). The stub slices the byte stream
     // deterministically, so the oracle reproduces every frame's id,
@@ -68,6 +81,19 @@ object MultimodalQueries {
                 octet_length(encode(text))::BIGINT AS n_bytes,
                 sha256(text) AS content_sha,
                 $featureCols
+         FROM documents
+         ORDER BY asset_id""",
+    "q59_resize" ->
+      """SELECT doc_id AS asset_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image'
+                                WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS media_type,
+                40 AS width, 30 AS height,
+                1200::BIGINT AS n_bytes,
+                -- truncate-or-zero-pad to 1200 bytes, on the hex
+                -- rendering (2 chars/byte, pad '00' per byte)
+                sha256(substr(lower(to_hex(encode(text))) ||
+                  repeat('00', 1200), 1, 2400)) AS content_sha
          FROM documents
          ORDER BY asset_id""",
     "q58_frame_sample" ->
