@@ -82,17 +82,24 @@ object YearRangeRewrite extends Rule[LogicalPlan] {
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => YearRangeRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinPhysical.AsOfStrategy)
+  }
 }
 
 object GraftExtensions {
   /** Post-hoc installation on an existing session (the driver builds
-    * plain sessions): `experimental.extraOptimizations` is the public
-    * hook for appended optimizer rules. Idempotent. */
+    * plain sessions): `experimental.extraOptimizations` /
+    * `extraStrategies` are the public hooks for appended optimizer
+    * rules and planner strategies. Idempotent. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(YearRangeRewrite))
       spark.experimental.extraOptimizations = cur :+ YearRangeRewrite
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(AsOfJoinPhysical.AsOfStrategy))
+      spark.experimental.extraStrategies =
+        strats :+ AsOfJoinPhysical.AsOfStrategy
   }
 }

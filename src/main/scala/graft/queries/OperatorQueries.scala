@@ -32,6 +32,26 @@ object OperatorQueries {
         .orderBy($"event_id")
     }),
 
+    // The same as-of semantics through the custom PHYSICAL operator
+    // (AsOfJoinNode → AsOfStrategy → sort-merge AsOfJoinExec): one
+    // streaming merge over co-partitioned (key, ts)-sorted children,
+    // no union/window pass. Verified against the identical DuckDB
+    // ASOF-join oracle as q36.
+    "q60_asof_join_exec" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("view_event_id"))
+      graft.plans.AsOfJoinPhysical.asOf(
+        purchases, views, Seq("user_id"), leftTs = "ts", rightTs = "ts")
+        .select($"event_id", $"user_id", $"ts", $"value",
+          $"r_ts".as("view_ts"), $"r_view_event_id".as("view_event_id"))
+        .orderBy($"event_id")
+    }),
+
     // Banded time-range join: for each purchase, count and value-sum
     // of the same user's events strictly within the preceding hour —
     // the equi-join-on-(key, band) rendering of an interval predicate
@@ -72,7 +92,24 @@ object OperatorQueries {
         .orderBy($"day")
     }))
 
+  /** Shared by q36 (composed union+window rendering) and q60 (custom
+    * physical sort-merge exec) — same semantics, one oracle text. */
+  private val asofOracle =
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase'),
+       views AS (
+         SELECT user_id, ts, max(event_id) AS view_event_id FROM events
+         WHERE event_type = 'view' GROUP BY user_id, ts)
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              v.ts AS view_ts, v.view_event_id
+       FROM purchases p
+       ASOF LEFT JOIN views v
+         ON p.user_id = v.user_id AND v.ts <= p.ts
+       ORDER BY p.event_id"""
+
   val oracles: Map[String, String] = Map(
+    "q60_asof_join_exec" -> asofOracle,
     "q56_range_join_prior_activity" ->
       s"""WITH purchases AS (
             SELECT event_id, user_id, ts FROM events
@@ -86,19 +123,7 @@ object OperatorQueries {
            AND epoch_us(e.ts) < epoch_us(p.ts)
           GROUP BY p.event_id, p.user_id
           ORDER BY p.event_id""",
-    "q36_asof_join" ->
-      """WITH purchases AS (
-           SELECT event_id, user_id, ts, value FROM events
-           WHERE event_type = 'purchase'),
-         views AS (
-           SELECT user_id, ts, max(event_id) AS view_event_id FROM events
-           WHERE event_type = 'view' GROUP BY user_id, ts)
-         SELECT p.event_id, p.user_id, p.ts, p.value,
-                v.ts AS view_ts, v.view_event_id
-         FROM purchases p
-         ASOF LEFT JOIN views v
-           ON p.user_id = v.user_id AND v.ts <= p.ts
-         ORDER BY p.event_id""",
+    "q36_asof_join" -> asofOracle,
     "q37_pivot_event_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
                 count(1) FILTER (event_type = 'click') AS click,
