@@ -97,9 +97,32 @@ object JdbcUpsert {
       writeBatch: (DataFrame, Map[String, String]) => Unit = writeViaSparkJdbc)
       : Unit = {
     val staging = stagingName(target.table, suffix)
+    upsertWithActions(batch, target, keys, precedence,
+      preActions(target.table, staging),
+      postActions(target.table, staging, keys),
+      staging, runSql, writeBatch)
+  }
+
+  /** Dialect-explicit variant: callers supply the pre/post DDL/DML
+    * when the warehouse doesn't speak the Redshift spellings
+    * (`CREATE TABLE LIKE`, `DELETE ... USING`) — e.g. Derby or
+    * Postgres-without-USING. Orchestration, dedup, staging write, and
+    * transactionality are identical. */
+  def upsertWithActions(
+      batch: DataFrame,
+      target: Target,
+      keys: Seq[String],
+      precedence: Seq[Column],
+      pre: Seq[String],
+      post: Seq[String],
+      staging: String,
+      runSql: Target => Seq[String] => Unit = runViaDriverManager,
+      writeBatch: (DataFrame, Map[String, String]) => Unit = writeViaSparkJdbc)
+      : Unit = {
+    require(keys.nonEmpty, "jdbc upsert requires at least one key column")
     val deduped = Merge.dedupKeyed(batch, keys, precedence)
-    runSql(target)(preActions(target.table, staging))
+    runSql(target)(pre)
     writeBatch(deduped, writerOptions(target, staging))
-    runSql(target)(postActions(target.table, staging, keys))
+    runSql(target)(post)
   }
 }
