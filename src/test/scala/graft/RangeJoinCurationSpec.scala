@@ -47,6 +47,36 @@ class RangeJoinCurationSpec extends SparkSuite {
     assert(!got.contains((3L, 14L)), "outside window excluded")
   }
 
+  test("property: banded join equals naive predicate on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      before <- Gen.chooseNum(1L, 120L)
+      after <- Gen.chooseNum(0L, 120L)
+      band <- Gen.oneOf(0L, 7L, 30L, 500L) // 0 = default width
+      ls <- Gen.listOfN(25, Gen.zip(Gen.oneOf("u1", "u2"), Gen.chooseNum(0L, 600L)))
+      rs <- Gen.listOfN(25, Gen.zip(Gen.oneOf("u1", "u2"), Gen.chooseNum(0L, 600L)))
+    } yield (before, after, band, ls, rs)
+    (0 until 8).foreach { i =>
+      val (before, after, band, ls, rs) =
+        gen.pureApply(Gen.Parameters.default, Seed(11L + i))
+      val base = 1700000000000L
+      val left = ls.zipWithIndex.map { case ((u, t), id) =>
+        (id.toLong, u, new Timestamp(base + t * 1000)) }.toDF("lid", "user", "ts")
+      val right = rs.zipWithIndex.map { case ((u, t), id) =>
+        (100L + id, u, new Timestamp(base + t * 1000)) }.toDF("rid", "user", "rts")
+      val got = RangeJoin.timeRange(left, right, Seq("user"),
+        "ts", "rts", before, after, bandSeconds = band)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        ((lu, lt), lid) <- ls.zipWithIndex
+        ((ru, rt), rid) <- rs.zipWithIndex
+        if lu == ru && rt >= lt - before && rt <= lt + after
+      } yield (lid.toLong, 100L + rid)).toSet
+      assert(got === want, s"sample $i (before=$before after=$after band=$band)")
+    }
+  }
+
   test("curate applies quality, exact-dup, and near-dup gates in order") {
     val good = ("w" + (1 to 80).map(i => s"the w$i").mkString(" ", " ", ""))
     val docs = Seq(
