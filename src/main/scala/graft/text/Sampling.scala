@@ -35,6 +35,19 @@ object Sampling {
       salt: String = "s0"): DataFrame =
     df.filter(bucket(col(idCol), salt) < lit(thresholdFor(rate)))
 
+  /** Deterministic (train, holdout) split: holdout = the rows whose
+    * hash falls below `holdoutRate`, train = the exact complement —
+    * disjoint and exhaustive by construction, stable across runs and
+    * partitionings, and a document can never leak from holdout into
+    * train on a re-run (the eval-contamination guarantee a random
+    * split lacks). */
+  def hashSplit(df: DataFrame, idCol: String, holdoutRate: Double,
+      salt: String = "holdout"): (DataFrame, DataFrame) = {
+    val cut = lit(thresholdFor(holdoutRate))
+    val b = bucket(col(idCol), salt)
+    (df.filter(b >= cut), df.filter(b < cut))
+  }
+
   /** Per-stratum rates (e.g. per source), `defaultRate` elsewhere —
     * the mixture table of a training-data run. The rate map is
     * bounded (it is configuration), rendered as a literal CASE chain

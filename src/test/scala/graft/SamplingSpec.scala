@@ -36,6 +36,18 @@ class SamplingSpec extends SparkSuite {
     assert(x !== y, "two salts should not select the same sample")
   }
 
+  test("hashSplit partitions the corpus: disjoint, exhaustive, stable") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val (train, holdout) = Sampling.hashSplit(docs, "doc_id", 0.2)
+    val t = train.select($"doc_id").as[Long].collect().toSet
+    val h = holdout.select($"doc_id").as[Long].collect().toSet
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    assert((t & h).isEmpty, "disjoint")
+    assert((t | h) === all, "exhaustive")
+    val (t2, _) = Sampling.hashSplit(docs.repartition(7), "doc_id", 0.2)
+    assert(t2.select($"doc_id").as[Long].collect().toSet === t, "stable")
+  }
+
   test("stratified rates land near their targets") {
     val docs = Tables.table(spark, sf0001, "documents")
     val total = docs.groupBy($"source").count()
