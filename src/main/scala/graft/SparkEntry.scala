@@ -13,6 +13,7 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.streaming.StatefulSessionize.queries ++
+      graft.streaming.StreamingDedup.queries ++
       graft.queries.OperatorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.streaming.StatefulSessionize.oracles ++
+      graft.streaming.StreamingDedup.oracles ++
       graft.queries.OperatorQueries.oracles
 }
