@@ -167,6 +167,18 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Per-source token-budget cap: each source's quota (800 tokens)
+    // filled by its highest-quality docs — the other half of a data
+    // mixture plan, verified including the running totals.
+    "q62_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.tokenBudgetCap(
+        Tables.table(s, dir, "documents"), "doc_id", "source", "text",
+        budgetTokens = 800L)
+        .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    }),
+
     // Per-doc SimHash fingerprints (md5-portable bit math).
     "q29_simhash_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -185,6 +197,29 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q62_token_budget" ->
+      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         scored AS (
+           SELECT doc_id, source, len(w)::BIGINT AS n_tokens,
+                  round(least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
+                    (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
+                    least(1.0, len(list_filter(w, x ->
+                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
+                      * 5.0 / len(w)::DOUBLE) * 0.2,
+                    6) AS q
+           FROM s),
+         cum AS (
+           SELECT doc_id, source, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY q DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens
+           FROM scored)
+         SELECT doc_id, source, n_tokens,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM cum WHERE cum_tokens <= 800
+         ORDER BY doc_id""",
     "q57_stratified_sample" -> {
       def t(rate: Double) = graft.text.Sampling.thresholdFor(rate)
       s"""SELECT doc_id, source FROM (

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash sampling — the data-mixture primitive. A row
@@ -46,6 +47,28 @@ object Sampling {
     val cut = lit(thresholdFor(holdoutRate))
     val b = bucket(col(idCol), salt)
     (df.filter(b >= cut), df.filter(b < cut))
+  }
+
+  /** Token-budget capping — the other half of a mixture plan: fill
+    * each source's token quota with its BEST documents. Docs rank per
+    * source by (quality desc, id); a doc survives while the running
+    * token total through it stays within the budget. One shuffle on
+    * the source key + an ordered window — the same cost class as any
+    * per-key ranking, deterministic (quality ties break on id), and
+    * exact (integer token counts).
+    *
+    * Output adds `n_tokens` and `cum_tokens` (the running total
+    * through the row) to the surviving rows. */
+  def tokenBudgetCap(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(TextFunctions.qualityScore(col(textCol)).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
   }
 
   /** Per-stratum rates (e.g. per source), `defaultRate` elsewhere —
