@@ -623,7 +623,7 @@ object Analytics {
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
             FROM flagged)
-          SELECT user_id, session_seq,
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                  min(ts) AS session_start, max(ts) AS session_end,
                  count(1) AS n_events, ${dsumSql("value")} AS session_value
           FROM sessions

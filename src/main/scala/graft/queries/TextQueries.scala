@@ -187,11 +187,13 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairs (hamming ≤ 6) via the pigeonhole chunk
-    // join — with 10 chunks recall is guaranteed, not probabilistic.
+    // SimHash near-dup pairs (hamming ≤ 6), adaptively: all-pairs
+    // codegen popcount while the corpus fits the n² budget, the
+    // pigeonhole chunk equi-join (guaranteed recall) beyond the
+    // cutoff — so the registered plan is never O(n²) at scale.
     "q30_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashNearDupPairs(
+      Dedup.simhashNearDupPairsAdaptive(
         Tables.table(s, dir, "documents"), "doc_id", "text", maxDist = 6)
         .orderBy($"id_a", $"id_b")
     }))

@@ -151,7 +151,9 @@ object StatefulSessionize {
                    ${graft.queries.Q.dsumSql("value")} AS session_value
             FROM numbered
             GROUP BY user_id, session_seq)
-          SELECT * FROM sessions s
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 session_start, session_end, n_events, session_value
+          FROM sessions s
           WHERE session_seq < (SELECT max(session_seq) FROM sessions m
                                WHERE m.user_id = s.user_id)
           ORDER BY user_id, session_seq""")

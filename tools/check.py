@@ -3,43 +3,114 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
-runs the matching oracle SQL from oracle_sql.json in DuckDB over the
-same parquet tables, and compares: row count, column names (sorted),
-and a hash of all values (both order-sensitive and order-insensitive
-variants, so we catch ordering bugs before the driver does).
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify) with
+pandas (pyarrow), runs the matching oracle SQL from oracle_sql.json in
+DuckDB over the same parquet tables and materializes it with .df() —
+EXACTLY like the driver — then compares: row count, column names
+(sorted), and a hash of all values.
 
-Driver-side only (python/duckdb are not available to the engine).
+Why .df() and not fetchall(): the driver hashes pandas-materialized
+values, where dtype matters. DuckDB HUGEINT (e.g. SUM(BIGINT) or an
+integer window SUM) becomes float64 in pandas, so the oracle yields
+`1.0` where Spark's parquet holds int64 `1` — a hash mismatch that
+fetchall() (plain Python ints) silently erases. This bit q44 in r1 and
+q23/q41 in r2; this script must fail on that class locally.
+
+Driver-side only (python/duckdb/pandas are not available to the engine).
 """
+import datetime
 import hashlib
 import json
 import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(v):
+    """Canonical string for one pandas-materialized cell.
+
+    Must preserve the dtype-level rendering the driver sees: float 1.0
+    and int 1 canon differently; NaN/NaT/None all mean missing.
+    """
     if v is None:
         return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        # repr round-trips doubles exactly
-        return repr(v)
+        return repr(f)  # repr round-trips doubles exactly; keeps '1.0'
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "\x00NULL"
+    if isinstance(v, pd.Timestamp) or (
+            isinstance(v, datetime.datetime)):
+        if pd.isna(v):
+            return "\x00NULL"
+        # driver evidence (r2: q04/q21/q37 green): spark DATE columns
+        # materialize as datetime.date while duckdb DATE comes back as
+        # midnight datetime64 — the driver hash treats them as equal,
+        # so canon midnight timestamps date-only
+        if (v.hour == 0 and v.minute == 0 and v.second == 0
+                and v.microsecond == 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    try:
+        if pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def table_hash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = ["\x01".join(canon(r[i]) for i in order) for r in rows]
+def df_lines(df):
+    """Rows of df as canonical strings, columns ordered by name.
+
+    .tolist() (not .to_numpy()) so datetime64 cells surface as
+    pd.Timestamp regardless of ns/us storage unit, while float64 cells
+    stay float (1.0 != 1) — the dtype class the driver's hash sees.
+    """
+    cols = sorted(df.columns)
+    arr = [df[c].tolist() for c in cols]
+    n = len(df)
+    return ["\x01".join(canon(a[i]) for a in arr) for i in range(n)]
+
+
+def dtype_family(dt):
+    """Driver r2 evidence calibrates what dtype gaps matter: int32 vs
+    int64/int8 hash-match (q13/q24/q30 green), date-object vs
+    midnight-datetime64 hash-match (q04/q21 green), but int vs float
+    does NOT (1 vs 1.0 — the HUGEINT class that sank q44/q23/q41).
+    So classify into families and only int-vs-float divergence is a
+    failure in its own right."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime64"):
+        return "datetime"
+    return s
+
+
+def table_hash(df):
+    lines = df_lines(df)
     h_ordered = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     h_sorted = hashlib.sha256("\n".join(sorted(lines)).encode()).hexdigest()
     return h_ordered, h_sorted
@@ -54,48 +125,58 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            got_df = pd.read_parquet(f"{out_dir}/{name}")
+            want_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
         problems = []
-        if sorted(got_cols) != sorted(want_cols):
-            problems.append(f"cols spark={sorted(got_cols)} duck={sorted(want_cols)}")
-        if len(got_rows) != len(want_rows):
-            problems.append(f"rows spark={len(got_rows)} duck={len(want_rows)}")
+        if sorted(got_df.columns) != sorted(want_df.columns):
+            problems.append(
+                f"cols spark={sorted(got_df.columns)} "
+                f"duck={sorted(want_df.columns)}")
+        if len(got_df) != len(want_df):
+            problems.append(f"rows spark={len(got_df)} duck={len(want_df)}")
         if not problems:
-            go, gs = table_hash(got_rows, got_cols)
-            wo, ws = table_hash(want_rows, want_cols)
+            cols = sorted(got_df.columns)
+            fam_g = [dtype_family(got_df[c].dtype) for c in cols]
+            fam_w = [dtype_family(want_df[c].dtype) for c in cols]
+            numeric_gap = [
+                f"{c}: spark={got_df[c].dtype} duck={want_df[c].dtype}"
+                for c, g, w in zip(cols, fam_g, fam_w)
+                if g != w and {g, w} == {"int", "float"}]
+            go, gs = table_hash(got_df)
+            wo, ws = table_hash(want_df)
             if go != wo:
                 if gs == ws:
                     problems.append("hash differs ONLY by row order")
                 else:
                     problems.append("value hash differs")
-                    # show first differing row for debugging
-                    order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-                    order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
-                    for i, (g, w) in enumerate(zip(got_rows, want_rows)):
-                        cg = [canon(g[j]) for j in order_g]
-                        cw = [canon(w[j]) for j in order_w]
-                        if cg != cw:
+                    if numeric_gap:
+                        problems.append(
+                            "  int-vs-float dtype divergence: " +
+                            "; ".join(numeric_gap))
+                    lg, lw = df_lines(got_df), df_lines(want_df)
+                    for i, (g, w) in enumerate(zip(lg, lw)):
+                        if g != w:
                             problems.append(f"  first diff row {i}:")
-                            problems.append(f"    spark={cg}")
-                            problems.append(f"    duck ={cw}")
+                            problems.append(f"    spark={g.split(chr(1))}")
+                            problems.append(f"    duck ={w.split(chr(1))}")
                             break
+            elif numeric_gap:
+                # values hash equal (e.g. empty result) but one side is
+                # float where the other is int — the exact class that
+                # passes fetchall() yet fails the driver's pandas hash.
+                problems.append("int-vs-float dtype divergence: " +
+                                ";".join(numeric_gap))
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print("      " + p)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)")
+            print(f"PASS {name} ({len(got_df)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
