@@ -392,28 +392,17 @@ object Analytics {
     // Gap-based sessionization (30-min inactivity) as window
     // functions: new-session flag via lag, session id via running sum
     // — the batch equivalent of session_window, expressible on both
-    // engines. Two window passes over one user_id shuffle.
+    // engines. Two window passes over one user_id shuffle; the gap
+    // test is in exact MICROseconds on both engines (second-truncated
+    // unix_timestamp vs the oracle's fractional epoch() moved
+    // borderline events between adjacent sessions). See
+    // operators.Sessionize.chunked (q63) for the skewed-key form.
     "q23_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      Tables.table(s, dir, "events")
-        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-        // gap test in exact MICROseconds on both engines:
-        // second-truncated unix_timestamp vs the oracle's fractional
-        // epoch() moved borderline events between adjacent sessions
-        .withColumn("new_session",
-          when($"prev_ts".isNull ||
-            unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq",
-          sum($"new_session").over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"session_seq")
-        .agg(
-          min($"ts").as("session_start"),
-          max($"ts").as("session_end"),
-          count(lit(1)).as("n_events"),
-          dsum($"value").as("session_value"))
+      graft.operators.Sessionize.plain(
+        Tables.table(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"value"),
+        "user_id", "ts", "event_id", "value", gapMicros = 1800000000L)
         .orderBy($"user_id", $"session_seq")
     }))
 

@@ -76,6 +76,22 @@ object OperatorQueries {
         .orderBy($"event_id")
     }),
 
+    // Gap-sessionization through the skew-resilient chunked operator:
+    // events shuffle on (user, 6 h time-chunk) instead of user alone,
+    // so a hot key's history splits across timespan/chunk tasks; the
+    // cross-chunk stitch is exact (SessionizeChunkedSpec proves
+    // equality with the plain window form for arbitrary chunk
+    // lengths). Same oracle as q23.
+    "q63_sessionize_chunked" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sessionize.chunked(
+        Tables.table(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"value"),
+        "user_id", "ts", "event_id", "value",
+        gapMicros = 1800000000L, chunkMicros = 6L * 3600L * 1000000L)
+        .orderBy($"user_id", $"session_seq")
+    }),
+
     // Pivot: per-day event counts spread into one column per type —
     // plans as a single hash aggregate with conditional counters, the
     // same shape as the oracle's FILTER aggregation.
@@ -110,6 +126,8 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "q60_asof_join_exec" -> asofOracle,
+    // identical semantics to q23 — one oracle text, can't drift
+    "q63_sessionize_chunked" -> Analytics.oracles("q23_sessionize"),
     "q56_range_join_prior_activity" ->
       s"""WITH purchases AS (
             SELECT event_id, user_id, ts FROM events

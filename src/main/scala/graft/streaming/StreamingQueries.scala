@@ -59,6 +59,49 @@ object StreamingQueries {
     spark.read.parquet(s"$out/result").orderBy(col("day"), col("event_type"))
   }
 
+  /** The 100 TB rendering of the same aggregation: watermark + append
+    * mode. Complete-mode snapshots ([[streamedTumblingCounts]]) rewrite
+    * every window on every trigger, so the write grows with total
+    * window count over the stream's lifetime; with a watermark, state
+    * for closed windows is evicted and each window is appended to the
+    * sink exactly once — the write per trigger is proportional to the
+    * windows that closed, not to history. The trade: windows newer
+    * than (max event time − delay) are not yet visible, and events
+    * later than the watermark are dropped (WatermarkSpec pins both
+    * semantics). q35 keeps the snapshot form as the oracle-matched
+    * query because the DuckDB oracle sees all windows; this is the
+    * form a long-running deployment would run, verified by
+    * StreamingAppendSpec: its output equals exactly the closed-window
+    * subset of the snapshot. */
+  def streamedTumblingCountsAppend(spark: SparkSession, dir: String,
+      delay: String = "1 day"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_append_${runId.incrementAndGet()}_")
+      .toString
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // append mode: each batch carries only newly-closed windows
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result").orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Map[String, Q.Fn] = Map(
     "q35_stream_tumbling" -> ((s, dir) => streamedTumblingCounts(s, dir)))
 

@@ -1,6 +1,9 @@
 package graft
 
-import graft.text.Sampling
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.text.{Sampling, TextFunctions}
 
 /** Deterministic hash sampling: partition-stable membership, nesting
   * across rates, stratum rate targeting. */
@@ -62,5 +65,66 @@ class SamplingSpec extends SparkSuite {
     assert(src0Rate > 0.6, s"src0 sampled at $src0Rate, want ≈0.9")
     assert(restRate > 0.05 && restRate < 0.4,
       s"default strata sampled at $restRate, want ≈0.2")
+  }
+
+  /** Randomized docs: word pools are tiny so distinct docs often share
+    * the exact same text (⇒ identical quality AND token count — the
+    * tie the id ordering must break deterministically). */
+  private val docsGen: Gen[List[(String, String, String)]] = for {
+    n <- Gen.chooseNum(8, 40)
+    rows <- Gen.listOfN(n, for {
+      src <- Gen.oneOf("sA", "sB", "sC")
+      len <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf("the", "cat", "sat", "on", "a", "mat"))
+    } yield (src, ws.mkString(" ")))
+  } yield rows.zipWithIndex.map { case ((s, t), i) => (f"d$i%03d", s, t) }
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(11L + i)))
+
+  test("tokenBudgetCap: survivors are exactly the maximal budget-fitting prefix per source") {
+    samples(docsGen, 6).foreach { rows =>
+      val df = rows.toDF("doc_id", "source", "text")
+      // model inputs: the same quality/token primitives the operator
+      // uses, materialized once — the property under test is the
+      // ranking + prefix + boundary logic, not the scoring
+      val scored = df.select($"doc_id", $"source",
+        TextFunctions.qualityScore($"text").as("q"),
+        TextFunctions.tokenCount($"text").cast("long").as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      def model(budget: Long): Map[String, Long] =
+        scored.groupBy(_._2).flatMap { case (_, ds) =>
+          val ranked = ds.sortBy(d => (-d._3, d._1)) // quality desc, id asc
+          val cums = ranked.scanLeft(0L)(_ + _._4).tail
+          ranked.zip(cums).takeWhile(_._2 <= budget)
+            .map { case (d, c) => d._1 -> c }
+        }
+      val totalTokens = scored.map(_._4).sum
+      // budgets: zero, random mid, total (everything fits), and an
+      // EXACT cumulative boundary (the ≤ edge case)
+      val boundary = {
+        val m = model(totalTokens)
+        if (m.nonEmpty) m.values.toSeq.sorted.apply(m.size / 2) else 0L
+      }
+      Seq(0L, totalTokens / 3 max 1L, totalTokens max 1L, boundary max 1L)
+        .distinct.foreach { budget =>
+          val got = Sampling.tokenBudgetCap(df, "doc_id", "source", "text", budget)
+            .select($"doc_id", $"cum_tokens")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          assert(got === model(budget), s"budget=$budget")
+        }
+    }
+  }
+
+  test("tokenBudgetCap: a doc landing exactly on the budget survives") {
+    val df = Seq(
+      ("d1", "s", "w w w w"),   // 4 tokens
+      ("d2", "s", "x x x x"),   // 4 tokens
+      ("d3", "s", "y y y y")    // 4 tokens
+    ).toDF("doc_id", "source", "text")
+    val got = Sampling.tokenBudgetCap(df, "doc_id", "source", "text", 8L)
+      .select($"doc_id").as[String].collect().toSet
+    assert(got.size === 2, s"exactly two 4-token docs fit an 8-token budget, got $got")
   }
 }
