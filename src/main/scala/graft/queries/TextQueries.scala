@@ -187,6 +187,36 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style repetition/shape filters (Rae et al. 2021 §A1.1):
+    // duplicate-word fraction, top-2/3-gram fraction (max multiplicity
+    // via a sorted per-row fold — NOT an explode+groupBy, so the whole
+    // query is scan-parallel with zero shuffles), mean word length,
+    // and the composite gate at the published thresholds.
+    "q64_repetition_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(
+          $"doc_id",
+          tokenCount($"text").cast("long").as("n_words"),
+          meanWordLen($"text").as("mean_word_len"),
+          dupWordFrac($"text").as("dup_word_frac"),
+          topNgramFrac($"text", 2).as("top_bigram_frac"),
+          topNgramFrac($"text", 3).as("top_trigram_frac"),
+          passesGopher($"text").as("passes_gopher"))
+        .orderBy($"doc_id")
+    }),
+
+    // Engine-reproducible global shuffle: rows ordered by a salted
+    // portable hash — the same pseudo-random training order on any
+    // engine/cluster/re-run, unlike orderBy(rand()). One range
+    // exchange at scale.
+    "q65_deterministic_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.deterministicShuffle(
+        Tables.table(s, dir, "documents").select($"doc_id", $"source"),
+        "doc_id")
+    }),
+
     // SimHash near-dup pairs (hamming ≤ 6), adaptively: all-pairs
     // codegen popcount while the corpus fits the n² budget, the
     // pigeonhole chunk equi-join (guaranteed recall) beyond the
@@ -199,6 +229,48 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q64_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         base AS (SELECT doc_id, len(ws)::BIGINT AS n_words, ws FROM w),
+         bg AS (SELECT doc_id,
+                  unnest([concat_ws(' ', ws[i], ws[i+1])
+                          FOR i IN generate_series(1, len(ws) - 1)]) AS g
+                FROM w),
+         bgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                 FROM (SELECT doc_id, g, count(1) AS c FROM bg
+                       GROUP BY doc_id, g)
+                 GROUP BY doc_id),
+         tg AS (SELECT doc_id,
+                  unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                          FOR i IN generate_series(1, len(ws) - 2)]) AS g
+                FROM w),
+         tgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                 FROM (SELECT doc_id, g, count(1) AS c FROM tg
+                       GROUP BY doc_id, g)
+                 GROUP BY doc_id),
+         stats AS (
+           SELECT b.doc_id, b.n_words,
+                  round(list_sum(list_transform(b.ws, x -> len(x)))::DOUBLE
+                        / b.n_words, 6) AS mean_word_len,
+                  round(1.0 - len(list_distinct(b.ws))::DOUBLE / b.n_words, 6)
+                    AS dup_word_frac,
+                  round(COALESCE(bgc.f, 0), 6) AS top_bigram_frac,
+                  round(COALESCE(tgc.f, 0), 6) AS top_trigram_frac
+           FROM base b
+           LEFT JOIN bgc ON b.doc_id = bgc.doc_id
+           LEFT JOIN tgc ON b.doc_id = tgc.doc_id)
+         SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+                top_bigram_frac, top_trigram_frac,
+                (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND dup_word_frac <= 0.5 AND top_bigram_frac <= 0.18
+                 AND top_trigram_frac <= 0.16) AS passes_gopher
+         FROM stats ORDER BY doc_id""",
+    "q65_deterministic_shuffle" ->
+      """SELECT doc_id, source,
+                CAST('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'), 1, 15)
+                     AS BIGINT) AS shuffle_key
+         FROM documents
+         ORDER BY shuffle_key, doc_id""",
     "q62_token_budget" ->
       """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),

@@ -24,6 +24,20 @@ object Sampling {
   private def bucket(id: Column, salt: String): Column =
     TextFunctions.hash60(concat(id.cast("string"), lit("_"), lit(salt)))
 
+  /** Engine-reproducible global shuffle — the training-order
+    * primitive. Rows get a portable salted hash key; consuming them
+    * ordered by (shuffle_key, id) yields the SAME pseudo-random
+    * permutation on any engine, cluster size, or re-run (unlike
+    * orderBy(rand()), whose order is a per-task RNG artifact).
+    * Changing the salt draws an independent permutation (epoch
+    * reshuffling). At scale the ORDER BY plans as one range exchange:
+    * sampled range bounds, then parallel per-partition sorts —
+    * parallel write of a totally-ordered corpus. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = "shuffle"): DataFrame =
+    df.withColumn("shuffle_key", bucket(col(idCol), salt))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** threshold = rate × 2⁶⁰, exact in Long for rate ∈ [0,1]. Public
     * so oracles/audits can reproduce the cut in SQL. */
   def thresholdFor(rate: Double): Long = {

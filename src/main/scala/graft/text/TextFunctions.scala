@@ -90,6 +90,73 @@ object TextFunctions {
     }
   }
 
+  /** Non-distinct word n-grams, order-preserving (unlike [[shingles]],
+    * which dedupes — repetition measures need multiplicities). */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Max multiplicity of any element: longest run of equal neighbours
+    * in the sorted array, via one O(L log L) per-row fold — scan-
+    * parallel, zero shuffles (the explode+groupBy rendering would
+    * shuffle every n-gram of every document; per-doc lengths are
+    * bounded, so the per-row fold is the 100 TB shape). */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0L).as("run"),
+        lit(0L).as("best")),
+      (s, x) => {
+        val run = when(s.getField("prev").isNotNull &&
+          x === s.getField("prev"), s.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+
+  /** Gopher-style repetition/shape signals (Rae et al. 2021, §A1.1 —
+    * the published pre-filters for LLM corpus curation), adapted to
+    * whitespace-token documents: duplicate-word fraction, top-bigram /
+    * top-trigram fraction, mean word length. All per-row expressions —
+    * no shuffle, reproducible in the oracle. Fractions are 0 for docs
+    * too short to form the n-gram. */
+  def dupWordFrac(text: Column): Column = {
+    val w = words(text)
+    round(lit(1.0) -
+      size(array_distinct(w)).cast("double") / size(w).cast("double"), 6)
+  }
+
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    when(size(g) > 0,
+      round(maxMultiplicity(g).cast("double") / size(g).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    round(aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      .cast("double") / size(w).cast("double"), 6)
+  }
+
+  /** The composite Gopher gate at the published thresholds: mean word
+    * length in [3,10], duplicate-word fraction ≤ 0.5, top-2-gram
+    * fraction ≤ 0.18, top-3-gram fraction ≤ 0.16. */
+  def passesGopher(text: Column): Column = {
+    val mwl = meanWordLen(text)
+    mwl >= 3.0 && mwl <= 10.0 &&
+      dupWordFrac(text) <= 0.5 &&
+      topNgramFrac(text, 2) <= 0.18 &&
+      topNgramFrac(text, 3) <= 0.16
+  }
+
   /** Full-content hash for exact dedup (sha2 like the reference's PII
     * masking, dynamic-data-processor.py:94). */
   def contentHash(text: Column): Column = sha2(text, 256)

@@ -103,4 +103,48 @@ class TextVectorSpec extends SparkSuite {
       .select("quality_score").as[Double].collect()
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("maxMultiplicity equals the model max element count") {
+    val rnd = new scala.util.Random(99)
+    val cases = (0 until 20).map { _ =>
+      List.fill(rnd.nextInt(30))("w" + rnd.nextInt(6))
+    } :+ List.empty[String] :+ List("solo")
+    val df = cases.zipWithIndex.map { case (l, i) => (i, l) }.toDF("i", "arr")
+    val got = df.select($"i",
+      TextFunctions.maxMultiplicity($"arr").as("m"))
+      .as[(Int, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case (l, i) =>
+      val want = if (l.isEmpty) 0L
+        else l.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(i) === want, s"case $i: $l")
+    }
+  }
+
+  test("topNgramFrac: repeated phrase dominates; short docs are 0") {
+    val df = Seq(
+      (1, "a b a b a b a b"),        // bigram "a b" appears 4 of 7
+      (2, "x"),                      // too short for bigrams
+      (3, "p q r s t")               // all bigrams unique
+    ).toDF("id", "text")
+    val got = df.select($"id",
+      TextFunctions.topNgramFrac($"text", 2).as("f"))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(got(1) - 4.0 / 7.0) < 1e-6)
+    assert(got(2) === 0.0)
+    assert(math.abs(got(3) - 0.25) < 1e-6)
+  }
+
+  test("deterministic shuffle: permutation stable under repartition, salt-sensitive") {
+    val docs = Tables.table(spark, sf0001, "documents").select($"doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, salt: String) =
+      graft.text.Sampling.deterministicShuffle(df, "doc_id", salt)
+        .select($"doc_id").as[Long].collect().toSeq
+    val a = order(docs, "shuffle")
+    val b = order(docs.repartition(17), "shuffle")
+    assert(a === b, "same permutation on any partitioning")
+    assert(a.sorted != a, "it actually permutes")
+    val c = order(docs, "epoch2")
+    assert(a !== c, "different salt draws a different permutation")
+    assert(a.sorted === c.sorted, "same membership")
+  }
 }
