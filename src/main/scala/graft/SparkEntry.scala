@@ -14,6 +14,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.queries ++
       graft.streaming.StatefulSessionize.queries ++
       graft.streaming.StreamingDedup.queries ++
+      graft.streaming.StreamStreamJoin.queries ++
       graft.queries.OperatorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracles ++
       graft.streaming.StatefulSessionize.oracles ++
       graft.streaming.StreamingDedup.oracles ++
+      graft.streaming.StreamStreamJoin.oracles ++
       graft.queries.OperatorQueries.oracles
 }

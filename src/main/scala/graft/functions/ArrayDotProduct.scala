@@ -109,5 +109,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_lsh_buckets",
       exprs => LshBuckets(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_freq_items", exprs => {
+        // optional second arg: summary capacity (foldable int)
+        val cap = if (exprs.length > 1)
+          exprs(1).eval(null).asInstanceOf[Int] else 256
+        FreqItemsAgg(exprs.head, cap)
+      }, "built-in")
   }
 }

@@ -206,6 +206,36 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-wide heavy hitters, exact: explode bigrams → one hash
+    // aggregate (map-side partial combine shrinks the shuffle to the
+    // vocabulary) → TakeOrdered top-k with a deterministic tiebreak.
+    "q67_top_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      Q.fanout(Tables.table(s, dir, "documents"))
+        .select(explode(ngrams($"text", 2)).as("ngram"))
+        .groupBy($"ngram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"ngram")
+        .limit(20)
+    }),
+
+    // The same question through the Misra-Gries summary
+    // (graft_freq_items, FreqItemsAgg): each partition ships ≤ 1024
+    // counters instead of its term table — the constant-memory path
+    // when the vocabulary itself is too big to shuffle. Counts are
+    // lower bounds within N/(capacity+1) of truth (FreqItemsSpec pins
+    // the invariant); oracle-exempt like the other sketches.
+    "q68_top_ngrams_sketch" -> ((s, dir) => {
+      import s.implicits._
+      Q.fanout(Tables.table(s, dir, "documents"))
+        .select(explode(ngrams($"text", 2)).as("ngram"))
+        .agg(call_function("graft_freq_items", $"ngram", lit(1024))
+          .as("summary"))
+        .select(explode($"summary").as("e"))
+        .select($"e.term".as("ngram"), $"e.cnt".as("est_n"))
+        .orderBy($"est_n".desc, $"ngram")
+        .limit(20)
+    }),
+
     // Engine-reproducible global shuffle: rows ordered by a salted
     // portable hash — the same pseudo-random training order on any
     // engine/cluster/re-run, unlike orderBy(rand()). One range
@@ -265,6 +295,14 @@ object TextQueries {
                  AND dup_word_frac <= 0.5 AND top_bigram_frac <= 0.18
                  AND top_trigram_frac <= 0.16) AS passes_gopher
          FROM stats ORDER BY doc_id""",
+    "q67_top_ngrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT unnest([concat_ws(' ', ws[i], ws[i+1])
+                              FOR i IN generate_series(1, len(ws) - 1)])
+                        AS ngram
+               FROM w)
+         SELECT ngram, count(1) AS n FROM g
+         GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
     "q65_deterministic_shuffle" ->
       """SELECT doc_id, source,
                 CAST('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'), 1, 15)

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream interval join: purchases joined to the same user's
+  * view events strictly within the preceding hour, both sides
+  * streaming — the Structured Streaming rendering of q56's banded
+  * range join semantics (inner form).
+  *
+  * Scale shape: both sides carry a watermark and the join condition
+  * bounds event time on both ends, so Spark evicts buffered state as
+  * the watermark advances — per-key state is bounded by (watermark
+  * delay + interval), not by stream history. Without the time bounds
+  * the state store would grow forever; this is the pattern that keeps
+  * a 100 TB/day join running. Inner join in append mode: each matched
+  * pair is emitted exactly once.
+  *
+  * With Trigger.AvailableNow over a finite drained source the result
+  * equals the batch interval join — exactly what the DuckDB oracle
+  * checks.
+  */
+object StreamStreamJoin {
+  private val runId = new AtomicInteger(0)
+
+  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // a stream-stream join keeps FOUR state stores per shuffle
+    // partition; the partition count is pinned into the checkpoint at
+    // first start. State-heavy streaming jobs size this to state
+    // volume, not to scan width — 8 here (vs the session's 32) quarters
+    // the store/commit overhead; at real scale this would be sized up
+    // with the key space.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try purchaseViewPairsInner(spark, dir, schema)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def purchaseViewPairsInner(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_ss_join_${runId.incrementAndGet()}_")
+      .toString
+    def eventStream(): DataFrame = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = eventStream()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = eventStream()
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"),
+        col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(
+      views,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"))
+    val q = joined
+      .select(col("event_id"), col("user_id"), col("view_event_id"),
+        col("v_ts").as("view_ts"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result")
+      .orderBy(col("event_id"), col("view_event_id"))
+  }
+
+  val queries: Map[String, graft.queries.Q.Fn] = Map(
+    "q66_stream_interval_join" -> ((s, dir) => purchaseViewPairs(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "q66_stream_interval_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+                v.ts AS view_ts
+         FROM events p JOIN events v
+           ON v.user_id = p.user_id
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+          AND epoch_us(v.ts) < epoch_us(p.ts)
+         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         ORDER BY p.event_id, view_event_id""")
+}
