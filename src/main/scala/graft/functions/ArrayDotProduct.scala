@@ -110,6 +110,8 @@ object GraftFunctions {
       "graft_lsh_buckets",
       exprs => LshBuckets(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_freq_items", exprs => {
         // optional second arg: summary capacity (foldable int)
         val cap = if (exprs.length > 1)

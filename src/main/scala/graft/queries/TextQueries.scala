@@ -206,6 +206,20 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Canonical normalization (NFC → lower → whitespace collapse →
+    // trim): per-row codegen expressions only — scan-parallel. The
+    // NFC step is the graft_nfc custom Expression (no Spark
+    // built-in; a UDF would break whole-stage codegen).
+    "q69_normalize_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(
+          $"doc_id",
+          normalizeText($"text").as("norm_text"),
+          length(normalizeText($"text")).as("norm_chars"))
+        .orderBy($"doc_id")
+    }),
+
     // Corpus-wide heavy hitters, exact: explode bigrams → one hash
     // aggregate (map-side partial combine shrinks the shuffle to the
     // vocabulary) → TakeOrdered top-k with a deterministic tiebreak.
@@ -295,6 +309,13 @@ object TextQueries {
                  AND dup_word_frac <= 0.5 AND top_bigram_frac <= 0.18
                  AND top_trigram_frac <= 0.16) AS passes_gopher
          FROM stats ORDER BY doc_id""",
+    "q69_normalize_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(text)),
+                     '\s+', ' ', 'g')) AS norm_text,
+                length(trim(regexp_replace(lower(nfc_normalize(text)),
+                     '\s+', ' ', 'g'))) AS norm_chars
+         FROM documents ORDER BY doc_id""",
     "q67_top_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
          g AS (SELECT unnest([concat_ws(' ', ws[i], ws[i+1])

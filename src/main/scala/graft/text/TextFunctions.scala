@@ -157,6 +157,16 @@ object TextFunctions {
       topNgramFrac(text, 3) <= 0.16
   }
 
+  /** Canonical text normalization — the curation front door: Unicode
+    * NFC (composed/decomposed sequences unify — via the graft_nfc
+    * codegen Expression, since Spark has no built-in normalizer),
+    * lowercase, whitespace collapse, trim. Run BEFORE hashing/dedup
+    * so byte-different renderings of the same text dedup together.
+    * Mirrored in DuckDB by nfc_normalize for the q69 oracle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(call_function("graft_nfc", text)),
+      "\\s+", " "))
+
   /** Full-content hash for exact dedup (sha2 like the reference's PII
     * masking, dynamic-data-processor.py:94). */
   def contentHash(text: Column): Column = sha2(text, 256)

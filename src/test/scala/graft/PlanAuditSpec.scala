@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape regression gate: no registered query may plan an
+  * unbounded product (CartesianProduct / BroadcastNestedLoopJoin)
+  * unless it is on the explicit by-design whitelist with a documented
+  * bound. This pins the "no accidental O(n²) plan" discipline — a
+  * rewrite that silently degrades a bucketed join to a nested loop
+  * fails CI, not the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  /** Whitelist: queries whose product is intentional AND bounded.
+    * - q30: adaptive — all-pairs popcount below the corpus cutoff
+    *   (pairs of 8-byte fingerprints), banded equi-join above it.
+    * - q31/q32/q33: the query/probe side is a broadcast of ≤ k rows
+    *   (bounded by construction), so the nested loop is k·n, not n².
+    * - q49/q54: pair joins bounded by block/source counts (documented
+    *   Σ block² story, oracle-checked).
+    */
+  private val productByDesign = Set(
+    "q30_simhash_neardup", "q31_cosine_topk", "q32_embedding_neardup",
+    "q33_ann_lsh_topk", "q49_ngram_jaccard_blocked", "q54_source_overlap")
+
+  /** Streaming queries execute the stream inside fn() and return a
+    * parquet reader — their interesting plan is the streaming one,
+    * covered by their own specs; auditing the reader is meaningless
+    * (and running every stream here would double test time). */
+  private val streaming = Set(
+    "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
+    "q66_stream_interval_join")
+
+  test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streaming(n) || productByDesign(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty,
+      s"unbounded product in: ${offenders.mkString("; ")}")
+  }
+}

@@ -134,6 +134,20 @@ class TextVectorSpec extends SparkSuite {
     assert(math.abs(got(3) - 0.25) < 1e-6)
   }
 
+  test("normalizeText: NFC unifies composed/decomposed, collapses space, lowers") {
+    graft.functions.GraftFunctions.register(spark)
+    // "é" composed (U+00E9) vs decomposed (e + U+0301): byte-different,
+    // must normalize (and therefore dedup-hash) identically
+    val composed = "Caf\u00e9  du   Monde"
+    val decomposed = "Cafe\u0301  du   Monde"
+    val df = Seq((1, composed), (2, decomposed)).toDF("id", "text")
+      .select($"id", TextFunctions.normalizeText($"text").as("n"),
+        TextFunctions.contentHash(TextFunctions.normalizeText($"text")).as("h"))
+    val rows = df.collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows(1)._1 === "café du monde")
+    assert(rows(1) === rows(2), "composed and decomposed must unify")
+  }
+
   test("deterministic shuffle: permutation stable under repartition, salt-sensitive") {
     val docs = Tables.table(spark, sf0001, "documents").select($"doc_id")
     def order(df: org.apache.spark.sql.DataFrame, salt: String) =
