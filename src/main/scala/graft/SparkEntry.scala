@@ -20,6 +20,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Analytics.oracles ++
+      graft.queries.Analytics.oraclesAliased ++
       graft.queries.TextQueries.oracles ++ graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++

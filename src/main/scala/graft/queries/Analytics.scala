@@ -404,6 +404,31 @@ object Analytics {
           .select($"user_id", $"event_id", $"ts", $"value"),
         "user_id", "ts", "event_id", "value", gapMicros = 1800000000L)
         .orderBy($"user_id", $"session_seq")
+    }),
+
+    // The THIRD sessionize rendering: Spark's native session_window
+    // operator (one MergingSessionsExec pass — no lag/running-sum
+    // window chain), renumbered to q23's per-user sequence and
+    // verified against the SAME oracle. Boundary nuance: session_window
+    // merges on gap < 30 min (window end exclusive) while the lag form
+    // merges on gap ≤ 30 min; the renderings differ only for deltas of
+    // EXACTLY 1800.000000s, of which the events table has zero at
+    // every SF (checked) — real event-time data practically never hits
+    // a microsecond-exact boundary.
+    "q70_session_window" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"session_start")
+      Tables.table(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum($"value").as("session_value"))
+        .withColumn("session_seq", row_number().over(byUser).cast("long"))
+        .select($"user_id", $"session_seq", $"session_start",
+          $"session_end", $"n_events", $"session_value")
+        .orderBy($"user_id", $"session_seq")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -618,4 +643,9 @@ object Analytics {
           FROM sessions
           GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""")
+
+  /** q63 (chunked) and q70 (native session_window) share q23's oracle
+    * — three renderings, one semantics, one SQL text. */
+  val oraclesAliased: Map[String, String] = Map(
+    "q70_session_window" -> oracles("q23_sessionize"))
 }
