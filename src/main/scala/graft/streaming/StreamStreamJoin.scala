@@ -26,7 +26,20 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamStreamJoin {
   private val runId = new AtomicInteger(0)
 
-  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame = {
+  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, "inner")
+
+  /** LEFT OUTER variant: matched pairs emit on match (inner part);
+    * an unmatched purchase emits once, with nulls, when the watermark
+    * proves no future view can match it — i.e. after state eviction.
+    * A purchase newer than (final watermark) is still "open" when a
+    * finite run drains, exactly like q41's open sessions: the oracle
+    * subtracts them. */
+  def purchaseViewPairsLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, "left_outer")
+
+  private def run(spark: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // a stream-stream join keeps FOUR state stores per shuffle
@@ -37,12 +50,13 @@ object StreamStreamJoin {
     // with the key space.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try purchaseViewPairsInner(spark, dir, schema)
+    try runInner(spark, dir, schema, joinType)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def purchaseViewPairsInner(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  private def runInner(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      joinType: String): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_ss_join_${runId.incrementAndGet()}_")
       .toString
@@ -64,7 +78,8 @@ object StreamStreamJoin {
       views,
       col("user_id") === col("v_user_id") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") < col("p_ts"))
+        col("v_ts") < col("p_ts"),
+      joinType)
     val q = joined
       .select(col("event_id"), col("user_id"), col("view_event_id"),
         col("v_ts").as("view_ts"))
@@ -78,11 +93,13 @@ object StreamStreamJoin {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$out/result")
-      .orderBy(col("event_id"), col("view_event_id"))
+      .orderBy(col("event_id"), asc_nulls_first("view_event_id"))
   }
 
   val queries: Map[String, graft.queries.Q.Fn] = Map(
-    "q66_stream_interval_join" -> ((s, dir) => purchaseViewPairs(s, dir)))
+    "q66_stream_interval_join" -> ((s, dir) => purchaseViewPairs(s, dir)),
+    "q71_stream_left_outer_join" ->
+      ((s, dir) => purchaseViewPairsLeftOuter(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q66_stream_interval_join" ->
@@ -93,5 +110,41 @@ object StreamStreamJoin {
           AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
           AND epoch_us(v.ts) < epoch_us(p.ts)
          WHERE p.event_type = 'purchase' AND v.event_type = 'view'
-         ORDER BY p.event_id, view_event_id""")
+         ORDER BY p.event_id, view_event_id""",
+    // Matched pairs always emit. An unmatched purchase emits (with
+    // nulls) only once the global watermark — min over BOTH streams of
+    // (that stream's max event time) minus the 1 h delay — passes its
+    // p_ts, proving no future view can match; purchases newer than the
+    // final watermark are still buffered when a finite run drains
+    // (empirically pinned at sf0.001 and sf0.01: cutoff =
+    // min(max purchase ts, max view ts) − 1 h). NULLS FIRST pins
+    // DuckDB's null ordering to Spark's asc_nulls_first.
+    "q71_stream_left_outer_join" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         views AS (
+           SELECT event_id AS view_event_id, user_id, ts AS v_ts
+           FROM events WHERE event_type = 'view'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM purchases),
+                        (SELECT max(v_ts) FROM views)) AS w),
+         matched AS (
+           SELECT p.event_id, p.user_id, v.view_event_id,
+                  v.v_ts AS view_ts
+           FROM purchases p JOIN views v
+             ON v.user_id = p.user_id
+            AND epoch_us(v.v_ts) >= epoch_us(p.ts) - 3600000000
+            AND epoch_us(v.v_ts) < epoch_us(p.ts)),
+         unmatched AS (
+           SELECT p.event_id, p.user_id,
+                  CAST(NULL AS BIGINT) AS view_event_id,
+                  CAST(NULL AS TIMESTAMP) AS view_ts
+           FROM purchases p
+           WHERE p.event_id NOT IN (SELECT event_id FROM matched)
+             AND epoch_us(p.ts) <
+                 epoch_us((SELECT w FROM wm)) - 3600000000)
+         SELECT * FROM matched
+         UNION ALL SELECT * FROM unmatched
+         ORDER BY event_id, view_event_id NULLS FIRST""")
 }

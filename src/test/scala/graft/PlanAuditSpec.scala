@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSuite {
     * (and running every stream here would double test time). */
   private val streaming = Set(
     "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
-    "q66_stream_interval_join")
+    "q66_stream_interval_join", "q71_stream_left_outer_join")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
