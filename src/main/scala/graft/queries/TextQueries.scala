@@ -206,6 +206,32 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // The capstone: a COMPLETE training-data build, every stage a
+    // verified primitive — normalize (q69) → Gopher gate (q64) →
+    // exact dedup keep-min (q27/q61 semantics) → 10% holdout split
+    // (q57 primitive, train side) → per-source 600-token budget (q62)
+    // → deterministic shuffle order (q65). Output is the final
+    // mixture in training order. Scale shape: scan-parallel gates,
+    // one dedup hash-aggregate + keyed join, codegen'd split filter,
+    // one budget shuffle + window, one range exchange for the order —
+    // nothing pairwise, nothing driver-side.
+    "q72_training_build" -> ((s, dir) => {
+      import s.implicits._
+      val normed = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"source",
+          normalizeText($"text").as("norm_text"))
+      val gated = normed.filter(passesGopher($"norm_text"))
+      val hashed = gated.withColumn("h", normalizedHash($"norm_text"))
+      val canon = hashed.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      val kept = hashed.join(canon, Seq("h", "doc_id")).drop("h")
+      val train = graft.text.Sampling.hashSplit(kept, "doc_id", 0.1)._1
+      val capped = graft.text.Sampling.tokenBudgetCap(
+        train, "doc_id", "source", "norm_text", budgetTokens = 600L)
+      graft.text.Sampling.deterministicShuffle(capped, "doc_id")
+        .select($"doc_id", $"source", $"n_tokens", $"cum_tokens",
+          $"shuffle_key")
+    }),
+
     // Canonical normalization (NFC → lower → whitespace collapse →
     // trim): per-row codegen expressions only — scan-parallel. The
     // NFC step is the graft_nfc custom Expression (no Spark
@@ -273,6 +299,75 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q72_training_build" -> {
+      val holdoutCut = graft.text.Sampling.thresholdFor(0.1)
+      s"""WITH norm AS (
+           SELECT doc_id, source,
+                  trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\\s+', ' ', 'g')) AS t
+           FROM documents),
+         w AS (SELECT doc_id, source, t, string_split(t, ' ') AS ws
+               FROM norm),
+         bg AS (SELECT doc_id,
+                  unnest([concat_ws(' ', ws[i], ws[i+1])
+                          FOR i IN generate_series(1, len(ws) - 1)]) AS g
+                FROM w),
+         bgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                 FROM (SELECT doc_id, g, count(1) AS c FROM bg
+                       GROUP BY doc_id, g) GROUP BY doc_id),
+         tg AS (SELECT doc_id,
+                  unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                          FOR i IN generate_series(1, len(ws) - 2)]) AS g
+                FROM w),
+         tgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                 FROM (SELECT doc_id, g, count(1) AS c FROM tg
+                       GROUP BY doc_id, g) GROUP BY doc_id),
+         gated AS (
+           SELECT w.doc_id, w.source, w.ws
+           FROM w LEFT JOIN bgc ON w.doc_id = bgc.doc_id
+                  LEFT JOIN tgc ON w.doc_id = tgc.doc_id
+           WHERE round(list_sum(list_transform(w.ws, x -> len(x)))::DOUBLE
+                       / len(w.ws), 6) BETWEEN 3.0 AND 10.0
+             AND round(1.0 - len(list_distinct(w.ws))::DOUBLE
+                       / len(w.ws), 6) <= 0.5
+             AND round(COALESCE(bgc.f, 0), 6) <= 0.18
+             AND round(COALESCE(tgc.f, 0), 6) <= 0.16),
+         canon AS (
+           SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+                    sha256(array_to_string(list_sort(list_distinct(ws)),
+                           ' ')) AS h
+             FROM gated)
+           GROUP BY h),
+         train AS (
+           SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id
+           WHERE CAST('0x' || substr(md5(g.doc_id::VARCHAR || '_holdout'),
+                      1, 15) AS BIGINT) >= $holdoutCut),
+         scored AS (
+           SELECT doc_id, source, len(ws)::BIGINT AS n_tokens,
+                  round(least(1.0, len(ws)::DOUBLE / 100.0) * 0.4 +
+                    (len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE) * 0.4 +
+                    least(1.0, len(list_filter(ws, x ->
+                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
+                      * 5.0 / len(ws)::DOUBLE) * 0.2,
+                    6) AS q
+           FROM train),
+         cum AS (
+           SELECT doc_id, source, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY q DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens
+           FROM scored),
+         capped AS (
+           SELECT doc_id, source, n_tokens,
+                  CAST(cum_tokens AS BIGINT) AS cum_tokens
+           FROM cum WHERE cum_tokens <= 600)
+         SELECT doc_id, source, n_tokens, cum_tokens,
+                CAST('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'),
+                     1, 15) AS BIGINT) AS shuffle_key
+         FROM capped ORDER BY shuffle_key, doc_id"""
+    },
     "q64_repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          base AS (SELECT doc_id, len(ws)::BIGINT AS n_words, ws FROM w),

@@ -41,4 +41,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"unbounded product in: ${offenders.mkString("; ")}")
   }
+
+  test("star join broadcasts all three dims (no dim ever shuffles the fact)") {
+    val plan = SparkEntry.queries("q12_star_join_revenue")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n === 3, s"expected 3 broadcast joins, got $n in:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q03_total_cost_per_customer")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("year-range predicate reaches the parquet scan as a pushed filter") {
+    val plan = SparkEntry.queries("q09_year_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"expected non-empty PushedFilters in:\n$plan")
+  }
 }
