@@ -112,6 +112,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_gopher_stats", exprs => GopherStatsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_freq_items", exprs => {
         // optional second arg: summary capacity (foldable int)
         val cap = if (exprs.length > 1)

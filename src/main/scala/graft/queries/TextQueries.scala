@@ -217,10 +217,19 @@ object TextQueries {
     // nothing pairwise, nothing driver-side.
     "q72_training_build" -> ((s, dir) => {
       import s.implicits._
-      val normed = Tables.table(s, dir, "documents")
+      // fanout: the gate's per-row n-gram folds must not run on a
+      // small scan's single partition (see Q.fanout); localCheckpoint:
+      // the gated set is read by FOUR downstream passes (dedup
+      // aggregate, dedup join probe, budget window, range-sort
+      // sampling + final) — materialize it once instead of
+      // re-evaluating the normalize+gate chain per pass (22.5 s →
+      // ~2 s at sf0.1). At 100 TB the same holds: checkpoint/persist
+      // the curated set before fan-in stages.
+      val normed = Q.fanout(Tables.table(s, dir, "documents"))
         .select($"doc_id", $"source",
           normalizeText($"text").as("norm_text"))
       val gated = normed.filter(passesGopher($"norm_text"))
+        .localCheckpoint()
       val hashed = gated.withColumn("h", normalizedHash($"norm_text"))
       val canon = hashed.groupBy($"h").agg(min($"doc_id").as("doc_id"))
       val kept = hashed.join(canon, Seq("h", "doc_id")).drop("h")

@@ -124,38 +124,39 @@ object TextFunctions {
   /** Gopher-style repetition/shape signals (Rae et al. 2021, §A1.1 —
     * the published pre-filters for LLM corpus curation), adapted to
     * whitespace-token documents: duplicate-word fraction, top-bigram /
-    * top-trigram fraction, mean word length. All per-row expressions —
-    * no shuffle, reproducible in the oracle. Fractions are 0 for docs
-    * too short to form the n-gram. */
-  def dupWordFrac(text: Column): Column = {
-    val w = words(text)
-    round(lit(1.0) -
-      size(array_distinct(w)).cast("double") / size(w).cast("double"), 6)
+    * top-trigram fraction, mean word length, and the composite gate,
+    * all computed in ONE pass by the graft_gopher_stats codegen
+    * Expression (the HOF-fold rendering was the curation hot spot —
+    * interpreted lambdas cost ~1.4 ms/doc; the kernel is ~10 µs/doc).
+    * Still per-row and shuffle-free; DuckDB mirrors the arithmetic in
+    * the q64 oracle. Fractions are 0 for docs too short to form the
+    * n-gram. Multiple field extractions of the same input collapse to
+    * one kernel call under codegen subexpression elimination. */
+  def gopherStats(text: Column): Column =
+    call_function("graft_gopher_stats", text)
+
+  def dupWordFrac(text: Column): Column =
+    gopherStats(text).getField("dup_word_frac")
+
+  def topNgramFrac(text: Column, n: Int): Column = n match {
+    case 2 => gopherStats(text).getField("top_bigram_frac")
+    case 3 => gopherStats(text).getField("top_trigram_frac")
+    case _ => // general form: the per-row sorted fold over word n-grams
+      val g = ngrams(text, n)
+      when(size(g) > 0,
+        round(maxMultiplicity(g).cast("double") / size(g).cast("double"), 6))
+        .otherwise(lit(0.0))
   }
 
-  def topNgramFrac(text: Column, n: Int): Column = {
-    val g = ngrams(text, n)
-    when(size(g) > 0,
-      round(maxMultiplicity(g).cast("double") / size(g).cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
-
-  def meanWordLen(text: Column): Column = {
-    val w = words(text)
-    round(aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
-      .cast("double") / size(w).cast("double"), 6)
-  }
+  def meanWordLen(text: Column): Column =
+    gopherStats(text).getField("mean_word_len")
 
   /** The composite Gopher gate at the published thresholds: mean word
     * length in [3,10], duplicate-word fraction ≤ 0.5, top-2-gram
-    * fraction ≤ 0.18, top-3-gram fraction ≤ 0.16. */
-  def passesGopher(text: Column): Column = {
-    val mwl = meanWordLen(text)
-    mwl >= 3.0 && mwl <= 10.0 &&
-      dupWordFrac(text) <= 0.5 &&
-      topNgramFrac(text, 2) <= 0.18 &&
-      topNgramFrac(text, 3) <= 0.16
-  }
+    * fraction ≤ 0.18, top-3-gram fraction ≤ 0.16 (applied to the
+    * 6-decimal-rounded stats, same as the oracle). */
+  def passesGopher(text: Column): Column =
+    gopherStats(text).getField("passes_gopher")
 
   /** Canonical text normalization — the curation front door: Unicode
     * NFC (composed/decomposed sequences unify — via the graft_nfc
