@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns pairwise near-duplicate PAIRS (MinHash/SimHash verify
+  * output) into duplicate CLUSTERS, so a curation pipeline can keep
+  * exactly one canonical doc per transitive group (a~b, b~c ⇒ one
+  * survivor of {a,b,c}, which pair-dropping alone gets wrong).
+  *
+  * Algorithm: iterative min-label propagation — each round every
+  * vertex adopts the minimum label among itself and its neighbours;
+  * fixpoint when no label changes. Each round is one shuffle join +
+  * one aggregate on the edge list, O(E) work; rounds are bounded by
+  * the component diameter. Near-dup graphs are LSH band cliques with
+  * tiny diameter (2-3 rounds observed), which is why propagation is
+  * the right default here; for adversarial long-path graphs at 100 TB
+  * scale the O(log n)-round alternating small-star/large-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond") swaps in without changing the contract. The
+  * per-round count() is a convergence check on a bounded scalar, and
+  * localCheckpoint truncates the growing lineage each round — the
+  * standard pattern for iterative DataFrame algorithms.
+  */
+object ConnectedComponents {
+
+  /** Labels every vertex of `edges` (two id columns, one row per
+    * undirected edge) with the minimum vertex id reachable from it.
+    * Returns (id, cluster_id) for vertices appearing in ≥1 edge. */
+  def label(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select($"id".as("dst"), $"label"), "dst")
+        .groupBy($"src").agg(min($"label").as("nbr_label"))
+        .select($"src".as("id"), $"nbr_label")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select($"id", $"label".as("old")), "id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+    }
+    labels.select($"id", $"label".as("cluster_id"))
+  }
+
+  /** Near-dup clusters of `docs`: MinHash-LSH verified pairs →
+    * transitive closure → (doc_id, cluster_id, cluster_size), one row
+    * per doc belonging to a cluster of ≥2 docs. cluster_id is the min
+    * doc id of the component — the canonical survivor a dedup pass
+    * keeps. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val edges = Dedup.minhashNearDupPairs(docs, idCol, textCol, threshold)
+    val labeled = label(edges)
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"))
+  }
+}

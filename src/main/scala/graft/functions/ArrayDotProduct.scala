@@ -114,6 +114,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_gopher_stats", exprs => GopherStatsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_text_stats", exprs => TextStatsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => {
+        // optional second arg: shingle width n (foldable int)
+        val n = if (exprs.length > 1)
+          exprs(1).eval(null).asInstanceOf[Int] else 3
+        ShinglesExpr(exprs.head, n)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_freq_items", exprs => {
         // optional second arg: summary capacity (foldable int)
         val cap = if (exprs.length > 1)

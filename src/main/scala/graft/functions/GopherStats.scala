@@ -55,13 +55,7 @@ object GopherStatsExpr {
     StructField("top_trigram_frac", DoubleType, nullable = false),
     StructField("passes_gopher", BooleanType, nullable = false)))
 
-  /** HALF_UP at 6 decimals — the exact arithmetic of Spark's
-    * `round(x, 6)` codegen (BigDecimal.valueOf, not new BigDecimal,
-    * so the decimal string rendering is what gets rounded). */
-  private def round6(x: Double): Double =
-    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  import Words.round6
 
   /** Max multiplicity of any word n-gram / n-gram count, rounded; 0.0
     * when the doc is too short to form an n-gram — mirrors
@@ -85,24 +79,14 @@ object GopherStatsExpr {
 
   /** Static kernel shared by interpreted and generated paths. */
   def compute(u: UTF8String): InternalRow = {
-    val s = u.toString
-    // split on single space, empties kept (= Spark split(text, " "))
-    val ws = new java.util.ArrayList[String](16)
-    var start = 0
-    var sp = s.indexOf(' ')
-    while (sp >= 0) {
-      ws.add(s.substring(start, sp))
-      start = sp + 1
-      sp = s.indexOf(' ', start)
-    }
-    ws.add(s.substring(start))
+    val ws = Words.split(u.toString)
     val n = ws.size
     var sumLen = 0L
     val distinct = new java.util.HashSet[String](n * 2)
     var k = 0
     while (k < n) {
       val w = ws.get(k)
-      sumLen += w.codePointCount(0, w.length) // Spark length() = code points
+      sumLen += Words.numChars(w) // Spark length() = code points
       distinct.add(w)
       k += 1
     }

@@ -241,6 +241,71 @@ object TextQueries {
           $"shuffle_key")
     }),
 
+    // Benchmark decontamination (the GPT-3/Llama 13-gram protocol):
+    // flag training docs sharing any 13-gram with the held-out
+    // benchmark corpus (source src0 here). Grams join on their md5 —
+    // a fixed 32-char key instead of 13-word strings — and the
+    // benchmark side is BROADCAST: real benchmark suites are tiny
+    // next to a 100 TB train corpus, so the train side never
+    // shuffles; the whole query is scan → broadcast-hash-join →
+    // partial agg.
+    "q73_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"source",
+          explode(shingles($"text", 13)).as("g"))
+        .select($"doc_id", $"source", md5($"g").as("gh"))
+      val bench = grams.filter($"source" === "src0")
+        .select($"gh").distinct()
+      grams.filter($"source" =!= "src0")
+        .join(broadcast(bench), "gh")
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII redaction — the curation scrub stage: phone patterns then
+    // long digit runs (account numbers) replaced in a profile text,
+    // with a match count kept for auditing. The contact field is a
+    // deterministic derivation of c_custkey (this corpus carries no
+    // natural phone column) so the phone pattern genuinely fires on
+    // 1/3 of rows. Pure codegen regexp expressions (Java regex here,
+    // RE2 in the oracle — patterns chosen dialect-portable);
+    // scan-parallel, no shuffle.
+    "q74_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        $"c_custkey" % 90 + 10, ($"c_custkey" * 7) % 900 + 100,
+        ($"c_custkey" * 13) % 900 + 100, ($"c_custkey" * 31) % 9000 + 1000)
+      val contact = when($"c_custkey" % 3 === 0, phone)
+        .otherwise(lit("unlisted"))
+      val profile = concat_ws(" ", $"c_name", contact, $"c_mktsegment")
+      Tables.table(s, dir, "customer")
+        .select($"c_custkey",
+          regexp_count(profile,
+            lit("[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}")).cast("long")
+            .as("n_phones"),
+          regexp_replace(
+            regexp_replace(profile,
+              lit("[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit("[PHONE]")),
+            lit("[0-9]{4,}"), lit("[NUM]")).as("redacted"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Near-dup CLUSTERS: MinHash-LSH verified pairs (q28) closed
+    // under transitivity by iterative min-label propagation — the
+    // step pair-dropping gets wrong (a~b, b~c must keep ONE of
+    // {a,b,c}). Each round is one edge-list join + min-aggregate;
+    // rounds bounded by component diameter (band cliques: 2-3).
+    // Oracle is a DuckDB recursive-CTE closure over the same exact
+    // pairs.
+    "q75_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.ConnectedComponents.nearDupClusters(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy($"doc_id")
+    }),
+
     // Canonical normalization (NFC → lower → whitespace collapse →
     // trim): per-row codegen expressions only — scan-parallel. The
     // NFC step is the graft_nfc custom Expression (no Spark
@@ -573,6 +638,64 @@ object TextQueries {
                FROM documents)
          GROUP BY content_hash
          ORDER BY content_hash""",
+    "q73_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, source,
+                 unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                   ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7], ws[i+8],
+                   ws[i+9], ws[i+10], ws[i+11], ws[i+12])
+                   FOR i IN generate_series(1, len(ws) - 12)])) AS g
+               FROM w),
+         bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+         SELECT t.doc_id, t.source, count(*) AS n_contaminated_grams
+         FROM g t JOIN bench b USING (g)
+         WHERE t.source <> 'src0'
+         GROUP BY t.doc_id, t.source
+         ORDER BY doc_id""",
+    "q74_pii_redact" ->
+      """SELECT c_custkey,
+                len(regexp_extract_all(profile,
+                  '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                regexp_replace(
+                  regexp_replace(profile,
+                    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                  '[0-9]{4,}', '[NUM]', 'g') AS redacted
+         FROM (SELECT c_custkey,
+                      concat_ws(' ', c_name,
+                        CASE WHEN c_custkey % 3 = 0 THEN
+                          printf('%02d-%03d-%03d-%04d',
+                            c_custkey % 90 + 10, (c_custkey * 7) % 900 + 100,
+                            (c_custkey * 13) % 900 + 100,
+                            (c_custkey * 31) % 9000 + 1000)
+                        ELSE 'unlisted' END,
+                        c_mktsegment) AS profile
+               FROM customer)
+         ORDER BY c_custkey""",
+    "q75_dedup_clusters" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+               FROM w),
+         e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM d a JOIN d b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                        - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8),
+         sym AS (SELECT ia, ib FROM e UNION SELECT ib AS ia, ia AS ib FROM e),
+         reach(id, r) AS (
+           SELECT ia, ib FROM sym
+           UNION
+           SELECT s.ia, reach.r FROM sym s JOIN reach ON s.ib = reach.id),
+         lab AS (SELECT id, least(min(r), id) AS cluster_id
+                 FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM lab GROUP BY cluster_id)
+         SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+         FROM lab l JOIN sz s USING (cluster_id)
+         ORDER BY doc_id""",
     "q28_minhash_neardup" -> (
       docSets +
       """ SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -21,17 +21,11 @@ object TextFunctions {
   def words(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles, order-preserving, 1-based like the
-    * oracle's generate_series — empty when the doc has < n words
-    * (Spark's `sequence` would otherwise descend and fabricate
-    * shingles). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * oracle's generate_series — empty when the doc has < n words.
+    * One kernel pass (graft_shingles codegen Expression); the HOF
+    * rendering ran n interpreted element_at lambdas per shingle. */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingles", text, lit(n))
 
   /** Portable 60-bit hash: first 15 hex chars of md5, base-16 → long.
     * Positive (< 2^60), identical in DuckDB via
@@ -42,33 +36,33 @@ object TextFunctions {
   /** Exact token count. */
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** One-pass token/stopword/quality kernel (graft_text_stats codegen
+    * Expression) — replaces the interpreted `aggregate`/`filter`
+    * higher-order folds on the quality-gating hot path. Same
+    * arithmetic, verified by the q24 oracle. */
+  def textStats(text: Column): Column =
+    call_function("graft_text_stats", text)
+
   /** BPE-ish subword count: each word contributes ceil(len/4) tokens —
     * a deterministic stand-in for a real BPE vocab (which would be a
     * lookup table broadcast to executors). */
   def bpeTokenCount(text: Column): Column =
-    aggregate(words(text), lit(0L),
-      (acc, w) => acc + ((length(w) + lit(3)).cast("long") / lit(4)).cast("long"))
+    textStats(text).getField("n_bpe_tokens")
 
-  /** English-ish stopword list used by quality scoring. */
+  /** English-ish stopword list used by quality scoring. Mirrored in
+    * the TextStatsExpr kernel — keep in sync. */
   val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def stopwordHits(text: Column, stopwords: Seq[String] = stopwordsEn): Column =
-    size(filter(words(text), w => w.isin(stopwords.map(lit): _*)))
+    if (stopwords == stopwordsEn) textStats(text).getField("n_stopwords")
+    else size(filter(words(text), w => w.isin(stopwords.map(lit): _*)))
 
   /** Document quality score in [0,1]: length saturation, lexical
     * diversity, stopword presence — the classic cheap pre-filters for
     * LLM corpus curation. Pure double arithmetic on exact ints →
-    * bit-identical on both engines. */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
-    val uniq = size(array_distinct(words(text))).cast("double")
-    val stops = stopwordHits(text).cast("double")
-    round(
-      least(lit(1.0), n / lit(100.0)) * lit(0.4) +
-        (uniq / n) * lit(0.4) +
-        least(lit(1.0), stops * lit(5.0) / n) * lit(0.2),
-      6)
-  }
+    * bit-identical on both engines (kernel field; see TextStatsExpr). */
+  def qualityScore(text: Column): Column =
+    textStats(text).getField("quality_score")
 
   /** Tiny per-language stopword lists for the n-gram/stopword langid
     * heuristic. */

@@ -1,0 +1,60 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.dedup.ConnectedComponents
+
+/** Randomized model check for the min-label-propagation connected
+  * components: compare against a driver-side union-find over the same
+  * edges, including long paths (worst case for propagation rounds),
+  * stars, and disjoint cliques. */
+class ConnectedComponentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def model(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical root = min id of component
+    val byRoot = ids.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = ConnectedComponents.label(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === model(edges))
+  }
+
+  test("path graph (worst case for propagation depth)") {
+    check((1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq)
+  }
+
+  test("star, clique, and singleton-edge components") {
+    val star = (2L to 10L).map(i => (1L, i))
+    val clique = (for (a <- 20L to 24L; b <- 20L to 24L if a < b) yield (a, b))
+    check(star ++ clique ++ Seq((100L, 101L)))
+  }
+
+  test("random graphs match union-find") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 40
+      val edges = (1 to 60).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      check(edges)
+    }
+  }
+}
