@@ -117,10 +117,12 @@ object GraftFunctions {
       "graft_text_stats", exprs => TextStatsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => {
-        // optional second arg: shingle width n (foldable int)
+        // optional args: shingle width n (foldable int), distinct flag
         val n = if (exprs.length > 1)
           exprs(1).eval(null).asInstanceOf[Int] else 3
-        ShinglesExpr(exprs.head, n)
+        val distinct = if (exprs.length > 2)
+          exprs(2).eval(null).asInstanceOf[Boolean] else true
+        ShinglesExpr(exprs.head, n, distinct)
       }, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_freq_items", exprs => {

@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * SQL: `graft_shingles(text, n)` after GraftFunctions.register.
   */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -28,11 +29,11 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
       s"graft_shingles expects (string, n>=1), got (${child.dataType}, $n)")
 
   override protected def nullSafeEval(input: Any): Any =
-    ShinglesExpr.compute(input.asInstanceOf[UTF8String], n)
+    ShinglesExpr.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShinglesExpr.compute($c, $n)")
+      c => s"graft.functions.ShinglesExpr.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
@@ -41,24 +42,29 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 object ShinglesExpr {
   private val empty = new GenericArrayData(Array.empty[Any])
 
-  /** Static kernel shared by interpreted and generated paths. */
-  def compute(u: UTF8String, n: Int): ArrayData = {
+  /** Static kernel shared by interpreted and generated paths.
+    * distinct=true → order-preserving first-occurrence set
+    * (TextFunctions.shingles); false → every n-gram with
+    * multiplicity, in order (TextFunctions.ngrams). */
+  def compute(u: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val ws = Words.split(u.toString)
     val total = ws.size - n + 1
     if (total <= 0) return empty
-    val seen = new java.util.LinkedHashSet[String](total * 2)
+    val out = new java.util.ArrayList[String](total)
+    val seen: java.util.HashSet[String] =
+      if (distinct) new java.util.HashSet[String](total * 2) else null
     var i = 0
     while (i < total) {
       val sb = new java.lang.StringBuilder(ws.get(i))
       var j = 1
       while (j < n) { sb.append(' ').append(ws.get(i + j)); j += 1 }
-      seen.add(sb.toString)
+      val g = sb.toString
+      if (seen == null || seen.add(g)) out.add(g)
       i += 1
     }
-    val arr = new Array[Any](seen.size)
+    val arr = new Array[Any](out.size)
     var k = 0
-    val it = seen.iterator()
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (k < arr.length) { arr(k) = UTF8String.fromString(out.get(k)); k += 1 }
     new GenericArrayData(arr)
   }
 }

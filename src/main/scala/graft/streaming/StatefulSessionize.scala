@@ -95,7 +95,7 @@ object StatefulSessionize {
     * distributed end to end (tests exercise the memory-free
     * [[sessionize]] core directly). */
   def streamedSessions(spark: SparkSession, dir: String,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L): DataFrame = StreamTuning.withStatePartitions(spark) {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -48,10 +48,9 @@ object StreamStreamJoin {
     // volume, not to scan width — 8 here (vs the session's 32) quarters
     // the store/commit overhead; at real scale this would be sized up
     // with the key space.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try runInner(spark, dir, schema, joinType)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    StreamTuning.withStatePartitions(spark) {
+      runInner(spark, dir, schema, joinType)
+    }
   }
 
   private def runInner(spark: SparkSession, dir: String,

@@ -48,7 +48,7 @@ object StreamingDedup {
 
   /** AvailableNow run over the documents parquet, appending kept rows
     * to a parquet sink (foreachBatch — no driver-side memory sink). */
-  def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamedDedup(spark: SparkSession, dir: String): DataFrame = StreamTuning.withStatePartitions(spark) {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val out = java.nio.file.Files

@@ -27,7 +27,7 @@ object StreamingQueries {
   /** Per-day, per-type counts and exact decimal sums over a stream of
     * the events parquet. Complete output mode (no watermark needed for
     * a drained finite source). Returns a reader over the parquet sink. */
-  def streamedTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+  def streamedTumblingCounts(spark: SparkSession, dir: String): DataFrame = StreamTuning.withStatePartitions(spark) {
     // events.ts is TIMESTAMP(NANOS): stream it as raw longs, convert
     // like Tables.table does for batch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -74,7 +74,7 @@ object StreamingQueries {
     * StreamingAppendSpec: its output equals exactly the closed-window
     * subset of the snapshot. */
   def streamedTumblingCountsAppend(spark: SparkSession, dir: String,
-      delay: String = "1 day"): DataFrame = {
+      delay: String = "1 day"): DataFrame = StreamTuning.withStatePartitions(spark) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out = java.nio.file.Files

@@ -85,15 +85,10 @@ object TextFunctions {
   }
 
   /** Non-distinct word n-grams, order-preserving (unlike [[shingles]],
-    * which dedupes — repetition measures need multiplicities). */
-  def ngrams(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * which dedupes — repetition measures need multiplicities). Same
+    * one-pass kernel, distinct flag off. */
+  def ngrams(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n), lit(false))
 
   /** Max multiplicity of any element: longest run of equal neighbours
     * in the sorted array, via one O(L log L) per-row fold — scan-

@@ -110,6 +110,12 @@ class KernelSpec extends SparkSuite {
         TextFunctions.shingles($"text", n), hofShingles($"text", n))
   }
 
+  test("ngrams kernel (multiplicities kept) equals the HOF rendering") {
+    for (n <- Seq(2, 3))
+      assertAllEqual(s"ngrams$n",
+        TextFunctions.ngrams($"text", n), hofNgrams($"text", n))
+  }
+
   test("kernels null-propagate") {
     graft.functions.GraftFunctions.register(spark)
     val r = Seq((1L, Option.empty[String])).toDF("doc_id", "text")

@@ -61,4 +61,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull"),
       s"expected non-empty PushedFilters in:\n$plan")
   }
+
+  test("decontamination broadcasts the benchmark grams (train side never shuffles)") {
+    val plan = SparkEntry.queries("q73_decontaminate")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join for the benchmark side in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"train side must not shuffle for the benchmark join:\n$plan")
+  }
+
+  test("PII redaction is scan-parallel: only the final sort exchanges") {
+    val plan = SparkEntry.queries("q74_pii_redact")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"redaction must not hash-shuffle:\n$plan")
+  }
 }
