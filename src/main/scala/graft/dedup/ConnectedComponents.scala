@@ -56,6 +56,73 @@ object ConnectedComponents {
     labels.select($"id", $"label".as("cluster_id"))
   }
 
+  /** The O(log n)-round alternative for graphs whose diameter is NOT
+    * small — alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"). Each
+    * round is two groupBy-min + join passes over the edge list; the
+    * round count is O(log n) regardless of diameter, vs O(diameter)
+    * for [[label]]'s propagation — the difference between 2-3 rounds
+    * and thousands on a 10⁶-hop path component. Same contract as
+    * [[label]].
+    *
+    * large-star: every node links its larger neighbours to the min of
+    * its neighbourhood (incl. itself); small-star does the same for
+    * the smaller-or-equal neighbours. Both preserve connectivity and
+    * strictly reduce total edge "height"; at fixpoint every component
+    * is a star rooted at its min id. Convergence is checked on a
+    * (count, hash-sum) signature of the edge set — one cheap
+    * aggregate per round instead of a full EXCEPT. */
+  def labelAlternating(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val m = sym.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      sym.join(m, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge (bigger -> smaller); group by the bigger end
+      val dir = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val m = dir.groupBy($"u").agg(min($"v").as("m"))
+      val relink = dir.join(m, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+      val self = m.select($"u", $"m".as("v"))
+      relink.union(self).filter($"u" =!= $"v").distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (ANSI-safe)
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = edges.select(col(idA).as("u"), col(idB).as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var sig = signature(cur)
+    var done = false
+    while (!done) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      done = nextSig == sig
+      cur = next
+      sig = nextSig
+    }
+    // fixpoint: stars (child -> root). Roots label themselves.
+    cur.select($"u".as("id"), $"v".as("cluster_id"))
+      .union(cur.select($"v".as("id"), $"v".as("cluster_id")))
+      .distinct()
+  }
+
   /** Near-dup clusters of `docs`: MinHash-LSH verified pairs →
     * transitive closure → (doc_id, cluster_id, cluster_size), one row
     * per doc belonging to a cluster of ≥2 docs. cluster_id is the min

@@ -31,9 +31,14 @@ class ConnectedComponentsSpec extends SparkSuite {
   }
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
+    val expected = model(edges)
     val got = ConnectedComponents.label(edges.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
-    assert(got === model(edges))
+    assert(got === expected, "min-label propagation")
+    val gotAlt = ConnectedComponents
+      .labelAlternating(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotAlt === expected, "alternating small-star/large-star")
   }
 
   test("path graph (worst case for propagation depth)") {
