@@ -241,6 +241,19 @@ object TextQueries {
           $"shuffle_key")
     }),
 
+    // Sequence packing (concat-and-chunk): every doc's absolute
+    // offset on the global training-token tape and the 2048-token
+    // sequence range it spans. The global prefix sum runs as the
+    // two-phase range-partition + broadcast-offsets rendering —
+    // full parallelism, never a one-task window (see
+    // Sampling.packSequences); the oracle is DuckDB's global window.
+    "q76_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.packSequences(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 2048L)
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination (the GPT-3/Llama 13-gram protocol):
     // flag training docs sharing any 13-gram with the held-out
     // benchmark corpus (source src0 here). Grams join on their md5 —
@@ -638,6 +651,21 @@ object TextQueries {
                FROM documents)
          GROUP BY content_hash
          ORDER BY content_hash""",
+    "q76_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                CAST('0x' || substr(md5(doc_id::VARCHAR || '_pack'), 1, 15)
+                     AS BIGINT) AS k
+              FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+               FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+                start_offset // 2048 AS first_bin,
+                (start_offset + n_tokens - 1) // 2048 AS last_bin
+         FROM c ORDER BY doc_id""",
     "q73_decontaminate" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
                     FROM documents),

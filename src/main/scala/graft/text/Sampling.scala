@@ -85,6 +85,62 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Sequence packing — concat-and-chunk: lay all documents out on one
+    * global token tape in deterministic training order (the q65
+    * shuffle-key permutation), then cut the tape every `seqLen`
+    * tokens. Each doc gets its absolute start offset and the range of
+    * training sequences it lands in — what a loader needs to emit
+    * fixed-length windows with zero padding waste.
+    *
+    * The global prefix sum is the scale problem: a naive
+    * `SUM OVER (ORDER BY …)` window with no partition key plans as a
+    * SINGLE partition — the whole corpus through one task. This is
+    * the classic two-phase rendering instead: range-partition by the
+    * order key, per-partition running totals (parallel window keyed
+    * by partition id), then one bounded collect of per-partition
+    * totals (numShufflePartitions scalars — driver METADATA, not
+    * data) whose exclusive prefix sums are broadcast back as each
+    * partition's base offset. Identical values to the one-task
+    * window, full parallelism; the oracle checks it against DuckDB's
+    * global window. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, salt: String = "pack"): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen")
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val sorted = docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        bucket(col(idCol), salt).as("pack_key"))
+      .repartitionByRange(nParts, col("pack_key"), col(idCol))
+      .sortWithinPartitions(col("pack_key"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      // pin partition ids: totals and the window below must see the
+      // same placement
+      .localCheckpoint()
+    val totals = sorted.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var running = 0L
+    val offsetRows = totals.keys.toSeq.sorted.map { pid =>
+      val base = running; running += totals(pid); (pid, base)
+    }
+    val offsets = spark.createDataFrame(offsetRows)
+      .toDF("pid", "part_offset")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("pack_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .withColumn("local_end", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), "pid")
+      .withColumn("start_offset",
+        col("part_offset") + col("local_end") - col("n_tokens"))
+      .withColumn("first_bin", expr(s"start_offset div $seqLen"))
+      .withColumn("last_bin",
+        expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        col("first_bin"), col("last_bin"))
+  }
+
   /** Per-stratum rates (e.g. per source), `defaultRate` elsewhere —
     * the mixture table of a training-data run. The rate map is
     * bounded (it is configuration), rendered as a literal CASE chain

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{concat, lit}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -126,5 +127,32 @@ class SamplingSpec extends SparkSuite {
     val got = Sampling.tokenBudgetCap(df, "doc_id", "source", "text", 8L)
       .select($"doc_id").as[String].collect().toSet
     assert(got.size === 2, s"exactly two 4-token docs fit an 8-token budget, got $got")
+  }
+
+  test("packSequences: offsets are the exclusive prefix sums of the " +
+    "deterministic order, invariant under input partitioning") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "doc_id", "text", 128L)
+        .select($"doc_id", $"n_tokens", $"start_offset", $"first_bin",
+          $"last_bin")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val a = packed(docs)
+    val b = packed(docs.repartition(13))
+    assert(a.sameElements(b), "partitioning must not change the tape")
+
+    // driver-side model: sort by (hash key, id), running exclusive sum
+    val keyed = docs.select($"doc_id",
+      TextFunctions.tokenCount($"text").cast("long").as("n"),
+      TextFunctions.hash60(concat($"doc_id".cast("string"), lit("_pack")))
+        .as("k")).as[(Long, Long, Long)].collect().sortBy(t => (t._3, t._1))
+    var off = 0L
+    val model = keyed.map { case (id, n, _) =>
+      val s = off; off += n
+      (id, n, s, s / 128L, (s + n - 1) / 128L)
+    }.sortBy(_._1)
+    assert(a.sameElements(model), "two-phase sum must equal the model")
+    // the tape is gapless: total span equals total tokens
+    assert(a.map(_._2).sum === off)
   }
 }
