@@ -381,7 +381,9 @@ object Analytics {
     // one row per key, aggregated per key.
     "q44_json_map_explode" -> ((s, dir) => {
       import s.implicits._
-      Tables.table(s, dir, "events")
+      // fanout: per-row JSON parsing must not run on the small scan's
+      // single partition (see Q.fanout)
+      Q.fanout(Tables.table(s, dir, "events"))
         .select($"event_id",
           explode(from_json($"props", lit("map<string,bigint>"))))
         .groupBy($"key")
