@@ -254,6 +254,20 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Epoch-mixture repeats: per-source fractional epoch factors
+    // (src0 2.5×, src1 1×, src2 0.25×, rest 1×) — floor(f) full
+    // passes plus a deterministic hash-sampled frac(f) slice. One
+    // generator per row, factors as a literal CASE chain: no
+    // shuffle, no join, engine-reproducible.
+    "q78_epoch_mixture" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.epochMixture(
+        Tables.table(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select($"doc_id", $"source", $"epoch")
+        .orderBy($"doc_id", $"epoch")
+    }),
+
     // Benchmark decontamination (the GPT-3/Llama 13-gram protocol):
     // flag training docs sharing any 13-gram with the held-out
     // benchmark corpus (source src0 here). Grams join on their md5 —
@@ -651,6 +665,23 @@ object TextQueries {
                FROM documents)
          GROUP BY content_hash
          ORDER BY content_hash""",
+    "q78_epoch_mixture" -> {
+      def t(rate: Double) = graft.text.Sampling.thresholdFor(rate)
+      s"""WITH f AS (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                         WHEN 'src2' THEN 0 ELSE 1 END AS n_full,
+             CASE source WHEN 'src0' THEN ${t(0.5)}
+                         WHEN 'src2' THEN ${t(0.25)}
+                         ELSE 0 END AS thr,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || '_ep'), 1, 15)
+                  AS BIGINT) AS b
+           FROM documents)
+         SELECT doc_id, source,
+                unnest(generate_series(1,
+                  n_full + (CASE WHEN b < thr THEN 1 ELSE 0 END))) AS epoch
+         FROM f
+         ORDER BY doc_id, epoch"""
+    },
     "q76_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
                 len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -42,6 +42,26 @@ object VectorQueries {
     // similarity level in the testdata). Exact output; the double
     // prefilter inside cosineNearDupPairs only skips pairs that
     // cannot reach the threshold.
+    // Model-based quality gate: a frozen linear classifier
+    // (fastText-style) scored per vector as one codegen dot product
+    // with a LITERAL weight vector — the model rides inside the plan,
+    // nothing joins, nothing shuffles; the keep decision is
+    // logit ≥ 0 (≡ sigmoid ≥ 0.5 without exp(), whose last-ulp
+    // behaviour differs across engines). Weights are sixteenths —
+    // exactly representable in float AND double, so the fold is
+    // bit-identical on both engines.
+    "q77_classifier_gate" -> ((s, dir) => {
+      import s.implicits._
+      val w = array((1 to 64).map(i =>
+        lit((((i * 37) % 13) - 6) / 16.0)): _*)
+      Tables.table(s, dir, "embeddings")
+        .select($"vec_id", $"label",
+          round(VectorFunctions.dotExact($"embedding", w) + lit(0.25), 6)
+            .as("logit"))
+        .filter($"logit" >= 0.0)
+        .orderBy($"vec_id")
+    }),
+
     "q32_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       VectorFunctions.cosineNearDupPairs(
@@ -78,6 +98,16 @@ object VectorQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q77_classifier_gate" ->
+      """SELECT vec_id, label, logit FROM (
+           SELECT vec_id, label,
+                  round(list_reduce(list_transform(generate_series(1, 64),
+                    i -> embedding[i]::DOUBLE *
+                         ((((i * 37) % 13) - 6)::DOUBLE / 16.0)),
+                    (acc, x) -> acc + x) + 0.25, 6) AS logit
+           FROM embeddings)
+         WHERE logit >= 0
+         ORDER BY vec_id""",
     "q31_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 20),

@@ -141,6 +141,37 @@ object Sampling {
         col("first_bin"), col("last_bin"))
   }
 
+  /** Epoch-mixture repeats — "source X is seen 2.5 times per
+    * training run". Every doc of a source with factor f appears
+    * floor(f) times for sure, plus once more for the deterministic
+    * hash-sampled frac(f) fraction of the source (same portable
+    * bucket as [[hashSample]], so the fractional epoch is stable
+    * across runs/partitionings/engines and nests as factors grow).
+    * Factor 0.25 means a quarter of the source appears once; factor 0
+    * drops the source. One generator expression per row — no shuffle,
+    * no join; the factor table is configuration, rendered as a
+    * literal CASE chain. */
+  def epochMixture(docs: DataFrame, idCol: String, sourceCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0,
+      salt: String = "ep"): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0.0),
+      "epoch factors must be >= 0")
+    def chain(f: Double => Long): Column =
+      factors.toSeq.sortBy(_._1)
+        .foldRight(lit(f(defaultFactor)): Column) { case ((src, v), acc) =>
+          when(col(sourceCol) === src, lit(f(v))).otherwise(acc)
+        }
+    val full = chain(v => math.floor(v).toLong)
+    val thr = chain(v => thresholdFor(v - math.floor(v)))
+    val extra = when(bucket(col(idCol), salt) < thr, 1L).otherwise(0L)
+    val n = full + extra
+    // guard: Spark's sequence DESCENDS when start > stop (sequence(1,0)
+    // = [1,0]) — an n=0 doc must yield an empty array, not two epochs
+    docs.withColumn("epoch",
+      explode(when(n >= 1L, sequence(lit(1L), n))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Per-stratum rates (e.g. per source), `defaultRate` elsewhere —
     * the mixture table of a training-data run. The rate map is
     * bounded (it is configuration), rendered as a literal CASE chain

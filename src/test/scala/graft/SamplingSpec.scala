@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{concat, lit}
+import org.apache.spark.sql.functions.{concat, count, lit, max, min}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -127,6 +127,54 @@ class SamplingSpec extends SparkSuite {
     val got = Sampling.tokenBudgetCap(df, "doc_id", "source", "text", 8L)
       .select($"doc_id").as[String].collect().toSet
     assert(got.size === 2, s"exactly two 4-token docs fit an 8-token budget, got $got")
+  }
+
+  test("epochMixture: floor(f) guaranteed passes plus a hash-sampled frac(f) slice") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val counts = Sampling.epochMixture(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+      .groupBy($"doc_id", $"source").count()
+      .as[(Long, String, Long)].collect()
+    val bySrc = counts.groupBy(_._2)
+    // src0 docs appear 2 or 3 times; the 3rd epoch covers ≈half of src0
+    val src0 = bySrc("src0").map(_._3)
+    assert(src0.forall(c => c == 2L || c == 3L), "src0 counts ∈ {2,3}")
+    val thirds = src0.count(_ == 3L).toDouble / src0.length
+    assert(thirds > 0.25 && thirds < 0.75, s"frac(2.5) slice at $thirds, want ≈0.5")
+    // src1 (and default-factor sources) appear exactly once
+    assert(bySrc("src1").forall(_._3 == 1L))
+    // src2 rows in the output appear once; the slice is ≈0.25 of src2
+    assert(bySrc.get("src2").forall(_.forall(_._3 == 1L)))
+    val src2Total = docs.filter($"source" === "src2").count()
+    val src2Kept = bySrc.get("src2").map(_.length).getOrElse(0)
+    assert(src2Kept < src2Total, "factor 0.25 must drop most of src2")
+    // epochs are 1..n per doc (dense, starting at 1)
+    val epochs = Sampling.epochMixture(docs, "doc_id", "source",
+      Map("src0" -> 2.5)).groupBy($"doc_id")
+      .agg(min($"epoch").as("mn"), max($"epoch").as("mx"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(epochs.forall { case (_, mn, mx, n) => mn == 1L && mx == n })
+  }
+
+  test("epochMixture: factor 0 drops the source; fractional slice matches hashSample's bucket") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val out = Sampling.epochMixture(docs, "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.75), defaultFactor = 0.0)
+    assert(out.filter($"source" =!= "src1").count() === 0L)
+    // the docs drawn for src1's 2nd epoch = hashSample at rate .75, salt "ep"
+    val twice = out.groupBy($"doc_id").count()
+      .filter($"count" === 2L).select($"doc_id").as[Long].collect().toSet
+    val expected = Sampling.hashSample(
+      docs.filter($"source" === "src1"), "doc_id", 0.75, "ep")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(twice === expected)
+    // stability under repartitioning
+    val a = Sampling.epochMixture(docs, "doc_id", "source", Map("src0" -> 1.5))
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
+    val b = Sampling.epochMixture(docs.repartition(13), "doc_id", "source",
+      Map("src0" -> 1.5))
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b)
   }
 
   test("packSequences: offsets are the exclusive prefix sums of the " +
