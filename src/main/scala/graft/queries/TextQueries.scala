@@ -268,6 +268,27 @@ object TextQueries {
         .orderBy($"doc_id", $"epoch")
     }),
 
+    // Context-window chunking: 64-token windows advancing by 48
+    // (16-token overlap) — one generator + narrow posexplode per row,
+    // zero shuffles; (doc_id, chunk_id) is a stable global chunk key.
+    "q79_chunk_windows" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Chunking.chunk(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 64, 48)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // Per-source quality quantile trim: keep the best 30% of every
+    // source by quality (ties broken by id). Relative-rank dual of
+    // q62's absolute token budget — scale-invariant policy.
+    "q80_quality_trim" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.qualityTopFraction(
+        Tables.table(s, dir, "documents"), "doc_id", "source", "text", 0.3)
+        .select($"doc_id", $"source", $"quality_score", $"q_rank")
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination (the GPT-3/Llama 13-gram protocol):
     // flag training docs sharing any 13-gram with the held-out
     // benchmark corpus (source src0 here). Grams join on their md5 —
@@ -682,6 +703,42 @@ object TextQueries {
          FROM f
          ORDER BY doc_id, epoch"""
     },
+    "q80_quality_trim" ->
+      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         scored AS (
+           SELECT doc_id, source,
+                  round(least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
+                    (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
+                    least(1.0, len(list_filter(w, x ->
+                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
+                      * 5.0 / len(w)::DOUBLE) * 0.2,
+                    6) AS quality_score
+           FROM s),
+         r AS (SELECT doc_id, source, quality_score,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY quality_score DESC, doc_id) AS q_rank,
+                      count(1) OVER (PARTITION BY source) AS n
+               FROM scored)
+         SELECT doc_id, source, quality_score,
+                CAST(q_rank AS BIGINT) AS q_rank
+         FROM r
+         WHERE q_rank <= CAST(ceil(n::DOUBLE * 0.3) AS BIGINT)
+         ORDER BY doc_id""",
+    "q79_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         s AS (SELECT doc_id, ws,
+                      unnest(generate_series(0, len(ws) - 1, 48)) AS st
+               FROM t WHERE len(ws) >= 1)
+         SELECT doc_id,
+                st // 48 AS chunk_id,
+                st AS start_token,
+                len(list_slice(ws, st + 1, st + 64))::BIGINT AS n_tokens,
+                array_to_string(list_slice(ws, st + 1, st + 64), ' ')
+                  AS chunk_text
+         FROM s
+         ORDER BY doc_id, chunk_id""",
     "q76_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
                 len(string_split(text, ' '))::BIGINT AS n_tokens,

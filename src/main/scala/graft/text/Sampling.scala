@@ -85,6 +85,29 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Per-source quality quantile trim — keep the top `keepFrac`
+    * fraction of each source's documents by quality score (⌈frac·n⌉
+    * docs, quality ties broken by id so the cut is deterministic on
+    * any engine/partitioning). The relative-rank dual of
+    * [[tokenBudgetCap]]'s absolute token quota: "best 30% of every
+    * source" survives a 100× corpus growth unchanged, where a fixed
+    * token budget would need retuning. One shuffle on the source key
+    * + two windows over the same partitioning (rank and count share
+    * one exchange). */
+  def qualityTopFraction(docs: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, s"keepFrac=$keepFrac")
+    val byQuality = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    val bySource = Window.partitionBy(col(sourceCol))
+    docs
+      .withColumn("quality_score", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("q_rank", row_number().over(byQuality).cast("long"))
+      .withColumn("src_docs", count(lit(1)).over(bySource))
+      .filter(col("q_rank") <=
+        ceil(col("src_docs").cast("double") * lit(keepFrac)).cast("long"))
+  }
+
   /** Sequence packing — concat-and-chunk: lay all documents out on one
     * global token tape in deterministic training order (the q65
     * shuffle-key permutation), then cut the tape every `seqLen`
