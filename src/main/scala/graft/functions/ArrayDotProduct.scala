@@ -112,6 +112,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => BloomMightContainExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_gopher_stats", exprs => GopherStatsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_text_stats", exprs => TextStatsExpr(exprs.head), "built-in")

@@ -52,6 +52,42 @@ object OperatorQueries {
         .orderBy($"event_id")
     }),
 
+    // Bloom-prefiltered semi join (explicit runtime filter): lineitem
+    // rows whose part is small (p_size <= 5) — the big side probes a
+    // ~KB Bloom sketch of the qualifying part keys AT THE SCAN, so
+    // only ~matching rows reach the exact closing semi join. Output
+    // is exactly the plain semi join (false positives removed); the
+    // oracle is the plain IN-subquery.
+    "q81_bloom_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      val smallParts = Tables.table(s, dir, "part").filter($"p_size" <= 5)
+      graft.operators.BloomJoin.semiJoin(
+        li, "l_partkey", smallParts, "p_partkey",
+        expectedItems = 1L << 16, fpp = 0.01)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Z-order (Morton) clustering key: interleave the low 10 bits of
+    // (customer bucket, day index) — the layout key writeZOrdered
+    // clusters files by, so 2-D box predicates prune row groups.
+    // Pure 64-bit shift/mask ops, recomputed bit-identically by the
+    // DuckDB oracle.
+    "q82_zorder_key" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.table(s, dir, "orders")
+      val x = ($"o_custkey" % 1024).cast("long")
+      val y = (datediff($"o_orderdate".cast("date"),
+        lit("1970-01-01").cast("date")) % 1024).cast("long")
+      o.select($"o_orderkey", x.as("x"), y.as("y"),
+          graft.store.Layout.zValue(x, y, 10).as("z"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Banded time-range join: for each purchase, count and value-sum
     // of the same user's events strictly within the preceding hour —
     // the equi-join-on-(key, band) rendering of an interval predicate
@@ -125,6 +161,41 @@ object OperatorQueries {
        ORDER BY p.event_id"""
 
   val oracles: Map[String, String] = Map(
+    "q81_bloom_semi_join" ->
+      s"""SELECT l_returnflag,
+                 count(1) AS n_rows,
+                 ${Q.dsumSql("l_quantity")} AS sum_qty,
+                 ${Q.dsumSql("l_extendedprice")} AS sum_price
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag""",
+    "q82_zorder_key" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+                  (o_custkey % 1024)::BIGINT AS x,
+                  ((o_orderdate::DATE - DATE '1970-01-01') % 1024)::BIGINT AS y
+           FROM orders),
+         s0 AS (SELECT o_orderkey, x, y,
+                       x & 1023 AS sx, y & 1023 AS sy FROM t),
+         s1 AS (SELECT o_orderkey, x, y,
+                       (sx | (sx << 16)) & 281470681808895 AS sx,
+                       (sy | (sy << 16)) & 281470681808895 AS sy FROM s0),
+         s2 AS (SELECT o_orderkey, x, y,
+                       (sx | (sx << 8)) & 71777214294589695 AS sx,
+                       (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+         s3 AS (SELECT o_orderkey, x, y,
+                       (sx | (sx << 4)) & 1085102592571150095 AS sx,
+                       (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+         s4 AS (SELECT o_orderkey, x, y,
+                       (sx | (sx << 2)) & 3689348814741910323 AS sx,
+                       (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+         s5 AS (SELECT o_orderkey, x, y,
+                       (sx | (sx << 1)) & 6148914691236517205 AS sx,
+                       (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4)
+         SELECT o_orderkey, x, y, (sx | (sy << 1)) AS z
+         FROM s5
+         ORDER BY o_orderkey""",
     "q60_asof_join_exec" -> asofOracle,
     // identical semantics to q23 — one oracle text, can't drift
     "q63_sessionize_chunked" -> Analytics.oracles("q23_sessionize"),

@@ -31,6 +31,58 @@ class LayoutSpec extends SparkSuite {
     assert(violations === 0, "rows sorted within files")
   }
 
+  test("zValue matches the bit-interleave model on random pairs") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(1 << 10).toLong,
+      rnd.nextInt(1 << 10).toLong))
+    def model(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val got = pairs.toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b", 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z === model(a, b, 10), s"($a,$b)") }
+  }
+
+  test("aligned square boxes are CONTIGUOUS z-intervals (the pruning guarantee)") {
+    // for a 2^k-aligned 2^k × 2^k box, the z-curve visits exactly the
+    // range [z(x0,y0), z(x0,y0) + 4^k) — so a range-partitioned file
+    // layout puts the whole box in adjacent files
+    def model(a: Long, b: Long): Long =
+      (0 until 10).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    for (k <- Seq(2, 4, 6); x0 <- Seq(0L, 64L, 192L); y0 <- Seq(0L, 128L)) {
+      val side = 1L << k
+      val zs = for (x <- x0 until x0 + side; y <- y0 until y0 + side)
+        yield model(x, y)
+      assert(zs.min === model(x0, y0))
+      assert(zs.max - zs.min + 1 === side * side, s"k=$k box not contiguous")
+      assert(zs.toSet.size === (side * side).toInt)
+    }
+  }
+
+  test("writeZOrdered: a 2-D box query touches few of the range-partitioned files") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("zorder").resolve("orders_z").toString
+    val o = Tables.table(spark, sf0001, "orders")
+      .withColumn("x", ($"o_custkey" % 1024).cast("long"))
+      .withColumn("y", (datediff($"o_orderdate".cast("date"),
+        lit("1970-01-01").cast("date")) % 1024).cast("long"))
+    Layout.writeZOrdered(o, dir, "x", "y", bits = 10, numFiles = 16)
+    val back = spark.read.parquet(dir)
+    val nFiles = back.select(input_file_name()).distinct().count()
+    assert(nFiles >= 8, s"want a multi-file layout, got $nFiles")
+    // 64-aligned 64×64 box → one contiguous z-interval → adjacent files
+    val box = back.filter($"x" >= 0 && $"x" < 64 && $"y" >= 64 && $"y" < 128)
+    val matched = box.count()
+    assert(matched > 0, "fixture box must match rows")
+    val touched = box.select(input_file_name()).distinct().count()
+    assert(touched <= 4,
+      s"box rows spread over $touched of $nFiles files — no z-locality")
+  }
+
   test("unknown-table merge guard raises (reference C6 semantics)") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.mergeToWarehouse(spark, "/tmp/nope", "/tmp/nope2",
