@@ -108,6 +108,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup — the production shape: flag docs of a NEW
+    * batch that near-duplicate an EXISTING corpus, never comparing
+    * corpus-vs-corpus (already deduped upstream) or batch-vs-batch
+    * (run [[minhashNearDupPairs]] on the batch for that). Candidates
+    * come from the same (band, bucket) equi-join, but across sides:
+    * batch bands probe corpus bands. At 100 TB the corpus side is the
+    * big one and can be persisted pre-bucketed (a band table
+    * partitioned by band — the dedup analogue of the IVF index), so
+    * a daily batch costs one shuffle of the BATCH plus a pruned probe,
+    * not a corpus rescan. Output is exact: candidates are verified
+    * with true shingle jaccard (`jaccardSorted` — candidate pair
+    * volume makes the per-pair merge scan matter). */
+  def incrementalNearDupPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    def sets(df: DataFrame, side: String) =
+      graft.queries.Q.fanout(df)
+        .select(col(idCol).as(s"${side}_id"),
+          sort_array(shingles(col(textCol), shingleN)).as(s"sh_$side"))
+        .localCheckpoint()
+    def buckets(s: DataFrame, side: String) =
+      minhashSignatures(s, s"${side}_id", col(s"sh_$side"), numHashes)
+        .select(col(s"${side}_id"),
+          posexplode(bandHashes("sig", bands, rows)))
+        .toDF(s"${side}_id", "band", "bucket")
+    val cSets = sets(corpus, "corpus")
+    val bSets = sets(batch, "batch")
+    val cands = buckets(bSets, "batch")
+      .join(buckets(cSets, "corpus"), Seq("band", "bucket"))
+      .select("batch_id", "corpus_id").distinct()
+    cands
+      .join(bSets, "batch_id")
+      .join(cSets, "corpus_id")
+      .withColumn("jaccard", jaccardSorted(col("sh_batch"), col("sh_corpus")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Per-doc 60-bit SimHash fingerprints (md5-portable). Computed by
     * exploding shingles and folding the per-shingle hashes with the
     * SimHashBitsAgg TypedImperativeAggregate — one aggregate with a

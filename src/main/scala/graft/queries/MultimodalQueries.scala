@@ -36,6 +36,22 @@ object MultimodalQueries {
         .orderBy($"asset_id")
     }),
 
+    // Multimodal near-dup: cosine pairs over the decoded feature
+    // vectors — perceptual-dedup for image/audio/video assets
+    // (same-content media dedups even when bytes differ post-decode).
+    // Exact all-pairs baseline like q32; the scale path is the same
+    // LSH/banding machinery over the feature column. Features are
+    // dyadic-rational floats, so the cosine fold is bit-identical in
+    // the oracle.
+    "q84_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.featurize(Multimodal.syntheticAssets(s, dir))
+        .toDF().select($"asset_id", $"feature")
+      graft.vector.VectorFunctions.cosineNearDupPairs(
+        feats, "asset_id", "feature", 0.75)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Resize: truncate/pad every asset's bytes to the target
     // "resolution" (stub kernel; a real one rescales pixels) — the
     // 1:1 mapPartitions transform verified by size + content hash.
@@ -72,7 +88,29 @@ object MultimodalQueries {
         |  / 32768::FLOAT) - 1::FLOAT)::FLOAT AS f$i""".stripMargin
   }.mkString(",\n")
 
+  /** Oracle-side 16-dim feature list + cosine, mirroring
+    * stubDecodeFeature and VectorFunctions.dotExact's fold order. */
+  private val featureList =
+    s"""list_transform(generate_series(0, ${dim - 1}), i ->
+          ((('0x' || substr(sha256(text), i * 4 + 1, 4))::INTEGER::FLOAT
+            / 32768::FLOAT) - 1::FLOAT)::FLOAT)"""
+
+  private def dot16(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $dim),
+          i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"""
+
+  private def cos16(a: String, b: String): String =
+    s"${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)}))"
+
   val oracles: Map[String, String] = Map(
+    "q84_media_neardup" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
+                     FROM documents)
+          SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+                 ${cos16("a.v", "b.v")} AS cosine
+          FROM f a JOIN f b ON a.asset_id < b.asset_id
+          WHERE ${cos16("a.v", "b.v")} >= 0.75
+          ORDER BY id_a, id_b""",
     "q34_media_features" ->
       s"""SELECT doc_id AS asset_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image'

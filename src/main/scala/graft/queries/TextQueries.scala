@@ -268,6 +268,20 @@ object TextQueries {
         .orderBy($"doc_id", $"epoch")
     }),
 
+    // Incremental near-dup: flag NEW-batch docs (non-src0) that
+    // near-duplicate the EXISTING corpus (src0) — cross-side LSH
+    // candidates only (batch bands probe corpus bands; no
+    // corpus-vs-corpus or batch-vs-batch pairs), exact-verified.
+    "q83_incremental_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      graft.dedup.Dedup.incrementalNearDupPairs(
+        docs.filter($"source" === "src0"),
+        docs.filter($"source" =!= "src0"),
+        "doc_id", "text", 0.8)
+        .orderBy($"batch_id", $"corpus_id")
+    }),
+
     // Context-window chunking: 64-token windows advancing by 48
     // (16-token overlap) — one generator + narrow posexplode per row,
     // zero shuffles; (doc_id, chunk_id) is a stable global chunk key.
@@ -703,6 +717,22 @@ object TextQueries {
          FROM f
          ORDER BY doc_id, epoch"""
     },
+    "q83_incremental_neardup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         d AS (SELECT doc_id, source,
+                 list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+               FROM w)
+         SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                len(list_intersect(b.sh, c.sh))::DOUBLE /
+                  (len(b.sh)::DOUBLE + len(c.sh)::DOUBLE
+                   - len(list_intersect(b.sh, c.sh))::DOUBLE) AS jaccard
+         FROM d b JOIN d c ON b.source <> 'src0' AND c.source = 'src0'
+         WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+                 (len(b.sh)::DOUBLE + len(c.sh)::DOUBLE
+                  - len(list_intersect(b.sh, c.sh))::DOUBLE) >= 0.8
+         ORDER BY batch_id, corpus_id""",
     "q80_quality_trim" ->
       """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),
