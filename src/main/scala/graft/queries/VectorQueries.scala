@@ -62,6 +62,21 @@ object VectorQueries {
         .orderBy($"vec_id")
     }),
 
+    // Affine int8 quantization of the embedding column: fit per-dim
+    // [min,max] (one bounded aggregate), quantize every vector to 4×
+    // smaller int8 codes — the standard ANN compression step (scan
+    // int8, exact-rescore survivors in float). Floor-based (round
+    // half-up vs half-even differs across engines); ranges ride as
+    // plan literals, scan-parallel.
+    "q85_quantize_int8" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      val (mins, maxs) = VectorFunctions.fitQuantizer(emb, "embedding")
+      emb.select($"vec_id",
+          VectorFunctions.quantizeInt8($"embedding", mins, maxs).as("qvec"))
+        .orderBy($"vec_id")
+    }),
+
     "q32_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       VectorFunctions.cosineNearDupPairs(
@@ -122,6 +137,24 @@ object VectorQueries {
             FROM scored)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+    "q85_quantize_int8" ->
+      """WITH dims AS (
+           SELECT i, min(embedding[i]::DOUBLE) AS mn,
+                  max(embedding[i]::DOUBLE) AS mx
+           FROM embeddings, generate_series(1, 64) g(i)
+           GROUP BY i),
+         model AS (
+           SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+           FROM dims)
+         SELECT vec_id,
+                list_transform(generate_series(1, 64), i ->
+                  CASE WHEN mxs[i] > mns[i] THEN
+                    CAST(least(255, greatest(0,
+                      floor((embedding[i]::DOUBLE - mns[i]) * 255.0
+                            / (mxs[i] - mns[i])))) AS INTEGER)
+                  ELSE 0 END) AS qvec
+         FROM embeddings, model
+         ORDER BY vec_id""",
     "q32_embedding_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${cosSql("a.embedding", "b.embedding")} AS cosine

@@ -61,6 +61,38 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Small-file compaction — the table-maintenance op every
+    * streaming/micro-batch ingest eventually needs: per-file overhead
+    * (footer parse, open, scheduling) makes a million 1 MB files far
+    * slower to scan than ten thousand 128 MB ones, and small row
+    * groups defeat min/max skipping. Bin-packs a flat parquet
+    * directory to ⌈total/targetFileBytes⌉ files via one round-robin
+    * repartition (uniform output sizes), staging to a temp dir and
+    * swapping — readers see the old or the new layout, never a
+    * partial mix (same swap discipline as store.Merge; Delta/Iceberg
+    * render this as OPTIMIZE/rewrite_data_files with a metadata
+    * commit). Returns the new file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes >= 1, s"targetFileBytes=$targetFileBytes")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(p, old) && fs.rename(tmp, p),
+      s"compaction swap failed for $path")
+    fs.delete(old, true)
+    n
+  }
+
   def writeSorted(
       df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],

@@ -36,6 +36,56 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dotExact(a, b) / (norm(a) * norm(b))
 
+  /** Per-dimension [min, max] ranges of a vector column — the model
+    * of an affine int8 quantizer. One posexplode + hash aggregate
+    * over `dim` groups; the collected result is `dim` pairs of
+    * doubles (bounded model metadata, the IVF-centroid class of
+    * collect, never data). */
+  def fitQuantizer(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val ranges = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (ranges.map(_._2).toSeq, ranges.map(_._3).toSeq)
+  }
+
+  /** Affine int8 quantization of a vector column against fitted
+    * per-dim ranges: qᵢ = clamp(⌊(vᵢ − minᵢ)·255/(maxᵢ − minᵢ)⌋, 0,
+    * 255) — 4× smaller vectors (the standard ANN compression step:
+    * scan the int8 corpus, exact-rescore survivors in float). All
+    * arithmetic is double with floor (never round: round half-up vs
+    * half-even differs across engines); degenerate dims (max = min)
+    * quantize to 0. The ranges ride in the plan as literals, so the
+    * transform is scan-parallel with no join. */
+  def quantizeInt8(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(mins.length == maxs.length && mins.nonEmpty)
+    val mn = typedlit(mins)
+    val mx = typedlit(maxs)
+    transform(vec, (v, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi > lo,
+        least(lit(255), greatest(lit(0),
+          floor((v.cast("double") - lo) * lit(255.0) / (hi - lo)).cast("int"))))
+        .otherwise(lit(0))
+    })
+  }
+
+  /** Dequantize back to the cell's lower edge: vᵢ ≈ minᵢ + qᵢ·(maxᵢ −
+    * minᵢ)/255 — error ≤ one cell width per dim (spec-bounded). */
+  def dequantizeInt8(qvec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mn = typedlit(mins)
+    val mx = typedlit(maxs)
+    transform(qvec, (q, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      lo + q.cast("double") * (hi - lo) / lit(255.0)
+    })
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus, rank per query. At scale the corpus scan is
     * embarrassingly parallel and shuffle-free until the final

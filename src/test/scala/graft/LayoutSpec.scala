@@ -83,6 +83,55 @@ class LayoutSpec extends SparkSuite {
       s"box rows spread over $touched of $nFiles files — no z-locality")
   }
 
+  test("compact bin-packs a many-small-files table without changing its rows") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("compact").resolve("t").toString
+    val o = Tables.table(spark, sf0001, "orders")
+    o.repartition(40).write.parquet(dir)
+    def fileCount = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    assert(fileCount === 40L)
+    val before = o.select($"o_orderkey").as[Long].collect().sorted.toSeq
+    // target ≈ a fifth of the table per file → expect ~5 files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = Layout.compact(spark, dir, total / 5)
+    assert(n < 40 && n >= 1)
+    assert(fileCount === n.toLong, "directory holds exactly n files")
+    val after = spark.read.parquet(dir)
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    assert(after === before, "compaction must not change the rows")
+  }
+
+  test("quantizeInt8 round-trip error is bounded by one cell width per dim") {
+    import org.apache.spark.sql.functions._
+    import graft.vector.VectorFunctions
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val (mins, maxs) = VectorFunctions.fitQuantizer(emb, "embedding")
+    assert(mins.length === 64 && maxs.length === 64)
+    assert(mins.zip(maxs).forall { case (lo, hi) => lo <= hi })
+    val cells = mins.zip(maxs).map { case (lo, hi) => (hi - lo) / 255.0 }
+    val rows = emb.select($"vec_id", $"embedding",
+        VectorFunctions.dequantizeInt8(
+          VectorFunctions.quantizeInt8($"embedding", mins, maxs),
+          mins, maxs).as("approx"))
+      .as[(Long, Array[Float], Array[Double])].collect()
+    rows.foreach { case (id, v, a) =>
+      v.indices.foreach { i =>
+        val err = math.abs(v(i).toDouble - a(i))
+        assert(err <= cells(i) + 1e-12, s"vec $id dim $i err=$err")
+      }
+    }
+    // codes are genuinely int8-ranged
+    val qs = emb.select(VectorFunctions
+        .quantizeInt8($"embedding", mins, maxs).as("q"))
+      .select(explode($"q")).as[Int].collect()
+    assert(qs.min >= 0 && qs.max <= 255)
+    assert(qs.max > 200, "top of the range is actually used")
+  }
+
   test("unknown-table merge guard raises (reference C6 semantics)") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.mergeToWarehouse(spark, "/tmp/nope", "/tmp/nope2",
