@@ -19,7 +19,11 @@ class PlanAuditSpec extends SparkSuite {
     */
   private val productByDesign = Set(
     "q30_simhash_neardup", "q31_cosine_topk", "q32_embedding_neardup",
-    "q33_ann_lsh_topk", "q49_ngram_jaccard_blocked", "q54_source_overlap")
+    "q33_ann_lsh_topk", "q49_ngram_jaccard_blocked", "q54_source_overlap",
+    // q84: exact all-pairs cosine over 16-dim media features — the
+    // exactness baseline (like q32); LSH over the feature column is
+    // the documented scale path.
+    "q84_media_neardup")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -76,5 +80,33 @@ class PlanAuditSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"redaction must not hash-shuffle:\n$plan")
+  }
+
+  test("generator ops stay scan-parallel: no hash exchange in q77/q78/q79/q82") {
+    Seq("q77_classifier_gate", "q78_epoch_mixture", "q79_chunk_windows",
+      "q82_zorder_key").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle (only the final sort may range-exchange):\n$plan")
+    }
+  }
+
+  test("quality trim: rank and per-source count share ONE exchange") {
+    val plan = SparkEntry.queries("q80_quality_trim")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected exactly 1 hash exchange, got $n in:\n$plan")
+  }
+
+  test("bloom semi join: the probe filters the big side BEFORE the join") {
+    val df = SparkEntry.queries("q81_bloom_semi_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    val probe = plan.indexOf("bloommightcontain")
+    assert(probe >= 0, s"bloom probe missing from plan:\n${plan.take(3000)}")
+    // the probe must sit below (= printed after) the closing join
+    val join = plan.indexOf("join")
+    assert(join >= 0 && join < probe,
+      "probe must be under the join (filter at the scan), not above it")
   }
 }
