@@ -72,6 +72,26 @@ object OperatorQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Salted inner join under the oracle gate: the skew-mitigation
+    // rendering (large side gets a random salt, small side explodes
+    // onto all salts, equi-join on key+salt) must be bit-identical to
+    // the plain join — verified by aggregating the joined rows
+    // against the plain-SQL oracle. At 100 TB the salt splits a hot
+    // key's rows over `salts` reducers instead of one straggler.
+    "q87_salted_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val o = Tables.table(s, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderstatus")
+      graft.operators.SaltedJoin.inner(li, o, Seq("l_orderkey"), salts = 8)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Z-order (Morton) clustering key: interleave the low 10 bits of
     // (customer bucket, day index) — the layout key writeZOrdered
     // clusters files by, so 2-D box predicates prune row groups.
@@ -170,6 +190,13 @@ object OperatorQueries {
           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
           GROUP BY l_returnflag
           ORDER BY l_returnflag""",
+    "q87_salted_join_agg" ->
+      s"""SELECT o_orderstatus,
+                 count(1) AS n_rows,
+                 ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""",
     "q82_zorder_key" ->
       """WITH t AS (
            SELECT o_orderkey,

@@ -167,6 +167,19 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic per-source k-sample: exactly 20 docs per source
+    // (fixed SIZE, where q57's rate only hits the size in
+    // expectation) — rank by the portable hash bucket, keep the k
+    // smallest; the prefix property means growing k never drops a
+    // chosen doc.
+    "q86_stratified_ksample" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.stratifiedKSample(
+        Tables.table(s, dir, "documents"), "doc_id", "source", k = 20)
+        .select($"doc_id", $"source", $"sample_rank")
+        .orderBy($"doc_id")
+    }),
+
     // Per-source token-budget cap: each source's quota (800 tokens)
     // filled by its highest-quality docs — the other half of a data
     // mixture plan, verified including the running totals.
@@ -583,6 +596,16 @@ object TextQueries {
          SELECT doc_id, source, n_tokens,
                 CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM cum WHERE cum_tokens <= 800
+         ORDER BY doc_id""",
+    "q86_stratified_ksample" ->
+      """SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+         FROM (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY CAST('0x' ||
+                          substr(md5(doc_id::VARCHAR || '_ks'), 1, 15)
+                          AS BIGINT), doc_id) AS sample_rank
+               FROM documents)
+         WHERE sample_rank <= 20
          ORDER BY doc_id""",
     "q57_stratified_sample" -> {
       def t(rate: Double) = graft.text.Sampling.thresholdFor(rate)

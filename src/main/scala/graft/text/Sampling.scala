@@ -85,6 +85,24 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Deterministic per-stratum k-sample — "exactly k docs per
+    * source", the fixed-SIZE counterpart of [[stratifiedHashSample]]'s
+    * rate (which only hits k in expectation). Docs rank within their
+    * stratum by the portable (id, salt) bucket; the k smallest win.
+    * Still a pure function of ids: engine-reproducible, stable under
+    * partitioning, and growing k keeps every doc already chosen (the
+    * ranking never changes — the prefix property). One shuffle on the
+    * stratum key + one window; at 100 TB that is the same cost class
+    * as any per-key top-k. */
+  def stratifiedKSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = "ks"): DataFrame = {
+    require(k >= 0, s"k=$k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Per-source quality quantile trim — keep the top `keepFrac`
     * fraction of each source's documents by quality score (⌈frac·n⌉
     * docs, quality ties broken by id so the cut is deterministic on

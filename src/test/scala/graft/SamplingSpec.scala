@@ -129,6 +129,22 @@ class SamplingSpec extends SparkSuite {
     assert(got.size === 2, s"exactly two 4-token docs fit an 8-token budget, got $got")
   }
 
+  test("stratifiedKSample: exact size, prefix property, partition stability") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val sizes = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    def ids(k: Int, df: org.apache.spark.sql.DataFrame = docs) =
+      Sampling.stratifiedKSample(df, "doc_id", "source", k)
+        .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    val k20 = ids(20)
+    sizes.foreach { case (src, n) =>
+      assert(k20.count(_._2 == src) === math.min(20L, n), src)
+    }
+    assert(ids(10).subsetOf(k20), "growing k keeps everything chosen")
+    assert(ids(20, docs.repartition(13)) === k20, "partition-stable")
+    assert(ids(0).isEmpty)
+  }
+
   test("epochMixture: floor(f) guaranteed passes plus a hash-sampled frac(f) slice") {
     val docs = Tables.table(spark, sf0001, "documents")
     val counts = Sampling.epochMixture(docs, "doc_id", "source",
