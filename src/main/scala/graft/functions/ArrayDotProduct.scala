@@ -115,6 +115,9 @@ object GraftFunctions {
       "graft_bloom_might_contain",
       exprs => BloomMightContainExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      exprs => BpeEncodeExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_gopher_stats", exprs => GopherStatsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_text_stats", exprs => TextStatsExpr(exprs.head), "built-in")

@@ -167,6 +167,25 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Real BPE tokenization: learn 64 merges from the corpus' word
+    // frequencies (one word-count shuffle + a bounded driver-side
+    // merge loop — the IVF-centroid model class), then tokenize every
+    // doc scan-parallel via the graft_bpe_encode expression (merge
+    // table as a codegen reference object). No SQL oracle (iterative
+    // merges aren't SQL-expressible): driver does a rows check; the
+    // semantic contract is BpeSpec.
+    "q88_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 64)
+      docs.select($"doc_id",
+          graft.text.Bpe.encode($"text", merges).as("toks"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_bpe_tokens"),
+          array_join(slice($"toks", 1, 12), "|").as("head_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic per-source k-sample: exactly 20 docs per source
     // (fixed SIZE, where q57's rate only hits the size in
     // expectation) — rank by the portable hash bucket, keep the k
