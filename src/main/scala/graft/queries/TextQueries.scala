@@ -167,6 +167,30 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Capstone #2 — the context-window build: quality-trim each
+    // source to its best half (q80 op) → chunk survivors into
+    // 64/48-token windows (q79 op) → pack the chunks onto the global
+    // training tape in deterministic order (q76 op, keyed by the
+    // composite (doc,chunk) key). Every stage keeps its scale shape
+    // (one window shuffle; generator explode; two-phase prefix sum);
+    // ONE composed DuckDB oracle hash-checks the whole flow.
+    "q89_chunked_context_build" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val kept = graft.text.Sampling.qualityTopFraction(
+        docs, "doc_id", "source", "text", 0.5)
+        .select($"doc_id", $"text")
+      val chunks = graft.text.Chunking.chunk(kept, "doc_id", "text", 64, 48)
+        .withColumn("chunk_key", $"doc_id" * 16 + $"chunk_id")
+      graft.text.Sampling.packSequences(
+        chunks, "chunk_key", "chunk_text", 128L, salt = "cpack")
+        .select($"chunk_key",
+          expr("chunk_key div 16").as("doc_id"),
+          ($"chunk_key" % 16).as("chunk_id"),
+          $"n_tokens", $"start_offset", $"first_bin", $"last_bin")
+        .orderBy($"chunk_key")
+    }),
+
     // Real BPE tokenization: learn 64 merges from the corpus' word
     // frequencies (one word-count shuffle + a bounded driver-side
     // merge loop — the IVF-centroid model class), then tokenize every
@@ -616,6 +640,45 @@ object TextQueries {
                 CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM cum WHERE cum_tokens <= 800
          ORDER BY doc_id""",
+    "q89_chunked_context_build" ->
+      """WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+                    FROM documents),
+         scored AS (
+           SELECT doc_id, source, text,
+                  round(least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
+                    (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
+                    least(1.0, len(list_filter(w, x ->
+                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
+                      * 5.0 / len(w)::DOUBLE) * 0.2,
+                    6) AS q
+           FROM s),
+         r AS (SELECT doc_id, text,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY q DESC, doc_id) AS rk,
+                      count(1) OVER (PARTITION BY source) AS n
+               FROM scored),
+         kept AS (SELECT doc_id, text FROM r
+                  WHERE rk <= CAST(ceil(n::DOUBLE * 0.5) AS BIGINT)),
+         t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+         c AS (SELECT doc_id, st // 48 AS chunk_id,
+                      doc_id * 16 + st // 48 AS chunk_key,
+                      len(list_slice(ws, st + 1, st + 64))::BIGINT AS n_tokens
+               FROM (SELECT doc_id, ws,
+                            unnest(generate_series(0, len(ws) - 1, 48)) AS st
+                     FROM t WHERE len(ws) >= 1)),
+         k AS (SELECT chunk_key, doc_id, chunk_id, n_tokens,
+                      CAST('0x' || substr(md5(chunk_key::VARCHAR || '_cpack'),
+                        1, 15) AS BIGINT) AS pk
+               FROM c),
+         o AS (SELECT chunk_key, doc_id, chunk_id, n_tokens,
+                      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pk, chunk_key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS start_offset
+               FROM k)
+         SELECT chunk_key, doc_id, chunk_id, n_tokens, start_offset,
+                start_offset // 128 AS first_bin,
+                (start_offset + n_tokens - 1) // 128 AS last_bin
+         FROM o ORDER BY chunk_key""",
     "q86_stratified_ksample" ->
       """SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
          FROM (SELECT doc_id, source,
