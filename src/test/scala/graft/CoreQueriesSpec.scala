@@ -17,6 +17,7 @@ class CoreQueriesSpec extends SparkSuite {
   val oracleExempt =
     Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk",
       "q50_percentile_approx", "q68_top_ngrams_sketch",
+      "q90_ann_quantized_topk",
       // deterministic but not SQL-expressible (iterative merge loop);
       // semantic contract is BpeSpec (model equality, round-trip,
       // determinism under repartitioning)

@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkSuite {
     // q84: exact all-pairs cosine over 16-dim media features — the
     // exactness baseline (like q32); LSH over the feature column is
     // the documented scale path.
-    "q84_media_neardup")
+    "q84_media_neardup",
+    // q90: the query side is a broadcast of ≤ 20 rows (k·n scan of
+    // the int8 codes, like q31's bounded nested loop).
+    "q90_ann_quantized_topk")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,

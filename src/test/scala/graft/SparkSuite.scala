@@ -18,6 +18,11 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // register up front: individual tests must not depend on an
+    // earlier test having read a table (which registers as a side
+    // effect) — `testOnly X -- -z <one test>` runs in isolation too
+    graft.functions.GraftFunctions.register(s)
+    graft.plans.GraftExtensions.install(s)
     s
   }
 }

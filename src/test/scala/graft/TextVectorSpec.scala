@@ -87,6 +87,13 @@ class TextVectorSpec extends SparkSuite {
       s"IVF nprobe=4/16 should catch most true neighbors, got $recall")
   }
 
+  test("quantized ANN recall@5 vs brute force (exact rescore)") {
+    val recall = recallVsBrute("q90_ann_quantized_topk")
+    info(s"quantized ANN recall@5 = $recall")
+    assert(recall >= 0.9,
+      s"int8 cells are ~0.4% of the range — overfetch x4 should recover nearly all true neighbors, got $recall")
+  }
+
   test("cosine is exact and symmetric on a known case") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
