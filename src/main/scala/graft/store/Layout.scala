@@ -93,16 +93,24 @@ object Layout {
     n
   }
 
+  /** `bloomCols`: write a parquet BLOOM FILTER per listed column —
+    * point-lookup (`k = const` / IN-list) skipping for HIGH-cardinality
+    * keys where min/max stats are useless (an unsorted id column's
+    * range spans everything; its bloom still rules the row group out).
+    * The third skipping tier after hive partitions and sorted min/max;
+    * costs ~1 M bits per row group per column on write. */
   def writeSorted(
       df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", bloomCols: Seq[String] = Nil): Unit = {
     val arranged =
       if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       else df.sortWithinPartitions(sortCols.map(col): _*)
-    val w = arranged.write.mode(mode)
+    val w0 = arranged.write.mode(mode)
+    val w = bloomCols.foldLeft(w0)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }

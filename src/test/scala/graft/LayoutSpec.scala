@@ -83,6 +83,40 @@ class LayoutSpec extends SparkSuite {
       s"box rows spread over $touched of $nFiles files — no z-locality")
   }
 
+  test("bloomCols writes real parquet bloom filters (footer metadata present)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("bloom").resolve("t").toString
+    val df = Tables.table(spark, sf0001, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeSorted(df, dir, partitionCols = Nil,
+      sortCols = Seq("o_totalprice"), bloomCols = Seq("o_orderkey"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(file, new Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val keyCol = cols.find(_.getPath.toDotString == "o_orderkey").get
+      val priceCol = cols.find(_.getPath.toDotString == "o_totalprice").get
+      assert(keyCol.getBloomFilterOffset > 0,
+        "o_orderkey must carry a bloom filter")
+      assert(priceCol.getBloomFilterOffset <= 0,
+        "unlisted columns must not pay for one")
+      // and the filter is usable: a present key hits, absent may not
+      val bloom = reader.getBloomFilterDataReader(
+        reader.getFooter.getBlocks.asScala.head).readBloomFilter(keyCol)
+      assert(bloom != null)
+      val someKey = df.selectExpr("min(o_orderkey)").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).head()
+      assert(bloom.findHash(bloom.hash(someKey)), "present key must hit")
+    } finally reader.close()
+  }
+
   test("compact bin-packs a many-small-files table without changing its rows") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("compact").resolve("t").toString
