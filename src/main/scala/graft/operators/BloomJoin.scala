@@ -40,10 +40,21 @@ object BloomJoin {
     bos.toByteArray
   }
 
-  /** `large SEMI JOIN small` on long keys, Bloom-prefiltered. */
+  /** `large SEMI JOIN small` on long keys, Bloom-prefiltered.
+    * Integral keys ONLY: the build hashes non-integral columns with a
+    * different hash family (bytes/strings) than the long-typed probe,
+    * which would silently produce false NEGATIVES — so anything but
+    * byte/short/int/long is rejected up front. */
   def semiJoin(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(largeKey -> large, smallKey -> small).foreach { case (k, df) =>
+      val t = df.schema(k).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"BloomJoin.semiJoin needs an integral key; $k is ${t.sql} " +
+          "(build and probe would hash differently -> silent false negatives)")
+    }
     val bytes = buildFilterBytes(small, smallKey, expectedItems, fpp)
     val pre = large.filter(call_function("graft_bloom_might_contain",
       col(largeKey).cast("long"), lit(bytes)))

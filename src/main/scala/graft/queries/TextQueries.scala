@@ -15,6 +15,17 @@ object TextQueries {
   /** Shared oracle CTE: tokenized docs with distinct 3-gram shingles.
     * generate_series(1, n-2) is empty for short docs, matching the
     * Spark-side guard in TextFunctions.shingles. */
+  /** Oracle rendering of TextFunctions.qualityScore over a word list
+    * column `w` — ONE text shared by every oracle that scores quality
+    * (q80, q89), so a weight change can't drift between them. */
+  private def qualitySql(w: String): String =
+    s"""round(least(1.0, len($w)::DOUBLE / 100.0) * 0.4 +
+          (len(list_distinct($w))::DOUBLE / len($w)::DOUBLE) * 0.4 +
+          least(1.0, len(list_filter($w, x ->
+            x IN ('the','a','of','and','to','in','is')))::DOUBLE
+            * 5.0 / len($w)::DOUBLE) * 0.2,
+          6)"""
+
   private val docSets =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        d AS (SELECT doc_id,
@@ -180,13 +191,16 @@ object TextQueries {
       val kept = graft.text.Sampling.qualityTopFraction(
         docs, "doc_id", "source", "text", 0.5)
         .select($"doc_id", $"text")
+      // composite key: 2^20 chunk slots per doc (a doc would need
+      // ~50M tokens to overflow at stride 48) — collision-free, and
+      // doc_id up to ~8.8e12 still fits a long
       val chunks = graft.text.Chunking.chunk(kept, "doc_id", "text", 64, 48)
-        .withColumn("chunk_key", $"doc_id" * 16 + $"chunk_id")
+        .withColumn("chunk_key", $"doc_id" * (1L << 20) + $"chunk_id")
       graft.text.Sampling.packSequences(
         chunks, "chunk_key", "chunk_text", 128L, salt = "cpack")
         .select($"chunk_key",
-          expr("chunk_key div 16").as("doc_id"),
-          ($"chunk_key" % 16).as("chunk_id"),
+          expr("chunk_key div 1048576").as("doc_id"),
+          ($"chunk_key" % (1L << 20)).as("chunk_id"),
           $"n_tokens", $"start_offset", $"first_bin", $"last_bin")
         .orderBy($"chunk_key")
     }),
@@ -641,16 +655,10 @@ object TextQueries {
          FROM cum WHERE cum_tokens <= 800
          ORDER BY doc_id""",
     "q89_chunked_context_build" ->
-      """WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+      s"""WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
                     FROM documents),
          scored AS (
-           SELECT doc_id, source, text,
-                  round(least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
-                    (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
-                    least(1.0, len(list_filter(w, x ->
-                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
-                      * 5.0 / len(w)::DOUBLE) * 0.2,
-                    6) AS q
+           SELECT doc_id, source, text, ${qualitySql("w")} AS q
            FROM s),
          r AS (SELECT doc_id, text,
                       row_number() OVER (PARTITION BY source
@@ -661,10 +669,13 @@ object TextQueries {
                   WHERE rk <= CAST(ceil(n::DOUBLE * 0.5) AS BIGINT)),
          t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
          c AS (SELECT doc_id, st // 48 AS chunk_id,
-                      doc_id * 16 + st // 48 AS chunk_key,
+                      doc_id * 1048576 + st // 48 AS chunk_key,
                       len(list_slice(ws, st + 1, st + 64))::BIGINT AS n_tokens
                FROM (SELECT doc_id, ws,
-                            unnest(generate_series(0, len(ws) - 1, 48)) AS st
+                            unnest(generate_series(0,
+                              CASE WHEN len(ws) <= 64 THEN 0
+                                   ELSE ((len(ws) - 64 + 47) // 48) * 48 END,
+                              48)) AS st
                      FROM t WHERE len(ws) >= 1)),
          k AS (SELECT chunk_key, doc_id, chunk_id, n_tokens,
                       CAST('0x' || substr(md5(chunk_key::VARCHAR || '_cpack'),
@@ -834,21 +845,18 @@ object TextQueries {
                   (len(b.sh)::DOUBLE + len(c.sh)::DOUBLE
                    - len(list_intersect(b.sh, c.sh))::DOUBLE) AS jaccard
          FROM d b JOIN d c ON b.source <> 'src0' AND c.source = 'src0'
-         WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+         WHERE len(b.sh) + len(c.sh) > 0  -- 0/0 jaccard is NaN, and
+               -- DuckDB NaN >= t is TRUE; Spark emits no pair for
+               -- shingle-less docs (no signature row)
+           AND len(list_intersect(b.sh, c.sh))::DOUBLE /
                  (len(b.sh)::DOUBLE + len(c.sh)::DOUBLE
                   - len(list_intersect(b.sh, c.sh))::DOUBLE) >= 0.8
          ORDER BY batch_id, corpus_id""",
     "q80_quality_trim" ->
-      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),
          scored AS (
-           SELECT doc_id, source,
-                  round(least(1.0, len(w)::DOUBLE / 100.0) * 0.4 +
-                    (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.4 +
-                    least(1.0, len(list_filter(w, x ->
-                      x IN ('the','a','of','and','to','in','is')))::DOUBLE
-                      * 5.0 / len(w)::DOUBLE) * 0.2,
-                    6) AS quality_score
+           SELECT doc_id, source, ${qualitySql("w")} AS quality_score
            FROM s),
          r AS (SELECT doc_id, source, quality_score,
                       row_number() OVER (PARTITION BY source
@@ -864,7 +872,10 @@ object TextQueries {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),
          s AS (SELECT doc_id, ws,
-                      unnest(generate_series(0, len(ws) - 1, 48)) AS st
+                      unnest(generate_series(0,
+                        CASE WHEN len(ws) <= 64 THEN 0
+                             ELSE ((len(ws) - 64 + 47) // 48) * 48 END,
+                        48)) AS st
                FROM t WHERE len(ws) >= 1)
          SELECT doc_id,
                 st // 48 AS chunk_id,
@@ -954,7 +965,9 @@ object TextQueries {
                    (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
                     - len(list_intersect(a.sh, b.sh))::DOUBLE) AS jaccard
           FROM d a JOIN d b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          WHERE len(a.sh) + len(b.sh) > 0  -- guard 0/0 -> NaN (NaN >= t
+                -- is TRUE in DuckDB; Spark has no pair without shingles)
+            AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                   (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
                    - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8
           ORDER BY id_a, id_b"""),

@@ -68,17 +68,29 @@ object Layout {
     * groups defeat min/max skipping. Bin-packs a flat parquet
     * directory to ⌈total/targetFileBytes⌉ files via one round-robin
     * repartition (uniform output sizes), staging to a temp dir and
-    * swapping — readers see the old or the new layout, never a
-    * partial mix (same swap discipline as store.Merge; Delta/Iceberg
-    * render this as OPTIMIZE/rewrite_data_files with a metadata
-    * commit). Returns the new file count. */
+    * swapping. FLAT directories only — a hive-partitioned table must
+    * be compacted per partition directory (a whole-table rewrite
+    * would flatten the partition columns into data and lose pruning);
+    * a directory with subdirectories is rejected up front.
+    *
+    * The swap is two renames: a reader racing it can observe a brief
+    * missing-directory window, and a crash between the renames leaves
+    * the data at `path__compact_old` (single-writer maintenance op;
+    * Delta/Iceberg close this window with a metadata commit — without
+    * a table format, two renames is the honest best). Returns the new
+    * file count. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long): Int = {
     require(targetFileBytes >= 1, s"targetFileBytes=$targetFileBytes")
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p)
+    val entries = fs.listStatus(p)
+    require(!entries.exists(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("_")),
+      s"compact() is for FLAT parquet dirs; $path has partition " +
+        "subdirectories — compact each partition directory instead")
+    val total = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
@@ -87,8 +99,15 @@ object Layout {
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
-    require(fs.rename(p, old) && fs.rename(tmp, p),
-      s"compaction swap failed for $path")
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true) // don't leak the staged copy
+      throw new IllegalStateException(s"compaction swap failed for $path")
+    }
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore the original layout
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"compaction swap failed for $path")
+    }
     fs.delete(old, true)
     n
   }

@@ -47,11 +47,23 @@ object Bpe {
     trainFromFreqs(wordFreq, numMerges)
   }
 
+  /** Code-point split (NOT UTF-16 chars — see BpeModel.encodeWord). */
+  private[text] def codePoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** The driver-side merge loop, exposed for the spec's model. */
   def trainFromFreqs(wordFreq: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     var words: Seq[(Vector[String], Long)] =
-      wordFreq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      wordFreq.map { case (w, n) => (codePoints(w), n) }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -101,7 +113,16 @@ case class BpeModel(merges: Seq[(String, String)]) {
 
   def encodeWord(w: String): mutable.ArrayBuffer[String] = {
     val syms = mutable.ArrayBuffer.empty[String]
-    w.foreach(c => syms += c.toString)
+    // split by CODE POINT, not UTF-16 char: a char-level split turns
+    // non-BMP characters (emoji etc.) into lone surrogates, which
+    // UTF8String encodes as '?' — corrupting tokens unless a merge
+    // happens to rejoin exactly that pair
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

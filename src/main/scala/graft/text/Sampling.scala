@@ -124,6 +124,7 @@ object Sampling {
       .withColumn("src_docs", count(lit(1)).over(bySource))
       .filter(col("q_rank") <=
         ceil(col("src_docs").cast("double") * lit(keepFrac)).cast("long"))
+      .drop("src_docs") // window helper, not part of the output contract
   }
 
   /** Sequence packing — concat-and-chunk: lay all documents out on one

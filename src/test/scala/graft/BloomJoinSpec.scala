@@ -53,6 +53,16 @@ class BloomJoinSpec extends SparkSuite {
       plan.toLowerCase.contains("bloommightcontain"), plan.take(2000))
   }
 
+  test("non-integral keys are rejected (would hash differently -> false negatives)") {
+    val stringKeyed = smallParts.selectExpr("cast(p_partkey as string) AS k")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(
+        li.selectExpr("cast(l_partkey as string) AS k"), "k",
+        stringKeyed, "k")
+    }
+    assert(e.getMessage.contains("integral key"))
+  }
+
   test("null keys never pass the probe") {
     val bytes = BloomJoin.buildFilterBytes(
       smallParts, "p_partkey", 1 << 12, 0.01)

@@ -62,6 +62,18 @@ class BpeSpec extends SparkSuite {
     assert(got.view.mapValues(_.toSeq).toMap === want)
   }
 
+  test("non-BMP characters survive encoding (code-point split, not chars)") {
+    val model = BpeModel(Seq(("a", "b")))
+    val emoji = "🙂" // one code point, two UTF-16 chars
+    assert(model.encodeWord(s"${emoji}ab").toSeq === Seq(emoji, "ab"))
+    assert(model.encodeText(s"$emoji ab").mkString === s"${emoji}ab")
+    val df = Seq(s"$emoji abc").toDF("text")
+      .select(Bpe.encode($"text", Seq(("a", "b"))).as("t"))
+      .as[Array[String]].head()
+    assert(df.toSeq === Seq(emoji, "ab", "c"),
+      "expression path must not mangle surrogate pairs")
+  }
+
   test("the encode expression stays out of the interpreter (codegen call)") {
     val docs = Tables.table(spark, sf0001, "documents")
     val merges = Seq(("t", "h"), ("th", "e"))

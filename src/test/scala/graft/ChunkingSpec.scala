@@ -32,7 +32,13 @@ class ChunkingSpec extends SparkSuite {
       assert(cs.last._3 + cs.last._4 === n, "tail reaches the end")
       cs.sliding(2).filter(_.length == 2).foreach { pair =>
         assert(pair(1)._3 <= pair(0)._3 + pair(0)._4, "no coverage gap")
+        assert(pair(1)._3 + pair(1)._4 > pair(0)._3 + pair(0)._4,
+          "no window fully contained in its predecessor (duplicated content)")
       }
+      // window-count formula: 1 if n <= window else ceil((n-window)/stride)+1
+      val expect = if (n <= window) 1L
+        else (n - window + stride - 1) / stride + 1
+      assert(cs.length.toLong === expect, s"doc $id chunk count")
     }
   }
 

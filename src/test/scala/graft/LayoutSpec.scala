@@ -139,6 +139,17 @@ class LayoutSpec extends SparkSuite {
     assert(after === before, "compaction must not change the rows")
   }
 
+  test("compact rejects hive-partitioned directories (would flatten the layout)") {
+    val dir = tmpDir("compact_part").resolve("t").toString
+    Tables.table(spark, sf0001, "orders")
+      .selectExpr("o_orderkey", "year(cast(o_orderdate as date)) AS y")
+      .write.partitionBy("y").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir, 1L << 20)
+    }
+    assert(e.getMessage.contains("FLAT"))
+  }
+
   test("quantizeInt8 round-trip error is bounded by one cell width per dim") {
     import org.apache.spark.sql.functions._
     import graft.vector.VectorFunctions
