@@ -32,7 +32,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
-    // metric line printed LAST and alone so the tail window catches it
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's stdout-tail parser: the line is
+    // printed LAST and alone, AND dropped in a file it can fall back to
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
   }
 }
