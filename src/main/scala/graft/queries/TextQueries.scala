@@ -224,6 +224,21 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Temperature-flattened mixture at α=0.5 over LANGUAGES (the
+    // skewed stratum: en dominates): language L kept at rate
+    // √(min_count/n_L) — expected counts go as √n_L, flattening big
+    // languages toward small ones (the multilingual resampling of
+    // pretraining mixtures). Rates are DATA-dependent; sqrt is
+    // IEEE-correctly-rounded on every engine, so the oracle
+    // recomputes them exactly.
+    "q91_temperature_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Sampling.temperatureSample(
+        Tables.table(s, dir, "documents"), "doc_id", "lang")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic per-source k-sample: exactly 20 docs per source
     // (fixed SIZE, where q57's rate only hits the size in
     // expectation) — rank by the portable hash bucket, keep the k
@@ -690,6 +705,19 @@ object TextQueries {
                 start_offset // 128 AS first_bin,
                 (start_offset + n_tokens - 1) // 128 AS last_bin
          FROM o ORDER BY chunk_key""",
+    "q91_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(1) AS n FROM documents
+                    GROUP BY lang),
+         r AS (SELECT lang,
+                      sqrt((SELECT min(n) FROM c)::DOUBLE / n::DOUBLE)
+                        AS rate
+               FROM c)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR || '_temp'), 1, 15)
+                    AS BIGINT)
+               < CAST(floor(r.rate * 1152921504606846976.0) AS BIGINT)
+         ORDER BY d.doc_id""",
     "q86_stratified_ksample" ->
       """SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
          FROM (SELECT doc_id, source,

@@ -85,6 +85,38 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Temperature-flattened mixture sampling at α = 0.5 — the
+    * multilingual/multi-source balancing op: source s is kept at rate
+    * √(min_count / n_s), so expected post-sample counts go as √n_s —
+    * large sources are flattened toward the small ones (the
+    * "temperature" resampling of multilingual pretraining) while the
+    * smallest source keeps everything. Membership stays the portable
+    * (id, salt) hash primitive.
+    *
+    * α is FIXED at 0.5 by design: rates are data-dependent (computed
+    * from live source counts), and sqrt is correctly rounded in IEEE
+    * 754 on every engine — so the oracle recomputes the exact same
+    * rate and threshold from SQL, bit for bit. A general n^α needs
+    * pow(), whose last ulp is NOT portable; thresholds use floor()
+    * (not round — half-up vs half-even differs across engines).
+    *
+    * One tiny aggregate (per-source counts — bounded config-sized
+    * metadata) broadcast back onto the scan; the filter itself stays
+    * scan-parallel and partition-stable. */
+  def temperatureSample(docs: DataFrame, idCol: String,
+      sourceCol: String, salt: String = "temp"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__minn"))
+    val rates = counts.crossJoin(minN)
+      .select(col(sourceCol),
+        sqrt(col("__minn").cast("double") / col("__n").cast("double"))
+          .as("__rate"))
+    docs.join(broadcast(rates), sourceCol)
+      .filter(bucket(col(idCol), salt) <
+        floor(col("__rate") * lit((1L << 60).toDouble)).cast("long"))
+      .drop("__rate")
+  }
+
   /** Deterministic per-stratum k-sample — "exactly k docs per
     * source", the fixed-SIZE counterpart of [[stratifiedHashSample]]'s
     * rate (which only hits k in expectation). Docs rank within their

@@ -129,6 +129,33 @@ class SamplingSpec extends SparkSuite {
     assert(got.size === 2, s"exactly two 4-token docs fit an 8-token budget, got $got")
   }
 
+  test("temperatureSample: smallest language kept whole, big ones flattened toward √n") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val before = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(before.values.max > before.values.min * 2,
+      "fixture must be skewed or the op is untested")
+    val after = Sampling.temperatureSample(docs, "doc_id", "lang")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val minLang = before.minBy(_._2)._1
+    assert(after(minLang) === before(minLang), "rate 1 for the smallest language")
+    // the dominant language is genuinely downsampled
+    val maxLang = before.maxBy(_._2)._1
+    assert(after(maxLang) < before(maxLang), "the head language must shrink")
+    before.foreach { case (lang, n) =>
+      val expected = math.sqrt(before(minLang).toDouble * n)
+      val got = after.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - expected) <= 0.5 * expected + 5,
+        s"$lang: got $got want ≈ $expected (of $n)")
+    }
+    // membership is partition-stable like every hash sample here
+    val a = Sampling.temperatureSample(docs, "doc_id", "lang")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureSample(docs.repartition(13), "doc_id", "lang")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("stratifiedKSample: exact size, prefix property, partition stability") {
     val docs = Tables.table(spark, sf0001, "documents")
     val sizes = docs.groupBy($"source").count()
