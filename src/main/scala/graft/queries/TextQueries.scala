@@ -224,6 +224,37 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Corpus report — the dataset-card summary every training-data
+    // pipeline emits: per source, doc/token/BPE-token counts, distinct
+    // languages, exact-dup fraction (1 − distinct hashes/docs), mean
+    // quality, and a 4-bucket quality histogram. ONE scan + one
+    // aggregate; every stat is a partial-aggregable expression, so the
+    // report costs the same shuffle as a plain GROUP BY at any scale.
+    "q92_corpus_report" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.TextFunctions
+      val stats = TextFunctions.textStats($"text")
+      Tables.table(s, dir, "documents")
+        .select($"source", $"lang",
+          TextFunctions.contentHash($"text").as("h"),
+          stats.getField("n_tokens").as("nt"),
+          stats.getField("n_bpe_tokens").as("nb"),
+          stats.getField("quality_score").as("q"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nt").cast("long").as("n_tokens"),
+          sum($"nb").cast("long").as("n_bpe_tokens"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"h").as("n_distinct"),
+          dsumAt($"q", 8).as("quality_sum"),
+          count(when($"q" < 0.25, 1)).as("q_lo"),
+          count(when($"q" >= 0.25 && $"q" < 0.5, 1)).as("q_mid_lo"),
+          count(when($"q" >= 0.5 && $"q" < 0.75, 1)).as("q_mid_hi"),
+          count(when($"q" >= 0.75, 1)).as("q_hi"))
+        .orderBy($"source")
+    }),
+
     // Temperature-flattened mixture at α=0.5 over LANGUAGES (the
     // skewed stratum: en dominates): language L kept at rate
     // √(min_count/n_L) — expected counts go as √n_L, flattening big
@@ -705,6 +736,30 @@ object TextQueries {
                 start_offset // 128 AS first_bin,
                 (start_offset + n_tokens - 1) // 128 AS last_bin
          FROM o ORDER BY chunk_key""",
+    "q92_corpus_report" ->
+      s"""WITH s AS (SELECT source, lang, sha256(text) AS h,
+                           string_split(text, ' ') AS w
+                     FROM documents),
+         t AS (SELECT source, lang, h,
+                      len(w)::BIGINT AS nt,
+                      list_sum(list_transform(w, x ->
+                        (length(x) + 3) // 4))::BIGINT AS nb,
+                      ${qualitySql("w")} AS q
+               FROM s)
+         SELECT source,
+                count(1) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT h) AS n_distinct,
+                ${graft.queries.Q.dsumAtSql("q", 8)} AS quality_sum,
+                count(1) FILTER (q < 0.25) AS q_lo,
+                count(1) FILTER (q >= 0.25 AND q < 0.5) AS q_mid_lo,
+                count(1) FILTER (q >= 0.5 AND q < 0.75) AS q_mid_hi,
+                count(1) FILTER (q >= 0.75) AS q_hi
+         FROM t
+         GROUP BY source
+         ORDER BY source""",
     "q91_temperature_sample" ->
       """WITH c AS (SELECT lang, count(1) AS n FROM documents
                     GROUP BY lang),
