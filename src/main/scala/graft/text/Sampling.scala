@@ -106,11 +106,11 @@ object Sampling {
   def temperatureSample(docs: DataFrame, idCol: String,
       sourceCol: String, salt: String = "temp"): DataFrame = {
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-    val minN = counts.agg(min(col("__n")).as("__minn"))
-    val rates = counts.crossJoin(minN)
-      .select(col(sourceCol),
-        sqrt(col("__minn").cast("double") / col("__n").cast("double"))
-          .as("__rate"))
+      .localCheckpoint() // counted once: feeds the min AND the rates
+    // one scalar of bounded metadata (strata are configuration-sized)
+    val minN = counts.agg(min(col("__n"))).head.getLong(0)
+    val rates = counts.select(col(sourceCol),
+      sqrt(lit(minN.toDouble) / col("__n").cast("double")).as("__rate"))
     docs.join(broadcast(rates), sourceCol)
       .filter(bucket(col(idCol), salt) <
         floor(col("__rate") * lit((1L << 60).toDouble)).cast("long"))
