@@ -36,8 +36,10 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's stdout-tail parser: the line is
     // printed LAST and alone, AND dropped in a file it can fall back to
+    // (cwd-relative so any checkout location works)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),
+      line + "\n")
     catch { case _: Throwable => () }
     println(line)
   }

@@ -40,6 +40,12 @@ case class BpeEncodeExpr(text: Expression, mergesExpr: Expression)
     val arr = mergesExpr.eval(null).asInstanceOf[ArrayData]
     val merges = (0 until arr.numElements()).map { i =>
       val pair = arr.getArray(i)
+      // value-level validation: the type check can't see arity/nulls
+      // inside the literal, and a malformed pair would otherwise read
+      // garbage from UnsafeArrayData at eval time
+      require(pair != null && pair.numElements() == 2 &&
+          !pair.isNullAt(0) && !pair.isNullAt(1),
+        s"graft_bpe_encode merge #$i must be a non-null [left, right] pair")
       (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
     }
     BpeModel(merges)

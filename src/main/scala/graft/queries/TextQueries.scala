@@ -196,8 +196,8 @@ object TextQueries {
       // doc_id up to ~8.8e12 still fits a long
       val chunks = graft.text.Chunking.chunk(kept, "doc_id", "text", 64, 48)
         .withColumn("chunk_key", $"doc_id" * (1L << 20) + $"chunk_id")
-      graft.text.Sampling.packSequences(
-        chunks, "chunk_key", "chunk_text", 128L, salt = "cpack")
+      graft.text.Sampling.packSequencesCounted(
+        chunks, "chunk_key", $"n_tokens", 128L, salt = "cpack")
         .select($"chunk_key",
           expr("chunk_key div 1048576").as("doc_id"),
           ($"chunk_key" % (1L << 20)).as("chunk_id"),

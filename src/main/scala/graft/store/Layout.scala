@@ -104,9 +104,12 @@ object Layout {
       throw new IllegalStateException(s"compaction swap failed for $path")
     }
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // restore the original layout
+      val restored = fs.rename(old, p) // restore the original layout
       fs.delete(tmp, true)
-      throw new IllegalStateException(s"compaction swap failed for $path")
+      throw new IllegalStateException(
+        if (restored) s"compaction swap failed for $path (original restored)"
+        else s"compaction swap failed for $path AND restore failed — " +
+          s"data is at ${path}__compact_old, recover manually")
     }
     fs.delete(old, true)
     n

@@ -47,7 +47,11 @@ object Bpe {
     trainFromFreqs(wordFreq, numMerges)
   }
 
-  /** Code-point split (NOT UTF-16 chars — see BpeModel.encodeWord). */
+  /** Code-point split — NOT UTF-16 chars: a char-level split turns
+    * non-BMP characters (emoji etc.) into lone surrogates, which
+    * UTF8String encodes as '?', corrupting tokens unless a merge
+    * happens to rejoin exactly that pair. Shared by train and encode
+    * so the symbol alphabet can never diverge between them. */
   private[text] def codePoints(w: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -113,16 +117,7 @@ case class BpeModel(merges: Seq[(String, String)]) {
 
   def encodeWord(w: String): mutable.ArrayBuffer[String] = {
     val syms = mutable.ArrayBuffer.empty[String]
-    // split by CODE POINT, not UTF-16 char: a char-level split turns
-    // non-BMP characters (emoji etc.) into lone surrogates, which
-    // UTF8String encodes as '?' — corrupting tokens unless a merge
-    // happens to rejoin exactly that pair
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      syms += new String(Character.toChars(cp))
-      i += Character.charCount(cp)
-    }
+    syms ++= Bpe.codePoints(w) // code points, not UTF-16 chars (see there)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

@@ -178,12 +178,21 @@ object Sampling {
     * window, full parallelism; the oracle checks it against DuckDB's
     * global window. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      seqLen: Long, salt: String = "pack"): DataFrame = {
+      seqLen: Long, salt: String = "pack"): DataFrame =
+    packSequencesCounted(docs, idCol,
+      TextFunctions.tokenCount(col(textCol)).cast("long"), seqLen, salt)
+
+  /** [[packSequences]] with a PRECOMPUTED token-count column — for
+    * inputs that already carry exact counts (e.g. Chunking.chunk's
+    * n_tokens), so the tape doesn't re-tokenize every row and doesn't
+    * couple to a text round-trip staying lossless. */
+  def packSequencesCounted(docs: DataFrame, idCol: String,
+      nTokens: Column, seqLen: Long, salt: String = "pack"): DataFrame = {
     require(seqLen >= 1, s"seqLen=$seqLen")
     val spark = docs.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     val sorted = docs.select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        nTokens.cast("long").as("n_tokens"),
         bucket(col(idCol), salt).as("pack_key"))
       .repartitionByRange(nParts, col("pack_key"), col(idCol))
       .sortWithinPartitions(col("pack_key"), col(idCol))

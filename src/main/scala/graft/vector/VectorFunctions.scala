@@ -103,15 +103,18 @@ object VectorFunctions {
       DataFrame = {
     val (mins, maxs) = fitQuantizer(corpus, vecCol)
     val deq = dequantizeInt8(quantizeInt8(col(vecCol), mins, maxs), mins, maxs)
+    // norms once per corpus row, not once per (row × query) pair —
+    // the approximate scan is the stage that touches the whole corpus
     val c = corpus.select(col(corpusId), col(vecCol).as("c_vec"),
-      deq.as("c_deq"))
+        deq.as("c_deq"))
+      .withColumn("c_deq_norm", sqrt(dotExact(col("c_deq"), col("c_deq"))))
     val q = queries.select(col(queryId), col(vecCol).as("q_vec"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"))
     val approx = c.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("approx_cos",
         dotExact(col("q_vec"), col("c_deq")) /
-          (col("q_norm") * sqrt(dotExact(col("c_deq"), col("c_deq")))))
+          (col("q_norm") * col("c_deq_norm")))
     val wA = Window.partitionBy(col(queryId))
       .orderBy(col("approx_cos").desc, col(corpusId))
     val cands = approx.withColumn("arank", row_number().over(wA))
