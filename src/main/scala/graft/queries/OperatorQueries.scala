@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, GlobalIndex, RangeJoin}
 
 /** Queries exercising the composed custom operators (as-of join,
   * pivot) with DuckDB oracles.
@@ -148,6 +148,26 @@ object OperatorQueries {
         .orderBy($"user_id", $"session_seq")
     }),
 
+    // Numbered shard manifest: contiguous global sequence numbers in
+    // deterministic-shuffle training order via GlobalIndex (range
+    // exchange + per-partition offset map — NOT the single-partition
+    // window `row_number() OVER (ORDER BY …)` plans as), then
+    // fixed-size shards by integer division. Contiguity, not mere
+    // orderedness (q65), is the contract: every shard but the last
+    // has exactly 64 docs regardless of partition count.
+    "q93_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          graft.text.TextFunctions.hash60(
+            concat($"doc_id".cast("string"), lit("_shuffle")))
+            .as("shuffle_key"))
+      GlobalIndex.withGlobalSeq(keyed, Seq(col("shuffle_key"), col("doc_id")))
+        .select($"doc_id", $"shuffle_key", $"global_seq",
+          expr("CAST((global_seq - 1) DIV 64 AS BIGINT)").as("shard"))
+        .orderBy($"global_seq")
+    }),
+
     // Pivot: per-day event counts spread into one column per type —
     // plans as a single hash aggregate with conditional counters, the
     // same shape as the oracle's FILTER aggregation.
@@ -240,6 +260,21 @@ object OperatorQueries {
           GROUP BY p.event_id, p.user_id
           ORDER BY p.event_id""",
     "q36_asof_join" -> asofOracle,
+    "q93_shard_manifest" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'),
+                       1, 15) AS BIGINT) AS shuffle_key
+           FROM documents),
+         n AS (
+           SELECT doc_id, shuffle_key,
+                  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                       AS BIGINT) AS global_seq
+           FROM k)
+         SELECT doc_id, shuffle_key, global_seq,
+                CAST((global_seq - 1) // 64 AS BIGINT) AS shard
+         FROM n
+         ORDER BY global_seq""",
     "q37_pivot_event_counts" ->
       """SELECT CAST(ts AS DATE) AS day,
                 count(1) FILTER (event_type = 'click') AS click,

@@ -49,6 +49,15 @@ class PlanAuditSpec extends SparkSuite {
       s"unbounded product in: ${offenders.mkString("; ")}")
   }
 
+  test("shard manifest never funnels through a single partition") {
+    // the numbering pass is pinned by GlobalIndexSpec's window
+    // equivalence; here: nothing in the consuming plan collapses to
+    // one partition (a global row_number window would)
+    val plan = SparkEntry.queries("q93_shard_manifest")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("star join broadcasts all three dims (no dim ever shuffles the fact)") {
     val plan = SparkEntry.queries("q12_star_join_revenue")(spark, sf0001)
       .queryExecution.executedPlan.toString
