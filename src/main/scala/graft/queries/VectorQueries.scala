@@ -112,6 +112,21 @@ object VectorQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells
+    // + shared-cell cosine pairs — the published scale path for q32's
+    // exact all-pairs baseline (cell equi-join, Σ|cell|² work, never
+    // n²). Multi-probe assignment (top-3 cells) catches boundary
+    // pairs; min-id representative per dup relation. Approximate by
+    // design (pairs sharing no probed cell are unseen) → no oracle;
+    // recall and keep-set invariants are bounded in SemDedupSpec.
+    "q94_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = fanout(Tables.table(s, dir, "embeddings"))
+      graft.vector.SemDedup.keep(emb, "vec_id", "embedding",
+        cells = 16, threshold = 0.45, probes = 3)
+        .orderBy($"vec_id")
+    }),
+
     // ANN over the int8-quantized corpus (q85's codes) with exact
     // float rescore of the overfetched candidates — approximation
     // affects recall only (bounded in TextVectorSpec); returned

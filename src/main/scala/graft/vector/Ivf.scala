@@ -90,6 +90,19 @@ object Ivf {
       sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"),
       assignCell(col(vecCol), m).as("cell"))
 
+  /** Multi-probe assignment: each vector lands in its `probes` best
+    * cells (one exploded row per cell). Candidate generation over a
+    * shared-cell equi-join then catches boundary pairs a single-cell
+    * assignment splits — occupancy grows ×probes, pair work stays
+    * Σ|cell|², never n². */
+  def assignMulti(corpus: DataFrame, m: Model, probes: Int,
+      corpusId: String = "neighbor_id", vecCol: String = "embedding"):
+      DataFrame =
+    corpus.select(
+      col(corpusId), col(vecCol).as("c_vec"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"),
+      explode(probeCells(col(vecCol), m, probes)).as("cell"))
+
   /** ANN search over a pre-assigned corpus (see [[assign]]): probe
     * nprobe cells per query, exact cosine over candidates, per-query
     * top-k. The only shuffle is the equi-join on cell id. */

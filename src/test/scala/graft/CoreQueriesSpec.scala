@@ -18,6 +18,9 @@ class CoreQueriesSpec extends SparkSuite {
     Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk",
       "q50_percentile_approx", "q68_top_ngrams_sketch",
       "q90_ann_quantized_topk",
+      // approximate by design (shared-cell pairs only); recall and
+      // keep-set invariants bounded in SemDedupSpec
+      "q94_semdedup",
       // deterministic but not SQL-expressible (iterative merge loop);
       // semantic contract is BpeSpec (model equality, round-trip,
       // determinism under repartitioning)
