@@ -28,19 +28,23 @@ object Bench {
     // driver's stdout tail window and left BENCH_r02.json unparsed
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    def jsonLine(qs: String, total: Double): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def qmap(f: String => String): String = results
+      .map { case (k, v) => "\"" + f(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces for the driver's stdout-tail parser: the line is
-    // printed LAST and alone, AND dropped in a file it can fall back to
+    // full query names → the local fallback file the judge reads
     // (cwd-relative so any checkout location works)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),
-      line + "\n")
+      jsonLine(qmap(identity), total) + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    // stdout → the driver's tail-window parser. Even 3-decimal values
+    // under full names (~2.9 kB for 94 queries) start the r3 tail
+    // mid-line; bare ids ("q85":0.369) keep the whole line ≈1.1 kB.
+    // Ids are unique by construction (registry keys are qNN_slug).
+    println(jsonLine(qmap(_.takeWhile(_ != '_')), total))
   }
 }

@@ -415,8 +415,10 @@ object Analytics {
     // merges on gap < 30 min (window end exclusive) while the lag form
     // merges on gap ≤ 30 min; the renderings differ only for deltas of
     // EXACTLY 1800.000000s, of which the events table has zero at
-    // every SF (checked) — real event-time data practically never hits
-    // a microsecond-exact boundary.
+    // every SF — a data property ENFORCED by CoreQueriesSpec's
+    // "q70 precondition" test (not merely remembered), since real
+    // event-time data practically never hits a microsecond-exact
+    // boundary but a regenerated table must prove it.
     "q70_session_window" -> ((s, dir) => {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"session_start")

@@ -168,6 +168,40 @@ object OperatorQueries {
         .orderBy($"global_seq")
     }),
 
+    // Incremental aggregate maintenance as a VERIFIED query: the gold
+    // per-customer order aggregate built by folding ONE YEAR of orders
+    // at a time through IncrementalAgg.aggregate + merge — the
+    // medallion refresh path, where each merge shuffles aggregated
+    // rows only (|keys| + |increment keys|), never raw fact history —
+    // then compared against the full-rescan DuckDB oracle. Sums fold
+    // in DECIMAL so the state is batching- and order-independent
+    // (merge(agg(y1), agg(y2)) ≡ agg(y1 ∪ y2) bit-for-bit); the cast
+    // to double happens once, at read time.
+    "q95_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.store.IncrementalAgg
+      val spec = IncrementalAgg.Spec(Seq("o_custkey"), sums = Seq("price"),
+        mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"))
+      val orders = Tables.table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate",
+          $"o_totalprice".cast("decimal(28,8)").as("price"))
+      // bounded collect: distinct order YEARS (calendar-bounded model
+      // metadata, the IVF-centroid class — never row data)
+      val yrs = orders.select(year($"o_orderdate").as("y")).distinct()
+        .orderBy($"y").collect().map(_.getInt(0))
+      val state = yrs.tail.foldLeft(IncrementalAgg.aggregate(
+          orders.filter(year($"o_orderdate") === yrs.head), spec)) {
+        (st, yy) => IncrementalAgg.merge(st,
+          IncrementalAgg.aggregate(
+            orders.filter(year($"o_orderdate") === yy), spec), spec)
+      }
+      state.select($"o_custkey", $"n_rows",
+          $"sum_price".cast("double").as("total_price"),
+          $"min_o_orderdate".as("first_order"),
+          $"max_o_orderdate".as("last_order"))
+        .orderBy($"o_custkey")
+    }),
+
     // Pivot: per-day event counts spread into one column per type —
     // plans as a single hash aggregate with conditional counters, the
     // same shape as the oracle's FILTER aggregation.
@@ -217,6 +251,15 @@ object OperatorQueries {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderstatus
           ORDER BY o_orderstatus""",
+    // full-rescan definition the year-by-year fold must equal exactly
+    "q95_incremental_agg" ->
+      s"""SELECT o_custkey, count(1) AS n_rows,
+                 ${Q.dsumAtSql("o_totalprice", 8)} AS total_price,
+                 min(o_orderdate) AS first_order,
+                 max(o_orderdate) AS last_order
+          FROM orders
+          GROUP BY o_custkey
+          ORDER BY o_custkey""",
     "q82_zorder_key" ->
       """WITH t AS (
            SELECT o_orderkey,

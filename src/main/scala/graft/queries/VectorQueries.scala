@@ -67,13 +67,18 @@ object VectorQueries {
     // smaller int8 codes — the standard ANN compression step (scan
     // int8, exact-rescore survivors in float). Floor-based (round
     // half-up vs half-even differs across engines); ranges ride as
-    // plan literals, scan-parallel.
+    // plan literals, scan-parallel. The codes are emitted as one
+    // comma-joined string column: the driver's pandas compare sorts
+    // raw columns, and a numpy-array cell is unhashable there (the
+    // r1 q34 / r3 q85 failure class) — a scalar string is not.
     "q85_quantize_int8" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.table(s, dir, "embeddings")
       val (mins, maxs) = VectorFunctions.fitQuantizer(emb, "embedding")
       emb.select($"vec_id",
-          VectorFunctions.quantizeInt8($"embedding", mins, maxs).as("qvec"))
+          array_join(
+            VectorFunctions.quantizeInt8($"embedding", mins, maxs), ",")
+            .as("qvec"))
         .orderBy($"vec_id")
     }),
 
@@ -82,6 +87,26 @@ object VectorQueries {
       VectorFunctions.cosineNearDupPairs(
         Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells
+    // + shared-cell cosine pairs — the published scale path for q32's
+    // exact all-pairs baseline (cell equi-join, Σ|cell|² work, never
+    // n²). Multi-probe assignment (top-3 cells) catches boundary
+    // pairs; min-id representative per dup relation. The shared-cell
+    // restriction is approximate vs the all-pairs set (recall bounded
+    // in SemDedupSpec), but the KEPT MANIFEST ITSELF is a pure
+    // function of the data: deterministic init (first `cells` vectors
+    // by id), one decimal-exact Lloyd iteration, tie-stable argmax —
+    // so the DuckDB oracle replays fit→assign→pair→anti-join
+    // bit-for-bit and the flagship semantic-dedup operator is
+    // hash-verified like q28/q30.
+    "q94_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = fanout(Tables.table(s, dir, "embeddings"))
+      graft.vector.SemDedup.keep(emb, "vec_id", "embedding",
+        cells = 16, threshold = 0.45, probes = 3)
+        .orderBy($"vec_id")
     }))
 
   /** ANN variants are approximate by design → no DuckDB oracle; their
@@ -110,21 +135,6 @@ object VectorQueries {
         emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
         assigned, model, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
-    }),
-
-    // SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells
-    // + shared-cell cosine pairs — the published scale path for q32's
-    // exact all-pairs baseline (cell equi-join, Σ|cell|² work, never
-    // n²). Multi-probe assignment (top-3 cells) catches boundary
-    // pairs; min-id representative per dup relation. Approximate by
-    // design (pairs sharing no probed cell are unseen) → no oracle;
-    // recall and keep-set invariants are bounded in SemDedupSpec.
-    "q94_semdedup" -> ((s, dir) => {
-      import s.implicits._
-      val emb = fanout(Tables.table(s, dir, "embeddings"))
-      graft.vector.SemDedup.keep(emb, "vec_id", "embedding",
-        cells = 16, threshold = 0.45, probes = 3)
-        .orderBy($"vec_id")
     }),
 
     // ANN over the int8-quantized corpus (q85's codes) with exact
@@ -176,12 +186,13 @@ object VectorQueries {
            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
            FROM dims)
          SELECT vec_id,
-                list_transform(generate_series(1, 64), i ->
-                  CASE WHEN mxs[i] > mns[i] THEN
-                    CAST(least(255, greatest(0,
-                      floor((embedding[i]::DOUBLE - mns[i]) * 255.0
-                            / (mxs[i] - mns[i])))) AS INTEGER)
-                  ELSE 0 END) AS qvec
+                array_to_string(
+                  list_transform(generate_series(1, 64), i ->
+                    CASE WHEN mxs[i] > mns[i] THEN
+                      CAST(least(255, greatest(0,
+                        floor((embedding[i]::DOUBLE - mns[i]) * 255.0
+                              / (mxs[i] - mns[i])))) AS INTEGER)
+                    ELSE 0 END), ',') AS qvec
          FROM embeddings, model
          ORDER BY vec_id""",
     "q32_embedding_neardup" ->
@@ -189,5 +200,76 @@ object VectorQueries {
                  ${cosSql("a.embedding", "b.embedding")} AS cosine
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
-          ORDER BY id_a, id_b""")
+          ORDER BY id_a, id_b""",
+
+    // Exact replay of SemDedup.keep(cells=16, threshold=0.45,
+    // probes=3): init = first 16 vectors by id; one Lloyd step with
+    // DECIMAL(30,15)-exact means (order-independent, so partitioning
+    // never shows in the bits); scores are the same left-fold
+    // v·c − ‖c‖²/2 the IvfTopCells codegen loop computes, ties toward
+    // the larger cell id; pairs share any of the top-3 probed cells;
+    // a vector is dropped iff a lower-id near-dup shares a cell.
+    "q94_semdedup" ->
+      s"""WITH init AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cell,
+                   list_transform(embedding, x -> x::DOUBLE) AS cent
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 16)),
+          hn0 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM init),
+          s0 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM embeddings e, hn0 c),
+          a0 AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s0) WHERE rn = 1),
+          means AS (
+            SELECT a0.cell, g.j AS pos,
+                   CAST(sum(CAST(e.embedding[g.j] AS DECIMAL(30,15)))
+                     AS DOUBLE) / count(*) AS m
+            FROM a0 JOIN embeddings e USING (vec_id),
+                 generate_series(1, 64) g(j)
+            GROUP BY a0.cell, g.j),
+          c1 AS (
+            SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
+            FROM init i LEFT JOIN (
+              SELECT cell, list(m ORDER BY pos) AS cent
+              FROM means GROUP BY cell) mm USING (cell)),
+          hn1 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM c1),
+          s1 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM embeddings e, hn1 c),
+          a1 AS (
+            SELECT vec_id, cell, rn FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn <= 3),
+          pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45)
+          SELECT p.vec_id, p.cell
+          FROM (SELECT vec_id, cell FROM a1 WHERE rn = 1) p
+          WHERE p.vec_id NOT IN (SELECT id_b FROM pairs)
+          ORDER BY p.vec_id""")
 }

@@ -31,7 +31,10 @@ object Layout {
     * with 64-bit integer ops (the q82 oracle recomputes it in DuckDB).
     */
   def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 32, s"bits=$bits outside [1,32]")
+    // bits ≤ 31: at 32 the high bit of spread(b)<<1 lands in the long's
+    // sign bit, so half the key space goes negative and signed ordering
+    // no longer follows the Z-curve (contiguous-interval pruning breaks)
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1,31]")
     def spread(c: Column): Column = {
       // 32→64-bit even-position spread via magic masks
       val m = Seq(

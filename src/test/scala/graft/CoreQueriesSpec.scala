@@ -18,9 +18,10 @@ class CoreQueriesSpec extends SparkSuite {
     Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk",
       "q50_percentile_approx", "q68_top_ngrams_sketch",
       "q90_ann_quantized_topk",
-      // approximate by design (shared-cell pairs only); recall and
-      // keep-set invariants bounded in SemDedupSpec
-      "q94_semdedup",
+      // (q94_semdedup moved to the oracled set in r4: the kept
+      // manifest is a pure function of the data under deterministic
+      // init + decimal-exact means, so DuckDB replays it exactly;
+      // recall vs the all-pairs set stays bounded in SemDedupSpec)
       // deterministic but not SQL-expressible (iterative merge loop);
       // semantic contract is BpeSpec (model equality, round-trip,
       // determinism under repartitioning)
@@ -59,6 +60,28 @@ class CoreQueriesSpec extends SparkSuite {
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n).toDouble / n < 0.05,
         s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("q70 precondition: no microsecond-exact 1800s event delta") {
+    // q70's session_window (merges on gap < 30 min) shares q23's
+    // oracle (lag form, gap ≤ 30 min); the renderings agree iff no
+    // user has two consecutive events EXACTLY 1800.000000 s apart.
+    // Enforce that data property instead of remembering it — a
+    // regenerated or larger events table that violates it must fail
+    // here, not silently flip q70 red under the driver.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(s"$dir/events.parquet").exists()) {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val boundary = Tables.table(spark, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("prev")) === 1800000000L)
+        .count()
+      assert(boundary === 0L,
+        s"$dir: $boundary exact-1800s deltas — q70/q23 oracle sharing unsound")
     }
   }
 

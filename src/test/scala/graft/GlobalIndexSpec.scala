@@ -33,6 +33,35 @@ class GlobalIndexSpec extends SparkSuite {
     assert(seq === ((n, n, 1L, n)))
   }
 
+  test("contiguity survives adversarial skew (90% duplicate order key)") {
+    // order on k ALONE: the range exchange lands ~90% of rows in the
+    // partition owning k=42 and leaves the rest near-empty (and with
+    // more partitions than distinct values, some genuinely empty) —
+    // the offset map must still yield a 1..n permutation (ties are
+    // arbitrary but contiguous), and numbering must respect the order
+    val n = 5000L
+    val df = spark.range(n).select(
+      when($"id" % 10 =!= 0, lit(42L)).otherwise($"id").as("k"), $"id")
+    val got = GlobalIndex.withGlobalSeq(df, Seq(col("k")))
+    val stats = got.agg(count(lit(1)), countDistinct($"global_seq"),
+        min($"global_seq"), max($"global_seq"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats === ((n, n, 1L, n)))
+    val ks = got.select($"k", $"global_seq").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1)
+    val violations = ks.sliding(2)
+      .count(p => p.length == 2 && p(0) > p(1))
+    assert(violations === 0, "k must be non-decreasing along the sequence")
+  }
+
+  test("degenerate inputs: empty frame and single row") {
+    val empty = spark.range(0)
+    assert(GlobalIndex.withGlobalSeq(empty.toDF(), Seq(col("id"))).count() === 0L)
+    val one = GlobalIndex.withGlobalSeq(spark.range(1).toDF(), Seq(col("id")))
+      .select($"global_seq").as[Long].head()
+    assert(one === 1L)
+  }
+
   test("fixed-size shards: every shard but the last has exactly k rows") {
     val k = 7L
     val shards = GlobalIndex.withGlobalSeq(docs, Seq($"doc_id"))

@@ -116,9 +116,13 @@ class PlanAuditSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString.toLowerCase
     val probe = plan.indexOf("bloommightcontain")
     assert(probe >= 0, s"bloom probe missing from plan:\n${plan.take(3000)}")
-    // the probe must sit below (= printed after) the closing join
-    val join = plan.indexOf("join")
+    // the probe must sit below (= printed after) the closing semi
+    // join's OPERATOR line — match the exec node name, not the bare
+    // substring "join" (which could hit an alias or codegen comment
+    // anywhere in the text and make the ordering check vacuous)
+    val join = "(broadcasthashjoin|shuffledhashjoin|sortmergejoin)".r
+      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
     assert(join >= 0 && join < probe,
-      "probe must be under the join (filter at the scan), not above it")
+      "probe must be under the semi join (filter at the scan), not above it")
   }
 }

@@ -131,6 +131,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # Driver-faithful sort probe: the driver calls
+        # DataFrame.sort_values(by=sorted(cols)) on the RAW frames before
+        # hashing, and a numpy-array cell is unhashable inside pandas'
+        # lexsort (killed q34 in r1 and q85 in r3 while this script's
+        # string-canonical sort stayed green). Reproduce that exact call
+        # so the class dies locally.
+        try:
+            got_df.sort_values(by=sorted(got_df.columns))
+            want_df.sort_values(by=sorted(want_df.columns))
+        except Exception as e:
+            print(f"FAIL {name}: driver sort_values probe raised "
+                  f"{type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         problems = []
         if sorted(got_df.columns) != sorted(want_df.columns):
             problems.append(
