@@ -433,6 +433,68 @@ object Analytics {
         .select($"user_id", $"session_seq", $"session_start",
           $"session_end", $"n_events", $"session_value")
         .orderBy($"user_id", $"session_seq")
+    }),
+
+    // Cohort retention matrix — the classic product-analytics
+    // operator: cohort = ISO week of a user's FIRST event; cell
+    // (cohort_week, activity_week) counts the cohort's users active
+    // that week. Three aggregates and one key-shuffle join: min-week
+    // per user, distinct (user, week), join on user_id, final count.
+    // Every shuffle is on user_id or a week pair — partial-aggregable
+    // and co-partitioned, the shape that survives a billion users.
+    "q96_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val byWeek = Tables.table(s, dir, "events")
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      val cohort = byWeek.groupBy($"user_id")
+        .agg(min($"wk").as("cohort_week"))
+      byWeek.distinct()
+        .join(cohort, "user_id")
+        .groupBy($"cohort_week", $"wk".as("activity_week"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_week", $"activity_week")
+    }),
+
+    // Session funnel: within each 30-minute session (q23's boundary
+    // semantics), did the user view → then click → then purchase, in
+    // event-time order? Stages are cumulative window flags over ONE
+    // extra window pass sharing the sessionize partition+order (no
+    // extra shuffle beyond the user_id exchange all window steps
+    // share), then one per-session max-reduce and a per-day rollup.
+    "q97_session_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum($"new_session").over(cum))
+      val wSess = Window.partitionBy($"user_id", $"session_seq")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = flagged
+        .withColumn("saw_view",
+          max(when($"event_type" === "view", 1).otherwise(0)).over(wSess))
+        .withColumn("saw_vc",
+          max(when($"event_type" === "click" && $"saw_view" === 1, 1)
+            .otherwise(0)).over(wSess))
+        .withColumn("saw_vcp",
+          max(when($"event_type" === "purchase" && $"saw_vc" === 1, 1)
+            .otherwise(0)).over(wSess))
+      staged.groupBy($"user_id", $"session_seq")
+        .agg(min($"ts").cast("date").as("day"),
+          max($"saw_view").as("v"), max($"saw_vc").as("vc"),
+          max($"saw_vcp").as("vcp"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"v").cast("long").as("n_view"),
+          sum($"vc").cast("long").as("n_view_click"),
+          sum($"vcp").cast("long").as("n_full_funnel"))
+        .orderBy($"day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -646,7 +708,62 @@ object Analytics {
                  count(1) AS n_events, ${dsumSql("value")} AS session_value
           FROM sessions
           GROUP BY user_id, session_seq
-          ORDER BY user_id, session_seq""")
+          ORDER BY user_id, session_seq""",
+    "q96_cohort_retention" ->
+      """WITH byw AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         coh AS (
+           SELECT user_id, min(wk) AS cohort_week FROM byw GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, wk FROM byw)
+         SELECT c.cohort_week, a.wk AS activity_week, count(1) AS n_users
+         FROM act a JOIN coh c ON a.user_id = c.user_id
+         GROUP BY c.cohort_week, a.wk
+         ORDER BY cohort_week, activity_week""",
+    "q97_session_funnel" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT *, SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged),
+         s1 AS (
+           SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER ws AS saw_view
+           FROM sessions
+           WINDOW ws AS (PARTITION BY user_id, session_seq
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s2 AS (
+           SELECT *, max(CASE WHEN event_type = 'click' AND saw_view = 1
+                              THEN 1 ELSE 0 END) OVER ws AS saw_vc
+           FROM s1
+           WINDOW ws AS (PARTITION BY user_id, session_seq
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s3 AS (
+           SELECT *, max(CASE WHEN event_type = 'purchase' AND saw_vc = 1
+                              THEN 1 ELSE 0 END) OVER ws AS saw_vcp
+           FROM s2
+           WINDOW ws AS (PARTITION BY user_id, session_seq
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         per_session AS (
+           SELECT user_id, session_seq, CAST(min(ts) AS DATE) AS day,
+                  max(saw_view) AS v, max(saw_vc) AS vc,
+                  max(saw_vcp) AS vcp
+           FROM s3 GROUP BY user_id, session_seq)
+         SELECT day, count(1) AS n_sessions,
+                CAST(SUM(v) AS BIGINT) AS n_view,
+                CAST(SUM(vc) AS BIGINT) AS n_view_click,
+                CAST(SUM(vcp) AS BIGINT) AS n_full_funnel
+         FROM per_session GROUP BY day ORDER BY day""")
 
   /** q63 (chunked) and q70 (native session_window) share q23's oracle
     * — three renderings, one semantics, one SQL text. */

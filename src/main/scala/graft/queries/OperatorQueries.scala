@@ -202,6 +202,29 @@ object OperatorQueries {
         .orderBy($"o_custkey")
     }),
 
+    // Iterative graph operator: 3-iteration PageRank over the
+    // bipartite customer↔supplier purchase graph (both directions, so
+    // the walk alternates sides). Each iteration is one src-join +
+    // one dst-aggregate — the Pregel shape. Deterministic across
+    // engines because divisions happen in double (IEEE
+    // correctly-rounded) and cross-edge sums in decimal (exact);
+    // the oracle replays all three iterations as chained CTEs.
+    "q100_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+      val ords = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+        // supplier ids share the customer id space: offset them
+        .select($"o_custkey".as("cust"),
+          ($"l_suppkey" + 1000000L).as("supp"))
+      val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+        .union(pairs.select($"supp".as("src"), $"cust".as("dst")))
+      graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
+        .orderBy($"node")
+    }),
+
     // Pivot: per-day event counts spread into one column per type —
     // plans as a single hash aggregate with conditional counters, the
     // same shape as the oracle's FILTER aggregation.
@@ -251,6 +274,45 @@ object OperatorQueries {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderstatus
           ORDER BY o_orderstatus""",
+    // replay of all 3 PageRank iterations: double divisions, decimal
+    // sums, damping in the SAME double expression order as the engine
+    // (NB every numeric literal is CAST to DOUBLE — a bare 0.85 is a
+    // DECIMAL literal in DuckDB and would change the arithmetic)
+    "q100_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (
+              SELECT e.dst AS node,
+                     CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(28,15)))
+                       AS DOUBLE) AS contrib
+              FROM e JOIN deg d ON e.src = d.src
+                     JOIN r$prev r ON r.node = e.src
+              GROUP BY e.dst),
+            r$out AS (
+              SELECT n.node,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib,
+                           CAST(0.0 AS DOUBLE)) AS rank
+              FROM nodes n LEFT JOIN c$out c ON n.node = c.node)"""
+      s"""WITH pairs AS (
+            SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT cust AS src, supp AS dst FROM pairs
+              UNION ALL SELECT supp AS src, cust AS dst FROM pairs)),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          nn AS (SELECT count(1) AS n FROM nodes),
+          deg AS (SELECT src, count(1) AS deg FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+                   AS rank FROM nodes),
+          ${iter("0", "1")},
+          ${iter("1", "2")},
+          ${iter("2", "3")}
+          SELECT node, rank FROM r3 ORDER BY node"""
+    },
+
     // full-rescan definition the year-by-year fold must equal exactly
     "q95_incremental_agg" ->
       s"""SELECT o_custkey, count(1) AS n_rows,

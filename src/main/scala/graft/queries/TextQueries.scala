@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -548,6 +549,69 @@ object TextQueries {
       Dedup.simhashNearDupPairsAdaptive(
         Tables.table(s, dir, "documents"), "doc_id", "text", maxDist = 6)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Blocked edit-distance near-dup via the chunk PIGEONHOLE (the
+    // Ed-Join family's guaranteed-recall filter, and the edit-distance
+    // dual of q30's simhash banding): if ed(a, b) ≤ 5, at most 5 of
+    // a's 6 contiguous prefix chunks are touched by an edit, so at
+    // least one occurs in b VERBATIM, shifted by at most 5 positions.
+    // Candidates = equi-join on (lang, chunk content, chunk length)
+    // with a ±5 position band — a superset of the true pairs, so the
+    // exact Levenshtein filter afterwards returns EXACTLY the
+    // all-pairs answer (which is what the oracle computes) without
+    // ever materializing the O(n²) pair space. (Length-bucket
+    // blocking is useless here: every 40-char prefix has the same
+    // length; content blocking is what prunes.) levenshtein() is
+    // integer-exact on both engines.
+    "q98_editdist_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"lang", substring($"text", 1, 40).as("prefix"))
+      // a-side: the 6 fixed chunks (7,7,7,7,6,6 chars cover 1..40)
+      val bounds = Seq((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
+      val aChunks = d.select($"lang", $"doc_id".as("id_a"),
+          $"prefix".as("p_a"),
+          explode(array(bounds.map { case (st, ln) =>
+            struct(substring($"prefix", st, ln).as("chunk"),
+              lit(st).as("pos_a"), lit(ln).as("clen"))
+          }: _*)).as("c"))
+        .select($"lang", $"id_a", $"p_a",
+          $"c.chunk", $"c.pos_a", $"c.clen")
+      // b-side: every substring of length 6 and 7 with its position
+      val bSubs = d.select($"lang", $"doc_id".as("id_b"),
+          $"prefix".as("p_b"),
+          explode(expr("""flatten(transform(array(6, 7), L ->
+              transform(sequence(1, 41 - L), st ->
+                struct(substring(prefix, st, L) AS chunk,
+                       st AS pos_b, L AS clen))))""")).as("s"))
+        .select($"lang", $"id_b", $"p_b",
+          $"s.chunk", $"s.pos_b", $"s.clen")
+      aChunks.join(bSubs, Seq("lang", "chunk", "clen"))
+        .filter($"id_a" < $"id_b" && abs($"pos_a" - $"pos_b") <= 5)
+        .select($"lang", $"id_a", $"id_b", $"p_a", $"p_b").distinct()
+        .withColumn("dist", levenshtein($"p_a", $"p_b"))
+        .filter($"dist" <= 5)
+        .select($"id_a", $"id_b", $"lang", $"dist")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Quality-quartile binning: NTILE over a total per-source order —
+    // the standard "bucket the corpus by quality, then sample/trim
+    // per bucket" primitive. One window shuffle on source; identical
+    // bucket assignment on any engine because the order is total
+    // (n_chars, doc_id tiebreak).
+    "q99_quality_quartiles" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_chars", $"doc_id")
+      Tables.table(s, dir, "documents")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy($"source", $"quartile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"source", $"quartile")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1116,5 +1180,25 @@ object TextQueries {
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM f a JOIN f b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-         ORDER BY id_a, id_b"""))
+         ORDER BY id_a, id_b"""),
+    // all-pairs definition the blocked length-bucket join must equal
+    "q98_editdist_neardup" ->
+      """WITH p AS (
+           SELECT doc_id, lang, substring(text, 1, 40) AS pref
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+                levenshtein(a.pref, b.pref) AS dist
+         FROM p a JOIN p b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pref, b.pref) <= 5
+         ORDER BY id_a, id_b""",
+    "q99_quality_quartiles" ->
+      """SELECT source, quartile, count(1) AS n_docs,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM (SELECT source, doc_id, n_chars,
+                      ntile(4) OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS quartile
+               FROM documents)
+         GROUP BY source, quartile
+         ORDER BY source, quartile""")
 }

@@ -14,7 +14,13 @@ import org.apache.spark.sql.SparkSession
   * after the stream drains (results are partition-count invariant;
   * only the state-store fan-out changes). */
 object StreamTuning {
-  def withStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+  /** Default state-partition count; GRAFT_STATE_PARTITIONS overrides
+    * for measurement sweeps (the bench story stays reproducible: the
+    * driver never sets it). */
+  val default: Int =
+    sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+
+  def withStatePartitions[T](spark: SparkSession, n: Int = default)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)

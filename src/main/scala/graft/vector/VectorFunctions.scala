@@ -231,11 +231,15 @@ object VectorFunctions {
       .orderBy(col("cosine").desc, col(corpusId))
     probes.join(cBucketed, Seq("tbl", "bucket"))
       .filter(col(queryId) =!= col(corpusId))
-      .select(col(queryId), col(corpusId), col("q_vec"), col("c_vec"),
-        col("q_norm"), col("c_norm"))
-      .dropDuplicates(queryId, corpusId) // a pair may collide in several tables/probes
+      // cosine BEFORE the dedup: a pair colliding in several tables
+      // yields bit-identical cosines, and deduping on the scored rows
+      // shuffles 3 scalars per candidate instead of two 64-float
+      // vectors + norms — at corpus scale the dedup exchange payload
+      // drops ~30× (the duplicate dot products are codegen-cheap)
       .withColumn("cosine",
         dotExact(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .select(col(queryId), col(corpusId), col("cosine"))
+      .dropDuplicates(queryId, corpusId)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
