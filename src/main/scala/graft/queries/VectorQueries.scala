@@ -23,6 +23,63 @@ object VectorQueries {
   private def cosSql(av: String, bv: String): String =
     s"${dotDec(av, bv)} / (sqrt(${dotDec(av, av)}) * sqrt(${dotDec(bv, bv)}))"
 
+  /** Shared oracle prefix: exact replay of the deterministic k-means
+    * step both SemDedup.keep and Ivf.fit(iters = 1) perform — init =
+    * first `cells` vectors by id, one Lloyd iteration with
+    * DECIMAL(30,15)-exact means (order-independent, so partitioning
+    * never shows in the bits). Scores are the same left-fold
+    * v·c − ‖c‖²/2 the IvfTopCells codegen loop computes, ties toward
+    * the larger cell id. Ends at `s1` = (vec_id, cell, score) against
+    * the post-Lloyd centroids; callers append their own assignment /
+    * probe CTEs. */
+  private def lloydCtes(cells: Int): String =
+    s"""init AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cell,
+                   list_transform(embedding, x -> x::DOUBLE) AS cent
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT $cells)),
+          hn0 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM init),
+          s0 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM embeddings e, hn0 c),
+          a0 AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s0) WHERE rn = 1),
+          means AS (
+            SELECT a0.cell, g.j AS pos,
+                   CAST(sum(CAST(e.embedding[g.j] AS DECIMAL(30,15)))
+                     AS DOUBLE) / count(*) AS m
+            FROM a0 JOIN embeddings e USING (vec_id),
+                 generate_series(1, 64) g(j)
+            GROUP BY a0.cell, g.j),
+          c1 AS (
+            SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
+            FROM init i LEFT JOIN (
+              SELECT cell, list(m ORDER BY pos) AS cent
+              FROM means GROUP BY cell) mm USING (cell)),
+          hn1 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM c1),
+          s1 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM embeddings e, hn1 c)"""
+
   val queries: Map[String, Fn] = Map(
     // Exact cosine top-5 for the first 20 vectors as queries, brute
     // force over the corpus: the correctness baseline every ANN method
@@ -107,20 +164,14 @@ object VectorQueries {
       graft.vector.SemDedup.keep(emb, "vec_id", "embedding",
         cells = 16, threshold = 0.45, probes = 3)
         .orderBy($"vec_id")
-    }))
-
-  /** ANN variants are approximate by design → no DuckDB oracle; their
-    * correctness contract is the recall-vs-brute-force ScalaTest. */
-  val oracleExempt: Map[String, Fn] = Map(
-    "q33_ann_lsh_topk" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.table(s, dir, "embeddings")
-      VectorFunctions.knnLsh(
-        emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
-        emb.withColumnRenamed("vec_id", "neighbor_id"),
-        k = 5, planes = 6, tables = 8)
-        .orderBy($"query_id", $"rank")
     }),
+
+    // IVF ANN (approximate RECALL — bounded vs brute force in
+    // IvfIndexSpec) whose OUTPUT is nonetheless a pure function of the
+    // data: deterministic init, one decimal-exact Lloyd step,
+    // tie-stable cell argmax, exact cosines over the probed cells —
+    // so the DuckDB oracle replays fit→assign→probe→rank bit-for-bit
+    // (same structure as q94).
     "q40_ann_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       // fanout: the assignment scans (fit means + index build) are
@@ -138,9 +189,11 @@ object VectorQueries {
     }),
 
     // ANN over the int8-quantized corpus (q85's codes) with exact
-    // float rescore of the overfetched candidates — approximation
-    // affects recall only (bounded in TextVectorSpec); returned
-    // cosines are exact.
+    // float rescore of the overfetched candidates. Approximation
+    // affects recall only (bounded in TextVectorSpec) — but the
+    // quantizer fit, the dequantized approximate scan, the overfetch
+    // cut and the rescore are all deterministic double arithmetic, so
+    // the full search replays in DuckDB.
     "q90_ann_quantized_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.table(s, dir, "embeddings")
@@ -149,7 +202,26 @@ object VectorQueries {
         emb.withColumnRenamed("vec_id", "neighbor_id"),
         k = 5, overfetch = 4)
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Hyperplane-LSH ANN (recall bounded in TextVectorSpec): the
+    // plane matrix is MD5-derived — pure integer/double arithmetic
+    // DuckDB reproduces with md5()+hex-cast — and buckets, 1-bit-flip
+    // probes and exact candidate cosines are all deterministic, so
+    // even this ANN variant is hash-verified against a full replay.
+    "q33_ann_lsh_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      VectorFunctions.knnLsh(
+        emb.filter($"vec_id" < 20).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        k = 5, planes = 6, tables = 8)
+        .orderBy($"query_id", $"rank")
     }))
+
+  /** Retained for callers that want the ANN surface without oracles
+    * (empty since r4: every vector query is oracle-verified). */
+  val oracleExempt: Map[String, Fn] = Map.empty
 
   val oracles: Map[String, String] = Map(
     "q77_classifier_gate" ->
@@ -203,59 +275,11 @@ object VectorQueries {
           ORDER BY id_a, id_b""",
 
     // Exact replay of SemDedup.keep(cells=16, threshold=0.45,
-    // probes=3): init = first 16 vectors by id; one Lloyd step with
-    // DECIMAL(30,15)-exact means (order-independent, so partitioning
-    // never shows in the bits); scores are the same left-fold
-    // v·c − ‖c‖²/2 the IvfTopCells codegen loop computes, ties toward
-    // the larger cell id; pairs share any of the top-3 probed cells;
-    // a vector is dropped iff a lower-id near-dup shares a cell.
+    // probes=3) — see lloydCtes for the shared fit replay; pairs
+    // share any of the top-3 probed cells; a vector is dropped iff a
+    // lower-id near-dup shares a cell.
     "q94_semdedup" ->
-      s"""WITH init AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                     AS cell,
-                   list_transform(embedding, x -> x::DOUBLE) AS cent
-            FROM (SELECT vec_id, embedding FROM embeddings
-                  ORDER BY vec_id LIMIT 16)),
-          hn0 AS (
-            SELECT cell, cent,
-                   list_reduce(list_transform(cent, x -> x * x),
-                     (a, b) -> a + b) / 2.0 AS hn
-            FROM init),
-          s0 AS (
-            SELECT e.vec_id, c.cell,
-                   list_reduce(list_transform(generate_series(1, 64),
-                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
-                     (a, b) -> a + b) - c.hn AS score
-            FROM embeddings e, hn0 c),
-          a0 AS (
-            SELECT vec_id, cell FROM (
-              SELECT vec_id, cell,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY score DESC, cell DESC) AS rn
-              FROM s0) WHERE rn = 1),
-          means AS (
-            SELECT a0.cell, g.j AS pos,
-                   CAST(sum(CAST(e.embedding[g.j] AS DECIMAL(30,15)))
-                     AS DOUBLE) / count(*) AS m
-            FROM a0 JOIN embeddings e USING (vec_id),
-                 generate_series(1, 64) g(j)
-            GROUP BY a0.cell, g.j),
-          c1 AS (
-            SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
-            FROM init i LEFT JOIN (
-              SELECT cell, list(m ORDER BY pos) AS cent
-              FROM means GROUP BY cell) mm USING (cell)),
-          hn1 AS (
-            SELECT cell, cent,
-                   list_reduce(list_transform(cent, x -> x * x),
-                     (a, b) -> a + b) / 2.0 AS hn
-            FROM c1),
-          s1 AS (
-            SELECT e.vec_id, c.cell,
-                   list_reduce(list_transform(generate_series(1, 64),
-                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
-                     (a, b) -> a + b) - c.hn AS score
-            FROM embeddings e, hn1 c),
+      s"""WITH ${lloydCtes(16)},
           a1 AS (
             SELECT vec_id, cell, rn FROM (
               SELECT vec_id, cell,
@@ -271,5 +295,152 @@ object VectorQueries {
           SELECT p.vec_id, p.cell
           FROM (SELECT vec_id, cell FROM a1 WHERE rn = 1) p
           WHERE p.vec_id NOT IN (SELECT id_b FROM pairs)
-          ORDER BY p.vec_id""")
+          ORDER BY p.vec_id""",
+
+    // Exact replay of Ivf.fit(cells=16, iters=1) +
+    // searchAssigned(k=5, nprobe=4): shared Lloyd replay, corpus
+    // assignment = argmax cell over the post-Lloyd centroids, query
+    // probes = top-4 cells, exact cosine over probed candidates,
+    // rank ties toward the smaller neighbor id. Each corpus vector
+    // sits in exactly one cell and a query's probe cells are
+    // distinct, so no pair dedup is needed.
+    "q40_ann_ivf_topk" ->
+      s"""WITH ${lloydCtes(16)},
+          corpus AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          qprobe AS (
+            SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1 WHERE vec_id < 20) WHERE rn <= 4),
+          scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+            FROM qprobe q JOIN corpus c USING (cell)
+            JOIN embeddings eq ON eq.vec_id = q.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id)
+          SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
+    // Exact replay of knnQuantized(k=5, overfetch=4): per-dim
+    // [min,max] fit (q85's CTE), quantize→dequantize to the cell's
+    // lower edge, approximate cosine against the dequantized corpus,
+    // keep the top-20 per query (ties toward the smaller neighbor
+    // id), exact-rescore those in float. Every step is deterministic
+    // double arithmetic with the same fold order as the codegen dot.
+    "q90_ann_quantized_topk" ->
+      s"""WITH dims AS (
+           SELECT i, min(embedding[i]::DOUBLE) AS mn,
+                  max(embedding[i]::DOUBLE) AS mx
+           FROM embeddings, generate_series(1, 64) g(i)
+           GROUP BY i),
+         model AS (
+           SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+           FROM dims),
+         deq AS (
+           SELECT vec_id AS neighbor_id, embedding AS c_vec,
+                  list_transform(generate_series(1, 64), i ->
+                    CASE WHEN mxs[i] > mns[i] THEN
+                      mns[i] +
+                      (CAST(least(255, greatest(0,
+                         floor((embedding[i]::DOUBLE - mns[i]) * 255.0
+                               / (mxs[i] - mns[i])))) AS INTEGER)::DOUBLE
+                       * (mxs[i] - mns[i])) / 255.0
+                    ELSE mns[i] + (0::DOUBLE * (mxs[i] - mns[i])) / 255.0
+                    END) AS c_deq
+           FROM embeddings, model),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS q_vec,
+                  sqrt(${dotDec("embedding", "embedding")}) AS q_norm
+           FROM embeddings WHERE vec_id < 20),
+         approx AS (
+           SELECT q.query_id, d.neighbor_id, d.c_vec, q.q_vec, q.q_norm,
+                  list_reduce(list_transform(generate_series(1, 64),
+                    i -> q.q_vec[i]::DOUBLE * d.c_deq[i]),
+                    (a, b) -> a + b)
+                  / (q.q_norm * sqrt(list_reduce(
+                      list_transform(d.c_deq, x -> x * x),
+                      (a, b) -> a + b))) AS approx_cos
+           FROM deq d, q
+           WHERE d.neighbor_id <> q.query_id),
+         cands AS (
+           SELECT query_id, neighbor_id, c_vec, q_vec, q_norm FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, neighbor_id) AS arank
+             FROM approx) WHERE arank <= 20),
+         rescored AS (
+           SELECT query_id, neighbor_id,
+                  ${dotDec("q_vec", "c_vec")}
+                  / (q_norm * sqrt(${dotDec("c_vec", "c_vec")})) AS cosine
+           FROM cands)
+         SELECT query_id, rank, neighbor_id, cosine FROM (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rescored)
+         WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // Exact replay of knnLsh(k=5, planes=6, tables=8): the plane
+    // matrix is planeVector(t*64+p) — per-dim doubles derived from
+    // the first 6 bytes of md5("<plane>_<dim>") scaled into
+    // [-0.5, 0.5), which DuckDB reproduces with md5()+hex cast. A
+    // bucket's bit p is set iff v·plane > 0 (same fold order);
+    // queries probe their own bucket plus every 1-bit flip; the
+    // candidate set is the distinct (query, neighbor) bucket
+    // collisions; cosines are exact.
+    "q33_ann_lsh_topk" ->
+      s"""WITH planes AS (
+            SELECT t, p,
+                   list_transform(generate_series(0, 63), d ->
+                     CAST('0x' || substr(md5((t * 64 + p) || '_' || d),
+                                         1, 12) AS BIGINT)::DOUBLE
+                       / 281474976710656.0 - 0.5) AS plane
+            FROM generate_series(0, 7) gt(t), generate_series(0, 5) gp(p)),
+          cbuck AS (
+            SELECT e.vec_id, pl.t AS tbl,
+                   sum(CASE WHEN list_reduce(
+                         list_transform(generate_series(1, 64),
+                           j -> e.embedding[j]::DOUBLE * pl.plane[j]),
+                         (a, b) -> a + b) > 0
+                       THEN CAST(1::BIGINT << pl.p AS BIGINT)
+                       ELSE 0 END)::BIGINT AS bucket
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id, pl.t),
+          probes AS (
+            SELECT vec_id AS query_id, tbl, bucket FROM cbuck
+            WHERE vec_id < 20
+            UNION
+            SELECT vec_id, tbl, xor(bucket, CAST(1::BIGINT << gp.p AS BIGINT))
+            FROM cbuck, generate_series(0, 5) gp(p)
+            WHERE vec_id < 20),
+          cands AS (
+            SELECT DISTINCT pr.query_id, cb.vec_id AS neighbor_id
+            FROM probes pr
+            JOIN cbuck cb ON cb.tbl = pr.tbl AND cb.bucket = pr.bucket
+            WHERE cb.vec_id <> pr.query_id),
+          scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+            FROM cands c
+            JOIN embeddings eq ON eq.vec_id = c.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id)
+          SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""")
 }

@@ -15,13 +15,13 @@ class CoreQueriesSpec extends SparkSuite {
   /** Queries deliberately without a DuckDB oracle (engine-specific
     * results); each must have a semantic ScalaTest instead. */
   val oracleExempt =
-    Set("q17_approx_distinct", "q33_ann_lsh_topk", "q40_ann_ivf_topk",
-      "q50_percentile_approx", "q68_top_ngrams_sketch",
-      "q90_ann_quantized_topk",
-      // (q94_semdedup moved to the oracled set in r4: the kept
-      // manifest is a pure function of the data under deterministic
-      // init + decimal-exact means, so DuckDB replays it exactly;
-      // recall vs the all-pairs set stays bounded in SemDedupSpec)
+    Set("q17_approx_distinct", "q50_percentile_approx",
+      "q68_top_ngrams_sketch",
+      // (q94_semdedup moved to the oracled set in r4, and q33/q40/q90
+      // followed: each ANN variant's OUTPUT is a pure function of the
+      // data — MD5-derived planes, deterministic k-means, exact
+      // quantizer arithmetic — so DuckDB replays the full search;
+      // recall vs brute force stays bounded in the vector specs)
       // deterministic but not SQL-expressible (iterative merge loop);
       // semantic contract is BpeSpec (model equality, round-trip,
       // determinism under repartitioning)
