@@ -45,13 +45,16 @@ object ConnectedComponents {
         .join(labels.select($"id".as("dst"), $"label"), "dst")
         .groupBy($"src").agg(min($"label").as("nbr_label"))
         .select($"src".as("id"), $"nbr_label")
+      // carry the previous label through the update so convergence is
+      // a filter+count on `next` itself, not a second join per round —
+      // near-dup graphs are tiny and fixed per-round job overhead is
+      // what the loop actually pays
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id",
+        .select($"id", $"label".as("__old"),
           least($"label", coalesce($"nbr_label", $"label")).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.select($"id", $"label".as("old")), "id")
-        .filter($"label" =!= $"old").count()
-      labels = next
+      changed = next.filter($"label" =!= $"__old").count()
+      labels = next.select($"id", $"label")
     }
     labels.select($"id", $"label".as("cluster_id"))
   }

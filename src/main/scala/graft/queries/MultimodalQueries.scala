@@ -81,6 +81,37 @@ object MultimodalQueries {
           // VARCHAR-only, so both engines hash the same hex string
           sha2(lower(hex($"content")), 256).as("content_sha"))
         .orderBy($"asset_id")
+    }),
+
+    // Aspect-ratio bucketing: group image assets into shape-
+    // homogeneous bands (portrait / square / landscape, tested with
+    // exact integer cross-multiplies — never a float ratio) and pack
+    // each band into fixed-size training batches in deterministic
+    // asset order. This is the dataloader prep step for image-model
+    // training: batches mix only same-band shapes, so resize padding
+    // is bounded. Per-band row_number is a window shuffle; at 100 TB
+    // batch ids would come from GlobalIndex's per-partition offsets
+    // (q93) instead of one window per band — the band count is tiny,
+    // so each band's window would otherwise serialize its whole
+    // partition.
+    "q108_aspect_buckets" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val imgs = Multimodal.syntheticAssets(s, dir).toDF()
+        .filter($"width".isNotNull && $"height".isNotNull)
+        .withColumn("band",
+          when($"width" * 4 < $"height" * 3, "portrait")
+            .when($"width" * 3 > $"height" * 4, "landscape")
+            .otherwise("square"))
+      val w = Window.partitionBy($"band").orderBy($"asset_id")
+      imgs
+        .withColumn("batch_idx", ((row_number().over(w) - 1) / 32)
+          .cast("long"))
+        .groupBy($"band", $"batch_idx")
+        .agg(count(lit(1)).as("n_assets"),
+          min($"width").as("min_w"), max($"width").as("max_w"),
+          min($"height").as("min_h"), max($"height").as("max_h"))
+        .orderBy($"band", $"batch_idx")
     }))
 
   private val featureCols = (0 until dim).map { i =>
@@ -103,6 +134,28 @@ object MultimodalQueries {
     s"${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "q108_aspect_buckets" ->
+      """WITH imgs AS (
+           SELECT doc_id AS asset_id,
+                  (n_chars % 640 + 16)::INTEGER AS width,
+                  (n_chars % 480 + 16)::INTEGER AS height
+           FROM documents WHERE doc_id % 3 = 0),
+         banded AS (
+           SELECT asset_id, width, height,
+                  CASE WHEN width * 4 < height * 3 THEN 'portrait'
+                       WHEN width * 3 > height * 4 THEN 'landscape'
+                       ELSE 'square' END AS band
+           FROM imgs),
+         numbered AS (
+           SELECT *, CAST((row_number() OVER (PARTITION BY band
+                            ORDER BY asset_id) - 1) // 32 AS BIGINT)
+                       AS batch_idx
+           FROM banded)
+         SELECT band, batch_idx, count(*)::BIGINT AS n_assets,
+                min(width) AS min_w, max(width) AS max_w,
+                min(height) AS min_h, max(height) AS max_h
+         FROM numbered GROUP BY band, batch_idx
+         ORDER BY band, batch_idx""",
     "q84_media_neardup" ->
       s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
                      FROM documents)

@@ -239,6 +239,73 @@ object OperatorQueries {
       pivoted
         .select(($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
         .orderBy($"day")
+    }),
+
+    // SCD type-2 dimension build from the events change log: the
+    // versioned "what was this user's latest activity type at time
+    // T?" history — per-user windows only (one shuffle on the key,
+    // no global window), consecutive identical attributes collapsed.
+    // Integrates store.Scd2 into the driver gate; the incremental
+    // fold path is pinned equal to this rebuild by Scd2Spec.
+    "q105_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      graft.store.Scd2.fromChangeLog(
+        Tables.table(s, dir, "events")
+          .select($"user_id", $"ts", $"event_type", $"event_id"),
+        keys = Seq("user_id"), ts = "ts", attr = "event_type",
+        tieBreak = "event_id")
+        .orderBy($"user_id", $"valid_from")
+    }),
+
+    // Triangle counting over the part co-purchase graph (parts
+    // appearing in the same order), degree-oriented: every edge
+    // points from its lower-(degree, id) endpoint to the higher one,
+    // so wedges are enumerated only at each triangle's LOWEST-degree
+    // vertex — out-degrees are O(√E)-bounded and the wedge join never
+    // explodes on hub nodes (the id-oriented form took 26 s at sf0.1;
+    // this is the node-iterator++ algorithm, Schank & Wagner 2005).
+    // Orientation is a total order, so the count is exact and the
+    // oracle replays it; per-node participation via explode+aggregate.
+    "q107_triangle_count" -> ((s, dir) => {
+      import s.implicits._
+      val li = fanout(Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey"))
+      // undirected distinct edges, id-normalized x < y
+      val e = li.toDF("ok", "pa")
+        .join(li.toDF("ok", "pb"), "ok")
+        .filter($"pa" < $"pb")
+        .select($"pa".as("x"), $"pb".as("y"))
+        .distinct()
+        .localCheckpoint()
+      val deg = e.select($"x".as("node")).union(e.select($"y".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      // orient by (deg, id): src strictly precedes dst in the total
+      // order. Degrees are one row per NODE (bounded, ≪ edges) —
+      // broadcast both lookups so orientation stays scan-parallel.
+      val or = e
+        .join(broadcast(deg.toDF("x", "dx")), "x")
+        .join(broadcast(deg.toDF("y", "dy")), "y")
+        .select(
+          when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"x")
+            .otherwise($"y").as("src"),
+          when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
+            .otherwise($"x").as("dst"))
+      // wedges at the low vertex; close against the undirected set
+      // v < w by id and e is id-normalized, so the closing edge is
+      // (v, w). Broadcast the edge set: the wedge stream (Σ out-deg²,
+      // 41M rows at sf0.1) then closes against a hash map without
+      // ever shuffling — the wedge side is the thing that must not
+      // exchange. At a scale where edges outgrow a broadcast, drop
+      // the hint and this is a shuffled join on (v, w); the wedge
+      // count, not the join strategy, is the scaling term.
+      val tri = or.toDF("u", "v")
+        .join(or.toDF("u", "w"), "u")
+        .filter($"v" < $"w")
+        .join(broadcast(e), $"v" === $"x" && $"w" === $"y")
+      tri.select(explode(array($"u", $"v", $"w")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"n_triangles".desc, $"node")
+        .limit(20)
     }))
 
   /** Shared by q36 (composed union+window rendering) and q60 (custom
@@ -389,5 +456,51 @@ object OperatorQueries {
                 count(1) FILTER (event_type = 'view') AS view
          FROM events
          GROUP BY day
-         ORDER BY day""")
+         ORDER BY day""",
+    "q105_scd2_history" ->
+      """WITH dedup AS (
+           SELECT user_id, ts, max_by(event_type, event_id) AS event_type
+           FROM events GROUP BY user_id, ts),
+         marked AS (
+           SELECT user_id, ts, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                    AS prev
+           FROM dedup),
+         v AS (
+           SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    AS valid_to
+           FROM marked
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM v
+         ORDER BY user_id, valid_from""",
+    "q107_triangle_count" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT node, count(*)::BIGINT AS deg FROM (
+             SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+           GROUP BY node),
+         orp AS (
+           SELECT CASE WHEN dx.deg < dy.deg
+                         OR (dx.deg = dy.deg AND e.x < e.y)
+                       THEN e.x ELSE e.y END AS src,
+                  CASE WHEN dx.deg < dy.deg
+                         OR (dx.deg = dy.deg AND e.x < e.y)
+                       THEN e.y ELSE e.x END AS dst
+           FROM e JOIN deg dx ON dx.node = e.x
+                  JOIN deg dy ON dy.node = e.y),
+         tri AS (
+           SELECT a.src AS u, a.dst AS v, b.dst AS w
+           FROM orp a JOIN orp b ON a.src = b.src AND a.dst < b.dst
+           JOIN e ON e.x = a.dst AND e.y = b.dst),
+         nodes AS (
+           SELECT unnest([u, v, w]) AS node FROM tri)
+         SELECT node, count(*)::BIGINT AS n_triangles
+         FROM nodes GROUP BY node
+         ORDER BY n_triangles DESC, node LIMIT 20""")
 }

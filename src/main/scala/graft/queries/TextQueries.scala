@@ -612,6 +612,170 @@ object TextQueries {
           min($"n_chars").as("min_chars"),
           max($"n_chars").as("max_chars"))
         .orderBy($"source", $"quartile")
+    }),
+
+    // Exact substring dedup (Lee et al. 2022, arXiv:2107.06499,
+    // rendered distributed): every 10-token window of every doc,
+    // grouped by the window text; a window occurring in ≥2 distinct
+    // docs is a duplicated span, and each doc reports what fraction
+    // of its windows is duplicated elsewhere — the signal the paper
+    // removes. Two shuffles, both on the span text (group + back-
+    // join); window count is ~tokens per doc, so work is linear in
+    // corpus size, never pairwise. (The paper's suffix array finds
+    // arbitrary-length duplicates; fixed-k windows are the standard
+    // map-reduce rendering — any duplicate ≥ k tokens is caught.)
+    "q101_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val k = 10
+      val winds = fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= k)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $k)))")).as("span"))
+      val dup = winds.groupBy($"span")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"span", lit(1).as("dup"))
+      winds.join(dup, Seq("span"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"), count($"dup").as("n_dup"))
+        .withColumn("dup_frac",
+          round($"n_dup".cast("double") / $"n_windows".cast("double"), 6))
+        .orderBy($"doc_id")
+    }),
+
+    // Inverted-index build: per term, document frequency, collection
+    // frequency, and the head of the (sorted) posting list — the
+    // retrieval-side data structure a corpus-scale search needs. One
+    // explode + one hash aggregate; posting heads are bounded (5 ids)
+    // so no aggregate grows with corpus size except the count fields.
+    "q102_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"),
+          array_join(transform(
+            slice(sort_array(collect_set($"doc_id")), 1, 5),
+            _.cast("string")), ",").as("posting_head"))
+        .orderBy($"df".desc, $"term")
+        .limit(50)
+    }),
+
+    // BM25 retrieval over the inverted-index statistics: score every
+    // doc for a fixed 3-term query. Rational idf
+    // (N − df + 0.5)/(df + 0.5) instead of its log — same ranking
+    // direction, and exactly reproducible across engines (ln is not
+    // IEEE-pinned; swap in log for the classic variant when exact
+    // replay doesn't matter). Corpus stats (N, avgdl, per-term df)
+    // ride in as one broadcast 1-row frame, so scoring is a pure
+    // scan: no shuffle until the final top-k.
+    "q103_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "window", "hash")
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("dl", size($"w"))
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains($"w", t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+      val statCols = Seq(
+        (sum($"dl".cast("decimal(18,0)")).cast("double") / count(lit(1)))
+          .as("avgdl")) ++ dfCols
+      val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter($"w", x => x === lit(t))).cast("double")
+        val idf = ($"n_docs" - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl".cast("double") / $"avgdl"))
+      }.reduce(_ + _)
+      docs.crossJoin(broadcast(stats))
+        .select($"doc_id", $"dl", round(score, 6).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    }),
+
+    // Corpus-statistics quality signal: the fraction of a doc's
+    // tokens that are globally RARE — corpus frequency below the
+    // vocabulary mean, tested as the exact integer cross-multiply
+    // cf · |vocab| < total_tokens (no division, engine-exact). The
+    // complement of stopword density: machine-generated/boilerplate
+    // text skews common, gibberish skews rare. One term-frequency
+    // aggregate + one back-join on term, both linear.
+    // Train the quality-gate model IN the engine: a linear regressor
+    // distilling the hand-tuned quality heuristic (q24's score) from
+    // cheap per-doc stats, fit by 3 full-batch gradient-descent steps.
+    // Each step is one scan + 4 decimal-exact gradient sums (the q100
+    // PageRank discipline: doubles divide, decimals add), so training
+    // is bit-deterministic under any partitioning and the DuckDB
+    // oracle replays all 3 steps as chained CTEs. The weight vector is
+    // a bounded model artifact (4 doubles) collected per step like the
+    // IVF centroids; features come from the one-pass TextStats kernel
+    // and are localCheckpoint-pinned so each step re-scans, never
+    // re-derives. This is q77's frozen-classifier gate, closed-loop:
+    // the engine that applies the gate can also fit it.
+    "q109_train_linear_gate" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.TextFunctions.textStats
+      val st = textStats($"text")
+      val feats = fanout(Tables.table(s, dir, "documents"))
+        .select(
+          (st.getField("n_tokens").cast("double") / lit(100.0)).as("x1"),
+          (st.getField("n_uniq_tokens").cast("double") /
+            st.getField("n_tokens").cast("double")).as("x2"),
+          (st.getField("n_stopwords").cast("double") /
+            st.getField("n_tokens").cast("double")).as("x3"),
+          st.getField("quality_score").as("y"))
+        .localCheckpoint()
+      // fixed-point gradient sums: floor(x·10¹²) is pure IEEE double
+      // arithmetic (deterministic on every engine), the floored values
+      // sum exactly in decimal, and the 1e-12 quantization is noise at
+      // gradient scale. A direct double→DECIMAL cast of the products
+      // is NOT portable: the two engines round the scaled value
+      // differently in the last ulp (observed as a 4e-18 drift in w3).
+      // This is the "deterministic fixed-point all-reduce" trick from
+      // reproducible distributed training.
+      def dec(c: org.apache.spark.sql.Column) =
+        sum(floor(c * lit(1.0e12)).cast("decimal(38,0)"))
+          .cast("double") / lit(1.0e12)
+      val eta = 0.5
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 0 until 3) {
+        val pred =
+          lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" + lit(w(3)) * $"x3"
+        val g = feats.select((pred - $"y").as("r"), $"x1", $"x2", $"x3")
+          .agg(dec($"r").as("g0"), dec($"r" * $"x1").as("g1"),
+            dec($"r" * $"x2").as("g2"), dec($"r" * $"x3").as("g3"),
+            count(lit(1)).as("n"))
+          .collect()(0)
+        val n = g.getLong(4).toDouble
+        w = Array.tabulate(4)(j => w(j) - eta * (g.getDouble(j) / n))
+      }
+      val predF =
+        lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" + lit(w(3)) * $"x3"
+      feats.select(((predF - $"y") * (predF - $"y")).as("r2"))
+        .agg((dec($"r2") / count(lit(1))).as("mse"),
+          count(lit(1)).as("n_docs"))
+        .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+          lit(w(2)).as("w2"), lit(w(3)).as("w3"), $"mse", $"n_docs")
+    }),
+
+    "q104_rare_token_score" -> ((s, dir) => {
+      import s.implicits._
+      val toks = fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val cf = toks.groupBy($"term").agg(count(lit(1)).as("cf"))
+      val tot = cf.agg(count(lit(1)).as("n_terms"),
+        sum($"cf").as("n_total"))
+      toks.join(cf, "term").crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when($"cf" * $"n_terms" < $"n_total", 1)).as("n_rare"))
+        .withColumn("rare_frac",
+          round($"n_rare".cast("double") / $"n_tokens".cast("double"), 6))
+        .orderBy($"doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1200,5 +1364,131 @@ object TextQueries {
                         ORDER BY n_chars, doc_id) AS quartile
                FROM documents)
          GROUP BY source, quartile
-         ORDER BY source, quartile""")
+         ORDER BY source, quartile""",
+    // Replay of all 3 gradient-descent steps as chained CTEs — the
+    // q100 PageRank discipline plus fixed-point gradient sums:
+    // floor(x·10¹²) per row (pure IEEE double ops, engine-exact),
+    // exact decimal sum of the floored integers, divisions in double.
+    // A direct double→DECIMAL cast of the products is NOT portable
+    // (the engines round the scaled value differently in the last
+    // ulp); every literal is CAST to DOUBLE (a bare numeric literal
+    // is DECIMAL in DuckDB and would change the arithmetic).
+    "q109_train_linear_gate" -> {
+      val r = "(w.a + w.b * f.x1 + w.c * f.x2 + w.d * f.x3 - f.y)"
+      def qsum(expr: String): String =
+        s"""CAST(sum(CAST(floor(($expr) * CAST(1e12 AS DOUBLE))
+              AS DECIMAL(38,0))) AS DOUBLE) / CAST(1e12 AS DOUBLE)"""
+      def grad(wcte: String, gcte: String): String =
+        s"""$gcte AS (
+              SELECT
+                ${qsum(r)} / count(*) AS g0,
+                ${qsum(s"$r * f.x1")} / count(*) AS g1,
+                ${qsum(s"$r * f.x2")} / count(*) AS g2,
+                ${qsum(s"$r * f.x3")} / count(*) AS g3
+              FROM f, $wcte w)"""
+      def upd(prev: String, g: String, out: String): String =
+        s"""$out AS (
+              SELECT w.a - CAST(0.5 AS DOUBLE) * g.g0 AS a,
+                     w.b - CAST(0.5 AS DOUBLE) * g.g1 AS b,
+                     w.c - CAST(0.5 AS DOUBLE) * g.g2 AS c,
+                     w.d - CAST(0.5 AS DOUBLE) * g.g3 AS d
+              FROM $prev w, $g g)"""
+      s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          f AS (SELECT len(ws)::DOUBLE / CAST(100.0 AS DOUBLE) AS x1,
+                       len(list_distinct(ws))::DOUBLE
+                         / len(ws)::DOUBLE AS x2,
+                       len(list_filter(ws, x -> x IN
+                           ('the','a','of','and','to','in','is')))::DOUBLE
+                         / len(ws)::DOUBLE AS x3,
+                       ${qualitySql("ws")} AS y
+                FROM d),
+          w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,
+                        CAST(0 AS DOUBLE) AS c, CAST(0 AS DOUBLE) AS d),
+          ${grad("w0", "g1")}, ${upd("w0", "g1", "w1")},
+          ${grad("w1", "g2")}, ${upd("w1", "g2", "w2")},
+          ${grad("w2", "g3")}, ${upd("w2", "g3", "w3")},
+          m AS (SELECT ${qsum(s"$r * $r")} / count(*) AS mse,
+                       count(*)::BIGINT AS n_docs
+                FROM f, w3 w)
+          SELECT w.a AS w0, w.b AS w1, w.c AS w2, w.d AS w3,
+                 m.mse, m.n_docs
+          FROM w3 w, m"""
+    },
+
+    "q101_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         wins AS (
+           SELECT doc_id,
+                  unnest([array_to_string(ws[i:i+9], ' ')
+                          FOR i IN generate_series(1, len(ws) - 9)]) AS span
+           FROM w
+           WHERE len(ws) >= 10),
+         dup AS (
+           SELECT span FROM wins
+           GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+         SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+                count(d.span)::BIGINT AS n_dup,
+                round(count(d.span)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac
+         FROM wins w LEFT JOIN dup d ON w.span = d.span
+         GROUP BY w.doc_id
+         ORDER BY w.doc_id""",
+    "q102_inverted_index" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents)
+         SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                count(*)::BIGINT AS cf,
+                array_to_string(
+                  list_sort(list_distinct(list(doc_id)))[1:5], ',')
+                  AS posting_head
+         FROM t GROUP BY term
+         ORDER BY df DESC, term LIMIT 50""",
+    "q103_bm25_topk" -> {
+      // one scoring term, instantiated per query term IN A FIXED
+      // ORDER — the Spark side sums term scores in the same literal
+      // expression order, so the double adds are bit-identical
+      def termScore(t: String, i: Int): String =
+        s"""((n_docs - df_$i + CAST(0.5 AS DOUBLE))
+             / (df_$i + CAST(0.5 AS DOUBLE)))
+            * (len(list_filter(ws, x -> x = '$t'))::DOUBLE
+               * CAST(2.2 AS DOUBLE))
+            / (len(list_filter(ws, x -> x = '$t'))::DOUBLE
+               + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * len(ws)::DOUBLE / avgdl))"""
+      val terms = Seq("spark", "window", "hash")
+      val scoreSum = terms.zipWithIndex
+        .map { case (t, i) => termScore(t, i) }.mkString("(", " + ", ")")
+      val dfSelects = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN list_contains(ws, '$t')
+                THEN 1::BIGINT ELSE 0::BIGINT END)::BIGINT AS df_$i"""
+      }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          st AS (SELECT count(*)::BIGINT AS n_docs,
+                        CAST(sum(CAST(len(ws) AS DECIMAL(18,0))) AS DOUBLE)
+                          / count(*) AS avgdl,
+                        $dfSelects
+                 FROM w)
+          SELECT doc_id, len(ws) AS dl, round($scoreSum, 6) AS bm25
+          FROM w, st
+          ORDER BY bm25 DESC, doc_id LIMIT 20"""
+    },
+    "q104_rare_token_score" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         cf AS (SELECT term, count(*)::BIGINT AS cf FROM t GROUP BY term),
+         tot AS (SELECT count(*)::BIGINT AS n_terms,
+                        sum(cf)::BIGINT AS n_total FROM cf)
+         SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                count(CASE WHEN cf.cf * tot.n_terms < tot.n_total
+                      THEN 1 END)::BIGINT AS n_rare,
+                round(count(CASE WHEN cf.cf * tot.n_terms < tot.n_total
+                            THEN 1 END)::DOUBLE
+                      / count(*)::DOUBLE, 6) AS rare_frac
+         FROM t JOIN cf USING (term), tot
+         GROUP BY t.doc_id
+         ORDER BY t.doc_id""")
 }

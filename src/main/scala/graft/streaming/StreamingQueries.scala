@@ -102,8 +102,45 @@ object StreamingQueries {
     spark.read.parquet(s"$out/result").orderBy(col("day"), col("event_type"))
   }
 
+  /** Stream-static enrichment: the event stream joined per-microbatch
+    * against the static customer dimension (user_id = c_custkey), then
+    * aggregated by market segment × event type. Spark plans the static
+    * side as a broadcast into every micro-batch — the standard "enrich
+    * a stream with a dimension table" shape; no stream-side state
+    * beyond the aggregation. Complete mode + foreachBatch→parquet like
+    * [[streamedTumblingCounts]]; a drained AvailableNow stream equals
+    * the batch join, which is what the oracle checks. */
+  def streamedSegmentEnrichment(spark: SparkSession, dir: String): DataFrame =
+    StreamTuning.withStatePartitions(spark) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_enrich_${runId.incrementAndGet()}_")
+      .toString
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque*")
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/result")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   val queries: Map[String, Q.Fn] = Map(
-    "q35_stream_tumbling" -> ((s, dir) => streamedTumblingCounts(s, dir)))
+    "q35_stream_tumbling" -> ((s, dir) => streamedTumblingCounts(s, dir)),
+    "q106_stream_static_join" -> ((s, dir) => streamedSegmentEnrichment(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q35_stream_tumbling" ->
@@ -111,5 +148,11 @@ object StreamingQueries {
             count(1) AS n_events, ${Q.dsumSql("value")} AS total_value
           FROM events
           GROUP BY day, event_type
-          ORDER BY day, event_type""")
+          ORDER BY day, event_type""",
+    "q106_stream_static_join" ->
+      s"""SELECT c_mktsegment, event_type,
+            count(1) AS n_events, ${Q.dsumSql("value")} AS total_value
+          FROM events JOIN customer ON user_id = c_custkey
+          GROUP BY c_mktsegment, event_type
+          ORDER BY c_mktsegment, event_type""")
 }

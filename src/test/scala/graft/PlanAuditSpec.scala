@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSuite {
     "q84_media_neardup",
     // q90: the query side is a broadcast of ≤ 20 rows (k·n scan of
     // the int8 codes, like q31's bounded nested loop).
-    "q90_ann_quantized_topk")
+    "q90_ann_quantized_topk",
+    // q103/q104: one side is a broadcast 1-ROW corpus-stats frame
+    // (avgdl/df, vocab totals) — a scalar model artifact riding the
+    // plan, the same pattern as embedded literals, never O(n²).
+    "q103_bm25_topk", "q104_rare_token_score")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -34,7 +38,8 @@ class PlanAuditSpec extends SparkSuite {
     * (and running every stream here would double test time). */
   private val streaming = Set(
     "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
-    "q66_stream_interval_join", "q71_stream_left_outer_join")
+    "q66_stream_interval_join", "q71_stream_left_outer_join",
+    "q106_stream_static_join")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
