@@ -15,6 +15,7 @@ object SparkEntry {
       graft.streaming.StatefulSessionize.queries ++
       graft.streaming.StreamingDedup.queries ++
       graft.streaming.StreamStreamJoin.queries ++
+      graft.streaming.StreamingUpsert.queries ++
       graft.queries.OperatorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.streaming.StatefulSessionize.oracles ++
       graft.streaming.StreamingDedup.oracles ++
       graft.streaming.StreamStreamJoin.oracles ++
+      graft.streaming.StreamingUpsert.oracles ++
       graft.queries.OperatorQueries.oracles
 }

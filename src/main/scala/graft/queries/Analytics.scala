@@ -495,9 +495,84 @@ object Analytics {
           sum($"vc").cast("long").as("n_view_click"),
           sum($"vcp").cast("long").as("n_full_funnel"))
         .orderBy($"day")
+    }),
+
+    // Per-user EWMA over the trailing 8 events with DYADIC decay
+    // (α = 1/2): the weight 2^(-k) only shifts the double's exponent,
+    // so every product is EXACT and the bounded order-fixed fold is
+    // bit-identical on any engine — exponential smoothing without the
+    // cross-engine pow() hazard. One window shuffle on the user key;
+    // the trailing frame keeps per-row state bounded (8 doubles).
+    "q113_ewma_smoothing" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-7, Window.currentRow)
+      Tables.table(s, dir, "events")
+        .withColumn("trail", collect_list($"value").over(w))
+        // element i of L (0-based, oldest→newest) gets weight
+        // 2^-(L-1-i); 1/(1L<<k) is exact, never pow()
+        .withColumn("ewma", aggregate(
+          zip_with($"trail",
+            sequence(lit(0), size($"trail") - 1),
+            (v, i) => v / call_function("shiftleft", lit(1L),
+              size($"trail") - 1 - i).cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+        .select($"event_id", $"user_id", $"ts", $"value", $"ewma")
+        .orderBy($"event_id")
+    }),
+
+    // Date-spine gap fill: one contiguous day row per user between
+    // their first and last active day, zero-filled — the time-series
+    // completion every per-day model input needs (missing day ≠
+    // absent row). The spine is GENERATED per user (sequence +
+    // explode, no calendar table join); days created ∝ output rows.
+    "q114_date_spine" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .withColumn("day", $"ts".cast("date"))
+      val daily = ev.groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"))
+      val spine = ev.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          coalesce($"n_events", lit(0L)).as("n_events"))
+        .orderBy($"user_id", $"day")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q113_ewma_smoothing" ->
+      """SELECT event_id, user_id, ts, value,
+                list_reduce(
+                  list_transform(trail, (v, i) ->
+                    v / (1::BIGINT << (len(trail) - i))::DOUBLE),
+                  (acc, x) -> acc + x) AS ewma
+         FROM (
+           SELECT event_id, user_id, ts, value,
+                  list(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS trail
+           FROM events)
+         ORDER BY event_id""",
+    "q114_date_spine" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         daily AS (
+           SELECT user_id, day, count(*)::BIGINT AS n_events
+           FROM ev GROUP BY user_id, day),
+         spine AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(d0, d1,
+                    INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM ev GROUP BY user_id))
+         SELECT s.user_id, s.day,
+                coalesce(d.n_events, 0)::BIGINT AS n_events
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
     "q12_star_join_revenue" ->
       s"""SELECT r_name, n_name,
             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,

@@ -306,6 +306,57 @@ object OperatorQueries {
         .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
         .orderBy($"n_triangles".desc, $"node")
         .limit(20)
+    }),
+
+    // Snapshot-diff CDC: turn two full snapshots into a change log
+    // (insert/delete/update, null-safe compares) — the reverse of
+    // Scd2's change-log consumption, and what a daily-full-dump lake
+    // runs before Merge. Snapshots are derived deterministically from
+    // orders: keys ≡ 0 (mod 13) exist only in the new side (inserts),
+    // ≡ 0 (mod 10) only in the old side (deletes), ≡ 0 (mod 7) get a
+    // +10.0 price mutation (updates; exact double add — a rounded
+    // multiply is engine-ambiguous in the last ulp).
+    "q110_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val ords = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val oldSnap = ords.filter($"o_orderkey" % 13 =!= 0)
+      val newSnap = ords.filter($"o_orderkey" % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" + lit(10.0))
+            .otherwise($"o_totalprice"))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
+        keys = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Data-quality audit: referential integrity across the star
+    // schema, null keys, duplicate PKs, domain ranges — each check a
+    // partial-aggregable counter (or one anti-join for FKs), reported
+    // as one row per constraint.
+    "q111_quality_audit" -> ((s, dir) => {
+      import graft.store.DataQuality._
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      val ords = Tables.table(s, dir, "orders")
+      val cust = Tables.table(s, dir, "customer")
+      val part = Tables.table(s, dir, "part")
+      val ev = Tables.table(s, dir, "events")
+      audit(Seq(
+        foreignKeyCheck("fk_lineitem_orders", li, "l_orderkey",
+          ords, "o_orderkey"),
+        foreignKeyCheck("fk_orders_customer", ords, "o_custkey",
+          cust, "c_custkey"),
+        foreignKeyCheck("fk_lineitem_part", li, "l_partkey",
+          part, "p_partkey"),
+        predicateCheck("notnull_events_user", ev, $"user_id".isNull),
+        uniqueCheck("unique_customer_pk", cust, "c_custkey"),
+        predicateCheck("range_lineitem_discount", li,
+          $"l_discount" < 0.0 || $"l_discount" > 1.0),
+        predicateCheck("range_lineitem_quantity", li,
+          $"l_quantity" <= 0.0)))
+        .orderBy(col("check_name"))
     }))
 
   /** Shared by q36 (composed union+window rendering) and q60 (custom
@@ -502,5 +553,75 @@ object OperatorQueries {
            SELECT unnest([u, v, w]) AS node FROM tri)
          SELECT node, count(*)::BIGINT AS n_triangles
          FROM nodes GROUP BY node
-         ORDER BY n_triangles DESC, node LIMIT 20""")
+         ORDER BY n_triangles DESC, node LIMIT 20""",
+    "q110_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 13 <> 0),
+         n AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice + CAST(10.0 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 0),
+         j AS (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  o.o_orderstatus AS old_o_orderstatus,
+                  n.o_orderstatus AS new_o_orderstatus,
+                  o.o_totalprice AS old_o_totalprice,
+                  n.o_totalprice AS new_o_totalprice,
+                  o.o_orderkey IS NOT NULL AS in_old,
+                  n.o_orderkey IS NOT NULL AS in_new
+           FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey,
+                CASE WHEN NOT in_old THEN 'insert'
+                     WHEN NOT in_new THEN 'delete'
+                     ELSE 'update' END AS change_type,
+                old_o_orderstatus, new_o_orderstatus,
+                old_o_totalprice, new_o_totalprice
+         FROM j
+         WHERE NOT in_old OR NOT in_new
+            OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+            OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+         ORDER BY o_orderkey""",
+    "q111_quality_audit" ->
+      """SELECT * FROM (
+           SELECT 'fk_lineitem_orders' AS check_name,
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                    ::BIGINT AS n_violations,
+                  (SELECT count(*) FROM lineitem)::BIGINT AS n_checked
+           UNION ALL
+           SELECT 'fk_orders_customer',
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                    ::BIGINT,
+                  (SELECT count(*) FROM orders)::BIGINT
+           UNION ALL
+           SELECT 'fk_lineitem_part',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+                    ::BIGINT,
+                  (SELECT count(*) FROM lineitem)::BIGINT
+           UNION ALL
+           SELECT 'notnull_events_user',
+                  (SELECT count(*) FROM events WHERE user_id IS NULL)
+                    ::BIGINT,
+                  (SELECT count(*) FROM events)::BIGINT
+           UNION ALL
+           SELECT 'unique_customer_pk',
+                  (SELECT count(*) - count(DISTINCT c_custkey)
+                   FROM customer)::BIGINT,
+                  (SELECT count(*) FROM customer)::BIGINT
+           UNION ALL
+           SELECT 'range_lineitem_discount',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_discount < 0.0 OR l_discount > 1.0)::BIGINT,
+                  (SELECT count(*) FROM lineitem)::BIGINT
+           UNION ALL
+           SELECT 'range_lineitem_quantity',
+                  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0)
+                    ::BIGINT,
+                  (SELECT count(*) FROM lineitem)::BIGINT)
+         ORDER BY check_name""")
 }

@@ -66,6 +66,32 @@ object Merge {
     swap(Paths.get(tmp), dir)
   }
 
+  /** Precedence-respecting durable merge: unlike [[mergeIntoParquet]]
+    * (latest-BATCH-wins — the reference's Redshift semantics, correct
+    * when batches arrive in order), the winner per key is chosen by
+    * `precedence` across state AND batch together. This is the CDC
+    * apply for out-of-order increments: a late-arriving batch can
+    * never clobber a newer version already in state, and the fold is
+    * batch-order-independent (per-key precedence is a total order, so
+    * folding increments in ANY order equals the one-shot dedup —
+    * pinned by StreamingUpsertSpec with a real 2-batch stream). */
+  def mergeIntoParquetPrecedence(
+      spark: SparkSession, tableDir: String, batch: DataFrame,
+      keys: Seq[String], precedence: Seq[Column]): Unit = {
+    require(precedence.nonEmpty,
+      "precedence merge needs an explicit ordering; use mergeIntoParquet " +
+        "for latest-batch-wins")
+    val dir = Paths.get(tableDir)
+    val merged =
+      if (Files.exists(dir))
+        dedupKeyed(spark.read.parquet(tableDir).unionByName(batch),
+          keys, precedence)
+      else dedupKeyed(batch, keys, precedence)
+    val tmp = tableDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap(Paths.get(tmp), dir)
+  }
+
   /** Partition-scoped durable merge: only partitions present in the
     * batch are rewritten (the reference's one-load-date-at-a-time
     * pattern, etl-s3-processed-to-redshift.py:37-51). Uses dynamic

@@ -30,7 +30,10 @@ class PlanAuditSpec extends SparkSuite {
     // q103/q104: one side is a broadcast 1-ROW corpus-stats frame
     // (avgdl/df, vocab totals) — a scalar model artifact riding the
     // plan, the same pattern as embedded literals, never O(n²).
-    "q103_bm25_topk", "q104_rare_token_score")
+    "q103_bm25_topk", "q104_rare_token_score",
+    // q111: each FK check pairs two 1-ROW aggregate frames
+    // (violations × total) — scalar × scalar.
+    "q111_quality_audit")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -39,7 +42,7 @@ class PlanAuditSpec extends SparkSuite {
   private val streaming = Set(
     "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
     "q66_stream_interval_join", "q71_stream_left_outer_join",
-    "q106_stream_static_join")
+    "q106_stream_static_join", "q112_stream_upsert")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
