@@ -762,6 +762,79 @@ object TextQueries {
           lit(w(2)).as("w2"), lit(w(3)).as("w3"), $"mse", $"n_docs")
     }),
 
+    // Contrastive-pair mining for embedding-model training: every
+    // verified near-dup pair (q28's exact-jaccard machinery) becomes
+    // an (anchor, positive) example, and the negative is drawn by
+    // PORTABLE salted hash of the pair — deterministic, uniform over
+    // the corpus, reproducible on any engine (never rand()). Collision
+    // with the anchor/positive bumps at most twice (ids are dense
+    // 0..n−1 in this corpus; at scale compose with q93's GlobalIndex
+    // to densify first). Corpus size rides as a broadcast 1-row frame.
+    "q116_contrastive_triplets" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.TextFunctions.hash60
+      val docs = Tables.table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8)
+      val nrow = docs.agg(count(lit(1)).as("n"))
+      def bump(h: org.apache.spark.sql.Column) = pmod(h, $"n")
+      pairs.crossJoin(broadcast(nrow))
+        .withColumn("h0", pmod(hash60(concat($"id_a".cast("string"),
+          lit("_"), $"id_b".cast("string"), lit("_neg"))), $"n"))
+        .withColumn("negative",
+          when($"h0" =!= $"id_a" && $"h0" =!= $"id_b", $"h0")
+            .otherwise(when(
+              bump($"h0" + 1) =!= $"id_a" && bump($"h0" + 1) =!= $"id_b",
+              bump($"h0" + 1))
+              .otherwise(bump($"h0" + 2))))
+        .select($"id_a".as("anchor"), $"id_b".as("positive"),
+          $"negative", $"jaccard")
+        .orderBy($"anchor", $"positive")
+    }),
+
+    // The REMOVAL half of exact substring dedup (q101 measures, this
+    // rewrites): every 10-token window duplicated across docs keeps
+    // only its canonical occurrence (the min doc_id containing the
+    // span); every other doc drops the covered token positions and the
+    // text is rebuilt from the survivors — Lee et al. 2022's actual
+    // output. Work stays linear: span group + back-join (the q101
+    // shuffles), a bounded ×10 position explode on DUPLICATED windows
+    // only, one anti-join on (doc, pos), one ordered re-assembly per
+    // doc. No step is ever pairwise in the corpus.
+    "q115_substring_removal" -> ((s, dir) => {
+      import s.implicits._
+      val k = 10
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+      val winds = fanout(docs)
+        .filter(size($"w") >= k)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $k)))")))
+        .select($"doc_id", ($"pos" + 1).as("i"), $"col".as("span"))
+      val dup = winds.groupBy($"span")
+        .agg(countDistinct($"doc_id").as("nd"), min($"doc_id").as("canon"))
+        .filter($"nd" >= 2)
+        .select($"span", $"canon")
+      val covered = winds.join(dup, "span")
+        .filter($"doc_id" =!= $"canon")
+        .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
+        .distinct()
+      val toks = docs.select($"doc_id", posexplode($"w"))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("token"))
+      val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_after"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct($"pos", $"token"))),
+            _.getField("token"))).as("text_clean"))
+      docs.select($"doc_id", size($"w").cast("long").as("n_before"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_before",
+          coalesce($"n_after", lit(0L)).as("n_after"),
+          coalesce($"text_clean", lit("")).as("text_clean"))
+        .orderBy($"doc_id")
+    }),
+
     "q104_rare_token_score" -> ((s, dir) => {
       import s.implicits._
       val toks = fanout(Tables.table(s, dir, "documents"))
@@ -1432,6 +1505,67 @@ object TextQueries {
                 round(count(d.span)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac
          FROM wins w LEFT JOIN dup d ON w.span = d.span
          GROUP BY w.doc_id
+         ORDER BY w.doc_id""",
+    "q116_contrastive_triplets" -> (
+      docSets +
+      """, p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                     - len(list_intersect(a.sh, b.sh))::DOUBLE) AS jaccard
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) + len(b.sh) > 0
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                    - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8),
+         nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         h AS (
+           SELECT id_a, id_b, jaccard, n,
+                  CAST('0x' || substr(md5(id_a::VARCHAR || '_' ||
+                    id_b::VARCHAR || '_neg'), 1, 15) AS BIGINT) % n AS h0
+           FROM p, nn)
+         SELECT id_a AS anchor, id_b AS positive,
+                CASE WHEN h0 <> id_a AND h0 <> id_b THEN h0
+                     WHEN (h0 + 1) % n <> id_a AND (h0 + 1) % n <> id_b
+                       THEN (h0 + 1) % n
+                     ELSE (h0 + 2) % n END AS negative,
+                jaccard
+         FROM h
+         ORDER BY anchor, positive"""),
+    "q115_substring_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         wpos AS (
+           SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 9)) AS i
+           FROM w WHERE len(ws) >= 10),
+         wins AS (
+           SELECT doc_id, i, array_to_string(ws[i:i+9], ' ') AS span
+           FROM wpos),
+         dup AS (
+           SELECT span, min(doc_id) AS canon FROM wins
+           GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT DISTINCT wi.doc_id, wi.i + g.o AS pos
+           FROM wins wi JOIN dup d USING (span),
+                generate_series(0, 9) g(o)
+           WHERE wi.doc_id <> d.canon),
+         toks AS (
+           SELECT doc_id, unnest(ws) AS token,
+                  unnest(generate_series(1, len(ws))) AS pos
+           FROM w),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.token FROM toks t
+           WHERE NOT EXISTS (SELECT 1 FROM cov c
+                             WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         rebuilt AS (
+           SELECT doc_id, count(*)::BIGINT AS n_after,
+                  string_agg(token, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, len(w.ws)::BIGINT AS n_before,
+                coalesce(r.n_after, 0)::BIGINT AS n_after,
+                coalesce(r.text_clean, '') AS text_clean
+         FROM w LEFT JOIN rebuilt r USING (doc_id)
          ORDER BY w.doc_id""",
     "q102_inverted_index" ->
       """WITH t AS (

@@ -33,7 +33,11 @@ class PlanAuditSpec extends SparkSuite {
     "q103_bm25_topk", "q104_rare_token_score",
     // q111: each FK check pairs two 1-ROW aggregate frames
     // (violations × total) — scalar × scalar.
-    "q111_quality_audit")
+    "q111_quality_audit",
+    // q116: corpus size rides as a broadcast 1-ROW frame (the
+    // q103/q104 pattern); pair generation itself is q28's bucketed
+    // LSH join, never all-pairs.
+    "q116_contrastive_triplets")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
