@@ -762,6 +762,46 @@ object TextQueries {
           lit(w(2)).as("w2"), lit(w(3)).as("w3"), $"mse", $"n_docs")
     }),
 
+    // k-anonymity audit over quasi-identifiers (privacy governance —
+    // the release-side companion to q06's masking and q74's
+    // redaction): every (nation, segment) group smaller than k is a
+    // re-identification risk and gets suppressed before release. One
+    // hash aggregate + a windowless self-contained rollup; output is
+    // the per-group audit with the suppression verdict.
+    "q117_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val k = 10
+      Tables.table(s, dir, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("suppress", $"group_size" < k)
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }),
+
+    // Canary injection: plant deterministic synthetic documents in
+    // the corpus (1 per source) so a trained model's memorization can
+    // be probed later — ids above the real id space, text derived
+    // from md5 so the canary set is reproducible from (corpus, salt)
+    // alone. Emits the injection manifest; the union with the corpus
+    // is the training input. Bounded: one row per source, no shuffle
+    // beyond the per-source max-id aggregate.
+    "q118_canary_manifest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.TextFunctions.hash60
+      val docs = Tables.table(s, dir, "documents")
+      val maxId = docs.agg(max($"doc_id").as("max_id"))
+      docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(maxId))
+        .select($"source",
+          ($"max_id" + 1 +
+            pmod(hash60(concat($"source", lit("_canary"))), lit(1000000L)))
+            .as("canary_id"),
+          concat(lit("canary "), md5(concat($"source", lit("_canary_text"))))
+            .as("canary_text"),
+          $"n_docs")
+        .orderBy($"source")
+    }),
+
     // Contrastive-pair mining for embedding-model training: every
     // verified near-dup pair (q28's exact-jaccard machinery) becomes
     // an (anchor, positive) example, and the negative is drawn by
@@ -1506,6 +1546,24 @@ object TextQueries {
          FROM wins w LEFT JOIN dup d ON w.span = d.span
          GROUP BY w.doc_id
          ORDER BY w.doc_id""",
+    "q117_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                count(*)::BIGINT AS group_size,
+                count(*) < 10 AS suppress
+         FROM customer
+         GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q118_canary_manifest" ->
+      """WITH m AS (SELECT max(doc_id) AS max_id FROM documents)
+         SELECT source,
+                max_id + 1 +
+                  CAST('0x' || substr(md5(source || '_canary'), 1, 15)
+                       AS BIGINT) % 1000000 AS canary_id,
+                'canary ' || md5(source || '_canary_text') AS canary_text,
+                count(*)::BIGINT AS n_docs
+         FROM documents, m
+         GROUP BY source, max_id
+         ORDER BY source""",
     "q116_contrastive_triplets" -> (
       docSets +
       """, p AS (
