@@ -282,6 +282,9 @@ object OperatorQueries {
       // orient by (deg, id): src strictly precedes dst in the total
       // order. Degrees are one row per NODE (bounded, ≪ edges) —
       // broadcast both lookups so orientation stays scan-parallel.
+      // localCheckpoint: BOTH sides of the wedge self-join read this
+      // frame; unpinned, the planner recomputes the orientation (and
+      // its two degree broadcasts) once per side
       val or = e
         .join(broadcast(deg.toDF("x", "dx")), "x")
         .join(broadcast(deg.toDF("y", "dy")), "y")
@@ -290,6 +293,7 @@ object OperatorQueries {
             .otherwise($"y").as("src"),
           when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
             .otherwise($"x").as("dst"))
+        .localCheckpoint()
       // wedges at the low vertex; close against the undirected set
       // v < w by id and e is id-normalized, so the closing edge is
       // (v, w). Broadcast the edge set: the wedge stream (Σ out-deg²,
