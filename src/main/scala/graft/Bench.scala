@@ -16,15 +16,24 @@ object Bench {
     // …and the same for the Structured Streaming machinery (state
     // store providers, streaming listeners, per-batch planner paths
     // class-load on first use — a long-running production stream pays
-    // this once per JVM, not per query): drain one tiny stream at
-    // sf0.001, untimed
+    // this once per JVM, not per query): drain one tiny stream,
+    // untimed. Prefer the sibling sf0.001 dir (smallest), fall back to
+    // the bench dir itself — a hardcoded path would silently skip the
+    // warmup on other checkouts and hand the class-load cost to the
+    // first streaming query.
+    val warmDir = {
+      val sibling = java.nio.file.Paths.get(sfDir).toAbsolutePath
+        .getParent.resolve("sf0.001")
+      if (java.nio.file.Files.isDirectory(sibling)) sibling.toString
+      else sfDir
+    }
     try graft.streaming.StreamingQueries
-      .streamedTumblingCounts(spark, "/root/testdata/sf0.001").count()
+      .streamedTumblingCounts(spark, warmDir).count()
     catch { case _: Throwable => () }
     // the stream-stream symmetric hash join has its own exec/state
     // classes — warm that path too
     try graft.streaming.StreamStreamJoin
-      .purchaseViewPairs(spark, "/root/testdata/sf0.001").count()
+      .purchaseViewPairs(spark, warmDir).count()
     catch { case _: Throwable => () }
     // local iteration only (driver never sets it): bench a subset
     val only: Option[Set[String]] =

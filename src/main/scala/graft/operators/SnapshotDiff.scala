@@ -31,9 +31,12 @@ object SnapshotDiff {
     val n = newSnap.select(
       (keys.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")) :+
         lit(true).as("__in_new")): _*)
+    // keys-only diff (no compare columns) degrades to presence-only
+    // insert/delete classification — no key present on both sides is
+    // ever a change
     val changed = compareCols
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("__in_old").isNull, "insert")

@@ -338,7 +338,10 @@ object OperatorQueries {
     // Data-quality audit: referential integrity across the star
     // schema, null keys, duplicate PKs, domain ranges — each check a
     // partial-aggregable counter (or one anti-join for FKs), reported
-    // as one row per constraint.
+    // as one row per constraint. Oracle FK checks are NOT EXISTS, not
+    // NOT IN: the anti join counts a NULL fk as an orphan
+    // (DataQualitySpec pins that), while NULL NOT IN (...) is NULL
+    // and silently uncounts it.
     "q111_quality_audit" -> ((s, dir) => {
       import graft.store.DataQuality._
       import s.implicits._
@@ -591,20 +594,23 @@ object OperatorQueries {
     "q111_quality_audit" ->
       """SELECT * FROM (
            SELECT 'fk_lineitem_orders' AS check_name,
-                  (SELECT count(*) FROM lineitem
-                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                  (SELECT count(*) FROM lineitem c
+                   WHERE NOT EXISTS (SELECT 1 FROM orders p
+                                     WHERE p.o_orderkey = c.l_orderkey))
                     ::BIGINT AS n_violations,
                   (SELECT count(*) FROM lineitem)::BIGINT AS n_checked
            UNION ALL
            SELECT 'fk_orders_customer',
-                  (SELECT count(*) FROM orders
-                   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                  (SELECT count(*) FROM orders c
+                   WHERE NOT EXISTS (SELECT 1 FROM customer p
+                                     WHERE p.c_custkey = c.o_custkey))
                     ::BIGINT,
                   (SELECT count(*) FROM orders)::BIGINT
            UNION ALL
            SELECT 'fk_lineitem_part',
-                  (SELECT count(*) FROM lineitem
-                   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+                  (SELECT count(*) FROM lineitem c
+                   WHERE NOT EXISTS (SELECT 1 FROM part p
+                                     WHERE p.p_partkey = c.l_partkey))
                     ::BIGINT,
                   (SELECT count(*) FROM lineitem)::BIGINT
            UNION ALL

@@ -566,8 +566,16 @@ object TextQueries {
     // integer-exact on both engines.
     "q98_editdist_neardup" -> ((s, dir) => {
       import s.implicits._
+      // rpad to EXACTLY 40 chars (sentinel U+0001): the chunk
+      // pigeonhole is only sound over fixed-length strings — with a
+      // shorter-than-40 doc the final chunk truncates and a lev≤5
+      // pair can miss every block (latent on this corpus, which has
+      // no sub-40-char text, but nothing enforced it). The metric is
+      // levenshtein over the PADDED prefixes, defined identically in
+      // the oracle, so missing tail chars count toward the distance.
       val d = Q.fanout(Tables.table(s, dir, "documents"))
-        .select($"doc_id", $"lang", substring($"text", 1, 40).as("prefix"))
+        .select($"doc_id", $"lang",
+          rpad(substring($"text", 1, 40), 40, "\u0001").as("prefix"))
       // a-side: the 6 fixed chunks (7,7,7,7,6,6 chars cover 1..40)
       val bounds = Seq((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
       val aChunks = d.select($"lang", $"doc_id".as("id_a"),
@@ -1461,7 +1469,8 @@ object TextQueries {
     // all-pairs definition the blocked length-bucket join must equal
     "q98_editdist_neardup" ->
       """WITH p AS (
-           SELECT doc_id, lang, substring(text, 1, 40) AS pref
+           SELECT doc_id, lang,
+                  rpad(substring(text, 1, 40), 40, chr(1)) AS pref
            FROM documents)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
                 levenshtein(a.pref, b.pref) AS dist

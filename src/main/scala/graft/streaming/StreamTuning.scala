@@ -16,9 +16,15 @@ import org.apache.spark.sql.SparkSession
 object StreamTuning {
   /** Default state-partition count; GRAFT_STATE_PARTITIONS overrides
     * for measurement sweeps (the bench story stays reproducible: the
-    * driver never sets it). */
+    * driver never sets it). Validated parse: a bare `.toInt` in the
+    * object initializer would surface a malformed value as an opaque
+    * ExceptionInInitializerError on every streaming query. */
   val default: Int =
-    sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+    sys.env.get("GRAFT_STATE_PARTITIONS").map { v =>
+      require(v.trim.nonEmpty && v.trim.forall(_.isDigit),
+        s"GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'")
+      v.trim.toInt
+    }.getOrElse(8)
 
   def withStatePartitions[T](spark: SparkSession, n: Int = default)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
