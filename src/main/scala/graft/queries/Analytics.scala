@@ -497,6 +497,42 @@ object Analytics {
         .orderBy($"day")
     }),
 
+    // User-journey transition matrix: count of consecutive
+    // (event_type → next event_type) steps per user timeline — the
+    // Markov-chain summary product analytics builds funnels from.
+    // One lag window on the user key, then a partial-aggregable count.
+    "q119_journey_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.table(s, dir, "events")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy($"prev_type", $"event_type")
+    }),
+
+    // Session-duration histogram: q23's sessionization (the SAME
+    // Sessionize.plain operator) rolled into equi-width 5-minute bins
+    // — the distribution view capacity planning reads. Bin ids via
+    // integer `div` (a fractional divide + cast would trunc on Spark
+    // but round on DuckDB); the histogram is one partial-aggregable
+    // GROUP BY on the bin id.
+    "q120_session_duration_histogram" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sessionize.plain(
+        Tables.table(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"value"),
+        "user_id", "ts", "event_id", "value", gapMicros = 1800000000L)
+        .withColumn("dur_us",
+          unix_micros($"session_end") - unix_micros($"session_start"))
+        .withColumn("bin", expr("dur_us div 300000000"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_sessions"),
+          min($"dur_us").as("min_us"), max($"dur_us").as("max_us"))
+        .orderBy($"bin")
+    }),
+
     // Per-user EWMA over the trailing 8 events with DYADIC decay
     // (α = 1/2): the weight 2^(-k) only shifts the double's exponent,
     // so every product is EXACT and the bounded order-fixed fold is
@@ -543,6 +579,40 @@ object Analytics {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q119_journey_transitions" ->
+      """SELECT prev_type, event_type,
+                count(*)::BIGINT AS n_transitions
+         FROM (
+           SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type
+         ORDER BY prev_type, event_type""",
+    "q120_session_duration_histogram" ->
+      """WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sessions AS (
+            SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+            FROM flagged),
+          durs AS (
+            SELECT user_id, session_seq,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+            FROM sessions GROUP BY user_id, session_seq)
+          SELECT dur_us // 300000000 AS bin,
+                 count(*)::BIGINT AS n_sessions,
+                 min(dur_us) AS min_us, max(dur_us) AS max_us
+          FROM durs GROUP BY bin ORDER BY bin""",
     "q113_ewma_smoothing" ->
       """SELECT event_id, user_id, ts, value,
                 list_reduce(
