@@ -268,13 +268,21 @@ object OperatorQueries {
     // oracle replays it; per-node participation via explode+aggregate.
     "q107_triangle_count" -> ((s, dir) => {
       import s.implicits._
-      val li = fanout(Tables.table(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey"))
-      // undirected distinct edges, id-normalized x < y
-      val e = li.toDF("ok", "pa")
-        .join(li.toDF("ok", "pb"), "ok")
-        .filter($"pa" < $"pb")
-        .select($"pa".as("x"), $"pb".as("y"))
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey")
+      // undirected distinct edges, id-normalized x < y. Pairs are
+      // generated per order from its sorted part set (one aggregate
+      // shuffle) instead of a two-sided self-join on the order key —
+      // same Σ k² pair work, half the exchanges; per-order part
+      // counts are bounded (basket size), so the arrays never grow
+      // with the corpus.
+      val e = li.groupBy($"ok")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y ->
+                 struct(x AS x, y AS y))))""")).as("p"))
+        .select($"p.x", $"p.y")
         .distinct()
         .localCheckpoint()
       val deg = e.select($"x".as("node")).union(e.select($"y".as("node")))
