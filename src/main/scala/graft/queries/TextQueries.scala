@@ -770,6 +770,52 @@ object TextQueries {
           lit(w(2)).as("w2"), lit(w(3)).as("w3"), $"mse", $"n_docs")
     }),
 
+    // Water-filling token-budget allocation: split a global training
+    // budget (half the corpus here) across sources, capped by each
+    // source's capacity — small sources keep everything, large ones
+    // are clipped at a common level L with Σ min(cap, L) = budget.
+    // The classic data-mixing allocator, solved in closed form over
+    // one sorted window pass: ascending prefix sums give the unique
+    // bracket where the level lands (or every source fits). Integer
+    // capacities + ONE double division for L → engine-exact.
+    "q121_token_waterfill" -> ((s, dir) => {
+      import s.implicits._
+      val caps = fanout(Tables.table(s, dir, "documents"))
+        .select($"source", split($"text", " ").as("w"))
+        .groupBy($"source").agg(sum(size($"w").cast("long")).as("cap"))
+      val tot = caps.agg(sum($"cap").as("t"), count(lit(1)).as("n"))
+      // global window over SOURCES — a bounded model-size frame
+      // (domains, not documents), so the single partition is fine at
+      // any corpus scale
+      val byCap = Window.orderBy($"cap", $"source")
+      val ranked = caps.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("t div 2"))
+        .withColumn("k", row_number().over(byCap))
+        .withColumn("pfx", sum($"cap").over(
+          byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // candidate level if sources 1..k stay fully kept:
+        // L_k = (B − P_k)/(n − k); valid brackets have L_k ≥ cap_k
+        .withColumn("lvl", when($"k" < $"n",
+          ($"budget" - $"pfx").cast("double") / ($"n" - $"k").cast("double")))
+      // the TRUE bracket is the LARGEST valid k (a smaller k's level
+      // under-fills: it caps sources that should stay full); when no
+      // k is valid the level sits below every cap → B/n
+      val bracket = ranked
+        .filter($"lvl" >= $"cap".cast("double"))
+        .orderBy($"k".desc)
+        .limit(1)
+        .select($"lvl".as("level"), lit(0).as("prio"))
+      val dflt = tot.select(
+        (expr("t div 2").cast("double") / $"n".cast("double")).as("level"),
+        lit(1).as("prio"))
+      val level = bracket.unionByName(dflt)
+        .orderBy($"prio").limit(1).select($"level")
+      ranked.crossJoin(broadcast(level))
+        .select($"source", $"cap",
+          round(least($"cap".cast("double"), $"level"), 6).as("allocation"))
+        .orderBy($"source")
+    }),
+
     // k-anonymity audit over quasi-identifiers (privacy governance —
     // the release-side companion to q06's masking and q74's
     // redaction): every (nation, segment) group smaller than k is a
@@ -1555,6 +1601,33 @@ object TextQueries {
          FROM wins w LEFT JOIN dup d ON w.span = d.span
          GROUP BY w.doc_id
          ORDER BY w.doc_id""",
+    "q121_token_waterfill" ->
+      """WITH caps AS (
+           SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS cap
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(cap)::BIGINT AS t, count(*)::BIGINT AS n
+                 FROM caps),
+         ranked AS (
+           SELECT source, cap, t // 2 AS budget, n,
+                  row_number() OVER (ORDER BY cap, source) AS k,
+                  sum(cap) OVER (ORDER BY cap, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS pfx
+           FROM caps, tot),
+         lv AS (
+           SELECT *, CASE WHEN k < n THEN
+                       (budget - pfx)::DOUBLE / (n - k)::DOUBLE
+                     END AS lvl
+           FROM ranked),
+         chosen AS (
+           SELECT coalesce(
+             (SELECT lvl FROM lv WHERE lvl >= cap::DOUBLE
+              ORDER BY k DESC LIMIT 1),
+             (SELECT (t // 2)::DOUBLE / n::DOUBLE FROM tot)) AS level)
+         SELECT source, cap,
+                round(least(cap::DOUBLE, level), 6) AS allocation
+         FROM lv, chosen
+         ORDER BY source""",
     "q117_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
                 count(*)::BIGINT AS group_size,

@@ -34,10 +34,11 @@ class PlanAuditSpec extends SparkSuite {
     // q111: each FK check pairs two 1-ROW aggregate frames
     // (violations × total) — scalar × scalar.
     "q111_quality_audit",
-    // q116/q118: corpus stats ride as a broadcast 1-ROW frame (the
-    // q103/q104 pattern); q116's pair generation itself is q28's
-    // bucketed LSH join, never all-pairs.
-    "q116_contrastive_triplets", "q118_canary_manifest")
+    // q116/q118/q121: corpus stats / the chosen water-fill level ride
+    // as broadcast 1-ROW frames (the q103/q104 pattern); q116's pair
+    // generation itself is q28's bucketed LSH join, never all-pairs.
+    "q116_contrastive_triplets", "q118_canary_manifest",
+    "q121_token_waterfill")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
