@@ -83,6 +83,39 @@ object MultimodalQueries {
         .orderBy($"asset_id")
     }),
 
+    // The SCALE PATH q84's exact all-pairs baseline documents:
+    // hyperplane-LSH bucketing over the 16-dim media features (the
+    // same MD5-derived planes as q33, truncated to the feature
+    // width), candidates from shared (table, bucket) cells, exact
+    // cosine ≥ 0.75 on candidates only — O(assets·tables) bucket rows
+    // and Σ|bucket|² pair work, never n². The pair set is a
+    // deterministic function of the data (recall vs q84 bounded in
+    // MultimodalSpec), so the oracle replays bucketing + rescore
+    // end-to-end and this is hash-verified like q33.
+    "q122_media_neardup_lsh" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.VectorFunctions.{cosine, hyperplaneBuckets}
+      val feats = Multimodal.featurize(Multimodal.syntheticAssets(s, dir))
+        .toDF().select($"asset_id", $"feature")
+      // localCheckpoint: both self-join sides read this frame —
+      // unpinned, the planner re-runs the mapPartitions featurize +
+      // bucketing once per side (the q107 orientation lesson)
+      val bucketed = feats.select($"asset_id", $"feature",
+          posexplode(hyperplaneBuckets($"feature", planes = 6, tables = 8)))
+        .toDF("asset_id", "feature", "tbl", "bucket")
+        .localCheckpoint()
+      bucketed.toDF("id_a", "f_a", "tbl", "bucket")
+        .join(bucketed.toDF("id_b", "f_b", "tbl", "bucket"),
+          Seq("tbl", "bucket"))
+        .filter($"id_a" < $"id_b")
+        // cosine BEFORE the dedup (the q33 byte-mover lesson): the
+        // dedup exchange then carries 3 scalars, not two vectors
+        .select($"id_a", $"id_b", cosine($"f_a", $"f_b").as("cosine"))
+        .dropDuplicates("id_a", "id_b")
+        .filter($"cosine" >= 0.75)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Aspect-ratio bucketing: group image assets into shape-
     // homogeneous bands (portrait / square / landscape, tested with
     // exact integer cross-multiplies — never a float ratio) and pack
@@ -134,6 +167,41 @@ object MultimodalQueries {
     s"${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    // exact replay of q122's bucketing: planeVector(t*64+p) truncated
+    // to the 16 feature dims (the codegen dot runs min(|v|, |plane|)
+    // terms), bit p set iff v·plane > 0, candidates from shared
+    // (table, bucket) cells, exact cosine rescore
+    "q122_media_neardup_lsh" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
+                     FROM documents),
+          planes AS (
+            SELECT t, p,
+                   list_transform(generate_series(0, ${dim - 1}), d ->
+                     CAST('0x' || substr(md5((t * 64 + p) || '_' || d),
+                                         1, 12) AS BIGINT)::DOUBLE
+                       / 281474976710656.0 - 0.5) AS plane
+            FROM generate_series(0, 7) gt(t), generate_series(0, 5) gp(p)),
+          buck AS (
+            SELECT f.asset_id, pl.t AS tbl,
+                   sum(CASE WHEN list_reduce(
+                         list_transform(generate_series(1, $dim),
+                           j -> f.v[j]::DOUBLE * pl.plane[j]),
+                         (a, b) -> a + b) > 0
+                       THEN CAST(1::BIGINT << pl.p AS BIGINT)
+                       ELSE 0 END)::BIGINT AS bucket
+            FROM f, planes pl
+            GROUP BY f.asset_id, pl.t),
+          cands AS (
+            SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.asset_id < b.asset_id)
+          SELECT c.id_a, c.id_b, ${cos16("fa.v", "fb.v")} AS cosine
+          FROM cands c
+          JOIN f fa ON fa.asset_id = c.id_a
+          JOIN f fb ON fb.asset_id = c.id_b
+          WHERE ${cos16("fa.v", "fb.v")} >= 0.75
+          ORDER BY c.id_a, c.id_b""",
     "q108_aspect_buckets" ->
       """WITH imgs AS (
            SELECT doc_id AS asset_id,

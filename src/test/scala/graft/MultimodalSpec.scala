@@ -42,4 +42,15 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.map(_.asset_id / 1000).toSet.subsetOf(videoIds))
     assert(frames.forall(_.uri.contains("#frame=")))
   }
+
+  test("LSH media near-dup (q122) is a subset of exact (q84) with recall >= 0.8") {
+    val exact = SparkEntry.queries("q84_media_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q122_media_neardup_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent a pair (exact rescore)")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
 }
