@@ -770,6 +770,27 @@ object TextQueries {
           lit(w(2)).as("w2"), lit(w(3)).as("w3"), $"mse", $"n_docs")
     }),
 
+    // Source-relative quality calibration: absolute quality scores
+    // are not comparable across domains (a mediocre academic page
+    // outscores a great chat log), so curation normalizes per source
+    // first — percent_rank of the quality score WITHIN each source
+    // (total order via doc_id tiebreak), keep everything above the
+    // per-source median. One window shuffle on source; the kept
+    // manifest is engine-exact because percent_rank is
+    // (rank−1)/(n−1), pure integer→double arithmetic.
+    "q123_calibrated_quality_trim" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.TextFunctions.qualityScore
+      val w = Window.partitionBy($"source")
+        .orderBy($"q", $"doc_id")
+      fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"source", qualityScore($"text").as("q"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter($"pr" >= 0.5)
+        .select($"doc_id", $"source", $"q", round($"pr", 6).as("pr"))
+        .orderBy($"doc_id")
+    }),
+
     // Water-filling token-budget allocation: split a global training
     // budget (half the corpus here) across sources, capped by each
     // source's capacity — small sources keep everything, large ones
@@ -1601,6 +1622,20 @@ object TextQueries {
          FROM wins w LEFT JOIN dup d ON w.span = d.span
          GROUP BY w.doc_id
          ORDER BY w.doc_id""",
+    "q123_calibrated_quality_trim" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                     FROM documents),
+          scored AS (
+            SELECT doc_id, source, ${qualitySql("ws")} AS q FROM w),
+          ranked AS (
+            SELECT doc_id, source, q,
+                   percent_rank() OVER (PARTITION BY source
+                     ORDER BY q, doc_id) AS pr
+            FROM scored)
+          SELECT doc_id, source, q, round(pr, 6) AS pr
+          FROM ranked
+          WHERE pr >= 0.5
+          ORDER BY doc_id""",
     "q121_token_waterfill" ->
       """WITH caps AS (
            SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS cap
