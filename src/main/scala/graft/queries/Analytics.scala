@@ -101,14 +101,23 @@ object Analytics {
     }),
 
     // Approximate distinct (HLL++). Sketches are engine-specific, so
-    // no DuckDB oracle — the driver records a rows-only check; the
-    // ScalaTest asserts <5% error vs exact. At 100 TB this replaces a
-    // full distinct shuffle with a constant-size sketch merge.
+    // no DuckDB oracle — the driver records a rows-only check. The
+    // accuracy contract rides IN the output: the exact count and the
+    // absolute error are companion columns, so the driver artifact
+    // itself shows the estimate within the documented rsd bound
+    // (AnalyticsSpec asserts err_pct < 5). The exact companion is a
+    // test-scale audit column — at 100 TB you ship only the sketch,
+    // which is the whole point (constant-size merge vs full distinct
+    // shuffle).
     "q17_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       Tables.table(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+          countDistinct($"l_orderkey").as("exact_orders"))
+        .select($"l_returnflag", $"approx_orders", $"exact_orders",
+          abs($"approx_orders" - $"exact_orders").as("abs_err"))
         .orderBy($"l_returnflag")
     }),
 
@@ -167,14 +176,21 @@ object Analytics {
     // Approximate percentiles (Greenwald-Khanna sketch): like HLL for
     // distincts, the sketch replaces a full sort with a constant-size
     // mergeable summary — the 100 TB path for quantiles. No oracle
-    // (sketch internals are engine-specific); the test bounds error
-    // vs the exact percentile.
+    // (sketch internals are engine-specific), but the exact median
+    // and the absolute error ride beside the estimate so the accuracy
+    // contract is visible in the driver artifact (AnalyticsSpec bounds
+    // it). Exact companion is test-scale audit only — at 100 TB the
+    // sketch replaces it.
     "q50_percentile_approx" -> ((s, dir) => {
       import s.implicits._
       Tables.table(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
-          .as("p50_price_approx"))
+        .agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+            .as("p50_price_approx"),
+          percentile($"l_extendedprice", lit(0.5)).as("p50_price_exact"))
+        .select($"l_returnflag", $"p50_price_approx", $"p50_price_exact",
+          abs($"p50_price_approx" - $"p50_price_exact").as("abs_err"))
         .orderBy($"l_returnflag")
     }),
 
@@ -585,7 +601,7 @@ object Analytics {
          FROM (
            SELECT event_type,
                   lag(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id) AS prev_type
+                    ORDER BY epoch_us(ts), event_id) AS prev_type
            FROM events)
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, event_type
@@ -613,8 +629,10 @@ object Analytics {
                  count(*)::BIGINT AS n_sessions,
                  min(dur_us) AS min_us, max(dur_us) AS max_us
           FROM durs GROUP BY bin ORDER BY bin""",
+    // µs-truncated ts in both the emit and the trail order — see q105
     "q113_ewma_smoothing" ->
-      """SELECT event_id, user_id, ts, value,
+      """SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts,
+                value,
                 list_reduce(
                   list_transform(trail, (v, i) ->
                     v / (1::BIGINT << (len(trail) - i))::DOUBLE),
@@ -622,7 +640,7 @@ object Analytics {
          FROM (
            SELECT event_id, user_id, ts, value,
                   list(value) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
+                    ORDER BY epoch_us(ts), event_id
                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS trail
            FROM events)
          ORDER BY event_id""",

@@ -95,23 +95,33 @@ object MultimodalQueries {
     "q122_media_neardup_lsh" -> ((s, dir) => {
       import s.implicits._
       import graft.vector.VectorFunctions.{cosine, hyperplaneBuckets}
+      // localCheckpoint: the featurize mapPartitions is read by the
+      // bucket builder AND both rescore joins — unpinned, the planner
+      // re-runs it once per consumer (the q107 orientation lesson)
       val feats = Multimodal.featurize(Multimodal.syntheticAssets(s, dir))
         .toDF().select($"asset_id", $"feature")
-      // localCheckpoint: both self-join sides read this frame —
-      // unpinned, the planner re-runs the mapPartitions featurize +
-      // bucketing once per side (the q107 orientation lesson)
-      val bucketed = feats.select($"asset_id", $"feature",
-          posexplode(hyperplaneBuckets($"feature", planes = 6, tables = 8)))
-        .toDF("asset_id", "feature", "tbl", "bucket")
         .localCheckpoint()
-      bucketed.toDF("id_a", "f_a", "tbl", "bucket")
-        .join(bucketed.toDF("id_b", "f_b", "tbl", "bucket"),
-          Seq("tbl", "bucket"))
+      // LATE MATERIALIZATION (the r4 exchange-bytes watch-item): the
+      // (tbl, bucket) self-join exchange carries (id, tbl, bucket) —
+      // three scalars — never the 16-float vectors (nor even their
+      // int8 quantization, q85/q90's alternative when the rescore
+      // join-back itself must be avoided). Exact cosine is computed
+      // only for the deduped candidate pairs by joining the float
+      // frame back on each side, so per-vector bytes move once per
+      // side instead of ×8 tables across the bucket exchange. Pair
+      // set and cosines are bit-identical to the r4 form.
+      val bucketed = feats.select($"asset_id",
+          posexplode(hyperplaneBuckets($"feature", planes = 6, tables = 8)))
+        .toDF("asset_id", "tbl", "bucket")
+        .localCheckpoint()
+      bucketed.toDF("id_a", "tbl", "bucket")
+        .join(bucketed.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
         .filter($"id_a" < $"id_b")
-        // cosine BEFORE the dedup (the q33 byte-mover lesson): the
-        // dedup exchange then carries 3 scalars, not two vectors
-        .select($"id_a", $"id_b", cosine($"f_a", $"f_b").as("cosine"))
+        .select($"id_a", $"id_b")
         .dropDuplicates("id_a", "id_b")
+        .join(feats.toDF("id_a", "f_a"), Seq("id_a"))
+        .join(feats.toDF("id_b", "f_b"), Seq("id_b"))
+        .select($"id_a", $"id_b", cosine($"f_a", $"f_b").as("cosine"))
         .filter($"cosine" >= 0.75)
         .orderBy($"id_a", $"id_b")
     }),

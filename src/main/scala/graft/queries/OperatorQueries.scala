@@ -266,59 +266,7 @@ object OperatorQueries {
     // this is the node-iterator++ algorithm, Schank & Wagner 2005).
     // Orientation is a total order, so the count is exact and the
     // oracle replays it; per-node participation via explode+aggregate.
-    "q107_triangle_count" -> ((s, dir) => {
-      import s.implicits._
-      val li = Tables.table(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey")
-      // undirected distinct edges, id-normalized x < y. Pairs are
-      // generated per order from its sorted part set (one aggregate
-      // shuffle) instead of a two-sided self-join on the order key —
-      // same Σ k² pair work, half the exchanges; per-order part
-      // counts are bounded (basket size), so the arrays never grow
-      // with the corpus.
-      val e = li.groupBy($"ok")
-        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-               transform(slice(ps, i + 2, size(ps)), y ->
-                 struct(x AS x, y AS y))))""")).as("p"))
-        .select($"p.x", $"p.y")
-        .distinct()
-        .localCheckpoint()
-      val deg = e.select($"x".as("node")).union(e.select($"y".as("node")))
-        .groupBy($"node").agg(count(lit(1)).as("deg"))
-      // orient by (deg, id): src strictly precedes dst in the total
-      // order. Degrees are one row per NODE (bounded, ≪ edges) —
-      // broadcast both lookups so orientation stays scan-parallel.
-      // localCheckpoint: BOTH sides of the wedge self-join read this
-      // frame; unpinned, the planner recomputes the orientation (and
-      // its two degree broadcasts) once per side
-      val or = e
-        .join(broadcast(deg.toDF("x", "dx")), "x")
-        .join(broadcast(deg.toDF("y", "dy")), "y")
-        .select(
-          when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"x")
-            .otherwise($"y").as("src"),
-          when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
-            .otherwise($"x").as("dst"))
-        .localCheckpoint()
-      // wedges at the low vertex; close against the undirected set
-      // v < w by id and e is id-normalized, so the closing edge is
-      // (v, w). Broadcast the edge set: the wedge stream (Σ out-deg²,
-      // 41M rows at sf0.1) then closes against a hash map without
-      // ever shuffling — the wedge side is the thing that must not
-      // exchange. At a scale where edges outgrow a broadcast, drop
-      // the hint and this is a shuffled join on (v, w); the wedge
-      // count, not the join strategy, is the scaling term.
-      val tri = or.toDF("u", "v")
-        .join(or.toDF("u", "w"), "u")
-        .filter($"v" < $"w")
-        .join(broadcast(e), $"v" === $"x" && $"w" === $"y")
-      tri.select(explode(array($"u", $"v", $"w")).as("node"))
-        .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
-        .orderBy($"n_triangles".desc, $"node")
-        .limit(20)
-    }),
+    "q107_triangle_count" -> ((s, dir) => triangleCount(s, dir)),
 
     // Snapshot-diff CDC: turn two full snapshots into a change log
     // (insert/delete/update, null-safe compares) — the reverse of
@@ -389,6 +337,81 @@ object OperatorQueries {
        ASOF LEFT JOIN views v
          ON p.user_id = v.user_id AND v.ts <= p.ts
        ORDER BY p.event_id"""
+
+  /** q107's body, parameterized so PlanAuditSpec can pin the
+    * no-broadcast fallback (the 100× path: edges outgrow a broadcast
+    * and the closing join degrades to a shuffled join — same counts,
+    * audited, not just promised in a comment).
+    *
+    * @param broadcastClose hint the closing edge join as a broadcast
+    *   (the wedge stream then never exchanges); false = shuffled join
+    *   on (v, w) for the scale where edges outgrow executor memory.
+    */
+  def triangleCount(s: org.apache.spark.sql.SparkSession, dir: String,
+      broadcastClose: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // part ids fit int through SF ~10k (p_partkey = 200k·SF), so the
+    // wedge exchange carries 4-byte keys; checked against the part
+    // table (one bounded aggregate over the SMALL dim, the IVF-
+    // centroid class of collect), falling back to longs beyond int
+    // range rather than silently corrupting ids.
+    val narrow = Tables.table(s, dir, "part")
+      .agg(max($"p_partkey")).head.getLong(0) <= Int.MaxValue.toLong
+    val li = Tables.table(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"),
+        (if (narrow) $"l_partkey".cast("int") else $"l_partkey")
+          .as("l_partkey"))
+    // undirected distinct edges, id-normalized x < y. Pairs are
+    // generated per order from its sorted part set (one aggregate
+    // shuffle) instead of a two-sided self-join on the order key —
+    // same Σ k² pair work, half the exchanges; per-order part
+    // counts are bounded (basket size), so the arrays never grow
+    // with the corpus.
+    val e = li.groupBy($"ok")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y ->
+               struct(x AS x, y AS y))))""")).as("p"))
+      .select($"p.x", $"p.y")
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select($"x".as("node")).union(e.select($"y".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src strictly precedes dst in the total
+    // order. Degrees are one row per NODE (bounded, ≪ edges) —
+    // broadcast both lookups so orientation stays scan-parallel.
+    // localCheckpoint: BOTH sides of the wedge self-join read this
+    // frame; unpinned, the planner recomputes the orientation (and
+    // its two degree broadcasts) once per side
+    val or = e
+      .join(broadcast(deg.toDF("x", "dx")), "x")
+      .join(broadcast(deg.toDF("y", "dy")), "y")
+      .select(
+        when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"x")
+          .otherwise($"y").as("src"),
+        when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
+          .otherwise($"x").as("dst"))
+      .localCheckpoint()
+    // wedges at the low vertex; close against the undirected set
+    // v < w by id and e is id-normalized, so the closing edge is
+    // (v, w). Broadcast the edge set: the wedge stream (Σ out-deg²,
+    // 41M rows at sf0.1) then closes against a hash map without
+    // ever shuffling — the wedge side is the thing that must not
+    // exchange. At a scale where edges outgrow a broadcast, the
+    // broadcastClose=false path shuffles the join on (v, w); the
+    // wedge count, not the join strategy, is the scaling term.
+    val closeSide = if (broadcastClose) broadcast(e) else e
+    val tri = or.toDF("u", "v")
+      .join(or.toDF("u", "w"), "u")
+      .filter($"v" < $"w")
+      .join(closeSide, $"v" === $"x" && $"w" === $"y")
+    tri.select(explode(array($"u", $"v", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+      .select($"node".cast("long").as("node"), $"n_triangles")
+      .orderBy($"n_triangles".desc, $"node")
+      .limit(20)
+  }
 
   val oracles: Map[String, String] = Map(
     "q81_bloom_semi_join" ->
@@ -523,10 +546,14 @@ object OperatorQueries {
          FROM events
          GROUP BY day
          ORDER BY day""",
+    // ts is truncated to µs up front (make_timestamp/epoch_us):
+    // Spark reads the parquet TIMESTAMP_NS at µs (Tables.table), so
+    // grouping/ranking/rendering must happen at µs in the oracle too.
     "q105_scd2_history" ->
       """WITH dedup AS (
-           SELECT user_id, ts, max_by(event_type, event_id) AS event_type
-           FROM events GROUP BY user_id, ts),
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                  max_by(event_type, event_id) AS event_type
+           FROM events GROUP BY 1, 2),
          marked AS (
            SELECT user_id, ts, event_type,
                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)

@@ -27,6 +27,47 @@ object TextQueries {
             * 5.0 / len($w)::DOUBLE) * 0.2,
           6)"""
 
+  /** q124's pinned BPE merge table, in rank order. Chosen so merged
+    * symbols merge further (th→the, in→ing, er→ers, th+er→ther) —
+    * the multi-level case the encode loop must get right. Shared by
+    * the Spark body and the generated oracle SQL. */
+  private val pinnedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("o", "f"),
+    ("t", "o"), ("e", "d"), ("o", "u"), ("a", "t"), ("e", "s"),
+    ("er", "s"), ("th", "er"))
+
+  /** DuckDB replay of greedy BPE encode with [[pinnedMerges]]: each
+    * symbol rides as chr(2)‖sym‖chr(3); rule (a,b) is one
+    * left-to-right `replace` of the marked pair with the marked join
+    * — replace's non-overlapping LTR scan is exactly the BPE merge
+    * scan. Rules nest innermost-first (= rank order). */
+  private val bpeEncodeSql: String = {
+    val marked =
+      "array_to_string(list_transform(string_split(x, ''), " +
+        "c -> chr(2)||c||chr(3)), '')"
+    val applied = pinnedMerges.foldLeft(marked) { case (e, (a, b)) =>
+      s"replace($e, chr(2)||'$a'||chr(3)||chr(2)||'$b'||chr(3), " +
+        s"chr(2)||'$a$b'||chr(3))"
+    }
+    val word =
+      s"replace(replace(replace($applied, chr(3)||chr(2), '|'), " +
+        "chr(2), ''), chr(3), '')"
+    s"""WITH w AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        t AS (SELECT doc_id,
+                     array_to_string(list_transform(ws, x -> $word), '|')
+                       AS tokens
+              FROM w)
+        SELECT doc_id, tokens,
+               CASE WHEN tokens = '' THEN 0
+                    ELSE len(string_split(tokens, '|')) END::BIGINT
+                 AS n_tokens
+        FROM t ORDER BY doc_id"""
+  }
+
   private val docSets =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        d AS (SELECT doc_id,
@@ -222,6 +263,26 @@ object TextQueries {
         .select($"doc_id",
           size($"toks").cast("long").as("n_bpe_tokens"),
           array_join(slice($"toks", 1, 12), "|").as("head_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // The ENCODE stage alone, under the driver's hash gate: tokenize
+    // with a PINNED merge table (the production shape — a learned
+    // table is broadcast as a literal into graft_bpe_encode exactly
+    // like this). Min-rank greedy encode ≡ applying merges once each
+    // in rank order (a later rule's joined symbol cannot form an
+    // earlier-rank pair, since both sides of rank k must exist before
+    // rank k is learnable), which the DuckDB oracle replays as a
+    // nested left-to-right replace chain over a marker-delimited
+    // symbol string. Train stays exempt (q88/BpeSpec).
+    "q124_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          graft.text.Bpe.encode($"text", pinnedMerges).as("toks"))
+        .select($"doc_id",
+          array_join($"toks", "|").as("tokens"),
+          size($"toks").cast("long").as("n_tokens"))
         .orderBy($"doc_id")
     }),
 
@@ -511,20 +572,47 @@ object TextQueries {
         .limit(20)
     }),
 
-    // The same question through the Misra-Gries summary
-    // (graft_freq_items, FreqItemsAgg): each partition ships ≤ 1024
-    // counters instead of its term table — the constant-memory path
-    // when the vocabulary itself is too big to shuffle. Counts are
-    // lower bounds within N/(capacity+1) of truth (FreqItemsSpec pins
-    // the invariant); oracle-exempt like the other sketches.
+    // The same question through the BLOCKWISE Misra-Gries mergeable
+    // summary (Agarwal et al., "Mergeable Summaries", PODS 2012):
+    // docs land in one of 32 blocks by a portable hash; each block
+    // builds an exact local count table and compresses it to ≤ cap
+    // entries with the MG merge rule (subtract the (cap+1)-th largest
+    // count, drop non-positive); the ≤ 32·cap surviving counters are
+    // pointwise-summed and compressed once more. Every counter is a
+    // lower bound within N/(cap+1) of truth — the MG invariant — and,
+    // unlike the single-pass streaming fold (FreqItemsAgg, whose
+    // decrement step depends on arrival order), the blockwise form is
+    // a pure function of the block PARTITION of the corpus, so the
+    // DuckDB oracle replays it exactly. The final compress windows
+    // over ≤ 32·cap rows by construction (bounded, like q121). The
+    // streaming constant-memory fold remains FreqItemsSpec's contract.
     "q68_top_ngrams_sketch" -> ((s, dir) => {
       import s.implicits._
-      Q.fanout(Tables.table(s, dir, "documents"))
-        .select(explode(ngrams($"text", 2)).as("ngram"))
-        .agg(call_function("graft_freq_items", $"ngram", lit(1024))
-          .as("summary"))
-        .select(explode($"summary").as("e"))
-        .select($"e.term".as("ngram"), $"e.cnt".as("est_n"))
+      val cap = 1024
+      val nBlocks = 32
+      val perBlk = Q.fanout(Tables.table(s, dir, "documents"))
+        .select(
+          pmod(hash60(concat($"doc_id".cast("string"), lit("_mg"))),
+            lit(nBlocks.toLong)).as("blk"),
+          explode(ngrams($"text", 2)).as("ngram"))
+        .groupBy($"blk", $"ngram").agg(count(lit(1)).as("c"))
+      // MG compress per block: the (cap+1)-th largest count value is
+      // well-defined under any tiebreak among equal counts.
+      val wBlk = Window.partitionBy($"blk").orderBy($"c".desc, $"ngram")
+      val compressed = perBlk
+        .withColumn("sub", coalesce(
+          max(when(row_number().over(wBlk) === cap + 1, $"c"))
+            .over(Window.partitionBy($"blk")), lit(0L)))
+        .withColumn("c2", $"c" - $"sub")
+        .filter($"c2" > 0)
+      // Merge: pointwise sum of ≤ 32·cap counters, one final compress.
+      val wAll = Window.orderBy($"mc".desc, $"ngram")
+      compressed.groupBy($"ngram").agg(sum($"c2").as("mc"))
+        .withColumn("sub", coalesce(
+          max(when(row_number().over(wAll) === cap + 1, $"mc"))
+            .over(Window.partitionBy()), lit(0L)))
+        .select($"ngram", ($"mc" - $"sub").as("est_n"))
+        .filter($"est_n" > 0)
         .orderBy($"est_n".desc, $"ngram")
         .limit(20)
     }),
@@ -885,6 +973,12 @@ object TextQueries {
     // with the anchor/positive bumps at most twice (ids are dense
     // 0..n−1 in this corpus; at scale compose with q93's GlobalIndex
     // to densify first). Corpus size rides as a broadcast 1-row frame.
+    // Oracle note: the pair source is minhash-LSH banding while the
+    // oracle computes the exact all-pairs jaccard ≥ 0.8 set — the
+    // SAME corpus-dependent banding-recall assumption q28 documents
+    // and MinHashSpec pins (on this corpus the bands miss no
+    // qualifying pair; a corpus where they did would fail the gate
+    // without a code bug).
     "q116_contrastive_triplets" -> ((s, dir) => {
       import s.implicits._
       import graft.text.TextFunctions.hash60
@@ -1087,6 +1181,42 @@ object TextQueries {
                FROM w)
          SELECT ngram, count(1) AS n FROM g
          GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
+    // Exact replay of the blockwise Misra-Gries summary: same portable
+    // block hash, same per-block compress (subtract the 1025-th
+    // largest), same single merge-compress. Order-independent by
+    // construction, so block partitioning alone pins the result.
+    "q68_top_ngrams_sketch" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      unnest([concat_ws(' ', ws[i], ws[i+1])
+                              FOR i IN generate_series(1, len(ws) - 1)])
+                        AS ngram
+               FROM w),
+         pb AS (SELECT CAST('0x' || substr(md5(doc_id::VARCHAR || '_mg'),
+                                           1, 15) AS BIGINT) % 32 AS blk,
+                       ngram, count(1)::BIGINT AS c
+                FROM g GROUP BY 1, 2),
+         rk AS (SELECT blk, ngram, c,
+                       row_number() OVER (PARTITION BY blk
+                                          ORDER BY c DESC, ngram) AS r
+                FROM pb),
+         sb AS (SELECT blk,
+                       coalesce(max(CASE WHEN r = 1025 THEN c END), 0) AS s
+                FROM rk GROUP BY blk),
+         cp AS (SELECT rk.ngram, rk.c - sb.s AS c2
+                FROM rk JOIN sb ON rk.blk = sb.blk
+                WHERE rk.c - sb.s > 0),
+         mg AS (SELECT ngram, sum(c2)::BIGINT AS mc FROM cp GROUP BY 1),
+         mrk AS (SELECT ngram, mc,
+                        row_number() OVER (ORDER BY mc DESC, ngram) AS r
+                 FROM mg),
+         ms AS (SELECT coalesce(max(CASE WHEN r = 1025 THEN mc END), 0) AS s
+                FROM mrk)
+         SELECT ngram, mc - ms.s AS est_n FROM mrk, ms
+         WHERE mc - ms.s > 0
+         ORDER BY est_n DESC, ngram LIMIT 20""",
+    "q124_bpe_encode" -> bpeEncodeSql,
     "q65_deterministic_shuffle" ->
       """SELECT doc_id, source,
                 CAST('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'), 1, 15)

@@ -28,11 +28,15 @@ object DataQuality {
       .select(lit(name).as("check_name"), col("n_violations"),
         col("n_checked"))
 
-  /** Child rows whose `fk` has no parent `pk` (left anti join). */
+  /** Child rows whose `fk` has no parent `pk` (left anti join).
+    * The parent key is aliased before the join: with a shared column
+    * name (both sides "custkey", the common case) col(fk) === col(pk)
+    * is ambiguous after the join and fails analysis. */
   def foreignKeyCheck(name: String, child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame = {
     val orphans = child.select(col(fk))
-      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      .join(parent.select(col(pk).as("__parent_pk")),
+        col(fk) === col("__parent_pk"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
     val total = child.agg(count(lit(1)).as("n_checked"))
     orphans.crossJoin(total)

@@ -21,9 +21,12 @@ object StreamTuning {
     * ExceptionInInitializerError on every streaming query. */
   val default: Int =
     sys.env.get("GRAFT_STATE_PARTITIONS").map { v =>
-      require(v.trim.nonEmpty && v.trim.forall(_.isDigit),
+      // toIntOption (not isDigit+toInt): a digit-only overflow like
+      // '99999999999' must hit this message, not NumberFormatException
+      val parsed = v.trim.toIntOption
+      require(parsed.exists(_ > 0),
         s"GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'")
-      v.trim.toInt
+      parsed.get
     }.getOrElse(8)
 
   def withStatePartitions[T](spark: SparkSession, n: Int = default)(f: => T): T = {

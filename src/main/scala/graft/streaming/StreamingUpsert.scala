@@ -64,11 +64,16 @@ object StreamingUpsert {
     "q112_stream_upsert" -> ((s, dir) => streamedLatestPerUser(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    // ts ranks and renders at MICROsecond precision (epoch_us /
+    // make_timestamp): Spark truncates the parquet TIMESTAMP_NS to µs
+    // on read (Tables.table), so a testdata refresh that introduces
+    // sub-µs ts must not flip the precedence winner or the hash.
     "q112_stream_upsert" ->
-      """SELECT user_id, ts, event_id, event_type, value FROM (
+      """SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                event_id, event_type, value FROM (
            SELECT user_id, ts, event_id, event_type, value,
                   row_number() OVER (PARTITION BY user_id
-                    ORDER BY ts DESC, event_id DESC) AS rn
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1
          ORDER BY user_id""")
 }

@@ -32,6 +32,14 @@ class DataQualitySpec extends SparkSuite {
     val rg = predicateCheck("rg", child, $"v" < 0.0).collect()(0)
     assert(rg.getLong(1) == 1 && rg.getLong(2) == 5)
 
+    // same column name on both sides — the common star-schema shape;
+    // must not hit ambiguous-reference analysis failure
+    val sameName = foreignKeyCheck("sn",
+      child.withColumnRenamed("fk", "custkey"), "custkey",
+      parent.withColumnRenamed("pk", "custkey"), "custkey")
+      .collect()(0)
+    assert(sameName.getLong(1) == 3 && sameName.getLong(2) == 5)
+
     val all = audit(Seq(
       foreignKeyCheck("fk", child, "fk", parent, "pk"),
       predicateCheck("nn", child, $"fk".isNull)))

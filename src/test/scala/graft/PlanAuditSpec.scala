@@ -124,6 +124,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(n === 1, s"expected exactly 1 hash exchange, got $n in:\n$plan")
   }
 
+  test("q122: no shuffle exchange carries the float feature vectors") {
+    // the r4 watch-item: the (tbl, bucket) bucket join must move ids
+    // only — vectors are joined back for the candidate rescore, where
+    // each moves once instead of ×8 tables
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q122_media_neardup_lsh")(spark, sf0001)
+    val offending = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(_.name.matches("feature|f_a|f_b")) => e
+    }
+    assert(offending.isEmpty,
+      s"feature vectors ride a shuffle exchange:\n${offending.mkString("\n")}")
+  }
+
+  test("q107: the no-broadcast closing-join fallback stays correct") {
+    // the 100× path (edges outgrow a broadcast): same 20 rows, and
+    // the closing join really is a shuffled join, not a broadcast
+    import graft.queries.OperatorQueries
+    // at sf0.001 everything fits the auto-broadcast threshold, so
+    // disabling it is what makes the fallback exercise the shuffled
+    // path the comment promises at 100× (the explicit hint on the
+    // default variant survives threshold = -1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fallback = OperatorQueries.triangleCount(spark, sf0001,
+        broadcastClose = false)
+      val plan = fallback.queryExecution.executedPlan.toString
+      assert("(ShuffledHashJoin|SortMergeJoin)".r.findFirstIn(plan).nonEmpty,
+        s"expected a shuffled closing join in:\n$plan")
+      val hinted = OperatorQueries.triangleCount(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val unhinted = fallback
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hinted == unhinted,
+        s"broadcast and shuffled closing joins disagree:\n$hinted\n$unhinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bloom semi join: the probe filters the big side BEFORE the join") {
     val df = SparkEntry.queries("q81_bloom_semi_join")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString.toLowerCase
