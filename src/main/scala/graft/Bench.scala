@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb runs every stateful stream
+    // under the RocksDB state store — the 100 TB provider (state
+    // off-heap/on-disk per partition; RocksDbStateSpec pins provider
+    // equivalence). Measured at sf0.1 the default in-memory provider
+    // is faster (tiny state, JNI+disk overhead dominates), so the
+    // bench default stays HDFS-backed; the switch exists so the
+    // crossover is one env var to measure, not a code change.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // untimed warmup: JVM/codegen/parquet-reader startup should not be
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

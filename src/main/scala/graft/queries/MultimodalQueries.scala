@@ -110,8 +110,23 @@ object MultimodalQueries {
       // frame back on each side, so per-vector bytes move once per
       // side instead of ×8 tables across the bucket exchange. Pair
       // set and cosines are bit-identical to the r4 form.
+      // ADAPTIVE plane count (the sf1 spot-bench finding): with the
+      // 2^planes bucket space FIXED, Σ|bucket|² grows quadratically
+      // in n (10× data measured 37× — the fixed-plane form is the
+      // scale killer). Target occupancy n/2^planes ≈ 32: planes =
+      // clamp(6..24, ceil_log2(⌈n/32⌉)) — INTEGER bit-length, not
+      // float log2, so DuckDB reproduces the choice without libm-ulp
+      // hazards. n is one count over the checkpointed frame (bounded
+      // scalar, the IVF-centroid collect class). More planes trades
+      // recall at the 0.75 threshold; `tables` is the compensating
+      // knob (recall bounds vs q84 are pinned at small SF where
+      // planes stays 6).
+      val n = feats.count()
+      val v = (n + 31) / 32
+      val planes = math.max(6, math.min(24,
+        if (v <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)))
       val bucketed = feats.select($"asset_id",
-          posexplode(hyperplaneBuckets($"feature", planes = 6, tables = 8)))
+          posexplode(hyperplaneBuckets($"feature", planes, tables = 8)))
         .toDF("asset_id", "tbl", "bucket")
         .localCheckpoint()
       bucketed.toDF("id_a", "tbl", "bucket")
@@ -124,6 +139,37 @@ object MultimodalQueries {
         .select($"id_a", $"id_b", cosine($"f_a", $"f_b").as("cosine"))
         .filter($"cosine" >= 0.75)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Cross-modal retrieval (the CLIP-alignment stub): text
+    // embeddings (64-dim) are projected into the 16-dim media feature
+    // space by a deterministic MD5-derived matrix (the trained
+    // projection head would ride the plan exactly like this — a
+    // constant matrix literal), then each query asset retrieves its
+    // top-3 text vectors by exact cosine. Query side is a bounded
+    // slice (asset_id % 25) broadcast against the corpus — the q31
+    // bounded-nested-loop shape, k·n not n²; at scale the corpus side
+    // would go through the q33/q40 ANN index instead of the scan.
+    "q126_crossmodal_topk" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.VectorFunctions.{cosine, dotExact, mdProjectionMatrix}
+      val qAssets = Multimodal.featurize(
+          Multimodal.syntheticAssets(s, dir)
+            .filter(col("asset_id") % 25 === 0))
+        .toDF().select($"asset_id", $"feature")
+      val m = mdProjectionMatrix(rows = 16, dims = 64, salt = "xm")
+      val proj = graft.Tables.table(s, dir, "embeddings")
+        .select($"vec_id",
+          array(m.map(row => dotExact($"embedding", typedlit(row))): _*)
+            .as("pv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy($"cosine".desc, $"vec_id")
+      proj.crossJoin(broadcast(qAssets))
+        .withColumn("cosine", cosine($"feature", $"pv"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"asset_id", $"rnk", $"vec_id", $"cosine")
+        .orderBy($"asset_id", $"rnk")
     }),
 
     // Aspect-ratio bucketing: group image assets into shape-
@@ -184,13 +230,21 @@ object MultimodalQueries {
     "q122_media_neardup_lsh" ->
       s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
                      FROM documents),
+          np AS (
+            SELECT greatest(6, least(24,
+                     CASE WHEN (count(*) + 31) // 32 <= 1 THEN 0
+                          ELSE length(bin((count(*) + 31) // 32 - 1))
+                     END)) AS np
+            FROM documents),
           planes AS (
             SELECT t, p,
                    list_transform(generate_series(0, ${dim - 1}), d ->
                      CAST('0x' || substr(md5((t * 64 + p) || '_' || d),
                                          1, 12) AS BIGINT)::DOUBLE
                        / 281474976710656.0 - 0.5) AS plane
-            FROM generate_series(0, 7) gt(t), generate_series(0, 5) gp(p)),
+            FROM generate_series(0, 7) gt(t),
+                 generate_series(0, 23) gp(p), np
+            WHERE gp.p < np.np),
           buck AS (
             SELECT f.asset_id, pl.t AS tbl,
                    sum(CASE WHEN list_reduce(
@@ -212,6 +266,33 @@ object MultimodalQueries {
           JOIN f fb ON fb.asset_id = c.id_b
           WHERE ${cos16("fa.v", "fb.v")} >= 0.75
           ORDER BY c.id_a, c.id_b""",
+    // projection replayed as 16 ordered 64-term folds; cosine exact
+    "q126_crossmodal_topk" -> {
+      def dotN(a: String, b: String, n: Int): String =
+        s"""list_reduce(list_transform(generate_series(1, $n),
+              i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"""
+      s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
+                     FROM documents WHERE doc_id % 25 = 0),
+          m AS (SELECT k, list_transform(generate_series(0, 63), d ->
+                  CAST('0x' || substr(md5('xm_' || k || '_' || d), 1, 12)
+                       AS BIGINT)::DOUBLE / 281474976710656.0 - 0.5) AS row
+                FROM generate_series(0, ${dim - 1}) gk(k)),
+          p AS (SELECT e.vec_id,
+                       list((${dotN("e.embedding", "m.row", 64)})
+                            ORDER BY m.k) AS pv
+                FROM embeddings e, m GROUP BY e.vec_id),
+          sc AS (SELECT f.asset_id, p.vec_id,
+                        ${dotN("f.v", "p.pv", dim)} /
+                          (sqrt(${dotN("f.v", "f.v", dim)})
+                           * sqrt(${dotN("p.pv", "p.pv", dim)})) AS cosine
+                 FROM f, p),
+          rk AS (SELECT asset_id, vec_id, cosine,
+                        row_number() OVER (PARTITION BY asset_id
+                          ORDER BY cosine DESC, vec_id) AS rnk
+                 FROM sc)
+          SELECT asset_id, rnk, vec_id, cosine
+          FROM rk WHERE rnk <= 3 ORDER BY asset_id, rnk"""
+    },
     "q108_aspect_buckets" ->
       """WITH imgs AS (
            SELECT doc_id AS asset_id,

@@ -268,6 +268,30 @@ object OperatorQueries {
     // oracle replays it; per-node participation via explode+aggregate.
     "q107_triangle_count" -> ((s, dir) => triangleCount(s, dir)),
 
+    // Compaction planning: assign files (stand-in: documents, sized
+    // by n_chars) to target-size output bins, next-fit by start
+    // offset over the (size desc, id) order — the small-files
+    // compaction manifest a lakehouse writes before rewriting a
+    // partition. One window cumsum per source (keys partition the
+    // work; no global window) + one aggregate; bins never split a
+    // file, so a bin overflows by at most one file — the standard
+    // planner trade. Integer arithmetic only (div, never /).
+    "q127_compaction_plan" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"bytes".desc, $"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.table(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars".as("bytes"))
+        .withColumn("cum", sum($"bytes").over(w))
+        .withColumn("bin_id", expr("(cum - bytes) div 4096"))
+        .groupBy($"source", $"bin_id")
+        .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"bin_id")
+    }),
+
     // Snapshot-diff CDC: turn two full snapshots into a change log
     // (insert/delete/update, null-safe compares) — the reverse of
     // Scd2's change-log consumption, and what a daily-full-dump lake
@@ -546,6 +570,24 @@ object OperatorQueries {
          FROM events
          GROUP BY day
          ORDER BY day""",
+    "q127_compaction_plan" ->
+      """WITH sized AS (SELECT source, doc_id, n_chars AS bytes
+                        FROM documents),
+         ordered AS (
+           SELECT source, doc_id, bytes,
+                  sum(bytes) OVER (PARTITION BY source
+                    ORDER BY bytes DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM sized),
+         binned AS (
+           SELECT source, doc_id, bytes,
+                  ((cum - bytes) // 4096)::BIGINT AS bin_id
+           FROM ordered)
+         SELECT source, bin_id, count(*)::BIGINT AS n_files,
+                sum(bytes)::BIGINT AS bin_bytes,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM binned GROUP BY source, bin_id ORDER BY source, bin_id""",
     // ts is truncated to µs up front (make_timestamp/epoch_us):
     // Spark reads the parquet TIMESTAMP_NS at µs (Tables.table), so
     // grouping/ranking/rendering must happen at µs in the oracle too.

@@ -546,6 +546,87 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // The RETENTION half of near-dup clustering (q75 labels, this
+    // chooses): every cluster keeps exactly its best-quality member
+    // (ties → min doc_id), singletons keep themselves — the
+    // "canonical document" policy every dedup pipeline ends with.
+    // One left join onto the cluster labels + one per-cluster window
+    // (clusters are near-dup groups — small by construction; the
+    // window partitions by cluster_id, never globally).
+    "q125_canonical_keep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val clustered = graft.dedup.ConnectedComponents
+        .nearDupClusters(docs, "doc_id", "text", 0.8)
+      val full = docs
+        .select($"doc_id", qualityScore($"text").as("quality"))
+        .join(clustered, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+          coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+          $"quality")
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy($"quality".desc, $"doc_id")
+      full.withColumn("kept", row_number().over(w) === 1)
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic train/val/test split manifest: the 98/1/1 cut by
+    // portable salted hash of doc_id — reproducible on any engine,
+    // stable under corpus growth (a doc's split never changes when
+    // neighbors arrive, unlike percentile cuts). Scan-parallel
+    // classify + one aggregate; the manifest is what a training run
+    // records for provenance.
+    "q129_split_manifest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"source",
+          (hash60(concat($"doc_id".cast("string"), lit("_split"))) % 100)
+            .as("h"),
+          tokenCount($"text").cast("long").as("n_tokens"))
+        .withColumn("split",
+          when($"h" < 98, "train").when($"h" === 98, "val")
+            .otherwise("test"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+        .orderBy($"source", $"split")
+    }),
+
+    // Bigram language-model quality gate: mean Laplace-smoothed
+    // bigram probability P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) under the
+    // corpus's own LM — the perplexity-style fluency signal, kept in
+    // RATIONAL form (the q103 discipline: counts and divisions only,
+    // never ln — libm transcendentals differ across engines in the
+    // last ulp). Per-doc mean uses the q109 fixed-point sum
+    // (floor(p·10¹²) → exact decimal sum) so summation order can't
+    // move the hash. Two hash aggregates over the bigram vocabulary +
+    // joins back on the bigram key — the same shuffle class as BM25.
+    "q130_bigram_lm_gate" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", explode(ngrams($"text", 2)).as("g"))
+        .select($"doc_id",
+          substring_index($"g", " ", 1).as("w1"),
+          substring_index($"g", " ", -1).as("w2"))
+      val bc = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val uc = bc.groupBy($"w1").agg(sum($"c2").as("c1"))
+      val vv = bc.agg(countDistinct($"w2").as("v"))
+      pairs
+        .join(bc, Seq("w1", "w2"))
+        .join(uc, Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .withColumn("prob",
+          ($"c2" + 1).cast("double") / ($"c1" + $"v").cast("double"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(
+            sum(floor($"prob" * lit(1e12))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double") / lit(1e12) / count(lit(1)),
+            6).as("mean_prob"))
+        .orderBy($"doc_id")
+    }),
+
     // Canonical normalization (NFC → lower → whitespace collapse →
     // trim): per-row codegen expressions only — scan-parallel. The
     // NFC step is the graft_nfc custom Expression (no Spark
@@ -1217,6 +1298,84 @@ object TextQueries {
          WHERE mc - ms.s > 0
          ORDER BY est_n DESC, ngram LIMIT 20""",
     "q124_bpe_encode" -> bpeEncodeSql,
+    // q75's recursive-CTE transitive closure + quality argmax; docs
+    // outside any cluster are their own singleton cluster
+    "q125_canonical_keep" ->
+      s"""WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+               FROM w),
+         e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM d a JOIN d b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                        - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8),
+         sym AS (SELECT ia, ib FROM e UNION SELECT ib, ia FROM e),
+         reach(id, r) AS (
+           SELECT ia, ib FROM sym
+           UNION
+           SELECT s.ia, reach.r FROM sym s JOIN reach ON s.ib = reach.id),
+         lab AS (SELECT id, least(min(r), id) AS cluster_id
+                 FROM reach GROUP BY id),
+         q AS (SELECT doc_id, ${qualitySql("w")} AS quality FROM w),
+         full_lab AS (
+           SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+                  q.quality
+           FROM q LEFT JOIN lab l ON q.doc_id = l.id),
+         ranked AS (
+           SELECT doc_id, cluster_id, quality,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY quality DESC, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           FROM full_lab)
+         SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size,
+                quality, (rk = 1) AS kept
+         FROM ranked ORDER BY doc_id""",
+    "q129_split_manifest" ->
+      """WITH s AS (
+           SELECT source,
+                  CAST('0x' || substr(md5(doc_id::VARCHAR || '_split'),
+                                      1, 15) AS BIGINT) % 100 AS h,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+         t AS (SELECT source,
+                      CASE WHEN h < 98 THEN 'train'
+                           WHEN h = 98 THEN 'val'
+                           ELSE 'test' END AS split,
+                      n_tokens
+               FROM s)
+         SELECT source, split, count(*)::BIGINT AS n_docs,
+                sum(n_tokens)::BIGINT AS n_tokens
+         FROM t GROUP BY source, split ORDER BY source, split""",
+    // every literal CAST to DOUBLE; fixed-point mean (q109 pattern)
+    "q130_bigram_lm_gate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      unnest([{'a': ws[i], 'b': ws[i+1]}
+                              FOR i IN generate_series(1, len(ws) - 1)])
+                        AS p
+               FROM w),
+         pairs AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM g),
+         bc AS (SELECT w1, w2, count(*)::BIGINT AS c2
+                FROM pairs GROUP BY w1, w2),
+         uc AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM bc GROUP BY w1),
+         vv AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM bc),
+         scored AS (
+           SELECT p.doc_id,
+                  (bc.c2 + 1)::DOUBLE / (uc.c1 + vv.v)::DOUBLE AS prob
+           FROM pairs p
+           JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+           JOIN uc ON p.w1 = uc.w1
+           CROSS JOIN vv)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(CAST(sum(CAST(floor(prob * CAST(1e12 AS DOUBLE))
+                                    AS DECIMAL(38,0))) AS DOUBLE)
+                        / CAST(1e12 AS DOUBLE) / count(*),
+                      6) AS mean_prob
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "q65_deterministic_shuffle" ->
       """SELECT doc_id, source,
                 CAST('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'), 1, 15)

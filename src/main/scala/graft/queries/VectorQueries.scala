@@ -95,6 +95,37 @@ object VectorQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Matryoshka truncation audit: how much top-10 retrieval quality
+    // survives using only the first 16 of 64 dims (the MRL deploy
+    // question — a 4× cheaper index)? Per query (bounded slice,
+    // vec_id % 25): |top-10 by full cosine ∩ top-10 by truncated
+    // cosine|. Both searches are the q31 bounded-broadcast shape;
+    // the overlap join is per-query over ≤ 10 rows each side. At
+    // scale the truncated side is the one you'd index (q33/q40) —
+    // this audit is what justifies that swap.
+    "q128_matryoshka_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" % 25 === 0)
+      val fullTop = VectorFunctions.knnBruteForce(
+        q.withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"), k = 10)
+      val truncTop = VectorFunctions.knnBruteForce(
+        q.select($"vec_id".as("query_id"),
+          slice($"embedding", 1, 16).as("embedding")),
+        emb.select($"vec_id".as("neighbor_id"),
+          slice($"embedding", 1, 16).as("embedding")), k = 10)
+      val overlap = fullTop.select($"query_id", $"neighbor_id")
+        .join(truncTop.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+      q.select($"vec_id".as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+        .orderBy($"query_id")
+    }),
+
     // Embedding near-duplicate pairs at cosine ≥ 0.45 (the planted
     // similarity level in the testdata). Exact output; the double
     // prefilter inside cosineNearDupPairs only skips pairs that
@@ -223,7 +254,36 @@ object VectorQueries {
     * (empty since r4: every vector query is oracle-verified). */
   val oracleExempt: Map[String, Fn] = Map.empty
 
+  /** dotDec with an explicit dim (q128 folds 16-dim truncations). */
+  private def dotDim(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $n),
+          i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"""
+
+  private def cosDim(av: String, bv: String, n: Int): String =
+    s"${dotDim(av, bv, n)} / (sqrt(${dotDim(av, av, n)})" +
+      s" * sqrt(${dotDim(bv, bv, n)}))"
+
   val oracles: Map[String, String] = Map(
+    "q128_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                     FROM embeddings WHERE vec_id % 25 = 0),
+          full_rk AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     ${cosDim("q.qv", "e.embedding", 64)} DESC,
+                     e.vec_id) AS rnk
+            FROM q, embeddings e WHERE e.vec_id <> q.qid),
+          trunc_rk AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     ${cosDim("q.qv", "e.embedding", 16)} DESC,
+                     e.vec_id) AS rnk
+            FROM q, embeddings e WHERE e.vec_id <> q.qid)
+          SELECT f.qid AS query_id, count(t.vec_id)::BIGINT AS n_overlap
+          FROM (SELECT * FROM full_rk WHERE rnk <= 10) f
+          LEFT JOIN (SELECT * FROM trunc_rk WHERE rnk <= 10) t
+            ON f.qid = t.qid AND f.vec_id = t.vec_id
+          GROUP BY f.qid ORDER BY query_id""",
     "q77_classifier_gate" ->
       """SELECT vec_id, label, logit FROM (
            SELECT vec_id, label,

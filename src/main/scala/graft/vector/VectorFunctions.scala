@@ -153,6 +153,26 @@ object VectorFunctions {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
+  /** MD5-derived dense projection matrix (`rows` × `dims`, components
+    * in [-0.5, 0.5)) — the deterministic random projection used to
+    * map between embedding spaces (cross-modal alignment stub,
+    * Johnson-Lindenstrauss down-projection). Same constant-literal
+    * discipline as the LSH planes: built on the driver, embedded as
+    * literals, reproduced in DuckDB via
+    * `CAST('0x' || substr(md5(salt_k_d), 1, 12) AS BIGINT)`. */
+  def mdProjectionMatrix(rows: Int, dims: Int,
+      salt: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until rows).map { k =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"${salt}_${k}_$d".getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16).toDouble
+          / (1L << 48).toDouble) - 0.5
+      }
+    }
+  }
+
   /** Deterministic pseudo-random hyperplane: components in [-0.5, 0.5)
     * derived from md5(plane, dim) on the DRIVER, embedded as a literal
     * array — executors see a constant (effectively a broadcast of the

@@ -38,7 +38,13 @@ class PlanAuditSpec extends SparkSuite {
     // as broadcast 1-ROW frames (the q103/q104 pattern); q116's pair
     // generation itself is q28's bucketed LSH join, never all-pairs.
     "q116_contrastive_triplets", "q118_canary_manifest",
-    "q121_token_waterfill")
+    "q121_token_waterfill",
+    // q126/q128: the query side is a bounded slice (id % 25)
+    // broadcast against the corpus — the q31 k·n nested-loop shape;
+    // q130: the vocabulary size V rides as a broadcast 1-ROW frame
+    // (the q103/q104 scalar-stats pattern).
+    "q126_crossmodal_topk", "q128_matryoshka_recall",
+    "q130_bigram_lm_gate")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,

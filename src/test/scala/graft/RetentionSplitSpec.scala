@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the round-5 operators (q125–q130) beyond
+  * the DuckDB hash gate: invariants a refactor must not break even if
+  * it changed the (also-pinned) exact output.
+  */
+class RetentionSplitSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("q125: exactly one kept doc per cluster, and it has max quality") {
+    val rows = SparkEntry.queries("q125_canonical_keep")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._5) == 1, s"cluster $c kept != 1")
+      val kept = members.find(_._5).get
+      assert(kept._4 == members.map(_._4).max,
+        s"cluster $c kept a non-max-quality doc")
+      assert(members.forall(_._3 == members.length),
+        s"cluster $c size column disagrees with membership")
+    }
+    // retention really drops something on this corpus (clusters exist)
+    assert(rows.exists(!_._5), "no doc was dropped — no clusters formed?")
+  }
+
+  test("q129: splits partition the corpus with the hash ratios") {
+    val m = SparkEntry.queries("q129_split_manifest")(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val total = m.map(_._2).sum
+    val nDocs = Tables.table(spark, sf0001, "documents").count()
+    assert(total == nDocs, s"manifest covers $total of $nDocs docs")
+    val train = m.filter(_._1 == "train").map(_._2).sum
+    // 98% expected; wide tolerance at 500 docs
+    assert(train.toDouble / total > 0.9, s"train fraction ${train}/$total")
+  }
+
+  test("q128: overlap counts are within [0, 10]") {
+    val o = SparkEntry.queries("q128_matryoshka_recall")(spark, sf0001)
+      .collect().map(_.getLong(1))
+    assert(o.nonEmpty && o.forall(v => v >= 0 && v <= 10))
+  }
+
+  test("q126: three ranked hits per query asset, cosine in [-1, 1]") {
+    val rows = SparkEntry.queries("q126_crossmodal_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (a, hits) =>
+      assert(hits.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"asset $a ranks")
+    }
+    assert(rows.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+  }
+
+  test("q127: bins conserve bytes and start under the target boundary") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val totalBytes = docs.agg(sum($"n_chars")).head.getLong(0)
+    val bins = SparkEntry.queries("q127_compaction_plan")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(bins.map(_._3).sum == totalBytes, "bin bytes != corpus bytes")
+    // next-fit-by-start-offset: bin b of a source only exists if the
+    // source's cumulative size reaches past b * target
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      val ids = bs.map(_._2).sorted.toList
+      assert(ids == (0L until ids.length).toList,
+        s"$src bins not contiguous from 0: $ids")
+    }
+  }
+
+  test("q130: smoothed bigram probabilities are in (0, 1]") {
+    val p = SparkEntry.queries("q130_bigram_lm_gate")(spark, sf0001)
+      .collect().map(_.getDouble(2))
+    assert(p.nonEmpty && p.forall(v => v > 0.0 && v <= 1.0))
+  }
+}
