@@ -555,6 +555,36 @@ object Analytics {
     // bit-identical on any engine — exponential smoothing without the
     // cross-engine pow() hazard. One window shuffle on the user key;
     // the trailing frame keeps per-row state bounded (8 doubles).
+    // Rolling robust anomaly flag per user timeline: |x − median₇| >
+    // 1.5·(Q3 − Q1) over a trailing 7-row window. Median/quartiles
+    // are EXACT ELEMENT PICKS from the sorted trail (ceil-index
+    // convention) — never interpolated: Spark's percentile blends as
+    // (1−g)·a + g·b while DuckDB's quantile_cont computes
+    // a + (b−a)·g, which differ in the last ulp; picked elements are
+    // raw data values, identical by construction. 1.5 is dyadic so
+    // the single multiply is exact. One per-user window shuffle.
+    "q132_rolling_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-6, Window.currentRow)
+      Tables.table(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .withColumn("trail", sort_array(collect_list($"value").over(w)))
+        .select($"event_id", $"user_id", $"value",
+          // `div`, not `/` (Column./ is double division); div yields
+          // BIGINT — element_at wants INT
+          expr("element_at(trail, int((size(trail) + 1) div 2))")
+            .as("med"),
+          expr("element_at(trail, int((size(trail) * 3 + 3) div 4))")
+            .as("hi"),
+          expr("element_at(trail, int((size(trail) + 3) div 4))")
+            .as("lo"))
+        .select($"event_id", $"user_id", $"value", $"med",
+          (abs($"value" - $"med") > lit(1.5) * ($"hi" - $"lo"))
+            .as("is_anomaly"))
+        .orderBy($"event_id")
+    }),
+
     "q113_ewma_smoothing" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -629,6 +659,23 @@ object Analytics {
                  count(*)::BIGINT AS n_sessions,
                  min(dur_us) AS min_us, max(dur_us) AS max_us
           FROM durs GROUP BY bin ORDER BY bin""",
+    // exact element picks, never quantile_cont (see the q132 body)
+    "q132_rolling_anomaly" ->
+      """WITH t AS (
+           SELECT event_id, user_id, value,
+                  list_sort(list(value) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS trail
+           FROM events),
+         m AS (SELECT event_id, user_id, value,
+                      trail[(len(trail) + 1) // 2] AS med,
+                      trail[(len(trail) * 3 + 3) // 4] AS hi,
+                      trail[(len(trail) + 3) // 4] AS lo
+               FROM t)
+         SELECT event_id, user_id, value, med,
+                (abs(value - med) > CAST(1.5 AS DOUBLE) * (hi - lo))
+                  AS is_anomaly
+         FROM m ORDER BY event_id""",
     // µs-truncated ts in both the emit and the trail order — see q105
     "q113_ewma_smoothing" ->
       """SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.operators.{AsOfJoin, GlobalIndex, RangeJoin}
@@ -267,6 +268,93 @@ object OperatorQueries {
     // Orientation is a total order, so the count is exact and the
     // oracle replays it; per-node participation via explode+aggregate.
     "q107_triangle_count" -> ((s, dir) => triangleCount(s, dir)),
+
+    // Association rules over market baskets (parts co-occurring in an
+    // order): pair support from the same per-order self-join as q107's
+    // edge build, confidence = supp(ab)/supp(a), lift =
+    // n·supp(ab)/(supp(a)·supp(b)) — all RATIONAL (integer counts +
+    // one double division each; the q103/q130 no-transcendentals
+    // discipline). Two hash aggregates + two broadcast-size joins on
+    // the item key; the order count rides as a broadcast 1-row frame.
+    "q131_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      val os = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("part"))
+        .distinct()
+        .localCheckpoint() // 3 consumers: order count, supports, pairs
+      val n = os.select($"ok").distinct().agg(count(lit(1)).as("n_orders"))
+      val s1 = os.groupBy($"part").agg(count(lit(1)).as("supp"))
+      // pairs per order from its sorted part set (the q107 edge
+      // build: one aggregate shuffle, no two-sided self-join)
+      val pairs = os.groupBy($"ok")
+        .agg(sort_array(collect_set($"part")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y ->
+                 struct(x AS pa, y AS pb))))""")).as("p"))
+        .select($"p.pa", $"p.pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("supp_ab"))
+      pairs
+        .join(s1.toDF("pa", "supp_a"), "pa")
+        .join(s1.toDF("pb", "supp_b"), "pb")
+        .crossJoin(broadcast(n))
+        .select($"pa", $"pb", $"supp_ab", $"supp_a", $"supp_b",
+          ($"supp_ab".cast("double") / $"supp_a".cast("double"))
+            .as("conf_ab"),
+          (($"supp_ab" * $"n_orders").cast("double")
+            / ($"supp_a" * $"supp_b").cast("double")).as("lift"))
+        .orderBy($"supp_ab".desc, $"pa", $"pb")
+        .limit(20)
+    }),
+
+    // CDC changelog compaction: fold an append-only change log to the
+    // table it encodes — latest op per key wins, delete tombstones
+    // ('error' here) drop the key entirely. This is the log→table
+    // materialization every CDC sink performs (Debezium compaction,
+    // Delta MERGE ingestion); q10's keep-latest plus tombstone
+    // semantics. One row_number window per key — the shuffle is on
+    // the key, per-key state is one row, no global ordering anywhere.
+    "q135_cdc_compact" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      Tables.table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"event_type" =!= "error")
+        .select($"user_id", $"event_type", $"ts", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // Zone-map manifest: per-zone (shipdate month × 8-way portable
+    // hash bucket) min/max/count statistics over lineitem — the
+    // file-level skipping index a lakehouse stores per data file
+    // (Delta/Iceberg column stats, Parquet row-group min/max). The
+    // `skip_feb` column evaluates the skipping decision for a probe
+    // month: a scan with that predicate reads only zones where it is
+    // false — at 100 TB the manifest is the difference between
+    // reading 3 files and 3000. One hash aggregate; zone count is
+    // bounded (months × buckets), so the manifest itself is tiny.
+    "q136_zonemap_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      li.select(
+          (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long")
+            .as("zmonth"),
+          (graft.text.TextFunctions.hash60(
+            concat($"l_orderkey".cast("string"), lit("_zone"))) % 8)
+            .as("zbucket"),
+          $"l_orderkey", $"l_shipdate")
+        .groupBy($"zmonth", $"zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_orderkey").as("min_key"),
+          max($"l_orderkey").as("max_key"),
+          min($"l_shipdate".cast("date")).as("min_ship"),
+          max($"l_shipdate".cast("date")).as("max_ship"))
+        .withColumn("skip_feb",
+          $"max_ship" < lit("2024-02-01").cast("date") ||
+            $"min_ship" > lit("2024-02-29").cast("date"))
+        .orderBy($"zmonth", $"zbucket")
+    }),
 
     // Compaction planning: assign files (stand-in: documents, sized
     // by n_chars) to target-size output bins, next-fit by start
@@ -570,6 +658,54 @@ object OperatorQueries {
          FROM events
          GROUP BY day
          ORDER BY day""",
+    // µs-truncated ts like q105/q112 (events carries NANOS on disk)
+    "q135_cdc_compact" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  make_timestamp(epoch_us(ts)) AS ts, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_type, ts, value
+         FROM r WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
+    "q136_zonemap_manifest" ->
+      """WITH z AS (
+           SELECT (date_part('year', l_shipdate) * 12
+                   + date_part('month', l_shipdate))::BIGINT AS zmonth,
+                  CAST('0x' || substr(md5(l_orderkey::VARCHAR || '_zone'),
+                       1, 15) AS BIGINT) % 8 AS zbucket,
+                  l_orderkey, l_shipdate
+           FROM lineitem),
+         m AS (SELECT zmonth, zbucket, count(*)::BIGINT AS n_rows,
+                      min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+                      min(l_shipdate::DATE) AS min_ship,
+                      max(l_shipdate::DATE) AS max_ship
+               FROM z GROUP BY zmonth, zbucket)
+         SELECT zmonth, zbucket, n_rows, min_key, max_key,
+                min_ship, max_ship,
+                (max_ship < DATE '2024-02-01'
+                 OR min_ship > DATE '2024-02-29') AS skip_feb
+         FROM m ORDER BY zmonth, zbucket""",
+    "q131_assoc_rules" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+                     FROM lineitem),
+         n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM os),
+         s1 AS (SELECT part, count(*)::BIGINT AS supp FROM os
+                GROUP BY part),
+         p AS (SELECT a.part AS pa, b.part AS pb,
+                      count(*)::BIGINT AS supp_ab
+               FROM os a JOIN os b ON a.ok = b.ok AND a.part < b.part
+               GROUP BY a.part, b.part)
+         SELECT p.pa, p.pb, p.supp_ab,
+                sa.supp AS supp_a, sb.supp AS supp_b,
+                p.supp_ab::DOUBLE / sa.supp::DOUBLE AS conf_ab,
+                (p.supp_ab * n.n_orders)::DOUBLE
+                  / (sa.supp * sb.supp)::DOUBLE AS lift
+         FROM p JOIN s1 sa ON p.pa = sa.part
+                JOIN s1 sb ON p.pb = sb.part
+                CROSS JOIN n
+         ORDER BY supp_ab DESC, pa, pb LIMIT 20""",
     "q127_compaction_plan" ->
       """WITH sized AS (SELECT source, doc_id, n_chars AS bytes
                         FROM documents),

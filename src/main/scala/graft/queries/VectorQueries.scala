@@ -95,6 +95,42 @@ object VectorQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Embedding drift monitor: per-label centroid vs the global
+    // centroid, by cosine — the "did this slice of the corpus move?"
+    // check an embedding pipeline runs per refresh. Means are DYADIC
+    // fixed-point: floor(v·2⁴⁰) per element (exact IEEE multiply by a
+    // power of two + floor — deterministic on both engines, unlike a
+    // float→DECIMAL cast, which DuckDB routes through the float's
+    // ~7-digit decimal rendering: fine for q40's probe-cell CHOICE,
+    // a 1e-8 hash break when the centroid is the OUTPUT), summed as
+    // exact integers (order-independent), divided back. Centroids
+    // assemble in dim order; the cosine folds left-to-right matching
+    // the oracle. Two hash aggregates, dim-bounded output.
+    "q133_embedding_drift" -> ((s, dir) => {
+      import s.implicits._
+      val sc40 = (1L << 40).toDouble
+      val d = Tables.table(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      def centroid(df: org.apache.spark.sql.DataFrame,
+          keys: Seq[org.apache.spark.sql.Column]) = df
+        .groupBy((keys :+ $"pos"): _*)
+        .agg((sum(floor($"v".cast("double") * lit(sc40))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(sc40) / count(lit(1))).as("c"))
+        .groupBy(keys: _*)
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select((keys :+ expr("transform(pc, x -> x.c)").as("cv")): _*)
+      val lv = centroid(d, Seq($"label"))
+      val gv = centroid(d.select(lit(0).as("g"), $"pos", $"v"), Seq($"g"))
+        .select($"cv".as("gcv"))
+      val nn = Tables.table(s, dir, "embeddings")
+        .groupBy($"label").agg(count(lit(1)).as("n"))
+      lv.join(nn, "label").crossJoin(broadcast(gv))
+        .select($"label", $"n",
+          VectorFunctions.cosine($"cv", $"gcv").as("drift_cosine"))
+        .orderBy($"label")
+    }),
+
     // Matryoshka truncation audit: how much top-10 retrieval quality
     // survives using only the first 16 of 64 dims (the MRL deploy
     // question — a 4× cheaper index)? Per query (bounded slice,
@@ -264,6 +300,36 @@ object VectorQueries {
       s" * sqrt(${dotDim(bv, bv, n)}))"
 
   val oracles: Map[String, String] = Map(
+    "q133_embedding_drift" ->
+      s"""WITH d AS (SELECT label, unnest(embedding) AS v,
+                            generate_subscripts(embedding, 1) AS dim
+                     FROM embeddings),
+          lc AS (SELECT label, dim,
+                        CAST(sum(CAST(floor(v::DOUBLE *
+                            CAST(1099511627776.0 AS DOUBLE))
+                          AS DECIMAL(38,0))) AS DOUBLE)
+                          / CAST(1099511627776.0 AS DOUBLE)
+                          / count(*) AS c
+                 FROM d GROUP BY label, dim),
+          gc AS (SELECT dim,
+                        CAST(sum(CAST(floor(v::DOUBLE *
+                            CAST(1099511627776.0 AS DOUBLE))
+                          AS DECIMAL(38,0))) AS DOUBLE)
+                          / CAST(1099511627776.0 AS DOUBLE)
+                          / count(*) AS c
+                 FROM d GROUP BY dim),
+          lv AS (SELECT label, list(c ORDER BY dim) AS cv
+                 FROM lc GROUP BY label),
+          gv AS (SELECT list(c ORDER BY dim) AS cv FROM gc),
+          nn AS (SELECT label AS nlabel, count(*)::BIGINT AS n
+                 FROM embeddings GROUP BY label)
+          SELECT lv.label, nn.n,
+                 ${dotDim("lv.cv", "gv.cv", 64)} /
+                   (sqrt(${dotDim("lv.cv", "lv.cv", 64)})
+                    * sqrt(${dotDim("gv.cv", "gv.cv", 64)}))
+                   AS drift_cosine
+          FROM lv JOIN nn ON lv.label = nn.nlabel CROSS JOIN gv
+          ORDER BY label""",
     "q128_matryoshka_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
                      FROM embeddings WHERE vec_id % 25 = 0),

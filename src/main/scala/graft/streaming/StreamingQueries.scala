@@ -138,9 +138,50 @@ object StreamingQueries {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Streaming top-k maintenance: the tumbling-window counts stream
+    * with the per-window top-3 ranking applied INSIDE foreachBatch —
+    * each complete-mode snapshot write is the current leaderboard, so
+    * the sink always holds ranked winners, not raw counts (the
+    * "trending now" materialization pattern; downstream readers never
+    * re-rank). Ranking cost per trigger is one window over the
+    * day-bounded aggregate — state stays the streaming agg's. */
+  def streamedTopKPerDay(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = StreamTuning.withStatePartitions(spark) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_topk_${runId.incrementAndGet()}_")
+      .toString
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day"))
+          .orderBy(col("n_events").desc, col("event_type"))
+        batch
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= k)
+          .write.mode("overwrite").parquet(s"$out/result")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result").orderBy(col("day"), col("rnk"))
+  }
+
   val queries: Map[String, Q.Fn] = Map(
     "q35_stream_tumbling" -> ((s, dir) => streamedTumblingCounts(s, dir)),
-    "q106_stream_static_join" -> ((s, dir) => streamedSegmentEnrichment(s, dir)))
+    "q106_stream_static_join" -> ((s, dir) => streamedSegmentEnrichment(s, dir)),
+    "q134_stream_topk" -> ((s, dir) => streamedTopKPerDay(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q35_stream_tumbling" ->
@@ -154,5 +195,17 @@ object StreamingQueries {
             count(1) AS n_events, ${Q.dsumSql("value")} AS total_value
           FROM events JOIN customer ON user_id = c_custkey
           GROUP BY c_mktsegment, event_type
-          ORDER BY c_mktsegment, event_type""")
+          ORDER BY c_mktsegment, event_type""",
+    // a drained AvailableNow stream equals the batch window counts,
+    // so the leaderboard is the batch rank
+    "q134_stream_topk" ->
+      """SELECT day, event_type, n_events, rnk FROM (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                  count(1) AS n_events,
+                  row_number() OVER (PARTITION BY date_trunc('day', ts)
+                    ORDER BY count(1) DESC, event_type) AS rnk
+           FROM events
+           GROUP BY date_trunc('day', ts), event_type)
+         WHERE rnk <= 3
+         ORDER BY day, rnk""")
 }

@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSuite {
     // q130: the vocabulary size V rides as a broadcast 1-ROW frame
     // (the q103/q104 scalar-stats pattern).
     "q126_crossmodal_topk", "q128_matryoshka_recall",
-    "q130_bigram_lm_gate")
+    "q130_bigram_lm_gate",
+    // q131/q133: the order count / global centroid ride as broadcast
+    // 1-ROW frames (the q103/q104 scalar-stats pattern)
+    "q131_assoc_rules", "q133_embedding_drift")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -53,7 +56,7 @@ class PlanAuditSpec extends SparkSuite {
   private val streaming = Set(
     "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
     "q66_stream_interval_join", "q71_stream_left_outer_join",
-    "q106_stream_static_join", "q112_stream_upsert")
+    "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

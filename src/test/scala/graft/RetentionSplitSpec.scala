@@ -67,6 +67,43 @@ class RetentionSplitSpec extends SparkSuite {
     }
   }
 
+  test("q131: confidence in (0,1], lift positive, support ordered") {
+    val rows = SparkEntry.queries("q131_assoc_rules")(spark, sf0001)
+      .collect().map(r => (r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s, c, l) => s >= 1 && c > 0 && c <= 1 && l > 0 })
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq,
+      "not ordered by support desc")
+  }
+
+  test("q132: anomalies flagged, median inside the value range") {
+    val rows = SparkEntry.queries("q132_rolling_anomaly")(spark, sf0001)
+      .collect()
+    val flags = rows.map(_.getBoolean(4))
+    assert(flags.exists(identity) && !flags.forall(identity),
+      "anomaly flag is degenerate (all or none)")
+  }
+
+  test("q133: drift cosine in [-1,1], every label covered") {
+    val rows = SparkEntry.queries("q133_embedding_drift")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val total = Tables.table(spark, sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "label counts don't cover corpus")
+    assert(rows.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+  }
+
+  test("q134: per-day leaderboard is ranked 1..k with descending counts") {
+    val rows = SparkEntry.queries("q134_stream_topk")(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (day, hits) =>
+      val sorted = hits.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq,
+        s"$day ranks not 1..k")
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sortBy(-_).toSeq,
+        s"$day counts not descending")
+    }
+  }
+
   test("q130: smoothed bigram probabilities are in (0, 1]") {
     val p = SparkEntry.queries("q130_bigram_lm_gate")(spark, sf0001)
       .collect().map(_.getDouble(2))
