@@ -108,17 +108,25 @@ object Analytics {
     // (AnalyticsSpec asserts err_pct < 5). The exact companion is a
     // test-scale audit column — at 100 TB you ship only the sketch,
     // which is the whole point (constant-size merge vs full distinct
-    // shuffle).
+    // shuffle) — so it is gated on spark.graft.sketchAudit (default
+    // on; Bench turns it off so the timed body is the sketch path
+    // alone, not the exact shuffle the sketch exists to replace).
     "q17_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      Tables.table(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-          countDistinct($"l_orderkey").as("exact_orders"))
-        .select($"l_returnflag", $"approx_orders", $"exact_orders",
-          abs($"approx_orders" - $"exact_orders").as("abs_err"))
-        .orderBy($"l_returnflag")
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val grouped = Tables.table(s, dir, "lineitem").groupBy($"l_returnflag")
+      if (audit)
+        grouped
+          .agg(
+            approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+            countDistinct($"l_orderkey").as("exact_orders"))
+          .select($"l_returnflag", $"approx_orders", $"exact_orders",
+            abs($"approx_orders" - $"exact_orders").as("abs_err"))
+          .orderBy($"l_returnflag")
+      else
+        grouped
+          .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+          .orderBy($"l_returnflag")
     }),
 
     // Date/time function pack (cross-engine-safe subset: weekday is
@@ -180,18 +188,27 @@ object Analytics {
     // and the absolute error ride beside the estimate so the accuracy
     // contract is visible in the driver artifact (AnalyticsSpec bounds
     // it). Exact companion is test-scale audit only — at 100 TB the
-    // sketch replaces it.
+    // sketch replaces it — so it is gated on spark.graft.sketchAudit
+    // (default on; Bench turns it off so the timed body is the sketch
+    // alone, not the exact sort it replaces).
     "q50_percentile_approx" -> ((s, dir) => {
       import s.implicits._
-      Tables.table(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
-            .as("p50_price_approx"),
-          percentile($"l_extendedprice", lit(0.5)).as("p50_price_exact"))
-        .select($"l_returnflag", $"p50_price_approx", $"p50_price_exact",
-          abs($"p50_price_approx" - $"p50_price_exact").as("abs_err"))
-        .orderBy($"l_returnflag")
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val grouped = Tables.table(s, dir, "lineitem").groupBy($"l_returnflag")
+      if (audit)
+        grouped
+          .agg(
+            percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+              .as("p50_price_approx"),
+            percentile($"l_extendedprice", lit(0.5)).as("p50_price_exact"))
+          .select($"l_returnflag", $"p50_price_approx", $"p50_price_exact",
+            abs($"p50_price_approx" - $"p50_price_exact").as("abs_err"))
+          .orderBy($"l_returnflag")
+      else
+        grouped
+          .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+            .as("p50_price_approx"))
+          .orderBy($"l_returnflag")
     }),
 
     // Anti join (NOT EXISTS): customers with no 1998 orders. The

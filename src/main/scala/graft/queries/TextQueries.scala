@@ -11,6 +11,41 @@ import graft.text.TextFunctions._
   * table (LLM-pipeline extensions; SURVEY.md §7.2 step 8).
   */
 object TextQueries {
+
+  /** q68 sketch parameters: per-block counter cap and block count.
+    * The merge stage's global window input is ≤ mgBlocks·mgCap rows
+    * BY CONSTRUCTION (each block keeps ≤ mgCap survivors);
+    * MgBoundSpec asserts the bound so a future change to either
+    * constant (or to the compress filter) can't silently unbound the
+    * Window.partitionBy() in the merge. */
+  private[graft] val mgCap = 1024
+  private[graft] val mgBlocks = 32
+
+  /** q68's per-block stage, factored for the bound spec: docs → 32
+    * hash blocks → exact (blk, ngram) counts → MG compress to ≤ cap
+    * survivors per block (subtract the (cap+1)-th largest count,
+    * drop non-positive). Output columns: blk, ngram, c2. */
+  private[graft] def mgBlockCompressed(
+      docs: org.apache.spark.sql.DataFrame,
+      cap: Int = mgCap,
+      nBlocks: Int = mgBlocks): org.apache.spark.sql.DataFrame = {
+    val perBlk = Q.fanout(docs)
+      .select(
+        pmod(hash60(concat(col("doc_id").cast("string"), lit("_mg"))),
+          lit(nBlocks.toLong)).as("blk"),
+        explode(ngrams(col("text"), 2)).as("ngram"))
+      .groupBy(col("blk"), col("ngram")).agg(count(lit(1)).as("c"))
+    // MG compress per block: the (cap+1)-th largest count value is
+    // well-defined under any tiebreak among equal counts.
+    val wBlk = Window.partitionBy(col("blk"))
+      .orderBy(col("c").desc, col("ngram"))
+    perBlk
+      .withColumn("sub", coalesce(
+        max(when(row_number().over(wBlk) === cap + 1, col("c")))
+          .over(Window.partitionBy(col("blk"))), lit(0L)))
+      .withColumn("c2", col("c") - col("sub"))
+      .filter(col("c2") > 0)
+  }
   import Q._
 
   /** Shared oracle CTE: tokenized docs with distinct 3-gram shingles.
@@ -553,6 +588,12 @@ object TextQueries {
     // One left join onto the cluster labels + one per-cluster window
     // (clusters are near-dup groups — small by construction; the
     // window partitions by cluster_id, never globally).
+    // Oracle note: cluster labels come from minhash-LSH banding while
+    // the oracle closes over the exact all-pairs jaccard ≥ 0.8 set —
+    // the SAME corpus-dependent banding-recall assumption q116
+    // documents and MinHashSpec pins (on this corpus the bands miss
+    // no qualifying pair; a corpus where they did would fail the gate
+    // without a code bug).
     "q125_canonical_keep" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
@@ -658,7 +699,14 @@ object TextQueries {
     // docs land in one of 32 blocks by a portable hash; each block
     // builds an exact local count table and compresses it to ≤ cap
     // entries with the MG merge rule (subtract the (cap+1)-th largest
-    // count, drop non-positive); the ≤ 32·cap surviving counters are
+    // count, drop non-positive). NB the first aggregate still groups
+    // the full (blk, ngram) vocabulary — a vocabulary-sized shuffle,
+    // NOT constant memory; what this form buys is a replayable
+    // (partition-deterministic) MG so the DuckDB oracle can verify
+    // the merge rule. The constant-memory path — counters bounded at
+    // cap DURING the fold, arrival-order dependent and hence
+    // unoracled — is the streaming FreqItemsAgg (FreqItemsSpec).
+    // The ≤ 32·cap surviving counters here are
     // pointwise-summed and compressed once more. Every counter is a
     // lower bound within N/(cap+1) of truth — the MG invariant — and,
     // unlike the single-pass streaming fold (FreqItemsAgg, whose
@@ -669,24 +717,13 @@ object TextQueries {
     // streaming constant-memory fold remains FreqItemsSpec's contract.
     "q68_top_ngrams_sketch" -> ((s, dir) => {
       import s.implicits._
-      val cap = 1024
-      val nBlocks = 32
-      val perBlk = Q.fanout(Tables.table(s, dir, "documents"))
-        .select(
-          pmod(hash60(concat($"doc_id".cast("string"), lit("_mg"))),
-            lit(nBlocks.toLong)).as("blk"),
-          explode(ngrams($"text", 2)).as("ngram"))
-        .groupBy($"blk", $"ngram").agg(count(lit(1)).as("c"))
-      // MG compress per block: the (cap+1)-th largest count value is
-      // well-defined under any tiebreak among equal counts.
-      val wBlk = Window.partitionBy($"blk").orderBy($"c".desc, $"ngram")
-      val compressed = perBlk
-        .withColumn("sub", coalesce(
-          max(when(row_number().over(wBlk) === cap + 1, $"c"))
-            .over(Window.partitionBy($"blk")), lit(0L)))
-        .withColumn("c2", $"c" - $"sub")
-        .filter($"c2" > 0)
+      val compressed =
+        mgBlockCompressed(Tables.table(s, dir, "documents"))
       // Merge: pointwise sum of ≤ 32·cap counters, one final compress.
+      // The global window's input is bounded by construction
+      // (MgBoundSpec pins it), so Window.partitionBy() here is a
+      // bounded single-partition pass, not a global-sort smell.
+      val cap = mgCap
       val wAll = Window.orderBy($"mc".desc, $"ngram")
       compressed.groupBy($"ngram").agg(sum($"c2").as("mc"))
         .withColumn("sub", coalesce(

@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * shape real TPC-H scaling has, and the honest way to measure "would
   * this plan survive 10×?" without inventing new data distributions.
   *
-  * documents.text gets a per-replica suffix (replica 0 is verbatim):
-  * unperturbed copies would make every cross-replica pair an exact
-  * near-dup and blow pair counts quadratically — a different (and
-  * wrong) workload.
+  * documents.text gets a per-replica marker token spliced in after
+  * every 8 words plus a trailing suffix (replica 0 is verbatim), and
+  * n_chars is recomputed from the perturbed text. A suffix alone only
+  * breaks exact-hash equality: on 3-shingles it leaves cross-replica
+  * jaccard at ~s/(s+6), which stays >= 0.8 for any doc over ~26
+  * words, so near-dup pair counts would still grow quadratically in
+  * copies. One marker per 8 words breaks ~2 and adds ~3 shingles per
+  * splice, pushing jaccard to ~0.55 for long docs; the suffix covers
+  * the short-doc tail (few shingles, so +3 marker shingles dominate).
   *
   * events.ts is read as RAW nanosecond longs (no µs conversion), so
   * the written copy round-trips through Tables.table's events branch
@@ -45,14 +50,19 @@ object ScaleUp {
           df.withColumn(c, col(c) + lit(i * stride)))
         perturbText match {
           case Some(tc) if i > 0 =>
-            keyed.withColumn(tc, concat(col(tc), lit(s" r$i")))
+            val marked = regexp_replace(
+              col(tc), "((\\S+\\s+){8})", s"$$1zr${i}q ")
+            val perturbed =
+              keyed.withColumn(tc, concat(marked, lit(s" zr${i}q")))
+            if (perturbed.columns.contains("n_chars"))
+              perturbed.withColumn("n_chars", length(col(tc)))
+            else perturbed
           case _ => keyed
         }
       }.reduce(_ unionByName _)
 
     val specs: Seq[(String, Seq[String], Option[String])] = Seq(
-      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_custkey"),
-        None),
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), None),
       ("orders", Seq("o_orderkey", "o_custkey"), None),
       // nationkeys are NOT offset: nation/region stay 1× (bounded
       // dims), so FKs into them must keep resolving for every replica
@@ -61,7 +71,7 @@ object ScaleUp {
       ("part", Seq("p_partkey"), None),
       ("events", Seq("user_id", "event_id"), None),
       ("documents", Seq("doc_id"), Some("text")),
-      ("embeddings", Seq("doc_id"), None),
+      ("embeddings", Seq("vec_id"), None),
       // bounded dims stay 1×: at any real SF region/nation are fixed
       ("region", Seq(), None),
       ("nation", Seq(), None))
@@ -73,8 +83,12 @@ object ScaleUp {
           spark.read.parquet(graft.Tables.path(src, name))
         } else spark.read.parquet(graft.Tables.path(src, name))
       val present = keys.filter(base.columns.contains)
+      require(present == keys,
+        s"[scaleup] $name: key columns ${keys.diff(present).mkString(",")} " +
+          s"absent from ${base.columns.mkString(",")} — a silent skip " +
+          "would replicate rows verbatim with duplicated ids")
       val out = if (keys.isEmpty) base
-        else replicate(base, present, perturb)
+        else replicate(base, keys, perturb)
       out.write.mode("overwrite")
         .parquet(graft.Tables.path(dst, name))
       System.err.println(s"[scaleup] $name done")

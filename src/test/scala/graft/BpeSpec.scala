@@ -74,6 +74,44 @@ class BpeSpec extends SparkSuite {
       "expression path must not mangle surrogate pairs")
   }
 
+  test("property: expression encode ≡ model encode under randomized merge tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small alphabet so random merge tables actually fire on random
+    // texts (a large alphabet makes every pair rank-absent → no-op)
+    val alpha = Seq("a", "b", "c", "d")
+    val sym: Gen[String] = for {
+      n <- Gen.chooseNum(1, 2)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha))
+    } yield cs.mkString
+    val mergeTable: Gen[Seq[(String, String)]] = for {
+      k <- Gen.chooseNum(1, 12)
+      ps <- Gen.listOfN(k, Gen.zip(sym, sym))
+    } yield ps.distinct // dup pairs would make rank lookup ambiguous
+    val text: Gen[String] = for {
+      w <- Gen.chooseNum(1, 6)
+      ws <- Gen.listOfN(w, Gen.chooseNum(0, 12).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf(alpha)).map(_.mkString)))
+    } yield ws.mkString(" ")
+    val cases = (0 until 40).map { i =>
+      val p = Gen.Parameters.default
+      (mergeTable.pureApply(p, Seed(1000L + i)),
+        (0 until 5).map(j => text.pureApply(p, Seed(2000L + 10 * i + j))))
+    }
+    cases.foreach { case (merges, texts) =>
+      val model = BpeModel(merges)
+      val got = texts.toDF("text")
+        .select(Bpe.encode($"text", merges).as("t"))
+        .as[Array[String]].collect()
+      texts.zip(got).foreach { case (t, toks) =>
+        assert(toks.toSeq === model.encodeText(t).toSeq,
+          s"merges=$merges text='$t'")
+        assert(toks.mkString === t.replace(" ", ""),
+          s"round-trip broke: merges=$merges text='$t'")
+      }
+    }
+  }
+
   test("the encode expression stays out of the interpreter (codegen call)") {
     val docs = Tables.table(spark, sf0001, "documents")
     val merges = Seq(("t", "h"), ("th", "e"))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Pins the boundedness the q68 merge stage RELIES on: the per-block
+  * Misra-Gries compress keeps ≤ cap survivors per block, so the merge
+  * stage's global window (Window.partitionBy() over the pointwise
+  * sum) sees ≤ nBlocks·cap rows by construction. If a future change
+  * to the compress filter, the cap, or the block count broke that,
+  * q68's final window would silently become an unbounded global sort
+  * — this spec is the tripwire.
+  */
+class MgBoundSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("per-block MG compress keeps at most cap survivors per block") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    // a cap small enough that sf0.001's bigram vocabulary exceeds it
+    // in every block — the compress must actually cut, not pass
+    // through an under-cap vocabulary
+    val cap = 16
+    val nBlocks = 8
+    val perBlock = TextQueries.mgBlockCompressed(docs, cap, nBlocks)
+      .groupBy($"blk").agg(count(lit(1)).as("n"),
+        countDistinct($"ngram").as("distinct_ngrams"))
+      .as[(Long, Long, Long)].collect()
+    assert(perBlock.nonEmpty)
+    perBlock.foreach { case (blk, n, _) =>
+      assert(n <= cap, s"block $blk kept $n > cap=$cap survivors")
+    }
+    assert(perBlock.map(_._2).sum <= cap.toLong * nBlocks,
+      "merge-stage input must be <= nBlocks*cap rows")
+    // and the compress genuinely cut something (vocab > cap per block)
+    assert(perBlock.exists(_._2 == cap),
+      "test corpus too small to exercise the compress — raise sf or lower cap")
+  }
+
+  test("production constants: merge input bounded at mgBlocks*mgCap on sf0.001") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val n = TextQueries.mgBlockCompressed(docs).count()
+    assert(n <= TextQueries.mgBlocks.toLong * TextQueries.mgCap,
+      s"merge-stage input $n exceeds mgBlocks*mgCap bound")
+  }
+}
