@@ -23,8 +23,28 @@ object Bench {
     // sketch queries (q17/q50) carry exact-companion audit columns for
     // the correctness artifact; the bench times the sketch path alone —
     // at scale the sketch REPLACES the exact shuffle/sort, so timing
-    // both would measure the thing the operator exists to avoid
+    // both would measure the thing the operator exists to avoid.
+    // The emitted JSON records this ("sketch_audit") so the artifact
+    // itself says which plan variant was timed.
     spark.conf.set("spark.graft.sketchAudit", "false")
+    val sketchAudit = spark.conf.get("spark.graft.sketchAudit")
+    // co-tenancy guard: a bench run sharing the machine with another
+    // pipeline stage reports inflated wall times with nothing in the
+    // artifact to say so (r3 and r6 each burned a judge round
+    // adjudicating a ~25% phantom regression). Record 1-min loadavg at
+    // start/end and process-cpu vs wall over the timed loop: loadavg
+    // well above this JVM's cpu/wall ratio × cores means co-tenants.
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def processCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val load1Start = load1()
     // untimed warmup: JVM/codegen/parquet-reader startup should not be
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -79,6 +99,8 @@ object Bench {
             .foreach(_.unpersist(false))
         }
     }
+    val loopWall0 = System.nanoTime()
+    val loopCpu0 = processCpuSec()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -93,10 +115,16 @@ object Bench {
     }
     // round to 3 decimals: 62 queries at 9+ digits each overflowed the
     // driver's stdout tail window and left BENCH_r02.json unparsed
+    val wallSec = (System.nanoTime() - loopWall0) / 1e9
+    val cpuSec = processCpuSec() - loopCpu0
+    val load1End = load1()
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonLine(qs: String, total: Double): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","load1_start":${r3(load1Start)},"load1_end":${r3(load1End)}""" +
+        s""","cpu_sec":${r3(cpuSec)},"wall_sec":${r3(wallSec)}""" +
+        s""","sketch_audit":$sketchAudit}"""
     def qmap(f: String => String): String = results
       .map { case (k, v) => "\"" + f(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")

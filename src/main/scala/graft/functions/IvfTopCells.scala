@@ -36,7 +36,7 @@ case class IvfTopCells(vec: Expression, centsExpr: Expression, nExpr: Expression
   override def checkInputDataTypes(): TypeCheckResult = {
     def fail(msg: String) = TypeCheckResult.TypeCheckFailure(msg)
     vec.dataType match {
-      case ArrayType(FloatType, _) =>
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         (centsExpr.dataType, nExpr.dataType) match {
           case (ArrayType(ArrayType(DoubleType, _), _), IntegerType)
               if centsExpr.foldable && nExpr.foldable =>
@@ -44,9 +44,16 @@ case class IvfTopCells(vec: Expression, centsExpr: Expression, nExpr: Expression
           case _ => fail("graft_ivf_top_cells needs a foldable " +
             "array<array<double>> centroid literal and a foldable int n")
         }
-      case t => fail(s"graft_ivf_top_cells expects array<float> vector, " +
-        s"got ${t.sql}")
+      case t => fail(s"graft_ivf_top_cells expects array<float|double> " +
+        s"vector, got ${t.sql}")
     }
+  }
+
+  /** Float vectors widen per element (exact); double vectors (e.g. a
+    * projected corpus — q137's cross-modal space) read as-is. */
+  private lazy val vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   /** Planning-time extraction from the foldable children. */
@@ -70,7 +77,10 @@ case class IvfTopCells(vec: Expression, centsExpr: Expression, nExpr: Expression
       val dims = math.min(v.numElements(), cent.length)
       var s = 0.0
       var d = 0
-      while (d < dims) { s += v.getFloat(d) * cent(d); d += 1 }
+      if (vecIsFloat)
+        while (d < dims) { s += v.getFloat(d) * cent(d); d += 1 }
+      else
+        while (d < dims) { s += v.getDouble(d) * cent(d); d += 1 }
       out(c) = s - halfNorms(c)
       c += 1
     }
@@ -120,7 +130,8 @@ case class IvfTopCells(vec: Expression, centsExpr: Expression, nExpr: Expression
          |    $centsRef[$c].length);
          |  double $s = 0.0;
          |  for (int $d = 0; $d < $dims; $d++) {
-         |    $s += ${vecCode.value}.getFloat($d) * $centsRef[$c][$d];
+         |    $s += ${if (vecIsFloat) s"(double) ${vecCode.value}.getFloat($d)"
+                     else s"${vecCode.value}.getDouble($d)"} * $centsRef[$c][$d];
          |  }
          |  $sc[$c] = $s - $normsRef[$c];
          |}

@@ -172,6 +172,49 @@ object MultimodalQueries {
         .orderBy($"asset_id", $"rnk")
     }),
 
+    // The SCALE PATH q126's broadcast scan documents: the same
+    // cross-modal retrieval through the IVF index (q40 machinery).
+    // The projected corpus is k-means-celled (deterministic init,
+    // one Lloyd step with DYADIC fixed-point means — the q133
+    // pattern; pv elements are arbitrary doubles, so the decimal
+    // cast q40's float fit uses would NOT replay bit-for-bit in the
+    // oracle), each query asset probes its 2 best of 8 cells, exact
+    // cosine on the probed candidates only. Per query the scan
+    // touches ~nprobe/cells of the corpus instead of all of it —
+    // the partition-pruning analogue for vectors; at 100 TB the
+    // assignment is written partitioned by cell (Ivf.writeIndex)
+    // and the probe join prunes directories. Recall vs the exact
+    // q126 baseline is bounded in MultimodalSpec; the OUTPUT is a
+    // pure function of the data (tie-stable argmax, exact folds),
+    // so the oracle replays fit→assign→probe→rank end to end.
+    "q137_crossmodal_ann" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      import graft.vector.VectorFunctions.{dotExact, mdProjectionMatrix}
+      val qAssets = Multimodal.featurize(
+          Multimodal.syntheticAssets(s, dir)
+            .filter(col("asset_id") % 25 === 0))
+        .toDF().select($"asset_id", $"feature")
+      val m = mdProjectionMatrix(rows = 16, dims = 64, salt = "xm")
+      // localCheckpoint: the projection (16 × 64-term dots per row)
+      // feeds the fit init scan, the Lloyd assignment scan AND the
+      // index build — unpinned, the planner recomputes it per
+      // consumer (the q122 lesson)
+      val proj = graft.Tables.table(s, dir, "embeddings")
+        .select($"vec_id",
+          array(m.map(row => dotExact($"embedding", typedlit(row))): _*)
+            .as("pv"))
+        .localCheckpoint()
+      val model = Ivf.fit(proj, "vec_id", "pv", cells = 8, iters = 1,
+        dyadicMeans = true)
+      val assigned = Ivf.assign(proj, model,
+        corpusId = "vec_id", vecCol = "pv")
+      Ivf.searchAssigned(qAssets, assigned, model, k = 3, nprobe = 2,
+        queryId = "asset_id", corpusId = "vec_id", vecCol = "feature",
+        excludeSelf = false)
+        .orderBy($"asset_id", $"rank")
+    }),
+
     // Aspect-ratio bucketing: group image assets into shape-
     // homogeneous bands (portrait / square / landscape, tested with
     // exact integer cross-multiplies — never a float ratio) and pack
@@ -292,6 +335,99 @@ object MultimodalQueries {
                  FROM sc)
           SELECT asset_id, rnk, vec_id, cosine
           FROM rk WHERE rnk <= 3 ORDER BY asset_id, rnk"""
+    },
+    // exact replay of q137: q126's projection CTEs + the q40 Lloyd
+    // replay shape over the PROJECTED vectors (init = first 8 by
+    // vec_id, one iteration, dyadic fixed-point means — floor(v·2⁴⁰)
+    // integer sums, exact for |pv| ≤ 2¹³ on both engines), corpus
+    // cell = argmax, query assets probe their top-2 cells, exact
+    // cosine over probed candidates, ties toward the smaller vec_id
+    "q137_crossmodal_ann" -> {
+      def dotN(a: String, b: String, n: Int): String =
+        s"""list_reduce(list_transform(generate_series(1, $n),
+              i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"""
+      val sc40 = "1099511627776.0"
+      s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
+                     FROM documents WHERE doc_id % 25 = 0),
+          m AS (SELECT k, list_transform(generate_series(0, 63), d ->
+                  CAST('0x' || substr(md5('xm_' || k || '_' || d), 1, 12)
+                       AS BIGINT)::DOUBLE / 281474976710656.0 - 0.5) AS row
+                FROM generate_series(0, ${dim - 1}) gk(k)),
+          p AS (SELECT e.vec_id,
+                       list((${dotN("e.embedding", "m.row", 64)})
+                            ORDER BY m.k) AS pv
+                FROM embeddings e, m GROUP BY e.vec_id),
+          init AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cell, pv AS cent
+            FROM (SELECT vec_id, pv FROM p ORDER BY vec_id LIMIT 8)),
+          hn0 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM init),
+          s0 AS (
+            SELECT p.vec_id, c.cell,
+                   ${dotN("p.pv", "c.cent", dim)} - c.hn AS score
+            FROM p, hn0 c),
+          a0 AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s0) WHERE rn = 1),
+          means AS (
+            SELECT a0.cell, g.j AS pos,
+                   CAST(sum(CAST(floor(p.pv[g.j] * $sc40)
+                     AS DECIMAL(38,0))) AS DOUBLE) / $sc40 / count(*) AS m
+            FROM a0 JOIN p USING (vec_id),
+                 generate_series(1, $dim) g(j)
+            GROUP BY a0.cell, g.j),
+          c1 AS (
+            SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
+            FROM init i LEFT JOIN (
+              SELECT cell, list(m ORDER BY pos) AS cent
+              FROM means GROUP BY cell) mm USING (cell)),
+          hn1 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM c1),
+          s1 AS (
+            SELECT p.vec_id, c.cell,
+                   ${dotN("p.pv", "c.cent", dim)} - c.hn AS score
+            FROM p, hn1 c),
+          corpus AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          sq AS (
+            SELECT f.asset_id, c.cell,
+                   ${dotN("f.v", "c.cent", dim)} - c.hn AS score
+            FROM f, hn1 c),
+          qprobe AS (
+            SELECT asset_id, cell FROM (
+              SELECT asset_id, cell,
+                     row_number() OVER (PARTITION BY asset_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM sq) WHERE rn <= 2),
+          scored AS (
+            SELECT q.asset_id, c.vec_id,
+                   ${dotN("fv.v", "p.pv", dim)} /
+                     (sqrt(${dotN("fv.v", "fv.v", dim)})
+                      * sqrt(${dotN("p.pv", "p.pv", dim)})) AS cosine
+            FROM qprobe q JOIN corpus c USING (cell)
+            JOIN f fv ON fv.asset_id = q.asset_id
+            JOIN p ON p.vec_id = c.vec_id)
+          SELECT asset_id, rank, vec_id, cosine FROM (
+            SELECT asset_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY asset_id
+                     ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored)
+          WHERE rank <= 3
+          ORDER BY asset_id, rank"""
     },
     "q108_aspect_buckets" ->
       """WITH imgs AS (

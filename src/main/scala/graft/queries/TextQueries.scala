@@ -21,6 +21,20 @@ object TextQueries {
   private[graft] val mgCap = 1024
   private[graft] val mgBlocks = 32
 
+  /** q68's pre-compress stage, factored separately so MgBoundSpec can
+    * verify the compress had something to cut (per-block vocabulary
+    * above cap) without duplicating the block-assignment expression:
+    * docs → nBlocks hash blocks → exact (blk, ngram) counts. */
+  private[graft] def mgBlockCounts(
+      docs: org.apache.spark.sql.DataFrame,
+      nBlocks: Int = mgBlocks): org.apache.spark.sql.DataFrame =
+    Q.fanout(docs)
+      .select(
+        pmod(hash60(concat(col("doc_id").cast("string"), lit("_mg"))),
+          lit(nBlocks.toLong)).as("blk"),
+        explode(ngrams(col("text"), 2)).as("ngram"))
+      .groupBy(col("blk"), col("ngram")).agg(count(lit(1)).as("c"))
+
   /** q68's per-block stage, factored for the bound spec: docs → 32
     * hash blocks → exact (blk, ngram) counts → MG compress to ≤ cap
     * survivors per block (subtract the (cap+1)-th largest count,
@@ -29,12 +43,7 @@ object TextQueries {
       docs: org.apache.spark.sql.DataFrame,
       cap: Int = mgCap,
       nBlocks: Int = mgBlocks): org.apache.spark.sql.DataFrame = {
-    val perBlk = Q.fanout(docs)
-      .select(
-        pmod(hash60(concat(col("doc_id").cast("string"), lit("_mg"))),
-          lit(nBlocks.toLong)).as("blk"),
-        explode(ngrams(col("text"), 2)).as("ngram"))
-      .groupBy(col("blk"), col("ngram")).agg(count(lit(1)).as("c"))
+    val perBlk = mgBlockCounts(docs, nBlocks)
     // MG compress per block: the (cap+1)-th largest count value is
     // well-defined under any tiebreak among equal counts.
     val wBlk = Window.partitionBy(col("blk"))

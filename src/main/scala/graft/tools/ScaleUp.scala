@@ -54,8 +54,12 @@ object ScaleUp {
               col(tc), "((\\S+\\s+){8})", s"$$1zr${i}q ")
             val perturbed =
               keyed.withColumn(tc, concat(marked, lit(s" zr${i}q")))
+            // explicit int64: length() is IntegerType, and relying on
+            // unionByName widening against the verbatim replica-0
+            // slice would silently narrow the column if replica 0
+            // were ever dropped or perturbed too
             if (perturbed.columns.contains("n_chars"))
-              perturbed.withColumn("n_chars", length(col(tc)))
+              perturbed.withColumn("n_chars", length(col(tc)).cast("long"))
             else perturbed
           case _ => keyed
         }

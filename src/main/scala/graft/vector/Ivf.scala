@@ -47,23 +47,41 @@ object Ivf {
     topCells(vec, m, nprobe)
 
   /** Lloyd iterations with deterministic init (first `cells` vectors
-    * by id) and DECIMAL-exact mean updates. */
+    * by id) and exact mean updates. Vectors may be array<float> or
+    * array<double> (a projected corpus — q137's cross-modal space).
+    *
+    * `dyadicMeans` switches the mean accumulation from a
+    * DECIMAL(30,15) cast of the element to floor(v·2⁴⁰) fixed-point
+    * integer sums (the q133 pattern). For float inputs the decimal
+    * cast is the established cross-engine-replayable form; for
+    * ARBITRARY doubles it is NOT portable (Spark rounds the exact
+    * binary expansion, DuckDB scales in double first — last-ulp
+    * drift), so double-vector callers that oracle-replay the fit
+    * must pass dyadicMeans = true. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
-      cells: Int, iters: Int = 2): Model = {
+      cells: Int, iters: Int = 2, dyadicMeans: Boolean = false): Model = {
     var cents: IndexedSeq[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(cells)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toIndexedSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray).toIndexedSeq
     require(cents.nonEmpty, "IVF fit needs a non-empty corpus")
     // dims from the init vectors — saves a separate head() job
     val dims = cents.head.length
+    val sc40 = (1L << 40).toDouble
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
         assignCell(col(vecCol), Model(cents)).as("cell"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
+      val meanCol =
+        if (dyadicMeans)
+          (sum(floor(col("v").cast("double") * lit(sc40))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(sc40) / count(lit(1))).as("mean")
+        else
+          (sum(col("v").cast("decimal(30,15)")).cast("double") /
+            count(lit(1))).as("mean")
       val means = assigned.groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(30,15)")).cast("double") /
-          count(lit(1))).as("mean"))
+        .agg(meanCol)
         .collect()
       val next = Array.fill(cells)(new Array[Double](dims))
       val seen = Array.fill(cells)(false)
@@ -108,8 +126,8 @@ object Ivf {
     * top-k. The only shuffle is the equi-join on cell id. */
   def searchAssigned(queries: DataFrame, assigned: DataFrame, m: Model,
       k: Int, nprobe: Int, queryId: String = "query_id",
-      corpusId: String = "neighbor_id", vecCol: String = "embedding"):
-      DataFrame = {
+      corpusId: String = "neighbor_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(
       col(queryId), col(vecCol).as("q_vec"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("q_norm"),
@@ -117,7 +135,10 @@ object Ivf {
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     q.join(assigned, "cell")
-      .filter(col(queryId) =!= col(corpusId))
+      // excludeSelf drops the query's own row for same-id-space
+      // self-search; cross-modal callers (query ids and corpus ids
+      // from DIFFERENT id spaces — q137) must keep equal-id pairs
+      .filter(if (excludeSelf) col(queryId) =!= col(corpusId) else lit(true))
       .withColumn("cosine",
         dotExact(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))

@@ -32,9 +32,19 @@ class MgBoundSpec extends SparkSuite {
     }
     assert(perBlock.map(_._2).sum <= cap.toLong * nBlocks,
       "merge-stage input must be <= nBlocks*cap rows")
-    // and the compress genuinely cut something (vocab > cap per block)
-    assert(perBlock.exists(_._2 == cap),
-      "test corpus too small to exercise the compress — raise sf or lower cap")
+    // and the compress genuinely had something to cut: pre-compress
+    // per-block vocabulary must exceed cap. (Asserting an exact-cap
+    // survivor count instead would be tiebreak-fragile: a count tie
+    // spanning the cap boundary keeps strictly fewer than cap
+    // survivors in a block even when the compress cut.)
+    val preVocab = TextQueries.mgBlockCounts(docs, nBlocks)
+      .groupBy($"blk").agg(countDistinct($"ngram").as("v"))
+      .as[(Long, Long)].collect()
+    preVocab.foreach { case (blk, v) =>
+      assert(v > cap,
+        s"block $blk pre-compress vocab $v <= cap=$cap — corpus too " +
+          "small to exercise the compress; raise sf or lower cap")
+    }
   }
 
   test("production constants: merge input bounded at mgBlocks*mgCap on sf0.001") {

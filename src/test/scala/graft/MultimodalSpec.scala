@@ -43,6 +43,26 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.forall(_.uri.contains("#frame=")))
   }
 
+  test("ANN cross-modal (q137) recalls the exact top-3 (q126) and never invents cosines") {
+    // both schemas are (asset_id, rank, vec_id, cosine)
+    val exact = SparkEntry.queries("q126_crossmodal_topk")(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ann = SparkEntry.queries("q137_crossmodal_ann")(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(exact.nonEmpty && ann.nonEmpty)
+    // exact-pair keys are (asset_id, vec_id); ann keys (asset_id, vec_id)
+    val exactPairs = exact.keySet
+    val annPairs = ann.keySet
+    val recall = annPairs.count(exactPairs).toDouble / exactPairs.size
+    assert(recall >= 0.6,
+      s"ANN recall $recall (${annPairs.count(exactPairs)}/${exactPairs.size})")
+    // every candidate the ANN scored has the SAME cosine as the exact
+    // path — the approximation may only drop candidates, never move them
+    annPairs.intersect(exactPairs).foreach { k =>
+      assert(ann(k) === exact(k), s"cosine drift at $k")
+    }
+  }
+
   test("LSH media near-dup (q122) is a subset of exact (q84) with recall >= 0.8") {
     val exact = SparkEntry.queries("q84_media_neardup")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -147,6 +147,24 @@ class PlanAuditSpec extends SparkSuite {
       s"feature vectors ride a shuffle exchange:\n${offending.mkString("\n")}")
   }
 
+  test("q137: cross-modal ANN candidates come from a cell equi-join") {
+    // the scale claim: per query the corpus contribution is the
+    // probed cells' rows, joined on the cell id — if this ever
+    // degraded to a product (q126's k·n broadcast scan shape), the
+    // ANN variant would silently stop being the scale path
+    val df = SparkEntry.queries("q137_crossmodal_ann")(spark, sf0001)
+    // string match, not collect: AdaptiveSparkPlanExec hides its
+    // input plan from TreeNode.collect until execution
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"cross-modal ANN planned a product:\n$planStr")
+    val cellJoin =
+      """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[cell#""".r
+    assert(cellJoin.findFirstIn(planStr).nonEmpty,
+      s"no equi-join keyed on cell in:\n$planStr")
+  }
+
   test("q107: the no-broadcast closing-join fallback stays correct") {
     // the 100× path (edges outgrow a broadcast): same 20 rows, and
     // the closing join really is a shuffled join, not a broadcast
