@@ -55,6 +55,21 @@ object TextQueries {
       .withColumn("c2", col("c") - col("sub"))
       .filter(col("c2") > 0)
   }
+  /** q138's constant-memory sketch, factored for MgBoundSpec: bigrams
+    * → one graft_freq_items aggregate (≤ cap counters per partition
+    * during the fold, PODS-2012 merge) → (ngram, est_n) rows. The
+    * full ≤ cap-entry summary, before any top-k cut, so the spec can
+    * check the MG invariant over every survivor. */
+  private[graft] def mgStreamSketch(
+      docs: org.apache.spark.sql.DataFrame,
+      cap: Int = mgCap): org.apache.spark.sql.DataFrame =
+    Q.fanout(docs)
+      .select(explode(ngrams(col("text"), 2)).as("ngram"))
+      .agg(call_function("graft_freq_items", col("ngram"), lit(cap))
+        .as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("ngram"), col("e.cnt").as("est_n"))
+
   import Q._
 
   /** Shared oracle CTE: tokenized docs with distinct 3-gram shingles.
@@ -740,6 +755,27 @@ object TextQueries {
             .over(Window.partitionBy()), lit(0L)))
         .select($"ngram", ($"mc" - $"sub").as("est_n"))
         .filter($"est_n" > 0)
+        .orderBy($"est_n".desc, $"ngram")
+        .limit(20)
+    }),
+
+    // q68's CONSTANT-MEMORY companion: the same top-bigrams question
+    // through the streaming Misra-Gries fold (FreqItemsAgg) — per-
+    // partition buffers bounded at cap DURING the fold (map-side
+    // partial aggregation ships ≤ cap counters per partition), merged
+    // with the PODS-2012 rule. This is the form that never
+    // materializes the vocabulary: q68's blockwise baseline still
+    // groups the full (blk, ngram) table before compressing (a
+    // vocabulary-sized shuffle) to stay replayable in the oracle;
+    // this one holds ≤ cap counters per partition at every moment.
+    // The price is arrival-order dependence (the MG decrement step) —
+    // estimates are a pure function of the PARTITIONING, not the SET,
+    // so no engine-independent oracle exists (rows-only driver check;
+    // MgBoundSpec pins the MG invariant est ≤ true ≤ est + N/(cap+1)
+    // against exact counts instead).
+    "q138_top_ngrams_stream" -> ((s, dir) => {
+      import s.implicits._
+      mgStreamSketch(Tables.table(s, dir, "documents"))
         .orderBy($"est_n".desc, $"ngram")
         .limit(20)
     }),

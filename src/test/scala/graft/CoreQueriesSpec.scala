@@ -27,7 +27,14 @@ class CoreQueriesSpec extends SparkSuite {
       // semantic contract is BpeSpec (model equality, round-trip,
       // determinism under repartitioning); the encode stage IS
       // oracled as q124
-      "q88_bpe_tokens")
+      "q88_bpe_tokens",
+      // constant-memory streaming Misra-Gries fold: estimates are a
+      // pure function of the PARTITIONING (the MG decrement step is
+      // arrival-order dependent), so no engine-independent oracle
+      // exists; the MG invariant est ≤ true ≤ est + N/(cap+1) is
+      // pinned against exact counts in MgBoundSpec, and the
+      // replayable blockwise twin (q68) IS hash-verified
+      "q138_top_ngrams_stream")
 
   test("percentile_approx companion columns bound the error <1%") {
     // the estimate, the exact median, and |err| ride in the SAME

@@ -47,6 +47,32 @@ class MgBoundSpec extends SparkSuite {
     }
   }
 
+  test("streaming MG sketch (q138) honors the MG invariant vs exact counts") {
+    import graft.text.TextFunctions.ngrams
+    val docs = Tables.table(spark, sf0001, "documents")
+    // cap small enough that the fold genuinely decrements on sf0.001
+    val cap = 64
+    val sketch = TextQueries.mgStreamSketch(docs, cap)
+      .as[(String, Long)].collect().toMap
+    assert(sketch.nonEmpty && sketch.size <= cap,
+      s"sketch kept ${sketch.size} > cap=$cap counters")
+    val exact = docs.select(explode(ngrams($"text", 2)).as("ngram"))
+      .groupBy($"ngram").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val slack = n / (cap + 1)
+    sketch.foreach { case (t, est) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est <= tru, s"$t: est $est above true $tru")
+      assert(tru - est <= slack, s"$t: est $est below true $tru by more than N/(cap+1)=$slack")
+    }
+    // the MG guarantee: anything above the error bound MUST survive
+    exact.foreach { case (t, tru) =>
+      if (tru > slack)
+        assert(sketch.contains(t), s"heavy hitter $t (n=$tru > $slack) missing")
+    }
+  }
+
   test("production constants: merge input bounded at mgBlocks*mgCap on sf0.001") {
     val docs = Tables.table(spark, sf0001, "documents")
     val n = TextQueries.mgBlockCompressed(docs).count()

@@ -43,6 +43,37 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.forall(_.uri.contains("#frame=")))
   }
 
+  test("q122 adaptive planes: recall pinned ABOVE the clamp floor (planes = 8 at sf0.1)") {
+    // the r5 sf1 spot-bench fix made the plane count adaptive; the
+    // recall bound was only ever asserted at the clamp floor (6).
+    // sf0.1's 5000 assets give v = ceil(5000/32) = 157 → bit-length
+    // 8, so this corpus exercises the adaptive branch for real
+    // (documents at sf0.001 AND sf0.01 are both 500 rows → planes 6).
+    val sf001 = "/root/testdata/sf0.1"
+    val n = Multimodal.syntheticAssets(spark, sf001).count()
+    val v = (n + 31) / 32
+    val planes = math.max(6, math.min(24,
+      if (v <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)))
+    assert(planes === 8, s"corpus no longer lands above the floor: planes=$planes")
+    val exact = SparkEntry.queries("q84_media_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q122_media_neardup_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent a pair (exact rescore)")
+    assert(exact.nonEmpty)
+    // hyperplane-LSH theory at the 0.75-cosine threshold: per-plane
+    // collision p = 1 − acos(0.75)/π ≈ 0.770, so at planes = 8,
+    // tables = 8 expected recall ≈ 1 − (1 − 0.77⁸)⁸ ≈ 0.66; measured
+    // 0.70 on this corpus. The adaptive-plane rule deliberately
+    // trades recall at the threshold for linear candidate work —
+    // `tables` is the compensating knob (SCALE.md documents the
+    // tables-per-planes compensation). This pin catches regressions
+    // below the theory-predicted level, not a 0.8 SLO that planes = 8
+    // never promised.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.65, s"recall $recall (${lsh.size}/${exact.size}) at planes=$planes")
+  }
+
   test("ANN cross-modal (q137) recalls the exact top-3 (q126) and never invents cosines") {
     // both schemas are (asset_id, rank, vec_id, cosine)
     val exact = SparkEntry.queries("q126_crossmodal_topk")(spark, sf0001)
