@@ -94,7 +94,6 @@ object MultimodalQueries {
     // end-to-end and this is hash-verified like q33.
     "q122_media_neardup_lsh" -> ((s, dir) => {
       import s.implicits._
-      import graft.vector.VectorFunctions.{cosine, hyperplaneBuckets}
       // localCheckpoint: the featurize mapPartitions is read by the
       // bucket builder AND both rescore joins — unpinned, the planner
       // re-runs it once per consumer (the q107 orientation lesson)
@@ -125,19 +124,7 @@ object MultimodalQueries {
       val v = (n + 31) / 32
       val planes = math.max(6, math.min(24,
         if (v <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)))
-      val bucketed = feats.select($"asset_id",
-          posexplode(hyperplaneBuckets($"feature", planes, tables = 8)))
-        .toDF("asset_id", "tbl", "bucket")
-        .localCheckpoint()
-      bucketed.toDF("id_a", "tbl", "bucket")
-        .join(bucketed.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
-        .filter($"id_a" < $"id_b")
-        .select($"id_a", $"id_b")
-        .dropDuplicates("id_a", "id_b")
-        .join(feats.toDF("id_a", "f_a"), Seq("id_a"))
-        .join(feats.toDF("id_b", "f_b"), Seq("id_b"))
-        .select($"id_a", $"id_b", cosine($"f_a", $"f_b").as("cosine"))
-        .filter($"cosine" >= 0.75)
+      lshNearDupPairs(s, feats, planes, tables = 8)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -245,6 +232,32 @@ object MultimodalQueries {
           min($"height").as("min_h"), max($"height").as("max_h"))
         .orderBy($"band", $"batch_idx")
     }))
+
+  /** q122's candidate-generation + rescore core, factored so the
+    * recall-compensation spec can drive (planes, tables) directly:
+    * bucket on `tables` hyperplane tables of `planes` bits, candidates
+    * from shared (tbl, bucket) cells moving IDS ONLY (late
+    * materialization — vectors join back once per side for the exact
+    * cosine ≥ 0.75 rescore). Unordered; callers sort. */
+  private[graft] def lshNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      feats: org.apache.spark.sql.DataFrame, planes: Int, tables: Int):
+      org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.vector.VectorFunctions.{cosine, hyperplaneBuckets}
+    val bucketed = feats.select($"asset_id",
+        posexplode(hyperplaneBuckets($"feature", planes, tables)))
+      .toDF("asset_id", "tbl", "bucket")
+      .localCheckpoint()
+    bucketed.toDF("id_a", "tbl", "bucket")
+      .join(bucketed.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(feats.toDF("id_a", "f_a"), Seq("id_a"))
+      .join(feats.toDF("id_b", "f_b"), Seq("id_b"))
+      .select($"id_a", $"id_b", cosine($"f_a", $"f_b").as("cosine"))
+      .filter($"cosine" >= 0.75)
+  }
 
   private val featureCols = (0 until dim).map { i =>
     s"""((('0x' || substr(sha256(text), ${i * 4} + 1, 4))::INTEGER::FLOAT

@@ -74,6 +74,29 @@ class MultimodalSpec extends SparkSuite {
     assert(recall >= 0.65, s"recall $recall (${lsh.size}/${exact.size}) at planes=$planes")
   }
 
+  test("tables-per-planes compensation recovers floor-level recall at planes = 8") {
+    // SCALE.md's compensation design, executed: holding recall R at
+    // the 0.75-cosine threshold while planes adapts needs tables ≈
+    // ln(1−R)/ln(1−p^planes), p = 1 − acos(0.75)/π ≈ 0.770 — a
+    // per-planes integer lookup (never runtime float log): planes 6→7,
+    // 7→9, 8→12, 9→16, 10→21 for R = 0.8. This case runs q122's exact
+    // pipeline at planes = 8 with the LUT's 12 tables and checks the
+    // floor-level bound comes back — evidence the documented knob
+    // works, without changing q122's oracled 8-table form.
+    val sfDir = "/root/testdata/sf0.1"
+    val feats = Multimodal.featurize(Multimodal.syntheticAssets(spark, sfDir))
+      .toDF().select($"asset_id", $"feature").localCheckpoint()
+    val exact = SparkEntry.queries("q84_media_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compensated = graft.queries.MultimodalQueries
+      .lshNearDupPairs(spark, feats, planes = 8, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compensated.subsetOf(exact))
+    val recall = compensated.size.toDouble / exact.size
+    assert(recall >= 0.78,
+      s"compensated recall $recall (${compensated.size}/${exact.size})")
+  }
+
   test("ANN cross-modal (q137) recalls the exact top-3 (q126) and never invents cosines") {
     // both schemas are (asset_id, rank, vec_id, cosine)
     val exact = SparkEntry.queries("q126_crossmodal_topk")(spark, sf0001)
