@@ -192,11 +192,28 @@ object MultimodalQueries {
           array(m.map(row => dotExact($"embedding", typedlit(row))): _*)
             .as("pv"))
         .localCheckpoint()
-      val model = Ivf.fit(proj, "vec_id", "pv", cells = 8, iters = 1,
+      // ADAPTIVE cell count (the ×50 sweep finding, r7): fixed 8
+      // cells meant per-query candidates grew as n/4 — quadratic
+      // total work once queries scale with the corpus (sf5 measured
+      // 75× at ×50 data). cells = 2^clamp(4..12, bitlen(n)/2) ≈ √n
+      // (q94's rule: integer bit-length, DuckDB-replayable) keeps
+      // the fit scan n·cells and the probe join n·nprobe·occupancy
+      // balanced at n^1.5.
+      val n = proj.count()
+      val bits = if (n <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val cells = 1 << math.max(4, math.min(12, bits / 2))
+      // nprobe rides the cell count, capped: clamp(2..8, cells/4) —
+      // a quarter of the cells at small corpora (recall pinned in
+      // MultimodalSpec), 8·occupancy ≈ 8·√n candidates per query at
+      // scale (sublinear per query; recall at fixed nprobe decays
+      // with corpus growth — nprobe is the documented dial, exactly
+      // as in q40)
+      val nprobe = math.min(8, math.max(2, cells / 4))
+      val model = Ivf.fit(proj, "vec_id", "pv", cells = cells, iters = 1,
         dyadicMeans = true)
       val assigned = Ivf.assign(proj, model,
         corpusId = "vec_id", vecCol = "pv")
-      Ivf.searchAssigned(qAssets, assigned, model, k = 3, nprobe = 2,
+      Ivf.searchAssigned(qAssets, assigned, model, k = 3, nprobe = nprobe,
         queryId = "asset_id", corpusId = "vec_id", vecCol = "feature",
         excludeSelf = false)
         .orderBy($"asset_id", $"rank")
@@ -350,11 +367,13 @@ object MultimodalQueries {
           FROM rk WHERE rnk <= 3 ORDER BY asset_id, rnk"""
     },
     // exact replay of q137: q126's projection CTEs + the q40 Lloyd
-    // replay shape over the PROJECTED vectors (init = first 8 by
-    // vec_id, one iteration, dyadic fixed-point means — floor(v·2⁴⁰)
-    // integer sums, exact for |pv| ≤ 2¹³ on both engines), corpus
-    // cell = argmax, query assets probe their top-2 cells, exact
-    // cosine over probed candidates, ties toward the smaller vec_id
+    // replay shape over the PROJECTED vectors (init = first
+    // 2^clamp(4..12, bitlen(n)/2) ≈ √n by vec_id — the adaptive cell
+    // count from integer bit-length, q94's rule; one iteration,
+    // dyadic fixed-point means — floor(v·2⁴⁰) integer sums, exact
+    // for |pv| ≤ 2¹³ on both engines), corpus cell = argmax, query
+    // assets probe their top-2 cells, exact cosine over probed
+    // candidates, ties toward the smaller vec_id
     "q137_crossmodal_ann" -> {
       def dotN(a: String, b: String, n: Int): String =
         s"""list_reduce(list_transform(generate_series(1, $n),
@@ -370,10 +389,16 @@ object MultimodalQueries {
                        list((${dotN("e.embedding", "m.row", 64)})
                             ORDER BY m.k) AS pv
                 FROM embeddings e, m GROUP BY e.vec_id),
+          nc AS (
+            SELECT CAST(1::BIGINT <<
+                     greatest(4, least(12, length(bin(count(*))) // 2))
+                   AS INTEGER) AS cells
+            FROM embeddings),
           init AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                     AS cell, pv AS cent
-            FROM (SELECT vec_id, pv FROM p ORDER BY vec_id LIMIT 8)),
+            SELECT CAST(rn - 1 AS INTEGER) AS cell, pv AS cent
+            FROM (SELECT pv, row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM p), nc
+            WHERE rn <= nc.cells),
           hn0 AS (
             SELECT cell, cent,
                    list_reduce(list_transform(cent, x -> x * x),
@@ -425,7 +450,8 @@ object MultimodalQueries {
               SELECT asset_id, cell,
                      row_number() OVER (PARTITION BY asset_id
                        ORDER BY score DESC, cell DESC) AS rn
-              FROM sq) WHERE rn <= 2),
+              FROM sq), nc
+            WHERE rn <= least(8, greatest(2, nc.cells // 4))),
           scored AS (
             SELECT q.asset_id, c.vec_id,
                    ${dotN("fv.v", "p.pv", dim)} /

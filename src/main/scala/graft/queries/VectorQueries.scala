@@ -32,6 +32,66 @@ object VectorQueries {
     * the larger cell id. Ends at `s1` = (vec_id, cell, score) against
     * the post-Lloyd centroids; callers append their own assignment /
     * probe CTEs. */
+  /** The ADAPTIVE-cells rendering of [[lloydCtes]] (q94): the cell
+    * count is 2^clamp(4..12, bitlen(n)/2) ≈ √n, computed by integer
+    * bit-length on both engines (length(bin(count(*))) here, Long
+    * bit-length in the query body — never float log). Only the `nc` +
+    * `init` CTEs differ from the fixed form; everything downstream is
+    * cell-count-independent. */
+  private def lloydCtesAdaptive: String =
+    s"""nc AS (
+            SELECT CAST(1::BIGINT <<
+                     greatest(4, least(12, length(bin(count(*))) // 2))
+                   AS INTEGER) AS cells
+            FROM embeddings),
+          init AS (
+            SELECT CAST(rn - 1 AS INTEGER) AS cell,
+                   list_transform(embedding, x -> x::DOUBLE) AS cent
+            FROM (SELECT embedding,
+                         row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM embeddings), nc
+            WHERE rn <= nc.cells),
+          hn0 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM init),
+          s0 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM embeddings e, hn0 c),
+          a0 AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s0) WHERE rn = 1),
+          means AS (
+            SELECT a0.cell, g.j AS pos,
+                   CAST(sum(CAST(e.embedding[g.j] AS DECIMAL(30,15)))
+                     AS DOUBLE) / count(*) AS m
+            FROM a0 JOIN embeddings e USING (vec_id),
+                 generate_series(1, 64) g(j)
+            GROUP BY a0.cell, g.j),
+          c1 AS (
+            SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
+            FROM init i LEFT JOIN (
+              SELECT cell, list(m ORDER BY pos) AS cent
+              FROM means GROUP BY cell) mm USING (cell)),
+          hn1 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM c1),
+          s1 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM embeddings e, hn1 c)"""
+
   private def lloydCtes(cells: Int): String =
     s"""init AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -225,11 +285,23 @@ object VectorQueries {
     // so the DuckDB oracle replays fit→assign→pair→anti-join
     // bit-for-bit and the flagship semantic-dedup operator is
     // hash-verified like q28/q30.
+    // ADAPTIVE cell count (the ×50 sweep finding, r7): with cells
+    // FIXED at 16, occupancy grows linearly in n and the Σ|cell|²
+    // pair join grows quadratically — sf5 measured 61× at ×50 data,
+    // the q122 fixed-planes bug one level up. cells ≈ √n balances
+    // the fit scan (n·cells) against the pair join (n²/cells) — both
+    // terms n^1.5 — rounded to a power of two by INTEGER bit-length
+    // (cells = 2^clamp(4..12, bitlen(n)/2); no float log, DuckDB
+    // replays the choice via length(bin(count(*)))). At the driver
+    // SFs n = 500 → 16, so the verified output is unchanged.
     "q94_semdedup" -> ((s, dir) => {
       import s.implicits._
+      val n = Tables.table(s, dir, "embeddings").count()
+      val bits = if (n <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val cells = 1 << math.max(4, math.min(12, bits / 2))
       val emb = fanout(Tables.table(s, dir, "embeddings"))
       graft.vector.SemDedup.keep(emb, "vec_id", "embedding",
-        cells = 16, threshold = 0.45, probes = 3)
+        cells = cells, threshold = 0.45, probes = 3)
         .orderBy($"vec_id")
     }),
 
@@ -400,12 +472,13 @@ object VectorQueries {
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
           ORDER BY id_a, id_b""",
 
-    // Exact replay of SemDedup.keep(cells=16, threshold=0.45,
-    // probes=3) — see lloydCtes for the shared fit replay; pairs
-    // share any of the top-3 probed cells; a vector is dropped iff a
-    // lower-id near-dup shares a cell.
+    // Exact replay of SemDedup.keep(cells≈√n adaptive, threshold=0.45,
+    // probes=3) — see lloydCtesAdaptive for the fit replay (cell
+    // count from integer bit-length of count(*)); pairs share any of
+    // the top-3 probed cells; a vector is dropped iff a lower-id
+    // near-dup shares a cell.
     "q94_semdedup" ->
-      s"""WITH ${lloydCtes(16)},
+      s"""WITH $lloydCtesAdaptive,
           a1 AS (
             SELECT vec_id, cell, rn FROM (
               SELECT vec_id, cell,
