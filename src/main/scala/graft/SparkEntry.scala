@@ -16,7 +16,8 @@ object SparkEntry {
       graft.streaming.StreamingDedup.queries ++
       graft.streaming.StreamStreamJoin.queries ++
       graft.streaming.StreamingUpsert.queries ++
-      graft.queries.OperatorQueries.queries
+      graft.queries.OperatorQueries.queries ++
+      graft.queries.HybridQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.streaming.StreamingDedup.oracles ++
       graft.streaming.StreamStreamJoin.oracles ++
       graft.streaming.StreamingUpsert.oracles ++
-      graft.queries.OperatorQueries.oracles
+      graft.queries.OperatorQueries.oracles ++
+      graft.queries.HybridQueries.oracles
 }
