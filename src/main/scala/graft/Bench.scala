@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,14 +71,20 @@ object Bench {
           sfDir
       }
     }
-    try graft.streaming.StreamingQueries
-      .streamedTumblingCounts(spark, warmDir).count()
-    catch { case _: Throwable => () }
+    // a failed warm-up is not fatal but must be VISIBLE: in r7 the
+    // streaming warm-up threw instantly (events reader bug) and the
+    // swallowed failure meant the first streaming query silently paid
+    // class-load again
+    def warm(label: String)(body: => Long): Unit =
+      try { val n = body; System.err.println(s"[bench] warmup $label drained $n rows") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $label FAILED: ${e.getClass.getSimpleName}") }
+    warm("stream-agg")(graft.streaming.StreamingQueries
+      .streamedTumblingCounts(spark, warmDir).count())
     // the stream-stream symmetric hash join has its own exec/state
     // classes — warm that path too
-    try graft.streaming.StreamStreamJoin
-      .purchaseViewPairs(spark, warmDir).count()
-    catch { case _: Throwable => () }
+    warm("stream-stream-join")(graft.streaming.StreamStreamJoin
+      .purchaseViewPairs(spark, warmDir).count())
     // local iteration only (driver never sets it): bench a subset
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -104,14 +111,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a query that throws must be self-identifying in the artifact:
+      // recording its time-to-throw as a timing is indistinguishable
+      // from a speedup (r7: 30 broken queries read as 0.05-0.6 s
+      // "timings" and silently deflated the total). Failures record
+      // -1.0 and land in the "errors" list; the total sums only
+      // successful queries.
+      val failed = try { fn(spark, sfDir).count(); false } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          true
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop cached blocks (localCheckpoints) the query left behind:
       // queries are independent, and accumulated blocks squeeze the
       // storage pool until later queries measure memory pressure, not
       // their own plan (q49 measured 45 s mid-bench vs 10 s alone)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
+      name -> (if (failed) -1.0 else dt)
     }
     // round to 3 decimals: 62 queries at 9+ digits each overflowed the
     // driver's stdout tail window and left BENCH_r02.json unparsed
@@ -120,26 +137,29 @@ object Bench {
     val load1End = load1()
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonLine(qs: String, total: Double): String =
+    val errors = results.collect { case (k, v) if v < 0 => k }
+    def jsonLine(qs: String, total: Double, errF: String => String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","errors":${errors.map(e => "\"" + errF(e) + "\"").mkString("[", ",", "]")}""" +
         s""","load1_start":${r3(load1Start)},"load1_end":${r3(load1End)}""" +
         s""","cpu_sec":${r3(cpuSec)},"wall_sec":${r3(wallSec)}""" +
         s""","sketch_audit":$sketchAudit}"""
     def qmap(f: String => String): String = results
       .map { case (k, v) => "\"" + f(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the total sums successes only — errors are flagged, not priced in
+    val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     // full query names → the local fallback file the judge reads
     // (cwd-relative so any checkout location works)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),
-      jsonLine(qmap(identity), total) + "\n")
+      jsonLine(qmap(identity), total, identity) + "\n")
     catch { case _: Throwable => () }
     // stdout → the driver's tail-window parser. Even 3-decimal values
     // under full names (~2.9 kB for 94 queries) start the r3 tail
     // mid-line; bare ids ("q85":0.369) keep the whole line ≈1.1 kB.
     // Ids are unique by construction (registry keys are qNN_slug).
-    println(jsonLine(qmap(_.takeWhile(_ != '_')), total))
+    println(jsonLine(qmap(_.takeWhile(_ != '_')), total, _.takeWhile(_ != '_')))
   }
 }

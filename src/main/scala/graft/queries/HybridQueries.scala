@@ -151,6 +151,56 @@ object HybridQueries {
         .limit(10)
     }),
 
+    // q139 with the dense leg swapped from the brute-force kNN scan
+    // to the IVF probe — the swap q139's comment promises, landed:
+    // the flagship RAG retrieval stack is now index-backed
+    // end-to-end. Fit/assign/probe are q137's adaptive-cells
+    // machinery over the raw embedding space (cells ≈ √n by integer
+    // bit-length, nprobe rides cells/4 clamped to [2,8]); the fusion
+    // and the sparse BM25 leg are q139's verbatim. Per query the
+    // dense scan touches ~nprobe/cells of the corpus instead of all
+    // of it; ranks differ from q139 only where the probe misses a
+    // true top-20 neighbor (recall bounded in IvfIndexSpec), and the
+    // output is still a pure function of the data, so the oracle
+    // replays fit→assign→probe→rank→fusion end to end.
+    "q142_hybrid_rrf_ivf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("dl", size($"w"))
+      val sparseTop = bm25Scored(docs)
+        .orderBy($"bm25".desc, $"doc_id").limit(20)
+        .withColumn("sparse_rank",
+          row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        .select($"doc_id".as("id"), $"sparse_rank")
+      // fanout: the fit/assign scans are cells × 64-dim dot products
+      // per row over a single-row-group local file — spread them
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val n = emb.count()
+      val bits = if (n <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val cells = 1 << math.max(4, math.min(12, bits / 2))
+      val nprobe = math.min(8, math.max(2, cells / 4))
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = cells,
+        iters = 1)
+      val assigned = Ivf.assign(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), model)
+      val denseTop = Ivf.searchAssigned(
+        emb.filter($"vec_id" === 0).withColumnRenamed("vec_id", "query_id"),
+        assigned, model, k = 20, nprobe = nprobe)
+        .select($"neighbor_id".as("id"), $"rank".as("dense_rank"))
+      sparseTop.join(denseTop, Seq("id"), "full_outer")
+        .select($"id",
+          coalesce($"sparse_rank", lit(0)).as("sparse_rank"),
+          coalesce($"dense_rank", lit(0)).as("dense_rank"),
+          (coalesce(lit(1.0) / (lit(60.0) + $"sparse_rank".cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + $"dense_rank".cast("double")),
+              lit(0.0))).as("rrf"))
+        .orderBy($"rrf".desc, $"id")
+        .limit(10)
+    }),
+
     // Differentially-private per-(lang, source) release counts via
     // the geometric mechanism: noise = lz(h₁) − lz(h₂) where lz is
     // the 32-bit leading-zero count of an MD5-derived hash —
@@ -239,6 +289,57 @@ object HybridQueries {
                    row_number() OVER (ORDER BY cosine DESC, id)
                      AS dense_rank
             FROM scored ORDER BY cosine DESC, id LIMIT 20),
+          fused AS (
+            SELECT coalesce(s.id, d.id) AS id,
+                   coalesce(s.sparse_rank, 0) AS sparse_rank,
+                   coalesce(d.dense_rank, 0) AS dense_rank,
+                   coalesce(CAST(1.0 AS DOUBLE)
+                              / (CAST(60.0 AS DOUBLE) + s.sparse_rank::DOUBLE),
+                            CAST(0.0 AS DOUBLE))
+                 + coalesce(CAST(1.0 AS DOUBLE)
+                              / (CAST(60.0 AS DOUBLE) + d.dense_rank::DOUBLE),
+                            CAST(0.0 AS DOUBLE)) AS rrf
+            FROM stop s FULL OUTER JOIN dtop d ON s.id = d.id)
+          SELECT id, sparse_rank, dense_rank, rrf
+          FROM fused ORDER BY rrf DESC, id LIMIT 10""",
+
+    // Sparse leg + fusion = q139's CTEs verbatim; dense leg = q40's
+    // Lloyd replay (adaptive-cells form, VectorQueries.
+    // lloydCtesAdaptive) with the probe restricted to vec_id 0,
+    // nprobe = clamp(2..8, cells/4) from the same nc CTE, top-20.
+    "q142_hybrid_rrf_ivf" ->
+      s"""WITH $bm25SqlCtes,
+          stop AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                     AS sparse_rank
+            FROM sparse ORDER BY bm25 DESC, doc_id LIMIT 20),
+          ${VectorQueries.lloydCtesAdaptive},
+          corpus AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          qprobe AS (
+            SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1 WHERE vec_id = 0), nc
+            WHERE rn <= least(8, greatest(2, nc.cells // 4))),
+          dscored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+            FROM qprobe q JOIN corpus c USING (cell)
+            JOIN embeddings eq ON eq.vec_id = q.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id),
+          dtop AS (
+            SELECT neighbor_id AS id,
+                   row_number() OVER (ORDER BY cosine DESC, neighbor_id)
+                     AS dense_rank
+            FROM dscored ORDER BY cosine DESC, neighbor_id LIMIT 20),
           fused AS (
             SELECT coalesce(s.id, d.id) AS id,
                    coalesce(s.sparse_rank, 0) AS sparse_rank,

@@ -38,7 +38,7 @@ object VectorQueries {
     * bit-length in the query body — never float log). Only the `nc` +
     * `init` CTEs differ from the fixed form; everything downstream is
     * cell-count-independent. */
-  private def lloydCtesAdaptive: String =
+  private[queries] def lloydCtesAdaptive: String =
     s"""nc AS (
             SELECT CAST(1::BIGINT <<
                      greatest(4, least(12, length(bin(count(*))) // 2))

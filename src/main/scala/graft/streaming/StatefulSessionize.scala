@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Tables
 
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
@@ -97,16 +98,12 @@ object StatefulSessionize {
   def streamedSessions(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L): DataFrame = StreamTuning.withStatePartitions(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_sessions_${runId.incrementAndGet()}_")
       .toString
-    val evs = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
+    val evs = Tables.eventsStream(spark, dir)
       .select($"user_id", $"event_id",
-        expr("ts div 1000").as("ts_us"), // raw nanos -> epoch micros
+        expr("unix_micros(ts)").as("ts_us"), // canonical ts -> epoch micros
         $"value")
       .as[Ev]
     val q = sessionize(evs, gapSeconds)

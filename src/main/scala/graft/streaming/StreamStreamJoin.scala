@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Tables
 
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -40,8 +41,6 @@ object StreamStreamJoin {
 
   private def run(spark: SparkSession, dir: String,
       joinType: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // a stream-stream join keeps FOUR state stores per shuffle
     // partition; the partition count is pinned into the checkpoint at
     // first start. State-heavy streaming jobs size this to state
@@ -49,20 +48,16 @@ object StreamStreamJoin {
     // the store/commit overhead; at real scale this would be sized up
     // with the key space.
     StreamTuning.withStatePartitions(spark) {
-      runInner(spark, dir, schema, joinType)
+      runInner(spark, dir, joinType)
     }
   }
 
   private def runInner(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
       joinType: String): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_ss_join_${runId.incrementAndGet()}_")
       .toString
-    def eventStream(): DataFrame = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def eventStream(): DataFrame = Tables.eventsStream(spark, dir)
     val purchases = eventStream()
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("event_id"), col("user_id"),

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Tables
 
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -28,19 +29,10 @@ object StreamingQueries {
     * the events parquet. Complete output mode (no watermark needed for
     * a drained finite source). Returns a reader over the parquet sink. */
   def streamedTumblingCounts(spark: SparkSession, dir: String): DataFrame = StreamTuning.withStatePartitions(spark) {
-    // events.ts is TIMESTAMP(NANOS): stream it as raw longs, convert
-    // like Tables.table does for batch
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_counts_${runId.incrementAndGet()}_")
       .toString
-    // glob form: the file stream source requires a directory or glob
-    // basePath; events.parquet is a single file
-    val q = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total_value"))
       .select(col("w.start").cast("date").as("day"), col("event_type"),
@@ -75,15 +67,10 @@ object StreamingQueries {
     * subset of the snapshot. */
   def streamedTumblingCountsAppend(spark: SparkSession, dir: String,
       delay: String = "1 day"): DataFrame = StreamTuning.withStatePartitions(spark) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_append_${runId.incrementAndGet()}_")
       .toString
-    val q = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.eventsStream(spark, dir)
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total_value"))
@@ -112,16 +99,12 @@ object StreamingQueries {
     * the batch join, which is what the oracle checks. */
   def streamedSegmentEnrichment(spark: SparkSession, dir: String): DataFrame =
     StreamTuning.withStatePartitions(spark) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_enrich_${runId.incrementAndGet()}_")
       .toString
-    val q = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
+    val q = Tables.eventsStream(spark, dir)
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total_value"))
@@ -147,15 +130,10 @@ object StreamingQueries {
     * day-bounded aggregate — state stays the streaming agg's. */
   def streamedTopKPerDay(spark: SparkSession, dir: String,
       k: Int = 3): DataFrame = StreamTuning.withStatePartitions(spark) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_topk_${runId.incrementAndGet()}_")
       .toString
-    val q = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").cast("date").as("day"), col("event_type"),

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Tables
 
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -35,16 +36,11 @@ object StreamingUpsert {
 
   def streamedLatestPerUser(spark: SparkSession, dir: String): DataFrame =
     StreamTuning.withStatePartitions(spark) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_upsert_${runId.incrementAndGet()}_")
       .toString
     val state = s"$out/state"
-    val q = spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
       .writeStream

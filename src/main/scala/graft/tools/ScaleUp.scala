@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * splice, pushing jaccard to ~0.55 for long docs; the suffix covers
   * the short-doc tail (few shingles, so +3 marker shingles dominate).
   *
-  * events.ts is read as RAW nanosecond longs (no µs conversion), so
-  * the written copy round-trips through Tables.table's events branch
-  * unchanged. Timestamps are NOT offset: 10× event density in the
+  * events.ts is copied in its RAW arriving encoding (no ts
+  * normalization — nanos longs stay longs, timestamp_ntz stays ntz),
+  * so the written copy replays the source's physical encoding and
+  * Tables.normalizeEventsTs handles it on read like the original.
+  * Timestamps are NOT offset: 10× event density in the
   * same time range is exactly what a 10× cluster ingests.
   *
   * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [copies]
@@ -84,6 +86,9 @@ object ScaleUp {
       val base =
         if (name == "events") {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          // keep the raw arriving encoding (no ts normalization):
+          // the scaled copy must replay whatever encoding the source
+          // had, and Tables.normalizeEventsTs handles both on read
           spark.read.parquet(graft.Tables.path(src, name))
         } else spark.read.parquet(graft.Tables.path(src, name))
       val present = keys.filter(base.columns.contains)

@@ -47,7 +47,12 @@ class PlanAuditSpec extends SparkSuite {
     "q130_bigram_lm_gate",
     // q131/q133: the order count / global centroid ride as broadcast
     // 1-ROW frames (the q103/q104 scalar-stats pattern)
-    "q131_assoc_rules", "q133_embedding_drift")
+    "q131_assoc_rules", "q133_embedding_drift",
+    // q139/q142: the BM25 corpus stats ride as a broadcast 1-ROW
+    // frame (the q103 pattern, via the shared bm25Scored); both
+    // retrieval legs are bounded top-20 sets, fusion is a 40-row
+    // full-outer equi-join.
+    "q139_hybrid_rrf", "q142_hybrid_rrf_ivf")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
