@@ -91,6 +91,28 @@ object HybridQueries {
         sparse AS (SELECT doc_id, $scoreSum AS bm25 FROM w, st)"""
   }
 
+  /** Geometric-mechanism DP group counts, parameterized by the
+    * release salt. `salt` is the privacy boundary: a SECRET fresh
+    * value per release gives ε = ln 2 discrete-Laplace counts; a
+    * fixed public value (the q140 test harness) gives a
+    * deterministic, oracle-replayable rendering with NO privacy.
+    * One hash aggregate (group count bounded by langs × sources);
+    * the noise is a projection. */
+  def dpGroupCounts(docs: DataFrame, salt: String): DataFrame = {
+    def h32(tag: String): Column =
+      conv(substring(md5(concat(col("lang"), lit("|"), col("source"),
+        lit(salt + tag))), 1, 8), 16, 10).cast("long")
+    docs
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("noise",
+        (length(bin(h32("2"))) - length(bin(h32("1"))))
+          .cast("long"))
+      .select(col("lang"), col("source"),
+        greatest(lit(0L), col("n_exact") + col("noise")).as("n_dp"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---- q141 Morton interleave: 6 bits of x with 6 bits of y.
   // Integer shifts/masks only — identical on both engines; the SQL
   // rendering is generated from the same loop so the term list is
@@ -210,26 +232,17 @@ object HybridQueries {
     // (md5 → hex slice → bit length; never exp/log floats), so the
     // DuckDB oracle replays the released values bit-for-bit — the
     // privacy transform itself is under the correctness gate, which
-    // is exactly what a governance pipeline wants pinned. (The hash
-    // seed makes this a DETERMINISTIC test rendering; production
-    // swaps the per-group salt for a fresh random seed per release —
-    // the plan is unchanged.) One hash aggregate; group count is
-    // bounded (langs × sources), noise is a projection.
-    "q140_dp_group_counts" -> ((s, dir) => {
-      import s.implicits._
-      def h32(salt: String): Column =
-        conv(substring(md5(concat($"lang", lit("|"), $"source",
-          lit(salt))), 1, 8), 16, 10).cast("long")
-      Tables.table(s, dir, "documents")
-        .groupBy($"lang", $"source")
-        .agg(count(lit(1)).as("n_exact"))
-        .withColumn("noise",
-          (length(bin(h32("_dp2"))) - length(bin(h32("_dp1"))))
-            .cast("long"))
-        .select($"lang", $"source",
-          greatest(lit(0L), $"n_exact" + $"noise").as("n_dp"))
-        .orderBy($"lang", $"source")
-    }),
+    // is exactly what a governance pipeline wants pinned.
+    //
+    // CAVEAT (do not read the green row as a DP guarantee): q140
+    // passes FIXED salts, so the noise is exactly recomputable from
+    // the public (lang, source) keys — a deterministic REPLAY
+    // HARNESS, not a private release. [[dpGroupCounts]] takes the
+    // salt as a parameter precisely so production calls it with a
+    // SECRET fresh salt per release (same plan, same mechanism);
+    // only then does the ε = ln 2 guarantee hold against readers.
+    "q140_dp_group_counts" -> ((s, dir) =>
+      dpGroupCounts(Tables.table(s, dir, "documents"), salt = "_dp")),
 
     // Z-order layout, measured: cluster lineitem rows into files by
     // the Morton interleave of two query dimensions (x = quantity,

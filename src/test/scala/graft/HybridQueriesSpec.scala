@@ -115,6 +115,13 @@ class HybridQueriesSpec extends SparkSuite {
       val pk1 = freq.getOrElse(k + 1, 0.0) + freq.getOrElse(-(k + 1), 0.0)
       assert(pk1 < pk, s"no decay at |d|=$k→${k + 1}")
     }
+    // the production seam: a different release salt draws different
+    // noise (same mechanism, fresh randomness) — so a SECRET salt is
+    // all that separates the replay harness from a private release
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+    val a = HybridQueries.dpGroupCounts(docs, salt = "_dp").collect()
+    val c = HybridQueries.dpGroupCounts(docs, salt = "_release7").collect()
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
   }
 
   test("q141 sweep: z-order skipping dominates across 2-D probe " +
