@@ -92,6 +92,68 @@ object VectorQueries {
                      (a, b) -> a + b) - c.hn AS score
             FROM embeddings e, hn1 c)"""
 
+  /** [[lloydCtesAdaptive]] generalized to SPLIT fit and score
+    * relations: the model (adaptive cell count, init, Lloyd means) is
+    * fit over `fitRel` only, while `s1` scores every vector of
+    * `scoreRel` against the post-Lloyd centroids — the oracle shape
+    * for INCREMENTAL index maintenance (q143), where an append batch
+    * is assigned under a model it never trained. The classic form is
+    * the (embeddings, embeddings) instance. */
+  private[queries] def lloydCtesSplit(fitRel: String,
+      scoreRel: String): String =
+    s"""nc AS (
+            SELECT CAST(1::BIGINT <<
+                     greatest(4, least(12, length(bin(count(*))) // 2))
+                   AS INTEGER) AS cells
+            FROM $fitRel),
+          init AS (
+            SELECT CAST(rn - 1 AS INTEGER) AS cell,
+                   list_transform(embedding, x -> x::DOUBLE) AS cent
+            FROM (SELECT embedding,
+                         row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM $fitRel), nc
+            WHERE rn <= nc.cells),
+          hn0 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM init),
+          s0 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM $fitRel e, hn0 c),
+          a0 AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s0) WHERE rn = 1),
+          means AS (
+            SELECT a0.cell, g.j AS pos,
+                   CAST(sum(CAST(e.embedding[g.j] AS DECIMAL(30,15)))
+                     AS DOUBLE) / count(*) AS m
+            FROM a0 JOIN $fitRel e USING (vec_id),
+                 generate_series(1, 64) g(j)
+            GROUP BY a0.cell, g.j),
+          c1 AS (
+            SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
+            FROM init i LEFT JOIN (
+              SELECT cell, list(m ORDER BY pos) AS cent
+              FROM means GROUP BY cell) mm USING (cell)),
+          hn1 AS (
+            SELECT cell, cent,
+                   list_reduce(list_transform(cent, x -> x * x),
+                     (a, b) -> a + b) / 2.0 AS hn
+            FROM c1),
+          s1 AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, 64),
+                     j -> e.embedding[j]::DOUBLE * c.cent[j]),
+                     (a, b) -> a + b) - c.hn AS score
+            FROM $scoreRel e, hn1 c)"""
+
   private def lloydCtes(cells: Int): String =
     s"""init AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -356,6 +418,86 @@ object VectorQueries {
         emb.withColumnRenamed("vec_id", "neighbor_id"),
         k = 5, planes = 6, tables = 8)
         .orderBy($"query_id", $"rank")
+    }),
+
+    // INCREMENTAL index maintenance — the operation a 100 TB vector
+    // store actually runs on append: fit the IVF model ONCE on the
+    // at-rest base corpus (vec_id % 5 ≠ 0 here), assign the arriving
+    // batch (vec_id % 5 = 0) under that model withOUT re-fitting —
+    // O(batch) work, the at-rest assignment untouched — and emit the
+    // per-cell occupancy-drift report that decides when a re-fit IS
+    // due: per-mille occupancy shares of base vs batch (integer
+    // floor(n·1000/total) — engine-exact), drift = |Δ| per-mille,
+    // refit flag at > 50‰. Cost: one bounded model fit + two
+    // assignment scans + a cell-count hash agg (output ≤ cells rows).
+    // The drift gate is the q133 idea applied to the index's own
+    // partitioning instead of to labels.
+    "q143_ivf_append_drift" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val base = emb.filter($"vec_id" % 5 =!= 0)
+      val batch = emb.filter($"vec_id" % 5 === 0)
+      val n = base.count()
+      val bits = if (n <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val cells = 1 << math.max(4, math.min(12, bits / 2))
+      val model = Ivf.fit(base, "vec_id", "embedding", cells = cells,
+        iters = 1)
+      def occ(df: org.apache.spark.sql.DataFrame, out: String) =
+        Ivf.assign(df, model, corpusId = "vec_id")
+          .groupBy($"cell").agg(count(lit(1)).as(out))
+      // `sum(..) over ()` funnels to one partition — fine: the frame
+      // is the ≤ cells-row occupancy report, bounded model metadata
+      occ(base, "n_base").join(occ(batch, "n_batch"), Seq("cell"),
+          "full_outer")
+        .select($"cell",
+          coalesce($"n_base", lit(0L)).as("n_base"),
+          coalesce($"n_batch", lit(0L)).as("n_batch"))
+        .withColumn("base_pm",
+          expr("n_base * 1000 div sum(n_base) over ()"))
+        .withColumn("batch_pm",
+          expr("n_batch * 1000 div sum(n_batch) over ()"))
+        .withColumn("drift_pm",
+          greatest($"base_pm" - $"batch_pm", $"batch_pm" - $"base_pm"))
+        .withColumn("refit", $"drift_pm" > 50)
+        .orderBy($"cell")
+    }),
+
+    // ANN quality as an ORACLE-VERIFIED operator, not just a spec
+    // assertion: q40's IVF top-5 joined against the exact brute-force
+    // top-5 per query, per-query hit counts → recall in per-mille
+    // (n_hits·200 for k = 5 — integer, engine-exact). This is the
+    // eval harness a retrieval pipeline runs after every index build,
+    // expressed in-engine so the recall NUMBER itself is under the
+    // correctness gate. Cost: the q40 search + one bounded exact
+    // top-k over the 20 eval queries (eval sets are small by
+    // construction; the corpus-sized work is the same index scan
+    // q40 already does).
+    "q144_ann_recall_report" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val queries = emb.filter($"vec_id" < 20)
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 1)
+      val assigned = Ivf.assign(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), model)
+        .localCheckpoint()
+      val ann = Ivf.searchAssigned(
+        queries.withColumnRenamed("vec_id", "query_id"),
+        assigned, model, k = 5, nprobe = 4)
+        .select($"query_id", $"neighbor_id")
+      val exact = VectorFunctions.knnBruteForce(
+        queries.withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"), k = 5)
+        .select($"query_id", $"neighbor_id")
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+      queries.select($"vec_id".as("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select($"query_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .withColumn("recall_pm", $"n_hits" * 200)
+        .orderBy($"query_id")
     }))
 
   /** Retained for callers that want the ANN surface without oracles
@@ -432,6 +574,99 @@ object VectorQueries {
            FROM embeddings)
          WHERE logit >= 0
          ORDER BY vec_id""",
+    // Exact replay of the incremental-append shape: model fit over
+    // the base relation only, every vector (base AND batch) scored
+    // under the post-Lloyd centroids via lloydCtesSplit, per-cell
+    // occupancy shares in integer per-mille. Sums are CAST back to
+    // BIGINT before the comparison surface (DuckDB SUM(BIGINT) is
+    // HUGEINT → pandas float — the q44 dtype lesson).
+    "q143_ivf_append_drift" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id % 5 <> 0),
+          batch AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 5 = 0),
+          ${lloydCtesSplit("base", "embeddings")},
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          ob AS (SELECT a.cell, count(*)::BIGINT AS n_base
+                 FROM asg a JOIN base USING (vec_id) GROUP BY a.cell),
+          oq AS (SELECT a.cell, count(*)::BIGINT AS n_batch
+                 FROM asg a JOIN batch USING (vec_id) GROUP BY a.cell),
+          j AS (
+            SELECT coalesce(ob.cell, oq.cell) AS cell,
+                   coalesce(ob.n_base, 0::BIGINT) AS n_base,
+                   coalesce(oq.n_batch, 0::BIGINT) AS n_batch
+            FROM ob FULL OUTER JOIN oq ON ob.cell = oq.cell),
+          t AS (SELECT sum(n_base) AS tb, sum(n_batch) AS tq FROM j),
+          p AS (
+            SELECT cell, n_base, n_batch,
+                   CAST(n_base * 1000 // tb AS BIGINT) AS base_pm,
+                   CAST(n_batch * 1000 // tq AS BIGINT) AS batch_pm
+            FROM j, t)
+          SELECT cell, n_base, n_batch, base_pm, batch_pm,
+                 greatest(base_pm - batch_pm, batch_pm - base_pm)
+                   AS drift_pm,
+                 greatest(base_pm - batch_pm, batch_pm - base_pm) > 50
+                   AS refit
+          FROM p ORDER BY cell""",
+
+    // q40's IVF replay joined against q31's exact replay: the recall
+    // report is a composition of two already-verified renderings, so
+    // the eval NUMBER is itself hash-checked.
+    "q144_ann_recall_report" ->
+      s"""WITH ${lloydCtes(16)},
+          corpus AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          qprobe AS (
+            SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1 WHERE vec_id < 20) WHERE rn <= 4),
+          ascored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+            FROM qprobe q JOIN corpus c USING (cell)
+            JOIN embeddings eq ON eq.vec_id = q.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id),
+          ann AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM ascored) WHERE rank <= 5),
+          eq AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 20),
+          escored AS (
+            SELECT eq.query_id, e.vec_id AS neighbor_id,
+                   ${cosSql("eq.qv", "e.embedding")} AS cosine
+            FROM eq JOIN embeddings e ON e.vec_id <> eq.query_id),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM escored) WHERE rank <= 5),
+          hits AS (
+            SELECT a.query_id, count(*)::BIGINT AS n_hits
+            FROM ann a JOIN exact USING (query_id, neighbor_id)
+            GROUP BY a.query_id)
+          SELECT q.query_id, coalesce(h.n_hits, 0::BIGINT) AS n_hits,
+                 coalesce(h.n_hits, 0::BIGINT) * 200 AS recall_pm
+          FROM (SELECT vec_id AS query_id FROM embeddings
+                WHERE vec_id < 20) q
+          LEFT JOIN hits h ON h.query_id = q.query_id
+          ORDER BY q.query_id""",
+
     "q31_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 20),

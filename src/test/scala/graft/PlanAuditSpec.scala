@@ -52,7 +52,11 @@ class PlanAuditSpec extends SparkSuite {
     // frame (the q103 pattern, via the shared bm25Scored); both
     // retrieval legs are bounded top-20 sets, fusion is a 40-row
     // full-outer equi-join.
-    "q139_hybrid_rrf", "q142_hybrid_rrf_ivf")
+    "q139_hybrid_rrf", "q142_hybrid_rrf_ivf",
+    // q144: the exact leg is q31's bounded nested loop (20 eval
+    // queries broadcast, k·n scan) — eval sets are small by
+    // construction; the ANN leg is the cell equi-join.
+    "q144_ann_recall_report")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
