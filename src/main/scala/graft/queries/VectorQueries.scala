@@ -100,59 +100,59 @@ object VectorQueries {
     * is assigned under a model it never trained. The classic form is
     * the (embeddings, embeddings) instance. */
   private[queries] def lloydCtesSplit(fitRel: String,
-      scoreRel: String): String =
-    s"""nc AS (
+      scoreRel: String, pfx: String = ""): String =
+    s"""${pfx}nc AS (
             SELECT CAST(1::BIGINT <<
                      greatest(4, least(12, length(bin(count(*))) // 2))
                    AS INTEGER) AS cells
             FROM $fitRel),
-          init AS (
+          ${pfx}init AS (
             SELECT CAST(rn - 1 AS INTEGER) AS cell,
                    list_transform(embedding, x -> x::DOUBLE) AS cent
             FROM (SELECT embedding,
                          row_number() OVER (ORDER BY vec_id) AS rn
-                  FROM $fitRel), nc
-            WHERE rn <= nc.cells),
-          hn0 AS (
+                  FROM $fitRel), ${pfx}nc
+            WHERE rn <= ${pfx}nc.cells),
+          ${pfx}hn0 AS (
             SELECT cell, cent,
                    list_reduce(list_transform(cent, x -> x * x),
                      (a, b) -> a + b) / 2.0 AS hn
-            FROM init),
-          s0 AS (
+            FROM ${pfx}init),
+          ${pfx}s0 AS (
             SELECT e.vec_id, c.cell,
                    list_reduce(list_transform(generate_series(1, 64),
                      j -> e.embedding[j]::DOUBLE * c.cent[j]),
                      (a, b) -> a + b) - c.hn AS score
-            FROM $fitRel e, hn0 c),
-          a0 AS (
+            FROM $fitRel e, ${pfx}hn0 c),
+          ${pfx}a0 AS (
             SELECT vec_id, cell FROM (
               SELECT vec_id, cell,
                      row_number() OVER (PARTITION BY vec_id
                        ORDER BY score DESC, cell DESC) AS rn
-              FROM s0) WHERE rn = 1),
-          means AS (
-            SELECT a0.cell, g.j AS pos,
+              FROM ${pfx}s0) WHERE rn = 1),
+          ${pfx}means AS (
+            SELECT ${pfx}a0.cell, g.j AS pos,
                    CAST(sum(CAST(e.embedding[g.j] AS DECIMAL(30,15)))
                      AS DOUBLE) / count(*) AS m
-            FROM a0 JOIN $fitRel e USING (vec_id),
+            FROM ${pfx}a0 JOIN $fitRel e USING (vec_id),
                  generate_series(1, 64) g(j)
-            GROUP BY a0.cell, g.j),
-          c1 AS (
+            GROUP BY ${pfx}a0.cell, g.j),
+          ${pfx}c1 AS (
             SELECT i.cell, coalesce(mm.cent, i.cent) AS cent
-            FROM init i LEFT JOIN (
+            FROM ${pfx}init i LEFT JOIN (
               SELECT cell, list(m ORDER BY pos) AS cent
-              FROM means GROUP BY cell) mm USING (cell)),
-          hn1 AS (
+              FROM ${pfx}means GROUP BY cell) mm USING (cell)),
+          ${pfx}hn1 AS (
             SELECT cell, cent,
                    list_reduce(list_transform(cent, x -> x * x),
                      (a, b) -> a + b) / 2.0 AS hn
-            FROM c1),
-          s1 AS (
+            FROM ${pfx}c1),
+          ${pfx}s1 AS (
             SELECT e.vec_id, c.cell,
                    list_reduce(list_transform(generate_series(1, 64),
                      j -> e.embedding[j]::DOUBLE * c.cent[j]),
                      (a, b) -> a + b) - c.hn AS score
-            FROM $scoreRel e, hn1 c)"""
+            FROM $scoreRel e, ${pfx}hn1 c)"""
 
   private def lloydCtes(cells: Int): String =
     s"""init AS (
@@ -463,6 +463,48 @@ object VectorQueries {
         .orderBy($"cell")
     }),
 
+    // The COST side of q143's re-fit decision: if the drift gate
+    // fires and the index is re-fit on the full corpus, how much
+    // at-rest data physically moves? Assign every vector under BOTH
+    // models — v1 (fit on the base corpus only, q143's stale model)
+    // and v2 (fit on the full corpus) — and emit the migration
+    // matrix: (cell_v1, cell_v2, n_moved) for cells that differ,
+    // plus per-pair share in integer per-mille of the corpus. A
+    // 100 TB store prices a re-fit by exactly this row-movement
+    // count (cell-partitioned files to rewrite); staying/moving is
+    // a pure function of the two deterministic fits, so the oracle
+    // replays both and the matrix hash-checks. Cost: two bounded
+    // model fits + two assignment scans + one hash agg on the
+    // (cell_v1, cell_v2) pair — output ≤ cells² rows, model
+    // metadata.
+    "q145_ivf_migration_plan" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val base = emb.filter($"vec_id" % 5 =!= 0)
+      def adaptiveCells(n: Long): Int = {
+        val bits = if (n <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+        1 << math.max(4, math.min(12, bits / 2))
+      }
+      val m1 = Ivf.fit(base, "vec_id", "embedding",
+        cells = adaptiveCells(base.count()), iters = 1)
+      val m2 = Ivf.fit(emb, "vec_id", "embedding",
+        cells = adaptiveCells(emb.count()), iters = 1)
+      val a1 = Ivf.assign(emb, m1, corpusId = "vec_id")
+        .select($"vec_id", $"cell".as("cell_v1"))
+      val a2 = Ivf.assign(emb, m2, corpusId = "vec_id")
+        .select($"vec_id", $"cell".as("cell_v2"))
+      // full transition matrix (diagonal = stayed): re-fit cost is
+      // the off-diagonal row count; shares are over the whole corpus
+      a1.join(a2, "vec_id")
+        .groupBy($"cell_v1", $"cell_v2")
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share_pm",
+          expr("n_vecs * 1000 div sum(n_vecs) over ()"))
+        .withColumn("moved", $"cell_v1" =!= $"cell_v2")
+        .orderBy($"cell_v1", $"cell_v2")
+    }),
+
     // ANN quality as an ORACLE-VERIFIED operator, not just a spec
     // assertion: q40's IVF top-5 joined against the exact brute-force
     // top-5 per query, per-query hit counts → recall in per-mille
@@ -613,6 +655,36 @@ object VectorQueries {
                  greatest(base_pm - batch_pm, batch_pm - base_pm) > 50
                    AS refit
           FROM p ORDER BY cell""",
+
+    // Two Lloyd replays under distinct CTE prefixes (v1_ = fit on
+    // base, v2_ = fit on the full corpus), every vector assigned
+    // under both, transition matrix with integer per-mille shares.
+    "q145_ivf_migration_plan" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id % 5 <> 0),
+          ${lloydCtesSplit("base", "embeddings", "v1_")},
+          ${lloydCtesSplit("embeddings", "embeddings", "v2_")},
+          a1 AS (
+            SELECT vec_id, cell AS cell_v1 FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM v1_s1) WHERE rn = 1),
+          a2 AS (
+            SELECT vec_id, cell AS cell_v2 FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM v2_s1) WHERE rn = 1),
+          mv AS (
+            SELECT cell_v1, cell_v2, count(*)::BIGINT AS n_vecs
+            FROM a1 JOIN a2 USING (vec_id)
+            GROUP BY cell_v1, cell_v2),
+          t AS (SELECT sum(n_vecs) AS tm FROM mv)
+          SELECT cell_v1, cell_v2, n_vecs,
+                 CAST(n_vecs * 1000 // tm AS BIGINT) AS share_pm,
+                 cell_v1 <> cell_v2 AS moved
+          FROM mv, t ORDER BY cell_v1, cell_v2""",
 
     // q40's IVF replay joined against q31's exact replay: the recall
     // report is a composition of two already-verified renderings, so

@@ -61,6 +61,26 @@ class IvfIndexSpec extends SparkSuite {
     }
   }
 
+  test("q145: migration matrix partitions the corpus; shares bound; " +
+    "diagonal = unmoved") {
+    val rep = graft.SparkEntry.queries("q145_ivf_migration_plan")(
+      spark, sf0001).collect()
+    assert(rep.nonEmpty)
+    val total = graft.Tables.table(spark, sf0001, "embeddings").count()
+    assert(rep.map(_.getAs[Long]("n_vecs")).sum === total,
+      "every vector appears in exactly one transition cell")
+    val pmSum = rep.map(_.getAs[Long]("share_pm")).sum
+    assert(pmSum <= 1000L && pmSum > 1000L - rep.length)
+    rep.foreach { r =>
+      assert(r.getAs[Boolean]("moved") ===
+        (r.getAs[Int]("cell_v1") != r.getAs[Int]("cell_v2")))
+    }
+    // both stay and move transitions exist on this corpus (a fully
+    // moved or fully static matrix would make the report vacuous)
+    assert(rep.exists(_.getAs[Boolean]("moved")))
+    assert(rep.exists(!_.getAs[Boolean]("moved")))
+  }
+
   test("q144: recall report covers every eval query; hits within k; " +
     "report agrees with a direct recomputation") {
     val rep = graft.SparkEntry.queries("q144_ann_recall_report")(spark, sf0001)
