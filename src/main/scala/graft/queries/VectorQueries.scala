@@ -490,13 +490,13 @@ object VectorQueries {
         cells = adaptiveCells(base.count()), iters = 1)
       val m2 = Ivf.fit(emb, "vec_id", "embedding",
         cells = adaptiveCells(emb.count()), iters = 1)
-      val a1 = Ivf.assign(emb, m1, corpusId = "vec_id")
-        .select($"vec_id", $"cell".as("cell_v1"))
-      val a2 = Ivf.assign(emb, m2, corpusId = "vec_id")
-        .select($"vec_id", $"cell".as("cell_v2"))
-      // full transition matrix (diagonal = stayed): re-fit cost is
-      // the off-diagonal row count; shares are over the whole corpus
-      a1.join(a2, "vec_id")
+      // both assignments fold into ONE scan (no id-join of two assign
+      // outputs — that would shuffle the corpus twice for the same
+      // answer); full transition matrix (diagonal = stayed): re-fit
+      // cost is the off-diagonal row count, shares over the corpus
+      emb.select(
+          Ivf.cellColumn($"embedding", m1).as("cell_v1"),
+          Ivf.cellColumn($"embedding", m2).as("cell_v2"))
         .groupBy($"cell_v1", $"cell_v2")
         .agg(count(lit(1)).as("n_vecs"))
         .withColumn("share_pm",

@@ -42,6 +42,13 @@ object Ivf {
   private def assignCell(vec: Column, m: Model): Column =
     element_at(topCells(vec, m, 1), 1)
 
+  /** The argmax cell as a bare column — for callers that fold an
+    * assignment into an existing scan (q145 computes a vector's cell
+    * under TWO models in one projection; a join of two [[assign]]
+    * outputs would shuffle the corpus on id twice for the same
+    * answer). */
+  def cellColumn(vec: Column, m: Model): Column = assignCell(vec, m)
+
   /** The nprobe best cells for a query vector, as an array. */
   private def probeCells(vec: Column, m: Model, nprobe: Int): Column =
     topCells(vec, m, nprobe)
