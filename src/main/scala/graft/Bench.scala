@@ -110,6 +110,13 @@ object Bench {
     val loopCpu0 = processCpuSec()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => wanted(kv._1)).map { case (name, fn) =>
+      // collect BEFORE the clock starts: in a 140+-query single-JVM
+      // loop, a neighbor's garbage lands on whichever query triggers
+      // the pause (r8 adjudicated q62 reading 4.3 s in-suite vs
+      // 0.45 s isolated — pure attribution noise). The pause still
+      // happens (wall_sec includes it); it just stops being charged
+      // to an innocent query's timing.
+      System.gc()
       val t0 = System.nanoTime()
       // a query that throws must be self-identifying in the artifact:
       // recording its time-to-throw as a timing is indistinguishable
