@@ -16,6 +16,7 @@ object SparkEntry {
       graft.streaming.StreamingDedup.queries ++
       graft.streaming.StreamStreamJoin.queries ++
       graft.streaming.StreamingUpsert.queries ++
+      graft.streaming.StreamingIndexAppend.queries ++
       graft.queries.OperatorQueries.queries ++
       graft.queries.HybridQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +31,7 @@ object SparkEntry {
       graft.streaming.StreamingDedup.oracles ++
       graft.streaming.StreamStreamJoin.oracles ++
       graft.streaming.StreamingUpsert.oracles ++
+      graft.streaming.StreamingIndexAppend.oracles ++
       graft.queries.OperatorQueries.oracles ++
       graft.queries.HybridQueries.oracles
 }

@@ -99,7 +99,7 @@ object VectorQueries {
     * for INCREMENTAL index maintenance (q143), where an append batch
     * is assigned under a model it never trained. The classic form is
     * the (embeddings, embeddings) instance. */
-  private[queries] def lloydCtesSplit(fitRel: String,
+  private[graft] def lloydCtesSplit(fitRel: String,
       scoreRel: String, pfx: String = ""): String =
     s"""${pfx}nc AS (
             SELECT CAST(1::BIGINT <<

@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSuite {
   private val streaming = Set(
     "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
     "q66_stream_interval_join", "q71_stream_left_outer_join",
-    "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk")
+    "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk",
+    "q146_stream_index_append")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
