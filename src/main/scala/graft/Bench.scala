@@ -1,5 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-task metric accumulation for the timed loop: max task peak
+  * execution memory and total spill bytes since the last reset. The
+  * q100/q107 ×50 OOMs showed the artifact needs memory context to be
+  * self-explanatory — a timing plus its peak memory says "this query
+  * needs a bigger executor at this SF", a bare timing doesn't. */
+private final class TaskMetricsListener
+    extends org.apache.spark.scheduler.SparkListener {
+  private val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+  def reset(): Unit = { peakMem.set(0L); spill.set(0L) }
+  /** (max task peak execution memory MB, total spilled MB). */
+  def snapshot(): (Double, Double) =
+    (peakMem.get / 1048576.0, spill.get / 1048576.0)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +130,8 @@ object Bench {
             .foreach(_.unpersist(false))
         }
     }
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     val loopWall0 = System.nanoTime()
     val loopCpu0 = processCpuSec()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -117,6 +143,7 @@ object Bench {
       // happens (wall_sec includes it); it just stops being charged
       // to an innocent query's timing.
       System.gc()
+      metrics.reset()
       val t0 = System.nanoTime()
       // a query that throws must be self-identifying in the artifact:
       // recording its time-to-throw as a timing is indistinguishable
@@ -135,7 +162,11 @@ object Bench {
       // storage pool until later queries measure memory pressure, not
       // their own plan (q49 measured 45 s mid-bench vs 10 s alone)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (if (failed) -1.0 else dt)
+      // listener events are async, so the last few task-ends can bleed
+      // into the next query's window — diagnostic precision, not
+      // accounting precision
+      val (memMb, spillMb) = metrics.snapshot()
+      (name, if (failed) -1.0 else dt, memMb, spillMb)
     }
     // round to 3 decimals: 62 queries at 9+ digits each overflowed the
     // driver's stdout tail window and left BENCH_r02.json unparsed
@@ -144,16 +175,27 @@ object Bench {
     val load1End = load1()
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val errors = results.collect { case (k, v) if v < 0 => k }
-    def jsonLine(qs: String, total: Double, errF: String => String): String =
+    val errors = results.collect { case (k, v, _, _) if v < 0 => k }
+    // memory/spill context rides ONLY the local file (full names):
+    // the stdout line must stay small for the driver's tail-window
+    // parser (overflowed once in r2), and mem is diagnostic anyway
+    def jsonLine(qs: String, total: Double, errF: String => String,
+        extra: String = ""): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","errors":${errors.map(e => "\"" + errF(e) + "\"").mkString("[", ",", "]")}""" +
+        extra +
         s""","load1_start":${r3(load1Start)},"load1_end":${r3(load1End)}""" +
         s""","cpu_sec":${r3(cpuSec)},"wall_sec":${r3(wallSec)}""" +
         s""","sketch_audit":$sketchAudit}"""
     def qmap(f: String => String): String = results
-      .map { case (k, v) => "\"" + f(k) + "\":" + r3(v) }
+      .map { case (k, v, _, _) => "\"" + f(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    def memMaps: String = {
+      def m(sel: ((String, Double, Double, Double)) => Double): String =
+        results.map(t => "\"" + t._1 + "\":" + r3(sel(t)))
+          .mkString("{", ",", "}")
+      s""","peak_task_mem_mb":${m(_._3)},"spill_mb":${m(_._4)}"""
+    }
     // the total sums successes only — errors are flagged, not priced in
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
@@ -168,7 +210,7 @@ object Bench {
     if (fileOfRecord)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),
-        jsonLine(qmap(identity), total, identity) + "\n")
+        jsonLine(qmap(identity), total, identity, memMaps) + "\n")
       catch { case _: Throwable => () }
     // stdout → the driver's tail-window parser. Even 3-decimal values
     // under full names (~2.9 kB for 94 queries) start the r3 tail
