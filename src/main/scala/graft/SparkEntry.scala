@@ -18,7 +18,8 @@ object SparkEntry {
       graft.streaming.StreamingUpsert.queries ++
       graft.streaming.StreamingIndexAppend.queries ++
       graft.queries.OperatorQueries.queries ++
-      graft.queries.HybridQueries.queries
+      graft.queries.HybridQueries.queries ++
+      graft.queries.OpsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.streaming.StreamingUpsert.oracles ++
       graft.streaming.StreamingIndexAppend.oracles ++
       graft.queries.OperatorQueries.oracles ++
-      graft.queries.HybridQueries.oracles
+      graft.queries.HybridQueries.oracles ++
+      graft.queries.OpsQueries.oracles
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions
+
+/** Operational-diagnostics and lakehouse-lifecycle operators — the
+  * queries a platform team runs ABOUT the pipeline rather than in it:
+  *
+  *  - q147: watermark advisor — quantifies the event log's actual
+  *    out-of-orderness (per-event lateness against the running
+  *    event-time high-water mark in arrival order) and prices a menu
+  *    of candidate `withWatermark` delays by the events each would
+  *    drop. This is how the streaming surface's watermark delay
+  *    (StreamingQueries et al.) should be CHOSEN from data instead of
+  *    guessed.
+  *  - q148: filter attribution — for each curation filter (Gopher
+  *    gate, exact dedup, short-doc, non-English), how many docs it
+  *    flags and how many it alone removes (its unique contribution).
+  *    The inclusion-exclusion view a curation team reads before
+  *    loosening or dropping a filter: a filter with zero unique
+  *    removals is fully shadowed by the others.
+  *  - q149: time-travel read — the versioned-snapshot store
+  *    ([[graft.store.TimeTravel]]) exercised end-to-end: three CDC
+  *    batches fold into three committed versions, and the verified
+  *    output is the AS-OF read of version 2 taken while version 3
+  *    exists — the oracle replays the fold from the raw log, so the
+  *    hash proves historical reads are exact, not approximations.
+  */
+object OpsQueries {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  private val runId = new AtomicInteger(0)
+
+  /** Candidate watermark delays priced by q147 (seconds). */
+  private val WatermarkDelays = Seq(0L, 60L, 300L, 900L, 3600L)
+
+  /** Arrival-order block size for the two-phase prefix max. */
+  private val ArrivalBlock = 1024L
+
+  val queries: Map[String, Fn] = Map(
+
+    // Watermark advisor: an event's lateness is how far the
+    // event-time high-water mark (the max ts among events that
+    // ARRIVED before it — arrival order = event_id, the log's append
+    // order) had already passed it: late = max(0, prev_max_ts - ts).
+    // Structured Streaming drops an event iff its lateness exceeds
+    // the watermark delay, so the per-delay dropped counts below ARE
+    // the data-loss price list for `withWatermark` — pick the
+    // smallest delay whose late_pm is acceptable.
+    //
+    // Scale shape: a naive running max is one GLOBAL window (single
+    // task). Instead the prefix max is two-phase, the Sessionize
+    // .chunked trick on arrival order: within-block running max
+    // partitioned by block (parallel, block = event_id div 1024),
+    // plus a prefix max over the per-block summaries (bounded: n/1024
+    // rows — recurse the same split if even that outgrows a task).
+    // greatest() of the two is exactly the global prefix max. The
+    // delay menu is priced in ONE aggregate pass (5 conditional
+    // counters), then unpivoted to rows — no per-delay rescans.
+    "q147_watermark_advisor" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Q.fanout(Tables.table(s, dir, "events"))
+        .select($"event_id", $"ts")
+        .withColumn("blk", expr(s"event_id div $ArrivalBlock"))
+      val byBlk = Window.partitionBy($"blk").orderBy($"event_id")
+      val local = ev.withColumn("local_prev",
+        max($"ts").over(byBlk.rowsBetween(Window.unboundedPreceding, -1)))
+      // per-block max → prefix max over blocks STRICTLY before; the
+      // frame is n/ArrivalBlock summary rows, bounded model metadata
+      val blkPrefix = ev.groupBy($"blk").agg(max($"ts").as("blk_max"))
+        .withColumn("blk_prev", max($"blk_max").over(
+          Window.orderBy($"blk").rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"blk", $"blk_prev")
+      // greatest() skips nulls on Spark: first block has blk_prev
+      // null, first event per block has local_prev null
+      val late = local.join(blkPrefix, Seq("blk"))
+        .withColumn("prev_max", greatest($"local_prev", $"blk_prev"))
+        .withColumn("late_us", when($"prev_max".isNull, lit(0L))
+          .otherwise(greatest(lit(0L),
+            unix_micros($"prev_max") - unix_micros($"ts"))))
+      val counters = count(lit(1)).as("n_total") +: WatermarkDelays.map(d =>
+        sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L)).as(s"d$d"))
+      val agg = late.agg(counters.head, counters.tail: _*)
+      val rows = WatermarkDelays.map(d => struct(
+        lit(d).as("delay_s"), col(s"d$d").as("n_late"), $"n_total"))
+      agg.select(explode(array(rows: _*)).as("r"))
+        .select($"r.delay_s", $"r.n_late",
+          expr("r.n_late * 1000 div r.n_total").as("late_pm"))
+        .orderBy($"delay_s")
+    }),
+
+    // Filter attribution: the inclusion-exclusion census of the
+    // curation stack. Each doc gets four independent flags — fails
+    // the Gopher gate (q64's kernel on normalized text, as q72
+    // applies it), is a non-canonical exact duplicate (q27's
+    // normalized hash, min-doc_id canonical), is too short
+    // (< 25 words), is non-English (the declared lang column) — and
+    // ONE aggregate pass produces, per filter: docs flagged, docs
+    // UNIQUELY flagged (no other filter fires — a filter whose
+    // unique count is 0 is fully shadowed and can be dropped), and
+    // flagged per-mille; plus the 'any' row (union removal, and
+    // exactly-one-flag as its unique column). Cost at scale: one
+    // normalize+flag projection (per-row kernels), one hash
+    // aggregate for canonical ids, one count aggregate — the same
+    // shape as q27, no new shuffle class.
+    "q148_filter_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val flags0 = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"lang",
+          TextFunctions.normalizeText($"text").as("nt"))
+        .withColumn("f_gopher", !TextFunctions.passesGopher($"nt"))
+        .withColumn("f_short", size(TextFunctions.words($"nt")) < 25)
+        .withColumn("f_nonen", $"lang" =!= "en")
+        .withColumn("h", TextFunctions.normalizedHash($"nt"))
+      val canon = flags0.groupBy($"h").agg(min($"doc_id").as("canon_id"))
+      val flags = flags0.join(canon, Seq("h"))
+        .withColumn("f_dup", $"doc_id" =!= $"canon_id")
+      val fcols = Seq("gopher" -> col("f_gopher"), "exact_dup" -> col("f_dup"),
+        "short" -> col("f_short"), "non_english" -> col("f_nonen"))
+      val nFlags = fcols.map(_._2.cast("int")).reduce(_ + _)
+      val perFilter = fcols.flatMap { case (name, f) => Seq(
+        sum(when(f, 1L).otherwise(0L)).as(s"${name}_n"),
+        sum(when(f && nFlags === 1, 1L).otherwise(0L)).as(s"${name}_u")) }
+      val counters = Seq(count(lit(1)).as("n_docs"),
+        sum(when(nFlags >= 1, 1L).otherwise(0L)).as("any_n"),
+        sum(when(nFlags === 1, 1L).otherwise(0L)).as("any_u")) ++ perFilter
+      val agg = flags.agg(counters.head, counters.tail: _*)
+      val rows = ("any" +: fcols.map(_._1)).map(name => struct(
+        lit(name).as("filter"), col(s"${name}_n").as("n_flagged"),
+        col(s"${name}_u").as("n_unique"), $"n_docs"))
+      agg.select(explode(array(rows: _*)).as("r"))
+        .select($"r.filter", $"r.n_flagged", $"r.n_unique",
+          expr("r.n_flagged * 1000 div r.n_docs").as("flagged_pm"))
+        .orderBy($"filter")
+    }),
+
+    // Time-travel read: the events log split into three CDC batches
+    // (event_id mod 3 — stand-ins for daily loads), folded into three
+    // committed snapshot versions of the latest-per-user state (the
+    // q135 compaction semantics: precedence (ts, event_id) desc), and
+    // read back AS OF version 2 — after version 3 is committed, so
+    // the read exercises version pinning, not just "latest". The
+    // oracle reconstructs version 2 from the raw log (batches 1∪2),
+    // proving the historical read is byte-exact. The fold is
+    // associative (latest-of-union), so folding batch-by-batch equals
+    // the one-shot rebuild — same contract Scd2Spec pins for history.
+    "q149_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      import graft.store.TimeTravel
+      val tableDir = java.nio.file.Files
+        .createTempDirectory(s"graft_timetravel_${runId.incrementAndGet()}_")
+        .toString
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        df.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).drop("rn")
+      }
+      var state = latest(ev.filter($"event_id" % 3 === 0))
+      TimeTravel.writeSnapshot(state, tableDir, 1L)
+      state = latest(TimeTravel.readLatest(s, tableDir)
+        .unionByName(ev.filter($"event_id" % 3 === 1)))
+      TimeTravel.writeSnapshot(state, tableDir, 2L)
+      state = latest(TimeTravel.readLatest(s, tableDir)
+        .unionByName(ev.filter($"event_id" % 3 === 2)))
+      TimeTravel.writeSnapshot(state, tableDir, 3L)
+      TimeTravel.readAsOf(s, tableDir, 2L)
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q147_watermark_advisor" -> {
+      val filters = WatermarkDelays.map(d =>
+        s"count(*) FILTER (WHERE late_us > ${d * 1000000L}) AS d$d")
+        .mkString(",\n                ")
+      val branches = WatermarkDelays.map(d =>
+        s"SELECT ${d}::BIGINT AS delay_s, d$d AS n_late, n_total FROM a")
+        .mkString("\n               UNION ALL ")
+      s"""WITH pm AS (
+           SELECT ts, max(ts) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM events),
+         l AS (
+           SELECT CASE WHEN prev_max IS NULL OR prev_max <= ts THEN 0
+                       ELSE epoch_us(prev_max) - epoch_us(ts) END AS late_us
+           FROM pm),
+         a AS (
+           SELECT count(*) AS n_total,
+                $filters
+           FROM l)
+         SELECT delay_s, n_late, n_late * 1000 // n_total AS late_pm
+         FROM ($branches)
+         ORDER BY delay_s"""
+    },
+
+    "q148_filter_attribution" ->
+      """WITH norm AS (
+           SELECT doc_id, lang,
+                  trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\s+', ' ', 'g')) AS t
+           FROM documents),
+         w AS (SELECT doc_id, lang, string_split(t, ' ') AS ws FROM norm),
+         bg AS (SELECT doc_id,
+                  unnest([concat_ws(' ', ws[i], ws[i+1])
+                          FOR i IN generate_series(1, len(ws) - 1)]) AS g
+                FROM w),
+         bgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                 FROM (SELECT doc_id, g, count(1) AS c FROM bg
+                       GROUP BY doc_id, g) GROUP BY doc_id),
+         tg AS (SELECT doc_id,
+                  unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                          FOR i IN generate_series(1, len(ws) - 2)]) AS g
+                FROM w),
+         tgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS f
+                 FROM (SELECT doc_id, g, count(1) AS c FROM tg
+                       GROUP BY doc_id, g) GROUP BY doc_id),
+         hashed AS (
+           SELECT doc_id,
+                  sha256(array_to_string(list_sort(list_distinct(ws)),
+                         ' ')) AS h
+           FROM w),
+         canon AS (SELECT h, min(doc_id) AS canon_id FROM hashed GROUP BY h),
+         flags AS (
+           SELECT w.doc_id,
+                  NOT (round(list_sum(list_transform(w.ws, x -> len(x)))
+                             ::DOUBLE / len(w.ws), 6) BETWEEN 3.0 AND 10.0
+                       AND round(1.0 - len(list_distinct(w.ws))::DOUBLE
+                                 / len(w.ws), 6) <= 0.5
+                       AND round(COALESCE(bgc.f, 0), 6) <= 0.18
+                       AND round(COALESCE(tgc.f, 0), 6) <= 0.16) AS fg,
+                  w.doc_id <> c.canon_id AS fd,
+                  len(w.ws) < 25 AS fs,
+                  w.lang <> 'en' AS fn
+           FROM w LEFT JOIN bgc ON w.doc_id = bgc.doc_id
+                  LEFT JOIN tgc ON w.doc_id = tgc.doc_id
+                  JOIN hashed hh ON w.doc_id = hh.doc_id
+                  JOIN canon c ON hh.h = c.h),
+         cnt AS (
+           SELECT count(*) AS n_docs,
+                  count(*) FILTER (fg OR fd OR fs OR fn) AS any_n,
+                  count(*) FILTER ((fg::INT + fd::INT + fs::INT + fn::INT)
+                                   = 1) AS any_u,
+                  count(*) FILTER (fg) AS gopher_n,
+                  count(*) FILTER (fg AND NOT fd AND NOT fs AND NOT fn)
+                    AS gopher_u,
+                  count(*) FILTER (fd) AS exact_dup_n,
+                  count(*) FILTER (fd AND NOT fg AND NOT fs AND NOT fn)
+                    AS exact_dup_u,
+                  count(*) FILTER (fs) AS short_n,
+                  count(*) FILTER (fs AND NOT fg AND NOT fd AND NOT fn)
+                    AS short_u,
+                  count(*) FILTER (fn) AS non_english_n,
+                  count(*) FILTER (fn AND NOT fg AND NOT fd AND NOT fs)
+                    AS non_english_u
+           FROM flags)
+         SELECT filter, n_flagged, n_unique,
+                n_flagged * 1000 // n_docs AS flagged_pm
+         FROM (SELECT 'any' AS filter, any_n AS n_flagged,
+                      any_u AS n_unique, n_docs FROM cnt
+               UNION ALL SELECT 'gopher', gopher_n, gopher_u, n_docs FROM cnt
+               UNION ALL SELECT 'exact_dup', exact_dup_n, exact_dup_u,
+                                n_docs FROM cnt
+               UNION ALL SELECT 'short', short_n, short_u, n_docs FROM cnt
+               UNION ALL SELECT 'non_english', non_english_n, non_english_u,
+                                n_docs FROM cnt)
+         ORDER BY filter""",
+
+    "q149_time_travel" ->
+      """SELECT user_id, event_id, ts, event_type, value
+         FROM (SELECT user_id, event_id, ts, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE event_id % 3 IN (0, 1))
+         WHERE rn = 1
+         ORDER BY user_id""")
+}
