@@ -515,6 +515,42 @@ object VectorQueries {
     // top-k over the 20 eval queries (eval sets are small by
     // construction; the corpus-sized work is the same index scan
     // q40 already does).
+    // MRR companion to q144's recall: where does the TRUE nearest
+    // neighbor (exact top-1) land in the ANN top-10? Reciprocal rank
+    // in integer parts-per-million (1000000 div rank; 0 on a miss) —
+    // the metric is engine-exact, so the eval number itself sits
+    // under the hash gate like q144's recall. Recall@k says "how much
+    // of the answer set did the index keep"; MRR says "how early does
+    // the one answer that matters surface" — a reranker's input
+    // budget is chosen from exactly this. Cost: the q144 search with
+    // k = 10 + a k = 1 exact scan over the 20 eval queries.
+    "q150_mrr_eval" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val queries = emb.filter($"vec_id" < 20)
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 1)
+      val assigned = Ivf.assign(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), model)
+        .localCheckpoint()
+      val ann = Ivf.searchAssigned(
+        queries.withColumnRenamed("vec_id", "query_id"),
+        assigned, model, k = 10, nprobe = 4)
+        .select($"query_id", $"neighbor_id".as("truth_id"), $"rank")
+      val truth = VectorFunctions.knnBruteForce(
+        queries.withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"), k = 1)
+        .select($"query_id", $"neighbor_id".as("truth_id"))
+      queries.select($"vec_id".as("query_id"))
+        .join(truth, Seq("query_id"))
+        .join(ann, Seq("query_id", "truth_id"), "left_outer")
+        .select($"query_id", $"truth_id",
+          coalesce($"rank", lit(0)).as("found_rank"),
+          when($"rank".isNull, lit(0L))
+            .otherwise(expr("1000000 div rank")).as("rr_ppm"))
+        .orderBy($"query_id")
+    }),
+
     "q144_ann_recall_report" -> ((s, dir) => {
       import s.implicits._
       import graft.vector.Ivf
@@ -737,6 +773,56 @@ object VectorQueries {
           FROM (SELECT vec_id AS query_id FROM embeddings
                 WHERE vec_id < 20) q
           LEFT JOIN hits h ON h.query_id = q.query_id
+          ORDER BY q.query_id""",
+
+    "q150_mrr_eval" ->
+      s"""WITH ${lloydCtes(16)},
+          corpus AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          qprobe AS (
+            SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1 WHERE vec_id < 20) WHERE rn <= 4),
+          ascored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+            FROM qprobe q JOIN corpus c USING (cell)
+            JOIN embeddings eq ON eq.vec_id = q.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id),
+          ann AS (
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM ascored) WHERE rank <= 10),
+          eq AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 20),
+          escored AS (
+            SELECT eq.query_id, e.vec_id AS neighbor_id,
+                   ${cosSql("eq.qv", "e.embedding")} AS cosine
+            FROM eq JOIN embeddings e ON e.vec_id <> eq.query_id),
+          truth AS (
+            SELECT query_id, neighbor_id AS truth_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM escored) WHERE rank = 1)
+          SELECT q.query_id, t.truth_id,
+                 coalesce(a.rank, 0) AS found_rank,
+                 CASE WHEN a.rank IS NULL THEN 0
+                      ELSE 1000000 // a.rank END AS rr_ppm
+          FROM (SELECT vec_id AS query_id FROM embeddings
+                WHERE vec_id < 20) q
+          JOIN truth t ON t.query_id = q.query_id
+          LEFT JOIN ann a ON a.query_id = q.query_id
+                         AND a.neighbor_id = t.truth_id
           ORDER BY q.query_id""",
 
     "q31_cosine_topk" ->
