@@ -120,7 +120,13 @@ object OpsQueries {
         .withColumn("f_nonen", $"lang" =!= "en")
         .withColumn("h", TextFunctions.normalizedHash($"nt"))
       val canon = flags0.groupBy($"h").agg(min($"doc_id").as("canon_id"))
-      val flags = flags0.join(canon, Seq("h"))
+      // the h-join must never carry the corpus text: Catalyst's
+      // column pruning already removes nt (plan-audited — no text
+      // column in any exchange), the explicit drop just pins the
+      // intent against future edits; at scale canon outgrows
+      // broadcast and AQE falls back to SMJ on compact (h, id, flag)
+      // rows only
+      val flags = flags0.drop("nt").join(canon, Seq("h"))
         .withColumn("f_dup", $"doc_id" =!= $"canon_id")
       val fcols = Seq("gopher" -> col("f_gopher"), "exact_dup" -> col("f_dup"),
         "short" -> col("f_short"), "non_english" -> col("f_nonen"))
