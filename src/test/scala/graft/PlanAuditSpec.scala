@@ -53,10 +53,10 @@ class PlanAuditSpec extends SparkSuite {
     // retrieval legs are bounded top-20 sets, fusion is a 40-row
     // full-outer equi-join.
     "q139_hybrid_rrf", "q142_hybrid_rrf_ivf",
-    // q144: the exact leg is q31's bounded nested loop (20 eval
+    // q144/q150: the exact leg is q31's bounded nested loop (20 eval
     // queries broadcast, k·n scan) — eval sets are small by
     // construction; the ANN leg is the cell equi-join.
-    "q144_ann_recall_report")
+    "q144_ann_recall_report", "q150_mrr_eval")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -88,6 +88,16 @@ class PlanAuditSpec extends SparkSuite {
     val plan = SparkEntry.queries("q93_shard_manifest")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("watermark advisor: the per-event window partitions by arrival block") {
+    // the global running max must NOT plan as one global window over
+    // the event log — the two-phase form keys the per-event window on
+    // the arrival block; only the bounded block-summary prefix (n/1024
+    // rows) may sit on a single partition
+    val plan = SparkEntry.queries("q147_watermark_advisor")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(blk"), plan)
   }
 
   test("star join broadcasts all three dims (no dim ever shuffles the fact)") {
