@@ -101,7 +101,9 @@ object TextQueries {
     * left-to-right `replace` of the marked pair with the marked join
     * — replace's non-overlapping LTR scan is exactly the BPE merge
     * scan. Rules nest innermost-first (= rank order). */
-  private val bpeEncodeSql: String = {
+  /** The per-word greedy-encode expression (input variable `x`),
+    * shared by the q124 and q151 oracles. */
+  private val bpeWordSql: String = {
     val marked =
       "array_to_string(list_transform(string_split(x, ''), " +
         "c -> chr(2)||c||chr(3)), '')"
@@ -109,9 +111,12 @@ object TextQueries {
       s"replace($e, chr(2)||'$a'||chr(3)||chr(2)||'$b'||chr(3), " +
         s"chr(2)||'$a$b'||chr(3))"
     }
-    val word =
-      s"replace(replace(replace($applied, chr(3)||chr(2), '|'), " +
-        "chr(2), ''), chr(3), '')"
+    s"replace(replace(replace($applied, chr(3)||chr(2), '|'), " +
+      "chr(2), ''), chr(3), '')"
+  }
+
+  private val bpeEncodeSql: String = {
+    val word = bpeWordSql
     s"""WITH w AS (SELECT doc_id,
                           list_filter(string_split(text, ' '),
                                       x -> x <> '') AS ws
@@ -343,6 +348,31 @@ object TextQueries {
           array_join($"toks", "|").as("tokens"),
           size($"toks").cast("long").as("n_tokens"))
         .orderBy($"doc_id")
+    }),
+
+    // Tokenizer fertility by language — the standard multilingual
+    // tokenizer eval: characters per BPE token (higher = the merge
+    // table serves that language worse, so its docs cost more tokens
+    // per unit text — the signal behind per-language token-budget
+    // adjustments and tokenizer retraining). Integer-exact as
+    // chars·1000 div tokens; one scan + one partial-aggregable
+    // GROUP BY lang (5 rows out), the q92 scale shape. The encode is
+    // the pinned-merge production form (q124's broadcast-table
+    // pattern), replayed symbol-exact by the oracle's nested-replace
+    // fold.
+    "q151_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"lang", length($"text").cast("long").as("c"),
+          size(graft.text.Bpe.encode($"text", pinnedMerges)).cast("long")
+            .as("t"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"c").as("n_chars"),
+          sum($"t").as("n_bpe_tokens"))
+        .withColumn("fertility_ppk",
+          expr("n_chars * 1000 div n_bpe_tokens"))
+        .orderBy($"lang")
     }),
 
     // Corpus report — the dataset-card summary every training-data
@@ -1380,6 +1410,27 @@ object TextQueries {
          WHERE mc - ms.s > 0
          ORDER BY est_n DESC, ngram LIMIT 20""",
     "q124_bpe_encode" -> bpeEncodeSql,
+
+    "q151_bpe_fertility" ->
+      s"""WITH w AS (SELECT lang, len(text)::BIGINT AS n_chars,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS ws
+                     FROM documents),
+          t AS (SELECT lang, n_chars,
+                       array_to_string(list_transform(ws,
+                         x -> $bpeWordSql), '|') AS tokens
+                FROM w),
+          d AS (SELECT lang, n_chars,
+                       CASE WHEN tokens = '' THEN 0
+                            ELSE len(string_split(tokens, '|'))
+                       END::BIGINT AS n_tok
+                FROM t)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+                 (CAST(sum(n_chars) AS BIGINT) * 1000)
+                   // CAST(sum(n_tok) AS BIGINT) AS fertility_ppk
+          FROM d GROUP BY lang ORDER BY lang""",
     // q75's recursive-CTE transitive closure + quality argmax; docs
     // outside any cluster are their own singleton cluster
     "q125_canonical_keep" ->
