@@ -128,6 +128,47 @@ object MultimodalQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LSH candidate efficiency — the index-health report for the
+    // banded near-dup path: how many candidate pairs the bucket join
+    // emits, how many survive exact verification, and the precision
+    // in parts-per-million. Precision is the scale-safe efficiency
+    // metric (recall needs the all-pairs baseline — pinned vs q84 in
+    // MultimodalSpec at small SF where that is affordable); a
+    // precision collapse after a data-distribution shift is the
+    // signal to re-tune planes/tables BEFORE the candidate join
+    // becomes the bottleneck. Same Σ|bucket|² candidate join as q122,
+    // but the output is 1 row of counters — nothing corpus-sized
+    // leaves the aggregate.
+    "q152_lsh_efficiency" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.VectorFunctions.{cosine, hyperplaneBuckets}
+      val feats = Multimodal.featurize(Multimodal.syntheticAssets(s, dir))
+        .toDF().select($"asset_id", $"feature")
+        .localCheckpoint()
+      val n = feats.count()
+      val v = (n + 31) / 32
+      val planes = math.max(6, math.min(24,
+        if (v <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)))
+      val bucketed = feats.select($"asset_id",
+          posexplode(hyperplaneBuckets($"feature", planes, 8)))
+        .toDF("asset_id", "tbl", "bucket")
+        .localCheckpoint()
+      val cands = bucketed.toDF("id_a", "tbl", "bucket")
+        .join(bucketed.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b")
+        .dropDuplicates("id_a", "id_b")
+      cands
+        .join(feats.toDF("id_a", "f_a"), Seq("id_a"))
+        .join(feats.toDF("id_b", "f_b"), Seq("id_b"))
+        .select(when(cosine($"f_a", $"f_b") >= 0.75, 1L).otherwise(0L)
+          .as("ok"))
+        .agg(count(lit(1)).as("n_candidates"), sum($"ok").as("n_verified"))
+        .select(lit(n).as("n_assets"), lit(planes.toLong).as("planes"),
+          $"n_candidates", $"n_verified",
+          expr("n_verified * 1000000 div n_candidates").as("precision_ppm"))
+    }),
+
     // Cross-modal retrieval (the CLIP-alignment stub): text
     // embeddings (64-dim) are projected into the 16-dim media feature
     // space by a deterministic MD5-derived matrix (the trained
@@ -339,6 +380,54 @@ object MultimodalQueries {
           JOIN f fb ON fb.asset_id = c.id_b
           WHERE ${cos16("fa.v", "fb.v")} >= 0.75
           ORDER BY c.id_a, c.id_b""",
+
+    // q122's banding replayed to COUNTERS: candidates, verified,
+    // precision_ppm — same CTEs, 1-row output
+    "q152_lsh_efficiency" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id, $featureList AS v
+                     FROM documents),
+          np AS (
+            SELECT greatest(6, least(24,
+                     CASE WHEN (count(*) + 31) // 32 <= 1 THEN 0
+                          ELSE length(bin((count(*) + 31) // 32 - 1))
+                     END)) AS np
+            FROM documents),
+          planes AS (
+            SELECT t, p,
+                   list_transform(generate_series(0, ${dim - 1}), d ->
+                     CAST('0x' || substr(md5((t * 64 + p) || '_' || d),
+                                         1, 12) AS BIGINT)::DOUBLE
+                       / 281474976710656.0 - 0.5) AS plane
+            FROM generate_series(0, 7) gt(t),
+                 generate_series(0, 23) gp(p), np
+            WHERE gp.p < np.np),
+          buck AS (
+            SELECT f.asset_id, pl.t AS tbl,
+                   sum(CASE WHEN list_reduce(
+                         list_transform(generate_series(1, $dim),
+                           j -> f.v[j]::DOUBLE * pl.plane[j]),
+                         (a, b) -> a + b) > 0
+                       THEN CAST(1::BIGINT << pl.p AS BIGINT)
+                       ELSE 0 END)::BIGINT AS bucket
+            FROM f, planes pl
+            GROUP BY f.asset_id, pl.t),
+          cands AS (
+            SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.asset_id < b.asset_id),
+          scored AS (
+            SELECT ${cos16("fa.v", "fb.v")} AS cosine
+            FROM cands c
+            JOIN f fa ON fa.asset_id = c.id_a
+            JOIN f fb ON fb.asset_id = c.id_b)
+          SELECT (SELECT count(*) FROM f)::BIGINT AS n_assets,
+                 (SELECT np FROM np)::BIGINT AS planes,
+                 count(*) AS n_candidates,
+                 count(*) FILTER (cosine >= 0.75) AS n_verified,
+                 count(*) FILTER (cosine >= 0.75) * 1000000 // count(*)
+                   AS precision_ppm
+          FROM scored""",
     // projection replayed as 16 ordered 64-term folds; cosine exact
     "q126_crossmodal_topk" -> {
       def dotN(a: String, b: String, n: Int): String =
