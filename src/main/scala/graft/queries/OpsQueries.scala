@@ -147,6 +147,67 @@ object OpsQueries {
         .orderBy($"filter")
     }),
 
+    // Join-key skew report: the planning diagnostic behind q87's
+    // salted join, the way q147 is behind the streaming watermark —
+    // salting (and AQE skew thresholds) should be CHOSEN from key
+    // distributions, not discovered from a straggling reducer. Per
+    // audited join key: row/key counts, the hottest key and its row
+    // count (deterministic tie-break: min key), skew in per-mille of
+    // the uniform share (max·n_keys·1000 div n_rows — 1000 = perfectly
+    // uniform), and the recommended salt count ceil(max/mean), i.e.
+    // how many reducers the hot key needs to look average. Each audit
+    // is one partial-aggregable per-key count + a TakeOrdered top-1 +
+    // a 1-row rollup; the 1×1 join of the two scalar frames is the
+    // q111 bounded-product pattern.
+    "q153_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      def audit(table: String, key: String): DataFrame = {
+        val counts = Tables.table(s, dir, table)
+          .groupBy(col(key).cast("long").as("k"))
+          .agg(count(lit(1)).as("c"))
+        val hot = counts.orderBy($"c".desc, $"k").limit(1)
+          .select($"k".as("hot_key"), $"c".as("max_rows"))
+        counts.agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"))
+          .crossJoin(broadcast(hot))
+          .select(lit(s"$table.$key").as("key_col"),
+            $"n_rows", $"n_keys", $"max_rows", $"hot_key",
+            expr("max_rows * n_keys * 1000 div n_rows").as("skew_pm"),
+            expr("(max_rows * n_keys + n_rows - 1) div n_rows")
+              .as("salts_rec"))
+      }
+      audit("events", "user_id")
+        .unionByName(audit("orders", "o_custkey"))
+        .unionByName(audit("lineitem", "l_orderkey"))
+        .orderBy($"key_col")
+    }),
+
+    // Optimizer-statistics collection — the ANALYZE TABLE analog: per
+    // audited column, row count, null count, exact NDV, and the
+    // numeric min/max (as long; the id/key/quantity columns a CBO
+    // actually ranges over). These are the numbers a cost-based
+    // planner feeds on (join reorder, broadcast thresholds, range
+    // pruning); here they are a first-class queryable artifact the
+    // way q136 makes zone maps one. count(distinct) plans as Spark's
+    // two-phase expand — one shuffle per audit, partial-aggregable
+    // before it; at 100 TB the exact NDV swaps for the q17 HLL
+    // companion without changing the report's shape.
+    "q154_table_stats" -> ((s, dir) => {
+      import s.implicits._
+      def audit(table: String, key: String): DataFrame =
+        Tables.table(s, dir, table).select(col(key).cast("long").as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct($"v").as("ndv"),
+            min($"v").as("min_v"), max($"v").as("max_v"))
+          .select(lit(s"$table.$key").as("key_col"),
+            $"n_rows", $"n_null", $"ndv", $"min_v", $"max_v")
+      audit("lineitem", "l_orderkey")
+        .unionByName(audit("lineitem", "l_partkey"))
+        .unionByName(audit("orders", "o_custkey"))
+        .unionByName(audit("events", "user_id"))
+        .orderBy($"key_col")
+    }),
+
     // Time-travel read: the events log split into three CDC batches
     // (event_id mod 3 — stand-ins for daily loads), folded into three
     // committed snapshot versions of the latest-per-user state (the
@@ -281,6 +342,41 @@ object OpsQueries {
                UNION ALL SELECT 'non_english', non_english_n, non_english_u,
                                 n_docs FROM cnt)
          ORDER BY filter""",
+
+    "q153_skew_report" -> {
+      def auditSql(table: String, key: String): String =
+        s"""SELECT '$table.$key' AS key_col, n_rows, n_keys, max_rows,
+                   hot_key,
+                   max_rows * n_keys * 1000 // n_rows AS skew_pm,
+                   (max_rows * n_keys + n_rows - 1) // n_rows AS salts_rec
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(c) AS BIGINT) AS n_rows
+                  FROM (SELECT $key::BIGINT AS k, count(*) AS c
+                        FROM $table GROUP BY 1)),
+                 (SELECT k AS hot_key, CAST(c AS BIGINT) AS max_rows
+                  FROM (SELECT $key::BIGINT AS k, count(*) AS c
+                        FROM $table GROUP BY 1)
+                  ORDER BY c DESC, k LIMIT 1)"""
+      Seq(auditSql("events", "user_id"),
+          auditSql("orders", "o_custkey"),
+          auditSql("lineitem", "l_orderkey"))
+        .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
+    },
+
+    "q154_table_stats" -> {
+      def auditSql(table: String, key: String): String =
+        s"""SELECT '$table.$key' AS key_col,
+                   count(*) AS n_rows,
+                   CAST(count(*) FILTER ($key IS NULL) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT $key::BIGINT) AS BIGINT) AS ndv,
+                   min($key::BIGINT) AS min_v, max($key::BIGINT) AS max_v
+            FROM $table"""
+      Seq(auditSql("lineitem", "l_orderkey"),
+          auditSql("lineitem", "l_partkey"),
+          auditSql("orders", "o_custkey"),
+          auditSql("events", "user_id"))
+        .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
+    },
 
     "q149_time_travel" ->
       """SELECT user_id, event_id, ts, event_type, value

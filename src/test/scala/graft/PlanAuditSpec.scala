@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSuite {
     // q144/q150: the exact leg is q31's bounded nested loop (20 eval
     // queries broadcast, k·n scan) — eval sets are small by
     // construction; the ANN leg is the cell equi-join.
-    "q144_ann_recall_report", "q150_mrr_eval")
+    "q144_ann_recall_report", "q150_mrr_eval",
+    // q153: each audit pairs a 1-ROW rollup with a broadcast 1-ROW
+    // hot-key frame (the q111 scalar × scalar pattern).
+    "q153_skew_report")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
