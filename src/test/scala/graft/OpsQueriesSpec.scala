@@ -73,6 +73,35 @@ class OpsQueriesSpec extends SparkSuite {
     assert(rows.forall(r => r._2 == 0L && r._3 == 0L))
   }
 
+  test("q153 flags a planted hot key and sizes its salt count") {
+    // events: 1000 rows for user 0, 10 each for users 1..50 → mean
+    // rows/key = 1500/51 ≈ 29.4; orders/lineitem: uniform stand-ins
+    val base = 1700000000000L
+    val ev = (0 until 1000).map(i => (i.toLong, 0L)) ++
+      (0 until 500).map(i => (1000L + i, 1L + i % 50))
+    val dir = tmpDir("ops_skew_").toString
+    ev.map { case (id, u) =>
+        (id, new Timestamp(base + id), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (0 until 100).map(i => (i.toLong, i.toLong % 20))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0 until 100).map(i => (i.toLong, i.toLong % 25))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q153_skew_report")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // hot key 0 with 1000 rows; skew = 1000·51·1000 div 1500 = 34000;
+    // salts = ceil(1000·51 / 1500) = 34
+    assert(rows("events.user_id") == ((1500L, 51L, 1000L, 0L, 34000L, 34L)))
+    // uniform tables sit at exactly the uniform share (1000‰, 1 salt)
+    assert(rows("orders.o_custkey")._5 == 1000L)
+    assert(rows("orders.o_custkey")._6 == 1L)
+  }
+
   test("q149 as-of-v2 state equals the batch fold of the raw log") {
     val dir = eventsDir(900)
     val got = SparkEntry.queries("q149_time_travel")(spark, dir)
