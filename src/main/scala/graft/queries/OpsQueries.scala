@@ -31,6 +31,11 @@ import graft.text.TextFunctions
   *    output is the AS-OF read of version 2 taken while version 3
   *    exists — the oracle replays the fold from the raw log, so the
   *    hash proves historical reads are exact, not approximations.
+  *  - q153: join-key skew report — per-key distribution diagnostics
+  *    (hot key, skew per-mille, recommended salt count) so q87-style
+  *    salting is chosen from data, not from a straggler postmortem.
+  *  - q154: ANALYZE-style table stats — rows/nulls/NDV/min/max per
+  *    column, the cost-based-planner inputs as a queryable artifact.
   */
 object OpsQueries {
 
