@@ -186,6 +186,33 @@ object OpsQueries {
         .orderBy($"key_col")
     }),
 
+    // Blocklist screening — the C4/Dolma-style content-policy pass:
+    // per source, how many docs contain any lexicon term and the
+    // total term hits. The lexicon here is a 3-term stand-in riding
+    // the plan exactly as a real blocklist would (a broadcast/literal
+    // term set matched against normalized tokens; thousands of terms
+    // would swap the per-term array_contains for one array_intersect
+    // against a broadcast array, same shape). Distinct from q73
+    // (benchmark n-gram decontamination) and q74 (PII regex
+    // redaction): this is membership against a curated vocabulary.
+    // One scan + one partial-aggregable GROUP BY source.
+    "q155_blocklist_screen" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow", "merge", "batch")
+      val docs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"source", TextFunctions.words(
+          TextFunctions.normalizeText($"text")).as("w"))
+      docs.select($"source",
+          terms.map(t => array_contains($"w", t).cast("int"))
+            .reduce(_ + _).as("nh"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"nh" > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum($"nh".cast("long")).as("term_hits"))
+        .withColumn("flagged_pm", expr("n_flagged * 1000 div n_docs"))
+        .orderBy($"source")
+    }),
+
     // Optimizer-statistics collection — the ANALYZE TABLE analog: per
     // audited column, row count, null count, exact NDV, and the
     // numeric min/max (as long; the id/key/quantity columns a CBO
@@ -367,6 +394,23 @@ object OpsQueries {
           auditSql("lineitem", "l_orderkey"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
     },
+
+    "q155_blocklist_screen" ->
+      """WITH w AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         f AS (SELECT source,
+                      list_contains(ws, 'slow')::INT
+                        + list_contains(ws, 'merge')::INT
+                        + list_contains(ws, 'batch')::INT AS nh
+               FROM w)
+         SELECT source, count(*) AS n_docs,
+                CAST(count(*) FILTER (nh > 0) AS BIGINT) AS n_flagged,
+                CAST(sum(nh) AS BIGINT) AS term_hits,
+                count(*) FILTER (nh > 0) * 1000 // count(*) AS flagged_pm
+         FROM f GROUP BY source ORDER BY source""",
 
     "q154_table_stats" -> {
       def auditSql(table: String, key: String): String =

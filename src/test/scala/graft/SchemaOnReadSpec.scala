@@ -80,6 +80,27 @@ class SchemaOnReadSpec extends SparkSuite {
     }
   }
 
+  test("legacy INT96 parquet timestamps normalize identically too") {
+    // the fourth physical encoding a feed can arrive in (old
+    // Hive/Impala writers); Spark surfaces INT96 as TIMESTAMP, so the
+    // normalizer's pass-through branch must hold value-exactly
+    val out = tmpDir("graft_sor_int96_").toString + "/events.parquet"
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.range(2).select(
+          col("id").as("event_id"),
+          when(col("id") === 0, lit(us1)).otherwise(lit(us2)).as("us"))
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .write.mode("overwrite").parquet(out)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val df = Tables.normalizeEventsTs(spark.read.parquet(out))
+    assert(df.schema("ts").dataType === TimestampType)
+    val rows = df.select(col("event_id"), unix_micros(col("ts")))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((0L, us1), (1L, us2)))
+  }
+
   test("an unsupported ts type is rejected loudly, not mis-read") {
     val df = spark.range(1).select(lit("2021-01-01").as("ts"))
     val e = intercept[IllegalArgumentException](Tables.normalizeEventsTs(df))
