@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the `.graftlog` shard format — the
+  * last custom-extension tier (after codegen Expressions, typed
+  * aggregates, an optimizer Rule, and a custom SparkPlan): a
+  * from-scratch batch source that does BOTH V2 optimizations a scan
+  * can offer the engine:
+  *
+  *  - **file pruning from pushed filters**: every shard carries a
+  *    `.meta` sidecar with its event_id min/max (written at ingest —
+  *    the q136 zone-map idea moved INTO the connector). Pushed
+  *    event_id predicates prune whole shards in `planInputPartitions`,
+  *    so a selective probe opens a handful of files out of thousands —
+  *    the same skipping a 100 TB lakehouse table gets from its
+  *    manifest, expressed at the DSv2 seam. Pruned-at-planning is
+  *    observable (FilesOpened counter) and spec-asserted.
+  *  - **column pruning**: `pruneColumns` narrows the reader to the
+  *    requested fields; the line parser materializes only those (a
+  *    projection over a 5-column format parses 1 column when 1 is
+  *    asked for).
+  *
+  * Format: UTF-8 lines `event_id|ts_us|user_id|event_type|value`,
+  * one shard per file, one InputPartition per shard (splittability
+  * would follow parquet's row-group model; shards are written
+  * bounded instead — the [[GraftLog.write]] helper caps rows per
+  * shard). Filters are also re-applied by Spark above the scan
+  * (pushFilters returns them as residuals), so pruning is purely an
+  * I/O optimization and can never change results.
+  */
+class GraftLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLog.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftLogTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftLog {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Shards opened by readers since the last reset — the spec's
+    * pruning probe (a SparkListener would work too; a counter keeps
+    * the assertion exact under local[*]). */
+  val filesOpened = new AtomicLong(0)
+
+  /** Write rows as `.graftlog` shards + `.meta` sidecars
+    * (`min|max|rows` over event_id), `rowsPerShard` per file in
+    * event_id order — ingest-side clustering, which is what makes
+    * the sidecar ranges disjoint and the pruning sharp (the q141
+    * lesson: skipping power is a property of the LAYOUT). */
+  def write(rows: Seq[(Long, Long, Long, String, Double)], dir: String,
+      rowsPerShard: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    rows.sortBy(_._1).grouped(rowsPerShard).zipWithIndex.foreach {
+      case (shard, i) =>
+        val body = shard.map { case (id, tsUs, uid, typ, v) =>
+          s"$id|$tsUs|$uid|$typ|$v"
+        }.mkString("", "\n", "\n")
+        Files.write(Paths.get(dir, f"shard-$i%05d.graftlog"),
+          body.getBytes(StandardCharsets.UTF_8))
+        val meta = s"${shard.head._1}|${shard.last._1}|${shard.size}"
+        Files.write(Paths.get(dir, f"shard-$i%05d.meta"),
+          meta.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+}
+
+class GraftLogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graftlog source requires a path")
+  override def name(): String = s"graftlog($path)"
+  override def schema(): StructType = GraftLog.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(path)
+}
+
+class GraftLogScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GraftLog.schema
+
+  /** Accept event_id comparisons for shard pruning; return EVERY
+    * filter as a residual so Spark re-applies them row-level —
+    * pruning stays an I/O optimization, never a semantics change. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("event_id", _) | GreaterThan("event_id", _) |
+           GreaterThanOrEqual("event_id", _) | LessThan("event_id", _) |
+           LessThanOrEqual("event_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftLogScan(path, pushed, required)
+}
+
+class GraftLogScan(path: String, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftlog $path pushed=[${pushed.mkString(",")}] " +
+      s"cols=[${required.fieldNames.mkString(",")}]"
+
+  /** The pushed event_id interval [lo, hi] (inclusive). */
+  private def bounds: (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    pushed.foreach {
+      case EqualTo("event_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("event_id", v: Long) => hi = math.min(hi, v - 1)
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (lo, hi) = bounds
+    val dir = Paths.get(path)
+    val shards = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".graftlog")).toSeq.sortBy(_.toString)
+    shards.filter { shard =>
+      val meta = Paths.get(shard.toString.stripSuffix(".graftlog") + ".meta")
+      if (!Files.exists(meta)) true // no stats -> cannot prune
+      else {
+        val parts = new String(Files.readAllBytes(meta),
+          StandardCharsets.UTF_8).trim.split('|')
+        val (mn, mx) = (parts(0).toLong, parts(1).toLong)
+        mx >= lo && mn <= hi // ranges overlap -> must read
+      }
+    }.map(p => GraftLogPartition(p.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(required.fieldNames)
+}
+
+case class GraftLogPartition(file: String) extends InputPartition
+
+class GraftLogReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition):
+      PartitionReader[InternalRow] =
+    new GraftLogReader(
+      partition.asInstanceOf[GraftLogPartition].file, requiredCols)
+}
+
+/** Line parser materializing ONLY the pruned columns. */
+class GraftLogReader(file: String, requiredCols: Array[String])
+    extends PartitionReader[InternalRow] {
+  GraftLog.filesOpened.incrementAndGet()
+  private val lines = Files.lines(Paths.get(file))
+  private val it = lines.iterator()
+  private var row: InternalRow = _
+
+  // required column -> source field index, resolved once per shard
+  private val srcIdx: Array[Int] =
+    requiredCols.map(c => GraftLog.schema.fieldIndex(c))
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val line = it.next()
+    if (line.isEmpty) return next()
+    val parts = line.split('|')
+    val values = new Array[Any](srcIdx.length)
+    var i = 0
+    while (i < srcIdx.length) {
+      values(i) = srcIdx(i) match {
+        case 0 => parts(0).toLong
+        case 1 => parts(1).toLong // TimestampType carries micros
+        case 2 => parts(2).toLong
+        case 3 => UTF8String.fromString(parts(3))
+        case 4 => parts(4).toDouble
+      }
+      i += 1
+    }
+    row = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}
