@@ -186,6 +186,52 @@ object OpsQueries {
         .orderBy($"key_col")
     }),
 
+    // The DSv2 connector under the hash gate: events are re-shard-ed
+    // into the .graftlog format DISTRIBUTED (repartitionByRange on
+    // event_id + per-partition shard/sidecar writes — no driver
+    // collect; range partitioning is what makes the sidecar ranges
+    // disjoint and the pruning sharp), then read back through
+    // GraftLogSource with a pushed event_id range covering the
+    // middle quarter and aggregated. The oracle computes the same
+    // aggregate from the parquet events table, so the hash proves
+    // the connector's write→prune→parse→filter path is value-exact
+    // end to end. (Local-dir shard writes; on a cluster the same
+    // foreachPartition targets a DFS path.)
+    "q156_graftlog_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_log_${runId.incrementAndGet()}_")
+        .toString
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+          $"event_type", $"value")
+      ev.repartitionByRange(8, $"event_id")
+        .sortWithinPartitions($"event_id")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val buf = rows.map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+          if (buf.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val body = buf.map { case (id, us, uid, typ, v) =>
+              s"$id|$us|$uid|$typ|$v" }.mkString("", "\n", "\n")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"shard-$pid%05d.graftlog"),
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"shard-$pid%05d.meta"),
+              s"${buf.head._1}|${buf.last._1}|${buf.size}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ()
+          }
+        }
+      val n = ev.count()
+      s.read.format("graft.sources.GraftLogSource").load(out)
+        .filter($"event_id" >= lit(n / 4) && $"event_id" < lit(n / 2))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Q.dsum($"value").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
     // Blocklist screening — the C4/Dolma-style content-policy pass:
     // per source, how many docs contain any lexicon term and the
     // total term hits. The lexicon here is a 3-term stand-in riding
@@ -394,6 +440,14 @@ object OpsQueries {
           auditSql("lineitem", "l_orderkey"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
     },
+
+    "q156_graftlog_scan" ->
+      s"""SELECT event_type, count(*) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events
+          WHERE event_id >= (SELECT count(*) // 4 FROM events)
+            AND event_id < (SELECT count(*) // 2 FROM events)
+          GROUP BY event_type ORDER BY event_type""",
 
     "q155_blocklist_screen" ->
       """WITH w AS (
