@@ -36,6 +36,10 @@ import graft.text.TextFunctions
   *    salting is chosen from data, not from a straggler postmortem.
   *  - q154: ANALYZE-style table stats — rows/nulls/NDV/min/max per
   *    column, the cost-based-planner inputs as a queryable artifact.
+  *  - q155: blocklist screening — the C4/Dolma content-policy pass,
+  *    per-source lexicon-hit census.
+  *  - q156: the DSv2 `.graftlog` connector under the hash gate —
+  *    distributed re-shard, stat-pruned read-back, aggregate.
   */
 object OpsQueries {
 
