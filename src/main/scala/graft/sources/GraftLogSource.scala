@@ -95,12 +95,14 @@ class GraftLogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path)
+    new GraftLogScanBuilder(path,
+      Option(options.get("maxShardsPerTrigger")).map(_.toInt))
 }
 
-class GraftLogScanBuilder(path: String) extends ScanBuilder
+class GraftLogScanBuilder(path: String,
+    maxShardsPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLog.schema
@@ -122,13 +124,18 @@ class GraftLogScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftLogScan(path, pushed, required)
+  override def build(): Scan =
+    new GraftLogScan(path, pushed, required, maxShardsPerTrigger)
 }
 
 class GraftLogScan(path: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxShardsPerTrigger: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftLogMicroBatchStream(path, required, maxShardsPerTrigger)
   override def description(): String =
     s"graftlog $path pushed=[${pushed.mkString(",")}] " +
       s"cols=[${required.fieldNames.mkString(",")}]"
@@ -171,6 +178,81 @@ class GraftLogScan(path: String, pushed: Array[Filter],
 }
 
 case class GraftLogPartition(file: String) extends InputPartition
+
+/** Streaming read of a graftlog directory: the offset is how many
+  * shards (in name order) have been admitted — the FileStreamSource
+  * model on the custom format. New shards appended by an ingest
+  * process are picked up by the next `latestOffset` poll;
+  * `maxShardsPerTrigger` is the admission-control knob (a micro-batch
+  * admits at most that many shards), and Trigger.AvailableNow pins
+  * the drain target at start so a concurrent writer cannot keep the
+  * drain alive forever. Shards are immutable once written (the
+  * sidecar is the commit marker in spirit; ingest writes shard then
+  * sidecar), so replaying a (start, end] slice after a crash reads
+  * identical data — exactly-once composes with the engine's
+  * idempotent foreachBatch sinks. */
+case class GraftLogOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"shards":$n}"""
+}
+
+class GraftLogMicroBatchStream(path: String, required: StructType,
+    maxShardsPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private var availableNowTarget: Option[Int] = None
+
+  private def shardFiles: Seq[String] = {
+    val dir = Paths.get(path)
+    Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".graftlog")).toSeq.sorted
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(shardFiles.size)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxShardsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(shardFiles.size)
+    val from = start.asInstanceOf[GraftLogOffset].n
+    val admitted = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(target, from + m.maxFiles())
+      case _ => target
+    }
+    GraftLogOffset(math.max(from, admitted))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftLogOffset(availableNowTarget.getOrElse(shardFiles.size))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def initialOffset(): Offset = GraftLogOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset("""\d+""".r.findFirstIn(json).get.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset):
+      Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLogOffset].n
+    val e = end.asInstanceOf[GraftLogOffset].n
+    shardFiles.slice(s, e)
+      .map(f => GraftLogPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class GraftLogReaderFactory(requiredCols: Array[String])
     extends PartitionReaderFactory {
