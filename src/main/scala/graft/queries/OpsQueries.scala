@@ -2,7 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,12 @@ import graft.text.TextFunctions
   *    per-source lexicon-hit census.
   *  - q156: the DSv2 `.graftlog` connector under the hash gate —
   *    distributed re-shard, stat-pruned read-back, aggregate.
+  *  - q157: Count-Min sketch heavy-hitter census — point-frequency
+  *    estimates from a constant-size mergeable sketch, graded
+  *    against exact counts under the hash gate.
+  *  - q158: join-cardinality estimation by CMS inner product — the
+  *    planner's "how big is this join" number from 2·d·w counters,
+  *    graded against the closed-form exact Σ n₁(k)·n₂(k).
   */
 object OpsQueries {
 
@@ -53,7 +59,107 @@ object OpsQueries {
   /** Arrival-order block size for the two-phase prefix max. */
   private val ArrivalBlock = 1024L
 
+  /** Count-Min sketch shape (q157/q158): d independent hash rows of w
+    * counters. d×w is the WHOLE sketch (2 KB of longs) — the entire
+    * point at 100 TB: the data is summarized into a constant-size,
+    * mergeable array a driver or planner can hold. */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** Row-i CMS bucket of a long key — portable md5-derived hash
+    * (8 hex chars → 32-bit value, mod w), replayable verbatim in the
+    * DuckDB oracle (same family as TextFunctions.hash60). */
+  private def cmsBucket(k: Column, i: Int): Column =
+    conv(substring(md5(concat(k.cast("string"), lit("_cms"),
+      lit(i.toString))), 1, 8), 16, 10).cast("long") % CmsWidth
+
+  /** The d×w counter table of a key column: one scan, posexplode to d
+    * (row, bucket) pairs per input row, then a counting aggregate.
+    * The hash aggregate's PARTIAL phase is the per-partition sketch
+    * and the exchange moves at most d×w rows per partition — this IS
+    * the classic "build local sketches, merge by +" plan, expressed
+    * declaratively so Catalyst schedules it. Output ≤ d×w rows
+    * regardless of input size (broadcastable by construction). */
+  private def cmsSketch(keys: DataFrame, cntName: String): DataFrame = {
+    val arr = array((0 until CmsDepth).map(i => cmsBucket(col("k"), i)): _*)
+    keys.select(posexplode(arr))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as(cntName))
+  }
+
   val queries: Map[String, Fn] = Map(
+
+    // Count-Min heavy-hitter census: the frequency-sketch member of
+    // the sketch family (HLL distinct q17, GK quantiles q50,
+    // Misra-Gries top items q68/q138, Bloom membership q81) — CMS
+    // answers point-frequency queries from constant space with a
+    // one-sided error (never underestimates; overestimate ≤ εN with
+    // ε = e/w at probability 1−e^(−d); Cormode & Muthukrishnan '05).
+    // The verified output: the exact top-10 part keys by lineitem
+    // row count next to their CMS estimates and the overestimate —
+    // the sketch's accuracy contract itself sits under the hash gate
+    // (the spec pins est ≥ exact; the oracle replays every counter).
+    // Scale shape: sketch build is one partial-aggregable count (the
+    // d×w result is the merged sketch); the exact side is one
+    // GROUP BY + TakeOrdered(10); probes join the 10×d bucket rows
+    // against the BROADCAST sketch — nothing here grows with n
+    // except the two scans.
+    "q157_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val src = Q.fanout(Tables.table(s, dir, "lineitem"))
+        .select($"l_partkey".as("k"))
+      val cms = cmsSketch(src, "c")
+      val exact = src.groupBy($"k").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"k").limit(10)
+      val probes = exact.select($"k", $"n_exact", posexplode(
+          array((0 until CmsDepth).map(i => cmsBucket($"k", i)): _*)))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
+      probes.join(broadcast(cms), Seq("i", "b"))
+        .groupBy($"k", $"n_exact").agg(min($"c").as("n_est"))
+        .select($"k".as("l_partkey"), $"n_exact", $"n_est",
+          ($"n_est" - $"n_exact").as("overest"))
+        .orderBy($"n_exact".desc, $"l_partkey")
+    }),
+
+    // Join-cardinality estimation by CMS inner product — the CBO
+    // diagnostic that prices a join WITHOUT running it: the true join
+    // size Σ_k n₁(k)·n₂(k) is the inner product of the two key
+    // frequency vectors, and min_i Σ_b c₁[i][b]·c₂[i][b] over two
+    // same-seeded sketches estimates it from 2·d·w counters with the
+    // same one-sided guarantee (est ≥ exact, excess ≤ N₁N₂/w per
+    // row; AMS/CMS inner-product, Cormode & Muthukrishnan '05 §4.2).
+    // This is the number a planner checks BEFORE committing shuffle
+    // resources to a fact-fact join (q153 prices skew, q154 prices
+    // NDV; this prices output volume). The exact baseline rides
+    // along: per-side key counts joined on the DISTINCT keys — far
+    // smaller than executing the join itself — so the report grades
+    // its own estimate. Audited on both engine fact joins.
+    "q158_cms_join_size" -> ((s, dir) => {
+      import s.implicits._
+      def audit(label: String, left: DataFrame, right: DataFrame)
+          : DataFrame = {
+        val s1 = cmsSketch(left, "c1")
+        val s2 = cmsSketch(right, "c2")
+        val est = s1.join(s2, Seq("i", "b"))
+          .groupBy($"i").agg(sum($"c1" * $"c2").as("ip"))
+          .agg(min($"ip").as("est_rows"))
+        val exact = left.groupBy($"k").agg(count(lit(1)).as("n1"))
+          .join(right.groupBy($"k").agg(count(lit(1)).as("n2")), "k")
+          .agg(coalesce(sum($"n1" * $"n2"), lit(0L)).as("exact_rows"))
+        exact.crossJoin(broadcast(est))
+          .select(lit(label).as("join_name"), $"exact_rows", $"est_rows",
+            expr("(est_rows - exact_rows) * 1000 div exact_rows")
+              .as("overest_pm"))
+      }
+      val li = Q.fanout(Tables.table(s, dir, "lineitem"))
+        .select($"l_orderkey".as("k"))
+      val ord = Tables.table(s, dir, "orders")
+      audit("lineitem_orders", li, ord.select($"o_orderkey".as("k")))
+        .unionByName(audit("orders_customer",
+          ord.select($"o_custkey".as("k")),
+          Tables.table(s, dir, "customer").select($"c_custkey".as("k"))))
+        .orderBy($"join_name")
+    }),
 
     // Watermark advisor: an event's lateness is how far the
     // event-time high-water mark (the max ts among events that
@@ -327,7 +433,67 @@ object OpsQueries {
         .orderBy($"user_id")
     }))
 
+  /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
+  private def cmsBucketSql(k: String, i: String): String =
+    s"CAST('0x' || substr(md5(($k)::VARCHAR || '_cms' || ($i)::VARCHAR), " +
+      s"1, 8) AS BIGINT) % $CmsWidth"
+
   val oracles: Map[String, String] = Map(
+
+    "q157_cms_heavy_hitters" ->
+      s"""WITH src AS (SELECT l_partkey AS k FROM lineitem),
+          g AS (SELECT i FROM generate_series(0, ${CmsDepth - 1}) AS t(i)),
+          bkt AS (SELECT k, i, ${cmsBucketSql("k", "i")} AS b
+                  FROM src CROSS JOIN g),
+          cms AS (SELECT i, b, count(*) AS c FROM bkt GROUP BY i, b),
+          exact AS (SELECT k, count(*) AS n_exact FROM src GROUP BY k
+                    ORDER BY n_exact DESC, k LIMIT 10),
+          probe AS (SELECT e.k, e.n_exact, g.i,
+                      ${cmsBucketSql("e.k", "g.i")} AS b
+                    FROM exact e CROSS JOIN g),
+          est AS (SELECT p.k, p.n_exact, min(c.c) AS n_est
+                  FROM probe p JOIN cms c ON c.i = p.i AND c.b = p.b
+                  GROUP BY p.k, p.n_exact)
+          SELECT k AS l_partkey, n_exact, n_est,
+                 n_est - n_exact AS overest
+          FROM est ORDER BY n_exact DESC, l_partkey""",
+
+    "q158_cms_join_size" -> {
+      def auditSql(label: String, left: String, right: String): String =
+        s"""SELECT '$label' AS join_name, exact_rows, est_rows,
+                   (est_rows - exact_rows) * 1000 // exact_rows
+                     AS overest_pm
+            FROM (SELECT CAST(coalesce(sum(n1 * n2), 0) AS BIGINT)
+                         AS exact_rows
+                  FROM (SELECT k, count(*) AS n1 FROM ($left) GROUP BY k)
+                  JOIN (SELECT k, count(*) AS n2 FROM ($right) GROUP BY k)
+                  USING (k)),
+                 (SELECT CAST(min(ip) AS BIGINT) AS est_rows
+                  FROM (SELECT s1.i, CAST(sum(s1.c * s2.c) AS BIGINT) AS ip
+                        FROM (SELECT i, b, count(*) AS c
+                              FROM (SELECT k, i,
+                                      ${cmsBucketSql("k", "i")} AS b
+                                    FROM ($left) CROSS JOIN
+                                      generate_series(0, ${CmsDepth - 1})
+                                        AS t(i))
+                              GROUP BY i, b) s1
+                        JOIN (SELECT i, b, count(*) AS c
+                              FROM (SELECT k, i,
+                                      ${cmsBucketSql("k", "i")} AS b
+                                    FROM ($right) CROSS JOIN
+                                      generate_series(0, ${CmsDepth - 1})
+                                        AS t(i))
+                              GROUP BY i, b) s2
+                          ON s1.i = s2.i AND s1.b = s2.b
+                        GROUP BY s1.i))"""
+      Seq(auditSql("lineitem_orders",
+            "SELECT l_orderkey AS k FROM lineitem",
+            "SELECT o_orderkey AS k FROM orders"),
+          auditSql("orders_customer",
+            "SELECT o_custkey AS k FROM orders",
+            "SELECT c_custkey AS k FROM customer"))
+        .mkString("", "\n UNION ALL ", "\n ORDER BY join_name")
+    },
 
     "q147_watermark_advisor" -> {
       val filters = WatermarkDelays.map(d =>

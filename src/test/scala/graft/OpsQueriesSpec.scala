@@ -118,4 +118,59 @@ class OpsQueriesSpec extends SparkSuite {
     assert(got.count() ==
       ev.select($"user_id").distinct().count())
   }
+
+  /** Synthetic lineitem/orders/customer dir with a PLANTED heavy
+    * hitter: part 7 on 1000 of 3000 lines, the rest uniform over 200
+    * parts — so the top-10 census has one unambiguous head and a
+    * known exact count for it. */
+  private def cmsDir(): String = {
+    val dir = tmpDir("ops_cms_").toString
+    val lines = (0 until 1000).map(i => (i.toLong, 7L)) ++
+      (0 until 2000).map(i => (1000L + i, (i % 200).toLong + 100L))
+    lines.toDF("l_orderkey", "l_partkey").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (0 until 500).map(i => (i.toLong, (i % 50).toLong))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0 until 50).map(i => Tuple1(i.toLong)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("q157 CMS estimates never underestimate and find the planted head") {
+    val dir = cmsDir()
+    val rows = SparkEntry.queries("q157_cms_heavy_hitters")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 10)
+    // one-sided error: est >= exact for EVERY probed key (the CMS
+    // hard guarantee — a single violation means a broken hash/bucket)
+    rows.foreach { case (k, exact, est, over) =>
+      assert(est >= exact, s"key $k underestimated: $est < $exact")
+      assert(over == est - exact)
+    }
+    // the planted head surfaces first with its exact count intact
+    val (headKey, headExact, headEst, _) = rows.head
+    assert(headKey == 7L && headExact == 1000L)
+    // eps*N overestimate bound (e/w * N, doubled for slack): with
+    // N=3000, w=512 the bound is ~32; a blowout means bucket skew
+    assert(headEst - headExact <= 2 * 3 * 3000 / 512,
+      s"head overestimate ${headEst - headExact} blows the eps*N bound")
+  }
+
+  test("q158 join-size estimate is one-sided and exact baseline is right") {
+    val dir = cmsDir()
+    val rows = SparkEntry.queries("q158_cms_join_size")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // closed-form exact: lineitem x orders on orderkey — line ids
+    // 0..999 match order ids 0..499 once each... orderkeys 0..999 on
+    // the line side appear once; orders side ids 0..499 once -> 500
+    assert(rows("lineitem_orders")._1 == 500L)
+    // orders x customer on custkey: 500 orders, every custkey matches
+    assert(rows("orders_customer")._1 == 500L)
+    rows.foreach { case (name, (exact, est, overPm)) =>
+      assert(est >= exact, s"$name underestimated: $est < $exact")
+      assert(overPm == (est - exact) * 1000 / exact)
+    }
+  }
 }
