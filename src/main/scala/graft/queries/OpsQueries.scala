@@ -296,44 +296,29 @@ object OpsQueries {
         .orderBy($"key_col")
     }),
 
-    // The DSv2 connector under the hash gate: events are re-shard-ed
-    // into the .graftlog format DISTRIBUTED (repartitionByRange on
-    // event_id + per-partition shard/sidecar writes — no driver
-    // collect; range partitioning is what makes the sidecar ranges
-    // disjoint and the pruning sharp), then read back through
-    // GraftLogSource with a pushed event_id range covering the
-    // middle quarter and aggregated. The oracle computes the same
-    // aggregate from the parquet events table, so the hash proves
-    // the connector's write→prune→parse→filter path is value-exact
-    // end to end. (Local-dir shard writes; on a cluster the same
-    // foreachPartition targets a DFS path.)
+    // The DSv2 connector under the hash gate, BOTH directions:
+    // events are re-sharded into the .graftlog format through the
+    // connector's own V2 BATCH WRITE — the Write declares an ordered
+    // distribution + sort on event_id (RequiresDistributionAndOrdering),
+    // so CATALYST plans the range exchange that makes the sidecar
+    // ranges disjoint and the pruning sharp; per-partition writers
+    // emit shard + stats sidecar with tmp-file/atomic-rename task
+    // commits — then read back through GraftLogSource with a pushed
+    // event_id range covering the middle quarter and aggregated. The
+    // oracle computes the same aggregate from the parquet events
+    // table, so the hash proves the connector's
+    // write→commit→prune→parse→filter path is value-exact end to
+    // end. (Local-dir shard writes; on a cluster the same writers
+    // target a DFS path.)
     "q156_graftlog_scan" -> ((s, dir) => {
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_log_${runId.incrementAndGet()}_")
         .toString
       val ev = Tables.table(s, dir, "events")
-        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
-          $"event_type", $"value")
-      ev.repartitionByRange(8, $"event_id")
-        .sortWithinPartitions($"event_id")
-        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val buf = rows.map(r => (r.getLong(0), r.getLong(1),
-            r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
-          if (buf.nonEmpty) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val body = buf.map { case (id, us, uid, typ, v) =>
-              s"$id|$us|$uid|$typ|$v" }.mkString("", "\n", "\n")
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"shard-$pid%05d.graftlog"),
-              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"shard-$pid%05d.meta"),
-              s"${buf.head._1}|${buf.last._1}|${buf.size}"
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            ()
-          }
-        }
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out)
       val n = ev.count()
       s.read.format("graft.sources.GraftLogSource").load(out)
         .filter($"event_id" >= lit(n / 4) && $"event_id" < lit(n / 2))

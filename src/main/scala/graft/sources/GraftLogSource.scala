@@ -9,9 +9,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,15 +92,137 @@ object GraftLog {
   }
 }
 
-class GraftLogTable(path: String) extends Table with SupportsRead {
+class GraftLogTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(path != null, "graftlog source requires a path")
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path,
       Option(options.get("maxShardsPerTrigger")).map(_.toInt))
+
+  /** Batch write: `df.write.format("graft.sources.GraftLogSource")
+    * .mode("append").save(dir)`. The arriving schema must BE the
+    * graftlog schema — this is a fixed-format sink, not a generic
+    * one; a mismatch is a pipeline bug better thrown at plan time
+    * than parsed wrong at read time. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Spark's own analysis already rejects name/type mismatches
+    // against schema() (INCOMPATIBLE_DATA_FOR_TABLE); this require is
+    // the backstop for column-ORDER drift, which resolution-by-name
+    // would otherwise let through to positional writers.
+    val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val want = GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"graftlog sink needs schema ${GraftLog.schema.simpleString}, " +
+        s"got ${info.schema().simpleString}")
+    val shards = Option(info.options().get("shards")).map(_.toInt)
+    new WriteBuilder {
+      override def build(): Write = new GraftLogWrite(path, shards)
+    }
+  }
+}
+
+/** The write declares its layout needs at the DSv2 seam and CATALYST
+  * plans the exchange: `RequiresDistributionAndOrdering` asks for an
+  * ordered (range) distribution + per-partition sort on event_id, so
+  * every shard covers a disjoint event_id range and the `.meta`
+  * sidecar stats prune sharply on read — the q141 lesson (skipping
+  * power is a property of the layout) enforced BY the connector
+  * instead of hoped for from the caller. A writer that forgets to
+  * pre-shape its data still produces a well-clustered log. */
+class GraftLogWrite(path: String, shards: Option[Int] = None)
+    extends Write with RequiresDistributionAndOrdering {
+  private val byEventId: Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("event_id"),
+      SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(byEventId)
+  override def requiredOrdering(): Array[SortOrder] = byEventId
+  // `.option("shards", n)` pins the shard count; the default 0 lets
+  // the planner (and AQE coalescing) size the exchange — a tiny
+  // write legitimately lands in one shard, a 100 TB one in thousands
+  override def requiredNumPartitions(): Int = shards.getOrElse(0)
+  override def toBatch: BatchWrite = new GraftLogBatchWrite(path)
+  override def description(): String = s"graftlog write $path"
+}
+
+class GraftLogBatchWrite(path: String) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new GraftLogWriterFactory(path)
+  }
+  // Per-shard visibility is handled at the task seam (tmp file +
+  // atomic rename in DataWriter.commit; Spark's output commit
+  // coordinator admits ONE attempt per partition) and readers treat
+  // a missing sidecar as "cannot prune, still read" — so there is no
+  // global commit action. A lakehouse-grade all-or-nothing commit
+  // would write a manifest here (the store.TimeTravel _SUCCESS
+  // pattern); shard-level atomicity is the log-ingest contract.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftLogWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftLogWriter(path, partitionId, taskId)
+}
+
+case class GraftLogCommitMessage(file: String, rows: Long,
+    min: Long, max: Long) extends WriterCommitMessage
+
+/** One shard + sidecar per non-empty partition. Data lands in a
+  * hidden `.tmp` (invisible to both batch listing and the streaming
+  * source's shard poll — neither matches `*.graftlog`), then task
+  * commit atomically renames shard BEFORE writing the sidecar: a
+  * crash between the two leaves a readable, merely unprunable shard,
+  * never a torn or half-visible one. Min/max/count accumulate while
+  * writing — stats cost nothing extra. */
+class GraftLogWriter(dir: String, pid: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = Paths.get(dir, f".shard-$pid%05d-$taskId.tmp")
+  private val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+  private var n = 0L
+  private var mn = Long.MaxValue
+  private var mx = Long.MinValue
+
+  override def write(r: InternalRow): Unit = {
+    val id = r.getLong(0)
+    // TimestampType's internal representation IS micros-since-epoch —
+    // the format's ts_us column, no conversion
+    out.write(s"$id|${r.getLong(1)}|${r.getLong(2)}|" +
+      s"${r.getUTF8String(3)}|${r.getDouble(4)}\n")
+    if (id < mn) mn = id
+    if (id > mx) mx = id
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (n == 0L) {
+      Files.deleteIfExists(tmp)
+      GraftLogCommitMessage("", 0L, 0L, 0L)
+    } else {
+      val shard = Paths.get(dir, f"shard-$pid%05d.graftlog")
+      Files.move(tmp, shard,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.write(Paths.get(dir, f"shard-$pid%05d.meta"),
+        s"$mn|$mx|$n".getBytes(StandardCharsets.UTF_8))
+      GraftLogCommitMessage(shard.toString, n, mn, mx)
+    }
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tmp)
+  }
+
+  override def close(): Unit = ()
 }
 
 class GraftLogScanBuilder(path: String,

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.GraftLog
@@ -148,5 +150,71 @@ class GraftLogSourceSpec extends SparkSuite {
     // the DSv2 scan prints our Scan.description(): pruned to 1 column
     assert(desc.contains("cols=[event_type]"), desc)
     assert(df.distinct().count() === 3)
+  }
+
+  test("V2 batch write round-trips and the connector enforces the layout") {
+    val srcDir = writeShards()
+    val src = spark.read.format(fmt).load(srcDir)
+    val out = tmpDir("graftlog_v2w_").toString
+    // NO caller-side repartition/sort: RequiresDistributionAndOrdering
+    // must make Catalyst plan the range exchange itself (shards=4
+    // pins the exchange width — AQE would otherwise coalesce 400
+    // rows into one shard and the pruning assertion would be vacuous)
+    src.repartition(8) // deliberately scrambled input layout
+      .write.format(fmt).mode("append").option("shards", 4).save(out)
+    // round trip is exact
+    val back = spark.read.format(fmt).load(out)
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1)
+    val want = src
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1)
+    assert(back.toSeq === want.toSeq)
+    // every shard has a sidecar and the ranges are DISJOINT — the
+    // connector-enforced clustering the pruning depends on
+    val metas = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".meta"))
+      .toSeq.sorted
+      .map { m =>
+        val p = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(m))).trim.split('|')
+        (p(0).toLong, p(1).toLong, p(2).toLong)
+      }
+    assert(metas.nonEmpty)
+    assert(metas.map(_._3).sum === 400L)
+    metas.sliding(2).foreach {
+      case Seq((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"overlapping shard ranges: $metas")
+      case _ => ()
+    }
+    // no tmp litter after commit
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".tmp")).toSeq
+    assert(leftover.isEmpty, s"uncommitted tmp files: $leftover")
+    // and the V2-written layout prunes exactly like GraftLog.write's
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(out)
+      .filter($"event_id" === 137L).count() === 1)
+    assert(GraftLog.filesOpened.get() < metas.size,
+      "point probe opened every shard — stats gave no pruning")
+  }
+
+  test("V2 write rejects a mismatched schema at plan time") {
+    val out = tmpDir("graftlog_badschema_").toString
+    val bad = Seq((1L, "x")).toDF("event_id", "event_type")
+    // Spark's V2 analysis rejects the frame against Table.schema()
+    // before a single writer task launches
+    val e = intercept[Exception] {
+      bad.write.format(fmt).mode("append").save(out)
+    }
+    assert(e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE") ||
+      e.getMessage.contains("graftlog sink needs schema"), e.getMessage)
+    // nothing was written
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)) ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(out))
+        .iterator().asScala.isEmpty)
   }
 }
