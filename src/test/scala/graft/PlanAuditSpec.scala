@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSuite {
     "q144_ann_recall_report", "q150_mrr_eval",
     // q153: each audit pairs a 1-ROW rollup with a broadcast 1-ROW
     // hot-key frame (the q111 scalar × scalar pattern).
-    "q153_skew_report")
+    "q153_skew_report",
+    // q158: each audit pairs the 1-ROW exact join size with the
+    // broadcast 1-ROW CMS estimate (the q111/q153 scalar × scalar
+    // pattern); the sketches themselves join on (i, b) — equi-join.
+    "q158_cms_join_size")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
