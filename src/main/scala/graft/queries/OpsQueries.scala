@@ -161,6 +161,59 @@ object OpsQueries {
         .orderBy($"join_name")
     }),
 
+    // Metadata-only table stats through the DSv2 aggregate-pushdown
+    // seam — parquet's footer-stats trick on the custom format:
+    // COUNT(*)/MIN/MAX(event_id) over the re-sharded log are served
+    // from the `.meta` sidecars alone (complete pushdown, zero shards
+    // opened — GraftLogSourceSpec pins filesOpened == 0, and the
+    // pushdown self-disables on residual filters or a missing
+    // sidecar). At 100 TB this is a manifest read instead of a full
+    // scan. The oracle replays the same numbers from the parquet
+    // events table, so write→sidecar→pushdown is value-exact.
+    "q159_graftlog_stats" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_log_agg_${runId.incrementAndGet()}_")
+        .toString
+      Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out)
+      s.read.format("graft.sources.GraftLogSource").load(out)
+        .agg(count(lit(1)).as("n_events"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    }),
+
+    // Probe-manifest join with runtime shard pruning: the probe side
+    // is a SCAN with selective predicates (every 500th event id in
+    // the first eighth of the log), so Catalyst both (a) infers the
+    // static range onto the graftlog side through the join constraint
+    // and (b) inserts a DPP subquery that hands the exact probe-id
+    // set to the scan's SupportsRuntimeFiltering mid-query —
+    // sidecar-range shard skipping driven by the JOIN, not by a
+    // hand-written filter (mechanics pinned in GraftLogSourceSpec).
+    // At 100 TB this is "read 3 shards of 40 000 because the manifest
+    // said the other 39 997 cannot match".
+    "q160_graftlog_runtime_prune" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_log_rt_${runId.incrementAndGet()}_")
+        .toString
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 32).save(out)
+      val n = ev.count()
+      val probes = Tables.table(s, dir, "events")
+        .filter($"event_id" % 500 === 0 && $"event_id" * 8 < lit(n))
+        .select($"event_id".as("pid"))
+      s.read.format("graft.sources.GraftLogSource").load(out)
+        .join(broadcast(probes), $"event_id" === $"pid")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Q.dsum($"value").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
     // Watermark advisor: an event's lateness is how far the
     // event-time high-water mark (the max ts among events that
     // ARRIVED before it — arrival order = event_id, the log's append
@@ -479,6 +532,19 @@ object OpsQueries {
             "SELECT c_custkey AS k FROM customer"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY join_name")
     },
+
+    "q159_graftlog_stats" ->
+      """SELECT count(*) AS n_events, min(event_id) AS min_id,
+                max(event_id) AS max_id
+         FROM events""",
+
+    "q160_graftlog_runtime_prune" ->
+      s"""SELECT event_type, count(*) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events
+          WHERE event_id % 500 = 0
+            AND event_id * 8 < (SELECT count(*) FROM events)
+          GROUP BY event_type ORDER BY event_type""",
 
     "q147_watermark_advisor" -> {
       val filters = WatermarkDelays.map(d =>

@@ -11,10 +11,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,6 +38,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    requested fields; the line parser materializes only those (a
   *    projection over a 5-column format parses 1 column when 1 is
   *    asked for).
+  *  - **aggregate pushdown**: a global COUNT(*)/MIN/MAX(event_id) is
+  *    served from the sidecars alone — complete pushdown, zero
+  *    shards opened (parquet's footer-stats metadata-only query at
+  *    the DSv2 seam). Refused whenever a filter survives or any
+  *    sidecar is missing, so it can never change a result.
+  *  - **reported statistics**: post-pruning bytes/rows from the
+  *    sidecars, which is what lets Catalyst broadcast a selectively
+  *    filtered graftlog side instead of pricing the relation at the
+  *    conf default and planning a shuffle.
+  *  - **runtime filtering**: the scan declares event_id as a runtime
+  *    filter attribute; when a join's build side materializes the
+  *    probe-id set under AQE, unreachable shards are dropped at
+  *    executed-stage planning — dynamic partition pruning over the
+  *    same sidecar ranges.
   *
   * Format: UTF-8 lines `event_id|ts_us|user_id|event_type|value`,
   * one shard per file, one InputPartition per shard (splittability
@@ -69,6 +84,33 @@ object GraftLog {
     * pruning probe (a SparkListener would work too; a counter keeps
     * the assertion exact under local[*]). */
   val filesOpened = new AtomicLong(0)
+
+  /** A shard plus its sidecar stats (None = sidecar missing: the
+    * shard is readable but unprunable and cannot serve aggregates). */
+  case class ShardInfo(file: String, stats: Option[(Long, Long, Long)]) {
+    def bytes: Long = Files.size(Paths.get(file))
+  }
+
+  /** Listing + sidecar parse, shared by planning, stats reporting
+    * and aggregate pushdown. Driver-side and O(#shards) — the same
+    * cost class as the file listing every lakehouse manifest read
+    * pays; at 100 TB this is the manifest, not the data. */
+  def listShards(path: String): Seq[ShardInfo] = {
+    val dir = Paths.get(path)
+    Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".graftlog")).toSeq.sortBy(_.toString)
+      .map { shard =>
+        val meta = Paths.get(shard.toString.stripSuffix(".graftlog") + ".meta")
+        val stats =
+          if (!Files.exists(meta)) None
+          else {
+            val p = new String(Files.readAllBytes(meta),
+              StandardCharsets.UTF_8).trim.split('|')
+            Some((p(0).toLong, p(1).toLong, p(2).toLong))
+          }
+        ShardInfo(shard.toString, stats)
+      }
+  }
 
   /** Write rows as `.graftlog` shards + `.meta` sidecars
     * (`min|max|rows` over event_id), `rowsPerShard` per file in
@@ -227,9 +269,11 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long)
 
 class GraftLogScanBuilder(path: String,
     maxShardsPerTrigger: Option[Int] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLog.schema
+  private var pushedAgg: Option[Seq[AggregateFunc]] = None
 
   /** Accept event_id comparisons for shard pruning; return EVERY
     * filter as a residual so Spark re-applies them row-level —
@@ -248,21 +292,99 @@ class GraftLogScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Aggregate pushdown — the metadata-only query: a global
+    * COUNT(*)/MIN(event_id)/MAX(event_id) is answered from the
+    * `.meta` sidecars alone, ZERO shards opened (parquet's
+    * footer-stats trick at the DSv2 seam; at 100 TB that is the
+    * difference between a manifest read and a full scan). Accepted
+    * only when it is safe to serve from stats:
+    *
+    *  - no pushed/residual filters (Spark only offers aggregates
+    *    when ALL filters were consumed by the scan; ours are
+    *    residuals by design, so a filtered agg never reaches here —
+    *    defended anyway),
+    *  - no GROUP BY (sidecars carry no per-group stats),
+    *  - every aggregate is COUNT(*) / MIN / MAX of event_id,
+    *  - every shard HAS a sidecar (a shard whose writer crashed
+    *    between rename and sidecar write is readable but unpriced —
+    *    then the scan must refuse and let Spark aggregate rows).
+    *
+    * `supportCompletePushDown` = the sidecar answer IS the final
+    * answer (sidecar counts are exact, shards immutable), so Spark
+    * plans no re-aggregation at all — one row out of the scan. */
+  private def aggServableFromSidecars(agg: Aggregation): Boolean = {
+    def isEventId(f: AggregateFunc): Boolean = f match {
+      case m: Min => m.column match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("event_id"))
+        case _ => false
+      }
+      case m: Max => m.column match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("event_id"))
+        case _ => false
+      }
+      case _ => false
+    }
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f => isEventId(f)
+      } && GraftLog.listShards(path).forall(_.stats.isDefined)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggServableFromSidecars(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    aggServableFromSidecars(agg) && {
+      pushedAgg = Some(agg.aggregateExpressions.toSeq)
+      true
+    }
+
   override def build(): Scan =
-    new GraftLogScan(path, pushed, required, maxShardsPerTrigger)
+    new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg)
 }
 
 class GraftLogScan(path: String, pushed: Array[Filter],
-    required: StructType, maxShardsPerTrigger: Option[Int] = None)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
+    required: StructType, maxShardsPerTrigger: Option[Int] = None,
+    pushedAgg: Option[Seq[AggregateFunc]] = None)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  override def readSchema(): StructType = pushedAgg match {
+    // complete aggregate pushdown: the scan's output IS the final
+    // aggregated row — count(*) is long, min/max(event_id) are long
+    case Some(aggs) => StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"agg_$i", LongType, nullable = !a.isInstanceOf[CountStar])
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftLogMicroBatchStream(path, required, maxShardsPerTrigger)
   override def description(): String =
     s"graftlog $path pushed=[${pushed.mkString(",")}] " +
-      s"cols=[${required.fieldNames.mkString(",")}]"
+      s"cols=[${required.fieldNames.mkString(",")}]" +
+      pushedAgg.fold("")(a => s" PushedAggregates=[${a.mkString(",")}]")
+
+  /** Runtime filter delivered mid-query (AQE dynamic pruning): the
+    * exact event_id set the join's build side produced. Shards whose
+    * sidecar range contains none of the values are skipped at
+    * executed-stage planning — the DSv2 analog of dynamic partition
+    * pruning, driven by the SAME sidecar stats as static pruning. */
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("event_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("event_id", vs) =>
+      val ids = vs.collect { case l: Long => l }.sorted
+      // intersect with any earlier runtime filter (defensive; Spark
+      // sends one batch per scan today)
+      runtimeIds = Some(runtimeIds.fold(ids)(_.intersect(ids)))
+    case _ => () // unsupported runtime filter shapes: no pruning
+  }
 
   /** The pushed event_id interval [lo, hi] (inclusive). */
   private def bounds: (Long, Long) = {
@@ -280,26 +402,72 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     (lo, hi)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Shards surviving static bounds + runtime-id pruning. A shard
+    * without a sidecar can never be pruned. */
+  private def liveShards: Seq[GraftLog.ShardInfo] = {
     val (lo, hi) = bounds
-    val dir = Paths.get(path)
-    val shards = Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".graftlog")).toSeq.sortBy(_.toString)
-    shards.filter { shard =>
-      val meta = Paths.get(shard.toString.stripSuffix(".graftlog") + ".meta")
-      if (!Files.exists(meta)) true // no stats -> cannot prune
-      else {
-        val parts = new String(Files.readAllBytes(meta),
-          StandardCharsets.UTF_8).trim.split('|')
-        val (mn, mx) = (parts(0).toLong, parts(1).toLong)
-        mx >= lo && mn <= hi // ranges overlap -> must read
+    GraftLog.listShards(path).filter { s =>
+      s.stats match {
+        case None => true
+        case Some((mn, mx, _)) =>
+          mx >= lo && mn <= hi && runtimeIds.forall { ids =>
+            // any probe id inside [mn, mx]? (ids sorted: binary search)
+            val i = java.util.Arrays.binarySearch(ids, mn)
+            val from = if (i >= 0) i else -i - 1
+            from < ids.length && ids(from) <= mx
+          }
       }
-    }.map(p => GraftLogPartition(p.toString): InputPartition).toArray
+    }
   }
+
+  /** Post-pruning size/rows from the sidecars — what makes a
+    * selectively-filtered graftlog relation broadcastable: without
+    * reported stats a V2 relation prices at the conf default
+    * (effectively infinite) and a join that should broadcast plans a
+    * shuffle instead. Rows are unknown if any live shard lost its
+    * sidecar; bytes are always known (file sizes). */
+  override def estimateStatistics(): Statistics = {
+    val live = liveShards
+    val rows: java.util.OptionalLong =
+      if (live.forall(_.stats.isDefined))
+        java.util.OptionalLong.of(live.map(_.stats.get._3).sum)
+      else java.util.OptionalLong.empty()
+    val bytes = live.map(_.bytes).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pushedAgg match {
+      case Some(aggs) =>
+        // metadata-only: fold the sidecars on the driver (O(#shards),
+        // same listing planInputPartitions already does) and emit the
+        // single final row from one empty-work partition
+        val stats = GraftLog.listShards(path).flatMap(_.stats)
+        val values: Array[Option[Long]] = aggs.map {
+          case _: CountStar => Some(stats.map(_._3).sum)
+          case _: Min =>
+            if (stats.isEmpty) None else Some(stats.map(_._1).min)
+          case _: Max =>
+            if (stats.isEmpty) None else Some(stats.map(_._2).max)
+          case f => throw new IllegalStateException(s"unexpected agg $f")
+        }.toArray
+        Array(GraftLogAggPartition(values))
+      case None =>
+        liveShards.map(s => GraftLogPartition(s.file): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames)
 }
+
+/** The one-row result of a completely-pushed aggregate (None = SQL
+  * NULL: MIN/MAX over an empty log). */
+case class GraftLogAggPartition(values: Array[Option[Long]])
+    extends InputPartition
 
 case class GraftLogPartition(file: String) extends InputPartition
 
@@ -381,9 +549,20 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
 class GraftLogReaderFactory(requiredCols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition):
-      PartitionReader[InternalRow] =
-    new GraftLogReader(
-      partition.asInstanceOf[GraftLogPartition].file, requiredCols)
+      PartitionReader[InternalRow] = partition match {
+    case GraftLogAggPartition(values) =>
+      // the pushed-aggregate row was computed from sidecars at plan
+      // time; this reader just emits it — no shard is ever opened
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(
+            values.map(v => (v.map(Long.box).orNull): Any))
+        override def close(): Unit = ()
+      }
+    case GraftLogPartition(file) => new GraftLogReader(file, requiredCols)
+  }
 }
 
 /** Line parser materializing ONLY the pruned columns. */

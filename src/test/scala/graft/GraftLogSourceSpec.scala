@@ -202,6 +202,120 @@ class GraftLogSourceSpec extends SparkSuite {
       "point probe opened every shard — stats gave no pruning")
   }
 
+  /** 40k rows in 40 shards of 1000 — big enough that byte-based
+    * planning thresholds (broadcast) and pruning ratios are
+    * meaningful. ~45 B/line → ~1.8 MB total, ~45 KB/shard. */
+  private def writeBigLog(): String = {
+    val dir = tmpDir("graftlog_big_").toString
+    val rows = (0L until 40000L).map(i =>
+      (i, 1700000000000000L + i * 1000L, i % 97, s"t${i % 3}", i * 0.5))
+    GraftLog.write(rows, dir, rowsPerShard = 1000)
+    dir
+  }
+
+  test("global count/min/max is served from the sidecars alone") {
+    val dir = writeShards()
+    GraftLog.filesOpened.set(0)
+    val df = spark.read.format(fmt).load(dir)
+      .agg(count(lit(1)).as("n"), min($"event_id").as("mn"),
+        max($"event_id").as("mx"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"), df.queryExecution.executedPlan)
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((400L, 0L, 399L)))
+    assert(GraftLog.filesOpened.get() === 0,
+      "metadata-only aggregate opened a shard")
+    // Dataset.count() is the same COUNT(*) shape
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir).count() === 400L)
+    assert(GraftLog.filesOpened.get() === 0)
+  }
+
+  test("aggregate pushdown refuses on residual filters or a missing sidecar") {
+    val dir = writeShards()
+    // filtered count: our filters are residual by design, so Spark
+    // never offers the aggregate — rows are read (from pruned shards)
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_id" >= 250L && $"event_id" < 320L).count() === 70L)
+    assert(GraftLog.filesOpened.get() === 2)
+    // a shard that lost its sidecar makes the log unpriceable from
+    // stats: the scan must refuse and fall back to reading rows
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "shard-00001.meta"))
+    GraftLog.filesOpened.set(0)
+    val df = spark.read.format(fmt).load(dir)
+      .agg(count(lit(1)).as("n"), min($"event_id").as("mn"))
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((400L, 0L)))
+    assert(GraftLog.filesOpened.get() === 4)
+  }
+
+  test("reported statistics price the relation post-pruning") {
+    val dir = writeBigLog()
+    val fullBytes = spark.read.format(fmt).load(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = spark.read.format(fmt).load(dir)
+      .filter($"event_id" < 1000L) // 1 of 40 shards
+    val prunedBytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(fullBytes > BigInt(1000000),
+      s"full log priced too small: $fullBytes")
+    assert(prunedBytes * 10 < fullBytes,
+      s"pruning not reflected in stats: $prunedBytes vs $fullBytes")
+  }
+
+  test("post-pruning stats let a selective graftlog side broadcast") {
+    val dir = writeBigLog()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // 256 KB: below the full log (~1.8 MB) and the 200k-row range
+      // (1.6 MB), above one shard (~45 KB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+      val fact = spark.range(0L, 200000L).select($"id".as("event_id"),
+        ($"id" % 7).as("bucket"))
+      val prunedSide = spark.read.format(fmt).load(dir)
+        .filter($"event_id" < 1000L).select($"event_id", $"value")
+      val joined = fact.join(prunedSide, "event_id")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "selective graftlog side did not broadcast")
+      assert(joined.count() === 1000L)
+      // control: the UNfiltered side prices at ~1.8 MB > threshold —
+      // no broadcast of the graftlog relation
+      val control = fact.join(
+        spark.read.format(fmt).load(dir).select($"event_id", $"value"),
+        "event_id")
+      assert(!control.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "unfiltered 1.8 MB graftlog side broadcast below a 256 KB threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("runtime filter from a join prunes shards at stage execution") {
+    val dir = writeBigLog()
+    // probe ids touch 2 of the 40 shard ranges. The dim must be a
+    // SCAN with a surviving selective predicate: PartitionPruning
+    // only inserts a DPP subquery when the filtering side carries
+    // one (a LocalRelation dim gets constant-folded and disqualifies
+    // itself — which is also why the probe manifest in a real
+    // pipeline is a table, not a literal list)
+    val probes = Seq(5L, 777L, 39500L)
+    val probeDir = tmpDir("rt_probe_").toString
+    probes.toDF("pid").write.mode("overwrite").parquet(probeDir)
+    val dim = spark.read.parquet(probeDir).filter($"pid" >= 0L)
+    GraftLog.filesOpened.set(0)
+    val got = spark.read.format(fmt).load(dir)
+      .join(broadcast(dim), $"event_id" === $"pid")
+      .select($"event_id").as[Long].collect().sorted
+    assert(got.toSeq === probes.sorted)
+    val opened = GraftLog.filesOpened.get()
+    assert(opened <= 4,
+      s"runtime filter did not prune: opened $opened of 40 shards")
+  }
+
   test("V2 write rejects a mismatched schema at plan time") {
     val out = tmpDir("graftlog_badschema_").toString
     val bad = Seq((1L, "x")).toDF("event_id", "event_type")
