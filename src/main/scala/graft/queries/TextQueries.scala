@@ -810,6 +810,45 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Paragraph-level corpus dedup (the Dolma/RefinedWeb passage
+    // pass — a different operator from every doc-level dedup above:
+    // the unit of removal is the PASSAGE, the document survives with
+    // its boilerplate stripped). Paragraphs here are fixed 8-word
+    // windows of the normalized text (the corpus has no newline
+    // structure; a real feed would split on '\n\n' at the same
+    // seam). Pipeline: explode windows with their in-doc position →
+    // corpus-wide occurrence count (one partial-aggregable GROUP BY)
+    // → drop windows occurring ≥ 3 times (cross-doc boilerplate) →
+    // reassemble each doc ORDER-PRESERVINGLY (array_sort on the
+    // (pno, para) structs — collect_list order is free to vary across
+    // partitionings; the sort, not luck, pins the text). Scale shape:
+    // explode is n_words/8 rows, both aggregates are partial, the
+    // count join is an equi-join on the paragraph — no window over
+    // the corpus, no driver state; at 100 TB the join key would be
+    // the paragraph's 128-bit hash rather than its text, same plan.
+    "q161_paragraph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", words(normalizeText($"text")).as("ws"))
+      val paras = docs.selectExpr("doc_id",
+        """posexplode(transform(
+             sequence(0, greatest(cast(ceil(size(ws)/8.0) as int), 1) - 1),
+             i -> array_join(slice(ws, i*8+1, 8), ' '))) AS (pno, para)""")
+      val counts = paras.groupBy($"para").agg(count(lit(1)).as("n_occ"))
+      val kept = paras.join(counts, "para").filter($"n_occ" < 3)
+      val total = paras.groupBy($"doc_id").agg(count(lit(1)).as("n_paras"))
+      val rebuilt = kept.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct($"pno", $"para"))),
+          x => x.getField("para")), " ").as("clean_text"))
+      total.join(rebuilt, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_paras",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"clean_text", lit("")).as("clean_text"))
+        .orderBy($"doc_id")
+    }),
+
     // Engine-reproducible global shuffle: rows ordered by a salted
     // portable hash — the same pseudo-random training order on any
     // engine/cluster/re-run, unlike orderBy(rand()). One range
@@ -1254,6 +1293,29 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q161_paragraph_dedup" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         p AS (SELECT doc_id, u.i AS pno,
+                      array_to_string(ws[u.i*8+1 : u.i*8+8], ' ') AS para
+               FROM w, UNNEST(range(greatest(
+                      CAST(ceil(len(ws)/8.0) AS BIGINT), 1))) u(i)),
+         c AS (SELECT para, count(*) AS n_occ FROM p GROUP BY para),
+         k AS (SELECT doc_id, pno, para
+               FROM p JOIN c USING (para) WHERE n_occ < 3),
+         t AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+         o AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(para, ' ' ORDER BY pno) AS clean_text
+               FROM k GROUP BY doc_id)
+         SELECT t.doc_id, n_paras,
+                coalesce(n_kept, 0) AS n_kept,
+                coalesce(clean_text, '') AS clean_text
+         FROM t LEFT JOIN o USING (doc_id)
+         ORDER BY t.doc_id""",
+
     "q72_training_build" -> {
       val holdoutCut = graft.text.Sampling.thresholdFor(0.1)
       s"""WITH norm AS (
