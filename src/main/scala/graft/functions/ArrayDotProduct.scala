@@ -131,6 +131,13 @@ object GraftFunctions {
         ShinglesExpr(exprs.head, n, distinct)
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_kmv", exprs => {
+        // optional second arg: sketch size k (foldable int)
+        val k = if (exprs.length > 1)
+          exprs(1).eval(null).asInstanceOf[Int] else 256
+        KmvAgg(exprs.head, k)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_freq_items", exprs => {
         // optional second arg: summary capacity (foldable int)
         val cap = if (exprs.length > 1)

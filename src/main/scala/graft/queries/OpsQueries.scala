@@ -66,6 +66,11 @@ object OpsQueries {
   private val CmsDepth = 4
   private val CmsWidth = 512
 
+  /** KMV bottom-k sketch size (q162): per source the engine keeps the
+    * k smallest distinct shingle hashes — the whole per-source state
+    * is 2 KB regardless of corpus size. */
+  private val KmvK = 256
+
   /** Row-i CMS bucket of a long key — portable md5-derived hash
     * (8 hex chars → 32-bit value, mod w), replayable verbatim in the
     * DuckDB oracle (same family as TextFunctions.hash60). */
@@ -159,6 +164,58 @@ object OpsQueries {
           ord.select($"o_custkey".as("k")),
           Tables.table(s, dir, "customer").select($"c_custkey".as("k"))))
         .orderBy($"join_name")
+    }),
+
+    // Cross-source overlap matrix from KMV bottom-k sketches — the
+    // sketch companion to q54's exact source-pair Jaccard. q54's plan
+    // collects every source's full DISTINCT shingle set (state grows
+    // with the corpus: at 100 TB a web source's bigram set is
+    // billions of entries); here each source is summarized into the k
+    // smallest distinct shingle hashes (KmvAgg — a bounded
+    // TypedImperativeAggregate, so the partial phase ships k longs
+    // per partition), and every pair estimate runs on 2k-long arrays:
+    // the k smallest of A ∪ B are a uniform sample of the union, and
+    // the fraction of them present in BOTH sketches estimates
+    // J(A, B) ± O(1/√k) (Beyer et al. SIGMOD'07; Cohen & Kaplan
+    // PODC'07). The sketch is a deterministic function of the input
+    // SET (order-free min-k), so the oracle replays it verbatim and
+    // the estimate itself sits under the hash gate. The exact columns
+    // (distinct counts + intersection via the shared-hash equi-join)
+    // are the small-SF verification companion that grades the
+    // estimate in-row; at 100 TB only the sketch legs run. The
+    // source-pair join is a bounded product over #sources sketch
+    // rows (whitelisted in PlanAuditSpec, the q54 bound).
+    "q162_kmv_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val hs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"source",
+          explode(TextFunctions.shingles($"text", 2)).as("sh"))
+        .select($"source", TextFunctions.hash60($"sh").as("h"))
+      val dh = hs.distinct()
+      val sk = hs.groupBy($"source").agg(
+        call_function("graft_kmv", $"h", lit(KmvK)).as("sk"))
+      val nd = dh.groupBy($"source").agg(count(lit(1)).as("nd"))
+      val side = sk.join(nd, "source")
+      val pairs = side.select($"source".as("src_a"), $"sk".as("ska"),
+          $"nd".as("n_a"))
+        .join(side.select($"source".as("src_b"), $"sk".as("skb"),
+          $"nd".as("n_b")), $"src_a" < $"src_b")
+      val inter = dh.as("x").join(dh.as("y"),
+          $"x.h" === $"y.h" && $"x.source" < $"y.source")
+        .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("inter", coalesce($"inter", lit(0L)))
+        .withColumn("merged",
+          slice(array_sort(array_union($"ska", $"skb")), 1, KmvK))
+        .withColumn("ovl", size(array_intersect(
+          array_intersect($"merged", $"ska"), $"skb")).cast("long"))
+        .select($"src_a", $"src_b", $"n_a", $"n_b", $"inter",
+          expr("1000 * inter div (n_a + n_b - inter)").as("jacc_pm"),
+          expr("1000 * ovl div size(merged)").as("est_pm"),
+          (expr("1000 * ovl div size(merged)") -
+            expr("1000 * inter div (n_a + n_b - inter)")).as("err_pm"))
+        .orderBy($"src_a", $"src_b")
     }),
 
     // Metadata-only table stats through the DSv2 aggregate-pushdown
@@ -532,6 +589,50 @@ object OpsQueries {
             "SELECT c_custkey AS k FROM customer"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY join_name")
     },
+
+    "q162_kmv_source_overlap" ->
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS w
+                     FROM documents),
+          sh AS (SELECT DISTINCT source,
+                   CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT) AS h
+                 FROM (SELECT source,
+                         unnest(list_transform(
+                           generate_series(1, len(w) - 1),
+                           i -> concat_ws(' ', w[i], w[i+1]))) AS sg
+                       FROM d)),
+          nd AS (SELECT source, count(*) AS nd FROM sh GROUP BY source),
+          sk AS (SELECT source,
+                   list_slice(list_sort(list(h)), 1, $KmvK) AS sk
+                 FROM sh GROUP BY source),
+          pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                      a.sk AS ska, b.sk AS skb
+                    FROM sk a JOIN sk b ON a.source < b.source),
+          ix AS (SELECT x.source AS src_a, y.source AS src_b,
+                   count(*) AS inter
+                 FROM sh x JOIN sh y
+                   ON x.h = y.h AND x.source < y.source
+                 GROUP BY 1, 2),
+          est AS (SELECT src_a, src_b, ska, skb,
+                    list_slice(list_sort(list_distinct(ska || skb)),
+                      1, $KmvK) AS merged
+                  FROM pairs)
+          SELECT e.src_a, e.src_b, na.nd AS n_a, nb.nd AS n_b,
+                 coalesce(i.inter, 0) AS inter,
+                 1000 * coalesce(i.inter, 0)
+                   // (na.nd + nb.nd - coalesce(i.inter, 0)) AS jacc_pm,
+                 1000 * len(list_intersect(
+                     list_intersect(e.merged, e.ska), e.skb))
+                   // len(e.merged) AS est_pm,
+                 1000 * len(list_intersect(
+                     list_intersect(e.merged, e.ska), e.skb))
+                   // len(e.merged)
+                 - 1000 * coalesce(i.inter, 0)
+                   // (na.nd + nb.nd - coalesce(i.inter, 0)) AS err_pm
+          FROM est e
+          JOIN nd na ON na.source = e.src_a
+          JOIN nd nb ON nb.source = e.src_b
+          LEFT JOIN ix i ON i.src_a = e.src_a AND i.src_b = e.src_b
+          ORDER BY e.src_a, e.src_b""",
 
     "q159_graftlog_stats" ->
       """SELECT count(*) AS n_events, min(event_id) AS min_id,

@@ -63,7 +63,11 @@ class PlanAuditSpec extends SparkSuite {
     // q158: each audit pairs the 1-ROW exact join size with the
     // broadcast 1-ROW CMS estimate (the q111/q153 scalar × scalar
     // pattern); the sketches themselves join on (i, b) — equi-join.
-    "q158_cms_join_size")
+    "q158_cms_join_size",
+    // q162: the source-pair product runs over #sources SKETCH rows
+    // (k longs each — the whole point of the sketch), the q54 bound;
+    // the exact-intersection leg is an equi-join on the shingle hash.
+    "q162_kmv_source_overlap")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
