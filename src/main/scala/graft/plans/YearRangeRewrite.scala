@@ -101,5 +101,15 @@ object GraftExtensions {
     if (!strats.contains(AsOfJoinPhysical.AsOfStrategy))
       spark.experimental.extraStrategies =
         strats :+ AsOfJoinPhysical.AsOfStrategy
+    // Engine-standard planner settings for the bucketed graftlog
+    // layout (sources.GraftLogSource): honor a V2 scan's reported
+    // KeyGroupedPartitioning (storage-partitioned joins), and accept
+    // co-partitioned children when the join keys are a SUPERSET of
+    // the partition keys — a bucketed join's keys are (ub, user_id)
+    // while the layout partitions on ub alone. Both are pure planner
+    // relaxations (never semantics); set once here so plan shapes do
+    // not depend on which query ran first in a shared session.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
   }
 }

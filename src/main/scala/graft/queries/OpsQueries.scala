@@ -271,6 +271,47 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // Storage-partitioned join (SPJ) through the bucketed graftlog
+    // layout — the zero-shuffle fact-fact join: two event logs are
+    // ingested bucketed on user_id (`bucketBy`/`buckets`: every
+    // shard holds ONE bucket ub = floorMod(user_id, 16), recorded in
+    // its sidecar), the scans report
+    // KeyGroupedPartitioning(identity(ub)) with one HasPartitionKey
+    // input partition per bucket, and Catalyst aligns the two sides
+    // by partition VALUE — the join (and the aggregate above it)
+    // plans with ZERO exchanges (GraftLogSourceSpec pins the plan).
+    // At 100 TB this is THE recurring-join economics of a lakehouse:
+    // co-bucket the fact tables once at ingest and every per-user
+    // join downstream moves no data at all — the exchange cost is
+    // paid once, at write, where the log was being re-sharded anyway.
+    // Joining on (ub, user_id) is semantically joining on user_id
+    // (ub is a pure function of user_id; the oracle replays it as
+    // `user_id % 16` from the parquet twin). Verified output: per
+    // user, the even×odd event-pair count — value-exact through
+    // write → bucket → SPJ → aggregate.
+    "q163_graftlog_spj" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_spj_${runId.incrementAndGet()}_")
+        .toString
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .withColumn("ub", pmod($"user_id", lit(16L)))
+      def sink(df: DataFrame, out: String): Unit =
+        df.write.format("graft.sources.GraftLogSource").mode("append")
+          .option("bucketBy", "user_id").option("buckets", 16).save(out)
+      sink(ev.filter($"event_id" % 2 === 0), s"$base/even")
+      sink(ev.filter($"event_id" % 2 === 1), s"$base/odd")
+      val l = s.read.format("graft.sources.GraftLogSource").load(s"$base/even")
+      val r = s.read.format("graft.sources.GraftLogSource").load(s"$base/odd")
+      l.as("l").join(r.as("r"),
+          $"l.ub" === $"r.ub" && $"l.user_id" === $"r.user_id")
+        .select($"l.ub".as("ub"), $"l.user_id".as("user_id"))
+        .groupBy($"ub", $"user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    }),
+
     // Watermark advisor: an event's lateness is how far the
     // event-time high-water mark (the max ts among events that
     // ARRIVED before it — arrival order = event_id, the log's append
@@ -633,6 +674,15 @@ object OpsQueries {
           JOIN nd nb ON nb.source = e.src_b
           LEFT JOIN ix i ON i.src_a = e.src_a AND i.src_b = e.src_b
           ORDER BY e.src_a, e.src_b""",
+
+    "q163_graftlog_spj" ->
+      """WITH a AS (SELECT user_id, count(*) AS na FROM events
+                    WHERE event_id % 2 = 0 GROUP BY user_id),
+            b AS (SELECT user_id, count(*) AS nb FROM events
+                    WHERE event_id % 2 = 1 GROUP BY user_id)
+         SELECT a.user_id % 16 AS ub, a.user_id, a.na * b.nb AS n_pairs
+         FROM a JOIN b ON a.user_id = b.user_id
+         ORDER BY a.user_id""",
 
     "q159_graftlog_stats" ->
       """SELECT count(*) AS n_events, min(event_id) AS min_id,

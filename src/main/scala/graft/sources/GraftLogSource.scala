@@ -62,12 +62,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * I/O optimization and can never change results.
   */
 class GraftLogSource extends TableProvider {
+  private def bucketed(path: String, opts: util.Map[String, String]): Boolean =
+    opts.containsKey("bucketBy") || GraftLog.isBucketed(path)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLog.schema
+    if (bucketed(options.get("path"), options)) GraftLog.bucketedSchema
+    else GraftLog.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftLogTable(properties.get("path"))
+    new GraftLogTable(properties.get("path"),
+      bucketed(properties.get("path"), properties))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -80,14 +85,29 @@ object GraftLog {
     StructField("event_type", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  /** Schema of a BUCKETED graftlog table: the base columns plus the
+    * bucket column `ub = floorMod(user_id, buckets)`. ub is layout
+    * metadata promoted to a first-class column (the Hive-bucketing
+    * contract made explicit): it is constant per shard, so it is
+    * stored once in the sidecar — never per line — and materialized
+    * by the reader. Joining two same-`buckets` tables on
+    * `(ub, user_id)` is semantically identical to joining on
+    * `user_id` (ub is a pure function of user_id) and is what lets
+    * the scan's reported KeyGroupedPartitioning eliminate the join
+    * shuffle entirely (storage-partitioned join). */
+  val bucketedSchema: StructType =
+    StructType(schema.fields :+ StructField("ub", LongType, nullable = false))
+
   /** Shards opened by readers since the last reset — the spec's
     * pruning probe (a SparkListener would work too; a counter keeps
     * the assertion exact under local[*]). */
   val filesOpened = new AtomicLong(0)
 
   /** A shard plus its sidecar stats (None = sidecar missing: the
-    * shard is readable but unprunable and cannot serve aggregates). */
-  case class ShardInfo(file: String, stats: Option[(Long, Long, Long)]) {
+    * shard is readable but unprunable and cannot serve aggregates)
+    * and, for bucketed layouts, its bucket value. */
+  case class ShardInfo(file: String, stats: Option[(Long, Long, Long)],
+      ub: Option[Long] = None) {
     def bytes: Long = Files.size(Paths.get(file))
   }
 
@@ -101,15 +121,27 @@ object GraftLog {
       .filter(_.toString.endsWith(".graftlog")).toSeq.sortBy(_.toString)
       .map { shard =>
         val meta = Paths.get(shard.toString.stripSuffix(".graftlog") + ".meta")
-        val stats =
-          if (!Files.exists(meta)) None
-          else {
-            val p = new String(Files.readAllBytes(meta),
-              StandardCharsets.UTF_8).trim.split('|')
-            Some((p(0).toLong, p(1).toLong, p(2).toLong))
-          }
-        ShardInfo(shard.toString, stats)
+        if (!Files.exists(meta)) ShardInfo(shard.toString, None)
+        else {
+          val p = new String(Files.readAllBytes(meta),
+            StandardCharsets.UTF_8).trim.split('|')
+          ShardInfo(shard.toString,
+            Some((p(0).toLong, p(1).toLong, p(2).toLong)),
+            if (p.length > 3) Some(p(3).toLong) else None)
+        }
       }
+  }
+
+  /** A directory is a bucketed table iff it has shards and every
+    * sidecar carries a bucket value — one manifest read, the same
+    * cost planning already pays. An empty/new dir is decided by the
+    * writer's options instead. */
+  def isBucketed(path: String): Boolean = {
+    val dir = Paths.get(path)
+    Files.isDirectory(dir) && {
+      val shards = listShards(path)
+      shards.nonEmpty && shards.forall(_.ub.isDefined)
+    }
   }
 
   /** Write rows as `.graftlog` shards + `.meta` sidecars
@@ -134,36 +166,54 @@ object GraftLog {
   }
 }
 
-class GraftLogTable(path: String) extends Table
+class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   require(path != null, "graftlog source requires a path")
   override def name(): String = s"graftlog($path)"
-  override def schema(): StructType = GraftLog.schema
+  override def schema(): StructType =
+    if (bucketed) GraftLog.bucketedSchema else GraftLog.schema
+  override def partitioning(): Array[Transform] =
+    if (bucketed) Array(Expressions.identity("ub")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path,
+    new GraftLogScanBuilder(path, schema(),
       Option(options.get("maxShardsPerTrigger")).map(_.toInt))
 
   /** Batch write: `df.write.format("graft.sources.GraftLogSource")
     * .mode("append").save(dir)`. The arriving schema must BE the
     * graftlog schema — this is a fixed-format sink, not a generic
     * one; a mismatch is a pipeline bug better thrown at plan time
-    * than parsed wrong at read time. */
+    * than parsed wrong at read time.
+    *
+    * Bucketed layout: `.option("bucketBy", "user_id")
+    * .option("buckets", n)` — the input must carry the bucket column
+    * `ub = floorMod(user_id, n)` (validated row-by-row at write:
+    * a wrong ub would silently break every storage-partitioned join
+    * downstream, so it is a write-time error, not a read-time
+    * surprise). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Spark's own analysis already rejects name/type mismatches
     // against schema() (INCOMPATIBLE_DATA_FOR_TABLE); this require is
     // the backstop for column-ORDER drift, which resolution-by-name
     // would otherwise let through to positional writers.
+    val want = schema().fields.map(f => (f.name, f.dataType)).toSeq
     val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-    val want = GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq
     require(got == want,
-      s"graftlog sink needs schema ${GraftLog.schema.simpleString}, " +
+      s"graftlog sink needs schema ${schema().simpleString}, " +
         s"got ${info.schema().simpleString}")
     val shards = Option(info.options().get("shards")).map(_.toInt)
+    val buckets = Option(info.options().get("buckets")).map(_.toInt)
+    if (bucketed) {
+      require(Option(info.options().get("bucketBy")).contains("user_id"),
+        "bucketed graftlog writes support bucketBy=user_id only")
+      require(buckets.exists(_ > 0),
+        "bucketed graftlog writes need .option(\"buckets\", n > 0)")
+    }
     new WriteBuilder {
-      override def build(): Write = new GraftLogWrite(path, shards)
+      override def build(): Write =
+        new GraftLogWrite(path, shards, if (bucketed) buckets else None)
     }
   }
 }
@@ -176,27 +226,43 @@ class GraftLogTable(path: String) extends Table
   * power is a property of the layout) enforced BY the connector
   * instead of hoped for from the caller. A writer that forgets to
   * pre-shape its data still produces a well-clustered log. */
-class GraftLogWrite(path: String, shards: Option[Int] = None)
+class GraftLogWrite(path: String, shards: Option[Int] = None,
+    buckets: Option[Int] = None)
     extends Write with RequiresDistributionAndOrdering {
   private val byEventId: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("event_id"),
       SortDirection.ASCENDING))
+  // Bucketed layout: cluster on ub (every bucket lands WHOLE in one
+  // write task) and sort (ub, event_id) within the task, so the
+  // writer rolls to a new shard on each ub change and every shard is
+  // single-bucket + event_id-clustered — co-location for the
+  // storage-partitioned join AND sharp sidecar ranges, both declared
+  // at the DSv2 seam and planned by Catalyst.
+  private val byBucketThenEventId: Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("ub"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("event_id"),
+      SortDirection.ASCENDING))
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(byEventId)
-  override def requiredOrdering(): Array[SortOrder] = byEventId
+    if (buckets.isDefined)
+      Distributions.clustered(Array(Expressions.column("ub")))
+    else Distributions.ordered(byEventId)
+  override def requiredOrdering(): Array[SortOrder] =
+    if (buckets.isDefined) byBucketThenEventId else byEventId
   // `.option("shards", n)` pins the shard count; the default 0 lets
   // the planner (and AQE coalescing) size the exchange — a tiny
   // write legitimately lands in one shard, a 100 TB one in thousands
-  override def requiredNumPartitions(): Int = shards.getOrElse(0)
-  override def toBatch: BatchWrite = new GraftLogBatchWrite(path)
+  override def requiredNumPartitions(): Int =
+    buckets.orElse(shards).getOrElse(0)
+  override def toBatch: BatchWrite = new GraftLogBatchWrite(path, buckets)
   override def description(): String = s"graftlog write $path"
 }
 
-class GraftLogBatchWrite(path: String) extends BatchWrite {
+class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new GraftLogWriterFactory(path)
+    new GraftLogWriterFactory(path, buckets)
   }
   // Per-shard visibility is handled at the task seam (tmp file +
   // atomic rename in DataWriter.commit; Spark's output commit
@@ -209,10 +275,13 @@ class GraftLogBatchWrite(path: String) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GraftLogWriterFactory(path: String) extends DataWriterFactory {
+class GraftLogWriterFactory(path: String, buckets: Option[Int] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new GraftLogWriter(path, partitionId, taskId)
+      taskId: Long): DataWriter[InternalRow] = buckets match {
+    case Some(n) => new GraftLogBucketedWriter(path, partitionId, taskId, n)
+    case None => new GraftLogWriter(path, partitionId, taskId)
+  }
 }
 
 case class GraftLogCommitMessage(file: String, rows: Long,
@@ -225,9 +294,13 @@ case class GraftLogCommitMessage(file: String, rows: Long,
   * crash between the two leaves a readable, merely unprunable shard,
   * never a torn or half-visible one. Min/max/count accumulate while
   * writing — stats cost nothing extra. */
-class GraftLogWriter(dir: String, pid: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  private val tmp = Paths.get(dir, f".shard-$pid%05d-$taskId.tmp")
+class GraftLogWriter(dir: String, pid: Int, taskId: Long,
+    shardUb: Option[Long] = None) extends DataWriter[InternalRow] {
+  // one shard per (partition, bucket) under a bucketed layout — the
+  // bucket lands whole in one partition, so the name stays unique
+  private val stem = shardUb.fold(f"shard-$pid%05d")(u =>
+    f"shard-$pid%05d-b$u%05d")
+  private val tmp = Paths.get(dir, f".$stem-$taskId.tmp")
   private val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
   private var n = 0L
   private var mn = Long.MaxValue
@@ -236,7 +309,9 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long)
   override def write(r: InternalRow): Unit = {
     val id = r.getLong(0)
     // TimestampType's internal representation IS micros-since-epoch —
-    // the format's ts_us column, no conversion
+    // the format's ts_us column, no conversion. ub (bucketed layout)
+    // is NOT written per line: it is constant per shard and lives in
+    // the sidecar; the reader re-materializes it.
     out.write(s"$id|${r.getLong(1)}|${r.getLong(2)}|" +
       s"${r.getUTF8String(3)}|${r.getDouble(4)}\n")
     if (id < mn) mn = id
@@ -250,11 +325,12 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long)
       Files.deleteIfExists(tmp)
       GraftLogCommitMessage("", 0L, 0L, 0L)
     } else {
-      val shard = Paths.get(dir, f"shard-$pid%05d.graftlog")
+      val shard = Paths.get(dir, s"$stem.graftlog")
       Files.move(tmp, shard,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Files.write(Paths.get(dir, f"shard-$pid%05d.meta"),
-        s"$mn|$mx|$n".getBytes(StandardCharsets.UTF_8))
+      val meta = s"$mn|$mx|$n" + shardUb.fold("")(u => s"|$u")
+      Files.write(Paths.get(dir, s"$stem.meta"),
+        meta.getBytes(StandardCharsets.UTF_8))
       GraftLogCommitMessage(shard.toString, n, mn, mx)
     }
   }
@@ -267,12 +343,54 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long)
   override def close(): Unit = ()
 }
 
+/** Bucketed-layout writer: the incoming partition is clustered on ub
+  * and sorted (ub, event_id) — both declared by [[GraftLogWrite]] and
+  * enforced by Catalyst's planned exchange — so this writer just
+  * rolls to a fresh shard whenever ub changes. Every shard is
+  * single-bucket; the sidecar's 4th field records the bucket, which
+  * is what the scan's KeyGroupedPartitioning is rebuilt from at read.
+  * ub is validated against floorMod(user_id, buckets) per row: a
+  * wrong bucket column would silently mis-route rows and corrupt
+  * every storage-partitioned join over the table. */
+class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
+    buckets: Int) extends DataWriter[InternalRow] {
+  private var cur: GraftLogWriter = _
+  private var curUb: Long = -1L
+  private val done = Seq.newBuilder[WriterCommitMessage]
+
+  override def write(r: InternalRow): Unit = {
+    val ub = r.getLong(5)
+    require(ub == java.lang.Math.floorMod(r.getLong(2), buckets.toLong),
+      s"row with user_id=${r.getLong(2)} carries ub=$ub, " +
+        s"expected floorMod(user_id, $buckets)")
+    if (cur == null || ub != curUb) {
+      if (cur != null) done += cur.commit()
+      cur = new GraftLogWriter(dir, pid, taskId, shardUb = Some(ub))
+      curUb = ub
+    }
+    cur.write(r)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val msgs = if (cur == null) done.result()
+      else { done += cur.commit(); done.result() }
+    GraftLogBucketedCommitMessage(msgs)
+  }
+
+  override def abort(): Unit = if (cur != null) cur.abort()
+  override def close(): Unit = ()
+}
+
+case class GraftLogBucketedCommitMessage(shards: Seq[WriterCommitMessage])
+    extends WriterCommitMessage
+
 class GraftLogScanBuilder(path: String,
+    tableSchema: StructType = GraftLog.schema,
     maxShardsPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = GraftLog.schema
+  private var required: StructType = tableSchema
   private var pushedAgg: Option[Seq[AggregateFunc]] = None
 
   /** Accept event_id comparisons for shard pruning; return EVERY
@@ -349,7 +467,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     required: StructType, maxShardsPerTrigger: Option[Int] = None,
     pushedAgg: Option[Seq[AggregateFunc]] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = pushedAgg match {
     // complete aggregate pushdown: the scan's output IS the final
     // aggregated row — count(*) is long, min/max(event_id) are long
@@ -375,7 +494,12 @@ class GraftLogScan(path: String, pushed: Array[Filter],
   private var runtimeIds: Option[Array[Long]] = None
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("event_id"))
+    // only offer the runtime-filter column if it survived pruning —
+    // Spark resolves these against the scan OUTPUT, so declaring a
+    // pruned column is an analysis error, not a no-op
+    if (required.fieldNames.contains("event_id"))
+      Array(Expressions.column("event_id"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("event_id", vs) =>
@@ -440,6 +564,41 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     }
   }
 
+  /** Bucket → shards grouping, present only when the layout supports
+    * a key-grouped read: every live shard carries a bucket AND the
+    * bucket column survives column pruning (the reported partition
+    * key must resolve against the scan output). Groups are sorted by
+    * bucket so both sides of a storage-partitioned join list their
+    * partitions in the same key order. */
+  private def bucketGroups: Option[Seq[(Long, Seq[GraftLog.ShardInfo])]] = {
+    val live = liveShards
+    if (live.nonEmpty && live.forall(_.ub.isDefined) &&
+        required.fieldNames.contains("ub"))
+      Some(live.groupBy(_.ub.get).toSeq.sortBy(_._1))
+    else None
+  }
+
+  /** The layout contract surfaced to Catalyst: a bucketed table reads
+    * as KeyGroupedPartitioning(identity(ub)) — one input partition
+    * per bucket, each declaring its key via HasPartitionKey — which
+    * is what lets two same-bucketed graftlog tables join WITHOUT any
+    * shuffle (storage-partitioned join) and a groupBy on (ub, ...)
+    * aggregate without an exchange. Anything else reads as unknown. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (pushedAgg.isDefined)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(1)
+    else bucketGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.identity("ub")), gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(liveShards.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     pushedAgg match {
       case Some(aggs) =>
@@ -456,8 +615,13 @@ class GraftLogScan(path: String, pushed: Array[Filter],
           case f => throw new IllegalStateException(s"unexpected agg $f")
         }.toArray
         Array(GraftLogAggPartition(values))
-      case None =>
-        liveShards.map(s => GraftLogPartition(s.file): InputPartition).toArray
+      case None => bucketGroups match {
+        case Some(gs) => gs.map { case (ub, ss) =>
+          GraftLogBucketPartition(ss.map(_.file), ub): InputPartition
+        }.toArray
+        case None => liveShards
+          .map(s => GraftLogPartition(s.file, s.ub): InputPartition).toArray
+      }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -469,7 +633,17 @@ class GraftLogScan(path: String, pushed: Array[Filter],
 case class GraftLogAggPartition(values: Array[Option[Long]])
     extends InputPartition
 
-case class GraftLogPartition(file: String) extends InputPartition
+case class GraftLogPartition(file: String, ub: Option[Long] = None)
+    extends InputPartition
+
+/** One whole bucket of a bucketed table — its partition key is what
+  * Spark's storage-partitioned-join machinery aligns across scans
+  * (`spark.sql.sources.v2.bucketing.enabled`). */
+case class GraftLogBucketPartition(files: Seq[String], ub: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](ub))
+}
 
 /** Streaming read of a graftlog directory: the offset is how many
   * shards (in name order) have been admitted — the FileStreamSource
@@ -535,8 +709,13 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
       Array[InputPartition] = {
     val s = start.asInstanceOf[GraftLogOffset].n
     val e = end.asInstanceOf[GraftLogOffset].n
+    // micro-batches of a bucketed dir still read shard-by-shard (no
+    // key grouping in a stream); the sidecar bucket rides along so a
+    // projected ub column materializes correctly
+    val ubByFile = GraftLog.listShards(path).map(i => i.file -> i.ub).toMap
     shardFiles.slice(s, e)
-      .map(f => GraftLogPartition(f): InputPartition).toArray
+      .map(f => GraftLogPartition(f, ubByFile.getOrElse(f, None))
+        : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -561,21 +740,29 @@ class GraftLogReaderFactory(requiredCols: Array[String])
             values.map(v => (v.map(Long.box).orNull): Any))
         override def close(): Unit = ()
       }
-    case GraftLogPartition(file) => new GraftLogReader(file, requiredCols)
+    case GraftLogPartition(file, ub) =>
+      new GraftLogReader(file, requiredCols, ub)
+    case GraftLogBucketPartition(files, ub) =>
+      new GraftLogBucketReader(files, requiredCols, ub)
   }
 }
 
-/** Line parser materializing ONLY the pruned columns. */
-class GraftLogReader(file: String, requiredCols: Array[String])
-    extends PartitionReader[InternalRow] {
+/** Line parser materializing ONLY the pruned columns. `ub` is the
+  * shard's bucket (sidecar-sourced, constant per shard) — emitted
+  * when the projection asks for the bucket column; never parsed from
+  * the line. */
+class GraftLogReader(file: String, requiredCols: Array[String],
+    ub: Option[Long] = None) extends PartitionReader[InternalRow] {
   GraftLog.filesOpened.incrementAndGet()
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
   private var row: InternalRow = _
 
   // required column -> source field index, resolved once per shard
+  // (bucketedSchema is the base schema plus ub at index 5, so this
+  // resolves both layouts)
   private val srcIdx: Array[Int] =
-    requiredCols.map(c => GraftLog.schema.fieldIndex(c))
+    requiredCols.map(c => GraftLog.bucketedSchema.fieldIndex(c))
 
   override def next(): Boolean = {
     if (!it.hasNext) return false
@@ -591,6 +778,8 @@ class GraftLogReader(file: String, requiredCols: Array[String])
         case 2 => parts(2).toLong
         case 3 => UTF8String.fromString(parts(3))
         case 4 => parts(4).toDouble
+        case 5 => ub.getOrElse(throw new IllegalStateException(
+          s"projection asked for ub but shard $file has no bucket sidecar"))
       }
       i += 1
     }
@@ -600,4 +789,23 @@ class GraftLogReader(file: String, requiredCols: Array[String])
 
   override def get(): InternalRow = row
   override def close(): Unit = lines.close()
+}
+
+/** A whole bucket: its shard files read back to back. */
+class GraftLogBucketReader(files: Seq[String], requiredCols: Array[String],
+    ub: Long) extends PartitionReader[InternalRow] {
+  private val iter = files.iterator
+  private var cur: GraftLogReader = _
+
+  override def next(): Boolean = {
+    while (cur == null || !cur.next()) {
+      if (cur != null) cur.close()
+      if (!iter.hasNext) { cur = null; return false }
+      cur = new GraftLogReader(iter.next(), requiredCols, Some(ub))
+    }
+    true
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }

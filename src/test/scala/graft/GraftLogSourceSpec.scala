@@ -331,4 +331,108 @@ class GraftLogSourceSpec extends SparkSuite {
       java.nio.file.Files.list(java.nio.file.Paths.get(out))
         .iterator().asScala.isEmpty)
   }
+
+  // ---- bucketed layout + storage-partitioned join ----
+
+  /** 300 rows across 30 users → two bucketed tables (even/odd ids).
+    * user_id = i/10 so every user has events of BOTH parities (i%30
+    * would tie user parity to event parity and empty the join). */
+  private def writeBucketedPair(buckets: Int): (String, String) = {
+    val base = tmpDir("graftlog_spj_").toString
+    val src = (0L until 300L).map(i =>
+      (i, 1700000000000000L + i * 1000000L, i / 10, s"t${i % 3}", i * 0.5))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id",
+        $"event_type", $"value",
+        pmod($"user_id", lit(buckets.toLong)).as("ub"))
+    def sink(df: org.apache.spark.sql.DataFrame, out: String): Unit =
+      df.write.format(fmt).mode("append")
+        .option("bucketBy", "user_id").option("buckets", buckets).save(out)
+    sink(src.filter($"event_id" % 2 === 0), s"$base/even")
+    sink(src.filter($"event_id" % 2 === 1), s"$base/odd")
+    (s"$base/even", s"$base/odd")
+  }
+
+  test("bucketed write: one single-bucket shard per bucket, sidecar carries it") {
+    val (even, _) = writeBucketedPair(8)
+    val shards = GraftLog.listShards(even)
+    assert(shards.nonEmpty && shards.forall(_.ub.isDefined))
+    assert(shards.map(_.ub.get).sorted === (0L until 8L))
+    assert(GraftLog.isBucketed(even))
+    // the bucket column materializes from the sidecar and obeys the
+    // layout function
+    val df = spark.read.format(fmt).load(even)
+    assert(df.schema === GraftLog.bucketedSchema)
+    assert(df.filter($"ub" =!= pmod($"user_id", lit(8L))).isEmpty)
+  }
+
+  test("bucketed write rejects a wrong bucket column at the task") {
+    val out = tmpDir("graftlog_badub_").toString
+    val bad = Seq((1L, 1700000000000000L, 5L, "t0", 1.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id",
+        $"event_type", $"value", lit(3L).as("ub")) // 5 % 8 = 5, not 3
+    val e = intercept[Exception] {
+      bad.write.format(fmt).mode("append")
+        .option("bucketBy", "user_id").option("buckets", 8).save(out)
+    }
+    assert(e.getMessage.contains("expected floorMod") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected floorMod")),
+      e.getMessage)
+  }
+
+  test("storage-partitioned join plans ZERO exchanges and is value-exact") {
+    val (even, odd) = writeBucketedPair(8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = spark.read.format(fmt).load(even)
+      val r = spark.read.format(fmt).load(odd)
+      val j = l.as("l").join(r.as("r"),
+          $"l.ub" === $"r.ub" && $"l.user_id" === $"r.user_id")
+        .select($"l.ub".as("ub"), $"l.user_id".as("user_id"))
+        .groupBy($"ub", $"user_id").agg(count(lit(1)).as("n_pairs"))
+      val got = j.collect()
+        .map(x => (x.getLong(1), x.getLong(2))).sorted.toSeq
+      // the whole join+aggregate pipeline rides the reported
+      // KeyGroupedPartitioning: no Exchange anywhere in the final plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free storage-partitioned join:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(plan).nonEmpty,
+        s"expected a non-broadcast join:\n$plan")
+      // exact answer: 5 even and 5 odd events per user → 25 pairs
+      assert(got === (0L until 30L).map(u => (u, 25L)))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("the SPJ needs the bucketing conf: disabled, the same join shuffles") {
+    val (even, odd) = writeBucketedPair(8)
+    val prevB = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = spark.read.format(fmt).load(even)
+      val r = spark.read.format(fmt).load(odd)
+      val j = l.as("l").join(r.as("r"),
+          $"l.ub" === $"r.ub" && $"l.user_id" === $"r.user_id")
+        .groupBy($"l.user_id").agg(count(lit(1)))
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
+  test("pruning ub from the projection falls back to per-shard partitions") {
+    val (even, _) = writeBucketedPair(8)
+    // no ub in the output: the scan cannot report a key grouping the
+    // plan could resolve, so it reads shard-by-shard — still correct
+    val n = spark.read.format(fmt).load(even)
+      .select($"event_id").count()
+    assert(n === 150L)
+  }
 }
