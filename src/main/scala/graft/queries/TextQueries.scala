@@ -687,6 +687,52 @@ object TextQueries {
         .orderBy($"source", $"split")
     }),
 
+    // Leakage-safe train/val/test splits: q129's deterministic salted
+    // cut, keyed by the near-dup CLUSTER instead of the document — a
+    // near-duplicate of a training doc landing in val/test is
+    // memorization leakage that inflates eval (the q72/q73
+    // decontamination failure mode arising from the split itself).
+    // Every doc's split key is its cluster representative
+    // (coalesce(cluster_id, doc_id): singletons key on themselves),
+    // so a whole near-dup cluster moves as one unit and a crossing
+    // pair is IMPOSSIBLE by construction — and the output proves it:
+    // cross_pairs (near-dup pairs whose endpoints landed in different
+    // splits) is computed from the verified pair list and sits in the
+    // hash-gated row as 0. Plan: the q75 label propagation + one
+    // hash-classify projection + one aggregate; the pair list is
+    // localCheckpointed once and reused for labels and the audit.
+    // Oracle note: same banding-recall assumption as q75/q125 (LSH
+    // pairs vs the oracle's exact all-pairs closure — equal on this
+    // corpus, pinned in MinHashSpec).
+    "q164_leakage_safe_splits" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val edges = graft.dedup.Dedup
+        .minhashNearDupPairs(docs, "doc_id", "text", 0.8)
+        .select($"id_a", $"id_b").localCheckpoint()
+      val labeled = graft.dedup.ConnectedComponents.label(edges)
+        .withColumnRenamed("id", "doc_id")
+      val assigned = docs.select($"doc_id")
+        .join(labeled, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("gid"))
+        .withColumn("h",
+          hash60(concat($"gid".cast("string"), lit("_gsplit"))) % 100)
+        .withColumn("split", when($"h" < 98, "train")
+          .when($"h" === 98, "val").otherwise("test"))
+      val cross = edges
+        .join(assigned.select($"doc_id".as("id_a"), $"split".as("split_a")),
+          "id_a")
+        .join(assigned.select($"doc_id".as("id_b"), $"split".as("split_b")),
+          "id_b")
+        .filter($"split_a" =!= $"split_b")
+        .agg(count(lit(1)).as("cross_pairs"))
+      assigned.groupBy($"split")
+        .agg(countDistinct($"gid").as("n_groups"),
+          count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cross))
+        .orderBy($"split")
+    }),
+
     // Bigram language-model quality gate: mean Laplace-smoothed
     // bigram probability P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) under the
     // corpus's own LM — the perplexity-style fluency signal, kept in
@@ -1941,6 +1987,44 @@ object TextQueries {
          SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
          FROM lab l JOIN sz s USING (cluster_id)
          ORDER BY doc_id""",
+    "q164_leakage_safe_splits" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+               FROM w),
+         e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM d a JOIN d b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                        - len(list_intersect(a.sh, b.sh))::DOUBLE) >= 0.8),
+         sym AS (SELECT ia, ib FROM e UNION SELECT ib AS ia, ia AS ib FROM e),
+         reach(id, r) AS (
+           SELECT ia, ib FROM sym
+           UNION
+           SELECT s.ia, reach.r FROM sym s JOIN reach ON s.ib = reach.id),
+         lab AS (SELECT id, least(min(r), id) AS cluster_id
+                 FROM reach GROUP BY id),
+         g AS (SELECT doc.doc_id,
+                 coalesce(l.cluster_id, doc.doc_id) AS gid
+               FROM documents doc LEFT JOIN lab l ON l.id = doc.doc_id),
+         a AS (SELECT doc_id, gid,
+                 CASE WHEN h < 98 THEN 'train' WHEN h = 98 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM (SELECT doc_id, gid,
+                       CAST('0x' || substr(md5(gid::VARCHAR || '_gsplit'),
+                         1, 15) AS BIGINT) % 100 AS h
+                     FROM g) t),
+         x AS (SELECT count(*) AS cross_pairs
+               FROM e JOIN a aa ON aa.doc_id = e.ia
+                      JOIN a ab ON ab.doc_id = e.ib
+               WHERE aa.split <> ab.split)
+         SELECT a.split, count(DISTINCT a.gid) AS n_groups,
+                count(*) AS n_docs,
+                (SELECT cross_pairs FROM x) AS cross_pairs
+         FROM a GROUP BY a.split ORDER BY a.split""",
+
     "q28_minhash_neardup" -> (
       docSets +
       """ SELECT a.doc_id AS id_a, b.doc_id AS id_b,

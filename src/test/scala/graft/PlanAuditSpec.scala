@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSuite {
     // q162: the source-pair product runs over #sources SKETCH rows
     // (k longs each — the whole point of the sketch), the q54 bound;
     // the exact-intersection leg is an equi-join on the shingle hash.
-    "q162_kmv_source_overlap")
+    "q162_kmv_source_overlap",
+    // q164: the leakage audit rides as a broadcast 1-ROW frame
+    // (the q103/q111 scalar-stats pattern).
+    "q164_leakage_safe_splits")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,

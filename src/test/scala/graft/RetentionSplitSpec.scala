@@ -37,6 +37,48 @@ class RetentionSplitSpec extends SparkSuite {
     assert(train.toDouble / total > 0.9, s"train fraction ${train}/$total")
   }
 
+  test("q164: splits partition the corpus and no near-dup pair crosses") {
+    val rows = SparkEntry.queries("q164_leakage_safe_splits")(spark, sf0001)
+      .collect()
+    assert(rows.forall(_.getAs[Long]("cross_pairs") == 0L),
+      "a near-dup pair crossed the split boundary")
+    val nDocs = Tables.table(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // groups never straddle splits, so n_groups sums to the number of
+    // distinct cluster representatives
+    assert(rows.map(_.getAs[Long]("n_groups")).sum <= nDocs)
+  }
+
+  test("q164 policy: doc-keyed hashing CAN split a pair; group-keyed cannot") {
+    // the failure mode the operator exists to close, demonstrated on
+    // a planted pair list (i, i+1000): under the naive per-DOC salted
+    // hash some pair lands in two different splits (≈4% of pairs at
+    // a 98/1/1 cut), while keying both endpoints on the group
+    // representative makes a crossing structurally impossible
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions.hash60
+    def split(key: org.apache.spark.sql.Column) = {
+      val h = hash60(concat(key.cast("string"), lit("_gsplit"))) % 100
+      when(h < 98, "train").when(h === 98, "val").otherwise("test")
+    }
+    val pairs = (0L until 1000L).map(i => (i, i + 1000L)).toDF("a", "b")
+    val naiveCross = pairs
+      .filter(split($"a") =!= split($"b")).count()
+    assert(naiveCross > 0, "expected the naive policy to split some pair")
+    // group policy, through the operator's own join shape: each doc
+    // row carries its group representative (min id of its pair) and
+    // is split on THAT; the pair audit then joins each endpoint's
+    // assignment independently
+    val docs = (0L until 2000L).map(i => (i, i % 1000L)).toDF("id", "gid")
+      .withColumn("split", split($"gid"))
+    val groupCross = pairs
+      .join(docs.select($"id".as("a"), $"split".as("sa")), "a")
+      .join(docs.select($"id".as("b"), $"split".as("sb")), "b")
+      .filter($"sa" =!= $"sb").count()
+    assert(groupCross == 0)
+  }
+
   test("q128: overlap counts are within [0, 10]") {
     val o = SparkEntry.queries("q128_matryoshka_recall")(spark, sf0001)
       .collect().map(_.getLong(1))
