@@ -312,6 +312,36 @@ object OpsQueries {
         .orderBy($"user_id")
     }),
 
+    // Storage-partitioned AGGREGATE — q163's economics for the
+    // single-table rollup: a per-user aggregate over a bucketed
+    // graftlog table needs no exchange at all, because the scan's
+    // KeyGroupedPartitioning(identity(ub)) already satisfies the
+    // aggregate's clustered-distribution requirement for grouping
+    // keys (ub, user_id) ⊇ (ub) — rows of one user never span
+    // partitions, so partial = final and the plan is scan → one
+    // HashAggregate (GraftLogSourceSpec pins the exchange-free agg).
+    // At 100 TB: the daily per-user/per-entity rollups a platform
+    // recomputes forever run at scan speed on a co-bucketed log —
+    // no shuffle capacity consumed at all. Verified output: per-user
+    // event count + exact decimal value total through
+    // write → bucket → key-grouped scan → aggregate.
+    "q165_graftlog_bucket_agg" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_spa_${runId.incrementAndGet()}_")
+        .toString
+      Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .withColumn("ub", pmod($"user_id", lit(16L)))
+        .write.format("graft.sources.GraftLogSource").mode("append")
+        .option("bucketBy", "user_id").option("buckets", 16).save(base)
+      s.read.format("graft.sources.GraftLogSource").load(base)
+        .groupBy($"ub", $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Q.dsum($"value").as("total_value"))
+        .orderBy($"user_id")
+    }),
+
     // Watermark advisor: an event's lateness is how far the
     // event-time high-water mark (the max ts among events that
     // ARRIVED before it — arrival order = event_id, the log's append
@@ -674,6 +704,11 @@ object OpsQueries {
           JOIN nd nb ON nb.source = e.src_b
           LEFT JOIN ix i ON i.src_a = e.src_a AND i.src_b = e.src_b
           ORDER BY e.src_a, e.src_b""",
+
+    "q165_graftlog_bucket_agg" ->
+      s"""SELECT user_id % 16 AS ub, user_id, count(*) AS n_events,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q163_graftlog_spj" ->
       """WITH a AS (SELECT user_id, count(*) AS na FROM events

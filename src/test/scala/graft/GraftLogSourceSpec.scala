@@ -427,6 +427,19 @@ class GraftLogSourceSpec extends SparkSuite {
     }
   }
 
+  test("per-user aggregate over one bucketed table plans no exchange") {
+    val (even, _) = writeBucketedPair(8)
+    val a = spark.read.format(fmt).load(even)
+      .groupBy($"ub", $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val got = a.collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"expected the key-grouped scan to satisfy the aggregate:\n$plan")
+    // 5 even events per user
+    assert(got.toSeq === (0L until 30L).map(u => (u, 5L)))
+  }
+
   test("pruning ub from the projection falls back to per-shard partitions") {
     val (even, _) = writeBucketedPair(8)
     // no ub in the output: the scan cannot report a key grouping the
