@@ -508,6 +508,37 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // Manifest-sorted top-k through the DSv2 limit/top-n pushdown
+    // seam: ORDER BY event_id [DESC] LIMIT k over the re-sharded log
+    // is answered by opening only the head (tail) shards — the scan
+    // accepts a pushed top-n on the clustering key, verifies the
+    // sidecar ranges are disjoint at plan time, and plans just the
+    // shards whose row counts cover k (GraftLogSourceSpec pins 1 of 4
+    // shards opened; selection self-disables on overlapping ranges).
+    // Both pushdowns are PARTIAL — Spark's TakeOrderedAndProject
+    // stays above the scan, so selection is pure I/O. At 100 TB this
+    // is "show me the first/last k events of the log" priced at one
+    // manifest read + ⌈k/rows-per-shard⌉ shard opens instead of a
+    // full scan — the lakehouse head/tail query. The oracle replays
+    // both legs from the parquet twin, so shard selection is proven
+    // value-exact, not just cheap.
+    "q166_graftlog_topn" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_log_topn_${runId.incrementAndGet()}_")
+        .toString
+      Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 32).save(out)
+      val log = s.read.format("graft.sources.GraftLogSource").load(out)
+      val head = log.orderBy($"event_id").limit(25)
+        .select(lit("head").as("leg"), $"event_id", $"user_id", $"event_type")
+      val tail = log.orderBy($"event_id".desc).limit(25)
+        .select(lit("tail").as("leg"), $"event_id", $"user_id", $"event_type")
+      head.unionByName(tail).orderBy($"leg", $"event_id")
+    }),
+
     // Blocklist screening — the C4/Dolma-style content-policy pass:
     // per source, how many docs contain any lexicon term and the
     // total term hits. The lexicon here is a 3-term stand-in riding
@@ -847,6 +878,14 @@ object OpsQueries {
           auditSql("lineitem", "l_orderkey"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
     },
+
+    "q166_graftlog_topn" ->
+      """SELECT 'head' AS leg, event_id, user_id, event_type
+         FROM (SELECT * FROM events ORDER BY event_id LIMIT 25)
+         UNION ALL
+         SELECT 'tail' AS leg, event_id, user_id, event_type
+         FROM (SELECT * FROM events ORDER BY event_id DESC LIMIT 25)
+         ORDER BY leg, event_id""",
 
     "q156_graftlog_scan" ->
       s"""SELECT event_type, count(*) AS n,

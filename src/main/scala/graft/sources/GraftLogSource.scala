@@ -52,6 +52,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    probe-id set under AQE, unreachable shards are dropped at
   *    executed-stage planning — dynamic partition pruning over the
   *    same sidecar ranges.
+  *  - **limit / top-n pushdown**: LIMIT n opens only shards covering
+  *    n rows (sidecar counts); ORDER BY event_id [DESC] LIMIT n opens
+  *    only the head (tail) shards when the sidecar ranges are
+  *    disjoint — both partial pushdowns, so Spark's own limit/top-k
+  *    above the scan keeps semantics and selection stays pure I/O.
+  *  - **reported ordering**: partitions read event_id-ascending (the
+  *    write path sorts shards), reported via SupportsReportOrdering so
+  *    redundant sorts above the scan are removed.
   *
   * Format: UTF-8 lines `event_id|ts_us|user_id|event_type|value`,
   * one shard per file, one InputPartition per shard (splittability
@@ -130,6 +138,20 @@ object GraftLog {
             if (p.length > 3) Some(p(3).toLong) else None)
         }
       }
+  }
+
+  /** First free shard index: one past the highest index any existing
+    * shard carries. Appends name their shards from here so a second
+    * batch write can never clobber an earlier one (ATOMIC_MOVE
+    * silently replaces on POSIX), and names stay monotonic with
+    * append order — the invariant the streaming offset (shard count
+    * in name order) relies on. */
+  def nextShardIndex(path: String): Int = {
+    val idx = """shard-(\d+)""".r
+    val existing = listShards(path).flatMap(s =>
+      idx.findFirstMatchIn(Paths.get(s.file).getFileName.toString)
+        .map(_.group(1).toInt))
+    if (existing.isEmpty) 0 else existing.max + 1
   }
 
   /** A directory is a bucketed table iff it has shards and every
@@ -262,7 +284,10 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new GraftLogWriterFactory(path, buckets)
+    // driver-side, once per write: appends start numbering past every
+    // existing shard so they can never clobber an earlier write and
+    // keep names monotonic with append order (streaming offset model)
+    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path))
   }
   // Per-shard visibility is handled at the task seam (tmp file +
   // atomic rename in DataWriter.commit; Spark's output commit
@@ -275,12 +300,13 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GraftLogWriterFactory(path: String, buckets: Option[Int] = None)
-    extends DataWriterFactory {
+class GraftLogWriterFactory(path: String, buckets: Option[Int] = None,
+    baseIndex: Int = 0) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = buckets match {
-    case Some(n) => new GraftLogBucketedWriter(path, partitionId, taskId, n)
-    case None => new GraftLogWriter(path, partitionId, taskId)
+    case Some(n) =>
+      new GraftLogBucketedWriter(path, baseIndex + partitionId, taskId, n)
+    case None => new GraftLogWriter(path, baseIndex + partitionId, taskId)
   }
 }
 
@@ -388,10 +414,56 @@ class GraftLogScanBuilder(path: String,
     tableSchema: StructType = GraftLog.schema,
     maxShardsPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var pushedAgg: Option[Seq[AggregateFunc]] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Boolean, Int)] = None // (ascending, n)
+
+  // both parent defaults return true; Scala requires the diamond be
+  // resolved explicitly. PARTIAL is the contract here: Spark keeps
+  // its own GlobalLimit / TakeOrdered above the scan, so shard
+  // selection stays an I/O optimization.
+  override def isPartiallyPushed(): Boolean = true
+
+  /** LIMIT pushdown — the "head of the log" I/O cut: with row counts
+    * in every sidecar, a LIMIT n needs only the first shards whose
+    * counts sum to n (any n rows satisfy an unordered LIMIT), and
+    * each opened reader stops emitting after n rows. Declared
+    * PARTIAL (`isPartiallyPushed` default true), so Spark keeps its
+    * GlobalLimit above the scan and shard selection can never change
+    * a result — it is purely "open 1 shard of 40 000". Refused under
+    * aggregate pushdown (the agg row is already O(1)); Spark itself
+    * never offers a limit while filters remain, and ours are always
+    * residuals. */
+  override def pushLimit(limit: Int): Boolean =
+    pushedAgg.isEmpty && limit > 0 && {
+      pushedLimit = Some(limit)
+      true
+    }
+
+  /** ORDER BY event_id [DESC] LIMIT n pushdown — the manifest-sorted
+    * top-k: the format clusters shards on event_id (the write path's
+    * RequiresDistributionAndOrdering), so when the sidecar ranges are
+    * disjoint the global top-n lives entirely in the first (or last)
+    * shards covering n rows. Accepted only for a single sort key on
+    * event_id; selection itself happens at plan time, where
+    * disjointness is verified against the sidecars — if an appended
+    * log has overlapping ranges the scan silently reads everything
+    * instead (partial pushdown: Spark's TakeOrderedAndProject above
+    * the scan makes selection an I/O optimization, never semantics). */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    pushedAgg.isEmpty && limit > 0 && orders.length == 1 && {
+      orders(0).expression() match {
+        case n: NamedReference if n.fieldNames.sameElements(Array("event_id")) =>
+          pushedTopN =
+            Some((orders(0).direction() == SortDirection.ASCENDING, limit))
+          true
+        case _ => false
+      }
+    }
 
   /** Accept event_id comparisons for shard pruning; return EVERY
     * filter as a residual so Spark re-applies them row-level —
@@ -460,15 +532,18 @@ class GraftLogScanBuilder(path: String,
     }
 
   override def build(): Scan =
-    new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg)
+    new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg,
+      pushedLimit, pushedTopN)
 }
 
 class GraftLogScan(path: String, pushed: Array[Filter],
     required: StructType, maxShardsPerTrigger: Option[Int] = None,
-    pushedAgg: Option[Seq[AggregateFunc]] = None)
+    pushedAgg: Option[Seq[AggregateFunc]] = None,
+    limit: Option[Int] = None,
+    topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = pushedAgg match {
     // complete aggregate pushdown: the scan's output IS the final
     // aggregated row — count(*) is long, min/max(event_id) are long
@@ -484,7 +559,11 @@ class GraftLogScan(path: String, pushed: Array[Filter],
   override def description(): String =
     s"graftlog $path pushed=[${pushed.mkString(",")}] " +
       s"cols=[${required.fieldNames.mkString(",")}]" +
-      pushedAgg.fold("")(a => s" PushedAggregates=[${a.mkString(",")}]")
+      pushedAgg.fold("")(a => s" PushedAggregates=[${a.mkString(",")}]") +
+      limit.fold("")(n => s" PushedLimit=$n") +
+      topN.fold("") { case (asc, n) =>
+        s" PushedTopN=[event_id ${if (asc) "ASC" else "DESC"} LIMIT $n]"
+      }
 
   /** Runtime filter delivered mid-query (AQE dynamic pruning): the
     * exact event_id set the join's build side produced. Shards whose
@@ -564,6 +643,97 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     }
   }
 
+  /** True iff every shard has a sidecar and the event_id ranges are
+    * pairwise disjoint once ordered by min — the layout property that
+    * makes "the top-n lives in the first shards" sound. A log written
+    * in one batch through [[GraftLogWrite]]'s ordered distribution has
+    * it by construction; a multi-append log may not, and then top-n
+    * selection self-disables. */
+  private def rangesDisjoint(shards: Seq[GraftLog.ShardInfo]): Boolean =
+    shards.forall(_.stats.isDefined) && {
+      val sorted = shards.map(_.stats.get).sortBy(_._1)
+      sorted.zip(sorted.drop(1)).forall { case ((_, mx, _), (mn2, _, _)) =>
+        mx < mn2
+      }
+    }
+
+  /** First shards of `shards` (already in priority order) whose
+    * sidecar row counts cover `n` rows. */
+  private def coverRows(shards: Seq[GraftLog.ShardInfo],
+      n: Long): Seq[GraftLog.ShardInfo] = {
+    var acc = 0L
+    val out = Seq.newBuilder[GraftLog.ShardInfo]
+    val it = shards.iterator
+    while (acc < n && it.hasNext) {
+      val s = it.next()
+      out += s
+      acc += s.stats.fold(Long.MaxValue)(_._3) // no sidecar: unknown → stop
+    }
+    out.result()
+  }
+
+  /** Live shards narrowed by a pushed LIMIT / top-n: both selections
+    * need complete sidecars (rows must be countable); top-n
+    * additionally needs disjoint ranges. Either condition failing
+    * falls back to every live shard — selection is an I/O
+    * optimization under a partial pushdown, so the fallback is
+    * always correct. */
+  private def selectedShards: Seq[GraftLog.ShardInfo] = {
+    val live = liveShards
+    topN match {
+      case Some((asc, n)) if rangesDisjoint(live) =>
+        val prio =
+          if (asc) live.sortBy(_.stats.get._1)
+          else live.sortBy(s => -s.stats.get._2)
+        coverRows(prio, n.toLong)
+      case _ => limit match {
+        case Some(n) if live.forall(_.stats.isDefined) => coverRows(live, n.toLong)
+        case _ => live
+      }
+    }
+  }
+
+  /** Per-reader row cap: under a pushed LIMIT (head rows — any rows
+    * satisfy an unordered limit) or an ASCENDING top-n (each shard is
+    * event_id-sorted by the format contract, so rows past the first n
+    * of a shard can never reach the global top-n). A DESCENDING top-n
+    * needs each shard's LAST n rows instead — [[GraftLogTailReader]].
+    */
+  private def headCap: Option[Int] = topN match {
+    case Some((true, n)) => Some(n)
+    case Some((false, _)) => None
+    case None => limit
+  }
+
+  /** Per-partition read order is event_id ASC whenever partitions
+    * read shards whose internal order (the format contract: the write
+    * path sorts on event_id) composes to a sorted partition:
+    * unbucketed partitions are single shards (always sorted); a
+    * bucket partition reads its shards back-to-back, so its ranges
+    * must be disjoint AND ascending in file order. Reported only when
+    * event_id survives column pruning (the ordering must resolve
+    * against the scan output) — what this buys the engine: a logical
+    * Sort on event_id over this scan is removed by EliminateSorts,
+    * and anything above consumes pre-sorted partitions for free. */
+  override def outputOrdering(): Array[SortOrder] = {
+    val ascOrder: Array[SortOrder] = Array(
+      Expressions.sort(Expressions.column("event_id"),
+        SortDirection.ASCENDING))
+    if (pushedAgg.isDefined || !required.fieldNames.contains("event_id"))
+      Array.empty
+    else bucketGroups match {
+      case Some(gs) =>
+        val ok = gs.forall { case (_, ss) =>
+          ss.forall(_.stats.isDefined) &&
+            ss.zip(ss.drop(1)).forall { case (a, b) =>
+              a.stats.get._2 < b.stats.get._1 // disjoint ASC in file order
+            }
+        }
+        if (ok) ascOrder else Array.empty
+      case None => ascOrder
+    }
+  }
+
   /** Bucket → shards grouping, present only when the layout supports
     * a key-grouped read: every live shard carries a bucket AND the
     * bucket column survives column pruning (the reported partition
@@ -596,7 +766,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
             Array(Expressions.identity("ub")), gs.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(liveShards.size)
+          .UnknownPartitioning(selectedShards.size)
     }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -619,8 +789,12 @@ class GraftLogScan(path: String, pushed: Array[Filter],
         case Some(gs) => gs.map { case (ub, ss) =>
           GraftLogBucketPartition(ss.map(_.file), ub): InputPartition
         }.toArray
-        case None => liveShards
-          .map(s => GraftLogPartition(s.file, s.ub): InputPartition).toArray
+        case None =>
+          val cap = headCap
+          val tailCap = topN.collect { case (false, n) => n }
+          selectedShards.map(s =>
+            GraftLogPartition(s.file, s.ub, cap, tailCap): InputPartition)
+            .toArray
       }
     }
 
@@ -633,7 +807,12 @@ class GraftLogScan(path: String, pushed: Array[Filter],
 case class GraftLogAggPartition(values: Array[Option[Long]])
     extends InputPartition
 
-case class GraftLogPartition(file: String, ub: Option[Long] = None)
+/** `headCap` keeps only the shard's first n rows (pushed LIMIT, or an
+  * ascending top-n riding the format's within-shard event_id order);
+  * `tailCap` keeps the LAST n rows (descending top-n) — mutually
+  * exclusive by construction. */
+case class GraftLogPartition(file: String, ub: Option[Long] = None,
+    headCap: Option[Int] = None, tailCap: Option[Int] = None)
     extends InputPartition
 
 /** One whole bucket of a bucketed table — its partition key is what
@@ -740,11 +919,51 @@ class GraftLogReaderFactory(requiredCols: Array[String])
             values.map(v => (v.map(Long.box).orNull): Any))
         override def close(): Unit = ()
       }
-    case GraftLogPartition(file, ub) =>
-      new GraftLogReader(file, requiredCols, ub)
+    case GraftLogPartition(file, ub, head, tail) =>
+      val base = new GraftLogReader(file, requiredCols, ub)
+      (head, tail) match {
+        case (Some(n), _) => new GraftLogHeadReader(base, n)
+        case (_, Some(n)) => new GraftLogTailReader(base, n)
+        case _ => base
+      }
     case GraftLogBucketPartition(files, ub) =>
       new GraftLogBucketReader(files, requiredCols, ub)
   }
+}
+
+/** Emit only the first n rows of the wrapped reader (pushed LIMIT /
+  * ascending top-n). */
+class GraftLogHeadReader(under: PartitionReader[InternalRow], n: Int)
+    extends PartitionReader[InternalRow] {
+  private var left = n
+  override def next(): Boolean = left > 0 && under.next() && { left -= 1; true }
+  override def get(): InternalRow = under.get()
+  override def close(): Unit = under.close()
+}
+
+/** Emit only the LAST n rows of the wrapped reader, in their stored
+  * (ascending) order — a descending top-n over an event_id-sorted
+  * shard wants the shard's tail. One pass, O(n) ring buffer; rows
+  * must be copied into the buffer (the underlying reader reuses its
+  * row object between `next` calls only if it does — ours allocates,
+  * but the copy keeps this wrapper safe for any reader). */
+class GraftLogTailReader(under: PartitionReader[InternalRow], n: Int)
+    extends PartitionReader[InternalRow] {
+  private var buf: java.util.ArrayDeque[InternalRow] = _
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (buf == null) {
+      buf = new java.util.ArrayDeque[InternalRow](n + 1)
+      while (under.next()) {
+        if (buf.size() == n) buf.removeFirst()
+        buf.addLast(under.get().copy())
+      }
+    }
+    if (buf.isEmpty) false
+    else { row = buf.removeFirst(); true }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = under.close()
 }
 
 /** Line parser materializing ONLY the pruned columns. `ub` is the

@@ -448,4 +448,100 @@ class GraftLogSourceSpec extends SparkSuite {
       .select($"event_id").count()
     assert(n === 150L)
   }
+
+  test("pushed LIMIT opens only the shards covering the limit") {
+    val dir = writeShards() // 4 shards of 100
+    GraftLog.filesOpened.set(0)
+    val df = spark.read.format(fmt).load(dir).limit(50)
+    val rows = df.collect()
+    assert(rows.length === 50)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit=50"))
+    // 50 rows fit in the first shard — 1 of 4 opened
+    assert(GraftLog.filesOpened.get() === 1, "limit selection did not prune")
+    // a limit spanning shards opens exactly as many as it needs
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir).limit(250).count() === 250)
+    assert(GraftLog.filesOpened.get() === 3)
+  }
+
+  test("ascending top-n opens only the head shards and matches the sort") {
+    val dir = writeShards()
+    GraftLog.filesOpened.set(0)
+    val df = spark.read.format(fmt).load(dir)
+      .orderBy($"event_id").limit(25)
+    val got = df.select($"event_id").as[Long].collect().toSeq
+    assert(got === (0L until 25L))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedTopN=[event_id ASC LIMIT 25]"))
+    assert(GraftLog.filesOpened.get() === 1,
+      "top-n should read the head shard only")
+  }
+
+  test("descending top-n opens only the tail shards") {
+    val dir = writeShards()
+    GraftLog.filesOpened.set(0)
+    val got = spark.read.format(fmt).load(dir)
+      .orderBy($"event_id".desc).limit(25)
+      .select($"event_id").as[Long].collect().toSeq
+    assert(got === (399L to 375L by -1L))
+    assert(GraftLog.filesOpened.get() === 1,
+      "descending top-n should read the tail shard only")
+  }
+
+  test("top-n selection self-disables on overlapping shard ranges") {
+    val dir = writeShards() // shards [0,99]..[300,399]
+    // append a shard whose range straddles the existing ones — a
+    // multi-writer log without global clustering
+    val stage = tmpDir("graftlog_ovl_").toString
+    // deterministic overlapping ids 150..249
+    val rows = (150L until 250L).map(i =>
+      (i, 1700000000000000L, i % 7, "tX", 0.0))
+    GraftLog.write(rows, stage, rowsPerShard = 100)
+    val p = java.nio.file.Paths.get(dir)
+    val sp = java.nio.file.Paths.get(stage)
+    java.nio.file.Files.move(sp.resolve("shard-00000.graftlog"),
+      p.resolve("shard-00009.graftlog"))
+    java.nio.file.Files.move(sp.resolve("shard-00000.meta"),
+      p.resolve("shard-00009.meta"))
+    GraftLog.filesOpened.set(0)
+    val got = spark.read.format(fmt).load(dir)
+      .orderBy($"event_id").limit(180)
+      .select($"event_id").as[Long].collect().toSeq
+    // duplicates 150..179 appear twice in the first 180 by event_id
+    val want = ((0L until 400L) ++ (150L until 250L)).sorted.take(180)
+    assert(got === want)
+    // selection disabled: every shard was read (correctness over I/O)
+    assert(GraftLog.filesOpened.get() === 5)
+  }
+
+  test("appends never clobber earlier shards") {
+    val srcDir = writeShards()
+    val src = spark.read.format(fmt).load(srcDir)
+    val out = tmpDir("graftlog_app_").toString
+    src.filter($"event_id" < 200L).write.format(fmt)
+      .mode("append").option("shards", 2).save(out)
+    src.filter($"event_id" >= 200L).write.format(fmt)
+      .mode("append").option("shards", 2).save(out)
+    // both writes survive: 4 distinct shards, 400 rows, ids intact
+    assert(GraftLog.listShards(out).size === 4)
+    val back = spark.read.format(fmt).load(out)
+    assert(back.count() === 400L)
+    assert(back.agg(min($"event_id"), max($"event_id")).as[(Long, Long)]
+      .head() === ((0L, 399L)))
+  }
+
+  test("reported ordering removes a redundant sort over the scan") {
+    val dir = writeShards()
+    val sorted = spark.read.format(fmt).load(dir)
+      .sortWithinPartitions($"event_id")
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), // SortExec prints as "Sort [...]"
+      s"expected the reported event_id ordering to absorb the sort:\n$plan")
+    assert(sorted.count() === 400L)
+    // negative control: ordering on any other column is NOT reported
+    val other = spark.read.format(fmt).load(dir)
+      .sortWithinPartitions($"user_id")
+    assert(other.queryExecution.executedPlan.toString.contains("Sort "),
+      "a user_id sort must stay — the scan only orders by event_id")
+  }
 }
