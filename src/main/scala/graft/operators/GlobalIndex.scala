@@ -64,4 +64,58 @@ object GlobalIndex {
           (col("__rid").bitwiseAND(lit(LocalMask))) + 1L)
       .drop("__rid")
   }
+
+  /** Append BOTH `seqCol` (1-based contiguous rank, as
+    * [[withGlobalSeq]]) and `sumCol` = running total of `value` under
+    * `order` — the distributed prefix sum, and the scale-safe
+    * replacement for `SUM(v) OVER (ORDER BY …)` with no PARTITION BY
+    * (a single-task window at 100 TB). Same two-phase shape: one
+    * range exchange + per-partition local running sums (a window
+    * partitioned BY the physical partition id — parallel), plus one
+    * bounded per-partition aggregate whose exclusive prefix totals
+    * ride back in as a map literal. `order` must be total; `value`
+    * must be integral (summed exactly as long — a double here would
+    * reintroduce order-dependent rounding, see [[graft.queries.Q.dsum]]).
+    * Primary consumer: vocabulary coverage curves (q167), where
+    * "smallest vocab reaching X‰ of tokens" is a predicate on the
+    * global cumulative frequency. */
+  def withGlobalCumSum(df: DataFrame, order: Seq[Column], value: Column,
+      sumCol: String = "global_csum",
+      seqCol: String = "global_seq"): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val pid = shiftright(col("__rid"), 33).cast("int")
+    // bounded collect: one (count, sum) per partition
+    val perPart = sorted.groupBy(pid.as("__pid"))
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var accC = 0L
+    var accS = 0L
+    val cOff = Map.newBuilder[Int, Long]
+    val sOff = Map.newBuilder[Int, Long]
+    (0 until n).foreach { p =>
+      cOff += p -> accC
+      sOff += p -> accS
+      val (pc, ps) = perPart.getOrElse(p, (0L, 0L))
+      accC += pc
+      accS += ps
+    }
+    // within-partition running sum: window partitioned by the PHYSICAL
+    // partition — every partition numbers itself in parallel. `order`
+    // is total, so the default RANGE frame has no peer groups.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pid).orderBy(order: _*)
+    sorted
+      .withColumn(seqCol, element_at(typedlit(cOff.result()), pid) +
+        (col("__rid").bitwiseAND(lit(LocalMask))) + 1L)
+      .withColumn(sumCol,
+        element_at(typedlit(sOff.result()), pid) + sum(col("__v")).over(w))
+      .drop("__rid", "__v")
+  }
 }

@@ -895,6 +895,46 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Vocabulary coverage curve — the tokenizer-sizing question: the
+    // smallest frequency-ranked vocabulary covering X‰ of all corpus
+    // token occurrences, for X ∈ {500, 900, 950, 990} (Zipf's tail is
+    // where BPE budgets go; this is the curve a vocab-size decision
+    // reads off). The global cumulative frequency over the (count
+    // DESC, token) order is a prefix sum NO single window can do at
+    // scale — GlobalIndex.withGlobalCumSum runs it as one range
+    // exchange + parallel per-partition running sums + a bounded
+    // per-partition offset table (the q93 zipWithIndex shape extended
+    // to sums). The per-target minimum is 4 conditional aggregates
+    // (no inequality join), unpivoted with stack and equi-joined back
+    // for the achieved coverage. Scale shape: token counts are one
+    // partial-aggregable GROUP BY; everything after runs on the
+    // VOCABULARY (≪ corpus, Heaps' law), and nothing touches a
+    // single-task window.
+    "q167_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val targets = Seq(500L, 900L, 950L, 990L)
+      val counts = Q.fanout(Tables.table(s, dir, "documents"))
+        .select(explode(words(normalizeText($"text"))).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.GlobalIndex.withGlobalCumSum(
+        counts, Seq($"n".desc, $"tok"), $"n",
+        sumCol = "csum", seqCol = "vocab_size")
+      // 1-row bounded aggregate: the corpus token total
+      val total = counts.agg(sum($"n")).as[Long].head()
+      val minCols = targets.map(t =>
+        min(when($"csum" * 1000 >= lit(t) * lit(total),
+          $"vocab_size")).as(s"v$t"))
+      val mins = ranked.agg(minCols.head, minCols.tail: _*)
+      val vs = mins.selectExpr(
+        s"stack(${targets.size}, " +
+          targets.map(t => s"${t}L, v$t").mkString(", ") +
+          ") AS (target_pm, vocab_size)")
+      vs.join(ranked.select($"vocab_size", $"csum"), "vocab_size")
+        .select($"target_pm", $"vocab_size",
+          expr(s"csum * 1000 div ${total}L").as("covered_pm"))
+        .orderBy($"target_pm")
+    }),
+
     // Engine-reproducible global shuffle: rows ordered by a salted
     // portable hash — the same pseudo-random training order on any
     // engine/cluster/re-run, unlike orderBy(rand()). One range
@@ -1339,6 +1379,31 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q167_vocab_coverage" ->
+      """WITH w AS (
+           SELECT string_split(trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         t AS (SELECT unnest(ws) AS tok FROM w),
+         c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+         g AS (SELECT tok, n,
+                      CAST(sum(n) OVER (ORDER BY n DESC, tok) AS BIGINT)
+                        AS csum,
+                      CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                        AS vocab_size
+               FROM c),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         tg AS (SELECT CAST(unnest([500, 900, 950, 990]) AS BIGINT)
+                  AS target_pm),
+         vs AS (SELECT target_pm, min(vocab_size) AS vocab_size
+                FROM g, tot, tg
+                WHERE csum * 1000 >= target_pm * total
+                GROUP BY target_pm)
+         SELECT vs.target_pm, vs.vocab_size,
+                CAST(g.csum * 1000 // tot.total AS BIGINT) AS covered_pm
+         FROM vs JOIN g USING (vocab_size), tot
+         ORDER BY vs.target_pm""",
+
     "q161_paragraph_dedup" ->
       """WITH w AS (
            SELECT doc_id,

@@ -62,6 +62,32 @@ class GlobalIndexSpec extends SparkSuite {
     assert(one === 1L)
   }
 
+  test("global_csum equals a single-partition running sum") {
+    // value = doc_id % 13 (skewed small longs); order total via doc_id
+    val df = docs.withColumn("v", pmod($"doc_id", lit(13L)))
+    val got = GlobalIndex.withGlobalCumSum(df,
+        Seq($"source", $"doc_id"), $"v")
+      .select($"doc_id", $"global_seq", $"global_csum")
+    val w = Window.orderBy($"source", $"doc_id")
+    val want = df.withColumn("global_seq", row_number().over(w).cast("long"))
+      .withColumn("global_csum", sum($"v").over(w))
+      .select($"doc_id", $"global_seq", $"global_csum")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("global_csum last value is the column total, first is its row") {
+    val df = spark.range(1000).select($"id",
+      (($"id" * 37L) % 101L).as("v"))
+    val cs = GlobalIndex.withGlobalCumSum(df, Seq($"v".desc, $"id"), $"v")
+    val total = df.agg(sum($"v")).as[Long].head()
+    val (firstV, firstC) = cs.filter($"global_seq" === 1L)
+      .select($"v", $"global_csum").as[(Long, Long)].head()
+    assert(firstC === firstV)
+    val lastC = cs.orderBy($"global_seq".desc).select($"global_csum")
+      .as[Long].head()
+    assert(lastC === total)
+  }
+
   test("fixed-size shards: every shard but the last has exactly k rows") {
     val k = 7L
     val shards = GlobalIndex.withGlobalSeq(docs, Seq($"doc_id"))
