@@ -17,6 +17,7 @@ object SparkEntry {
       graft.streaming.StreamStreamJoin.queries ++
       graft.streaming.StreamingUpsert.queries ++
       graft.streaming.StreamingIndexAppend.queries ++
+      graft.streaming.TypeCensus.queries ++
       graft.queries.OperatorQueries.queries ++
       graft.queries.HybridQueries.queries ++
       graft.queries.OpsQueries.queries
@@ -33,6 +34,7 @@ object SparkEntry {
       graft.streaming.StreamStreamJoin.oracles ++
       graft.streaming.StreamingUpsert.oracles ++
       graft.streaming.StreamingIndexAppend.oracles ++
+      graft.streaming.TypeCensus.oracles ++
       graft.queries.OperatorQueries.oracles ++
       graft.queries.HybridQueries.oracles ++
       graft.queries.OpsQueries.oracles
