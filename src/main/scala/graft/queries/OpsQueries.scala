@@ -508,6 +508,35 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // Shard compaction — the lakehouse OPTIMIZE on the custom format,
+    // verified value-exact end to end: the events log is ingested as
+    // 64 small shards (the small-files problem every streaming ingest
+    // accumulates), compacted through the connector's own read→write
+    // path into 8 (the V2 write re-clusters on event_id, so the
+    // compacted sidecar ranges are disjoint and every pruning tier
+    // stays sharp — GraftLogSourceSpec pins shard count, disjointness
+    // and post-compaction point-probe pruning), then aggregated. The
+    // oracle replays the census from the parquet twin: compaction
+    // changed the LAYOUT and nothing else. At 100 TB this is the
+    // nightly maintenance job that keeps manifest reads O(#shards)
+    // small and per-shard opens amortized.
+    "q169_graftlog_compact" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_log_cp_${runId.incrementAndGet()}_")
+        .toString
+      Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 64).save(out)
+      graft.sources.GraftLog.compact(s, out, 8)
+      s.read.format("graft.sources.GraftLogSource").load(out)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"),
+          max($"event_id").as("max_id"), Q.dsum($"value").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
     // Manifest-sorted top-k through the DSv2 limit/top-n pushdown
     // seam: ORDER BY event_id [DESC] LIMIT k over the re-sharded log
     // is answered by opening only the head (tail) shards — the scan
@@ -878,6 +907,12 @@ object OpsQueries {
           auditSql("lineitem", "l_orderkey"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
     },
+
+    "q169_graftlog_compact" ->
+      s"""SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+                 max(event_id) AS max_id,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q166_graftlog_topn" ->
       """SELECT 'head' AS leg, event_id, user_id, event_type

@@ -154,6 +154,56 @@ object GraftLog {
     if (existing.isEmpty) 0 else existing.max + 1
   }
 
+  /** Compact a small-shard log into `shards` large ones — the
+    * lakehouse OPTIMIZE for the format, run through the connector's
+    * own seams: the V2 read feeds the V2 write, whose
+    * RequiresDistributionAndOrdering re-clusters on event_id, so the
+    * compacted layout has disjoint sidecar ranges and every pruning
+    * tier (static, runtime, limit/top-n) stays as sharp as at first
+    * ingest. Same two-rename swap as [[graft.store.Layout.compact]]
+    * (stage → move old aside → move new in → drop old): a crash
+    * between the renames leaves the data at `path__compact_old`;
+    * without a table format, two renames is the honest best.
+    * Unbucketed logs only — a bucketed dir does not record its bucket
+    * COUNT, so a rewrite could not prove it preserves the layout
+    * contract every storage-partitioned join depends on. Returns
+    * (shards before, shards after). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      shards: Int): (Int, Int) = {
+    require(shards >= 1, s"shards=$shards")
+    require(!isBucketed(path),
+      s"$path is a bucketed graftlog table; compaction would need the " +
+        "bucket count, which the layout does not record — re-ingest instead")
+    val before = listShards(path).size
+    val tmp = path + "__compact_tmp"
+    val old = path + "__compact_old"
+    def rmdir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (Files.isDirectory(p)) {
+        Files.list(p).iterator().asScala.foreach(Files.delete)
+        Files.delete(p)
+      }
+    }
+    rmdir(tmp)
+    spark.read.format("graft.sources.GraftLogSource").load(path)
+      .write.format("graft.sources.GraftLogSource")
+      .mode("append").option("shards", shards).save(tmp)
+    val after = listShards(tmp).size
+    rmdir(old)
+    Files.move(Paths.get(path), Paths.get(old),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(tmp), Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        Files.move(Paths.get(old), Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE) // restore
+        throw e
+    }
+    rmdir(old)
+    (before, after)
+  }
+
   /** A directory is a bucketed table iff it has shards and every
     * sidecar carries a bucket value — one manifest read, the same
     * cost planning already pays. An empty/new dir is decided by the

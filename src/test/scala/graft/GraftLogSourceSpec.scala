@@ -530,6 +530,48 @@ class GraftLogSourceSpec extends SparkSuite {
       .head() === ((0L, 399L)))
   }
 
+  test("compaction shrinks the shard count, preserves rows and pruning") {
+    val dir = tmpDir("graftlog_cpt_").toString
+    val rows = (0L until 400L).map(i =>
+      (i, 1700000000000000L + i * 1000000L, i % 7, s"t${i % 3}", i * 0.5))
+    GraftLog.write(rows, dir, rowsPerShard = 10) // 40 small shards
+    val wantRows = spark.read.format(fmt).load(dir)
+      .select($"event_id", unix_micros($"ts"), $"user_id", $"event_type",
+        $"value")
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    val (before, after) = GraftLog.compact(spark, dir, shards = 4)
+    assert(before === 40 && after === 4)
+    assert(GraftLog.listShards(dir).size === 4)
+    // content identical through the rewrite
+    val got = spark.read.format(fmt).load(dir)
+      .select($"event_id", unix_micros($"ts"), $"user_id", $"event_type",
+        $"value")
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === wantRows)
+    // the rewrite re-clustered: ranges disjoint, point probe opens 1
+    val stats = GraftLog.listShards(dir).flatMap(_.stats).sortBy(_._1)
+    stats.zip(stats.drop(1)).foreach { case ((_, hi, _), (lo, _, _)) =>
+      assert(hi < lo, s"compacted ranges overlap: $stats")
+    }
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_id" === 137L).count() === 1)
+    assert(GraftLog.filesOpened.get() === 1)
+    // no staging litter
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "__compact_tmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "__compact_old")))
+  }
+
+  test("compaction refuses a bucketed table") {
+    val (even, _) = writeBucketedPair(8)
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.compact(spark, even, shards = 2)
+    }
+    assert(e.getMessage.contains("bucketed"))
+  }
+
   test("reported ordering removes a redundant sort over the scan") {
     val dir = writeShards()
     val sorted = spark.read.format(fmt).load(dir)
