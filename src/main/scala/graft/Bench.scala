@@ -206,7 +206,11 @@ object Bench {
     // (/tmp/graft-sf1) must not clobber it with partial/other-scale
     // numbers (it happened twice in r8; provenance confusion cost a
     // judge note in r7).
-    val fileOfRecord = only.isEmpty && sfDir.startsWith("/root/testdata/")
+    // sf0.1 exactly: an sf0.001 full run is still the wrong scale for
+    // the file of record (it happened post-r8-line and silently
+    // replaced the sf0.1 numbers)
+    val fileOfRecord = only.isEmpty &&
+      sfDir.stripSuffix("/") == "/root/testdata/sf0.1"
     if (fileOfRecord)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),

@@ -18,6 +18,7 @@ object SparkEntry {
       graft.streaming.StreamingUpsert.queries ++
       graft.streaming.StreamingIndexAppend.queries ++
       graft.streaming.TypeCensus.queries ++
+      graft.streaming.TimerSessionize.queries ++
       graft.queries.OperatorQueries.queries ++
       graft.queries.HybridQueries.queries ++
       graft.queries.OpsQueries.queries
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.streaming.StreamingUpsert.oracles ++
       graft.streaming.StreamingIndexAppend.oracles ++
       graft.streaming.TypeCensus.oracles ++
+      graft.streaming.TimerSessionize.oracles ++
       graft.queries.OperatorQueries.oracles ++
       graft.queries.HybridQueries.oracles ++
       graft.queries.OpsQueries.oracles
