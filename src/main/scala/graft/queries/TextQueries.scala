@@ -1004,8 +1004,13 @@ object TextQueries {
       aChunks.join(bSubs, Seq("lang", "chunk", "clen"))
         .filter($"id_a" < $"id_b" && abs($"pos_a" - $"pos_b") <= 5)
         .select($"lang", $"id_a", $"id_b", $"p_a", $"p_b").distinct()
-        .withColumn("dist", levenshtein($"p_a", $"p_b"))
-        .filter($"dist" <= 5)
+        // thresholded levenshtein: the banded DP computes an O(len·k)
+        // strip and early-exits past the bound, returning -1 — most
+        // candidates are far pairs, so the bound is the common path.
+        // Values ≤ 5 are the exact distance (threshold 6 > cutoff),
+        // so the result set and the dist column are unchanged.
+        .withColumn("dist", levenshtein($"p_a", $"p_b", 6))
+        .filter($"dist" >= 0 && $"dist" <= 5)
         .select($"id_a", $"id_b", $"lang", $"dist")
         .orderBy($"id_a", $"id_b")
     }),
