@@ -508,6 +508,36 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // Exact percentile bands per (event_type, day) — the ops
+    // dashboard's p50/p95/p99 over the metric column, computed by
+    // RANK SELECTION rather than an engine quantile function: idx_p =
+    // ceil(n·p/100) in pure integer arithmetic ((n·p + 99) div 100)
+    // and the band value is the element at that rank under the total
+    // (value, event_id) order — engine-definition-free (Spark's
+    // percentile() interpolates, DuckDB's quantile_cont interpolates
+    // DIFFERENTLY in float; selected elements are exact data values
+    // and hash identically). Shape: one shuffle on (type, day), two
+    // window passes inside each group, one final hash aggregate. At
+    // 100 TB the time bucketing bounds group width; a pathologically
+    // hot (type, day) would swap in the q147 block-split trick or the
+    // q50 sketch — this is the exact-reporting form.
+    "q171_percentile_bands" -> ((s, dir) => {
+      import s.implicits._
+      val byDay = Window.partitionBy($"event_type", $"day")
+      val ranked = Tables.table(s, dir, "events")
+        .select($"event_type", $"ts".cast("date").as("day"), $"value",
+          $"event_id")
+        .withColumn("rn",
+          row_number().over(byDay.orderBy($"value", $"event_id")))
+        .withColumn("n", count(lit(1)).over(byDay))
+      def band(p: Int) =
+        max(when($"rn" === expr(s"(n * $p + 99) div 100"), $"value"))
+          .as(s"p$p")
+      ranked.groupBy($"event_type", $"day")
+        .agg(max($"n").as("n"), band(50), band(95), band(99))
+        .orderBy($"event_type", $"day")
+    }),
+
     // Shard compaction — the lakehouse OPTIMIZE on the custom format,
     // verified value-exact end to end: the events log is ingested as
     // 64 small shards (the small-files problem every streaming ingest
@@ -907,6 +937,24 @@ object OpsQueries {
           auditSql("lineitem", "l_orderkey"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
     },
+
+    "q171_percentile_bands" ->
+      """WITH r AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, value,
+                  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                    ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, CAST(ts AS DATE))
+                    AS n
+           FROM events)
+         SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+                max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END)
+                  AS p50,
+                max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END)
+                  AS p95,
+                max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END)
+                  AS p99
+         FROM r GROUP BY event_type, day
+         ORDER BY event_type, day""",
 
     "q169_graftlog_compact" ->
       s"""SELECT event_type, count(*) AS n, min(event_id) AS min_id,
