@@ -118,11 +118,54 @@ object TypeCensus {
         .orderBy($"user_id")
     }}
 
-  val queries: Map[String, Q.Fn] = Map(
-    "q168_stream_type_census" -> ((s, dir) => streamedCensus(s, dir)))
+  /** The custom DSv2 source feeding the newest stateful operator —
+    * end-to-end composition: events re-shard into the graftlog
+    * format, stream back out through [[graft.sources.GraftLogSource]]
+    * under admission control (2 shards per micro-batch → a REAL
+    * multi-batch drain, unlike the single-file parquet stream), and
+    * fold through the same transformWithState census. The census is
+    * batch-split invariant (TypeCensusSpec), so the drained result
+    * still equals the batch GROUP BY whatever the admission knob —
+    * which is exactly what the shared oracle checks. */
+  def graftlogStreamedCensus(spark: SparkSession, dir: String): DataFrame =
+    StreamTuning.withStatePartitions(spark) { withRocksDb(spark) {
+      import spark.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_tws_gl_${runId.incrementAndGet()}_")
+        .toString
+      val log = s"$out/log"
+      Tables.table(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(log)
+      val q = censusStream(
+        spark.readStream.format("graft.sources.GraftLogSource")
+          .option("maxShardsPerTrigger", "2").load(log)
+          .select(col("user_id"), col("event_type")).as[Ev])
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .foreachBatch { (b: Dataset[Census], _: Long) =>
+          b.write.mode("append").parquet(s"$out/emissions")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val em = spark.read.parquet(s"$out/emissions")
+      em.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"n_events".desc)))
+        .filter($"rn" === 1).drop("rn")
+        .orderBy($"user_id")
+    }}
 
-  val oracles: Map[String, String] = Map(
-    "q168_stream_type_census" ->
+  val queries: Map[String, Q.Fn] = Map(
+    "q168_stream_type_census" -> ((s, dir) => streamedCensus(s, dir)),
+    "q172_graftlog_stream_census" ->
+      ((s, dir) => graftlogStreamedCensus(s, dir)))
+
+  private val censusOracle =
       """WITH c AS (SELECT user_id, event_type, count(*) AS c
                     FROM events GROUP BY user_id, event_type),
             a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
@@ -135,5 +178,9 @@ object TypeCensus {
                   FROM c)
          SELECT a.user_id, n_events, n_types, top_type, top_n
          FROM a JOIN t ON a.user_id = t.user_id AND t.rn = 1
-         ORDER BY a.user_id""")
+         ORDER BY a.user_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q168_stream_type_census" -> censusOracle,
+    "q172_graftlog_stream_census" -> censusOracle)
 }
