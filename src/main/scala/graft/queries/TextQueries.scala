@@ -935,6 +935,46 @@ object TextQueries {
         .orderBy($"target_pm")
     }),
 
+    // Positional phrase search — the exact-phrase capability a
+    // bag-of-words index (q102 inverted index, q103 BM25) cannot
+    // answer: occurrences of a multi-word phrase located by POSITION
+    // ALIGNMENT over per-term postings (doc_id, pos), the classic
+    // positional-index intersection: the k-term phrase is a chain of
+    // k−1 equi-joins on (doc_id, pos + offset). Candidate docs are
+    // pre-filtered with array_contains on ALL terms BEFORE the
+    // explode, so postings materialize only for docs that could
+    // match — the selective-term pushdown a phrase query lives on.
+    // At 100 TB the per-query explode is replaced by a PRE-BUILT
+    // postings table (q102's layout + a pos column); the join chain
+    // is unchanged and each term's postings list is the bounded side.
+    "q173_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq("table hash", "slow hash batch")
+      val docs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", words(normalizeText($"text")).as("ws"))
+      val hits = phrases.map { p =>
+        val terms = p.split(' ')
+        val cand = docs.filter(
+          terms.map(t => array_contains($"ws", t)).reduce(_ && _))
+        val post = cand.select($"doc_id",
+          posexplode($"ws").as(Seq("pos", "w")))
+        val first = post.filter($"w" === terms.head)
+          .select($"doc_id", $"pos".as("p0"))
+        val aligned = terms.zipWithIndex.drop(1)
+          .foldLeft(first) { case (acc, (t, i)) =>
+            acc.join(
+              post.filter($"w" === t)
+                .select($"doc_id", ($"pos" - i).as("p0")),
+              Seq("doc_id", "p0"))
+          }
+        aligned.agg(
+            countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .select(lit(p).as("phrase"), $"n_docs", $"n_occ")
+      }
+      hits.reduce(_ unionByName _).orderBy($"phrase")
+    }),
+
     // Engine-reproducible global shuffle: rows ordered by a salted
     // portable hash — the same pseudo-random training order on any
     // engine/cluster/re-run, unlike orderBy(rand()). One range
@@ -1384,6 +1424,29 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q173_phrase_search" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         h2 AS (SELECT doc_id
+                FROM w, UNNEST(generate_series(1, len(ws) - 1)) u(i)
+                WHERE ws[i] = 'table' AND ws[i+1] = 'hash'),
+         h3 AS (SELECT doc_id
+                FROM w, UNNEST(generate_series(1, len(ws) - 2)) u(i)
+                WHERE ws[i] = 'slow' AND ws[i+1] = 'hash'
+                  AND ws[i+2] = 'batch')
+         SELECT phrase, n_docs, n_occ FROM (
+           SELECT 'table hash' AS phrase,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS n_occ FROM h2
+           UNION ALL
+           SELECT 'slow hash batch',
+                  CAST(count(DISTINCT doc_id) AS BIGINT),
+                  CAST(count(*) AS BIGINT) FROM h3)
+         ORDER BY phrase""",
+
     "q167_vocab_coverage" ->
       """WITH w AS (
            SELECT string_split(trim(regexp_replace(lower(nfc_normalize(text)),

@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkSuite {
     "q35_stream_tumbling", "q41_stream_sessionize", "q61_stream_dedup",
     "q66_stream_interval_join", "q71_stream_left_outer_join",
     "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk",
-    "q146_stream_index_append")
+    "q146_stream_index_append", "q168_stream_type_census",
+    "q170_stream_session_timers", "q172_graftlog_stream_census")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -93,6 +94,44 @@ class PlanAuditSpec extends SparkSuite {
       }
     assert(offenders.isEmpty,
       s"unbounded product in: ${offenders.mkString("; ")}")
+  }
+
+  /** Whitelist for the global-window lint: queries whose
+    * empty-partition window runs over a BOUNDED frame by construction
+    * — the input is a model/summary artifact, not the data:
+    * - q68 (×2): the MG merge windows over ≤ blocks·cap survivor rows
+    *   (MgBoundSpec pins the bound).
+    * - q121: the water-fill level search runs over per-SOURCE
+    *   aggregates (#sources rows).
+    * - q139/q142: rank fusion over two bounded top-20 retrieval legs.
+    * - q143/q145: per-CELL index stats (≈ √n cells, the IVF model).
+    * - q147: the prefix max over per-BLOCK summaries (n/1024 rows;
+    *   the in-block pass partitions by block).
+    */
+  private val globalWindowByDesign = Set(
+    "q68_top_ngrams_sketch", "q121_token_waterfill", "q139_hybrid_rrf",
+    "q142_hybrid_rrf_ivf", "q143_ivf_append_drift",
+    "q145_ivf_migration_plan", "q147_watermark_advisor")
+
+  test("no query windows over the whole input in a single task") {
+    // a Window with an empty PARTITION BY plans as ONE task sorting
+    // the entire input — the classic silent scale-killer. Any new
+    // query that reaches for row_number()/sum() OVER (ORDER BY …)
+    // without a partition (or a bounded input documented above) fails
+    // here, not on the 100 TB run. GlobalIndex.withGlobalSeq /
+    // withGlobalCumSum are the scale-safe replacements.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streaming(n) || globalWindowByDesign(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+        val global = plan.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(s"$name (${global.size})") else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: ${offenders.mkString("; ")}")
   }
 
   test("shard manifest never funnels through a single partition") {
