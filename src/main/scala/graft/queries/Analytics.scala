@@ -40,6 +40,48 @@ object Analytics {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // TPC-H Q5 shape — local supplier volume: revenue per nation for
+    // orders placed in 1996 where the CUSTOMER and the SUPPLIER sit
+    // in the same ASIA nation. The canonical 6-table OLAP join, and
+    // the plan the engine should produce without hints beyond the
+    // bounded-dim broadcasts: the o_orderdate year filter prunes
+    // orders BEFORE the fact-fact join (predicate pushdown to the
+    // scan), lineitem ⋈ orders shuffles once on orderkey (the only
+    // big exchange), customer joins on the shuffled side's custkey,
+    // and supplier/nation/region ride as broadcasts with the
+    // same-nation equi-constraint (c_nationkey = s_nationkey) applied
+    // as a join condition, not a post-filter. At 100 TB this is the
+    // recurring fact-fact economics: co-partition lineitem/orders on
+    // orderkey at rest (the q163 bucketing move) and the one shuffle
+    // disappears too.
+    "q174_local_supplier_volume" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.table(s, dir, "orders")
+        .filter(year($"o_orderdate".cast("date")) === 1996)
+        .select($"o_orderkey", $"o_custkey")
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      val cust = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")
+      val sup = Tables.table(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey")
+      val nat = Tables.table(s, dir, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+      val reg = Tables.table(s, dir, "region")
+        .filter($"r_name" === "ASIA").select($"r_regionkey")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup),
+          $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"revenue").as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
     // Per-group top-k via row_number window (SURVEY.md §2.7 gap):
     // top-3 customers by account balance per nation. One shuffle on
     // nationkey; rank prunes before any further join.
@@ -725,6 +767,21 @@ object Analytics {
          FROM spine s LEFT JOIN daily d
            ON s.user_id = d.user_id AND s.day = d.day
          ORDER BY s.user_id, s.day""",
+    "q174_local_supplier_volume" ->
+      s"""SELECT n_name,
+            ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+            count(1) AS n_lines
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND year(CAST(o_orderdate AS DATE)) = 1996
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""",
     "q12_star_join_revenue" ->
       s"""SELECT r_name, n_name,
             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
