@@ -586,6 +586,31 @@ class GraftLogScanBuilder(path: String,
       pushedLimit, pushedTopN)
 }
 
+/** Observability at the DSv2 seam: per-task and driver-side custom
+  * metrics surfaced into the Spark UI / SQLMetrics — the numbers an
+  * operator reads to confirm pruning actually happened on a given
+  * run ("read 3 shards, pruned 39 997"), without test-only counters.
+  */
+object GraftLogMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  class ShardsReadMetric extends CustomSumMetric {
+    override def name(): String = "shardsRead"
+    override def description(): String = "graftlog shards opened"
+  }
+  class ShardsPrunedMetric extends CustomSumMetric {
+    override def name(): String = "shardsPruned"
+    override def description(): String =
+      "graftlog shards pruned at planning (sidecar stats + selection)"
+  }
+  case class TaskMetric(metricName: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+  val supported: Array[CustomMetric] =
+    Array(new ShardsReadMetric, new ShardsPrunedMetric)
+}
+
 class GraftLogScan(path: String, pushed: Array[Filter],
     required: StructType, maxShardsPerTrigger: Option[Int] = None,
     pushedAgg: Option[Seq[AggregateFunc]] = None,
@@ -594,6 +619,26 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
+
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftLogMetrics.supported
+
+  /** Planning-time pruning accounting: everything listed minus
+    * everything planned (static bounds, runtime ids, limit/top-n
+    * shard selection — all of it is pruning). */
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val total = GraftLog.listShards(path).size
+    val planned =
+      if (pushedAgg.isDefined) 0
+      else bucketGroups match {
+        case Some(gs) => gs.map(_._2.size).sum
+        case None => selectedShards.size
+      }
+    Array(GraftLogMetrics.TaskMetric("shardsPruned",
+      math.max(0, total - planned).toLong))
+  }
   override def readSchema(): StructType = pushedAgg match {
     // complete aggregate pushdown: the scan's output IS the final
     // aggregated row — count(*) is long, min/max(event_id) are long
@@ -989,6 +1034,9 @@ class GraftLogHeadReader(under: PartitionReader[InternalRow], n: Int)
   override def next(): Boolean = left > 0 && under.next() && { left -= 1; true }
   override def get(): InternalRow = under.get()
   override def close(): Unit = under.close()
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    under.currentMetricsValues()
 }
 
 /** Emit only the LAST n rows of the wrapped reader, in their stored
@@ -1014,6 +1062,9 @@ class GraftLogTailReader(under: PartitionReader[InternalRow], n: Int)
   }
   override def get(): InternalRow = row
   override def close(): Unit = under.close()
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    under.currentMetricsValues()
 }
 
 /** Line parser materializing ONLY the pruned columns. `ub` is the
@@ -1023,6 +1074,10 @@ class GraftLogTailReader(under: PartitionReader[InternalRow], n: Int)
 class GraftLogReader(file: String, requiredCols: Array[String],
     ub: Option[Long] = None) extends PartitionReader[InternalRow] {
   GraftLog.filesOpened.incrementAndGet()
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftLogMetrics.TaskMetric("shardsRead", 1L))
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
   private var row: InternalRow = _
@@ -1065,12 +1120,18 @@ class GraftLogBucketReader(files: Seq[String], requiredCols: Array[String],
     ub: Long) extends PartitionReader[InternalRow] {
   private val iter = files.iterator
   private var cur: GraftLogReader = _
+  private var opened = 0L
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftLogMetrics.TaskMetric("shardsRead", opened))
 
   override def next(): Boolean = {
     while (cur == null || !cur.next()) {
       if (cur != null) cur.close()
       if (!iter.hasNext) { cur = null; return false }
       cur = new GraftLogReader(iter.next(), requiredCols, Some(ub))
+      opened += 1
     }
     true
   }

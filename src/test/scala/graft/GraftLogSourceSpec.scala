@@ -572,6 +572,22 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("bucketed"))
   }
 
+  test("custom metrics surface shard reads and pruning in SQLMetrics") {
+    val dir = writeShards() // 4 shards of 100
+    val df = spark.read.format(fmt).load(dir)
+      .filter($"event_id" >= 250L && $"event_id" < 320L)
+    // drive THIS dataset's own QueryExecution (count() would build and
+    // run a different plan, leaving these metrics untouched)
+    assert(df.collect().length === 70)
+    val withMetrics = df.queryExecution.executedPlan.collect {
+      case p if p.metrics.contains("shardsRead") => p
+    }
+    assert(withMetrics.nonEmpty, "no scan node carrying the custom metrics")
+    val m = withMetrics.head.metrics
+    assert(m("shardsRead").value === 2L, m.toString) // [200,299]+[300,399]
+    assert(m("shardsPruned").value === 2L, m.toString)
+  }
+
   test("reported ordering removes a redundant sort over the scan") {
     val dir = writeShards()
     val sorted = spark.read.format(fmt).load(dir)
