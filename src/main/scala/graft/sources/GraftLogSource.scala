@@ -1001,6 +1001,30 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
 
 class GraftLogReaderFactory(requiredCols: Array[String])
     extends PartitionReaderFactory {
+
+  /** Columnar (vectorized) reads for the common shape — a plain
+    * single-shard partition with no row caps: lines parse straight
+    * into OnHeapColumnVectors, 4096 rows per ColumnarBatch, and Spark
+    * plans its codegen'd ColumnarToRow above the scan (the vectorized
+    * parquet reader's hand-off, on the custom format). Aggregate
+    * partitions (1 synthetic row), bucket groups and capped head/tail
+    * reads keep the row-based readers — partition shapes are
+    * homogeneous per scan, so Spark never sees a mixed batch. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case GraftLogPartition(_, _, None, None) => true
+      case _ => false
+    }
+
+  override def createColumnarReader(partition: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case GraftLogPartition(file, ub, None, None) =>
+        new GraftLogColumnarReader(file, requiredCols, ub)
+      case p => throw new IllegalStateException(
+        s"no columnar reader for partition $p")
+    }
+
   override def createReader(partition: InputPartition):
       PartitionReader[InternalRow] = partition match {
     case GraftLogAggPartition(values) =>
@@ -1065,6 +1089,74 @@ class GraftLogTailReader(under: PartitionReader[InternalRow], n: Int)
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     under.currentMetricsValues()
+}
+
+/** Vectorized shard reader: parses up to 4096 lines per
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]] into on-heap
+  * column vectors, materializing only the pruned columns (`ub` is
+  * sidecar-sourced, emitted as a constant vector when asked for).
+  * TimestampType's vector representation is micros-since-epoch — the
+  * format's ts_us column, no conversion. */
+class GraftLogColumnarReader(file: String, requiredCols: Array[String],
+    ub: Option[Long] = None)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  GraftLog.filesOpened.incrementAndGet()
+  private val lines = Files.lines(Paths.get(file))
+  private val it = lines.iterator()
+  private val srcIdx: Array[Int] =
+    requiredCols.map(c => GraftLog.bucketedSchema.fieldIndex(c))
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] = srcIdx.map(i =>
+    new OnHeapColumnVector(capacity,
+      GraftLog.bucketedSchema.fields(i).dataType))
+  private val batch = new ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && it.hasNext) {
+      val line = it.next()
+      if (!line.isEmpty) {
+        val parts = line.split('|')
+        var c = 0
+        while (c < srcIdx.length) {
+          srcIdx(c) match {
+            case 0 => vectors(c).putLong(n, parts(0).toLong)
+            case 1 => vectors(c).putLong(n, parts(1).toLong)
+            case 2 => vectors(c).putLong(n, parts(2).toLong)
+            case 3 =>
+              val b = parts(3).getBytes(StandardCharsets.UTF_8)
+              vectors(c).putByteArray(n, b, 0, b.length)
+            case 4 => vectors(c).putDouble(n, parts(4).toDouble)
+            case 5 => vectors(c).putLong(n, ub.getOrElse(
+              throw new IllegalStateException(
+                s"projection asked for ub but shard $file has no sidecar")))
+          }
+          c += 1
+        }
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    lines.close()
+    batch.close()
+  }
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftLogMetrics.TaskMetric("shardsRead", 1L))
 }
 
 /** Line parser materializing ONLY the pruned columns. `ub` is the

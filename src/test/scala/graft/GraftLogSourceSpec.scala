@@ -588,6 +588,35 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(m("shardsPruned").value === 2L, m.toString)
   }
 
+  test("plain scans read columnar; capped and bucketed scans stay row-based") {
+    val dir = writeShards()
+    val plain = spark.read.format(fmt).load(dir)
+      .filter($"event_id" % 3 === 0)
+    val plan = plain.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"plain scan should hand off vectorized batches:\n$plan")
+    // vectorized parse is value-identical to the row parser (which
+    // the limit path still uses)
+    val viaColumnar = plain
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(viaColumnar.size === 134)
+    assert(viaColumnar.head === ((0L, 1700000000000000L, 0L, "t0", 0.0)))
+    val viaRow = spark.read.format(fmt).load(dir).limit(400) // caps → row path
+      .filter($"event_id" % 3 === 0)
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(viaRow === viaColumnar)
+    // a bucketed (key-grouped) scan keeps the row-based bucket reader
+    val (even, _) = writeBucketedPair(8)
+    val bucketPlan = spark.read.format(fmt).load(even)
+      .groupBy($"ub", $"user_id").count()
+      .queryExecution.executedPlan.toString
+    assert(!bucketPlan.contains("ColumnarToRow"), bucketPlan)
+  }
+
   test("reported ordering removes a redundant sort over the scan") {
     val dir = writeShards()
     val sorted = spark.read.format(fmt).load(dir)
