@@ -935,6 +935,60 @@ object TextQueries {
         .orderBy($"target_pm")
     }),
 
+    // Packing-efficiency report — the evaluation BESIDE q76's packer:
+    // for context length L=2048, what three packing policies cost in
+    // sequences, fill rate, and document splits. 'concat' (q76's
+    // tape: split-anywhere, ~100% fill, docs cross boundaries —
+    // boundary crossings read off the tape offsets), 'pad' (one doc
+    // per sequence, pad to L; >L docs chunk), 'shelf' (size-class
+    // shelves: docs slot into 2^bitlen(n) cells, L div slot per
+    // sequence — no splits, bounded padding; the first-fit-decreasing
+    // family's parallelizable member, since FFD itself is inherently
+    // sequential). All integer arithmetic (length(bin(n)) for the
+    // size class — no float log, both engines agree bit-for-bit);
+    // totals are bounded 1-row aggregates. The numbers a data-prep
+    // team reads before choosing its packer.
+    "q175_packing_efficiency" -> ((s, dir) => {
+      import s.implicits._
+      val L = 2048L
+      val docs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"text")
+      val packed = graft.text.Sampling
+        .packSequences(docs, "doc_id", "text", L)
+        .select($"doc_id", $"n_tokens", $"start_offset")
+      val base = packed.agg(
+        sum($"n_tokens").as("total"),
+        sum(when($"n_tokens" > 0 &&
+            expr(s"start_offset div $L") =!=
+              expr(s"(start_offset + n_tokens - 1) div $L"), 1L)
+          .otherwise(0L)).as("concat_split"),
+        sum(expr(s"(n_tokens + $L - 1) div $L")).as("pad_seq"),
+        sum(when($"n_tokens" > L, 1L).otherwise(0L)).as("chunked")).head()
+      val total = base.getAs[Long]("total")
+      val concatSplit = base.getAs[Long]("concat_split")
+      val padSeq = base.getAs[Long]("pad_seq")
+      val chunked = base.getAs[Long]("chunked")
+      val shelfSmall = packed.filter($"n_tokens" > 0 && $"n_tokens" <= L)
+        .groupBy(length(bin($"n_tokens")).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(expr(
+          s"""(cnt + ($L div least(shiftleft(1L, b), $L)) - 1)
+              div ($L div least(shiftleft(1L, b), $L))""").as("nsq"))
+        .agg(coalesce(sum($"nsq"), lit(0L))).as[Long].head()
+      val shelfBig = packed.filter($"n_tokens" > L)
+        .agg(coalesce(sum(expr(s"(n_tokens + $L - 1) div $L")), lit(0L)))
+        .as[Long].head()
+      val concatSeq = (total + L - 1) / L
+      def fill(nseq: Long): Long = 1000L * total / (nseq * L)
+      Seq(
+        ("concat", concatSeq, fill(concatSeq), concatSplit),
+        ("pad", padSeq, fill(padSeq), chunked),
+        ("shelf", shelfSmall + shelfBig, fill(shelfSmall + shelfBig),
+          chunked))
+        .toDF("strategy", "n_seq", "fill_pm", "n_docs_split")
+        .orderBy($"strategy")
+    }),
+
     // Positional phrase search — the exact-phrase capability a
     // bag-of-words index (q102 inverted index, q103 BM25) cannot
     // answer: occurrences of a multi-word phrase located by POSITION
@@ -1424,6 +1478,46 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q175_packing_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n,
+                CAST('0x' || substr(md5(doc_id::VARCHAR || '_pack'), 1, 15)
+                     AS BIGINT) AS k
+              FROM documents),
+         c AS (SELECT n,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS so
+               FROM t),
+         agg AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) FILTER (n > 0 AND
+                     so // 2048 <> (so + n - 1) // 2048) AS BIGINT)
+                     AS concat_split,
+                   CAST(sum((n + 2047) // 2048) AS BIGINT) AS pad_seq,
+                   CAST(count(*) FILTER (n > 2048) AS BIGINT) AS chunked
+                 FROM c),
+         shelf AS (SELECT CAST(COALESCE(sum(nsq), 0) AS BIGINT) AS s FROM (
+             SELECT (count(*) + (2048 // least(1::BIGINT << length(bin(n)),
+                       2048)) - 1)
+                    // (2048 // least(1::BIGINT << length(bin(n)), 2048))
+                    AS nsq
+             FROM t WHERE n > 0 AND n <= 2048
+             GROUP BY length(bin(n)))),
+         big AS (SELECT CAST(COALESCE(sum((n + 2047) // 2048), 0) AS BIGINT)
+                   AS s
+                 FROM t WHERE n > 2048)
+         SELECT strategy, n_seq,
+                1000 * total // (n_seq * 2048) AS fill_pm, n_docs_split
+         FROM (
+           SELECT 'concat' AS strategy, (total + 2047) // 2048 AS n_seq,
+                  concat_split AS n_docs_split, total FROM agg
+           UNION ALL
+           SELECT 'pad', pad_seq, chunked, total FROM agg
+           UNION ALL
+           SELECT 'shelf', shelf.s + big.s, chunked, total
+           FROM agg, shelf, big)
+         ORDER BY strategy""",
+
     "q173_phrase_search" ->
       """WITH w AS (
            SELECT doc_id,
