@@ -474,6 +474,39 @@ object Analytics {
     // unix_timestamp vs the oracle's fractional epoch() moved
     // borderline events between adjacent sessions). See
     // operators.Sessionize.chunked (q63) for the skewed-key form.
+    // Conversation assembly — the SFT-example builder over
+    // interaction logs: each multi-turn session (q23's gap rule)
+    // renders as an ordered dialogue string of its event types. The
+    // ORDER of turns inside the aggregate is pinned by array_sort on
+    // (ts, event_id, type) structs — collect_list order is free to
+    // vary across partitionings; the sort, not luck, fixes the text
+    // (the q161 discipline). Distinct from q89 (document context
+    // packing): the unit here is the interaction session, the shape a
+    // conversational fine-tuning set is actually built from. One
+    // window chain on user + one hash aggregate; turn strings are
+    // bounded by session length.
+    "q176_conversation_build" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session", when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("session_seq", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_turns"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct($"ts", $"event_id", $"event_type"))),
+              x => x.getField("event_type")), " -> ").as("dialogue"))
+        .filter($"n_turns" >= 3)
+        .orderBy($"user_id", $"session_seq")
+    }),
+
     "q23_sessionize" -> ((s, dir) => {
       import s.implicits._
       graft.operators.Sessionize.plain(
@@ -974,6 +1007,29 @@ object Analytics {
                FROM events)
          GROUP BY k
          ORDER BY k""",
+    "q176_conversation_build" ->
+      """WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sessions AS (
+            SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+            FROM flagged)
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 count(1) AS n_turns,
+                 string_agg(event_type, ' -> ' ORDER BY ts, event_id)
+                   AS dialogue
+          FROM sessions
+          GROUP BY user_id, session_seq
+          HAVING count(1) >= 3
+          ORDER BY user_id, session_seq""",
     "q23_sessionize" ->
       s"""WITH flagged AS (
             SELECT user_id, event_id, ts, value,
