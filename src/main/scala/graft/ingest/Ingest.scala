@@ -83,4 +83,59 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .option("dateFormat", "yyyy-MM-dd")
       .csv(path)
+
+  /** Dead-letter ingest: read with a DECLARED schema in PERMISSIVE
+    * mode, split rows that failed to parse into a quarantine frame
+    * carrying the raw line — the hardened form of the reference's
+    * try/except-log-and-exit (dynamic-data-processor.py:43-46), which
+    * abandons the whole file when one row is torn. A feed at 100 TB
+    * always contains torn rows; the pipeline's contract should be
+    * "clean rows flow, torn rows land in the DLQ with evidence",
+    * never all-or-nothing.
+    *
+    * Returns (clean, quarantined): `clean` has exactly `schema`'s
+    * columns; `quarantined` is (raw_line, quarantined_at_utc,
+    * source_path). Malformed = Spark put the raw text in the corrupt
+    * column (unparseable row) OR a non-nullable-by-contract key
+    * column came back null from a half-torn line.
+    */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      requiredCols: Seq[String] = Nil)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val raw = spark.read
+      .option("header", "true")
+      .option("sep", ",")
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("dateFormat", "yyyy-MM-dd")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withCorrupt)
+      .csv(path)
+      // source path must bind BEFORE the cache (input_file_name loses
+      // its scan context on a cached relation)
+      .withColumn("__source_path", input_file_name())
+      // the corrupt column is lazily populated from the raw line; a
+      // filter on it alone is unreliable without materializing — cache
+      // per Spark's documented requirement for corrupt-record queries
+      .cache()
+    val torn = requiredCols.map(c => col(c).isNull)
+      .foldLeft(col(corrupt).isNotNull)(_ || _)
+    val clean = raw.filter(!torn)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantined = raw.filter(torn)
+      .select(
+        coalesce(col(corrupt),
+          concat_ws(",", schema.fieldNames.map(c =>
+            col(c).cast("string")).toSeq: _*)).as("raw_line"),
+        current_timestamp().as("quarantined_at_utc"),
+        col("__source_path").as("source_path"))
+    (clean, quarantined)
+  }
 }

@@ -508,6 +508,42 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // Deletion propagation — the right-to-be-forgotten pass verified
+    // end to end: a per-user latest-event state table (the q112 CDC
+    // fold, one-shot here) has an erasure list (user_id % 37 = 0 —
+    // a stand-in for the day's deletion requests) propagated through
+    // Retention.forget: broadcast anti-join rewrite with the
+    // two-rename atomic swap. The verified output is the surviving
+    // state's per-type census PLUS the erasure audit row (subjects
+    // erased / rows removed riding as literal columns) — the oracle
+    // recomputes both from the raw log, so the rewrite provably
+    // removed exactly the requested subjects and nothing else. At
+    // 100 TB erasure batches fold into the standing compaction pass;
+    // the anti-join + swap shape is unchanged.
+    "q177_deletion_propagation" -> ((s, dir) => {
+      import s.implicits._
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_forget_${runId.incrementAndGet()}_")
+        .toString + "/state"
+      val ev = Tables.table(s, dir, "events")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      ev.select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .drop("rn")
+        .write.parquet(state)
+      val erase = ev.select($"user_id").distinct()
+        .filter($"user_id" % 37 === 0)
+      val (before, removed) = graft.store.Retention.forget(
+        s, state, "user_id", erase)
+      s.read.parquet(state)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("n_state_before", lit(before))
+        .withColumn("n_erased", lit(removed))
+        .orderBy($"event_type")
+    }),
+
     // Exact percentile bands per (event_type, day) — the ops
     // dashboard's p50/p95/p99 over the metric column, computed by
     // RANK SELECTION rather than an engine quantile function: idx_p =
@@ -937,6 +973,25 @@ object OpsQueries {
           auditSql("lineitem", "l_orderkey"))
         .mkString("", "\n UNION ALL ", "\n ORDER BY key_col")
     },
+
+    "q177_deletion_propagation" ->
+      """WITH latest AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+         state AS (SELECT user_id, event_type FROM latest WHERE rn = 1),
+         audit AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_state_before,
+                  CAST(count(*) FILTER (user_id % 37 = 0) AS BIGINT)
+                    AS n_erased
+           FROM state)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                n_state_before, n_erased
+         FROM state, audit
+         WHERE user_id % 37 <> 0
+         GROUP BY event_type, n_state_before, n_erased
+         ORDER BY event_type""",
 
     "q171_percentile_bands" ->
       """WITH r AS (
