@@ -935,6 +935,35 @@ object TextQueries {
         .orderBy($"target_pm")
     }),
 
+    // Prefix-cache sharing report — the inference-serving question:
+    // how much prompt-prefix KV-cache could be shared if requests
+    // were routed by common prefix (vLLM/SGLang prefix caching). Per
+    // source: docs whose first-P tokens coincide with another doc's,
+    // the shared-prefix groups, and the token savings a prefix cache
+    // banks ((group_size − 1) · prefix_len, summed). P=2 on this
+    // synthetic word-soup corpus (collisions exist at sf0.01; a real
+    // prompt log uses 64+ — the plan is P-independent). Two
+    // partial-aggregable GROUP BYs, nothing pairwise; at 100 TB the
+    // prefix column would be a 128-bit hash, same plan.
+    "q178_prefix_cache_report" -> ((s, dir) => {
+      import s.implicits._
+      val P = 2
+      val pre = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"source",
+          words(normalizeText($"text")).as("ws"))
+        .select($"source", least(size($"ws"), lit(P)).cast("long").as("plen"),
+          array_join(slice($"ws", 1, P), " ").as("prefix"))
+      pre.groupBy($"source", $"prefix", $"plen")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_docs"),
+          sum(when($"c" >= 2, $"c").otherwise(0L)).as("n_shared_docs"),
+          sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_shared_groups"),
+          sum(when($"c" >= 2, ($"c" - 1) * $"plen").otherwise(0L))
+            .as("saved_tokens"))
+        .orderBy($"source")
+    }),
+
     // Packing-efficiency report — the evaluation BESIDE q76's packer:
     // for context length L=2048, what three packing policies cost in
     // sequences, fill rate, and document splits. 'concat' (q76's
@@ -1478,6 +1507,27 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q178_prefix_cache_report" ->
+      """WITH w AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(nfc_normalize(text)),
+                       '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         p AS (SELECT source,
+                      CAST(least(len(ws), 2) AS BIGINT) AS plen,
+                      array_to_string(ws[1:2], ' ') AS prefix
+               FROM w),
+         g AS (SELECT source, prefix, plen, count(*) AS c
+               FROM p GROUP BY source, prefix, plen)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST(COALESCE(sum(c) FILTER (c >= 2), 0) AS BIGINT)
+                  AS n_shared_docs,
+                CAST(COALESCE(count(*) FILTER (c >= 2), 0) AS BIGINT)
+                  AS n_shared_groups,
+                CAST(COALESCE(sum((c - 1) * plen) FILTER (c >= 2), 0)
+                  AS BIGINT) AS saved_tokens
+         FROM g GROUP BY source ORDER BY source""",
+
     "q175_packing_efficiency" ->
       """WITH t AS (SELECT doc_id,
                 len(string_split(text, ' '))::BIGINT AS n,
