@@ -474,6 +474,38 @@ object Analytics {
     // unix_timestamp vs the oracle's fractional epoch() moved
     // borderline events between adjacent sessions). See
     // operators.Sessionize.chunked (q63) for the skewed-key form.
+    // TPC-H Q10 shape — returned-item customer ranking: the top-20
+    // customers by revenue lost to returns in one quarter, with their
+    // nation. Complements q174's Q5: same fact-fact orderkey join,
+    // but the aggregate keys on the CUSTOMER (high cardinality — the
+    // group-by side a TopK must not pre-truncate) and the final
+    // top-20 plans as TakeOrderedAndProject over the aggregate, never
+    // a global sort. Date range is a pushable o_orderdate predicate;
+    // nation broadcasts.
+    "q179_returned_item_ranking" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.table(s, dir, "orders")
+        .filter($"o_orderdate".cast("date") >= lit("1996-01-01") &&
+          $"o_orderdate".cast("date") < lit("1996-04-01"))
+        .select($"o_orderkey", $"o_custkey")
+      val li = Tables.table(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      val cust = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      val nat = Tables.table(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(dsum($"revenue").as("revenue"),
+          count(lit(1)).as("n_return_lines"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
     // Conversation assembly — the SFT-example builder over
     // interaction logs: each multi-turn session (q23's gap rule)
     // renders as an ordered dialogue string of its event types. The
@@ -1007,6 +1039,21 @@ object Analytics {
                FROM events)
          GROUP BY k
          ORDER BY k""",
+    "q179_returned_item_ranking" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+            ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+            count(1) AS n_return_lines
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY revenue DESC, c_custkey
+          LIMIT 20""",
+
     "q176_conversation_build" ->
       """WITH flagged AS (
             SELECT user_id, event_id, ts, event_type,
