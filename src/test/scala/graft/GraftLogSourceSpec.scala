@@ -564,6 +564,34 @@ class GraftLogSourceSpec extends SparkSuite {
       java.nio.file.Paths.get(dir + "__compact_old")))
   }
 
+  test("forward compatibility: v2 shards with extra fields read cleanly") {
+    // a NEWER producer may append fields to the line format; current
+    // readers must parse the columns they know and ignore the rest —
+    // pinned for BOTH parse paths (columnar full scan, row-based
+    // capped scan)
+    val dir = writeShards()
+    val v2 = (400L until 450L).map(i =>
+      s"$i|${1700000000000000L + i * 1000000L}|${i % 7}|t${i % 3}|" +
+        s"${i * 0.5}|extra-$i|42").mkString("", "\n", "\n")
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.write(p.resolve("shard-00009.graftlog"),
+      v2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(p.resolve("shard-00009.meta"),
+      "400|449|50".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.count() === 450)
+    val viaColumnar = df.filter($"event_id" >= 400L)
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(viaColumnar.size === 50)
+    assert(viaColumnar.head === ((400L, "t1", 200.0)))
+    val viaRow = spark.read.format(fmt).load(dir).limit(450)
+      .filter($"event_id" >= 400L)
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(viaRow === viaColumnar)
+  }
+
   test("compaction refuses a bucketed table") {
     val (even, _) = writeBucketedPair(8)
     val e = intercept[IllegalArgumentException] {
