@@ -56,6 +56,15 @@ object PageRank {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        // pin each iteration: without this the final plan NESTS every
+        // prior iteration (iteration k re-derives k-1, k-2, …), and at
+        // ×50 data the mega-plan's concurrent join builds + aggregate
+        // maps exhausted the executor pool (AGGREGATE_OUT_OF_MEMORY —
+        // caught by the first full-suite ×50 sweep). The rank vector
+        // is node-sized (≪ edges), so the checkpoint is cheap and
+        // makes per-iteration memory FLAT — the property an iterative
+        // operator needs at any scale.
+        .localCheckpoint()
     }
     ranks
   }

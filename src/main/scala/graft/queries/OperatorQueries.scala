@@ -479,6 +479,16 @@ object OperatorQueries {
     // same Σ k² pair work, half the exchanges; per-order part
     // counts are bounded (basket size), so the arrays never grow
     // with the corpus.
+    // partition count for the edge-dedup aggregate SCALES WITH DATA
+    // (the adaptive-cells discipline applied to exchanges): a fixed
+    // session width (32) means per-task hash maps grow linearly with
+    // the corpus — the ×50 full-suite sweep OOMed exactly there. One
+    // bounded count prices it; clamp keeps tiny inputs at the session
+    // default and bounds the task count at the high end.
+    val liRows = li.count()
+    val parts = math.min(1024L, math.max(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      liRows / 250000L)).toInt
     val e = li.groupBy($"ok")
       .agg(sort_array(collect_set($"l_partkey")).as("ps"))
       .select(explode(expr(
@@ -486,19 +496,28 @@ object OperatorQueries {
              transform(slice(ps, i + 2, size(ps)), y ->
                struct(x AS x, y AS y))))""")).as("p"))
       .select($"p.x", $"p.y")
+      .repartition(parts, $"x", $"y") // distinct reuses this clustering
       .distinct()
       .localCheckpoint()
     val deg = e.select($"x".as("node")).union(e.select($"y".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // counted below, then joined twice
     // orient by (deg, id): src strictly precedes dst in the total
-    // order. Degrees are one row per NODE (bounded, ≪ edges) —
-    // broadcast both lookups so orientation stays scan-parallel.
-    // localCheckpoint: BOTH sides of the wedge self-join read this
-    // frame; unpinned, the planner recomputes the orientation (and
-    // its two degree broadcasts) once per side
+    // order. Degrees are one row per NODE (≪ edges) — broadcast both
+    // lookups so orientation stays scan-parallel, but MEASURED, not
+    // hinted blind: "one per node" is small relative to edges, not
+    // absolutely (the ×50 sweep OOMed on two forced multi-million-row
+    // broadcasts — hints bypass the size check). Past the cutoff the
+    // orientation joins shuffle; same counts.
+    // localCheckpoint on `or`: BOTH sides of the wedge self-join read
+    // it; unpinned, the planner recomputes the orientation (and its
+    // two degree lookups) once per side
+    val degSmall = deg.count() <= 2000000L
+    def degSide(d: org.apache.spark.sql.DataFrame) =
+      if (degSmall) broadcast(d) else d
     val or = e
-      .join(broadcast(deg.toDF("x", "dx")), "x")
-      .join(broadcast(deg.toDF("y", "dy")), "y")
+      .join(degSide(deg.toDF("x", "dx")), "x")
+      .join(degSide(deg.toDF("y", "dy")), "y")
       .select(
         when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"x")
           .otherwise($"y").as("src"),
@@ -510,13 +529,36 @@ object OperatorQueries {
     // (v, w). Broadcast the edge set: the wedge stream (Σ out-deg²,
     // 41M rows at sf0.1) then closes against a hash map without
     // ever shuffling — the wedge side is the thing that must not
-    // exchange. At a scale where edges outgrow a broadcast, the
-    // broadcastClose=false path shuffles the join on (v, w); the
+    // exchange. The broadcast decision is MEASURED, not hinted
+    // blind: e is pinned, so counting it is a cached scan, and a
+    // forced broadcast of an edge set that outgrew the driver is
+    // exactly what an explicit broadcast() hint would do (hints
+    // bypass the size check — the first full-suite ×50 sweep caught
+    // it). Past the cutoff the closing join shuffles on (v, w); the
     // wedge count, not the join strategy, is the scaling term.
-    val closeSide = if (broadcastClose) broadcast(e) else e
-    val tri = or.toDF("u", "v")
+    // broadcastClose=false forces the shuffled path for the spec.
+    val closeBroadcasts = broadcastClose && e.count() <= 5000000L
+    val closeSide = if (closeBroadcasts) broadcast(e) else e
+    // wedge-phase width also scales with DATA: Σ out-deg² IS the
+    // wedge-stream row count (priced exactly by one bounded aggregate
+    // over the oriented edges), and per-task sort/agg state is
+    // wedge-rows / partitions — a fixed session width (32) blew the
+    // heap at ×50. The clamp keeps bench scale at the session
+    // default; counts are partition-count invariant.
+    val wedgeRows = or.groupBy($"src").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c")).as[Long].head()
+    val wparts = math.min(2048L, math.max(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      wedgeRows / 4000000L)).toInt
+    val wedges = or.toDF("u", "v").repartition(wparts, $"u")
       .join(or.toDF("u", "w"), "u")
       .filter($"v" < $"w")
+    // under a broadcast close the wedge stream must NOT exchange at
+    // all (that is the point of broadcasting); the (v, w) re-width
+    // exists only for the shuffled path, where the join was about to
+    // exchange anyway and 32-wide sorts of the wedge volume OOM
+    val tri = (if (closeBroadcasts) wedges
+      else wedges.repartition(wparts, $"v", $"w"))
       .join(closeSide, $"v" === $"x" && $"w" === $"y")
     tri.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_triangles"))

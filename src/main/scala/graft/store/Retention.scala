@@ -42,8 +42,10 @@ object Retention {
     def rm(d: String): Unit = {
       val p = Paths.get(d)
       if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))
+        finally walk.close()
       }
     }
     rm(old)
