@@ -134,6 +134,24 @@ class PlanAuditSpec extends SparkSuite {
       s"unpartitioned window in: ${offenders.mkString("; ")}")
   }
 
+  test("pagerank's final plan nests no prior iteration") {
+    // each iteration pins its node-sized rank vector, so the returned
+    // frame is a materialized RDD scan — NOT a 3-iteration mega-plan
+    // whose concurrent builds exhausted memory at ×50. A regression
+    // reintroducing the nesting shows up as Join nodes here.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, sf0001, "events")
+      .select(col("user_id").as("src"),
+        (col("event_id") % 97L + 2000000L).as("dst"))
+    val ranks = graft.operators.PageRank.run(ev, "src", "dst", iters = 3)
+    val joins = ranks.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty,
+      s"expected a pinned rank vector, found ${joins.size} nested joins")
+    assert(ranks.count() > 0)
+  }
+
   test("shard manifest never funnels through a single partition") {
     // the numbering pass is pinned by GlobalIndexSpec's window
     // equivalence; here: nothing in the consuming plan collapses to
