@@ -506,6 +506,66 @@ object Analytics {
         .limit(20)
     }),
 
+    // TPC-H Q3 shape — shipping priority: unshipped-revenue top-10 of
+    // orders from one market segment. Completes the join-shape trio
+    // with q174 (Q5) and q179 (Q10). Both date predicates are
+    // pushable scan filters (l_shipdate on lineitem, o_orderdate on
+    // orders); the segment membership is a LEFT SEMI against the
+    // filtered customer — only keys move, no customer payload is
+    // shuffled. The aggregate keys on orderkey, so Catalyst reuses
+    // the join's orderkey partitioning (no second exchange of the
+    // fact rows); top-10 plans as TakeOrderedAndProject.
+    "q180_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val ord = Tables.table(s, dir, "orders")
+        .filter($"o_orderdate".cast("date") < lit("1998-01-01"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          $"o_orderpriority")
+      val li = Tables.table(s, dir, "lineitem")
+        .filter($"l_shipdate".cast("date") > lit("1998-01-01"))
+        .select($"l_orderkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"revenue").as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: orders whose TOTAL line
+    // quantity clears a threshold, with their customer. The HAVING-
+    // on-aggregate membership is computed aggregate-first: lineitem
+    // shuffles ONCE on orderkey, the surviving (few) order keys join
+    // orders on the same key — Catalyst reuses the aggregate's
+    // partitioning, so only orders re-shuffles — and the customer
+    // lookup joins a result already shrunk to the threshold
+    // survivors. The anti-pattern this query exists to pin down is
+    // joining lineitem to orders FIRST and aggregating the wide join
+    // (twice the shuffled bytes); PlanAuditSpec-style shape: two
+    // exchanges total on the fact side.
+    "q181_big_order_customers" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 250.0)
+      val ord = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      val cust = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_name")
+      big.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(50)
+    }),
+
     // Conversation assembly — the SFT-example builder over
     // interaction logs: each multi-turn session (q23's gap rule)
     // renders as an ordered dialogue string of its event types. The
@@ -1053,6 +1113,34 @@ object Analytics {
           GROUP BY c_custkey, c_name, c_acctbal, n_name
           ORDER BY revenue DESC, c_custkey
           LIMIT 20""",
+
+    "q180_shipping_priority" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+            ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+            AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+            AND o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+          GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, o_orderkey
+          LIMIT 10""",
+
+    "q181_big_order_customers" ->
+      s"""WITH big AS (
+            SELECT l_orderkey,
+                   ${dsumSql("l_quantity")} AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING ${dsumSql("l_quantity")} > 250.0)
+          SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                 o_totalprice, total_qty
+          FROM big
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          ORDER BY total_qty DESC, o_orderkey
+          LIMIT 50""",
 
     "q176_conversation_build" ->
       """WITH flagged AS (

@@ -698,6 +698,50 @@ object OpsQueries {
     // proving the historical read is byte-exact. The fold is
     // associative (latest-of-union), so folding batch-by-batch equals
     // the one-shot rebuild — same contract Scd2Spec pins for history.
+    // Incremental materialized-view maintenance — the Δ-propagation
+    // identity for distributive aggregates: V(A ∪ ΔA) = merge(V(A),
+    // V(ΔA)). A per-nation revenue rollup is materialized from the
+    // pre-1999 orders, persisted as parquet (the "view"), then a 1999+
+    // delta batch is aggregated ALONE and merged into the stored view
+    // by key — the full fact history is never rescanned. The verified
+    // output hash-matches the oracle's one-shot recompute over ALL
+    // orders, so the maintenance identity itself sits under the hash
+    // gate. Exactness: the stored partial sums are DECIMAL (merge is
+    // associative and exact; a double partial would drift per merge
+    // order — the Q.dsum rule applied to STORED state). Scale shape:
+    // the delta agg touches only ΔA; the merge re-aggregates
+    // |keys| + |Δkeys| rows (bounded by nation count here, by the
+    // view's key cardinality in general — never by fact history).
+    "q184_delta_view_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val viewDir = java.nio.file.Files
+        .createTempDirectory(s"graft_deltaview_${runId.incrementAndGet()}_")
+        .toString
+      val cust = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")
+      val nat = Tables.table(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")
+      def viewOf(ords: DataFrame): DataFrame =
+        ords.join(cust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(sum($"o_totalprice".cast("decimal(18,4)")).as("rev"),
+            count(lit(1)).as("n_orders"))
+      val ord = Tables.table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate", $"o_totalprice")
+      viewOf(ord.filter($"o_orderdate".cast("date") < lit("1999-01-01")))
+        .write.mode("overwrite").parquet(s"$viewDir/v0")
+      val v0 = s.read.parquet(s"$viewDir/v0")
+      val dv = viewOf(
+        ord.filter($"o_orderdate".cast("date") >= lit("1999-01-01")))
+      v0.select($"n_name", $"rev", $"n_orders")
+        .unionByName(dv.select($"n_name", $"rev", $"n_orders"))
+        .groupBy($"n_name")
+        .agg(sum($"rev").cast("double").as("revenue"),
+          sum($"n_orders").as("n_orders"))
+        .orderBy($"n_name")
+    }),
+
     "q149_time_travel" -> ((s, dir) => {
       import s.implicits._
       import graft.store.TimeTravel
@@ -731,6 +775,20 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // One-shot recompute over ALL orders — hash equality against the
+    // engine's persisted-view + delta merge proves the maintenance
+    // identity is exact, not approximate.
+    "q184_delta_view_maintenance" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS revenue,
+                count(1) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY n_name""",
 
     "q157_cms_heavy_hitters" ->
       s"""WITH src AS (SELECT l_partkey AS k FROM lineitem),

@@ -570,6 +570,64 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Preference-pair builder — the DPO/RLHF dataset shape: within
+    // every (lang, source) group, pair the highest-quality document
+    // (chosen) with the lowest (rejected), with deterministic
+    // tiebreaks (chosen: max score then MIN id; rejected: min score
+    // then MAX id — so a 2-doc tie still yields a distinct pair).
+    // One exchange on the group key carries both window passes AND
+    // the final aggregate (same partitioning, Catalyst reuses it);
+    // group sizes bound the windows, so no task ever sees more than
+    // one group's rows. At 100 TB the group key would be the prompt
+    // id — same plan, more groups.
+    "q182_preference_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val g = Window.partitionBy($"lang", $"source")
+      Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"lang", $"source", qualityScore($"text").as("q"))
+        .withColumn("rn_top",
+          row_number().over(g.orderBy($"q".desc, $"doc_id")))
+        .withColumn("rn_bot",
+          row_number().over(g.orderBy($"q".asc, $"doc_id".desc)))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(when($"rn_top" === 1, $"doc_id")).as("chosen_id"),
+          max(when($"rn_top" === 1, $"q")).as("chosen_score"),
+          max(when($"rn_bot" === 1, $"doc_id")).as("rejected_id"),
+          max(when($"rn_bot" === 1, $"q")).as("rejected_score"))
+        .filter($"n_docs" >= 2)
+        .withColumn("margin", $"chosen_score" - $"rejected_score")
+        .orderBy($"lang", $"source")
+    }),
+
+    // Length-matched importance resampling — flatten the corpus's
+    // length distribution by downsampling every 100-char length
+    // bucket to the rarest bucket's mass. Acceptance is a
+    // deterministic integer test (salted hash60 per-mille vs the
+    // m/n_bucket acceptance ratio cross-multiplied — no float
+    // compare), so membership is reproducible on any engine and
+    // stable under partitioning. Plan: one scan + a ≤6-row bucket
+    // census broadcast back + a 1-ROW min frame riding the plan (the
+    // q103/q104 scalar-stats pattern) — nothing here scales with n
+    // except the scan itself.
+    "q183_length_matched_resample" -> ((s, dir) => {
+      import s.implicits._
+      val bucketed = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .withColumn("len_bucket", expr("n_chars div 100"))
+      val counts = bucketed.groupBy($"len_bucket")
+        .agg(count(lit(1)).as("n_bucket"))
+      val minCount = counts.agg(min($"n_bucket").as("m"))
+      bucketed.join(broadcast(counts), "len_bucket")
+        .crossJoin(broadcast(minCount))
+        .withColumn("h", pmod(
+          hash60(concat($"doc_id".cast("string"), lit("_lmr"))),
+          lit(1000000L)))
+        .filter($"h" * $"n_bucket" < $"m" * lit(1000000L))
+        .select($"doc_id", $"source", $"len_bucket", $"n_bucket")
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination (the GPT-3/Llama 13-gram protocol):
     // flag training docs sharing any 13-gram with the held-out
     // benchmark corpus (source src0 here). Grams join on their md5 —
@@ -2173,6 +2231,43 @@ object TextQueries {
                 CAST(q_rank AS BIGINT) AS q_rank
          FROM r
          WHERE q_rank <= CAST(ceil(n::DOUBLE * 0.3) AS BIGINT)
+         ORDER BY doc_id""",
+    "q182_preference_pairs" ->
+      s"""WITH s AS (SELECT doc_id, lang, source,
+                           string_split(text, ' ') AS w
+                    FROM documents),
+         scored AS (
+           SELECT doc_id, lang, source, ${qualitySql("w")} AS q
+           FROM s),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY lang, source
+                    ORDER BY q DESC, doc_id) AS rn_top,
+                  row_number() OVER (PARTITION BY lang, source
+                    ORDER BY q ASC, doc_id DESC) AS rn_bot
+           FROM scored)
+         SELECT lang, source, count(1) AS n_docs,
+                max(CASE WHEN rn_top = 1 THEN doc_id END) AS chosen_id,
+                max(CASE WHEN rn_top = 1 THEN q END) AS chosen_score,
+                max(CASE WHEN rn_bot = 1 THEN doc_id END) AS rejected_id,
+                max(CASE WHEN rn_bot = 1 THEN q END) AS rejected_score,
+                max(CASE WHEN rn_top = 1 THEN q END)
+                  - max(CASE WHEN rn_bot = 1 THEN q END) AS margin
+         FROM r
+         GROUP BY lang, source
+         HAVING count(1) >= 2
+         ORDER BY lang, source""",
+    "q183_length_matched_resample" ->
+      """WITH b AS (SELECT doc_id, source, n_chars,
+                          n_chars // 100 AS len_bucket
+                   FROM documents),
+         c AS (SELECT len_bucket, count(1) AS n_bucket
+               FROM b GROUP BY len_bucket),
+         mm AS (SELECT min(n_bucket) AS m FROM c)
+         SELECT doc_id, source, b.len_bucket, n_bucket
+         FROM b JOIN c ON b.len_bucket = c.len_bucket, mm
+         WHERE (CAST('0x' || substr(md5(doc_id::VARCHAR || '_lmr'), 1, 15)
+                  AS BIGINT) % 1000000) * n_bucket < m * 1000000
          ORDER BY doc_id""",
     "q79_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -70,7 +70,11 @@ class PlanAuditSpec extends SparkSuite {
     "q162_kmv_source_overlap",
     // q164: the leakage audit rides as a broadcast 1-ROW frame
     // (the q103/q111 scalar-stats pattern).
-    "q164_leakage_safe_splits")
+    "q164_leakage_safe_splits",
+    // q183: the min-bucket-count rides as a broadcast 1-ROW frame
+    // (the q103/q104 scalar-stats pattern); the bucket census itself
+    // equi-joins on len_bucket.
+    "q183_length_matched_resample")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
