@@ -109,6 +109,118 @@ object OpsQueries {
     // GROUP BY + TakeOrdered(10); probes join the 10×d bucket rows
     // against the BROADCAST sketch — nothing here grows with n
     // except the two scans.
+    // Schema evolution under mergeSchema — the reference's dynamic
+    // schema-on-read regime (SURVEY §1.2) exercised END TO END at the
+    // sink+scan layer: an old feed generation lacks the `lang` column,
+    // a newer one carries it; the unified read merges the footers
+    // (missing column → null) and the census coalesces the gap. The
+    // oracle replays the generational union, so "old files don't
+    // break when the schema grows" is itself under the hash gate —
+    // the q-level companion to SchemaOnReadSpec's ts-encoding pin.
+    // Scale shape: footer merge is a metadata operation (per-file
+    // footers, no data read); the census is one hash aggregate.
+    "q185_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_schemaevo_${runId.incrementAndGet()}_")
+        .toString
+      val docs = Tables.table(s, dir, "documents")
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"source", $"n_chars")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"source", $"n_chars", $"lang")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy($"source", coalesce($"lang", lit("unknown")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source", $"lang")
+    }),
+
+    // Corpus drift monitor — chi-square distance between two corpus
+    // snapshots' length distributions, per source (the scalar-feature
+    // companion of q133's embedding-centroid drift; PSI without the
+    // ln, whose libm rounding differs across engines). Halves are
+    // deterministic (doc_id parity = snapshot A/B); buckets are
+    // Laplace-smoothed over the buckets PRESENT for the source (no
+    // zero-division, no sources×buckets product). The per-bucket
+    // contribution is floored to integer PARTS-PER-BILLION before
+    // summing, so the cross-bucket sum is exact long addition —
+    // order-free on any partitioning, replayable in any engine (the
+    // dsum rule, integerized). One exchange on source carries the
+    // bucket census, both window totals, and the final rollup.
+    "q186_chi2_drift" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+      Tables.table(s, dir, "documents")
+        .select($"source", expr("n_chars div 100").as("b"),
+          ($"doc_id" % 2 === 0).as("in_a"))
+        .groupBy($"source", $"b")
+        .agg(sum(when($"in_a", 1L).otherwise(0L)).as("c_a"),
+          sum(when(!$"in_a", 1L).otherwise(0L)).as("c_b"))
+        .withColumn("n_a", sum($"c_a").over(w))
+        .withColumn("n_b", sum($"c_b").over(w))
+        .withColumn("nb", count(lit(1)).over(w))
+        .withColumn("p_a", ($"c_a" + lit(1.0)) / ($"n_a" + $"nb"))
+        .withColumn("p_b", ($"c_b" + lit(1.0)) / ($"n_b" + $"nb"))
+        .withColumn("contrib_ppb", floor(
+          ($"p_b" - $"p_a") * ($"p_b" - $"p_a") / $"p_a" * lit(1.0e9))
+          .cast("long"))
+        .groupBy($"source")
+        .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+          max($"nb").as("n_buckets"),
+          sum($"contrib_ppb").as("chi2_ppb"))
+        .orderBy($"source")
+    }),
+
+    // Sliding-window COUNT DISTINCT by KMV sketch RE-aggregation —
+    // the 100 TB pattern this query exists to pin: per-day bottom-k
+    // sketches (64 longs each) are built ONCE from the data, and
+    // every 7-day window is answered by merging seven sketches —
+    // union, sort, truncate — never by re-scanning events. The merge
+    // is exact-by-construction (any hash among the window's k
+    // smallest is among its own day's k smallest), and the oracle
+    // computes the window's bottom-k DIRECTLY from the raw pairs — so
+    // hash equality PROVES the mergeability property, not just the
+    // numbers. Output carries exact distinct + estimate + signed
+    // error (the sketch-family accuracy contract, in-artifact).
+    // Plan: day-grain frames are bounded by the calendar (≤31 rows
+    // here, 365/yr at any SF), so the 7-way explode joins tiny
+    // frames; the only data-sized work is the daily distinct.
+    "q187_sliding_distinct_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val k = KmvK / 4 // 64: windows saturate from sf0.01 up, so the
+      // estimator branch (not just the exact-below-k one) sits under
+      // the driver's hash gate
+      val pairs = Tables.table(s, dir, "events")
+        .select(to_date($"ts").as("d"), $"user_id").distinct()
+      val days = pairs.select($"d").distinct()
+      val hashed = pairs.select($"d", TextFunctions.hash60(
+        concat($"user_id".cast("string"), lit("_kmv7"))).as("h"))
+      val daily = hashed.groupBy($"d")
+        .agg(call_function("graft_kmv", $"h", lit(k)).as("sk"))
+      def toWindows(df: DataFrame): DataFrame = df
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .withColumn("window_end", date_add($"d", $"i"))
+        .join(days.withColumnRenamed("d", "window_end"), "window_end")
+      val merged = toWindows(daily)
+        .groupBy($"window_end")
+        .agg(count(lit(1)).as("n_days"),
+          slice(array_sort(array_distinct(flatten(collect_list($"sk")))),
+            1, k).as("msk"))
+        .withColumn("n_est",
+          when(size($"msk") < k, size($"msk").cast("double"))
+            .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+              element_at($"msk", k).cast("double")))
+      val exact = toWindows(pairs)
+        .groupBy($"window_end")
+        .agg(countDistinct($"user_id").as("n_exact"))
+      merged.join(exact, "window_end")
+        .select($"window_end", $"n_days", $"n_exact", $"n_est",
+          ($"n_est" - $"n_exact".cast("double")).as("err"))
+        .orderBy($"window_end")
+    }),
+
     "q157_cms_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val src = Q.fanout(Tables.table(s, dir, "lineitem"))
@@ -775,6 +887,94 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // Generational union replay — old generation carries NULL lang.
+    "q185_schema_evolution" ->
+      """WITH u AS (
+           SELECT source, n_chars, NULL AS lang
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT source, n_chars, lang
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT source, coalesce(lang, 'unknown') AS lang,
+                count(1) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM u
+         GROUP BY source, coalesce(lang, 'unknown')
+         ORDER BY source, lang""",
+
+    "q186_chi2_drift" ->
+      """WITH c AS (
+           SELECT source, n_chars // 100 AS b,
+                  SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS c_a,
+                  SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS c_b
+           FROM documents GROUP BY source, n_chars // 100),
+         e AS (
+           SELECT *,
+                  CAST(SUM(c_a) OVER (PARTITION BY source) AS BIGINT) AS n_a,
+                  CAST(SUM(c_b) OVER (PARTITION BY source) AS BIGINT) AS n_b,
+                  CAST(count(1) OVER (PARTITION BY source) AS BIGINT) AS nb
+           FROM c),
+         p AS (
+           SELECT source, n_a, n_b, nb,
+                  (c_a + 1.0) / (n_a + nb) AS p_a,
+                  (c_b + 1.0) / (n_b + nb) AS p_b
+           FROM e)
+         SELECT source, max(n_a) AS n_a, max(n_b) AS n_b,
+                max(nb) AS n_buckets,
+                CAST(SUM(CAST(floor(
+                  (p_b - p_a) * (p_b - p_a) / p_a * 1.0e9) AS BIGINT))
+                  AS BIGINT) AS chi2_ppb
+         FROM p
+         GROUP BY source
+         ORDER BY source""",
+
+    // The window bottom-k is computed DIRECTLY from raw pairs here;
+    // the engine answers from merged per-day sketches — hash equality
+    // proves the sketch merge is exact.
+    "q187_sliding_distinct_kmv" ->
+      """WITH pairs AS (
+           SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                  user_id
+           FROM events),
+         days AS (SELECT DISTINCT d FROM pairs),
+         win AS (
+           SELECT date_add(p.d, i::INTEGER) AS window_end, p.user_id
+           FROM pairs p, unnest(generate_series(0, 6)) AS t(i)
+           WHERE date_add(p.d, i::INTEGER) IN (SELECT d FROM days)),
+         dwin AS (
+           SELECT date_add(d, i::INTEGER) AS window_end, count(1) AS n_days
+           FROM days, unnest(generate_series(0, 6)) AS t(i)
+           WHERE date_add(d, i::INTEGER) IN (SELECT d FROM days)
+           GROUP BY date_add(d, i::INTEGER)),
+         exact AS (
+           SELECT window_end, count(DISTINCT user_id) AS n_exact
+           FROM win GROUP BY window_end),
+         h AS (
+           SELECT DISTINCT window_end,
+                  CAST('0x' || substr(md5(user_id::VARCHAR || '_kmv7'),
+                    1, 15) AS BIGINT) AS hv
+           FROM win),
+         r AS (
+           SELECT window_end, hv,
+                  row_number() OVER (PARTITION BY window_end
+                    ORDER BY hv) AS rn
+           FROM h),
+         est AS (
+           SELECT window_end,
+                  CASE WHEN count(1) < 64 THEN count(1)::DOUBLE
+                       ELSE 63.0 * 1152921504606846976.0 /
+                            max(CASE WHEN rn = 64 THEN hv END)::DOUBLE
+                  END AS n_est
+           FROM r WHERE rn <= 64 GROUP BY window_end)
+         SELECT e.window_end, n_days, n_exact, n_est,
+                n_est - n_exact::DOUBLE AS err
+         FROM est e
+         JOIN exact USING (window_end)
+         JOIN dwin USING (window_end)
+         ORDER BY window_end""",
 
     // One-shot recompute over ALL orders — hash equality against the
     // engine's persisted-view + delta merge proves the maintenance

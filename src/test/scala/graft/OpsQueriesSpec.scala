@@ -157,6 +157,64 @@ class OpsQueriesSpec extends SparkSuite {
       s"head overestimate ${headEst - headExact} blows the eps*N bound")
   }
 
+  test("q185 merged read carries both generations; old rows get null lang") {
+    val out = tmpDir("schemaevo_direct_").toString
+    val docs = Tables.table(spark, sf0001, "documents")
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"source", $"n_chars", $"lang")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.contains("lang"))
+    // every old-generation row reads as null lang; every new one is set
+    assert(merged.filter($"gen" === 1 && $"lang".isNotNull).count() == 0)
+    assert(merged.filter($"gen" === 2 && $"lang".isNull).count() == 0)
+    // nothing dropped across the schema gap
+    assert(merged.count() == docs.count())
+  }
+
+  test("q186 identical snapshots measure zero drift") {
+    // a corpus where both parity halves have IDENTICAL (source,
+    // bucket) histograms: every doc exists as an even and an odd id
+    // with the same source and length → chi2 must be exactly 0
+    val dir = tmpDir("drift_zero_").toString
+    val rows = (0 until 200).flatMap { i =>
+      val src = s"s${i % 4}"
+      val n = 50L + (i % 7) * 60L
+      Seq((i.toLong * 2, "t", "en", src, n),
+        (i.toLong * 2 + 1, "t", "en", src, n))
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q186_chi2_drift")(spark, dir)
+      .select($"source", $"chi2_ppb").as[(String, Long)].collect().toSeq
+    assert(got.size == 4)
+    got.foreach { case (s, chi2) =>
+      assert(chi2 == 0L, s"source $s drifted: $chi2 ppb") }
+    // and the real corpus yields finite, non-negative drift per source
+    SparkEntry.queries("q186_chi2_drift")(spark, sf0001)
+      .select($"chi2_ppb").as[Long].collect()
+      .foreach(c => assert(c >= 0L))
+  }
+
+  test("q187 interior windows span 7 days; estimate is in KMV bounds") {
+    val rows = SparkEntry.queries("q187_sliding_distinct_kmv")(
+      spark, "/root/testdata/sf0.01")
+      .as[(java.sql.Date, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // after the 6-day ramp every window merges exactly 7 daily sketches
+    val interior = rows.drop(6)
+    assert(interior.nonEmpty && interior.forall(_._2 == 7L))
+    rows.foreach { case (d, _, exact, est, err) =>
+      assert(err == est - exact.toDouble)
+      // saturated KMV standard error is ~1/sqrt(k-2) ≈ 12.7% at k=64;
+      // 5 sigma is a deterministic-failure bound, not a flaky one
+      assert(math.abs(err) <= math.max(5.0, 0.64 * exact),
+        s"$d: est $est vs exact $exact out of bounds")
+    }
+  }
+
   test("q158 join-size estimate is one-sided and exact baseline is right") {
     val dir = cmsDir()
     val rows = SparkEntry.queries("q158_cms_join_size")(spark, dir)
