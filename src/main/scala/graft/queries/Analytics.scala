@@ -566,6 +566,82 @@ object Analytics {
         .limit(50)
     }),
 
+    // Last-touch attribution — each purchase's value is credited to
+    // the user's most recent PRIOR non-purchase event type, or
+    // 'direct' when none exists within the 1-day lookback. The carry
+    // is one ignore-nulls last() over the user timeline (frame ends
+    // at -1, so a purchase never attributes to itself or a later
+    // event); one exchange on user_id feeds the window, the channel
+    // rollup is a bounded hash aggregate. The gap test is exact
+    // integer microseconds (the q23 discipline).
+    "q188_last_touch_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val prior = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.table(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+        .withColumn("prev_type", last(
+          when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(prior))
+        .withColumn("prev_ts", last(
+          when($"event_type" =!= "purchase", $"ts"),
+          ignoreNulls = true).over(prior))
+        .filter($"event_type" === "purchase")
+        .withColumn("channel", when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 86400000000L,
+          "direct").otherwise($"prev_type"))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum($"value").as("attributed_value"))
+        .orderBy($"channel")
+    }),
+
+    // Multi-granularity census in ONE pass — GROUPING SETS plans as a
+    // single Expand (each input row fans to its 4 grains) feeding ONE
+    // hash aggregate: the day×type, day, type, and grand-total rows
+    // share one shuffle instead of four scans+unions. grouping_id
+    // disambiguates a real value from an aggregated-out one (the
+    // coalesce to 'ALL' is display only). Completes the grouping
+    // family: q15 ROLLUP (hierarchical), this one mixed grains.
+    "q189_grouping_sets_census" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"event_type", $"value")
+        .groupingSets(
+          Seq(Seq($"day", $"event_type"), Seq($"day"),
+            Seq($"event_type"),
+            Seq.empty[org.apache.spark.sql.Column]),
+          $"day", $"event_type")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .select(coalesce($"day".cast("string"), lit("ALL")).as("day"),
+          coalesce($"event_type", lit("ALL")).as("event_type"),
+          $"gid", $"n", $"total_value")
+        .orderBy($"gid", $"day", $"event_type")
+    }),
+
+    // Journey trigram mining — the top 25 three-step event paths
+    // across user timelines (q119's transition matrix extended to
+    // order-3 context; the sequence-mining shape behind "what do
+    // users do right before an error"). Two leads ride ONE user
+    // window sort; path cardinality is bounded by |types|³, so the
+    // count aggregate and TakeOrdered are fixed-size regardless of
+    // event volume.
+    "q190_journey_trigrams" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.table(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t2", lead($"event_type", 1).over(byUser))
+        .withColumn("t3", lead($"event_type", 2).over(byUser))
+        .filter($"t3".isNotNull)
+        .select($"event_type".as("s1"), $"t2".as("s2"), $"t3".as("s3"))
+        .groupBy($"s1", $"s2", $"s3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"s1", $"s2", $"s3")
+        .limit(25)
+    }),
+
     // Conversation assembly — the SFT-example builder over
     // interaction logs: each multi-turn session (q23's gap rule)
     // renders as an ordered dialogue string of its event types. The
@@ -1113,6 +1189,55 @@ object Analytics {
           GROUP BY c_custkey, c_name, c_acctbal, n_name
           ORDER BY revenue DESC, c_custkey
           LIMIT 20""",
+
+    "q188_last_touch_attribution" ->
+      s"""WITH w AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                     OVER prior AS prev_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN ts END IGNORE NULLS)
+                     OVER prior AS prev_ts
+            FROM events
+            WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          SELECT CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 86400000000
+                      THEN 'direct' ELSE prev_type END AS channel,
+                 count(1) AS n_purchases,
+                 ${dsumSql("value")} AS attributed_value
+          FROM w
+          WHERE event_type = 'purchase'
+          GROUP BY 1
+          ORDER BY channel""",
+
+    "q189_grouping_sets_census" ->
+      s"""SELECT coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+                 coalesce(event_type, 'ALL') AS event_type,
+                 CAST(GROUPING(day, event_type) AS BIGINT) AS gid,
+                 count(1) AS n,
+                 ${dsumSql("value")} AS total_value
+          FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       event_type, value
+                FROM events)
+          GROUP BY GROUPING SETS ((day, event_type), (day),
+                                  (event_type), ())
+          ORDER BY gid, day, event_type""",
+
+    "q190_journey_trigrams" ->
+      """WITH w AS (
+           SELECT user_id, event_type AS s1,
+                  lead(event_type, 1) OVER u AS s2,
+                  lead(event_type, 2) OVER u AS s3
+           FROM events
+           WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT s1, s2, s3, count(1) AS n
+         FROM w
+         WHERE s3 IS NOT NULL
+         GROUP BY s1, s2, s3
+         ORDER BY n DESC, s1, s2, s3
+         LIMIT 25""",
 
     "q180_shipping_priority" ->
       s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
