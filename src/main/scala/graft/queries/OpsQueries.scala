@@ -221,6 +221,74 @@ object OpsQueries {
         .orderBy($"window_end")
     }),
 
+    // Dynamic partition pruning, end to end — the 100 TB scan-killer
+    // feature exercised against a REAL hive-partitioned layout: events
+    // land partitioned by day (the reference's fecha_carga
+    // convention), a small campaign-calendar dim is filtered at
+    // RUNTIME (the selected days are not knowable at plan time — they
+    // come from another parquet table), and the fact scan must read
+    // ONLY the matching day directories: Catalyst inserts a
+    // dynamicpruning subquery into the scan's PartitionFilters,
+    // reusing the dim's broadcast (DppSpec pins the plan AND the
+    // files-read count). The census itself is one hash aggregate.
+    "q191_dynamic_partition_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_dpp_${runId.incrementAndGet()}_")
+        .toString
+      val ev = Tables.table(s, dir, "events")
+        .withColumn("day", to_date($"ts"))
+      ev.write.partitionBy("day").mode("overwrite")
+        .parquet(s"$out/events_by_day")
+      // campaign calendar: a dim TABLE (not a literal list — DPP only
+      // triggers when the filter is unknowable at plan time). The
+      // flag is an INT compared by equality, not a boolean column
+      // used bare: PartitionPruning gates on isLikelySelective(pred),
+      // which admits EqualTo/In/Like etc. but NOT a lone boolean
+      // attribute — filter($"campaign") silently loses the pruning
+      // (measured; DppSpec would catch the regression).
+      ev.select($"day").distinct()
+        .withColumn("campaign", (dayofmonth($"day") % 7).cast("int"))
+        .write.mode("overwrite").parquet(s"$out/calendar")
+      val fact = s.read.parquet(s"$out/events_by_day")
+      val dim = s.read.parquet(s"$out/calendar").filter($"campaign" === 3)
+      fact.join(broadcast(dim), Seq("day"))
+        .groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"), Q.dsum($"value").as("total_value"))
+        .orderBy($"day", $"event_type")
+    }),
+
+    // Single-pass pipeline observability — Dataset.observe attaches
+    // CollectMetrics to the plan, so ingest totals AND post-gate
+    // totals are collected DURING the one curation pass (no second
+    // scan, no count()-then-recompute drift: the metrics describe
+    // exactly the rows the pass saw). The verified output IS the
+    // observed metric rows; the oracle recomputes both stages from
+    // the raw table, so the observation plumbing itself sits under
+    // the hash gate. At 100 TB this is how a pipeline reports volume
+    // without doubling its I/O.
+    "q192_observed_metrics" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Observation
+      val inObs = Observation()
+      val keptObs = Observation()
+      val gated = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .observe(inObs, count(lit(1)).as("n"),
+          sum($"n_chars").as("chars"))
+        .filter($"lang" === "en" && $"n_chars" >= 100)
+        .observe(keptObs, count(lit(1)).as("n"),
+          sum($"n_chars").as("chars"))
+      gated.write.mode("overwrite").format("noop").save()
+      def row(stage: String, o: Observation) = {
+        val m = o.get
+        (stage, m("n").asInstanceOf[Long], m("chars").asInstanceOf[Long])
+      }
+      Seq(row("ingested", inObs), row("kept", keptObs))
+        .toDF("stage", "n_docs", "sum_chars")
+        .orderBy($"stage")
+    }),
+
     "q157_cms_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val src = Q.fanout(Tables.table(s, dir, "lineitem"))
@@ -887,6 +955,36 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // Replay of the runtime-pruned join: the calendar predicate
+    // applied directly — pruned-scan result == full-scan result.
+    "q191_dynamic_partition_pruning" ->
+      s"""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                             event_type, value
+                      FROM events)
+          SELECT day, event_type, count(1) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM ev
+          WHERE CAST(date_part('day', day) AS INTEGER) % 7 = 3
+          GROUP BY day, event_type
+          ORDER BY day, event_type""",
+
+    // Both stages recomputed from the raw table — equality proves the
+    // in-flight CollectMetrics saw exactly the pass's rows.
+    "q192_observed_metrics" ->
+      """WITH i AS (SELECT count(1) AS n,
+                           CAST(SUM(n_chars) AS BIGINT) AS chars
+                    FROM documents),
+          k AS (SELECT count(1) AS n,
+                       CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS chars
+                FROM documents
+                WHERE lang = 'en' AND n_chars >= 100)
+          SELECT 'ingested' AS stage, n AS n_docs, chars AS sum_chars
+          FROM i
+          UNION ALL
+          SELECT 'kept' AS stage, n AS n_docs, chars AS sum_chars
+          FROM k
+          ORDER BY stage""",
 
     // Generational union replay — old generation carries NULL lang.
     "q185_schema_evolution" ->

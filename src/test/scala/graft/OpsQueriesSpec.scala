@@ -215,6 +215,53 @@ class OpsQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q191 fact scan is runtime-pruned to the campaign partitions") {
+    val df = SparkEntry.queries("q191_dynamic_partition_pruning")(
+      spark, sf0001)
+    df.collect() // execute THIS plan so its scan metrics fill in
+    // (count() would build a separate agg plan, leaving these at 0)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n$planStr")
+    // and the pruning BITES: the partitioned scan reads fewer files
+    // than the day-partition count (sf0.001 spans a full month but
+    // only ~4 days match dayofmonth%7==3)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE materializes stages as LEAF nodes — unwrap both the adaptive
+    // root and every stage to reach the real scans
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case _ => Nil
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(_.metrics.contains("numFiles"))
+    val partitioned = scans.filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty)
+    val read = partitioned.map(_.metrics("numFiles").value).min
+    val totalDays = Tables.table(spark, sf0001, "events")
+      .select(to_date($"ts")).distinct().count()
+    assert(read > 0 && read < totalDays,
+      s"DPP did not prune: read $read files of $totalDays partitions")
+  }
+
+  test("q192 metrics come from an in-plan CollectMetrics, and agree") {
+    val got = SparkEntry.queries("q192_observed_metrics")(spark, sf0001)
+      .as[(String, Long, Long)].collect().toMap2
+    val docs = Tables.table(spark, sf0001, "documents")
+    val kept = docs.filter($"lang" === "en" && $"n_chars" >= 100)
+    assert(got("ingested") ==
+      ((docs.count(), docs.agg(sum($"n_chars")).as[Long].head())))
+    assert(got("kept") ==
+      ((kept.count(), kept.agg(sum($"n_chars")).as[Long].head())))
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("q158 join-size estimate is one-sided and exact baseline is right") {
     val dir = cmsDir()
     val rows = SparkEntry.queries("q158_cms_join_size")(spark, dir)
