@@ -221,6 +221,55 @@ object OpsQueries {
         .orderBy($"window_end")
     }),
 
+    // AQE skew-join, end to end — the RUNTIME answer to the skew q87
+    // solves STATICALLY with salting: one key carries a third of the
+    // fact, the dim is forced into a sort-merge join (no broadcast —
+    // skew handling only applies to shuffle joins), and AQE's
+    // OptimizeSkewedJoin splits the hot partition into byte-bounded
+    // subtasks at runtime, duplicating the matching dim rows. The
+    // thresholds are scoped DOWN so the optimization bites at bench
+    // bytes (prod defaults are 256 MB-class) and restored in a
+    // finally; the join executes inside the fn (the streaming-query
+    // pattern) so the scoped confs govern the actual run. AqeSkewSpec
+    // pins `skew=true` in the final adaptive plan; the hash gate
+    // pins that splitting changed nothing semantically.
+    "q193_aqe_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_aqeskew_${runId.incrementAndGet()}_")
+        .toString
+      val scoped = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        // fanout matters beyond core utilization here: AQE splits a
+        // skewed reduce partition at MAP-OUTPUT-BLOCK granularity, so
+        // a single-map-task input (one small parquet file) leaves the
+        // hot partition as one unsplittable block and the skew
+        // handler reports nothing to do (measured; the spec's
+        // skew=true pin fails without this line). At 100 TB the scan
+        // is thousands of map tasks and the split is always available.
+        val fact = Q.fanout(Tables.table(s, dir, "lineitem"))
+          .select(when($"l_orderkey" % 3 === 0, 0L)
+            .otherwise($"l_orderkey" % 997).as("k"), $"l_quantity")
+        val dim = s.range(0, 997).select($"id".as("k"),
+          ($"id" % 7).as("grp"))
+        fact.join(dim.hint("merge"), "k")
+          .groupBy($"grp")
+          .agg(count(lit(1)).as("n_rows"), Q.dsum($"l_quantity").as("qty"))
+          .write.mode("overwrite").parquet(s"$out/res")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.read.parquet(s"$out/res").orderBy($"grp")
+    }),
+
     // Dynamic partition pruning, end to end — the 100 TB scan-killer
     // feature exercised against a REAL hive-partitioned layout: events
     // land partitioned by day (the reference's fecha_carga
@@ -955,6 +1004,22 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // Same join, no skew machinery — AQE splitting must not change
+    // a single value.
+    "q193_aqe_skew_join" ->
+      s"""WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                        ELSE l_orderkey % 997 END AS k,
+                   l_quantity
+            FROM lineitem),
+          dim AS (SELECT i AS k, i % 7 AS grp
+                  FROM unnest(generate_series(0, 996)) AS t(i))
+          SELECT grp, count(1) AS n_rows,
+                 ${Q.dsumSql("l_quantity")} AS qty
+          FROM fact JOIN dim USING (k)
+          GROUP BY grp
+          ORDER BY grp""",
 
     // Replay of the runtime-pruned join: the calendar predicate
     // applied directly — pruned-scan result == full-scan result.

@@ -247,6 +247,39 @@ class OpsQueriesSpec extends SparkSuite {
       s"DPP did not prune: read $read files of $totalDays partitions")
   }
 
+  test("q193's hot partition is split by AQE at bench bytes") {
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // fanout is load-bearing: skew splits are map-block-granular —
+      // see the q193 body comment
+      val fact = graft.queries.Q.fanout(
+        Tables.table(spark, "/root/testdata/sf0.01", "lineitem"))
+        .select(when($"l_orderkey" % 3 === 0, 0L)
+          .otherwise($"l_orderkey" % 997).as("k"), $"l_quantity")
+      val dim = spark.range(0, 997).select($"id".as("k"),
+        ($"id" % 7).as("grp"))
+      // keep l_quantity in the aggregate: count-only would prune the
+      // column and halve the hot partition below the skew threshold
+      val joined = fact.join(dim.hint("merge"), "k")
+        .groupBy($"grp").agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity").as("qty"))
+      joined.collect()
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$planStr")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q192 metrics come from an in-plan CollectMetrics, and agree") {
     val got = SparkEntry.queries("q192_observed_metrics")(spark, sf0001)
       .as[(String, Long, Long)].collect().toMap2
