@@ -221,6 +221,45 @@ object OpsQueries {
         .orderBy($"window_end")
     }),
 
+    // SQL DELETE on the graftlog connector, through its catalog — the
+    // retention-window drop as a first-class row-level operation:
+    // the shard dir is exposed as a NAMED table via GraftLogCatalog
+    // (DELETE only resolves against catalog relations, never
+    // format(...).load(path) ones), the DELETE condition folds to one
+    // event_id range, and execution drops every fully-covered shard
+    // by SIDECAR STATS ALONE — at 100 TB that is O(#shards) manifest
+    // work and zero data I/O; at most the two boundary shards
+    // rewrite. Unsupported predicates (user_id % 2 = 0) are REFUSED
+    // at analysis and belong to the anti-join/compaction path (q177).
+    // The verified output reads the surviving table back through the
+    // same catalog; the oracle replays the delete as a WHERE on the
+    // raw events — hash equality proves the shard surgery is exact.
+    "q194_graftlog_sql_delete" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val tbl = s"t${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) { // stale run in a prior JVM
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out.toString)
+      val cutoff = ev.count() / 2
+      s.sql(s"DELETE FROM glog.$tbl WHERE event_id < $cutoff")
+      s.sql(
+        s"""SELECT event_type, count(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+           FROM glog.$tbl
+           GROUP BY event_type
+           ORDER BY event_type""")
+    }),
+
     // AQE skew-join, end to end — the RUNTIME answer to the skew q87
     // solves STATICALLY with salting: one key carries a third of the
     // fact, the dim is forced into a sort-merge join (no broadcast —
@@ -1004,6 +1043,15 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // The delete replayed as a plain predicate on the raw feed.
+    "q194_graftlog_sql_delete" ->
+      s"""SELECT event_type, count(1) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events
+          WHERE event_id >= (SELECT count(*) // 2 FROM events)
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // Same join, no skew machinery — AQE splitting must not change
     // a single value.

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Session-catalog plugin exposing `.graftlog` shard directories as
+  * SQL-addressable V2 tables — the piece that turns the connector
+  * from a path-based `spark.read.format(...)` source into a named
+  * surface the whole SQL tier can reach:
+  *
+  * {{{
+  *   spark.sql.catalog.glog      = graft.sources.GraftLogCatalog
+  *   spark.sql.catalog.glog.base = /data/graftlogs
+  *   SELECT ... FROM glog.events_2024          -- catalog read
+  *   DELETE FROM glog.events_2024
+  *     WHERE event_id < 1700000000             -- retention drop
+  * }}}
+  *
+  * A table named `glog.a.b.c` is the shard directory `base/a/b/c`
+  * (namespaces are subdirectories, the hive-layout convention). The
+  * catalog is deliberately thin: `loadTable` hands back the SAME
+  * [[GraftLogTable]] the path API uses, so every pushdown tier
+  * (sidecar pruning, aggregates, limit/top-n, runtime filtering,
+  * storage-partitioned joins) and the [[GraftLogTable.deleteWhere]]
+  * row-level DELETE work identically under SQL names. DELETE is only
+  * reachable through a catalog (Spark's DeleteFromTable resolves
+  * against named relations, not `format(...).load(path)` ones) —
+  * which is why this class exists.
+  *
+  * Mirrors the reference's Glue Data Catalog role for its zone tables
+  * (reference README.md:28; the parquet-side analogue is
+  * store.CatalogZone) applied to the custom format.
+  */
+class GraftLogCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("base")).getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (base +: ident.namespace() :+ ident.name()).mkString("/")
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    Files.isDirectory(p) && Files.list(p).iterator().asScala
+      .exists(_.toString.endsWith(".graftlog"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = Paths.get((base +: namespace).mkString("/"))
+    if (!Files.isDirectory(ns)) Array.empty
+    else Files.list(ns).iterator().asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(Paths.get(dirOf(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!Files.isDirectory(Paths.get(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    new GraftLogTable(dir, GraftLog.isBucketed(dir))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(schema.isEmpty || schema == GraftLog.schema ||
+      schema == GraftLog.bucketedSchema,
+      "graftlog tables have a fixed schema " +
+        "(event_id, ts, user_id, event_type, value[, ub])")
+    Files.createDirectories(Paths.get(dirOf(ident)))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftlog tables have a fixed schema; ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(dirOf(ident))
+    if (!Files.isDirectory(dir)) false
+    else {
+      Files.list(dir).iterator().asScala.foreach(Files.delete)
+      Files.delete(dir)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    Files.move(Paths.get(dirOf(oldIdent)), Paths.get(dirOf(newIdent)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+}

@@ -111,6 +111,83 @@ object GraftLog {
     * the assertion exact under local[*]). */
   val filesOpened = new AtomicLong(0)
 
+  /** DELETE-path observability (same role as [[filesOpened]]):
+    * whole shards dropped by sidecar stats alone vs shards that had
+    * to be rewritten because the delete range cut through them. */
+  val shardsDropped = new AtomicLong(0)
+  val shardsRewritten = new AtomicLong(0)
+
+  /** Fold a pushed DELETE condition into ONE inclusive event_id range
+    * [lo, hi], or None when any conjunct is not an event_id
+    * comparison. The restriction is the scale contract, not laziness:
+    * a contiguous id range touches at most TWO partial shards no
+    * matter how big the table is (everything in between drops by
+    * sidecar stats — metadata-only), whereas an arbitrary predicate
+    * (user_id % 2 = 0) would rewrite every shard; such deletes belong
+    * to the compaction/anti-join path (Retention.forget, q177). */
+  def deleteRange(filters: Array[Filter]): Option[(Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    filters.foldLeft(Option((Long.MinValue, Long.MaxValue))) {
+      case (None, _) => None
+      case (Some((lo, hi)), f) => f match {
+        case LessThan("event_id", v) => num(v).map(x => (lo, hi.min(x - 1)))
+        case LessThanOrEqual("event_id", v) => num(v).map(x => (lo, hi.min(x)))
+        case GreaterThan("event_id", v) => num(v).map(x => (lo.max(x + 1), hi))
+        case GreaterThanOrEqual("event_id", v) =>
+          num(v).map(x => (lo.max(x), hi))
+        case EqualTo("event_id", v) => num(v).map(x => (lo.max(x), hi.min(x)))
+        case _ => None
+      }
+    }
+  }
+
+  /** Execute `DELETE WHERE event_id IN [lo, hi]` against a shard dir.
+    * Shards fully inside the range are dropped by their SIDECAR STATS
+    * alone (file delete, no data read — at 100 TB a retention window
+    * drop is O(#shards) manifest work and zero I/O); shards fully
+    * outside are untouched; the ≤ 2 boundary shards (and any shard
+    * missing its sidecar) are rewritten in place with fresh stats.
+    * The rewrite preserves a bucketed shard's ub sidecar field. */
+  def deleteWhere(path: String, lo: Long, hi: Long): Unit =
+    listShards(path).foreach { si =>
+      val covered = si.stats.map { case (mn, mx, _) => mn >= lo && mx <= hi }
+      val disjoint = si.stats.exists { case (mn, mx, _) => mx < lo || mn > hi }
+      if (covered.contains(true)) {
+        Files.delete(Paths.get(si.file))
+        Files.deleteIfExists(
+          Paths.get(si.file.stripSuffix(".graftlog") + ".meta"))
+        shardsDropped.incrementAndGet()
+      } else if (!disjoint) { // partial overlap or no sidecar: rewrite
+        val kept = Files.readAllLines(Paths.get(si.file)).asScala
+          .filter(_.nonEmpty)
+          .filter { line =>
+            val id = line.substring(0, line.indexOf('|')).toLong
+            id < lo || id > hi
+          }
+        val metaPath =
+          Paths.get(si.file.stripSuffix(".graftlog") + ".meta")
+        if (kept.isEmpty) {
+          Files.delete(Paths.get(si.file))
+          Files.deleteIfExists(metaPath)
+        } else {
+          Files.write(Paths.get(si.file),
+            kept.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+          val ids = kept.map(l => l.substring(0, l.indexOf('|')).toLong)
+          val ub = si.ub.map(u => s"|$u").getOrElse("")
+          Files.write(metaPath,
+            s"${ids.min}|${ids.max}|${ids.size}$ub"
+              .getBytes(StandardCharsets.UTF_8))
+        }
+        shardsRewritten.incrementAndGet()
+      }
+    }
+
   /** A shard plus its sidecar stats (None = sidecar missing: the
     * shard is readable but unprunable and cannot serve aggregates)
     * and, for bucketed layouts, its bucket value. */
@@ -239,9 +316,25 @@ object GraftLog {
 }
 
 class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graftlog source requires a path")
   override def name(): String = s"graftlog($path)"
+
+  /** SQL `DELETE FROM` (via [[GraftLogCatalog]]): accepted only when
+    * the condition folds to one event_id range — see
+    * [[GraftLog.deleteRange]] for why that restriction IS the scale
+    * contract. Anything else is rejected at analysis, steering the
+    * caller to the anti-join/compaction path. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftLog.deleteRange(filters).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (lo, hi) = GraftLog.deleteRange(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported delete condition: ${filters.mkString(", ")} " +
+          "(only event_id range conjunctions fold to shard pruning)"))
+    GraftLog.deleteWhere(path, lo, hi)
+  }
   override def schema(): StructType =
     if (bucketed) GraftLog.bucketedSchema else GraftLog.schema
   override def partitioning(): Array[Transform] =

@@ -645,6 +645,72 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(!bucketPlan.contains("ColumnarToRow"), bucketPlan)
   }
 
+  /** Register the catalog over tmp and expose `dir` as glogtest.<tbl>. */
+  private def catalogTable(dir: String): String = {
+    val base = java.nio.file.Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogspec",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogspec.base", base)
+    s"glogspec.`${java.nio.file.Paths.get(dir).getFileName}`"
+  }
+
+  test("DELETE on a shard-aligned range is metadata-only") {
+    val dir = writeShards() // 4 shards, ranges [0,99]..[300,399]
+    val tbl = catalogTable(dir)
+    GraftLog.shardsDropped.set(0); GraftLog.shardsRewritten.set(0)
+    spark.sql(s"DELETE FROM $tbl WHERE event_id < 200")
+    assert(GraftLog.shardsDropped.get() == 2,
+      s"expected 2 stat-dropped shards, got ${GraftLog.shardsDropped.get()}")
+    assert(GraftLog.shardsRewritten.get() == 0,
+      "an aligned range must never rewrite a shard")
+    val left = spark.read.format(fmt).load(dir)
+    assert(left.count() == 200)
+    assert(left.agg(min($"event_id")).as[Long].head() == 200L)
+  }
+
+  test("DELETE through a shard rewrites ONLY the boundary shard") {
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    GraftLog.shardsDropped.set(0); GraftLog.shardsRewritten.set(0)
+    spark.sql(s"DELETE FROM $tbl WHERE event_id < 150")
+    assert(GraftLog.shardsDropped.get() == 1) // [0,99] drops by stats
+    assert(GraftLog.shardsRewritten.get() == 1) // [100,199] rewrites
+    val left = spark.read.format(fmt).load(dir)
+    assert(left.count() == 250)
+    assert(left.agg(min($"event_id")).as[Long].head() == 150L)
+    // the rewritten sidecar carries fresh stats: a probe below the
+    // new min still opens zero shards
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_id" < 120).count() == 0)
+    assert(GraftLog.filesOpened.get() == 0,
+      "stale sidecar: pruning should skip every shard below the cut")
+  }
+
+  test("DELETE with a non-range predicate is refused at analysis") {
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $tbl WHERE user_id % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // and nothing was touched
+    assert(spark.read.format(fmt).load(dir).count() == 400)
+  }
+
+  test("catalog surface: SELECT by name, listTables, dropTable") {
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl")
+      .as[Long].head() == 400L)
+    val shown = spark.sql("SHOW TABLES IN glogspec").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains(
+      java.nio.file.Paths.get(dir).getFileName.toString))
+    spark.sql(s"DROP TABLE $tbl")
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+  }
+
   test("reported ordering removes a redundant sort over the scan") {
     val dir = writeShards()
     val sorted = spark.read.format(fmt).load(dir)
