@@ -566,6 +566,26 @@ object Analytics {
         .limit(50)
     }),
 
+    // Semi-structured props through the VARIANT type (Spark 4's
+    // binary-encoded JSON): parse_json materializes the open-schema
+    // payload ONCE into the columnar-friendly variant encoding and
+    // variant_get does typed path access — the engine-native upgrade
+    // over per-row string re-parsing (q20 get_json_object / q44
+    // from_json), and the representation a 100 TB telemetry column
+    // should land in (parse at ingest, shred at read). Same census
+    // shape as q44 so the two JSON tiers stay comparable.
+    "q195_variant_props" -> ((s, dir) => {
+      import s.implicits._
+      Q.fanout(Tables.table(s, dir, "events"))
+        .select($"event_type", parse_json($"props").as("v"))
+        .select($"event_type",
+          expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // Last-touch attribution — each purchase's value is credited to
     // the user's most recent PRIOR non-purchase event type, or
     // 'direct' when none exists within the 1-day lookback. The carry
@@ -1189,6 +1209,16 @@ object Analytics {
           GROUP BY c_custkey, c_name, c_acctbal, n_name
           ORDER BY revenue DESC, c_custkey
           LIMIT 20""",
+
+    "q195_variant_props" ->
+      """SELECT event_type, count(1) AS n,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS sum_k,
+                CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS max_k
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "q188_last_touch_attribution" ->
       s"""WITH w AS (

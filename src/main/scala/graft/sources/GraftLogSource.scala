@@ -142,6 +142,8 @@ object GraftLog {
         case GreaterThanOrEqual("event_id", v) =>
           num(v).map(x => (lo.max(x), hi))
         case EqualTo("event_id", v) => num(v).map(x => (lo.max(x), hi.min(x)))
+        // TRUNCATE TABLE arrives as the single filter [AlwaysTrue]
+        case _: org.apache.spark.sql.sources.AlwaysTrue => Some((lo, hi))
         case _ => None
       }
     }

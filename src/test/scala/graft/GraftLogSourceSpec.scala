@@ -698,6 +698,18 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(spark.read.format(fmt).load(dir).count() == 400)
   }
 
+  test("TRUNCATE TABLE drops every shard by stats (metadata-only)") {
+    // SupportsDelete's default truncateTable() = deleteWhere(no
+    // filters) → the full-range fold → every shard is stat-covered
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    GraftLog.shardsDropped.set(0); GraftLog.shardsRewritten.set(0)
+    spark.sql(s"TRUNCATE TABLE $tbl")
+    assert(GraftLog.shardsDropped.get() == 4)
+    assert(GraftLog.shardsRewritten.get() == 0)
+    assert(spark.read.format(fmt).load(dir).count() == 0)
+  }
+
   test("catalog surface: SELECT by name, listTables, dropTable") {
     val dir = writeShards()
     val tbl = catalogTable(dir)
