@@ -260,6 +260,87 @@ object OpsQueries {
            ORDER BY event_type""")
     }),
 
+    // SQL UPDATE via the copy-on-write rewrite — the group-based
+    // row-level tier above q194's metadata DELETE: Spark reads the
+    // AFFECTED shard groups through the connector's own scan (the
+    // rewrite's condition prunes by sidecar stats — and a runtime
+    // group-filter subquery narrows it to shards actually containing
+    // matches), computes replacement rows, and the replace-commit
+    // swaps exactly those shards; untouched groups are never read or
+    // written. Replacements inherit the ordered distribution, so
+    // pruning stays sharp after the update. The oracle replays the
+    // SET as a CASE projection over the raw feed.
+    "q196_graftlog_sql_update" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val tbl = s"u${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) {
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out.toString)
+      val n = ev.count()
+      s.sql(s"UPDATE glog.$tbl SET value = value * 2 " +
+        s"WHERE event_id >= ${n / 4} AND event_id < ${n / 2}")
+      s.sql(
+        s"""SELECT event_type, count(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+           FROM glog.$tbl
+           GROUP BY event_type
+           ORDER BY event_type""")
+    }),
+
+    // SQL MERGE INTO — the reference's Redshift staged-upsert
+    // semantics (store.Merge / q11) as the STANDARD SQL statement on
+    // the connector: matched rows update in place, unmatched source
+    // rows insert, in one atomic-per-shard copy-on-write pass through
+    // the same group machinery as q196. The oracle rebuilds the
+    // merged state from the raw feed (CASE for the update leg, UNION
+    // ALL for the insert leg) — hash equality proves the three-way
+    // row routing (update / copy / insert) is exact.
+    "q197_graftlog_merge_into" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val run = runId.incrementAndGet()
+      val tbl = s"m$run"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) {
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out.toString)
+      val n = ev.count()
+      val src = ev.filter($"event_id" >= n / 2 && $"event_id" < n / 2 + n / 10)
+        .withColumn("value", -$"value")
+        .unionByName(ev.filter($"event_id" < n / 20)
+          .withColumn("event_id", $"event_id" + n))
+      src.createOrReplaceTempView(s"glog_merge_src_$run")
+      s.sql(
+        s"""MERGE INTO glog.$tbl t USING glog_merge_src_$run s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET value = s.value
+            WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(
+        s"""SELECT event_type, count(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+           FROM glog.$tbl
+           GROUP BY event_type
+           ORDER BY event_type""")
+    }),
+
     // AQE skew-join, end to end — the RUNTIME answer to the skew q87
     // solves STATICALLY with salting: one key carries a third of the
     // fact, the dim is forced into a sort-merge join (no broadcast —
@@ -1043,6 +1124,37 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // The UPDATE replayed as a CASE projection on the raw feed.
+    "q196_graftlog_sql_update" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM events)
+          SELECT event_type, count(1) AS n,
+                 ${Q.dsumSql(
+        "CASE WHEN event_id >= n // 4 AND event_id < n // 2 " +
+          "THEN value * 2 ELSE value END")} AS total_value
+          FROM events, nn
+          GROUP BY event_type
+          ORDER BY event_type""",
+
+    // The MERGE rebuilt from the raw feed: CASE for the update leg,
+    // UNION ALL for the insert leg.
+    "q197_graftlog_merge_into" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM events),
+          merged AS (
+            SELECT event_type,
+                   CASE WHEN event_id >= n // 2
+                         AND event_id < n // 2 + n // 10
+                        THEN -value ELSE value END AS value
+            FROM events, nn
+            UNION ALL
+            SELECT event_type, value
+            FROM events, nn
+            WHERE event_id < n // 20)
+          SELECT event_type, count(1) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM merged
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // The delete replayed as a plain predicate on the raw feed.
     "q194_graftlog_sql_delete" ->

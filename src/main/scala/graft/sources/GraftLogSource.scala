@@ -117,6 +117,10 @@ object GraftLog {
   val shardsDropped = new AtomicLong(0)
   val shardsRewritten = new AtomicLong(0)
 
+  /** Groups (shards) swapped out by a copy-on-write UPDATE/MERGE/
+    * DELETE-fallback commit ([[GraftLogReplaceBatchWrite]]). */
+  val groupsReplaced = new AtomicLong(0)
+
   /** Fold a pushed DELETE condition into ONE inclusive event_id range
     * [lo, hi], or None when any conjunct is not an event_id
     * comparison. The restriction is the scale contract, not laziness:
@@ -319,7 +323,8 @@ object GraftLog {
 
 class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graftlog source requires a path")
   override def name(): String = s"graftlog($path)"
 
@@ -336,6 +341,19 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
         s"unsupported delete condition: ${filters.mkString(", ")} " +
           "(only event_id range conjunctions fold to shard pruning)"))
     GraftLog.deleteWhere(path, lo, hi)
+  }
+
+  /** SQL UPDATE / MERGE INTO (and the row-level DELETE fallback) via
+    * the group-based copy-on-write rewrite — see
+    * [[GraftLogRowLevelOperation]]. Bucketed layouts are refused: the
+    * replacement write would need the bucket count, which the layout
+    * does not record (the [[GraftLog.compact]] rule). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!bucketed,
+      s"row-level operations on bucketed graftlog table $path are not " +
+        "supported: the layout does not record its bucket count")
+    () => new GraftLogRowLevelOperation(path, info.command())
   }
   override def schema(): StructType =
     if (bucketed) GraftLog.bucketedSchema else GraftLog.schema
@@ -445,13 +463,94 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Copy-on-write row-level operations (SQL UPDATE / MERGE INTO, and
+  * the DELETE fallback for conditions that do not fold to an
+  * event_id range): Spark's group-based rewrite reads the AFFECTED
+  * groups through [[newScanBuilder]] — the same sidecar pruning as
+  * any scan, so a selective condition touches few shards and the
+  * whole-group contract holds because filters stay residual (shard
+  * pruning is the only effect of pushdown) — computes the replacement
+  * rows, and commits them through [[GraftLogReplaceBatchWrite]],
+  * which swaps exactly the scanned shards for the newly written
+  * ones. Replacement shards inherit the ingest write's ordered
+  * distribution (RequiresDistributionAndOrdering via the parent
+  * [[GraftLogWrite]]), so pruning stays sharp after an UPDATE/MERGE.
+  * Commit is shard-level (new shards land by atomic rename, then the
+  * old group files are dropped): a crash between the two phases
+  * leaves both generations visible — the same honesty note as
+  * [[GraftLog.compact]]; all-or-nothing would need a manifest. */
+class GraftLogRowLevelOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** Shard files the rewrite scan planned = the groups commit swaps.
+    * Set at planInputPartitions (driver side, before any write task
+    * runs); assignment (not append) tolerates AQE re-planning. */
+  @volatile private[sources] var affected: Option[Seq[String]] = None
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(path, GraftLog.schema,
+      onPlan = files => affected = Some(files))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftLogReplaceWrite(path,
+        info.schema(),
+        () => affected.getOrElse(throw new IllegalStateException(
+          "replace-write commit before the rewrite scan planned")))
+    }
+  override def description(): String = s"graftlog $cmd $path"
+}
+
+class GraftLogReplaceWrite(path: String, writeSchema: StructType,
+    affected: () => Seq[String])
+    extends GraftLogWrite(path) {
+  override def toBatch: BatchWrite =
+    new GraftLogReplaceBatchWrite(path, writeSchema, affected)
+  override def description(): String = s"graftlog replace $path"
+}
+
+class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
+    affected: () => Seq[String]) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    // numbering past every existing shard: replacements can never
+    // collide with the group files they are about to supersede.
+    // markerOffset: Spark's group-based rewrite prepends metadata
+    // columns (the __row_operation marker) to each replacement row
+    // while LogicalWriteInfo.schema() still reports the bare table
+    // schema — the writer skips the leading extras by observed row
+    // width (numFields - 5), which the UPDATE/MERGE specs pin with
+    // exact round-tripped values
+    new GraftLogWriterFactory(path, None, GraftLog.nextShardIndex(path),
+      markerOffset = true)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    affected().foreach { f =>
+      Files.deleteIfExists(Paths.get(f))
+      Files.deleteIfExists(
+        Paths.get(f.stripSuffix(".graftlog") + ".meta"))
+      GraftLog.groupsReplaced.incrementAndGet()
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogCommitMessage(file, n, _, _) if n > 0L =>
+        Files.deleteIfExists(Paths.get(file))
+        Files.deleteIfExists(
+          Paths.get(file.stripSuffix(".graftlog") + ".meta"))
+      case _ => ()
+    }
+}
+
 class GraftLogWriterFactory(path: String, buckets: Option[Int] = None,
-    baseIndex: Int = 0) extends DataWriterFactory {
+    baseIndex: Int = 0,
+    markerOffset: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = buckets match {
     case Some(n) =>
       new GraftLogBucketedWriter(path, baseIndex + partitionId, taskId, n)
-    case None => new GraftLogWriter(path, baseIndex + partitionId, taskId)
+    case None =>
+      new GraftLogWriter(path, baseIndex + partitionId, taskId,
+        markerOffset = markerOffset)
   }
 }
 
@@ -466,7 +565,9 @@ case class GraftLogCommitMessage(file: String, rows: Long,
   * never a torn or half-visible one. Min/max/count accumulate while
   * writing — stats cost nothing extra. */
 class GraftLogWriter(dir: String, pid: Int, taskId: Long,
-    shardUb: Option[Long] = None) extends DataWriter[InternalRow] {
+    shardUb: Option[Long] = None,
+    markerOffset: Boolean = false)
+    extends DataWriter[InternalRow] {
   // one shard per (partition, bucket) under a bucketed layout — the
   // bucket lands whole in one partition, so the name stays unique
   private val stem = shardUb.fold(f"shard-$pid%05d")(u =>
@@ -478,13 +579,17 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
   private var mx = Long.MinValue
 
   override def write(r: InternalRow): Unit = {
-    val id = r.getLong(0)
+    // copy-on-write replacement rows prepend metadata columns (the
+    // __row_operation marker) ahead of the five format columns; skip
+    // them by observed row width — see GraftLogReplaceBatchWrite
+    val o = if (markerOffset) r.numFields - 5 else 0
+    val id = r.getLong(o)
     // TimestampType's internal representation IS micros-since-epoch —
     // the format's ts_us column, no conversion. ub (bucketed layout)
     // is NOT written per line: it is constant per shard and lives in
     // the sidecar; the reader re-materializes it.
-    out.write(s"$id|${r.getLong(1)}|${r.getLong(2)}|" +
-      s"${r.getUTF8String(3)}|${r.getDouble(4)}\n")
+    out.write(s"$id|${r.getLong(o + 1)}|${r.getLong(o + 2)}|" +
+      s"${r.getUTF8String(o + 3)}|${r.getDouble(o + 4)}\n")
     if (id < mn) mn = id
     if (id > mx) mx = id
     n += 1
@@ -557,7 +662,8 @@ case class GraftLogBucketedCommitMessage(shards: Seq[WriterCommitMessage])
 
 class GraftLogScanBuilder(path: String,
     tableSchema: StructType = GraftLog.schema,
-    maxShardsPerTrigger: Option[Int] = None) extends ScanBuilder
+    maxShardsPerTrigger: Option[Int] = None,
+    onPlan: Seq[String] => Unit = _ => ()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -678,7 +784,7 @@ class GraftLogScanBuilder(path: String,
 
   override def build(): Scan =
     new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg,
-      pushedLimit, pushedTopN)
+      pushedLimit, pushedTopN, onPlan)
 }
 
 /** Observability at the DSv2 seam: per-task and driver-side custom
@@ -710,7 +816,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     required: StructType, maxShardsPerTrigger: Option[Int] = None,
     pushedAgg: Option[Seq[AggregateFunc]] = None,
     limit: Option[Int] = None,
-    topN: Option[(Boolean, Int)] = None)
+    topN: Option[(Boolean, Int)] = None,
+    onPlan: Seq[String] => Unit = _ => ())
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -976,13 +1083,17 @@ class GraftLogScan(path: String, pushed: Array[Filter],
         }.toArray
         Array(GraftLogAggPartition(values))
       case None => bucketGroups match {
-        case Some(gs) => gs.map { case (ub, ss) =>
-          GraftLogBucketPartition(ss.map(_.file), ub): InputPartition
-        }.toArray
+        case Some(gs) =>
+          onPlan(gs.flatMap(_._2.map(_.file)))
+          gs.map { case (ub, ss) =>
+            GraftLogBucketPartition(ss.map(_.file), ub): InputPartition
+          }.toArray
         case None =>
           val cap = headCap
           val tailCap = topN.collect { case (false, n) => n }
-          selectedShards.map(s =>
+          val sel = selectedShards
+          onPlan(sel.map(_.file))
+          sel.map(s =>
             GraftLogPartition(s.file, s.ub, cap, tailCap): InputPartition)
             .toArray
       }

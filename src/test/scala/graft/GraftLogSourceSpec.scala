@@ -687,15 +687,73 @@ class GraftLogSourceSpec extends SparkSuite {
       "stale sidecar: pruning should skip every shard below the cut")
   }
 
-  test("DELETE with a non-range predicate is refused at analysis") {
+  test("non-range DELETE falls back to the copy-on-write rewrite") {
+    // user_id % 2 = 0 folds to no event_id range → the metadata path
+    // refuses and Spark rewrites via SupportsRowLevelOperations:
+    // every group is affected (nothing prunes), all four replace
     val dir = writeShards()
     val tbl = catalogTable(dir)
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $tbl WHERE user_id % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    // and nothing was touched
-    assert(spark.read.format(fmt).load(dir).count() == 400)
+    GraftLog.shardsDropped.set(0); GraftLog.groupsReplaced.set(0)
+    spark.sql(s"DELETE FROM $tbl WHERE user_id % 2 = 0")
+    assert(GraftLog.shardsDropped.get() == 0,
+      "a non-range delete must not take the metadata path")
+    assert(GraftLog.groupsReplaced.get() == 4)
+    val left = spark.read.format(fmt).load(dir)
+    // user_id = i % 7: ids with i % 7 even survive... rows where
+    // (i % 7) % 2 == 1 remain
+    val want = (0L until 400L).count(i => (i % 7) % 2 == 1)
+    assert(left.count() == want)
+    assert(left.filter($"user_id" % 2 === 0).count() == 0)
+  }
+
+  test("UPDATE rewrites ONLY the pruned group and keeps its shape") {
+    val dir = writeShards() // shards [0,99] [100,199] [200,299] [300,399]
+    val tbl = catalogTable(dir)
+    GraftLog.groupsReplaced.set(0)
+    spark.sql(s"UPDATE $tbl SET value = value * 2 " +
+      "WHERE event_id >= 100 AND event_id < 150")
+    // sidecar pruning confines the rewrite to the [100,199] group
+    assert(GraftLog.groupsReplaced.get() == 1,
+      s"expected 1 replaced group, got ${GraftLog.groupsReplaced.get()}")
+    val after = spark.read.format(fmt).load(dir)
+    assert(after.count() == 400)
+    // matched rows doubled (value was id*0.5 → id), unmatched intact
+    assert(after.filter($"event_id" === 120).select($"value")
+      .as[Double].head() == 120.0)
+    assert(after.filter($"event_id" === 180).select($"value")
+      .as[Double].head() == 90.0)
+    assert(after.filter($"event_id" === 50).select($"value")
+      .as[Double].head() == 25.0)
+    // the replacement kept clustering: a selective probe still prunes
+    GraftLog.filesOpened.set(0)
+    assert(after.filter($"event_id" === 120).count() == 1)
+    val opened = GraftLog.filesOpened.get()
+    assert(opened <= 2, s"replacement lost pruning: opened $opened shards")
+  }
+
+  test("MERGE INTO updates matches and inserts the rest") {
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    // source: 50 overlapping ids (350..399) with value = -1, plus 50
+    // new ids (400..449)
+    (350L until 450L)
+      .map(i => (i, new java.sql.Timestamp(1700000000000L + i), i % 7,
+        s"t${i % 3}", -1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("merge_src")
+    GraftLog.groupsReplaced.set(0)
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET value = s.value
+          WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.read.format(fmt).load(dir)
+    assert(after.count() == 450)
+    assert(after.filter($"value" === -1.0).count() == 100)
+    assert(after.filter($"event_id" === 360).select($"value")
+      .as[Double].head() == -1.0)
+    assert(after.filter($"event_id" === 340).select($"value")
+      .as[Double].head() == 170.0)
+    assert(after.agg(max($"event_id")).as[Long].head() == 449L)
   }
 
   test("TRUNCATE TABLE drops every shard by stats (metadata-only)") {
