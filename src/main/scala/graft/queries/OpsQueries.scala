@@ -341,6 +341,47 @@ object OpsQueries {
            ORDER BY event_type""")
     }),
 
+    // MERGE full-sync — the CDC "make target equal source" statement:
+    // matched rows take the source's value, rows absent from the
+    // source are DELETED (WHEN NOT MATCHED BY SOURCE). This is the
+    // q105/q135 SCD/CDC fold expressed as one standard SQL statement
+    // on the connector; unlike q197's upsert, the BY SOURCE clause
+    // forces every group into the rewrite (absence is only provable
+    // by reading the group — no pruning can help), which is the
+    // honest cost of a full sync at any scale.
+    "q198_graftlog_merge_sync" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val run = runId.incrementAndGet()
+      val tbl = s"s$run"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) {
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out.toString)
+      ev.filter($"event_id" % 3 =!= 0)
+        .withColumn("value", $"value" + lit(1.0))
+        .createOrReplaceTempView(s"glog_sync_src_$run")
+      s.sql(
+        s"""MERGE INTO glog.$tbl t USING glog_sync_src_$run s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET value = s.value
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      s.sql(
+        s"""SELECT event_type, count(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+           FROM glog.$tbl
+           GROUP BY event_type
+           ORDER BY event_type""")
+    }),
+
     // AQE skew-join, end to end — the RUNTIME answer to the skew q87
     // solves STATICALLY with salting: one key carries a third of the
     // fact, the dim is forced into a sort-merge join (no broadcast —
@@ -1124,6 +1165,15 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // The full sync replayed: target == transformed source.
+    "q198_graftlog_merge_sync" ->
+      s"""SELECT event_type, count(1) AS n,
+                 ${Q.dsumSql("value + 1.0")} AS total_value
+          FROM events
+          WHERE event_id % 3 <> 0
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // The UPDATE replayed as a CASE projection on the raw feed.
     "q196_graftlog_sql_update" ->
