@@ -382,6 +382,89 @@ object OpsQueries {
            ORDER BY event_type""")
     }),
 
+    // Streaming read by CATALOG NAME — `readStream.table("glog.t")`:
+    // the same micro-batch source (shard-at-a-time offsets) the
+    // path API exposes, reached through the catalog, proving the
+    // named surface is complete for streams too. AvailableNow drains
+    // the log in capped triggers (2 shards each) into a complete-mode
+    // census snapshot; the oracle is the batch census — streaming ==
+    // batch on a bounded input, the q35 contract on the named tier.
+    "q199_graftlog_stream_table" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val run = runId.incrementAndGet()
+      val tbl = s"r$run"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) {
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out.toString)
+      val sink = java.nio.file.Files
+        .createTempDirectory(s"graft_streamtbl_$run").toString
+      val q = s.readStream.option("maxShardsPerTrigger", "2")
+        .table(s"glog.$tbl")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).as("tv"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$sink/_ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$sink/snap")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$sink/snap")
+        .select($"event_type", $"n",
+          $"tv".cast("double").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
+    // INSERT OVERWRITE by name — the batch "rebuild the table"
+    // statement via the write builder's SupportsTruncate seam: the
+    // new generation lands as appended shards (indices past every
+    // old one, atomic per-shard renames), then commit drops the
+    // snapshot of pre-existing shards. A half-populated table
+    // overwritten with the full feed must read back as exactly the
+    // full feed — which is what the oracle checks.
+    "q200_graftlog_insert_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val run = runId.incrementAndGet()
+      val tbl = s"o$run"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) {
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      val n = ev.count()
+      // generation 1: only the first half
+      ev.filter($"event_id" < n / 2)
+        .write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 4).save(out.toString)
+      ev.createOrReplaceTempView(s"glog_full_feed_$run")
+      s.sql(s"INSERT OVERWRITE glog.$tbl " +
+        s"SELECT event_id, ts, user_id, event_type, value " +
+        s"FROM glog_full_feed_$run")
+      s.sql(
+        s"""SELECT event_type, count(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+           FROM glog.$tbl
+           GROUP BY event_type
+           ORDER BY event_type""")
+    }),
+
     // AQE skew-join, end to end — the RUNTIME answer to the skew q87
     // solves STATICALLY with salting: one key carries a third of the
     // fact, the dim is forced into a sort-merge join (no broadcast —
@@ -1165,6 +1248,22 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // Streaming == batch on a bounded input: the plain census.
+    "q199_graftlog_stream_table" ->
+      s"""SELECT event_type, count(1) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""",
+
+    // Overwrite replaced the half-table with the full feed.
+    "q200_graftlog_insert_overwrite" ->
+      s"""SELECT event_type, count(1) AS n,
+                 ${Q.dsumSql("value")} AS total_value
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // The full sync replayed: target == transformed source.
     "q198_graftlog_merge_sync" ->

@@ -361,7 +361,7 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
     if (bucketed) Array(Expressions.identity("ub")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, schema(),
       Option(options.get("maxShardsPerTrigger")).map(_.toInt))
@@ -396,9 +396,19 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
       require(buckets.exists(_ > 0),
         "bucketed graftlog writes need .option(\"buckets\", n > 0)")
     }
-    new WriteBuilder {
-      override def build(): Write =
-        new GraftLogWrite(path, shards, if (bucketed) buckets else None)
+    new WriteBuilder with SupportsTruncate {
+      // INSERT OVERWRITE / SaveMode.Overwrite: Spark asks the builder
+      // to truncate; the overwrite batch-write snapshots the existing
+      // shard list at execution start and drops it at commit, after
+      // the replacement shards have landed by atomic rename — the
+      // same two-phase honesty note as compact/replace.
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = {
+        val b = if (bucketed) buckets else None
+        if (doTruncate) new GraftLogTruncateWrite(path, shards, b)
+        else new GraftLogWrite(path, shards, b)
+      }
     }
   }
 }
@@ -506,6 +516,45 @@ class GraftLogReplaceWrite(path: String, writeSchema: StructType,
   override def toBatch: BatchWrite =
     new GraftLogReplaceBatchWrite(path, writeSchema, affected)
   override def description(): String = s"graftlog replace $path"
+}
+
+/** Full-table overwrite: append the new generation (shard indices
+  * past every existing one), then drop the snapshot of pre-existing
+  * shards at commit. */
+class GraftLogTruncateWrite(path: String, shards: Option[Int],
+    buckets: Option[Int])
+    extends GraftLogWrite(path, shards, buckets) {
+  override def toBatch: BatchWrite =
+    new GraftLogOverwriteBatchWrite(path, buckets)
+  override def description(): String = s"graftlog overwrite $path"
+}
+
+class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int])
+    extends BatchWrite {
+  @volatile private var existing: Seq[String] = Nil
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    existing = GraftLog.listShards(path).map(_.file)
+    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    existing.foreach { f =>
+      Files.deleteIfExists(Paths.get(f))
+      Files.deleteIfExists(
+        Paths.get(f.stripSuffix(".graftlog") + ".meta"))
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    def drop(m: WriterCommitMessage): Unit = m match {
+      case GraftLogCommitMessage(file, n, _, _) if n > 0L =>
+        Files.deleteIfExists(Paths.get(file))
+        Files.deleteIfExists(
+          Paths.get(file.stripSuffix(".graftlog") + ".meta"))
+      case GraftLogBucketedCommitMessage(ms) => ms.foreach(drop)
+      case _ => ()
+    }
+    messages.foreach(drop)
+  }
 }
 
 class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,

@@ -768,6 +768,25 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(spark.read.format(fmt).load(dir).count() == 0)
   }
 
+  test("SaveMode.Overwrite replaces the old generation atomically-ish") {
+    val dir = writeShards() // 400 rows
+    // overwrite with a 50-row generation through the path API (the
+    // same SupportsTruncate seam INSERT OVERWRITE uses)
+    val gen2 = (1000L until 1050L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), i % 5, "g2", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    gen2.write.format(fmt).mode("overwrite").save(dir)
+    val after = spark.read.format(fmt).load(dir)
+    assert(after.count() == 50)
+    assert(after.agg(min($"event_id")).as[Long].head() == 1000L)
+    assert(after.filter($"event_type" =!= "g2").count() == 0)
+    // replacement kept sidecar pruning sharp
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_id" < 500).count() == 0)
+    assert(GraftLog.filesOpened.get() == 0)
+  }
+
   test("catalog surface: SELECT by name, listTables, dropTable") {
     val dir = writeShards()
     val tbl = catalogTable(dir)

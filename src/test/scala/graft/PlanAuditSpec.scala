@@ -85,7 +85,8 @@ class PlanAuditSpec extends SparkSuite {
     "q66_stream_interval_join", "q71_stream_left_outer_join",
     "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk",
     "q146_stream_index_append", "q168_stream_type_census",
-    "q170_stream_session_timers", "q172_graftlog_stream_census")
+    "q170_stream_session_timers", "q172_graftlog_stream_census",
+    "q199_graftlog_stream_table")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
