@@ -465,6 +465,52 @@ object OpsQueries {
            ORDER BY event_type""")
     }),
 
+    // Per-shard lineage audit through the `_shard` METADATA COLUMN
+    // (SupportsMetadataColumns — parquet's `_metadata.file_path` on
+    // the custom format): GROUP BY _shard turns physical-layout
+    // auditing into plain SQL. The audit cross-checks every shard's
+    // OBSERVED rows/min/max against its `.meta` sidecar and the
+    // disjoint-range layout contract — the check that catches a
+    // stats-corrupting writer bug before it silently breaks pruning
+    // (a wrong sidecar range prunes LIVE data). Output: shard count,
+    // total rows, and the two audit verdicts; the oracle pins what a
+    // healthy 8-shard write must report.
+    "q201_shard_lineage_audit" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val tbl = s"a${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
+      if (java.nio.file.Files.isDirectory(out)) {
+        java.nio.file.Files.list(out).iterator()
+          .forEachRemaining(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(out)
+      }
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 8).save(out.toString)
+      val audit = s.sql(
+        s"""SELECT _shard, count(1) AS n,
+               min(event_id) AS mn, max(event_id) AS mx
+           FROM glog.$tbl GROUP BY _shard""").collect()
+      val metas = graft.sources.GraftLog.listShards(out.toString)
+        .flatMap(si => si.stats.map(st =>
+          java.nio.file.Paths.get(si.file).getFileName.toString -> st))
+        .toMap
+      val matchMeta = audit.nonEmpty && audit.forall { r =>
+        metas.get(r.getString(0))
+          .contains((r.getLong(2), r.getLong(3), r.getLong(1)))
+      }
+      val ranges = metas.values.toSeq.sortBy(_._1)
+      val disjoint = ranges.zip(ranges.drop(1)).forall {
+        case ((_, mx, _), (mn2, _, _)) => mx < mn2 }
+      Seq((audit.length.toLong, audit.map(_.getLong(1)).sum,
+        matchMeta, disjoint))
+        .toDF("n_shards", "n_rows", "shards_match_meta",
+          "ranges_disjoint")
+    }),
+
     // AQE skew-join, end to end — the RUNTIME answer to the skew q87
     // solves STATICALLY with salting: one key carries a third of the
     // fact, the dim is forced into a sort-merge join (no broadcast —
@@ -1248,6 +1294,15 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // What a healthy 8-shard write must report: the engine computed
+    // the verdicts from real data + manifest; the oracle pins them.
+    "q201_shard_lineage_audit" ->
+      """SELECT CAST(8 AS BIGINT) AS n_shards,
+                count(*) AS n_rows,
+                true AS shards_match_meta,
+                true AS ranges_disjoint
+         FROM events""",
 
     // Streaming == batch on a bounded input: the plain census.
     "q199_graftlog_stream_table" ->

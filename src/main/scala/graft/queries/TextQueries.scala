@@ -78,6 +78,35 @@ object TextQueries {
   /** Oracle rendering of TextFunctions.qualityScore over a word list
     * column `w` — ONE text shared by every oracle that scores quality
     * (q80, q89), so a weight change can't drift between them. */
+  /** q202's content-defined chunker: (doc_id, source, text) →
+    * (doc_id, source, chunk_seq, ch = md5 of the chunk text,
+    * chunk_words). Boundary = salted hash60 of the 4-word window ≡ 0
+    * (mod 16); one doc-partition window pass. Factored out so
+    * CdcChunkSpec can pin the CDC stability property (an insertion
+    * perturbs O(1) chunks) on synthetic edits. */
+  private[graft] def cdcChunks(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(dw))
+      .withColumn("w2", lead(col("w"), 2).over(dw))
+      .withColumn("w3", lead(col("w"), 3).over(dw))
+      .withColumn("boundary", when(col("pos") === 0, 1L).otherwise(
+        when(col("w3").isNotNull && pmod(hash60(concat(
+          concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3")),
+          lit("_cdc"))), lit(16L)) === 0L, 1L).otherwise(0L)))
+      .withColumn("chunk_seq", sum(col("boundary")).over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_seq"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")))).as("ch"),
+        count(lit(1)).as("chunk_words"))
+  }
+
   private def qualitySql(w: String): String =
     s"""round(least(1.0, len($w)::DOUBLE / 100.0) * 0.4 +
           (len(list_distinct($w))::DOUBLE / len($w)::DOUBLE) * 0.4 +
@@ -626,6 +655,33 @@ object TextQueries {
         .filter($"h" * $"n_bucket" < $"m" * lit(1000000L))
         .select($"doc_id", $"source", $"len_bucket", $"n_bucket")
         .orderBy($"doc_id")
+    }),
+
+    // (q202's chunker lives in [[cdcChunks]] so CdcChunkSpec can pin
+    // the boundary-stability property on synthetic edits.)
+    // Content-defined chunking — the CDC boundary rule (Rabin-style:
+    // a window's hash selects boundaries, so a one-word insertion
+    // shifts ONE chunk, not every fixed-stride chunk after it — the
+    // property that makes chunk-hash dedup storage-stable across
+    // near-identical documents; cf. LBFS/restic/borg). Boundary:
+    // salted hash60 of the 4-word window ≡ 0 (mod 16) → mean chunk
+    // ≈ 16 words. Per-source census: chunks, distinct chunk hashes,
+    // chunk instances shared across docs, words. One doc-partition
+    // window pass (3 leads + the running boundary sum share a sort),
+    // then chunk-hash aggregates. Complements q79 (fixed-stride
+    // windows) and q161 (natural paragraph breaks).
+    "q202_cdc_chunking" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = cdcChunks(Q.fanout(Tables.table(s, dir, "documents")))
+      val dd = chunks.groupBy($"ch")
+        .agg(countDistinct($"doc_id").as("nd"))
+      chunks.join(dd, "ch")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct($"ch").as("n_distinct"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+          sum($"chunk_words").as("n_words"))
+        .orderBy($"source")
     }),
 
     // Benchmark decontamination (the GPT-3/Llama 13-gram protocol):
@@ -2257,6 +2313,46 @@ object TextQueries {
          GROUP BY lang, source
          HAVING count(1) >= 2
          ORDER BY lang, source""",
+    "q202_cdc_chunking" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+         toks AS (
+           SELECT doc_id, source, ws[i] AS w, i - 1 AS pos
+           FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+         flag AS (
+           SELECT *, lead(w, 1) OVER dw AS w1,
+                     lead(w, 2) OVER dw AS w2,
+                     lead(w, 3) OVER dw AS w3
+           FROM toks
+           WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+         b AS (
+           SELECT *, CASE WHEN pos = 0 THEN 1
+                  WHEN w3 IS NOT NULL AND
+                       CAST('0x' || substr(md5(w || ' ' || w1 || ' '
+                         || w2 || ' ' || w3 || '_cdc'), 1, 15)
+                         AS BIGINT) % 16 = 0
+                  THEN 1 ELSE 0 END AS boundary
+           FROM flag),
+         cs AS (
+           SELECT *, SUM(boundary) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS chunk_seq
+           FROM b),
+         chunks AS (
+           SELECT doc_id, source, chunk_seq,
+                  md5(string_agg(w, ' ' ORDER BY pos)) AS ch,
+                  count(1) AS chunk_words
+           FROM cs GROUP BY doc_id, source, chunk_seq),
+         dd AS (SELECT ch, count(DISTINCT doc_id) AS nd
+                FROM chunks GROUP BY ch)
+         SELECT source, count(1) AS n_chunks,
+                CAST(count(DISTINCT chunks.ch) AS BIGINT) AS n_distinct,
+                CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_shared_chunks,
+                CAST(SUM(chunk_words) AS BIGINT) AS n_words
+         FROM chunks JOIN dd USING (ch)
+         GROUP BY source
+         ORDER BY source""",
     "q183_length_matched_resample" ->
       """WITH b AS (SELECT doc_id, source, n_chars,
                           n_chars // 100 AS len_bucket

@@ -324,7 +324,22 @@ object GraftLog {
 class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_shard` metadata column — per-row physical lineage (parquet's
+    * `_metadata.file_path` on the custom format): which shard file
+    * served the row. Hidden from `SELECT *`; surfaces on explicit
+    * reference. What it buys at scale: per-shard audits (row counts
+    * vs sidecar, skew between shards) become plain SQL GROUP BYs. */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = "_shard"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "shard file name serving the row"
+    })
   require(path != null, "graftlog source requires a path")
   override def name(): String = s"graftlog($path)"
 
@@ -1267,7 +1282,9 @@ class GraftLogReaderFactory(requiredCols: Array[String])
     * homogeneous per scan, so Spark never sees a mixed batch. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition match {
-      case GraftLogPartition(_, _, None, None) => true
+      // metadata-column projections stay on the row reader
+      case GraftLogPartition(_, _, None, None) =>
+        !requiredCols.contains("_shard")
       case _ => false
     }
 
@@ -1431,9 +1448,13 @@ class GraftLogReader(file: String, requiredCols: Array[String],
 
   // required column -> source field index, resolved once per shard
   // (bucketedSchema is the base schema plus ub at index 5, so this
-  // resolves both layouts)
-  private val srcIdx: Array[Int] =
-    requiredCols.map(c => GraftLog.bucketedSchema.fieldIndex(c))
+  // resolves both layouts; 6 = the _shard metadata column)
+  private val srcIdx: Array[Int] = requiredCols.map {
+    case "_shard" => 6
+    case c => GraftLog.bucketedSchema.fieldIndex(c)
+  }
+  private val shardName = UTF8String.fromString(
+    Paths.get(file).getFileName.toString)
 
   override def next(): Boolean = {
     if (!it.hasNext) return false
@@ -1451,6 +1472,7 @@ class GraftLogReader(file: String, requiredCols: Array[String],
         case 4 => parts(4).toDouble
         case 5 => ub.getOrElse(throw new IllegalStateException(
           s"projection asked for ub but shard $file has no bucket sidecar"))
+        case 6 => shardName
       }
       i += 1
     }

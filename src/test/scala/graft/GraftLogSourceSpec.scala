@@ -787,6 +787,30 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(GraftLog.filesOpened.get() == 0)
   }
 
+  test("_shard metadata column: hidden from *, correct on reference") {
+    val dir = writeShards() // 4 shards of 100
+    val tbl = catalogTable(dir)
+    // hidden from SELECT *
+    assert(!spark.sql(s"SELECT * FROM $tbl").columns.contains("_shard"))
+    // surfaces on explicit reference, one value per physical shard
+    val perShard = spark.sql(
+      s"SELECT _shard, count(1) AS n FROM $tbl GROUP BY _shard")
+      .as[(String, Long)].collect().toMap
+    assert(perShard.size == 4)
+    assert(perShard.values.forall(_ == 100L))
+    assert(perShard.keys.forall(_.endsWith(".graftlog")))
+    // row-level pairing is right: every row's _shard sidecar range
+    // contains its event_id
+    val rows = spark.sql(s"SELECT event_id, _shard FROM $tbl")
+      .as[(Long, String)].collect()
+    val metas = GraftLog.listShards(dir).flatMap(si => si.stats.map(st =>
+      java.nio.file.Paths.get(si.file).getFileName.toString -> st)).toMap
+    rows.foreach { case (id, sh) =>
+      val (mn, mx, _) = metas(sh)
+      assert(id >= mn && id <= mx, s"row $id claims shard $sh [$mn,$mx]")
+    }
+  }
+
   test("catalog surface: SELECT by name, listTables, dropTable") {
     val dir = writeShards()
     val tbl = catalogTable(dir)
