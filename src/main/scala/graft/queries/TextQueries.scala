@@ -132,17 +132,21 @@ object TextQueries {
     * scan. Rules nest innermost-first (= rank order). */
   /** The per-word greedy-encode expression (input variable `x`),
     * shared by the q124 and q151 oracles. */
-  private val bpeWordSql: String = {
+  /** [[bpeWordSql]] at a merge-table PREFIX (q205's vocab ablation:
+    * rank-ordered merges mean `take(k)` IS the k-vocab tokenizer). */
+  private def bpeWordSqlAt(k: Int): String = {
     val marked =
       "array_to_string(list_transform(string_split(x, ''), " +
         "c -> chr(2)||c||chr(3)), '')"
-    val applied = pinnedMerges.foldLeft(marked) { case (e, (a, b)) =>
+    val applied = pinnedMerges.take(k).foldLeft(marked) { case (e, (a, b)) =>
       s"replace($e, chr(2)||'$a'||chr(3)||chr(2)||'$b'||chr(3), " +
         s"chr(2)||'$a$b'||chr(3))"
     }
     s"replace(replace(replace($applied, chr(3)||chr(2), '|'), " +
       "chr(2), ''), chr(3), '')"
   }
+
+  private val bpeWordSql: String = bpeWordSqlAt(pinnedMerges.size)
 
   private val bpeEncodeSql: String = {
     val word = bpeWordSql
@@ -655,6 +659,96 @@ object TextQueries {
         .filter($"h" * $"n_bucket" < $"m" * lit(1000000L))
         .select($"doc_id", $"source", $"len_bucket", $"n_bucket")
         .orderBy($"doc_id")
+    }),
+
+    // Attention-cost pricing of packing strategies — the quadratic
+    // complement to q175's token-fill report: a training batch pays
+    // attention FLOPs ∝ Σ len², so two packings with equal token fill
+    // can differ materially in compute. Prices three layouts at
+    // L=2048: (a) concat-and-split — dense fill but every block costs
+    // L² (documents attend across boundaries), (b) pad-to-L per doc —
+    // each doc's rows attend over the padded width (len·L), (c)
+    // block-diagonal masking — the Σ len² lower bound any
+    // mask-respecting packing achieves. Integer arithmetic, one scan,
+    // one 1-row aggregate.
+    "q203_attention_cost" -> ((s, dir) => {
+      import s.implicits._
+      val L = 2048L
+      Tables.table(s, dir, "documents")
+        .select(tokenCount($"text").cast("long").as("len"))
+        .agg(sum($"len").as("tokens"),
+          count(lit(1)).as("n_docs"),
+          (ceil(sum($"len") / lit(L.toDouble)).cast("long") * L * L)
+            .as("concat_cost"),
+          sum($"len" * L).as("pad_cost"),
+          sum($"len" * $"len").as("masked_cost"))
+        .withColumn("masked_vs_concat_pm",
+          expr("1000 * masked_cost div concat_cost"))
+        .withColumn("masked_vs_pad_pm",
+          expr("1000 * masked_cost div pad_cost"))
+    }),
+
+    // Needle-in-a-haystack eval-set builder — the long-context eval
+    // construction pipeline (Kamradt's NIAH; RULER): documents
+    // concatenate into fixed haystacks (10 docs, id-ordered) and a
+    // needle sentence is planted at a DETERMINISTIC per-haystack
+    // depth (salted hash per-mille of the token stream), so
+    // recall-at-depth curves are reproducible across runs and
+    // engines. Output is the manifest an eval harness consumes —
+    // including the md5 of the ASSEMBLED text, so the hash gate pins
+    // the assembly itself, not just the bookkeeping. One group-key
+    // exchange + per-haystack projections.
+    "q204_needle_haystack" -> ((s, dir) => {
+      import s.implicits._
+      val needle = "The secret ingredient is graft number FORTYTWO ."
+      Q.fanout(Tables.table(s, dir, "documents"))
+        .select(($"doc_id" / 10).cast("long").as("hid"), $"doc_id",
+          $"text")
+        .groupBy($"hid")
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct($"doc_id", $"text"))),
+            x => x.getField("text"))).as("htext"))
+        .select($"hid", $"n_docs", split($"htext", " ").as("ws"))
+        .withColumn("n_tokens", size($"ws").cast("long"))
+        .withColumn("depth_pm",
+          pmod(hash60(concat($"hid".cast("string"), lit("_needle"))),
+            lit(1000L)))
+        .withColumn("k", expr("n_tokens * depth_pm div 1000").cast("int"))
+        .withColumn("assembled_md5", md5(concat_ws(" ",
+          array_join(slice($"ws", lit(1), $"k"), " "),
+          lit(needle),
+          array_join(slice($"ws", $"k" + lit(1),
+            greatest($"n_tokens".cast("int") - $"k", lit(0))), " "))))
+        .select($"hid", $"n_docs", $"n_tokens", $"depth_pm",
+          $"k".cast("long").as("needle_word_pos"), $"assembled_md5")
+        .orderBy($"hid")
+    }),
+
+    // Tokenizer vocab-size ablation — fertility at nested merge-table
+    // prefixes (0 = character-level, 8 = half the table, 17 = full):
+    // the "how big should the vocab be" curve a tokenizer team reads,
+    // here over the q124 pinned-merge tokenizer whose encode loop is
+    // oracle-replayable at EVERY prefix (BPE merge tables are
+    // rank-ordered, so a prefix IS a smaller trained vocab — the
+    // ablation costs one scan with three encode expressions, not
+    // three training runs).
+    "q205_bpe_vocab_ablation" -> ((s, dir) => {
+      import s.implicits._
+      val ks = Seq(0, 8, 17)
+      val perDoc = Q.fanout(Tables.table(s, dir, "documents"))
+        .select(length($"text").cast("long").as("c"),
+          explode(array(ks.map(k => struct(lit(k).as("k"),
+            size(graft.text.Bpe.encode($"text",
+              pinnedMerges.take(k))).cast("long").as("t"))): _*))
+            .as("e"))
+      perDoc.select($"c", $"e.k".as("k"), $"e.t".as("t"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_docs"), sum($"c").as("n_chars"),
+          sum($"t").as("n_bpe_tokens"))
+        .withColumn("fertility_ppk",
+          expr("n_chars * 1000 div n_bpe_tokens"))
+        .orderBy($"k")
     }),
 
     // (q202's chunker lives in [[cdcChunks]] so CdcChunkSpec can pin
@@ -2313,6 +2407,66 @@ object TextQueries {
          GROUP BY lang, source
          HAVING count(1) >= 2
          ORDER BY lang, source""",
+    "q203_attention_cost" ->
+      """WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS len
+                   FROM documents),
+         t AS (SELECT CAST(SUM(len) AS BIGINT) AS tokens,
+                      count(1) AS n_docs,
+                      CAST(ceil(SUM(len) / 2048.0) AS BIGINT)
+                        * 2048 * 2048 AS concat_cost,
+                      CAST(SUM(len * 2048) AS BIGINT) AS pad_cost,
+                      CAST(SUM(len * len) AS BIGINT) AS masked_cost
+               FROM d)
+         SELECT tokens, n_docs, concat_cost, pad_cost, masked_cost,
+                1000 * masked_cost // concat_cost AS masked_vs_concat_pm,
+                1000 * masked_cost // pad_cost AS masked_vs_pad_pm
+         FROM t""",
+
+    "q204_needle_haystack" ->
+      """WITH hay AS (
+           SELECT doc_id // 10 AS hid, count(1) AS n_docs,
+                  string_agg(text, ' ' ORDER BY doc_id) AS htext
+           FROM documents GROUP BY doc_id // 10),
+         w AS (SELECT hid, n_docs, string_split(htext, ' ') AS ws
+               FROM hay),
+         m AS (
+           SELECT hid, n_docs, ws,
+                  CAST(len(ws) AS BIGINT) AS n_tokens,
+                  CAST('0x' || substr(md5(hid::VARCHAR || '_needle'),
+                    1, 15) AS BIGINT) % 1000 AS depth_pm
+           FROM w)
+         SELECT hid, n_docs, n_tokens, depth_pm,
+                CAST(n_tokens * depth_pm // 1000 AS BIGINT)
+                  AS needle_word_pos,
+                md5(concat_ws(' ',
+                  coalesce(array_to_string(
+                    ws[1:(n_tokens * depth_pm // 1000)], ' '), ''),
+                  'The secret ingredient is graft number FORTYTWO .',
+                  coalesce(array_to_string(
+                    ws[(n_tokens * depth_pm // 1000) + 1:], ' '), '')))
+                  AS assembled_md5
+         FROM m
+         ORDER BY hid""",
+
+    "q205_bpe_vocab_ablation" -> Seq(0, 8, 17).map { k =>
+      s"""SELECT $k AS k, count(*) AS n_docs,
+             CAST(sum(len(text)) AS BIGINT) AS n_chars,
+             CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+             (CAST(sum(len(text)) AS BIGINT) * 1000)
+               // CAST(sum(n_tok) AS BIGINT) AS fertility_ppk
+          FROM (
+            SELECT text,
+                   CASE WHEN tokens = '' THEN 0
+                        ELSE len(string_split(tokens, '|'))
+                   END::BIGINT AS n_tok
+            FROM (
+              SELECT text, array_to_string(list_transform(
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> ''),
+                       x -> ${bpeWordSqlAt(k)}), '|') AS tokens
+              FROM documents))"""
+    }.mkString("", " UNION ALL ", " ORDER BY k"),
+
     "q202_cdc_chunking" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
                    FROM documents),
