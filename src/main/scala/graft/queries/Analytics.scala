@@ -695,6 +695,56 @@ object Analytics {
         .orderBy($"user_id", $"session_seq")
     }),
 
+    // Chat-template rendering + loss-mask spans — the step between
+    // q176's assembled dialogues and an SFT dataloader: each session
+    // renders as "<|user|>…<|assistant|>…" (roles alternate from
+    // user) and the ASSISTANT content spans come out as [start:end)
+    // char offsets into the rendered string — the loss mask an SFT
+    // trainer applies so user turns never contribute gradient.
+    // Offsets are a per-session running length sum (window partitioned
+    // by session — bounded by session length, embarrassingly parallel
+    // across sessions at any scale); the hash gate pins the RENDERED
+    // BYTES (md5) and the span arithmetic, not just counts. One
+    // window chain + one hash aggregate — q176's exact scale shape.
+    "q209_chat_template" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session", when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("session_seq", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy($"user_id", $"session_seq")
+        .orderBy($"ts", $"event_id")
+      val turns = sess
+        .withColumn("turn", row_number().over(bySess))
+        .withColumn("role",
+          when($"turn" % 2 === 1, lit("user")).otherwise(lit("assistant")))
+        .withColumn("piece",
+          concat(lit("<|"), $"role", lit("|>"), $"event_type"))
+        .withColumn("cum_len", sum(length($"piece").cast("long")).over(
+          bySess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      turns.groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_turns"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct($"turn", $"piece"))),
+            x => x.getField("piece")), "")).as("text_md5"),
+          array_join(transform(
+            array_sort(collect_list(when($"role" === "assistant",
+              struct($"turn", concat(
+                ($"cum_len" - length($"event_type")).cast("string"),
+                lit(":"), $"cum_len".cast("string")).as("span"))))),
+            x => x.getField("span")), ",").as("mask_spans"),
+          sum(when($"role" === "assistant",
+            length($"event_type").cast("long")).otherwise(0L))
+            .as("n_assistant_chars"))
+        .filter($"n_turns" >= 3)
+        .orderBy($"user_id", $"session_seq")
+    }),
+
     "q23_sessionize" -> ((s, dir) => {
       import s.implicits._
       graft.operators.Sessionize.plain(
@@ -808,6 +858,58 @@ object Analytics {
         .orderBy($"prev_type", $"event_type")
     }),
 
+    // Recursive-CTE reachability (Spark 4's WITH RECURSIVE /
+    // UnionLoop): min-hop transitive closure of q119's journey graph
+    // — "can a user path ever lead from src to dst, and in how few
+    // steps?" The recursion is the OPERATOR being exercised; its
+    // input is deliberately the BOUNDED transition graph (≤ |types|²
+    // edges regardless of corpus size — the lineage-DAG/metadata
+    // class recursive CTEs are for at 100 TB, never a fact table).
+    // The fact-scale work is one lag window + distinct; the loop then
+    // iterates on a frame of at most |types|² rows, hop-capped so a
+    // cyclic graph terminates under UNION ALL on both engines.
+    "q207_transition_closure" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.table(s, dir, "events")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull && $"next_type" =!= $"event_type")
+        .select($"event_type".as("src"), $"next_type".as("dst"))
+        .distinct()
+        .createOrReplaceTempView("q207_edges")
+      s.sql("""
+        WITH RECURSIVE reach(src, dst, hops) AS (
+          SELECT src, dst, 1 AS hops FROM q207_edges
+          UNION ALL
+          SELECT r.src, e.dst, r.hops + 1
+          FROM reach r JOIN q207_edges e ON r.dst = e.src
+          WHERE r.hops < 4)
+        SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+        FROM reach GROUP BY src, dst ORDER BY src, dst""")
+    }),
+
+    // Correlated LATERAL subquery — the per-group top-k spelled the
+    // way an analyst writes it (join each source to ITS best 3 docs
+    // by quality), exercising Catalyst's lateral-join decorrelation:
+    // the correlated ORDER BY … LIMIT subquery must rewrite to a
+    // per-source rank, never an expensive per-row re-execution. The
+    // quality scorer rides in the view so both the outer DISTINCT and
+    // the lateral leg read one scan shape.
+    "q211_lateral_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"doc_id", $"source",
+          graft.text.TextFunctions.qualityScore($"text").as("q"))
+        .createOrReplaceTempView("q211_scored")
+      s.sql("""
+        SELECT s.source, l.doc_id, l.q
+        FROM (SELECT DISTINCT source FROM q211_scored) s,
+        LATERAL (SELECT doc_id, q FROM q211_scored d
+                 WHERE d.source = s.source
+                 ORDER BY d.q DESC, d.doc_id LIMIT 3) l
+        ORDER BY s.source, l.q DESC, l.doc_id""")
+    }),
+
     // Session-duration histogram: q23's sessionization (the SAME
     // Sessionize.plain operator) rolled into equi-width 5-minute bins
     // — the distribution view capacity planning reads. Bin ids via
@@ -916,6 +1018,37 @@ object Analytics {
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, event_type
          ORDER BY prev_type, event_type""",
+
+    "q207_transition_closure" ->
+      """WITH RECURSIVE ordered AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_type
+            FROM events),
+          edges AS (
+            SELECT DISTINCT event_type AS src, next_type AS dst
+            FROM ordered
+            WHERE next_type IS NOT NULL AND next_type <> event_type),
+          reach(src, dst, hops) AS (
+            SELECT src, dst, 1 AS hops FROM edges
+            UNION ALL
+            SELECT r.src, e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON r.dst = e.src
+            WHERE r.hops < 4)
+          SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+          FROM reach GROUP BY src, dst ORDER BY src, dst""",
+
+    "q211_lateral_topk" ->
+      s"""WITH sc AS (
+            SELECT doc_id, source, ${TextQueries.qualitySql("w")} AS q
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents))
+          SELECT s.source, l.doc_id, l.q
+          FROM (SELECT DISTINCT source FROM sc) s,
+          LATERAL (SELECT doc_id, q FROM sc d
+                   WHERE d.source = s.source
+                   ORDER BY d.q DESC, d.doc_id LIMIT 3) l
+          ORDER BY s.source, l.q DESC, l.doc_id""",
     "q120_session_duration_histogram" ->
       """WITH flagged AS (
             SELECT user_id, event_id, ts,
@@ -1317,6 +1450,57 @@ object Analytics {
                  string_agg(event_type, ' -> ' ORDER BY ts, event_id)
                    AS dialogue
           FROM sessions
+          GROUP BY user_id, session_seq
+          HAVING count(1) >= 3
+          ORDER BY user_id, session_seq""",
+
+    "q209_chat_template" ->
+      """WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sessions AS (
+            SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+            FROM flagged),
+          turns AS (
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id, session_seq
+                     ORDER BY ts, event_id) AS turn
+            FROM sessions),
+          pieces AS (
+            SELECT *,
+                   CASE WHEN turn % 2 = 1 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   '<|' || CASE WHEN turn % 2 = 1 THEN 'user'
+                                ELSE 'assistant' END
+                        || '|>' || event_type AS piece
+            FROM turns),
+          cum AS (
+            SELECT *, CAST(sum(len(piece)) OVER (
+                     PARTITION BY user_id, session_seq ORDER BY turn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_len
+            FROM pieces)
+          SELECT user_id, session_seq,
+                 count(1) AS n_turns,
+                 md5(string_agg(piece, '' ORDER BY turn)) AS text_md5,
+                 COALESCE(string_agg(
+                   CASE WHEN role = 'assistant' THEN
+                     (cum_len - len(event_type))::VARCHAR || ':'
+                       || cum_len::VARCHAR END,
+                   ',' ORDER BY turn), '') AS mask_spans,
+                 CAST(COALESCE(sum(CASE WHEN role = 'assistant'
+                     THEN len(event_type) END), 0) AS BIGINT)
+                   AS n_assistant_chars
+          FROM cum
           GROUP BY user_id, session_seq
           HAVING count(1) >= 3
           ORDER BY user_id, session_seq""",

@@ -107,7 +107,7 @@ object TextQueries {
         count(lit(1)).as("chunk_words"))
   }
 
-  private def qualitySql(w: String): String =
+  private[queries] def qualitySql(w: String): String =
     s"""round(least(1.0, len($w)::DOUBLE / 100.0) * 0.4 +
           (len(list_distinct($w))::DOUBLE / len($w)::DOUBLE) * 0.4 +
           least(1.0, len(list_filter($w, x ->
@@ -749,6 +749,82 @@ object TextQueries {
         .withColumn("fertility_ppk",
           expr("n_chars * 1000 div n_bpe_tokens"))
         .orderBy($"k")
+    }),
+
+    // Classifier-eval AUC — the filter-quality eval harness as a
+    // verified operator (q144's move, applied to the quality scorer
+    // instead of the ANN index): ROC-AUC of the q24 quality score as
+    // a ranker for the `lang = 'en'` label, via the Mann-Whitney U
+    // identity AUC = (concordant + ties/2) / (n₊·n₋) — entirely from
+    // per-distinct-score (n₊, n₋) counts, so no per-PAIR work ever
+    // materializes (the naive rendering is an n² self-join). The
+    // running negatives-below-this-score count is the distributed
+    // prefix sum (GlobalIndex.withGlobalCumSum — one range exchange +
+    // parallel per-partition windows; never a single-task global
+    // window), then ONE 1-row aggregate. Integer cross-multiply
+    // (·500000, floor-div) keeps the released number engine-exact.
+    "q208_quality_auc" -> ((s, dir) => {
+      import s.implicits._
+      val byScore = Tables.table(s, dir, "documents")
+        .select(when($"lang" === "en", 1L).otherwise(0L).as("pos"),
+          qualityScore($"text").as("score"))
+        .groupBy($"score")
+        .agg(sum($"pos").as("np"),
+          (count(lit(1)) - sum($"pos")).as("nn"))
+      graft.operators.GlobalIndex.withGlobalCumSum(
+        byScore, Seq($"score"), $"nn", sumCol = "cum_nn")
+        .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum($"np" * ($"cum_nn" - $"nn")).as("concordant"),
+          sum($"np" * $"nn").as("tied"))
+        .withColumn("auc_ppm",
+          expr("(2 * concordant + tied) * 500000" +
+            " div (n_pos * n_neg)"))
+    }),
+
+    // Vocabulary-growth curve (Heaps' law measurement): cumulative
+    // distinct token types vs cumulative tokens over the corpus
+    // prefix, at 10 doc-id-decile checkpoints — the "is the corpus
+    // still yielding new vocabulary?" saturation read behind
+    // tokenizer retraining and dedup-effectiveness calls.
+    // Distinct-so-far is NOT partial-aggregable, so the naive
+    // rendering (10 growing DISTINCT scans) re-reads the corpus 10×;
+    // this is ONE scan: a token's FIRST decile is min(bucket) per
+    // type (one hash aggregate over the exploded stream), the curve
+    // is then two bounded 10-row prefix sums. Deciles come from the
+    // broadcast (min,max) id range, not a global rank — no total
+    // order ever materializes.
+    "q214_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      val range = Tables.table(s, dir, "documents")
+        .agg(min($"doc_id").as("mn"),
+          (max($"doc_id") - min($"doc_id") + 1L).as("span"))
+      val docs = Q.fanout(Tables.table(s, dir, "documents"))
+        .crossJoin(broadcast(range))
+        .withColumn("bucket",
+          expr("(doc_id - mn) * 10 div span").cast("int"))
+      val toks = docs
+        .select($"bucket", explode(split($"text", " ")).as("tok"))
+        .filter($"tok" =!= "")
+      val bis = docs
+        .select($"bucket", explode(shingles($"text", 2)).as("bg"))
+      def firstSeen(df: org.apache.spark.sql.DataFrame, c: String,
+          out: String) = df
+        .groupBy(col(c)).agg(min($"bucket").as("b"))
+        .groupBy($"b".as("bucket")).agg(count(lit(1)).as(out))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+        .join(firstSeen(toks, "tok", "new_uni"), Seq("bucket"), "left_outer")
+        .join(firstSeen(bis, "bg", "new_bi"), Seq("bucket"), "left_outer")
+        .select($"bucket", $"n_tokens",
+          coalesce($"new_uni", lit(0L)).as("new_uni"),
+          coalesce($"new_bi", lit(0L)).as("new_bi"))
+        // 10-row frame: the single-partition window is the bounded
+        // model class, not a data-sized sort
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("cum_uni_types", sum($"new_uni").over(w))
+        .withColumn("cum_bi_types", sum($"new_bi").over(w))
+        .orderBy($"bucket")
     }),
 
     // (q202's chunker lives in [[cdcChunks]] so CdcChunkSpec can pin
@@ -2466,6 +2542,78 @@ object TextQueries {
                        x -> ${bpeWordSqlAt(k)}), '|') AS tokens
               FROM documents))"""
     }.mkString("", " UNION ALL ", " ORDER BY k"),
+
+    "q208_quality_auc" ->
+      s"""WITH s AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   string_split(text, ' ') AS w
+            FROM documents),
+          sc AS (SELECT pos, ${qualitySql("w")} AS score FROM s),
+          g AS (SELECT score,
+                       CAST(sum(pos) AS BIGINT) AS np,
+                       CAST(count(1) - sum(pos) AS BIGINT) AS nn
+                FROM sc GROUP BY score),
+          r AS (SELECT np, nn,
+                       CAST(sum(nn) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum_nn
+                FROM g)
+          SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(nn) AS BIGINT) AS n_neg,
+                 CAST(sum(np * (cum_nn - nn)) AS BIGINT) AS concordant,
+                 CAST(sum(np * nn) AS BIGINT) AS tied,
+                 (2 * CAST(sum(np * (cum_nn - nn)) AS BIGINT)
+                    + CAST(sum(np * nn) AS BIGINT)) * 500000
+                   // (CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT))
+                   AS auc_ppm
+          FROM r""",
+
+    "q214_vocab_growth" ->
+      """WITH rng AS (SELECT min(doc_id) AS mn,
+                             max(doc_id) - min(doc_id) + 1 AS span
+                      FROM documents),
+          d AS (SELECT CAST((doc_id - mn) * 10 // span AS INTEGER)
+                         AS bucket,
+                       string_split(text, ' ') AS w
+                FROM documents, rng),
+          toks AS (
+            SELECT bucket,
+                   unnest(list_filter(w, x -> x <> '')) AS tok
+            FROM d),
+          bis AS (
+            SELECT bucket,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, len(w) - 1),
+                     i -> concat_ws(' ', w[i], w[i+1])))) AS bg
+            FROM d),
+          tpb AS (SELECT bucket, CAST(count(1) AS BIGINT) AS n_tokens
+                  FROM toks GROUP BY bucket),
+          fu AS (SELECT bucket, CAST(count(1) AS BIGINT) AS new_uni
+                 FROM (SELECT min(bucket) AS bucket FROM toks
+                       GROUP BY tok)
+                 GROUP BY bucket),
+          fb AS (SELECT bucket, CAST(count(1) AS BIGINT) AS new_bi
+                 FROM (SELECT min(bucket) AS bucket FROM bis
+                       GROUP BY bg)
+                 GROUP BY bucket)
+          SELECT t.bucket, t.n_tokens,
+                 COALESCE(u.new_uni, 0) AS new_uni,
+                 COALESCE(b.new_bi, 0) AS new_bi,
+                 CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens,
+                 CAST(sum(COALESCE(u.new_uni, 0)) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_uni_types,
+                 CAST(sum(COALESCE(b.new_bi, 0)) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_bi_types
+          FROM tpb t
+          LEFT JOIN fu u USING (bucket)
+          LEFT JOIN fb b USING (bucket)
+          ORDER BY t.bucket""",
 
     "q202_cdc_chunking" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws

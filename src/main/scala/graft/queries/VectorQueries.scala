@@ -576,6 +576,72 @@ object VectorQueries {
           coalesce($"n_hits", lit(0L)).as("n_hits"))
         .withColumn("recall_pm", $"n_hits" * 200)
         .orderBy($"query_id")
+    }),
+
+    // Semantic decontamination — q73's benchmark-overlap flagging in
+    // EMBEDDING space (the paraphrase-robust complement to 13-gram
+    // matching: a reworded benchmark item shares no n-grams but still
+    // lands nearby in embedding space). Benchmark set = every 97th
+    // vector (bounded, deterministic stand-in for a real eval suite);
+    // a corpus vector is contaminated when ANY benchmark neighbor has
+    // cosine ≥ 0.30 — deliberately LOOSER than q32's 0.45 near-dup
+    // bar: decontamination errs toward recall (a flagged train doc is
+    // cheap, a leaked eval item is not). Scale shape is q73's
+    // exactly: the benchmark side is TINY and broadcast, the train
+    // corpus is scanned once and NEVER shuffles — the semi join plans
+    // as BroadcastNestedLoopJoin(LeftSemi) with O(|bench|·d) work per
+    // row, then one partial-aggregable per-label census. At 100 TB
+    // the corpus side cost is the scan itself.
+    "q206_semantic_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      val bench = emb.filter($"vec_id" % 97 === 0)
+        .select($"vec_id".as("bench_id"), $"embedding".as("bv"))
+      val corpus = emb.filter($"vec_id" % 97 =!= 0)
+      val flagged = corpus
+        .join(broadcast(bench),
+          VectorFunctions.cosine($"embedding", $"bv") >= 0.30, "left_semi")
+        .groupBy($"label").agg(count(lit(1)).as("n_flagged"))
+      corpus.groupBy($"label").agg(count(lit(1)).as("n_docs"))
+        .join(flagged, Seq("label"), "left_outer")
+        .select($"label", $"n_docs",
+          coalesce($"n_flagged", lit(0L)).as("n_flagged"))
+        .withColumn("flagged_pm", expr("1000 * n_flagged div n_docs"))
+        .orderBy($"label")
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    // LASER/CCMatrix parallel-corpus construction rule): for every
+    // label-0 vector, its best label-1 neighbor scored by RATIO
+    // margin = cos(x, y₁) / mean(cos(x, y₁..y₄)) — "is the best match
+    // decisively better than x's neighborhood?", which separates true
+    // translation pairs from hubness artifacts where raw cosine
+    // can't. The forward-margin rendering: ONE kNN pass (q31's
+    // broadcast-queries shape — corpus side never shuffles before the
+    // per-query top-k); the mean folds the 4 cosines in rank order
+    // (aggregate over the rank-sorted array — one fixed fold order,
+    // so the double sum is engine-exact), margin = 4·cos₁ / Σ.
+    // At 100 TB both legs swap to the IVF probe (q137) untouched.
+    "q213_bitext_margin" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      val a = emb.filter($"label" === 0)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val b = emb.filter($"label" === 1)
+        .select($"vec_id".as("neighbor_id"), $"embedding")
+      VectorFunctions.knnBruteForce(a, b, k = 4)
+        .groupBy($"query_id")
+        .agg(
+          expr("""aggregate(
+                    transform(array_sort(collect_list(struct(rank, cosine))),
+                              x -> x.cosine),
+                    cast(0.0 as double), (acc, c) -> acc + c)""").as("sum4"),
+          max(when($"rank" === 1, $"neighbor_id")).as("best_id"),
+          max(when($"rank" === 1, $"cosine")).as("best_cos"))
+        .withColumn("margin", lit(4.0) * $"best_cos" / $"sum4")
+        .withColumn("mined", $"margin" >= 1.5)
+        .select($"query_id", $"best_id", $"best_cos", $"margin", $"mined")
+        .orderBy($"query_id")
     }))
 
   /** Retained for callers that want the ANN surface without oracles
@@ -1034,5 +1100,52 @@ object VectorQueries {
                      ORDER BY cosine DESC, neighbor_id) AS rank
             FROM scored)
           WHERE rank <= 5
-          ORDER BY query_id, rank""")
+          ORDER BY query_id, rank""",
+
+    "q206_semantic_decontam" ->
+      s"""WITH bench AS (
+            SELECT vec_id AS bench_id, embedding AS bv
+            FROM embeddings WHERE vec_id % 97 = 0),
+          corpus AS (
+            SELECT * FROM embeddings WHERE vec_id % 97 <> 0),
+          flag AS (
+            SELECT DISTINCT c.label, c.vec_id
+            FROM corpus c JOIN bench b
+              ON ${cosSql("c.embedding", "b.bv")} >= 0.30),
+          f AS (SELECT label, count(1) AS n_flagged FROM flag
+                GROUP BY label),
+          t AS (SELECT label, count(1) AS n_docs FROM corpus
+                GROUP BY label)
+          SELECT t.label, t.n_docs,
+                 COALESCE(f.n_flagged, 0) AS n_flagged,
+                 1000 * COALESCE(f.n_flagged, 0) // t.n_docs AS flagged_pm
+          FROM t LEFT JOIN f ON t.label = f.label
+          ORDER BY t.label""",
+
+    "q213_bitext_margin" ->
+      s"""WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE label = 0),
+          b AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                FROM embeddings WHERE label = 1),
+          scored AS (
+            SELECT a.query_id, b.neighbor_id,
+                   ${cosSql("a.qv", "b.cv")} AS cosine
+            FROM a JOIN b ON a.query_id <> b.neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored),
+          aggd AS (
+            SELECT query_id,
+                   list_reduce(list(cosine ORDER BY rank),
+                     (acc, c) -> acc + c) AS sum4,
+                   max(CASE WHEN rank = 1 THEN neighbor_id END) AS best_id,
+                   max(CASE WHEN rank = 1 THEN cosine END) AS best_cos
+            FROM ranked WHERE rank <= 4
+            GROUP BY query_id)
+          SELECT query_id, best_id, best_cos,
+                 4.0 * best_cos / sum4 AS margin,
+                 (4.0 * best_cos / sum4) >= 1.5 AS mined
+          FROM aggd ORDER BY query_id""")
 }

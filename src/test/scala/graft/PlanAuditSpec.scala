@@ -74,7 +74,18 @@ class PlanAuditSpec extends SparkSuite {
     // q183: the min-bucket-count rides as a broadcast 1-ROW frame
     // (the q103/q104 scalar-stats pattern); the bucket census itself
     // equi-joins on len_bucket.
-    "q183_length_matched_resample")
+    "q183_length_matched_resample",
+    // q206: the decontam semi join deliberately probes the TINY
+    // broadcast benchmark set per corpus row (the q73 shape in
+    // embedding space — O(|bench|·d) per row, train side never
+    // shuffles); there is no equi-key for a cosine threshold.
+    "q206_semantic_decontam",
+    // q213: the kNN leg is q31's bounded-broadcast-queries shape
+    // (label-0 slice broadcast against the label-1 corpus scan).
+    "q213_bitext_margin",
+    // q214: the (min,max) doc-id range rides as a broadcast 1-ROW
+    // frame (the q103/q111 scalar-stats pattern).
+    "q214_vocab_growth")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -112,11 +123,14 @@ class PlanAuditSpec extends SparkSuite {
     * - q143/q145: per-CELL index stats (≈ √n cells, the IVF model).
     * - q147: the prefix max over per-BLOCK summaries (n/1024 rows;
     *   the in-block pass partitions by block).
+    * - q214: the Heaps-curve prefix sums over exactly 10 decile rows
+    *   (the per-token/per-type passes are hash aggregates).
     */
   private val globalWindowByDesign = Set(
     "q68_top_ngrams_sketch", "q121_token_waterfill", "q139_hybrid_rrf",
     "q142_hybrid_rrf_ivf", "q143_ivf_append_drift",
-    "q145_ivf_migration_plan", "q147_watermark_advisor")
+    "q145_ivf_migration_plan", "q147_watermark_advisor",
+    "q214_vocab_growth")
 
   test("no query windows over the whole input in a single task") {
     // a Window with an empty PARTITION BY plans as ONE task sorting
