@@ -888,6 +888,31 @@ object Analytics {
         FROM reach GROUP BY src, dst ORDER BY src, dst""")
     }),
 
+    // SQL pipe syntax (Spark 4's `|>` operator chaining — SIGMOD'24
+    // "SQL Has Problems..."/GoogleSQL pipes): the TPC-H Q1 pricing
+    // summary written as a linear pipeline instead of inside-out SQL.
+    // Same plan as the classic spelling (parser-level sugar — WHERE
+    // before AGGREGATE pushes to the scan exactly as ever); the
+    // oracle runs the classic form in DuckDB, so the gate also pins
+    // that the sugar changes nothing semantically. Decimal-exact sums
+    // (Q.dsum's discipline) keep the doubles engine-portable.
+    "q215_pipe_syntax_q1" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem").createOrReplaceTempView("q215_lineitem")
+      s.sql("""
+        FROM q215_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE
+             count(*) AS count_order,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     // Correlated LATERAL subquery — the per-group top-k spelled the
     // way an analyst writes it (join each source to ITS best 3 docs
     // by quality), exercising Catalyst's lateral-join decorrelation:
@@ -1037,6 +1062,20 @@ object Analytics {
             WHERE r.hops < 4)
           SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
           FROM reach GROUP BY src, dst ORDER BY src, dst""",
+
+    "q215_pipe_syntax_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS count_order,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
 
     "q211_lateral_topk" ->
       s"""WITH sc AS (

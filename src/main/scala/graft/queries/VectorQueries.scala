@@ -642,6 +642,57 @@ object VectorQueries {
         .withColumn("mined", $"margin" >= 1.5)
         .select($"query_id", $"best_id", $"best_cos", $"margin", $"mined")
         .orderBy($"query_id")
+    }),
+
+    // ANN tuning curve — the nprobe recall/cost frontier as ONE
+    // verified artifact (q144 gives one point; an operator choosing
+    // production nprobe needs the curve): per nprobe ∈ {1,2,4,8},
+    // total exact-top-5 hits over the 20 eval queries (recall, ‰) and
+    // the candidate rows a probe touches (scan cost, ‰ of the full
+    // 20·n brute-force pair space — the number the 100 TB budget is
+    // priced from). Fit/assign/exact-truth compute ONCE
+    // (localCheckpoint pins them); each curve point reuses the
+    // assignment, so the whole curve costs one fit + 4 bounded probe
+    // joins. Candidate counts come from the ≤cells-row cell-size
+    // table, not by re-materializing candidates.
+    "q216_ann_tuning_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val queries = emb.filter($"vec_id" < 20)
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 1)
+      val assigned = Ivf.assign(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), model)
+        .localCheckpoint()
+      val cellSizes = assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("csz")).localCheckpoint() // ≤ cells rows
+      val exact = VectorFunctions.knnBruteForce(
+        queries.withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"), k = 5)
+        .select($"query_id", $"neighbor_id").localCheckpoint()
+      val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
+      val legs = Seq(1, 2, 4, 8).map { np =>
+        val hits = Ivf.searchAssigned(
+          queries.withColumnRenamed("vec_id", "query_id"),
+          assigned, model, k = 5, nprobe = np)
+          .select($"query_id", $"neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        val cands = Ivf.assignMulti(
+          queries.withColumnRenamed("vec_id", "query_id"),
+          model, probes = np, corpusId = "query_id")
+          .select($"cell").join(cellSizes, "cell")
+          .agg(sum($"csz").as("n_candidates"))
+        // 1-row × 1-row products: the q111/q153 scalar-stats pattern
+        hits.crossJoin(cands)
+          .select(lit(np).as("nprobe"), $"n_hits", $"n_candidates")
+      }
+      legs.reduce(_ unionByName _)
+        .crossJoin(broadcast(nCorpus))
+        .select($"nprobe", $"n_hits",
+          ($"n_hits" * 10L).as("recall_pm"),
+          $"n_candidates",
+          expr("1000 * n_candidates div (20 * n_corpus)").as("scan_pm"))
+        .orderBy($"nprobe")
     }))
 
   /** Retained for callers that want the ANN surface without oracles
@@ -1147,5 +1198,69 @@ object VectorQueries {
           SELECT query_id, best_id, best_cos,
                  4.0 * best_cos / sum4 AS margin,
                  (4.0 * best_cos / sum4) >= 1.5 AS mined
-          FROM aggd ORDER BY query_id""")
+          FROM aggd ORDER BY query_id""",
+
+    "q216_ann_tuning_curve" -> {
+      val nps = Seq(1, 2, 4, 8)
+      val perNp = nps.map { np =>
+        s"""ascored$np AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ${cosSql("eq2.embedding", "ec.embedding")} AS cosine
+            FROM (SELECT query_id, cell FROM qp WHERE rn <= $np) q
+            JOIN corpus c USING (cell)
+            JOIN embeddings eq2 ON eq2.vec_id = q.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id),
+          ann$np AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM ascored$np) WHERE rank <= 5),
+          hits$np AS (
+            SELECT count(*)::BIGINT AS n_hits
+            FROM ann$np JOIN exact USING (query_id, neighbor_id)),
+          cand$np AS (
+            SELECT CAST(sum(csz) AS BIGINT) AS n_candidates
+            FROM (SELECT cell FROM qp WHERE rn <= $np) j
+            JOIN csz USING (cell))"""
+      }.mkString(",\n          ")
+      val finals = nps.map { np =>
+        s"""SELECT $np AS nprobe, h.n_hits, h.n_hits * 10 AS recall_pm,
+                 c.n_candidates,
+                 1000 * c.n_candidates // (20 * n.n_corpus) AS scan_pm
+          FROM hits$np h, cand$np c, ncorp n"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH ${lloydCtes(16)},
+          corpus AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) WHERE rn = 1),
+          qp AS (
+            SELECT vec_id AS query_id, cell, rn FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1 WHERE vec_id < 20) WHERE rn <= 8),
+          csz AS (SELECT cell, count(*)::BIGINT AS csz
+                  FROM corpus GROUP BY cell),
+          eq AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 20),
+          escored AS (
+            SELECT eq.query_id, e.vec_id AS neighbor_id,
+                   ${cosSql("eq.qv", "e.embedding")} AS cosine
+            FROM eq JOIN embeddings e ON e.vec_id <> eq.query_id),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM escored) WHERE rank <= 5),
+          ncorp AS (SELECT count(*)::BIGINT AS n_corpus FROM embeddings),
+          $perNp
+          $finals
+          ORDER BY nprobe"""
+    })
 }

@@ -156,12 +156,55 @@ object StreamingQueries {
     spark.read.parquet(s"$out/result").orderBy(col("day"), col("rnk"))
   }
 
+  /** State-store introspection (Spark 4's `statestore` data source):
+    * drain the 1-day windowed count in UPDATE mode (state is never
+    * evicted — no watermark on a finite drain), then read the
+    * checkpoint's state store back as a DataFrame and project the
+    * live aggregation state. This is the ops/debugging surface a
+    * streaming deployment uses to answer "what is IN my state right
+    * now?" without touching the running query — and because a drained
+    * update-mode aggregate's state IS the batch aggregate, the
+    * introspection result itself sits under the hash gate: state =
+    * per-day counts = the DuckDB group-by. The sink is noop (every
+    * partition processed, nothing written — the result is the STATE,
+    * not the output stream). */
+  def stateStoreAudit(spark: SparkSession, dir: String): DataFrame =
+    StreamTuning.withStatePartitions(spark) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_statestore_${runId.incrementAndGet()}_")
+        .toString
+      val ckpt = s"$out/_checkpoint"
+      val q = Tables.eventsStream(spark, dir)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("noop").mode("overwrite").save()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.window.start").as("day_start"),
+          col("value.count").as("n_events"))
+        .orderBy(col("day_start"))
+    }
+
   val queries: Map[String, Q.Fn] = Map(
+    "q210_statestore_read" -> ((s, dir) => stateStoreAudit(s, dir)),
     "q35_stream_tumbling" -> ((s, dir) => streamedTumblingCounts(s, dir)),
     "q106_stream_static_join" -> ((s, dir) => streamedSegmentEnrichment(s, dir)),
     "q134_stream_topk" -> ((s, dir) => streamedTopKPerDay(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "q210_statestore_read" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                count(1) AS n_events
+         FROM events
+         GROUP BY day_start
+         ORDER BY day_start""",
     "q35_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
             count(1) AS n_events, ${Q.dsumSql("value")} AS total_value

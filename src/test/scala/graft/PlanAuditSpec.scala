@@ -85,7 +85,11 @@ class PlanAuditSpec extends SparkSuite {
     "q213_bitext_margin",
     // q214: the (min,max) doc-id range rides as a broadcast 1-ROW
     // frame (the q103/q111 scalar-stats pattern).
-    "q214_vocab_growth")
+    "q214_vocab_growth",
+    // q216: each curve point pairs 1-ROW hit/candidate aggregates
+    // (the q111/q153 scalar × scalar pattern); the probe joins
+    // themselves are equi-joins on cell.
+    "q216_ann_tuning_curve")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -97,7 +101,7 @@ class PlanAuditSpec extends SparkSuite {
     "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk",
     "q146_stream_index_append", "q168_stream_type_census",
     "q170_stream_session_timers", "q172_graftlog_stream_census",
-    "q199_graftlog_stream_table")
+    "q199_graftlog_stream_table", "q210_statestore_read")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
