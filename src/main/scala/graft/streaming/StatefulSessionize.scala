@@ -122,8 +122,51 @@ object StatefulSessionize {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** CUSTOM-state introspection (q210's statestore read, applied to
+    * the flatMapGroupsWithState store): drain the sessionizer, then
+    * read its checkpoint back — the live rows are exactly each user's
+    * still-OPEN session accumulator (q41 emits only closed sessions;
+    * the complement lives in state). The reader surfaces the
+    * case-class fields under `value.groupState.*`, epoch-micros longs
+    * and the ×10⁴ decimal-as-long sum included — so the hash gate
+    * pins the accumulator REPRESENTATION, not just derived output:
+    * a drift in the state encoding (the thing checkpoint
+    * compatibility depends on) breaks this row. */
+  def openSessionState(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame =
+    StreamTuning.withStatePartitions(spark) {
+      import spark.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_session_state_${runId.incrementAndGet()}_")
+        .toString
+      val ckpt = s"$out/_checkpoint"
+      val evs = Tables.eventsStream(spark, dir)
+        .select($"user_id", $"event_id",
+          expr("unix_micros(ts)").as("ts_us"), $"value")
+        .as[Ev]
+      val q = sessionize(evs, gapSeconds)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[Session], _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.value").as("user_id"),
+          col("value.groupState.seq").as("open_seq"),
+          col("value.groupState.start").as("open_start_us"),
+          col("value.groupState.end").as("open_end_us"),
+          col("value.groupState.n").as("n_events"),
+          col("value.groupState.sumScaled").as("sum_scaled"))
+        .orderBy(col("user_id"))
+    }
+
   val queries: Map[String, graft.queries.Q.Fn] = Map(
-    "q41_stream_sessionize" -> ((s, dir) => streamedSessions(s, dir)))
+    "q41_stream_sessionize" -> ((s, dir) => streamedSessions(s, dir)),
+    "q212_state_open_sessions" -> ((s, dir) => openSessionState(s, dir)))
 
   /** Oracle: the batch sessionization (q23) minus each user's final
     * (still-open in streaming) session. */
@@ -153,5 +196,40 @@ object StatefulSessionize {
           FROM sessions s
           WHERE session_seq < (SELECT max(session_seq) FROM sessions m
                                WHERE m.user_id = s.user_id)
-          ORDER BY user_id, session_seq""")
+          ORDER BY user_id, session_seq""",
+
+    // q41's complement: each user's LAST (still-open) session, with
+    // the state's own representation — epoch-micros longs and the
+    // ×10⁴ decimal-as-long sum (per-event DECIMAL(18,4) HALF_UP, the
+    // same rounding BigDecimal.setScale(4, HALF_UP) applies).
+    "q212_state_open_sessions" ->
+      """WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          numbered AS (
+            SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+            FROM flagged),
+          sessions AS (
+            SELECT user_id, session_seq,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS open_start_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS open_end_us,
+                   count(1) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS sum_scaled
+            FROM numbered
+            GROUP BY user_id, session_seq)
+          SELECT user_id, CAST(session_seq AS BIGINT) AS open_seq,
+                 open_start_us, open_end_us, n_events, sum_scaled
+          FROM sessions s
+          WHERE session_seq = (SELECT max(session_seq) FROM sessions m
+                               WHERE m.user_id = s.user_id)
+          ORDER BY user_id""")
 }

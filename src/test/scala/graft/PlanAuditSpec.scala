@@ -101,7 +101,8 @@ class PlanAuditSpec extends SparkSuite {
     "q106_stream_static_join", "q112_stream_upsert", "q134_stream_topk",
     "q146_stream_index_append", "q168_stream_type_census",
     "q170_stream_session_timers", "q172_graftlog_stream_census",
-    "q199_graftlog_stream_table", "q210_statestore_read")
+    "q199_graftlog_stream_table", "q210_statestore_read",
+    "q212_state_open_sessions")
 
   test("no query plans an unlisted cartesian or broadcast-nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
