@@ -827,6 +827,65 @@ object TextQueries {
         .orderBy($"bucket")
     }),
 
+    // Chunk-granularity retrieval agreement — the RAG design question
+    // "does chunking change what retrieval returns?" as a verified
+    // artifact: for each probe term, BM25 top-5 over WHOLE documents
+    // vs top-5 documents by best-CHUNK score (64/48 windows — q79's
+    // chunker), with the top-1 of each side and the overlap count
+    // in-row. Chunk-level idf/avgdl come from the CHUNK corpus (the
+    // index a chunked RAG store actually has). Corpus stats ride as
+    // broadcast 1-row frames (q103's pattern); every top-k is a
+    // TakeOrdered limit, never a global window; the per-doc best
+    // chunk is one hash aggregate. 3 bounded legs = 3 rows.
+    "q217_chunk_retrieval_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("hash", "spark", "window")
+      val docs = Q.fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"text")
+      def prep(df: org.apache.spark.sql.DataFrame, textCol: String) = df
+        .withColumn("w", split(col(textCol), " "))
+        .withColumn("dl", size($"w").cast("long"))
+      def stats(df: org.apache.spark.sql.DataFrame) = {
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains($"w", t), 1L).otherwise(0L)).as(s"df_$i")
+        }
+        df.agg(count(lit(1)).as("n_docs"),
+          ((sum($"dl".cast("decimal(18,0)")).cast("double") /
+            count(lit(1))).as("avgdl") +: dfCols): _*)
+      }
+      def score(t: String, i: Int) = {
+        val tf = size(filter($"w", x => x === lit(t))).cast("double")
+        val idf = ($"n_docs" - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5))
+        idf * (tf * lit(2.2)) / (tf + lit(1.2) *
+          (lit(0.25) + lit(0.75) * $"dl".cast("double") / $"avgdl"))
+      }
+      val dprep = prep(docs, "text")
+      val dscored = dprep.crossJoin(broadcast(stats(dprep)))
+      val cprep = prep(
+        graft.text.Chunking.chunk(docs, "doc_id", "text", 64, 48),
+        "chunk_text")
+      val cscored = cprep.crossJoin(broadcast(stats(cprep)))
+      val legs = terms.zipWithIndex.map { case (t, i) =>
+        val dTop = dscored.select($"doc_id", score(t, i).as("sc"))
+          .orderBy($"sc".desc, $"doc_id").limit(5).localCheckpoint()
+        val cTop = cscored.select($"doc_id", score(t, i).as("sc"))
+          .groupBy($"doc_id").agg(max($"sc").as("sc"))
+          .orderBy($"sc".desc, $"doc_id").limit(5).localCheckpoint()
+        val overlap = dTop.select($"doc_id")
+          .join(cTop.select($"doc_id"), "doc_id")
+          .agg(count(lit(1)).as("n_overlap"))
+        dTop.orderBy($"sc".desc, $"doc_id").limit(1)
+          .select($"doc_id".as("doc_top1"))
+          .crossJoin(cTop.orderBy($"sc".desc, $"doc_id").limit(1)
+            .select($"doc_id".as("chunk_top1")))
+          .crossJoin(overlap)
+          .select(lit(t).as("term"), $"doc_top1", $"chunk_top1",
+            $"n_overlap")
+      }
+      legs.reduce(_ unionByName _).orderBy($"term")
+    }),
+
     // (q202's chunker lives in [[cdcChunks]] so CdcChunkSpec can pin
     // the boundary-stability property on synthetic edits.)
     // Content-defined chunking — the CDC boundary rule (Rabin-style:
@@ -2567,6 +2626,62 @@ object TextQueries {
                    // (CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT))
                    AS auc_ppm
           FROM r""",
+
+    "q217_chunk_retrieval_agreement" -> {
+      val terms = Seq("hash", "spark", "window")
+      def scoreSql(t: String, i: Int): String =
+        s"""((n_docs - df_$i + CAST(0.5 AS DOUBLE))
+             / (df_$i + CAST(0.5 AS DOUBLE)))
+            * (len(list_filter(ws, x -> x = '$t'))::DOUBLE
+               * CAST(2.2 AS DOUBLE))
+            / (len(list_filter(ws, x -> x = '$t'))::DOUBLE
+               + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * len(ws)::DOUBLE / avgdl))"""
+      def statsSql(rel: String): String = {
+        val dfs = terms.zipWithIndex.map { case (t, i) =>
+          s"""sum(CASE WHEN list_contains(ws, '$t')
+                  THEN 1::BIGINT ELSE 0::BIGINT END)::BIGINT AS df_$i"""
+        }.mkString(", ")
+        s"""SELECT count(*)::BIGINT AS n_docs,
+                   CAST(sum(CAST(len(ws) AS DECIMAL(18,0))) AS DOUBLE)
+                     / count(*) AS avgdl,
+                   $dfs
+            FROM $rel"""
+      }
+      val perTerm = terms.zipWithIndex.map { case (t, i) =>
+        s"""d_$i AS (SELECT doc_id, ${scoreSql(t, i)} AS sc FROM w, st),
+          dt_$i AS (SELECT doc_id, sc FROM d_$i
+                    ORDER BY sc DESC, doc_id LIMIT 5),
+          c_$i AS (SELECT doc_id, max(${scoreSql(t, i)}) AS sc
+                   FROM ch, cst GROUP BY doc_id),
+          ct_$i AS (SELECT doc_id, sc FROM c_$i
+                    ORDER BY sc DESC, doc_id LIMIT 5)"""
+      }.mkString(",\n          ")
+      val legs = terms.zipWithIndex.map { case (t, i) =>
+        s"""SELECT '$t' AS term,
+               (SELECT doc_id FROM dt_$i
+                ORDER BY sc DESC, doc_id LIMIT 1) AS doc_top1,
+               (SELECT doc_id FROM ct_$i
+                ORDER BY sc DESC, doc_id LIMIT 1) AS chunk_top1,
+               (SELECT count(*)::BIGINT
+                FROM dt_$i JOIN ct_$i USING (doc_id)) AS n_overlap"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          st AS (${statsSql("w")}),
+          ch AS (SELECT doc_id, list_slice(ws, st2 + 1, st2 + 64) AS ws
+                 FROM (SELECT doc_id, ws,
+                         unnest(generate_series(0,
+                           CASE WHEN len(ws) <= 64 THEN 0
+                                ELSE ((len(ws) - 64 + 47) // 48) * 48 END,
+                           48)) AS st2
+                       FROM w WHERE len(ws) >= 1)),
+          cst AS (${statsSql("ch")}),
+          $perTerm
+          $legs
+          ORDER BY term"""
+    },
 
     "q214_vocab_growth" ->
       """WITH rng AS (SELECT min(doc_id) AS mn,

@@ -693,6 +693,31 @@ object VectorQueries {
           $"n_candidates",
           expr("1000 * n_candidates div (20 * n_corpus)").as("scan_pm"))
         .orderBy($"nprobe")
+    }),
+
+    // Embedding-space diversity audit — per label: how much of the
+    // 64-bucket sign-random-projection space does the slice occupy,
+    // and how concentrated is it? (occupancy ‰ of 2⁶ buckets + top
+    // bucket share ‰). A collapsing generator or a near-duplicate
+    // flood shows up as occupancy ↓ / top-share ↑ long before any
+    // pairwise scan could afford to — the scan-cheap early-warning
+    // complement to q133's centroid drift and q152's LSH precision.
+    // One codegen bucket projection + two hash aggregates; the bucket
+    // ids reuse q33's plane matrix, so the oracle replays them.
+    "q218_embedding_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "embeddings")
+        .select($"label", element_at(
+          VectorFunctions.hyperplaneBuckets($"embedding",
+            planes = 6, tables = 1), 1).as("bucket"))
+        .groupBy($"label", $"bucket").agg(count(lit(1)).as("c"))
+        .groupBy($"label")
+        .agg(sum($"c").as("n_vecs"),
+          count(lit(1)).as("n_buckets"),
+          max($"c").as("top_bucket_n"))
+        .withColumn("occupancy_pm", expr("1000 * n_buckets div 64"))
+        .withColumn("top_share_pm", expr("1000 * top_bucket_n div n_vecs"))
+        .orderBy($"label")
     }))
 
   /** Retained for callers that want the ANN surface without oracles
@@ -1262,5 +1287,33 @@ object VectorQueries {
           $perNp
           $finals
           ORDER BY nprobe"""
-    })
+    },
+
+    "q218_embedding_diversity" ->
+      """WITH planes AS (
+            SELECT p,
+                   list_transform(generate_series(0, 63), d ->
+                     CAST('0x' || substr(md5(p || '_' || d), 1, 12)
+                          AS BIGINT)::DOUBLE
+                       / 281474976710656.0 - 0.5) AS plane
+            FROM generate_series(0, 5) gp(p)),
+          cb AS (
+            SELECT e.vec_id, e.label,
+                   sum(CASE WHEN list_reduce(
+                         list_transform(generate_series(1, 64),
+                           j -> e.embedding[j]::DOUBLE * pl.plane[j]),
+                         (a, b) -> a + b) > 0
+                       THEN CAST(1::BIGINT << pl.p AS BIGINT)
+                       ELSE 0 END)::BIGINT AS bucket
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id, e.label),
+          bb AS (SELECT label, bucket, count(1)::BIGINT AS c
+                 FROM cb GROUP BY label, bucket)
+          SELECT label, CAST(sum(c) AS BIGINT) AS n_vecs,
+                 count(1) AS n_buckets,
+                 CAST(max(c) AS BIGINT) AS top_bucket_n,
+                 1000 * count(1) // 64 AS occupancy_pm,
+                 1000 * CAST(max(c) AS BIGINT) // CAST(sum(c) AS BIGINT)
+                   AS top_share_pm
+          FROM bb GROUP BY label ORDER BY label""")
 }

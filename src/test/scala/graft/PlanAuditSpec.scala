@@ -89,7 +89,11 @@ class PlanAuditSpec extends SparkSuite {
     // q216: each curve point pairs 1-ROW hit/candidate aggregates
     // (the q111/q153 scalar × scalar pattern); the probe joins
     // themselves are equi-joins on cell.
-    "q216_ann_tuning_curve")
+    "q216_ann_tuning_curve",
+    // q217: corpus stats ride as broadcast 1-ROW frames (the q103
+    // pattern) and each leg pairs bounded top-5/top-1 frames
+    // (scalar x scalar); overlap itself is a 5-row equi-join.
+    "q217_chunk_retrieval_agreement")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
