@@ -216,10 +216,20 @@ object Bench {
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),
         jsonLine(qmap(identity), total, identity, memMaps) + "\n")
       catch { case _: Throwable => () }
-    // stdout → the driver's tail-window parser. Even 3-decimal values
-    // under full names (~2.9 kB for 94 queries) start the r3 tail
-    // mid-line; bare ids ("q85":0.369) keep the whole line ≈1.1 kB.
-    // Ids are unique by construction (registry keys are qNN_slug).
-    println(jsonLine(qmap(_.takeWhile(_ != '_')), total, _.takeWhile(_ != '_')))
+    // stdout → the driver's tail-window parser. r8 proved the full
+    // per-query map can NEVER ride this line: at 218 queries even bare
+    // ids (~2.6 kB) overflowed the window and truncated the front of
+    // the line (BENCH_r08.json parsed:null — the perf gate went
+    // blind). The stdout line now carries ONLY the summary plus the
+    // 12 slowest queries (bounded: ~300 bytes at ANY registry size);
+    // the full map lives in BENCH_LOCAL.json, which this line points
+    // at via "queries_full". Summary fields ("value", "errors") come
+    // first so even a pathological truncation keeps the total.
+    val top12 = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v, _, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(jsonLine(top12, total, _.takeWhile(_ != '_'),
+      s""","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json""""))
   }
 }

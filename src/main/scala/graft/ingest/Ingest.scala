@@ -97,12 +97,21 @@ object Ingest {
     * columns; `quarantined` is (raw_line, quarantined_at_utc,
     * source_path). Malformed = Spark put the raw text in the corrupt
     * column (unparseable row) OR a non-nullable-by-contract key
-    * column came back null from a half-torn line.
+    * column came back null from a half-torn line. For the latter,
+    * raw_line is a field-order reconstruction, not the original
+    * bytes — the row PARSED, so Spark never kept its raw text.
+    *
+    * Both frames share one cached parse (required for reliable
+    * corrupt-record queries), and the CALLER owns releasing it:
+    * prefer [[withCsvQuarantine]], which unpersists in a finally;
+    * this variant returns the cached handle as the third element for
+    * callers that must hold the frames open (unpersist it when done,
+    * or executor storage accumulates for the session's lifetime).
     */
   def readCsvWithQuarantine(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
       requiredCols: Seq[String] = Nil)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     val corrupt = "_corrupt_record"
     val withCorrupt = schema.add(corrupt,
@@ -136,6 +145,20 @@ object Ingest {
             col(c).cast("string")).toSeq: _*)).as("raw_line"),
         current_timestamp().as("quarantined_at_utc"),
         col("__source_path").as("source_path"))
-    (clean, quarantined)
+    (clean, quarantined, raw)
+  }
+
+  /** Scope-bound dead-letter ingest: runs `body` over (clean,
+    * quarantined) and unpersists the shared cached parse in a
+    * finally — the leak-free entry point for repeated ingest calls
+    * in a long-lived session. */
+  def withCsvQuarantine[T](spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      requiredCols: Seq[String] = Nil)(
+      body: (DataFrame, DataFrame) => T): T = {
+    val (clean, quarantined, cached) =
+      readCsvWithQuarantine(spark, path, schema, requiredCols)
+    try body(clean, quarantined)
+    finally cached.unpersist(false)
   }
 }

@@ -92,8 +92,12 @@ object GlobalIndex {
       .localCheckpoint()
     val pid = shiftright(col("__rid"), 33).cast("int")
     // bounded collect: one (count, sum) per partition
+    // coalesce: sum() of an all-null partition (value.cast("long") of
+    // null inputs) is null, and getLong on it would NPE — the operator
+    // is generic even though current callers never pass nulls
     val perPart = sorted.groupBy(pid.as("__pid"))
-      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(col("__v")), lit(0L)).as("__s"))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     var accC = 0L
     var accS = 0L

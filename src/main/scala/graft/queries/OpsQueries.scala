@@ -239,17 +239,10 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
       val tbl = s"t${runId.incrementAndGet()}"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) { // stale run in a prior JVM
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
-      val ev = Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out.toString)
-      val cutoff = ev.count() / 2
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      // private clone of the shared ingest — this query MUTATES it
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val cutoff = Tables.table(s, dir, "events").count() / 2
       s.sql(s"DELETE FROM glog.$tbl WHERE event_id < $cutoff")
       s.sql(
         s"""SELECT event_type, count(1) AS n,
@@ -275,17 +268,9 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
       val tbl = s"u${runId.incrementAndGet()}"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) {
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
-      val ev = Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out.toString)
-      val n = ev.count()
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val n = Tables.table(s, dir, "events").count()
       s.sql(s"UPDATE glog.$tbl SET value = value * 2 " +
         s"WHERE event_id >= ${n / 4} AND event_id < ${n / 2}")
       s.sql(
@@ -311,16 +296,10 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
       val run = runId.incrementAndGet()
       val tbl = s"m$run"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) {
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
       val ev = Tables.table(s, dir, "events")
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out.toString)
       val n = ev.count()
       val src = ev.filter($"event_id" >= n / 2 && $"event_id" < n / 2 + n / 10)
         .withColumn("value", -$"value")
@@ -355,16 +334,10 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
       val run = runId.incrementAndGet()
       val tbl = s"s$run"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) {
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
       val ev = Tables.table(s, dir, "events")
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out.toString)
       ev.filter($"event_id" % 3 =!= 0)
         .withColumn("value", $"value" + lit(1.0))
         .createOrReplaceTempView(s"glog_sync_src_$run")
@@ -394,17 +367,10 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
       val run = runId.incrementAndGet()
-      val tbl = s"r$run"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) {
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
-      val ev = Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out.toString)
+      // read-only over the shared ingest, by its catalog name (the
+      // checkpoint is fresh per run, so re-draining the same table is
+      // exactly the q35 bounded-input contract)
+      val tbl = GlogFixtures.tableName(GlogFixtures.eventsLog(s, dir, 8))
       val sink = java.nio.file.Files
         .createTempDirectory(s"graft_streamtbl_$run").toString
       val q = s.readStream.option("maxShardsPerTrigger", "2")
@@ -439,19 +405,12 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
       val run = runId.incrementAndGet()
       val tbl = s"o$run"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) {
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      // generation 1: only the first half (cloned — OVERWRITE mutates)
+      GlogFixtures.freshCopyInto(
+        GlogFixtures.eventsLogHalf(s, dir, 4), out)
       val ev = Tables.table(s, dir, "events")
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      val n = ev.count()
-      // generation 1: only the first half
-      ev.filter($"event_id" < n / 2)
-        .write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 4).save(out.toString)
       ev.createOrReplaceTempView(s"glog_full_feed_$run")
       s.sql(s"INSERT OVERWRITE glog.$tbl " +
         s"SELECT event_id, ts, user_id, event_type, value " +
@@ -479,17 +438,10 @@ object OpsQueries {
       import s.implicits._
       s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
       s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
-      val tbl = s"a${runId.incrementAndGet()}"
-      val out = java.nio.file.Paths.get(s"/tmp/graft-glog-cat/$tbl")
-      if (java.nio.file.Files.isDirectory(out)) {
-        java.nio.file.Files.list(out).iterator()
-          .forEachRemaining(java.nio.file.Files.delete)
-        java.nio.file.Files.delete(out)
-      }
-      val ev = Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out.toString)
+      // read-only audit over the shared 8-shard ingest, by name
+      val out = java.nio.file.Paths.get(
+        GlogFixtures.eventsLog(s, dir, 8))
+      val tbl = GlogFixtures.tableName(out.toString)
       val audit = s.sql(
         s"""SELECT _shard, count(1) AS n,
                min(event_id) AS mn, max(event_id) AS mx
@@ -509,6 +461,50 @@ object OpsQueries {
         matchMeta, disjoint))
         .toDF("n_shards", "n_rows", "shards_match_meta",
           "ranges_disjoint")
+    }),
+
+    // Schema evolution across a generation boundary — `ALTER TABLE
+    // ADD COLUMN` on the custom format (the q185 parquet mergeSchema
+    // story at the DSv2 catalog seam): generation 1 is written with
+    // the base 5-column schema, the ALTER records the new column in
+    // the table-level `_schema.ext` (atomic rename, zero data
+    // rewrite), generation 2 appends WITH the column (nulls included,
+    // as the \N token). One aggregate then reads ACROSS the boundary:
+    // old lines null-fill the new column at parse (count(score)
+    // counts only gen-2 non-nulls), new lines round-trip values —
+    // and the sidecar tiers are untouched (base line positions are
+    // immutable by construction). At 100 TB this is the only viable
+    // evolution: a feed schema changes monthly and rewriting
+    // petabytes per added column is a non-starter.
+    "q219_graftlog_add_column" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"e${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      // generation 1: first half, base schema (cloned — ALTER mutates)
+      GlogFixtures.freshCopyInto(
+        GlogFixtures.eventsLogHalf(s, dir, 4), out)
+      s.sql(s"ALTER TABLE glog.$tbl ADD COLUMN score DOUBLE")
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      val n = ev.count()
+      // generation 2: second half, WITH the evolved column (every
+      // 5th row null — the token round-trip is part of the contract)
+      ev.filter($"event_id" >= n / 2)
+        .withColumn("score",
+          when($"event_id" % 5 === 0, lit(null).cast("double"))
+            .otherwise($"value" * 2))
+        .write.format("graft.sources.GraftLogSource")
+        .mode("append").option("shards", 4).save(out.toString)
+      s.sql(
+        s"""SELECT event_type, count(1) AS n,
+               count(score) AS n_scored,
+               CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_score
+           FROM glog.$tbl
+           GROUP BY event_type
+           ORDER BY event_type""")
     }),
 
     // AQE skew-join, end to end — the RUNTIME answer to the skew q87
@@ -748,13 +744,7 @@ object OpsQueries {
     // events table, so write→sidecar→pushdown is value-exact.
     "q159_graftlog_stats" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft_log_agg_${runId.incrementAndGet()}_")
-        .toString
-      Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(out)
+      val out = GlogFixtures.eventsLog(s, dir, 8)
       s.read.format("graft.sources.GraftLogSource").load(out)
         .agg(count(lit(1)).as("n_events"),
           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
@@ -772,14 +762,8 @@ object OpsQueries {
     // said the other 39 997 cannot match".
     "q160_graftlog_runtime_prune" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft_log_rt_${runId.incrementAndGet()}_")
-        .toString
-      val ev = Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      ev.write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 32).save(out)
-      val n = ev.count()
+      val out = GlogFixtures.eventsLog(s, dir, 32)
+      val n = Tables.table(s, dir, "events").count()
       val probes = Tables.table(s, dir, "events")
         .filter($"event_id" % 500 === 0 && $"event_id" * 8 < lit(n))
         .select($"event_id".as("pid"))
@@ -810,19 +794,10 @@ object OpsQueries {
     // write → bucket → SPJ → aggregate.
     "q163_graftlog_spj" -> ((s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files
-        .createTempDirectory(s"graft_spj_${runId.incrementAndGet()}_")
-        .toString
-      val ev = Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .withColumn("ub", pmod($"user_id", lit(16L)))
-      def sink(df: DataFrame, out: String): Unit =
-        df.write.format("graft.sources.GraftLogSource").mode("append")
-          .option("bucketBy", "user_id").option("buckets", 16).save(out)
-      sink(ev.filter($"event_id" % 2 === 0), s"$base/even")
-      sink(ev.filter($"event_id" % 2 === 1), s"$base/odd")
-      val l = s.read.format("graft.sources.GraftLogSource").load(s"$base/even")
-      val r = s.read.format("graft.sources.GraftLogSource").load(s"$base/odd")
+      val even = GlogFixtures.eventsBucketed(s, dir, 16, parity = Some(0))
+      val odd = GlogFixtures.eventsBucketed(s, dir, 16, parity = Some(1))
+      val l = s.read.format("graft.sources.GraftLogSource").load(even)
+      val r = s.read.format("graft.sources.GraftLogSource").load(odd)
       l.as("l").join(r.as("r"),
           $"l.ub" === $"r.ub" && $"l.user_id" === $"r.user_id")
         .select($"l.ub".as("ub"), $"l.user_id".as("user_id"))
@@ -846,14 +821,7 @@ object OpsQueries {
     // write → bucket → key-grouped scan → aggregate.
     "q165_graftlog_bucket_agg" -> ((s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files
-        .createTempDirectory(s"graft_spa_${runId.incrementAndGet()}_")
-        .toString
-      Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .withColumn("ub", pmod($"user_id", lit(16L)))
-        .write.format("graft.sources.GraftLogSource").mode("append")
-        .option("bucketBy", "user_id").option("buckets", 16).save(base)
+      val base = GlogFixtures.eventsBucketed(s, dir, 16)
       s.read.format("graft.sources.GraftLogSource").load(base)
         .groupBy($"ub", $"user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -1357,6 +1325,23 @@ object OpsQueries {
           SELECT event_type, count(1) AS n,
                  ${Q.dsumSql("value")} AS total_value
           FROM merged
+          GROUP BY event_type
+          ORDER BY event_type""",
+
+    // Evolution replayed on the raw feed: the new column exists only
+    // for the second generation, with the same null pattern.
+    "q219_graftlog_add_column" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM events),
+          ev AS (
+            SELECT event_type,
+                   CASE WHEN event_id >= n // 2 AND event_id % 5 <> 0
+                        THEN value * 2 END AS score
+            FROM events, nn)
+          SELECT event_type, count(1) AS n,
+                 count(score) AS n_scored,
+                 CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_score
+          FROM ev
           GROUP BY event_type
           ORDER BY event_type""",
 

@@ -54,17 +54,25 @@ class GraftLogCatalog extends TableCatalog {
   private def dirOf(ident: Identifier): String =
     (base +: ident.namespace() :+ ident.name()).mkString("/")
 
+  // Files.list holds a directory fd until closed — a long-lived
+  // driver session calling loadTable/tableExists per query would
+  // otherwise leak one per call until GC (EMFILE eventually)
+  private def withListing[A](p: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def isTableDir(p: java.nio.file.Path): Boolean =
-    Files.isDirectory(p) && Files.list(p).iterator().asScala
-      .exists(_.toString.endsWith(".graftlog"))
+    Files.isDirectory(p) && withListing(p)(
+      _.exists(_.toString.endsWith(".graftlog")))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = Paths.get((base +: namespace).mkString("/"))
     if (!Files.isDirectory(ns)) Array.empty
-    else Files.list(ns).iterator().asScala
-      .filter(isTableDir)
+    else withListing(ns)(_.filter(isTableDir)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+      .toArray)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -89,16 +97,47 @@ class GraftLogCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** Schema evolution: `ALTER TABLE glog.t ADD COLUMN c BIGINT` —
+    * the one evolution the line format supports without rewriting a
+    * byte of data. The added column is recorded in the table-level
+    * `_schema.ext` file (atomic rename); shards written BEFORE the
+    * ALTER have shorter lines and read back as NULL for the new
+    * column, writes after it carry the value appended to each line —
+    * the parquet mergeSchema generational-read story (q185) at the
+    * custom-format seam. Type changes, renames, drops and position
+    * hints are rejected (they would need a rewrite), as are bucketed
+    * tables (their writer validates a fixed row shape that co-locates
+    * every storage-partitioned join — evolution is not worth risking
+    * that contract silently). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftlog tables have a fixed schema; ALTER is not supported")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!Files.isDirectory(Paths.get(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    require(!GraftLog.isBucketed(dir),
+      s"graftlog table $dir is bucketed; ALTER TABLE is not supported " +
+        "on bucketed layouts")
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graftlog ADD COLUMN supports top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        require(a.position() == null,
+          "graftlog ADD COLUMN appends at the end; FIRST/AFTER are " +
+            "not supported (base line positions are immutable)")
+        GraftLog.addColumn(dir, a.fieldNames()(0), a.dataType())
+      case c => throw new UnsupportedOperationException(
+        s"graftlog ALTER TABLE supports ADD COLUMN only, got $c")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident))
     if (!Files.isDirectory(dir)) false
     else {
-      Files.list(dir).iterator().asScala.foreach(Files.delete)
+      withListing(dir)(_.toSeq).foreach(Files.delete)
       Files.delete(dir)
       true
     }

@@ -75,7 +75,8 @@ class GraftLogSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (bucketed(options.get("path"), options)) GraftLog.bucketedSchema
-    else GraftLog.schema
+    else StructType(GraftLog.schema.fields ++
+      GraftLog.extSchema(options.get("path")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -105,6 +106,91 @@ object GraftLog {
     * shuffle entirely (storage-partitioned join). */
   val bucketedSchema: StructType =
     StructType(schema.fields :+ StructField("ub", LongType, nullable = false))
+
+  /** Name of the table-level schema-extension file: one line per
+    * ADDED column (`name|type`, type ∈ long/double/string), appended
+    * by ALTER TABLE ADD COLUMN. Old shards (written before the ALTER)
+    * simply have shorter lines — the reader null-fills missing
+    * trailing fields, so evolution needs NO data rewrite (parquet's
+    * mergeSchema story at the custom-format seam, q185's lesson).
+    * Added columns are appended to the LINE, never inserted, so the
+    * five base positions every sidecar/pruning tier depends on are
+    * immutable. */
+  private[sources] val ExtSchemaFile = "_schema.ext"
+
+  /** The per-line NULL sentinel for evolved columns (a written null
+    * must be distinguishable from an empty string). */
+  private[sources] val NullToken = "\\N"
+
+  /** Added (evolved) columns of a table, in ALTER order. */
+  def extSchema(path: String): Seq[StructField] = {
+    val f = Paths.get(path, ExtSchemaFile)
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(name, tpe) = line.split('|')
+        StructField(name, tpe match {
+          case "long" => LongType
+          case "double" => DoubleType
+          case "string" => StringType
+          case other => throw new IllegalStateException(
+            s"corrupt $ExtSchemaFile in $path: unknown type $other")
+        }, nullable = true)
+      }
+  }
+
+  /** Append one evolved column (ALTER TABLE ADD COLUMN). The updated
+    * extension file lands by atomic rename — a reader sees the old or
+    * the new schema, never a torn file. Long/double/string only (the
+    * line format's scalar types); duplicates and base-column
+    * collisions are rejected. */
+  def addColumn(path: String, name: String, dt: DataType): Unit = {
+    val tpe = dt match {
+      case LongType => "long"
+      case DoubleType => "double"
+      case StringType => "string"
+      case other => throw new UnsupportedOperationException(
+        s"graftlog ADD COLUMN supports BIGINT/DOUBLE/STRING, got $other")
+    }
+    val taken = bucketedSchema.fieldNames ++ extSchema(path).map(_.name)
+    require(!taken.contains(name),
+      s"column $name already exists on graftlog table $path")
+    val body = (extSchema(path).map(f =>
+        s"${f.name}|${f.dataType match {
+          case LongType => "long"
+          case DoubleType => "double"
+          case _ => "string"
+        }}") :+ s"$name|$tpe").mkString("", "\n", "\n")
+    val tmp = Paths.get(path, s".$ExtSchemaFile.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, ExtSchemaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** How a projected column maps onto the storage: a parsed line
+    * field (base positions 0-4; evolved columns appended from 5),
+    * the sidecar-sourced bucket, or the shard-name metadata column. */
+  sealed trait ColRef extends Serializable
+  case class LineCol(pos: Int, dt: DataType) extends ColRef
+  case object UbCol extends ColRef
+  case object ShardCol extends ColRef
+
+  /** Resolve projected column names against base + evolved schema. */
+  def resolveCols(requiredCols: Array[String],
+      ext: Seq[StructField]): Array[ColRef] =
+    requiredCols.map {
+      case "_shard" => ShardCol
+      case "ub" => UbCol
+      case c =>
+        val base = schema.fieldNames.indexOf(c)
+        if (base >= 0) LineCol(base, schema.fields(base).dataType)
+        else {
+          val j = ext.indexWhere(_.name == c)
+          require(j >= 0, s"unknown graftlog column $c")
+          LineCol(5 + j, ext(j).dataType)
+        }
+    }
 
   /** Shards opened by readers since the last reset — the spec's
     * pruning probe (a SparkListener would work too; a counter keeps
@@ -182,13 +268,19 @@ object GraftLog {
           Files.delete(Paths.get(si.file))
           Files.deleteIfExists(metaPath)
         } else {
-          Files.write(Paths.get(si.file),
+          // atomic in-place replace via the swap manifest: the kept
+          // rows stage as a hidden tmp, then one promote rename
+          // supersedes the old shard — a reader can never see a torn
+          // half-written shard (a plain Files.write over the live
+          // file could be observed mid-write)
+          val name = Paths.get(si.file).getFileName.toString
+          val hidden = s".del-$name.tmp"
+          Files.write(Paths.get(path, hidden),
             kept.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
           val ids = kept.map(l => l.substring(0, l.indexOf('|')).toLong)
           val ub = si.ub.map(u => s"|$u").getOrElse("")
-          Files.write(metaPath,
-            s"${ids.min}|${ids.max}|${ids.size}$ub"
-              .getBytes(StandardCharsets.UTF_8))
+          commitSwap(path, Nil,
+            Seq((hidden, name, s"${ids.min}|${ids.max}|${ids.size}$ub")))
         }
         shardsRewritten.incrementAndGet()
       }
@@ -202,14 +294,101 @@ object GraftLog {
     def bytes: Long = Files.size(Paths.get(file))
   }
 
+  /** Name of the pending-swap manifest — the commit point of every
+    * multi-shard atomic operation (copy-on-write UPDATE/MERGE,
+    * INSERT OVERWRITE/TRUNCATE-write, compaction). See [[commitSwap]]. */
+  private[sources] val SwapManifest = "_swap.manifest"
+
+  /** List a directory with the stream CLOSED on exit — Files.list
+    * holds a directory fd until closed, and planning calls listShards
+    * per query; leaking one fd per plan would EMFILE a long-lived
+    * driver session. */
+  private def withListing[A](dir: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  /** Atomically commit a shard swap: `drops` (live shard files to
+    * retire) and `promotes` (hidden tmp → final shard name + sidecar
+    * body) become visible ALL AT ONCE when the manifest lands by
+    * atomic rename — the lakehouse commit protocol in one file.
+    * Before the manifest exists, readers see exactly the old
+    * generation (deferred tmps are hidden: they match neither
+    * `*.graftlog` nor the streaming poll); after it exists, every
+    * reader rolls the swap forward via [[applySwapIfPresent]] before
+    * listing, so no read can ever observe both generations (the
+    * duplicate-row window the pre-manifest two-phase commit had) or
+    * neither. Roll-forward is idempotent — concurrent
+    * readers/committers racing the same manifest converge on the same
+    * final state (renames of a gone tmp are caught; sidecar writes
+    * and drops are idempotent). Multi-WRITER commits racing two
+    * DIFFERENT manifests are out of scope, as for any file-format
+    * table without a catalog lock (the reference's Redshift upsert
+    * has the same single-writer assumption). */
+  def commitSwap(path: String, drops: Seq[String],
+      promotes: Seq[(String, String, String)]): Unit = {
+    val body = (drops.map(f =>
+        s"drop|${Paths.get(f).getFileName}") ++
+      promotes.map { case (tmp, fin, meta) => s"promote|$tmp|$fin|$meta" })
+      .mkString("", "\n", "\n")
+    val mTmp = Paths.get(path, s".$SwapManifest.tmp")
+    Files.write(mTmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(mTmp, Paths.get(path, SwapManifest),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← the commit point
+    applySwapIfPresent(path)
+  }
+
+  /** Roll a pending swap forward (crash recovery + read-path barrier):
+    * called at the top of every listing, so a manifest left by a
+    * crashed committer is completed by the next reader. Promotes
+    * rename-with-replace (same-name in-place rewrites are atomic: the
+    * old file is superseded in one rename, so they carry no drop
+    * entry); drops delete file + sidecar. */
+  def applySwapIfPresent(path: String): Unit = {
+    val m = Paths.get(path, SwapManifest)
+    if (!Files.exists(m)) return
+    val lines =
+      try Files.readAllLines(m, StandardCharsets.UTF_8).asScala
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    lines.filter(_.nonEmpty).foreach { line =>
+      val p = line.split('|')
+      p(0) match {
+        case "drop" =>
+          Files.deleteIfExists(Paths.get(path, p(1)))
+          Files.deleteIfExists(
+            Paths.get(path, p(1).stripSuffix(".graftlog") + ".meta"))
+        case "promote" =>
+          val tmp = Paths.get(path, p(1))
+          val fin = Paths.get(path, p(2))
+          if (Files.exists(tmp))
+            try Files.move(tmp, fin,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            catch { case _: java.nio.file.NoSuchFileException => () }
+          // sidecar body rides the manifest (idempotent re-write)
+          Files.write(
+            Paths.get(path, p(2).stripSuffix(".graftlog") + ".meta"),
+            p.drop(3).mkString("|").getBytes(StandardCharsets.UTF_8))
+        case other =>
+          throw new IllegalStateException(
+            s"corrupt swap manifest entry in $path: $other")
+      }
+    }
+    Files.deleteIfExists(m)
+  }
+
   /** Listing + sidecar parse, shared by planning, stats reporting
     * and aggregate pushdown. Driver-side and O(#shards) — the same
     * cost class as the file listing every lakehouse manifest read
-    * pays; at 100 TB this is the manifest, not the data. */
+    * pays; at 100 TB this is the manifest, not the data. Completes
+    * any pending swap first, so every read observes exactly one
+    * generation. */
   def listShards(path: String): Seq[ShardInfo] = {
     val dir = Paths.get(path)
-    Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".graftlog")).toSeq.sortBy(_.toString)
+    applySwapIfPresent(path)
+    withListing(dir)(_
+      .filter(_.toString.endsWith(".graftlog")).toSeq).sortBy(_.toString)
       .map { shard =>
         val meta = Paths.get(shard.toString.stripSuffix(".graftlog") + ".meta")
         if (!Files.exists(meta)) ShardInfo(shard.toString, None)
@@ -243,48 +422,61 @@ object GraftLog {
     * RequiresDistributionAndOrdering re-clusters on event_id, so the
     * compacted layout has disjoint sidecar ranges and every pruning
     * tier (static, runtime, limit/top-n) stays as sharp as at first
-    * ingest. Same two-rename swap as [[graft.store.Layout.compact]]
-    * (stage → move old aside → move new in → drop old): a crash
-    * between the renames leaves the data at `path__compact_old`;
-    * without a table format, two renames is the honest best.
-    * Unbucketed logs only — a bucketed dir does not record its bucket
-    * COUNT, so a rewrite could not prove it preserves the layout
-    * contract every storage-partitioned join depends on. Returns
-    * (shards before, shards after). */
+    * ingest. Committed IN PLACE via the swap manifest
+    * ([[commitSwap]]): compacted shards stage in a scratch dir, move
+    * into the table dir as hidden tmps, then ONE manifest rename
+    * retires every old shard and promotes the new generation — the
+    * table path never disappears (the earlier two-rename swap left it
+    * absent between renames), and a crash at any point leaves either
+    * the old generation intact or a manifest the next reader rolls
+    * forward. Unbucketed logs only — a bucketed dir does not record
+    * its bucket COUNT, so a rewrite could not prove it preserves the
+    * layout contract every storage-partitioned join depends on.
+    * Returns (shards before, shards after). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       shards: Int): (Int, Int) = {
     require(shards >= 1, s"shards=$shards")
     require(!isBucketed(path),
       s"$path is a bucketed graftlog table; compaction would need the " +
         "bucket count, which the layout does not record — re-ingest instead")
-    val before = listShards(path).size
+    val olds = listShards(path)
+    val before = olds.size
     val tmp = path + "__compact_tmp"
-    val old = path + "__compact_old"
     def rmdir(d: String): Unit = {
       val p = Paths.get(d)
       if (Files.isDirectory(p)) {
-        Files.list(p).iterator().asScala.foreach(Files.delete)
+        withListing(p)(_.toSeq).foreach(Files.delete)
         Files.delete(p)
       }
     }
     rmdir(tmp)
+    // an evolved table compacts with its added columns intact: the
+    // staging dir carries the same extension file, so the V2 write
+    // resolves (and serializes) the full schema
+    if (Files.exists(Paths.get(path, ExtSchemaFile))) {
+      Files.createDirectories(Paths.get(tmp))
+      Files.copy(Paths.get(path, ExtSchemaFile),
+        Paths.get(tmp, ExtSchemaFile))
+    }
     spark.read.format("graft.sources.GraftLogSource").load(path)
       .write.format("graft.sources.GraftLogSource")
       .mode("append").option("shards", shards).save(tmp)
-    val after = listShards(tmp).size
-    rmdir(old)
-    Files.move(Paths.get(path), Paths.get(old),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(tmp), Paths.get(path),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable =>
-        Files.move(Paths.get(old), Paths.get(path),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE) // restore
-        throw e
+    val staged = listShards(tmp)
+    // stage inside the table dir as hidden tmps (same filesystem —
+    // plain renames), numbered past every live shard; invisible to
+    // readers until the manifest lands
+    val base = nextShardIndex(path)
+    val promotes = staged.zipWithIndex.map { case (s, i) =>
+      val hidden = f".compact-${base + i}%05d.tmp"
+      Files.move(Paths.get(s.file), Paths.get(path, hidden),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val (mn, mx, n) = s.stats.getOrElse(throw new IllegalStateException(
+        s"compacted shard ${s.file} lost its sidecar"))
+      (hidden, f"shard-${base + i}%05d.graftlog", s"$mn|$mx|$n")
     }
-    rmdir(old)
-    (before, after)
+    commitSwap(path, olds.map(_.file), promotes)
+    rmdir(tmp)
+    (before, staged.size)
   }
 
   /** A directory is a bucketed table iff it has shards and every
@@ -370,8 +562,13 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
         "supported: the layout does not record its bucket count")
     () => new GraftLogRowLevelOperation(path, info.command())
   }
+  /** Evolved columns (ALTER TABLE ADD COLUMN), resolved at table
+    * load; bucketed layouts never evolve (the catalog refuses). */
+  private val ext: Seq[StructField] =
+    if (bucketed) Nil else GraftLog.extSchema(path)
   override def schema(): StructType =
-    if (bucketed) GraftLog.bucketedSchema else GraftLog.schema
+    if (bucketed) GraftLog.bucketedSchema
+    else StructType(GraftLog.schema.fields ++ ext)
   override def partitioning(): Array[Transform] =
     if (bucketed) Array(Expressions.identity("ub")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
@@ -397,12 +594,19 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
     // Spark's own analysis already rejects name/type mismatches
     // against schema() (INCOMPATIBLE_DATA_FOR_TABLE); this require is
     // the backstop for column-ORDER drift, which resolution-by-name
-    // would otherwise let through to positional writers.
+    // would otherwise let through to positional writers. An EVOLVED
+    // table also accepts a base-only feed (a legacy writer that
+    // predates the ALTER): its lines stay short and read back as
+    // nulls — the same contract as the pre-ALTER shards.
     val want = schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val baseWant = (if (bucketed) GraftLog.bucketedSchema
+      else GraftLog.schema).fields.map(f => (f.name, f.dataType)).toSeq
     val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-    require(got == want,
+    require(got == want || got == baseWant,
       s"graftlog sink needs schema ${schema().simpleString}, " +
         s"got ${info.schema().simpleString}")
+    val writeExt: Seq[DataType] =
+      if (got == baseWant) Nil else ext.map(_.dataType)
     val shards = Option(info.options().get("shards")).map(_.toInt)
     val buckets = Option(info.options().get("buckets")).map(_.toInt)
     if (bucketed) {
@@ -414,15 +618,15 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
     new WriteBuilder with SupportsTruncate {
       // INSERT OVERWRITE / SaveMode.Overwrite: Spark asks the builder
       // to truncate; the overwrite batch-write snapshots the existing
-      // shard list at execution start and drops it at commit, after
-      // the replacement shards have landed by atomic rename — the
-      // same two-phase honesty note as compact/replace.
+      // shard list at execution start and swaps it for the new
+      // generation in ONE manifest commit (GraftLog.commitSwap) — no
+      // reader can observe old+new together or an empty table.
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = {
         val b = if (bucketed) buckets else None
-        if (doTruncate) new GraftLogTruncateWrite(path, shards, b)
-        else new GraftLogWrite(path, shards, b)
+        if (doTruncate) new GraftLogTruncateWrite(path, shards, b, writeExt)
+        else new GraftLogWrite(path, shards, b, writeExt)
       }
     }
   }
@@ -437,7 +641,8 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
   * instead of hoped for from the caller. A writer that forgets to
   * pre-shape its data still produces a well-clustered log. */
 class GraftLogWrite(path: String, shards: Option[Int] = None,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    ext: Seq[DataType] = Nil)
     extends Write with RequiresDistributionAndOrdering {
   private val byEventId: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("event_id"),
@@ -463,11 +668,13 @@ class GraftLogWrite(path: String, shards: Option[Int] = None,
   // write legitimately lands in one shard, a 100 TB one in thousands
   override def requiredNumPartitions(): Int =
     buckets.orElse(shards).getOrElse(0)
-  override def toBatch: BatchWrite = new GraftLogBatchWrite(path, buckets)
+  override def toBatch: BatchWrite =
+    new GraftLogBatchWrite(path, buckets, ext)
   override def description(): String = s"graftlog write $path"
 }
 
-class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
+class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
+    ext: Seq[DataType] = Nil)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -475,7 +682,8 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
     // driver-side, once per write: appends start numbering past every
     // existing shard so they can never clobber an earlier write and
     // keep names monotonic with append order (streaming offset model)
-    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path))
+    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path),
+      ext = ext)
   }
   // Per-shard visibility is handled at the task seam (tmp file +
   // atomic rename in DataWriter.commit; Spark's output commit
@@ -500,10 +708,10 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None)
   * ones. Replacement shards inherit the ingest write's ordered
   * distribution (RequiresDistributionAndOrdering via the parent
   * [[GraftLogWrite]]), so pruning stays sharp after an UPDATE/MERGE.
-  * Commit is shard-level (new shards land by atomic rename, then the
-  * old group files are dropped): a crash between the two phases
-  * leaves both generations visible — the same honesty note as
-  * [[GraftLog.compact]]; all-or-nothing would need a manifest. */
+  * Commit is ATOMIC via the swap manifest ([[GraftLog.commitSwap]]):
+  * replacement shards stay hidden tmps until the manifest lands, and
+  * the manifest retires the scanned groups in the same rename — no
+  * reader can see both generations (duplicates) or neither. */
 class GraftLogRowLevelOperation(path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
   /** Shard files the rewrite scan planned = the groups commit swaps.
@@ -513,7 +721,8 @@ class GraftLogRowLevelOperation(path: String,
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path, GraftLog.schema,
+    new GraftLogScanBuilder(path,
+      StructType(GraftLog.schema.fields ++ GraftLog.extSchema(path)),
       onPlan = files => affected = Some(files))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -533,34 +742,37 @@ class GraftLogReplaceWrite(path: String, writeSchema: StructType,
   override def description(): String = s"graftlog replace $path"
 }
 
-/** Full-table overwrite: append the new generation (shard indices
-  * past every existing one), then drop the snapshot of pre-existing
-  * shards at commit. */
+/** Full-table overwrite: the new generation (shard indices past
+  * every existing one) stays hidden until the swap manifest lands,
+  * which retires the pre-existing snapshot in the same atomic
+  * rename. */
 class GraftLogTruncateWrite(path: String, shards: Option[Int],
-    buckets: Option[Int])
-    extends GraftLogWrite(path, shards, buckets) {
+    buckets: Option[Int], ext: Seq[DataType] = Nil)
+    extends GraftLogWrite(path, shards, buckets, ext) {
   override def toBatch: BatchWrite =
-    new GraftLogOverwriteBatchWrite(path, buckets)
+    new GraftLogOverwriteBatchWrite(path, buckets, ext)
   override def description(): String = s"graftlog overwrite $path"
 }
 
-class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int])
-    extends BatchWrite {
-  @volatile private var existing: Seq[String] = Nil
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(Paths.get(path))
-    existing = GraftLog.listShards(path).map(_.file)
-    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path))
+/** Shared by the overwrite/replace batch writes: flatten commit
+  * messages to the deferred (tmp, final, meta) promote entries, and
+  * clean deferred tmps up on abort. */
+private object GraftLogSwapCommit {
+  def promotes(messages: Array[WriterCommitMessage])
+      : Seq[(String, String, String)] = {
+    def walk(m: WriterCommitMessage): Seq[(String, String, String)] =
+      m match {
+        case GraftLogDeferredCommitMessage(tmp, fin, meta) =>
+          Seq((tmp, fin, meta))
+        case GraftLogBucketedCommitMessage(ms) => ms.flatMap(walk)
+        case _ => Nil
+      }
+    messages.toSeq.flatMap(walk)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    existing.foreach { f =>
-      Files.deleteIfExists(Paths.get(f))
-      Files.deleteIfExists(
-        Paths.get(f.stripSuffix(".graftlog") + ".meta"))
-    }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  def abort(path: String, messages: Array[WriterCommitMessage]): Unit = {
     def drop(m: WriterCommitMessage): Unit = m match {
+      case GraftLogDeferredCommitMessage(tmp, _, _) =>
+        Files.deleteIfExists(Paths.get(path, tmp))
       case GraftLogCommitMessage(file, n, _, _) if n > 0L =>
         Files.deleteIfExists(Paths.get(file))
         Files.deleteIfExists(
@@ -570,6 +782,26 @@ class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int])
     }
     messages.foreach(drop)
   }
+}
+
+class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int],
+    ext: Seq[DataType] = Nil)
+    extends BatchWrite {
+  @volatile private var existing: Seq[String] = Nil
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    existing = GraftLog.listShards(path).map(_.file)
+    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path),
+      defer = true, ext = ext)
+  }
+  // atomic: new-generation shards are hidden tmps until the swap
+  // manifest lands; a reader can never see old+new together or neither
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftLog.commitSwap(path, existing,
+      GraftLogSwapCommit.promotes(messages))
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogSwapCommit.abort(path, messages)
 }
 
 class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
@@ -583,43 +815,50 @@ class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
     // columns (the __row_operation marker) to each replacement row
     // while LogicalWriteInfo.schema() still reports the bare table
     // schema — the writer skips the leading extras by observed row
-    // width (numFields - 5), which the UPDATE/MERGE specs pin with
-    // exact round-tripped values
+    // width (numFields - 5), with a first-row plausibility assertion
+    // so a changed metadata layout fails loudly instead of writing
+    // garbage; the UPDATE/MERGE specs pin exact round-tripped values
     new GraftLogWriterFactory(path, None, GraftLog.nextShardIndex(path),
-      markerOffset = true)
+      markerOffset = true, defer = true,
+      ext = GraftLog.extSchema(path).map(_.dataType))
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    affected().foreach { f =>
-      Files.deleteIfExists(Paths.get(f))
-      Files.deleteIfExists(
-        Paths.get(f.stripSuffix(".graftlog") + ".meta"))
-      GraftLog.groupsReplaced.incrementAndGet()
-    }
+  // atomic: replacement shards stay hidden until the swap manifest
+  // lands, which retires the scanned groups in the same commit
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dropped = affected()
+    GraftLog.commitSwap(path, dropped,
+      GraftLogSwapCommit.promotes(messages))
+    dropped.foreach(_ => GraftLog.groupsReplaced.incrementAndGet())
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftLogCommitMessage(file, n, _, _) if n > 0L =>
-        Files.deleteIfExists(Paths.get(file))
-        Files.deleteIfExists(
-          Paths.get(file.stripSuffix(".graftlog") + ".meta"))
-      case _ => ()
-    }
+    GraftLogSwapCommit.abort(path, messages)
 }
 
 class GraftLogWriterFactory(path: String, buckets: Option[Int] = None,
     baseIndex: Int = 0,
-    markerOffset: Boolean = false) extends DataWriterFactory {
+    markerOffset: Boolean = false,
+    defer: Boolean = false,
+    ext: Seq[DataType] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = buckets match {
     case Some(n) =>
-      new GraftLogBucketedWriter(path, baseIndex + partitionId, taskId, n)
+      new GraftLogBucketedWriter(path, baseIndex + partitionId, taskId, n,
+        defer = defer)
     case None =>
       new GraftLogWriter(path, baseIndex + partitionId, taskId,
-        markerOffset = markerOffset)
+        markerOffset = markerOffset, defer = defer, ext = ext)
   }
 }
 
 case class GraftLogCommitMessage(file: String, rows: Long,
     min: Long, max: Long) extends WriterCommitMessage
+
+/** A deferred (swap-committed) shard: still a hidden tmp at task
+  * commit; promoted to `finalName` only when the job-level swap
+  * manifest lands. `meta` is the full sidecar body (min|max|rows[|ub])
+  * the manifest will write. */
+case class GraftLogDeferredCommitMessage(tmpName: String,
+    finalName: String, meta: String) extends WriterCommitMessage
 
 /** One shard + sidecar per non-empty partition. Data lands in a
   * hidden `.tmp` (invisible to both batch listing and the streaming
@@ -630,8 +869,12 @@ case class GraftLogCommitMessage(file: String, rows: Long,
   * writing — stats cost nothing extra. */
 class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     shardUb: Option[Long] = None,
-    markerOffset: Boolean = false)
+    markerOffset: Boolean = false,
+    defer: Boolean = false,
+    ext: Seq[DataType] = Nil)
     extends DataWriter[InternalRow] {
+  private val extTypes = ext.toArray
+  private val width = 5 + extTypes.length
   // one shard per (partition, bucket) under a bucketed layout — the
   // bucket lands whole in one partition, so the name stays unique
   private val stem = shardUb.fold(f"shard-$pid%05d")(u =>
@@ -641,19 +884,53 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
   private var n = 0L
   private var mn = Long.MaxValue
   private var mx = Long.MinValue
+  private var offsetChecked = false
 
   override def write(r: InternalRow): Unit = {
     // copy-on-write replacement rows prepend metadata columns (the
-    // __row_operation marker) ahead of the five format columns; skip
+    // __row_operation marker) ahead of the format columns; skip
     // them by observed row width — see GraftLogReplaceBatchWrite
-    val o = if (markerOffset) r.numFields - 5 else 0
+    val o = if (markerOffset) r.numFields - width else 0
+    if (markerOffset && !offsetChecked) {
+      // a Spark version that APPENDED metadata columns (or reordered
+      // them) would make the width-based offset point into metadata —
+      // silent corruption (ts micros written into event_id). Fail
+      // loudly instead: the first row's inferred event_id/ts must be
+      // plausible (non-negative id; ts within [epoch, 2100) micros).
+      val ts = r.getLong(o + 1)
+      require(r.getLong(o) >= 0L && ts >= 0L && ts < 4102444800000000L,
+        s"replace-write column offset $o (numFields=${r.numFields}) " +
+          "reads implausible event_id/ts values — the metadata-column " +
+          "layout of the row-level rewrite has changed; refusing to " +
+          "write a corrupt shard")
+      offsetChecked = true
+    }
     val id = r.getLong(o)
     // TimestampType's internal representation IS micros-since-epoch —
     // the format's ts_us column, no conversion. ub (bucketed layout)
     // is NOT written per line: it is constant per shard and lives in
-    // the sidecar; the reader re-materializes it.
+    // the sidecar; the reader re-materializes it. Evolved columns
+    // append after the five base positions, nulls as the \N token.
+    val extSuffix =
+      if (extTypes.isEmpty) ""
+      else {
+        val sb = new StringBuilder
+        var j = 0
+        while (j < extTypes.length) {
+          sb.append('|')
+          val idx = o + 5 + j
+          if (r.isNullAt(idx)) sb.append(GraftLog.NullToken)
+          else extTypes(j) match {
+            case LongType => sb.append(r.getLong(idx))
+            case DoubleType => sb.append(r.getDouble(idx))
+            case _ => sb.append(r.getUTF8String(idx))
+          }
+          j += 1
+        }
+        sb.toString
+      }
     out.write(s"$id|${r.getLong(o + 1)}|${r.getLong(o + 2)}|" +
-      s"${r.getUTF8String(o + 3)}|${r.getDouble(o + 4)}\n")
+      s"${r.getUTF8String(o + 3)}|${r.getDouble(o + 4)}$extSuffix\n")
     if (id < mn) mn = id
     if (id > mx) mx = id
     n += 1
@@ -664,6 +941,14 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     if (n == 0L) {
       Files.deleteIfExists(tmp)
       GraftLogCommitMessage("", 0L, 0L, 0L)
+    } else if (defer) {
+      // swap-committed write (CoW replace / overwrite): the shard
+      // stays a hidden tmp — invisible to every reader — until the
+      // job-level commit lands the swap manifest. The sidecar body
+      // rides the commit message so the manifest can write it.
+      GraftLogDeferredCommitMessage(tmp.getFileName.toString,
+        s"$stem.graftlog",
+        s"$mn|$mx|$n" + shardUb.fold("")(u => s"|$u"))
     } else {
       val shard = Paths.get(dir, s"$stem.graftlog")
       Files.move(tmp, shard,
@@ -693,7 +978,7 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
   * wrong bucket column would silently mis-route rows and corrupt
   * every storage-partitioned join over the table. */
 class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
-    buckets: Int) extends DataWriter[InternalRow] {
+    buckets: Int, defer: Boolean = false) extends DataWriter[InternalRow] {
   private var cur: GraftLogWriter = _
   private var curUb: Long = -1L
   private val done = Seq.newBuilder[WriterCommitMessage]
@@ -705,7 +990,8 @@ class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
         s"expected floorMod(user_id, $buckets)")
     if (cur == null || ub != curUb) {
       if (cur != null) done += cur.commit()
-      cur = new GraftLogWriter(dir, pid, taskId, shardUb = Some(ub))
+      cur = new GraftLogWriter(dir, pid, taskId, shardUb = Some(ub),
+        defer = defer)
       curUb = ub
     }
     cur.write(r)
@@ -1164,7 +1450,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(required.fieldNames)
+    new GraftLogReaderFactory(required.fieldNames,
+      GraftLog.extSchema(path))
 }
 
 /** The one-row result of a completely-pushed aggregate (None = SQL
@@ -1215,9 +1502,11 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
   private var availableNowTarget: Option[Int] = None
 
   private def shardFiles: Seq[String] = {
-    val dir = Paths.get(path)
-    Files.list(dir).iterator().asScala
+    GraftLog.applySwapIfPresent(path)
+    val s = Files.list(Paths.get(path))
+    try s.iterator().asScala
       .map(_.toString).filter(_.endsWith(".graftlog")).toSeq.sorted
+    finally s.close()
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -1263,14 +1552,20 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(required.fieldNames)
+    new GraftLogReaderFactory(required.fieldNames,
+      GraftLog.extSchema(path))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class GraftLogReaderFactory(requiredCols: Array[String])
+class GraftLogReaderFactory(requiredCols: Array[String],
+    ext: Seq[StructField] = Nil)
     extends PartitionReaderFactory {
+
+  // resolved once on the driver, shipped to executors
+  private val refs: Array[GraftLog.ColRef] =
+    GraftLog.resolveCols(requiredCols, ext)
 
   /** Columnar (vectorized) reads for the common shape — a plain
     * single-shard partition with no row caps: lines parse straight
@@ -1284,7 +1579,7 @@ class GraftLogReaderFactory(requiredCols: Array[String])
     partition match {
       // metadata-column projections stay on the row reader
       case GraftLogPartition(_, _, None, None) =>
-        !requiredCols.contains("_shard")
+        !refs.contains(GraftLog.ShardCol)
       case _ => false
     }
 
@@ -1292,7 +1587,7 @@ class GraftLogReaderFactory(requiredCols: Array[String])
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
       case GraftLogPartition(file, ub, None, None) =>
-        new GraftLogColumnarReader(file, requiredCols, ub)
+        new GraftLogColumnarReader(file, refs, ub)
       case p => throw new IllegalStateException(
         s"no columnar reader for partition $p")
     }
@@ -1311,14 +1606,14 @@ class GraftLogReaderFactory(requiredCols: Array[String])
         override def close(): Unit = ()
       }
     case GraftLogPartition(file, ub, head, tail) =>
-      val base = new GraftLogReader(file, requiredCols, ub)
+      val base = new GraftLogReader(file, refs, ub)
       (head, tail) match {
         case (Some(n), _) => new GraftLogHeadReader(base, n)
         case (_, Some(n)) => new GraftLogTailReader(base, n)
         case _ => base
       }
     case GraftLogBucketPartition(files, ub) =>
-      new GraftLogBucketReader(files, requiredCols, ub)
+      new GraftLogBucketReader(files, refs, ub)
   }
 }
 
@@ -1369,7 +1664,8 @@ class GraftLogTailReader(under: PartitionReader[InternalRow], n: Int)
   * sidecar-sourced, emitted as a constant vector when asked for).
   * TimestampType's vector representation is micros-since-epoch — the
   * format's ts_us column, no conversion. */
-class GraftLogColumnarReader(file: String, requiredCols: Array[String],
+class GraftLogColumnarReader(file: String,
+    refs: Array[GraftLog.ColRef],
     ub: Option[Long] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -1378,12 +1674,13 @@ class GraftLogColumnarReader(file: String, requiredCols: Array[String],
   GraftLog.filesOpened.incrementAndGet()
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
-  private val srcIdx: Array[Int] =
-    requiredCols.map(c => GraftLog.bucketedSchema.fieldIndex(c))
   private val capacity = 4096
-  private val vectors: Array[OnHeapColumnVector] = srcIdx.map(i =>
-    new OnHeapColumnVector(capacity,
-      GraftLog.bucketedSchema.fields(i).dataType))
+  private val vectors: Array[OnHeapColumnVector] = refs.map {
+    case GraftLog.LineCol(_, dt) => new OnHeapColumnVector(capacity, dt)
+    case GraftLog.UbCol => new OnHeapColumnVector(capacity, LongType)
+    case GraftLog.ShardCol => throw new IllegalStateException(
+      "_shard projections keep the row reader")
+  }
   private val batch = new ColumnarBatch(
     vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
 
@@ -1397,18 +1694,25 @@ class GraftLogColumnarReader(file: String, requiredCols: Array[String],
       if (!line.isEmpty) {
         val parts = line.split('|')
         var c = 0
-        while (c < srcIdx.length) {
-          srcIdx(c) match {
-            case 0 => vectors(c).putLong(n, parts(0).toLong)
-            case 1 => vectors(c).putLong(n, parts(1).toLong)
-            case 2 => vectors(c).putLong(n, parts(2).toLong)
-            case 3 =>
-              val b = parts(3).getBytes(StandardCharsets.UTF_8)
-              vectors(c).putByteArray(n, b, 0, b.length)
-            case 4 => vectors(c).putDouble(n, parts(4).toDouble)
-            case 5 => vectors(c).putLong(n, ub.getOrElse(
+        while (c < refs.length) {
+          refs(c) match {
+            case GraftLog.LineCol(pos, dt) =>
+              if (pos >= parts.length ||
+                  (pos >= 5 && parts(pos) == GraftLog.NullToken))
+                vectors(c).putNull(n)
+              else dt match {
+                case LongType | TimestampType =>
+                  vectors(c).putLong(n, parts(pos).toLong)
+                case DoubleType =>
+                  vectors(c).putDouble(n, parts(pos).toDouble)
+                case _ =>
+                  val b = parts(pos).getBytes(StandardCharsets.UTF_8)
+                  vectors(c).putByteArray(n, b, 0, b.length)
+              }
+            case GraftLog.UbCol => vectors(c).putLong(n, ub.getOrElse(
               throw new IllegalStateException(
                 s"projection asked for ub but shard $file has no sidecar")))
+            case GraftLog.ShardCol => () // unreachable (factory refuses)
           }
           c += 1
         }
@@ -1434,8 +1738,9 @@ class GraftLogColumnarReader(file: String, requiredCols: Array[String],
 /** Line parser materializing ONLY the pruned columns. `ub` is the
   * shard's bucket (sidecar-sourced, constant per shard) — emitted
   * when the projection asks for the bucket column; never parsed from
-  * the line. */
-class GraftLogReader(file: String, requiredCols: Array[String],
+  * the line. Evolved columns (positions ≥ 5) null-fill when the line
+  * predates the ALTER (fewer fields) or carries the null token. */
+class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
     ub: Option[Long] = None) extends PartitionReader[InternalRow] {
   GraftLog.filesOpened.incrementAndGet()
 
@@ -1446,13 +1751,6 @@ class GraftLogReader(file: String, requiredCols: Array[String],
   private val it = lines.iterator()
   private var row: InternalRow = _
 
-  // required column -> source field index, resolved once per shard
-  // (bucketedSchema is the base schema plus ub at index 5, so this
-  // resolves both layouts; 6 = the _shard metadata column)
-  private val srcIdx: Array[Int] = requiredCols.map {
-    case "_shard" => 6
-    case c => GraftLog.bucketedSchema.fieldIndex(c)
-  }
   private val shardName = UTF8String.fromString(
     Paths.get(file).getFileName.toString)
 
@@ -1461,18 +1759,22 @@ class GraftLogReader(file: String, requiredCols: Array[String],
     val line = it.next()
     if (line.isEmpty) return next()
     val parts = line.split('|')
-    val values = new Array[Any](srcIdx.length)
+    val values = new Array[Any](refs.length)
     var i = 0
-    while (i < srcIdx.length) {
-      values(i) = srcIdx(i) match {
-        case 0 => parts(0).toLong
-        case 1 => parts(1).toLong // TimestampType carries micros
-        case 2 => parts(2).toLong
-        case 3 => UTF8String.fromString(parts(3))
-        case 4 => parts(4).toDouble
-        case 5 => ub.getOrElse(throw new IllegalStateException(
-          s"projection asked for ub but shard $file has no bucket sidecar"))
-        case 6 => shardName
+    while (i < refs.length) {
+      values(i) = refs(i) match {
+        case GraftLog.LineCol(pos, dt) =>
+          if (pos >= parts.length ||
+              (pos >= 5 && parts(pos) == GraftLog.NullToken)) null
+          else dt match {
+            case LongType | TimestampType => parts(pos).toLong
+            case DoubleType => parts(pos).toDouble
+            case _ => UTF8String.fromString(parts(pos))
+          }
+        case GraftLog.UbCol => ub.getOrElse(
+          throw new IllegalStateException(
+            s"projection asked for ub but shard $file has no bucket sidecar"))
+        case GraftLog.ShardCol => shardName
       }
       i += 1
     }
@@ -1485,7 +1787,8 @@ class GraftLogReader(file: String, requiredCols: Array[String],
 }
 
 /** A whole bucket: its shard files read back to back. */
-class GraftLogBucketReader(files: Seq[String], requiredCols: Array[String],
+class GraftLogBucketReader(files: Seq[String],
+    refs: Array[GraftLog.ColRef],
     ub: Long) extends PartitionReader[InternalRow] {
   private val iter = files.iterator
   private var cur: GraftLogReader = _
@@ -1499,7 +1802,7 @@ class GraftLogBucketReader(files: Seq[String], requiredCols: Array[String],
     while (cur == null || !cur.next()) {
       if (cur != null) cur.close()
       if (!iter.hasNext) { cur = null; return false }
-      cur = new GraftLogReader(iter.next(), requiredCols, Some(ub))
+      cur = new GraftLogReader(iter.next(), refs, Some(ub))
       opened += 1
     }
     true

@@ -32,6 +32,14 @@ object Retention {
       keys: org.apache.spark.sql.DataFrame): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import java.nio.file.{Files, Paths}
+    // crash recovery: a hard stop between the two renames below
+    // leaves the table absent with the data parked at __forget_old —
+    // restore it before doing anything else (roll BACK: the staged
+    // rewrite was never made live, so the old generation is truth)
+    if (!Files.isDirectory(Paths.get(path)) &&
+        Files.isDirectory(Paths.get(path + "__forget_old")))
+      Files.move(Paths.get(path + "__forget_old"), Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val t = spark.read.parquet(path)
     val before = t.count()
     val kept = t.join(broadcast(keys.select(col(keyCol)).distinct()),

@@ -133,12 +133,9 @@ object TypeCensus {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_tws_gl_${runId.incrementAndGet()}_")
         .toString
-      val log = s"$out/log"
-      Tables.table(spark, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 8).save(log)
+      // read-only drain over the shared ingest (fresh checkpoint per
+      // run — the drain result only depends on the bounded input)
+      val log = graft.queries.GlogFixtures.eventsLog(spark, dir, 8)
       val q = censusStream(
         spark.readStream.format("graft.sources.GraftLogSource")
           .option("maxShardsPerTrigger", "2").load(log)

@@ -824,6 +824,196 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
   }
 
+  test("swap manifest: a crash BEFORE the commit point is invisible") {
+    import java.nio.file.{Files, Paths}
+    val dir = writeShards() // 400 rows, 4 shards
+    // simulate a replace job that wrote its deferred tmps and died
+    // before the manifest landed: hidden tmps must be ignored by
+    // batch listing, streaming poll and planning alike
+    Files.write(Paths.get(dir, ".shard-00099-7.tmp"),
+      "9999|1700000000000000|1|zz|1.0\n".getBytes("UTF-8"))
+    assert(spark.read.format(fmt).load(dir).count() == 400)
+    assert(GraftLog.listShards(dir).size == 4)
+    assert(!spark.read.format(fmt).load(dir)
+      .filter($"event_type" === "zz").head(1).nonEmpty)
+  }
+
+  test("swap manifest: a crash AFTER the commit point rolls forward") {
+    import java.nio.file.{Files, Paths}
+    val dir = writeShards() // shards [0,99]..[300,399]
+    // simulate the committed-but-unapplied state: a manifest that
+    // retires the first two shards and promotes one staged tmp
+    Files.write(Paths.get(dir, ".shard-00090-1.tmp"),
+      (500L until 510L).map(i =>
+        s"$i|${1700000000000000L + i}|${i % 7}|g2|1.0")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val olds = GraftLog.listShards(dir).map(_.file).take(2)
+    val body = olds.map(f =>
+        s"drop|${Paths.get(f).getFileName}").mkString("", "\n", "\n") +
+      "promote|.shard-00090-1.tmp|shard-00090.graftlog|500|509|10\n"
+    Files.write(Paths.get(dir, "_swap.manifest"), body.getBytes("UTF-8"))
+    // the NEXT read completes the swap before listing: the retired
+    // generation is gone, the promoted shard is live with its sidecar
+    val after = spark.read.format(fmt).load(dir)
+    assert(after.count() == 210) // 400 - 200 dropped + 10 promoted
+    assert(after.filter($"event_type" === "g2").count() == 10)
+    assert(!Files.exists(Paths.get(dir, "_swap.manifest")))
+    val shards = GraftLog.listShards(dir)
+    assert(shards.size == 3 && shards.forall(_.stats.isDefined))
+    // the promoted shard prunes like any other (sidecar from manifest)
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_id" >= 500L).count() == 10)
+    assert(GraftLog.filesOpened.get() == 1)
+  }
+
+  test("UPDATE/overwrite/delete-rewrite leave no staging residue") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = writeBigLog()
+    val tbl = catalogTable(dir)
+    spark.sql(s"UPDATE $tbl SET value = value + 1 WHERE event_id < 10")
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 3") // CoW fallback
+    def residue: Seq[String] = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".tmp") || n.startsWith("_swap"))
+        .toSeq
+      finally s.close()
+    }
+    assert(residue.isEmpty, s"staging residue after CoW ops: $residue")
+    // in-place boundary-shard rewrite (range DELETE) is swap-committed
+    spark.sql(s"DELETE FROM $tbl WHERE event_id < 5")
+    assert(residue.isEmpty, s"staging residue after range DELETE: $residue")
+  }
+
+  test("compact swaps in place — the table path never disappears") {
+    import java.nio.file.{Files, Paths}
+    val dir = writeShards() // 4 shards of 100
+    val beforeSum = spark.read.format(fmt).load(dir)
+      .agg(sum($"value")).as[Double].head()
+    val (b, a) = GraftLog.compact(spark, dir, shards = 1)
+    assert(b == 4 && a == 1)
+    assert(Files.isDirectory(Paths.get(dir)))
+    assert(!Files.isDirectory(Paths.get(dir + "__compact_old")),
+      "in-place swap must not use the old two-rename scratch dir")
+    val after = spark.read.format(fmt).load(dir)
+    assert(after.count() == 400)
+    assert(after.agg(sum($"value")).as[Double].head() == beforeSum)
+    // compacted layout still prunes (fresh disjoint sidecars)
+    assert(GraftLog.listShards(dir).forall(_.stats.isDefined))
+  }
+
+  test("ALTER TABLE ADD COLUMN: old shards null-fill, new writes carry") {
+    import org.apache.spark.sql.types._
+    val dir = writeShards() // gen 1: base schema, ids [0,399]
+    val tbl = catalogTable(dir)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING")
+    // evolved generation: ids [1000,1019], every 4th score null
+    val gen2 = (1000L until 1020L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), i % 7, "g2", 1.0,
+        if (i % 4 == 0) None else Some(i * 0.5),
+        if (i % 4 == 0) None else Some(s"tag$i")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "score", "tag")
+    gen2.write.format(fmt).mode("append").save(dir)
+    val t = spark.read.format(fmt).load(dir)
+    assert(t.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value",
+        "score", "tag"))
+    assert(t.schema("score").dataType === DoubleType && t.schema("score").nullable)
+    // old generation: the evolved columns are NULL
+    assert(t.filter($"event_id" < 400 && $"score".isNotNull).count() == 0)
+    assert(t.filter($"event_id" < 400).count() == 400)
+    // new generation: values and the null token both round-trip
+    val got = t.filter($"event_id" >= 1000)
+      .select($"event_id", $"score", $"tag")
+      .as[(Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(got.length == 20)
+    assert(got(0) === ((1000L, None, None)))            // 1000 % 4 == 0
+    assert(got(1) === ((1001L, Some(500.5), Some("tag1001"))))
+    // pruning is untouched by evolution (base positions immutable)
+    GraftLog.filesOpened.set(0)
+    assert(t.filter($"event_id" === 1001L).count() == 1)
+    assert(GraftLog.filesOpened.get() == 1)
+    // a BASE-ONLY legacy feed still appends (reads back null-filled)
+    (2000L until 2005L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), i % 7, "g3", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.format(fmt).mode("append").save(dir)
+    val t2 = spark.read.format(fmt).load(dir)
+    assert(t2.filter($"event_id" >= 2000).count() == 5)
+    assert(t2.filter($"event_id" >= 2000 && $"score".isNotNull).count() == 0)
+    // SQL surface agrees (catalog path)
+    assert(spark.sql(s"SELECT count(score) AS c FROM $tbl")
+      .as[Long].head() == 15)
+  }
+
+  test("evolved table: UPDATE round-trips added columns; compact keeps them") {
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
+    (1000L until 1010L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), i % 7, "g2", 1.0,
+        Some(i * 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "score")
+      .write.format(fmt).mode("append").save(dir)
+    // copy-on-write UPDATE through the evolved width (markerOffset
+    // accounts for the extra column; the plausibility check passes)
+    spark.sql(s"UPDATE $tbl SET score = score + 0.5 " +
+      "WHERE event_id >= 1000 AND event_id < 1005")
+    val t = spark.read.format(fmt).load(dir)
+    assert(t.filter($"event_id" === 1002L).select($"score")
+      .as[Option[Double]].head() === Some(1002.5))
+    assert(t.filter($"event_id" === 1007L).select($"score")
+      .as[Option[Double]].head() === Some(1007.0))
+    // old-generation rows stayed null through the rewrite
+    assert(t.filter($"score".isNotNull).count() == 10)
+    // compaction carries the evolved schema through its staging dir
+    val (_, after) = GraftLog.compact(spark, dir, shards = 2)
+    assert(after == 2)
+    val c = spark.read.format(fmt).load(dir)
+    assert(c.schema.fieldNames.contains("score"))
+    assert(c.count() == 410)
+    assert(c.filter($"event_id" === 1002L).select($"score")
+      .as[Option[Double]].head() === Some(1002.5))
+    assert(c.filter($"score".isNotNull).count() == 10)
+  }
+
+  test("ALTER rejects non-append evolution and bucketed layouts") {
+    val dir = writeShards()
+    val tbl = catalogTable(dir)
+    // unsupported change class
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN value")
+    }
+    // unsupported added type (timestamps would need tz/encoding rules)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN t2 TIMESTAMP")
+    }
+    // duplicate name
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
+    }
+    // bucketed tables never evolve (direct catalog call — the session
+    // caches catalog instances by name, so a re-based conf would not
+    // re-point the cached `glogspec`)
+    val (even, _) = writeBucketedPair(4)
+    val cat = new graft.sources.GraftLogCatalog
+    cat.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("base",
+        java.nio.file.Paths.get(even).getParent.toString)))
+    intercept[IllegalArgumentException] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "even"),
+        org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+          Array("score"), org.apache.spark.sql.types.DoubleType))
+    }
+  }
+
   test("reported ordering removes a redundant sort over the scan") {
     val dir = writeShards()
     val sorted = spark.read.format(fmt).load(dir)

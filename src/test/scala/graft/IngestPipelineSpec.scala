@@ -123,21 +123,31 @@ class IngestPipelineSpec extends SparkSuite {
     val schema = StructType(Seq(
       StructField("id", StringType), StructField("qty", IntegerType),
       StructField("price", DoubleType)))
-    val (clean, quarantined) = Ingest.readCsvWithQuarantine(
-      spark, f.toString, schema, requiredCols = Seq("id"))
-    // clean: the parseable rows with a non-null key — file order free
-    val got = clean.collect().map(r =>
-      (r.getString(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
-    assert(got.toSeq === Seq(("A", 2, 10.5), ("C", 4, 7.25)))
-    // quarantine: the torn row (bad int) with its RAW LINE preserved,
-    // and the null-key row (parseable but violating the contract)
-    val q = quarantined.collect()
-    assert(q.length === 2, q.mkString("; "))
-    val rawLines = q.map(_.getAs[String]("raw_line")).sorted
-    assert(rawLines.exists(_.contains("notanumber")),
-      s"raw evidence lost: ${rawLines.mkString("|")}")
-    assert(q.forall(_.getAs[String]("source_path").contains("feed.csv")))
-    // nothing silently dropped: clean + quarantined = all data rows
-    assert(got.length + q.length === 4)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    Ingest.withCsvQuarantine(
+      spark, f.toString, schema, requiredCols = Seq("id")) {
+      (clean, quarantined) =>
+        // clean: parseable rows with a non-null key — file order free
+        val got = clean.collect().map(r =>
+          (r.getString(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+        assert(got.toSeq === Seq(("A", 2, 10.5), ("C", 4, 7.25)))
+        // quarantine: the torn row (bad int) with its RAW LINE
+        // preserved, and the null-key row (parseable but violating
+        // the contract)
+        val q = quarantined.collect()
+        assert(q.length === 2, q.mkString("; "))
+        val rawLines = q.map(_.getAs[String]("raw_line")).sorted
+        assert(rawLines.exists(_.contains("notanumber")),
+          s"raw evidence lost: ${rawLines.mkString("|")}")
+        assert(q.forall(
+          _.getAs[String]("source_path").contains("feed.csv")))
+        // nothing silently dropped: clean + quarantined = all rows
+        assert(got.length + q.length === 4)
+    }
+    // the scoped form released the shared cached parse (delta against
+    // whatever OTHER suites in this JVM left cached)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .diff(cachedBefore).isEmpty,
+      "withCsvQuarantine must unpersist its cached parse")
   }
 }
