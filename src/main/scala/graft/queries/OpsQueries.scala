@@ -221,6 +221,115 @@ object OpsQueries {
         .orderBy($"window_end")
     }),
 
+    // q17's approximate-distinct moved UNDER THE HASH GATE: HLL++
+    // internals are engine-specific (q17 stays rows-only checked),
+    // but a KMV bottom-k sketch over the portable salted hash is
+    // bit-replayable in DuckDB — so the ESTIMATOR itself, not just
+    // its neighborhood, is hash-verified (the q187 move applied to
+    // the grouped-distinct shape). Exact + estimate + signed error
+    // ride in-row (the sketch-family accuracy contract); the exact
+    // leg is a test-scale audit gated on spark.graft.sketchAudit —
+    // at 100 TB only the sketch runs, which is the point: a
+    // constant-size mergeable summary instead of a per-group distinct
+    // shuffle of every orderkey.
+    "q220_approx_distinct_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val pairs = Tables.table(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_orderkey").distinct()
+      val hashed = pairs.select($"l_returnflag", TextFunctions.hash60(
+        concat($"l_orderkey".cast("string"), lit("_kmvq17"))).as("h"))
+      val est = hashed.groupBy($"l_returnflag")
+        .agg(call_function("graft_kmv", $"h", lit(KmvK)).as("sk"))
+        .withColumn("n_est",
+          when(size($"sk") < KmvK, size($"sk").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble * math.pow(2, 60)) /
+              element_at($"sk", KmvK).cast("double")))
+        .select($"l_returnflag", $"n_est")
+      if (!audit) est.orderBy($"l_returnflag")
+      else est.join(pairs.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("n_exact")), "l_returnflag")
+        .select($"l_returnflag", $"n_exact", $"n_est",
+          ($"n_est" - $"n_exact".cast("double")).as("err"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // q50's approximate-median moved UNDER THE HASH GATE: the GK
+    // sketch is engine-specific (q50 stays rows-only checked), but a
+    // fixed-width HISTOGRAM quantile is deterministic — bin census,
+    // cumulative walk, linear interpolation inside the median bin —
+    // and replays bit-exactly in DuckDB. The exact companion is the
+    // q171 rank-selection (the selected element IS a data value — no
+    // interpolation ambiguity), audit-gated like every sketch twin.
+    // Scale shape: the bin census is the only data-sized aggregate
+    // (one partial-aggregable GROUP BY); the cumulative walk runs
+    // over ≤ ~price-range/1000 bins per group — bounded metadata, the
+    // same class as q147's block summaries.
+    "q221_median_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val src = Tables.table(s, dir, "lineitem")
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"),
+          $"l_orderkey", $"l_linenumber")
+      val byG = Window.partitionBy($"g")
+      val bins = src
+        .groupBy($"g", floor($"v" / 1000.0).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(byG.orderBy($"b")))
+        .withColumn("n", sum($"c").over(byG))
+        .withColumn("target", expr("(n + 1) div 2"))
+      val est = bins
+        .filter($"cum" >= $"target" && $"cum" - $"c" < $"target")
+        .select($"g", $"n",
+          (($"b" * 1000L).cast("double") + lit(1000.0) *
+            ($"target" - ($"cum" - $"c")).cast("double") /
+            $"c".cast("double")).as("p50_est"))
+      if (!audit)
+        est.select($"g".as("l_returnflag"), $"n", $"p50_est")
+          .orderBy($"l_returnflag")
+      else {
+        val exact = src
+          .withColumn("rn", row_number().over(
+            byG.orderBy($"v", $"l_orderkey", $"l_linenumber")))
+          .withColumn("n", count(lit(1)).over(byG))
+          .groupBy($"g")
+          .agg(max(when($"rn" === expr("(n + 1) div 2"), $"v"))
+            .as("p50_exact"))
+        est.join(exact, "g")
+          .select($"g".as("l_returnflag"), $"n", $"p50_exact", $"p50_est",
+            ($"p50_est" - $"p50_exact").as("err"))
+          .orderBy($"l_returnflag")
+      }
+    }),
+
+    // graft_* functions through the V2 FunctionCatalog — the
+    // catalog-QUALIFIED resolution path (`glog.graft_nfc(...)`) a
+    // pure-SQL session uses: no Scala register() call, just the
+    // catalog conf. The bound function resolves via the
+    // ScalarFunction magic method to a codegen'd Invoke
+    // (FunctionCatalogSpec pins the plan shape); the kernel is shared
+    // with the session-registered Expression, and DuckDB's
+    // nfc_normalize implements the same Unicode form — so the hash
+    // gate proves the CATALOG route is value-exact, not just
+    // resolvable. A combining accent is appended to each prefix so
+    // normalization has real work (compose) on every row.
+    "q223_catalog_qualified_fn" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      Tables.table(s, dir, "documents")
+        .createOrReplaceTempView("docs_catalog_fn")
+      s.sql(
+        s"""SELECT source, count(1) AS n_docs,
+               sum(length(glog.graft_nfc(
+                 concat(substring(text, 1, 40), 'e${"́"}'))))
+                 AS sum_len_nfc,
+               sum(length(concat(substring(text, 1, 40), 'e${"́"}')))
+                 AS sum_len_raw
+           FROM docs_catalog_fn
+           GROUP BY source
+           ORDER BY source""")
+    }),
+
     // SQL DELETE on the graftlog connector, through its catalog — the
     // retention-window drop as a first-class row-level operation:
     // the shard dir is exposed as a NAMED table via GraftLogCatalog
@@ -1078,10 +1187,9 @@ object OpsQueries {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_log_cp_${runId.incrementAndGet()}_")
         .toString
-      Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 64).save(out)
+      // compaction MUTATES its table: clone the shared 64-shard ingest
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 64),
+        java.nio.file.Paths.get(out))
       graft.sources.GraftLog.compact(s, out, 8)
       s.read.format("graft.sources.GraftLogSource").load(out)
         .groupBy($"event_type")
@@ -1106,13 +1214,7 @@ object OpsQueries {
     // value-exact, not just cheap.
     "q166_graftlog_topn" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft_log_topn_${runId.incrementAndGet()}_")
-        .toString
-      Tables.table(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .write.format("graft.sources.GraftLogSource")
-        .mode("append").option("shards", 32).save(out)
+      val out = GlogFixtures.eventsLog(s, dir, 32) // read-only: shared
       val log = s.read.format("graft.sources.GraftLogSource").load(out)
       val head = log.orderBy($"event_id").limit(25)
         .select(lit("head").as("leg"), $"event_id", $"user_id", $"event_type")
@@ -1327,6 +1429,90 @@ object OpsQueries {
           FROM merged
           GROUP BY event_type
           ORDER BY event_type""",
+
+    // The KMV estimator replayed from the raw rows: bottom-256 of the
+    // same salted 60-bit hash, same (k-1)·2^60/h_(k) estimate — hash
+    // equality proves the sketch itself, not just its neighborhood.
+    "q220_approx_distinct_kmv" ->
+      s"""WITH pairs AS (
+            SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+          h AS (
+            SELECT DISTINCT l_returnflag,
+                   CAST('0x' || substr(md5(l_orderkey::VARCHAR
+                     || '_kmvq17'), 1, 15) AS BIGINT) AS hv
+            FROM pairs),
+          r AS (
+            SELECT l_returnflag, hv,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY hv) AS rn
+            FROM h),
+          est AS (
+            SELECT l_returnflag,
+                   CASE WHEN count(1) < $KmvK THEN count(1)::DOUBLE
+                        ELSE ${KmvK - 1}.0 * 1152921504606846976.0 /
+                             max(CASE WHEN rn = $KmvK THEN hv END)::DOUBLE
+                   END AS n_est
+            FROM r WHERE rn <= $KmvK GROUP BY l_returnflag),
+          exact AS (
+            SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+            FROM pairs GROUP BY l_returnflag)
+          SELECT e.l_returnflag, n_exact, n_est,
+                 n_est - n_exact::DOUBLE AS err
+          FROM est e JOIN exact USING (l_returnflag)
+          ORDER BY l_returnflag""",
+
+    // The histogram median replayed: same bins, same cumulative walk,
+    // same interpolation doubles; the exact leg is rank selection
+    // (a data value — engines cannot disagree on interpolation).
+    "q221_median_histogram" ->
+      """WITH src AS (
+           SELECT l_returnflag AS g, l_extendedprice AS v,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+         n AS (SELECT g, count(*) AS n FROM src GROUP BY g),
+         bins AS (
+           SELECT g, CAST(floor(v / 1000.0) AS BIGINT) AS b,
+                  count(*) AS c
+           FROM src GROUP BY g, b),
+         wc AS (
+           SELECT g, b, c,
+                  sum(c) OVER (PARTITION BY g ORDER BY b) AS cum
+           FROM bins),
+         est AS (
+           SELECT wc.g,
+                  (b * 1000)::DOUBLE + 1000.0 *
+                    ((n.n + 1) // 2 - (cum - c))::DOUBLE / c::DOUBLE
+                    AS p50_est
+           FROM wc JOIN n ON wc.g = n.g
+           WHERE cum >= (n.n + 1) // 2 AND cum - c < (n.n + 1) // 2),
+         ranked AS (
+           SELECT g, v, row_number() OVER (PARTITION BY g
+             ORDER BY v, l_orderkey, l_linenumber) AS rn
+           FROM src),
+         ex AS (
+           SELECT r.g,
+                  max(CASE WHEN rn = (n.n + 1) // 2 THEN v END)
+                    AS p50_exact
+           FROM ranked r JOIN n ON r.g = n.g
+           GROUP BY r.g)
+         SELECT ex.g AS l_returnflag, n.n AS n, p50_exact, p50_est,
+                p50_est - p50_exact AS err
+         FROM ex JOIN est ON ex.g = est.g JOIN n ON ex.g = n.g
+         ORDER BY l_returnflag""",
+
+    // Same normalization via DuckDB's own NFC implementation: both
+    // engines compose "e"+U+0301 to one codepoint, so the nfc length
+    // is exactly one short of the raw length per row.
+    "q223_catalog_qualified_fn" ->
+      """SELECT source, count(1) AS n_docs,
+                CAST(sum(length(nfc_normalize(
+                  substring(text, 1, 40) || 'e' || chr(769))))
+                  AS BIGINT) AS sum_len_nfc,
+                CAST(sum(length(substring(text, 1, 40)
+                  || 'e' || chr(769))) AS BIGINT) AS sum_len_raw
+         FROM documents
+         GROUP BY source
+         ORDER BY source""",
 
     // Evolution replayed on the raw feed: the new column exists only
     // for the second generation, with the same null pattern.

@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (reference README.md:28; the parquet-side analogue is
   * store.CatalogZone) applied to the custom format.
   */
-class GraftLogCatalog extends TableCatalog {
+class GraftLogCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var base: String = _
 
@@ -147,4 +148,30 @@ class GraftLogCatalog extends TableCatalog {
       newIdent: Identifier): Unit =
     Files.move(Paths.get(dirOf(oldIdent)), Paths.get(dirOf(newIdent)),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+  // ── FunctionCatalog: graft_* functions by QUALIFIED NAME ──────────
+  // `SELECT glog.graft_nfc(...)` resolves from any session that knows
+  // only the catalog conf — the pure-SQL route to the engine's custom
+  // functions (the session registry needs a Scala register() call a
+  // thrift/connect client can never make). Bound functions implement
+  // the ScalarFunction magic method, so the planned expression is a
+  // codegen'd Invoke — see functions.GraftV2Functions.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      graft.functions.GraftV2Functions.names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty)
+      try graft.functions.GraftV2Functions.load(ident.name())
+      catch {
+        case _: NoSuchElementException =>
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchFunctionException(ident)
+      }
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }

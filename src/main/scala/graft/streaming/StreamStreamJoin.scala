@@ -39,6 +39,19 @@ object StreamStreamJoin {
   def purchaseViewPairsLeftOuter(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, "left_outer")
 
+  /** FULL OUTER variant — both sides null-emit, each at ITS OWN
+    * watermark-proof point, completing the join matrix (q66 inner,
+    * q71 left-outer). The two sides close asymmetrically because the
+    * interval is one-sided: a purchase p matches views in
+    * [p_ts − 1h, p_ts), so it is provably unmatched once the global
+    * watermark passes p_ts; a view v matches purchases in
+    * (v_ts, v_ts + 1h], so it must outlive the watermark by the FULL
+    * interval — null emission at watermark > v_ts + 1h. State for
+    * both sides stays bounded by (delay + interval); the asymmetric
+    * eviction is exactly what the oracle's two cutoffs replay. */
+  def purchaseViewPairsFullOuter(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, "full_outer")
+
   private def run(spark: SparkSession, dir: String,
       joinType: String): DataFrame = {
     // a stream-stream join keeps FOUR state stores per shuffle
@@ -93,7 +106,9 @@ object StreamStreamJoin {
   val queries: Map[String, graft.queries.Q.Fn] = Map(
     "q66_stream_interval_join" -> ((s, dir) => purchaseViewPairs(s, dir)),
     "q71_stream_left_outer_join" ->
-      ((s, dir) => purchaseViewPairsLeftOuter(s, dir)))
+      ((s, dir) => purchaseViewPairsLeftOuter(s, dir)),
+    "q222_stream_full_outer_join" ->
+      ((s, dir) => purchaseViewPairsFullOuter(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q66_stream_interval_join" ->
@@ -140,5 +155,50 @@ object StreamStreamJoin {
                  epoch_us((SELECT w FROM wm)) - 3600000000)
          SELECT * FROM matched
          UNION ALL SELECT * FROM unmatched
-         ORDER BY event_id, view_event_id NULLS FIRST""")
+         ORDER BY event_id, view_event_id NULLS FIRST""",
+    // Both outer legs, each with ITS OWN watermark cutoff: an
+    // unmatched purchase closes when the watermark (w − 1 h delay)
+    // passes p_ts — cutoff p_ts < w − 1 h, as in q71; an unmatched
+    // view must outlive the watermark by the full 1 h interval
+    // (purchases in (v_ts, v_ts + 1 h] could still arrive) — cutoff
+    // v_ts < w − 2 h. Spark sorts ASC nulls FIRST; pinned explicitly
+    // for DuckDB.
+    "q222_stream_full_outer_join" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         views AS (
+           SELECT event_id AS view_event_id, user_id, ts AS v_ts
+           FROM events WHERE event_type = 'view'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM purchases),
+                        (SELECT max(v_ts) FROM views)) AS w),
+         matched AS (
+           SELECT p.event_id, p.user_id, v.view_event_id,
+                  v.v_ts AS view_ts
+           FROM purchases p JOIN views v
+             ON v.user_id = p.user_id
+            AND epoch_us(v.v_ts) >= epoch_us(p.ts) - 3600000000
+            AND epoch_us(v.v_ts) < epoch_us(p.ts)),
+         unmatched_p AS (
+           SELECT p.event_id, p.user_id,
+                  CAST(NULL AS BIGINT) AS view_event_id,
+                  CAST(NULL AS TIMESTAMP) AS view_ts
+           FROM purchases p
+           WHERE p.event_id NOT IN (SELECT event_id FROM matched)
+             AND epoch_us(p.ts) <
+                 epoch_us((SELECT w FROM wm)) - 3600000000),
+         unmatched_v AS (
+           SELECT CAST(NULL AS BIGINT) AS event_id,
+                  CAST(NULL AS BIGINT) AS user_id,
+                  v.view_event_id, v.v_ts AS view_ts
+           FROM views v
+           WHERE v.view_event_id NOT IN
+                 (SELECT view_event_id FROM matched)
+             AND epoch_us(v.v_ts) <
+                 epoch_us((SELECT w FROM wm)) - 7200000000)
+         SELECT * FROM matched
+         UNION ALL SELECT * FROM unmatched_p
+         UNION ALL SELECT * FROM unmatched_v
+         ORDER BY event_id NULLS FIRST, view_event_id NULLS FIRST""")
 }
