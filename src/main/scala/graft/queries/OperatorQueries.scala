@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.operators.{AsOfJoin, GlobalIndex, RangeJoin}
+import graft.text.TextFunctions
 
 /** Queries exercising the composed custom operators (as-of join,
   * pivot) with DuckDB oracles.
@@ -269,6 +270,36 @@ object OperatorQueries {
     // oracle replays it; per-node participation via explode+aggregate.
     "q107_triangle_count" -> ((s, dir) => triangleCount(s, dir)),
 
+    // q107's documented SUB-LINEAR scale path — Doulion edge sampling
+    // (Tsourakakis et al., KDD'09): keep each undirected edge
+    // independently with p = 1/8, decided by the PORTABLE salted hash
+    // (deterministic, so the DuckDB oracle replays the exact same
+    // sample — the q157/q187 sketch discipline applied to a graph
+    // estimator), count triangles exactly among kept edges with the
+    // same degree-oriented wedge machinery, scale by p⁻³ = 512. The
+    // sample is applied BEFORE the edge-dedup exchange, so the
+    // dominant costs shrink with p (dedup shuffle ×p, wedge volume
+    // ×p² in expectation) — exact triangle work grows superlinearly
+    // with density by nature (q107's ×10 surrogate hit 183 s); this
+    // is the knob a 100 TB graph actually turns. Exact companion +
+    // signed error ride in-row, audit-gated like every sketch twin.
+    "q224_triangle_doulion" -> ((s, dir) => {
+      import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val d = 8L
+      val (eKept, triS) = triangleTotal(s, dir, Some(d))
+      val est = triS * d * d * d
+      if (!audit)
+        Seq((eKept, triS, est))
+          .toDF("n_edges_sampled", "n_tri_sampled", "n_est")
+      else {
+        val (_, exact) = triangleTotal(s, dir, None)
+        Seq((eKept, triS, est, exact, est - exact))
+          .toDF("n_edges_sampled", "n_tri_sampled", "n_est",
+            "n_exact", "err")
+      }
+    }),
+
     // Association rules over market baskets (parts co-occurring in an
     // order): pair support from the same per-order self-join as q107's
     // edge build, confidence = supp(ab)/supp(a), lift =
@@ -449,6 +480,75 @@ object OperatorQueries {
        ASOF LEFT JOIN views v
          ON p.user_id = v.user_id AND v.ts <= p.ts
        ORDER BY p.event_id"""
+
+  /** q224's kernel: global triangle count over the basket
+    * co-occurrence graph, optionally on a deterministic 1/denom edge
+    * sample (Doulion). Same degree-oriented wedge machinery and the
+    * same measured-broadcast / adaptive-width discipline as
+    * [[triangleCount]]; the sample filter runs BEFORE the edge-dedup
+    * exchange so every downstream cost shrinks with p. Returns
+    * (edges kept, triangles among them). */
+  def triangleTotal(s: org.apache.spark.sql.SparkSession, dir: String,
+      sampleDenom: Option[Long]): (Long, Long) = {
+    import s.implicits._
+    val narrow = Tables.table(s, dir, "part")
+      .agg(max($"p_partkey")).head.getLong(0) <= Int.MaxValue.toLong
+    val li = Tables.table(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"),
+        (if (narrow) $"l_partkey".cast("int") else $"l_partkey")
+          .as("l_partkey"))
+    val pairs = li.groupBy($"ok")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y ->
+               struct(x AS x, y AS y))))""")).as("p"))
+      .select($"p.x", $"p.y")
+    // keep an edge iff its salted 60-bit hash < 2^60/denom — the
+    // decision is a pure function of (x, y), so duplicates agree and
+    // the oracle replays the identical sample
+    val sampled = sampleDenom.fold(pairs) { dn =>
+      pairs.filter(TextFunctions.hash60(
+        concat($"x".cast("string"), lit("_"), $"y".cast("string"),
+          lit("_doulion"))) < lit((1L << 60) / dn))
+    }
+    val liRows = li.count() / sampleDenom.getOrElse(1L)
+    val parts = math.min(1024L, math.max(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      liRows / 250000L)).toInt
+    val e = sampled.repartition(parts, $"x", $"y").distinct()
+      .localCheckpoint()
+    val deg = e.select($"x".as("node")).union(e.select($"y".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val degSmall = deg.count() <= 2000000L
+    def degSide(df: org.apache.spark.sql.DataFrame) =
+      if (degSmall) broadcast(df) else df
+    val or = e
+      .join(degSide(deg.toDF("x", "dx")), "x")
+      .join(degSide(deg.toDF("y", "dy")), "y")
+      .select(
+        when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"x")
+          .otherwise($"y").as("src"),
+        when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
+          .otherwise($"x").as("dst"))
+      .localCheckpoint()
+    val eKept = e.count()
+    val closeSide = if (eKept <= 5000000L) broadcast(e) else e
+    val wedgeRows = or.groupBy($"src").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c")).as[Long].head()
+    val wparts = math.min(2048L, math.max(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      wedgeRows / 4000000L)).toInt
+    val wedges = or.toDF("u", "v").repartition(wparts, $"u")
+      .join(or.toDF("u", "w"), "u")
+      .filter($"v" < $"w")
+    val tri = (if (eKept <= 5000000L) wedges
+      else wedges.repartition(wparts, $"v", $"w"))
+      .join(closeSide, $"v" === $"x" && $"w" === $"y")
+      .count()
+    (eKept, tri)
+  }
 
   /** q107's body, parameterized so PlanAuditSpec can pin the
     * no-broadcast fallback (the 100× path: edges outgrow a broadcast
@@ -816,6 +916,61 @@ object OperatorQueries {
          SELECT node, count(*)::BIGINT AS n_triangles
          FROM nodes GROUP BY node
          ORDER BY n_triangles DESC, node LIMIT 20""",
+
+    // Both legs replayed: the SAME deterministic edge sample (md5
+    // threshold), the same degree-oriented closure on each edge set —
+    // hash equality proves sample, estimator and exact companion.
+    "q224_triangle_doulion" ->
+      s"""WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+          es AS (
+            SELECT x, y FROM e0
+            WHERE CAST('0x' || substr(md5(x::VARCHAR || '_' ||
+                    y::VARCHAR || '_doulion'), 1, 15) AS BIGINT)
+                  < ${(1L << 60) / 8L}),
+          degs AS (
+            SELECT node, count(*)::BIGINT AS deg FROM (
+              SELECT x AS node FROM es UNION ALL SELECT y AS node FROM es)
+            GROUP BY node),
+          orps AS (
+            SELECT CASE WHEN dx.deg < dy.deg
+                          OR (dx.deg = dy.deg AND es.x < es.y)
+                        THEN es.x ELSE es.y END AS src,
+                   CASE WHEN dx.deg < dy.deg
+                          OR (dx.deg = dy.deg AND es.x < es.y)
+                        THEN es.y ELSE es.x END AS dst
+            FROM es JOIN degs dx ON dx.node = es.x
+                    JOIN degs dy ON dy.node = es.y),
+          tris AS (
+            SELECT count(*)::BIGINT AS c
+            FROM orps a JOIN orps b ON a.src = b.src AND a.dst < b.dst
+            JOIN es ON es.x = a.dst AND es.y = b.dst),
+          dege AS (
+            SELECT node, count(*)::BIGINT AS deg FROM (
+              SELECT x AS node FROM e0 UNION ALL SELECT y AS node FROM e0)
+            GROUP BY node),
+          orpe AS (
+            SELECT CASE WHEN dx.deg < dy.deg
+                          OR (dx.deg = dy.deg AND e0.x < e0.y)
+                        THEN e0.x ELSE e0.y END AS src,
+                   CASE WHEN dx.deg < dy.deg
+                          OR (dx.deg = dy.deg AND e0.x < e0.y)
+                        THEN e0.y ELSE e0.x END AS dst
+            FROM e0 JOIN dege dx ON dx.node = e0.x
+                    JOIN dege dy ON dy.node = e0.y),
+          trie AS (
+            SELECT count(*)::BIGINT AS c
+            FROM orpe a JOIN orpe b ON a.src = b.src AND a.dst < b.dst
+            JOIN e0 ON e0.x = a.dst AND e0.y = b.dst)
+          SELECT (SELECT count(*) FROM es)::BIGINT AS n_edges_sampled,
+                 (SELECT c FROM tris) AS n_tri_sampled,
+                 (SELECT c FROM tris) * 512 AS n_est,
+                 (SELECT c FROM trie) AS n_exact,
+                 (SELECT c FROM tris) * 512 - (SELECT c FROM trie)
+                   AS err""",
     "q110_snapshot_diff" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderstatus, o_totalprice

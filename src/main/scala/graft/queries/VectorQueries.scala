@@ -610,6 +610,60 @@ object VectorQueries {
         .orderBy($"label")
     }),
 
+    // q206's semantic decontam on the IVF PROBE (the q137 index
+    // composed under it — VERDICT r8 #8): the train corpus is
+    // assigned to cells ONCE (the reusable index build), each
+    // benchmark vector probes only its nprobe = 4 best of 16 cells,
+    // and the cosine test runs on cell-colocated candidates instead
+    // of every (train, bench) pair — per-row work drops from
+    // O(|bench|·d) to O(probed-candidates·d). The probe can MISS a
+    // boundary neighbor, so the audit leg carries q206's exact
+    // broadcast count and the shortfall (`missed`) in-row: the
+    // recall-vs-cost contract of every index, stated in the artifact.
+    // At 100 TB the assignment is written partitioned by cell and the
+    // probe reads nprobe/cells of the data — partition pruning for
+    // vectors.
+    "q225_semantic_decontam_ivf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.vector.Ivf
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val emb = Q.fanout(Tables.table(s, dir, "embeddings"))
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16, iters = 1)
+      val corpus = emb.filter($"vec_id" % 97 =!= 0).localCheckpoint()
+      val bench = emb.filter($"vec_id" % 97 === 0)
+      val assigned = corpus
+        .withColumn("cell", Ivf.cellColumn($"embedding", model))
+      val bprobe = Ivf.assignMulti(
+        bench.select($"vec_id".as("bench_id"), $"embedding"),
+        model, probes = 4, corpusId = "bench_id")
+        .select($"cell", $"c_vec".as("bv"))
+      val flaggedIvf = assigned
+        .join(broadcast(bprobe),
+          assigned("cell") === bprobe("cell") &&
+            VectorFunctions.cosine($"embedding", $"bv") >= 0.30,
+          "left_semi")
+        .groupBy($"label").agg(count(lit(1)).as("n_flagged_ivf"))
+      val base = corpus.groupBy($"label").agg(count(lit(1)).as("n_docs"))
+        .join(flaggedIvf, Seq("label"), "left_outer")
+        .select($"label", $"n_docs",
+          coalesce($"n_flagged_ivf", lit(0L)).as("n_flagged_ivf"))
+      if (!audit) base.orderBy($"label")
+      else {
+        val bcast = bench.select($"embedding".as("bv0"))
+        val exact = corpus
+          .join(broadcast(bcast),
+            VectorFunctions.cosine($"embedding", $"bv0") >= 0.30,
+            "left_semi")
+          .groupBy($"label").agg(count(lit(1)).as("n_flagged_exact"))
+        base.join(exact, Seq("label"), "left_outer")
+          .select($"label", $"n_docs", $"n_flagged_ivf",
+            coalesce($"n_flagged_exact", lit(0L)).as("n_flagged_exact"),
+            (coalesce($"n_flagged_exact", lit(0L)) - $"n_flagged_ivf")
+              .as("missed"))
+          .orderBy($"label")
+      }
+    }),
+
     // Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
     // LASER/CCMatrix parallel-corpus construction rule): for every
     // label-0 vector, its best label-1 neighbor scored by RATIO
@@ -1196,6 +1250,54 @@ object VectorQueries {
                  COALESCE(f.n_flagged, 0) AS n_flagged,
                  1000 * COALESCE(f.n_flagged, 0) // t.n_docs AS flagged_pm
           FROM t LEFT JOIN f ON t.label = f.label
+          ORDER BY t.label""",
+
+    // The probe replayed: same Lloyd fit, same argmax assignment,
+    // same 4-cell probes, same cosine bar — and the exact leg is
+    // q206's census, so `missed` is pinned too.
+    "q225_semantic_decontam_ivf" ->
+      s"""WITH ${lloydCtes(16)},
+          corpus AS (
+            SELECT e.vec_id, e.label, e.embedding, a.cell
+            FROM embeddings e JOIN (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY score DESC, cell DESC) AS rn
+                FROM s1) WHERE rn = 1) a USING (vec_id)
+            WHERE e.vec_id % 97 <> 0),
+          bprobe AS (
+            SELECT b.cell, e.embedding AS bv
+            FROM (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY score DESC, cell DESC) AS rn
+                FROM s1 WHERE vec_id % 97 = 0) WHERE rn <= 4) b
+            JOIN embeddings e USING (vec_id)),
+          flag_ivf AS (
+            SELECT DISTINCT c.label, c.vec_id
+            FROM corpus c JOIN bprobe b ON c.cell = b.cell
+            WHERE ${cosSql("c.embedding", "b.bv")} >= 0.30),
+          fi AS (SELECT label, count(1) AS n_flagged_ivf FROM flag_ivf
+                 GROUP BY label),
+          bench AS (
+            SELECT embedding AS bv0 FROM embeddings WHERE vec_id % 97 = 0),
+          flag_ex AS (
+            SELECT DISTINCT c.label, c.vec_id
+            FROM corpus c JOIN bench b
+              ON ${cosSql("c.embedding", "b.bv0")} >= 0.30),
+          fe AS (SELECT label, count(1) AS n_flagged_exact FROM flag_ex
+                 GROUP BY label),
+          t AS (SELECT label, count(1) AS n_docs FROM corpus
+                GROUP BY label)
+          SELECT t.label, t.n_docs,
+                 COALESCE(fi.n_flagged_ivf, 0) AS n_flagged_ivf,
+                 COALESCE(fe.n_flagged_exact, 0) AS n_flagged_exact,
+                 COALESCE(fe.n_flagged_exact, 0) -
+                   COALESCE(fi.n_flagged_ivf, 0) AS missed
+          FROM t LEFT JOIN fi ON t.label = fi.label
+                 LEFT JOIN fe ON t.label = fe.label
           ORDER BY t.label""",
 
     "q213_bitext_margin" ->
