@@ -1034,9 +1034,418 @@ object Analytics {
         .select($"user_id", $"day",
           coalesce($"n_events", lit(0L)).as("n_events"))
         .orderBy($"user_id", $"day")
+    }),
+
+    // Rank sources by long-doc rate with the Wilson 95% lower bound —
+    // the uncertainty-aware ranking (Agresti & Coull 1998 family)
+    // that stops a 2-doc source from outranking a 2 000-doc one on
+    // raw proportion. Every term is IEEE-pinned (division, multiply,
+    // and sqrt are all correctly-rounded single ops; z = 1.96 is an
+    // exact literal) and the oracle writes the IDENTICAL expression
+    // tree, so the double result replays bit-exactly — the Shannon/ln
+    // trap (q103's comment) does not apply. One partial-aggregable
+    // count pass; the ranking sorts |sources| rows.
+    "q230_wilson_ranking" -> ((s, dir) => {
+      import s.implicits._
+      val z = lit(1.96)
+      val agg = Tables.table(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"n_chars" >= 400, 1)).as("n_long"))
+      val nD = $"n_docs".cast("double")
+      val p = $"n_long".cast("double") / nD
+      val low = (p + z * z / (lit(2.0) * nD) -
+        z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4.0) * nD)) / nD)) /
+        (lit(1.0) + z * z / nD)
+      agg.select($"source", $"n_docs", $"n_long",
+          round(p, 6).as("p_raw"), round(low, 6).as("wilson_low"))
+        .orderBy($"wilson_low".desc, $"source")
+    }),
+
+    // Robust outlier gate per event type: median/MAD (the
+    // breakdown-point-0.5 alternative to mean/σ, Hampel's rule with
+    // the 1.4826 normal-consistency constant) — values beyond
+    // med ± 3·1.4826·MAD flagged. Two interpolated-percentile
+    // aggregates (Spark percentile ≡ DuckDB quantile_cont, the q43
+    // precedent), each followed by a broadcast join of the ≤|types|
+    // model rows back onto the scan — the per-group median never
+    // pivots through a global sort. At 100 TB the exact percentile
+    // becomes the q221 histogram twin; the gate logic is unchanged.
+    "q231_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          max(round($"med", 6)).as("med"),
+          max(round($"mad", 6)).as("mad"),
+          count(when(abs($"value" - $"med") >
+            lit(3.0) * lit(1.4826) * $"mad", 1)).as("n_outliers"))
+        .withColumn("outlier_rate",
+          round($"n_outliers".cast("double") / $"n".cast("double"), 6))
+        .orderBy($"event_type")
+    }),
+
+    // Lag-1 autocorrelation of each event type's daily-revenue
+    // series — the seasonality/trend screen run before forecasting.
+    // Daily sums are EXACT integers (floor(value·100) cents — floor
+    // of a double product is deterministic on every IEEE engine, the
+    // q109 fixed-point discipline), the five Pearson moment sums
+    // accumulate in DECIMAL (order-independent), and only the final
+    // closed form divides in double (division and sqrt are
+    // correctly-rounded; the oracle writes the identical tree). The
+    // series per group is one row per day — the lag window and the
+    // moment aggregate run over |days| rows, not |events|; the only
+    // data-sized pass is the first partial-aggregable daily sum.
+    "q232_autocorr_daily" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val pairs = daily
+        .withColumn("y", lag($"x", 1).over(w))
+        .filter($"y".isNotNull)
+        .select($"event_type",
+          $"x".cast("decimal(19,0)").as("x"),
+          $"y".cast("decimal(19,0)").as("y"))
+      val m = pairs.groupBy($"event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+      val nD = $"n_pairs".cast("double")
+      val r = (nD * $"sxy" - $"sx" * $"sy") /
+        (sqrt(nD * $"sxx" - $"sx" * $"sx") *
+          sqrt(nD * $"syy" - $"sy" * $"sy"))
+      m.select($"event_type", $"n_pairs", round(r, 6).as("r_lag1"))
+        .orderBy($"event_type")
+    }),
+
+    // Financial reconciliation: does o_totalprice equal the order's
+    // lineitem total (the TPC-H invariant)? On this synthetic feed it
+    // does NOT — which is exactly what the operator exists to report:
+    // a relative-error census a finance/data-contract team reads
+    // before trusting either column. Both sides are EXACT integer
+    // cents (floor of the identical double product — the q109/q232
+    // fixed-point discipline), the comparison joins once on the order
+    // key (a 100 TB-safe shuffle join on the natural key), and the
+    // output is a bounded bucket histogram. Orders with no lineitems
+    // surface as their own bucket, not a silent drop (q111's NOT
+    // EXISTS lesson).
+    "q235_order_reconciliation" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(floor($"l_extendedprice" * (lit(1.0) + $"l_tax") *
+          (lit(1.0) - $"l_discount") * lit(100.0)).cast("long"))
+          .as("line_cents"))
+      val ords = Tables.table(s, dir, "orders")
+        .select($"o_orderkey",
+          floor($"o_totalprice" * lit(100.0)).cast("long")
+            .as("total_cents"))
+      val rel = abs($"line_cents" - $"total_cents").cast("double") /
+        $"total_cents".cast("double")
+      ords.join(li, $"o_orderkey" === $"l_orderkey", "left_outer")
+        .withColumn("bucket",
+          when($"line_cents".isNull, "no_lineitems")
+            .when($"line_cents" === $"total_cents", "exact")
+            .when(rel < 0.01, "lt_1pct")
+            .when(rel < 0.1, "lt_10pct")
+            .when(rel < 0.5, "lt_50pct")
+            .otherwise("ge_50pct"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          max(round(rel, 6)).as("max_rel_err"))
+        .orderBy($"bucket")
+    }),
+
+    // Revenue-concentration audit: the Gini coefficient and top-decile
+    // share of per-customer revenue — the inequality screen a curation
+    // team also runs on per-SOURCE token counts before sampling. The
+    // rank-weighted sum Σ i·rᵢ needs a GLOBAL rank over customers:
+    // that is GlobalIndex.withGlobalSeq (range exchange + per-
+    // partition local index — q167's distributed prefix machinery),
+    // never `row_number() OVER ()`'s single-task window. Revenues are
+    // exact integer cents; Σ i·rᵢ accumulates in DECIMAL; only the
+    // closed form G = 2Σirᵢ/(nΣr) − (n+1)/n divides in double.
+    "q236_revenue_gini" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.GlobalIndex
+      val rev = Tables.table(s, dir, "lineitem")
+        .join(Tables.table(s, dir, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+          lit(100.0)).cast("long")).as("r"))
+      val ranked = GlobalIndex.withGlobalSeq(rev,
+        Seq($"r".asc, $"o_custkey".asc), seqCol = "i")
+      // top-decile share needs n first: one bounded count over the
+      // checkpointed ranked frame (1 driver long, the IVF-model class)
+      val n = ranked.agg(count(lit(1)).as("n")).head.getLong(0)
+      val top = ranked.filter($"i" > n - n / 10)
+        .agg(coalesce(sum($"r".cast("decimal(19,0)")), lit(0L))
+          .cast("double").as("top_cents"))
+      val base = ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum($"r".cast("decimal(19,0)")).cast("double").as("tot"),
+        sum($"i".cast("decimal(19,0)") * $"r".cast("decimal(19,0)"))
+          .cast("double").as("s_ir"))
+      val nD = $"n_customers".cast("double")
+      base.crossJoin(broadcast(top)) // 1-row × 1-row
+        .select($"n_customers",
+          round(lit(2.0) * $"s_ir" / (nD * $"tot") -
+            (nD + lit(1.0)) / nD, 6).as("gini"),
+          round($"top_cents" / $"tot", 6).as("top10_share"))
+    }),
+
+    // Benford first-digit audit over order totals — the fraud/
+    // synthetic-data screen: observed first-significant-digit shares
+    // against Benford's log₁₀(1+1/d), with the per-digit χ²
+    // contribution in-row. The first digit comes from the INTEGER
+    // cents' decimal rendering (never log₁₀ of a double — the q103
+    // no-transcendentals rule; the nine Benford probabilities are
+    // 12-decimal literals, parsed to identical doubles by both
+    // engines). One partial-aggregable digit census + a broadcast
+    // 1-row total; 9 output rows at any scale.
+    "q238_benford_audit" -> ((s, dir) => {
+      import s.implicits._
+      val bp = typedlit(Map(
+        "1" -> 0.301029995664, "2" -> 0.176091259056,
+        "3" -> 0.124938736608, "4" -> 0.096910013008,
+        "5" -> 0.079181246048, "6" -> 0.066946789631,
+        "7" -> 0.057991946978, "8" -> 0.051152522447,
+        "9" -> 0.045757490561))
+      val digits = Tables.table(s, dir, "orders")
+        .select(substring(floor($"o_totalprice" * lit(100.0))
+          .cast("long").cast("string"), 1, 1).as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum($"n_obs").as("n_total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("p_benford", element_at(bp, $"digit"))
+        .withColumn("p_obs", round($"n_obs".cast("double") /
+          $"n_total".cast("double"), 6))
+        .withColumn("chi2_contrib", round(
+          ($"n_obs".cast("double") -
+            $"n_total".cast("double") * $"p_benford") *
+          ($"n_obs".cast("double") -
+            $"n_total".cast("double") * $"p_benford") /
+          ($"n_total".cast("double") * $"p_benford"), 6))
+        .select($"digit", $"n_obs", $"n_total", $"p_obs",
+          $"p_benford", $"chi2_contrib")
+        .orderBy($"digit")
+    }),
+
+    // Seasonal-baseline anomaly: each day's revenue per event type
+    // against that type's SAME-WEEKDAY mean — the day-of-week-
+    // adjusted monitor that doesn't page on every quiet Sunday.
+    // Daily sums are exact integer cents (q232's series); the
+    // baseline is a 7-row-per-type model joined back broadcast; the
+    // ratio divides once in double. weekday() is the cross-engine-
+    // safe day index (Spark Monday=0 ≡ DuckDB isodow−1, the q44
+    // precedent). Every day rides out with its ratio and flag — the
+    // gate thresholds (±30%) are literals, and flagged-only output
+    // would be empty on calm data.
+    "q239_weekday_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("x"))
+        .withColumn("wd", weekday($"day"))
+      val base = daily.groupBy($"event_type", $"wd")
+        .agg((sum($"x".cast("decimal(19,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("wd_mean"))
+      daily.join(broadcast(base), Seq("event_type", "wd"))
+        .withColumn("ratio", round($"x".cast("double") / $"wd_mean", 6))
+        .withColumn("is_anomaly",
+          ($"ratio" > 1.3 || $"ratio" < 0.7).cast("int"))
+        .select($"event_type", $"day", $"x", $"ratio", $"is_anomaly")
+        .orderBy($"event_type", $"day")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q235_order_reconciliation" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+                  sum(CAST(floor(l_extendedprice
+                    * (CAST(1.0 AS DOUBLE) + l_tax)
+                    * (CAST(1.0 AS DOUBLE) - l_discount)
+                    * CAST(100.0 AS DOUBLE)) AS BIGINT))::BIGINT
+                    AS line_cents
+           FROM lineitem GROUP BY l_orderkey),
+         o AS (SELECT o_orderkey,
+                 CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE))
+                   AS BIGINT) AS total_cents
+               FROM orders),
+         j AS (SELECT o.total_cents, li.line_cents,
+                 abs(li.line_cents - o.total_cents)::DOUBLE
+                   / o.total_cents::DOUBLE AS rel
+               FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+         SELECT CASE WHEN line_cents IS NULL THEN 'no_lineitems'
+                     WHEN line_cents = total_cents THEN 'exact'
+                     WHEN rel < 0.01 THEN 'lt_1pct'
+                     WHEN rel < 0.1 THEN 'lt_10pct'
+                     WHEN rel < 0.5 THEN 'lt_50pct'
+                     ELSE 'ge_50pct' END AS bucket,
+                count(*)::BIGINT AS n_orders,
+                max(round(rel, 6)) AS max_rel_err
+         FROM j GROUP BY 1 ORDER BY bucket""",
+    "q236_revenue_gini" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(floor(l_extendedprice
+                    * (CAST(1.0 AS DOUBLE) - l_discount)
+                    * CAST(100.0 AS DOUBLE)) AS BIGINT))::BIGINT AS r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_custkey),
+         ranked AS (SELECT r,
+                      row_number() OVER (ORDER BY r, o_custkey) AS i
+                    FROM rev),
+         base AS (SELECT count(*)::BIGINT AS n_customers,
+                    CAST(sum(CAST(r AS DECIMAL(19,0))) AS DOUBLE) AS tot,
+                    CAST(sum(CAST(i AS DECIMAL(19,0))
+                      * CAST(r AS DECIMAL(19,0))) AS DOUBLE) AS s_ir
+                  FROM ranked),
+         top AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(19,0))), 0)
+                   AS DOUBLE) AS top_cents
+                 FROM ranked, base
+                 WHERE i > n_customers - n_customers // 10)
+         SELECT n_customers,
+                round(CAST(2.0 AS DOUBLE) * s_ir
+                    / (n_customers::DOUBLE * tot)
+                  - (n_customers::DOUBLE + CAST(1.0 AS DOUBLE))
+                    / n_customers::DOUBLE, 6) AS gini,
+                round(top_cents / tot, 6) AS top10_share
+         FROM base, top""",
+    "q238_benford_audit" ->
+      """WITH d AS (
+           SELECT substr(CAST(CAST(floor(o_totalprice
+                    * CAST(100.0 AS DOUBLE)) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit,
+                  count(*)::BIGINT AS n_obs
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM d),
+         b(digit, p_benford) AS (VALUES
+           ('1', CAST('0.301029995664' AS DOUBLE)),
+           ('2', CAST('0.176091259056' AS DOUBLE)),
+           ('3', CAST('0.124938736608' AS DOUBLE)),
+           ('4', CAST('0.096910013008' AS DOUBLE)),
+           ('5', CAST('0.079181246048' AS DOUBLE)),
+           ('6', CAST('0.066946789631' AS DOUBLE)),
+           ('7', CAST('0.057991946978' AS DOUBLE)),
+           ('8', CAST('0.051152522447' AS DOUBLE)),
+           ('9', CAST('0.045757490561' AS DOUBLE)))
+         SELECT d.digit, d.n_obs, t.n_total,
+                round(d.n_obs::DOUBLE / t.n_total::DOUBLE, 6) AS p_obs,
+                b.p_benford,
+                round((d.n_obs::DOUBLE - t.n_total::DOUBLE * b.p_benford)
+                  * (d.n_obs::DOUBLE - t.n_total::DOUBLE * b.p_benford)
+                  / (t.n_total::DOUBLE * b.p_benford), 6) AS chi2_contrib
+         FROM d JOIN b USING (digit), t
+         ORDER BY d.digit""",
+    "q239_weekday_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day,
+                  sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
+                    AS BIGINT))::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+         d2 AS (SELECT *, isodow(day) - 1 AS wd FROM daily),
+         base AS (SELECT event_type, wd,
+                    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+                      / count(*)::DOUBLE AS wd_mean
+                  FROM d2 GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.x,
+                round(d.x::DOUBLE / b.wd_mean, 6) AS ratio,
+                CASE WHEN round(d.x::DOUBLE / b.wd_mean, 6)
+                         > CAST('1.3' AS DOUBLE)
+                       OR round(d.x::DOUBLE / b.wd_mean, 6)
+                         < CAST('0.7' AS DOUBLE)
+                     THEN 1 ELSE 0 END AS is_anomaly
+         FROM d2 d JOIN base b USING (event_type, wd)
+         ORDER BY d.event_type, d.day""",
+    "q230_wilson_ranking" ->
+      // the IDENTICAL expression tree as the Spark side: every op is
+      // IEEE correctly-rounded, so same tree → same double
+      """WITH agg AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+                  count(CASE WHEN n_chars >= 400 THEN 1 END)::BIGINT
+                    AS n_long
+           FROM documents GROUP BY source)
+         SELECT source, n_docs, n_long,
+                round(n_long::DOUBLE / n_docs::DOUBLE, 6) AS p_raw,
+                round(
+                  ((n_long::DOUBLE / n_docs::DOUBLE)
+                    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                      / (CAST(2.0 AS DOUBLE) * n_docs::DOUBLE)
+                    - CAST(1.96 AS DOUBLE) * sqrt(
+                        ((n_long::DOUBLE / n_docs::DOUBLE)
+                          * (CAST(1.0 AS DOUBLE)
+                             - n_long::DOUBLE / n_docs::DOUBLE)
+                         + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                           / (CAST(4.0 AS DOUBLE) * n_docs::DOUBLE))
+                        / n_docs::DOUBLE))
+                  / (CAST(1.0 AS DOUBLE)
+                     + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                       / n_docs::DOUBLE), 6) AS wilson_low
+         FROM agg
+         ORDER BY wilson_low DESC, source""",
+    "q231_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type,
+                  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY e.event_type)
+         SELECT e.event_type, count(*)::BIGINT AS n,
+                max(round(m.med, 6)) AS med,
+                max(round(d.mad, 6)) AS mad,
+                count(CASE WHEN abs(e.value - m.med) >
+                  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+                  THEN 1 END)::BIGINT AS n_outliers,
+                round(count(CASE WHEN abs(e.value - m.med) >
+                    CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+                    THEN 1 END)::DOUBLE / count(*)::DOUBLE, 6)
+                  AS outlier_rate
+         FROM events e JOIN med m USING (event_type)
+                       JOIN mad d USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q232_autocorr_daily" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day,
+                  sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
+                    ::BIGINT AS x
+           FROM events GROUP BY event_type, ts::DATE),
+         pairs AS (
+           SELECT event_type,
+                  CAST(x AS DECIMAL(19,0)) AS x,
+                  CAST(lag(x) OVER (PARTITION BY event_type
+                    ORDER BY day) AS DECIMAL(19,0)) AS y
+           FROM daily
+           QUALIFY y IS NOT NULL),
+         m AS (
+           SELECT event_type, count(*)::BIGINT AS n_pairs,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+           FROM pairs GROUP BY event_type)
+         SELECT event_type, n_pairs,
+                round((n_pairs::DOUBLE * sxy - sx * sy) /
+                  (sqrt(n_pairs::DOUBLE * sxx - sx * sx) *
+                   sqrt(n_pairs::DOUBLE * syy - sy * sy)), 6) AS r_lag1
+         FROM m ORDER BY event_type""",
     "q119_journey_transitions" ->
       """SELECT prev_type, event_type,
                 count(*)::BIGINT AS n_transitions

@@ -300,6 +300,86 @@ object OperatorQueries {
       }
     }),
 
+    // k-core decomposition (k=3) of the customer↔supplier purchase
+    // graph — the iterative-peeling operator behind "dense core"
+    // extraction (Batagelj & Zaveršnik 2003): drop every node with
+    // degree < k, recompute, repeat. Each round is ONE partial-
+    // aggregable degree count + two key-equijoins against the
+    // surviving-node set (semi-join shape; AQE broadcasts it once
+    // peeling shrinks it under the threshold) — never a global
+    // structure. The round count is FIXED at 6 and unrolled
+    // identically by the DuckDB oracle as chained CTEs, so the
+    // result is bit-deterministic; KCoreSpec pins that 6 rounds
+    // reach the fixpoint on the testdata (round 7 ≡ round 6) —
+    // peeling converges in O(log) rounds on heavy-tailed degree
+    // distributions, and at 100 TB each extra round is one linear
+    // pass, not a new algorithm.
+    "q226_kcore" -> ((s, dir) => kcore(s, dir, k = 3, rounds = 6)),
+
+    // Community detection by synchronous label propagation (Raghavan
+    // et al. 2007) over the same purchase graph: each node adopts its
+    // neighborhood's plurality label, ties broken by SMALLEST label
+    // and each node voting once for its own current label (the self-
+    // vote damps the 2-cycle oscillation synchronous LPA exhibits on
+    // bipartite graphs) — every rule a deterministic expression, so
+    // the 3 fixed rounds replay bit-exactly as the oracle's chained
+    // window CTEs. Per round: one join shuffling |E| label votes, one
+    // count aggregate, one per-node top-1 window (partitioned by
+    // node — no global window). The label frame stays |V| rows every
+    // round; nothing densifies with iteration count.
+    "q227_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val e = purchaseEdges(s, dir).localCheckpoint()
+      var lbl = e.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("lbl"))
+      for (_ <- 1 to 3) {
+        val votes = e.toDF("vnode", "dst")
+          .join(lbl.toDF("dst", "nl"), "dst")
+          .select($"vnode".as("node"), $"nl".as("lbl"))
+          .union(lbl) // self-vote
+        val counted = votes.groupBy($"node", $"lbl")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"node").orderBy($"c".desc, $"lbl".asc)
+        lbl = counted.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"node", $"lbl")
+          .localCheckpoint()
+      }
+      lbl.groupBy($"lbl").agg(count(lit(1)).as("n_members"),
+          min($"node").as("min_node"))
+        .orderBy($"n_members".desc, $"lbl")
+    }),
+
+    // Degree assortativity (Newman 2002): Pearson correlation of
+    // endpoint degrees over every directed edge — do hubs attach to
+    // hubs (r>0) or to leaves (r<0)? One degree aggregate + two
+    // equi-joins of the degree table back onto the edge list, then
+    // the q232 moment discipline: integer degrees, DECIMAL moment
+    // sums (order-independent), one double closed form at the end —
+    // bit-replayable in DuckDB with the identical expression tree.
+    "q237_degree_assort" -> ((s, dir) => {
+      import s.implicits._
+      val e = purchaseEdges(s, dir)
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
+        .select($"src".as("node"), $"d")
+      val pairs = e
+        .join(deg.toDF("src", "dx"), "src")
+        .join(deg.toDF("dst", "dy"), "dst")
+        .select($"dx".cast("decimal(19,0)").as("x"),
+          $"dy".cast("decimal(19,0)").as("y"))
+      val m = pairs.agg(
+        count(lit(1)).as("n_edges"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+      val nD = $"n_edges".cast("double")
+      val r = (nD * $"sxy" - $"sx" * $"sy") /
+        (sqrt(nD * $"sxx" - $"sx" * $"sx") *
+          sqrt(nD * $"syy" - $"sy" * $"sy"))
+      m.select($"n_edges", round(r, 6).as("r_assort"))
+    }),
+
     // Association rules over market baskets (parts co-occurring in an
     // order): pair support from the same per-order self-join as q107's
     // edge build, confidence = supp(ab)/supp(a), lift =
@@ -480,6 +560,46 @@ object OperatorQueries {
        ASOF LEFT JOIN views v
          ON p.user_id = v.user_id AND v.ts <= p.ts
        ORDER BY p.event_id"""
+
+  /** q226/q227's shared graph: the undirected customer↔supplier
+    * purchase bipartite graph (q100's node space — supplier ids
+    * offset past the customer id range), deduped to DISTINCT edges
+    * (unlike q100, whose multi-edges weight the walk) and
+    * materialized both directions so degree/neighborhood reads are
+    * one groupBy(src). */
+  def purchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val li = Tables.table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ords = Tables.table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000L).as("b"))
+      .distinct()
+    pairs.select($"a".as("src"), $"b".as("dst"))
+      .union(pairs.select($"b".as("src"), $"a".as("dst")))
+  }
+
+  /** q226's kernel, round count explicit so KCoreSpec can pin the
+    * fixpoint (rounds and rounds+1 must agree on the testdata).
+    * Surviving nodes with their final in-core degree. */
+  def kcore(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    var e = purchaseEdges(s, dir).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"src".as("node"))
+      e = e.join(keep.toDF("src"), "src")
+        .join(keep.toDF("dst"), "dst")
+        .select($"src", $"dst")
+        .localCheckpoint()
+    }
+    e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("node"), $"deg")
+      .orderBy($"node")
+  }
 
   /** q224's kernel: global triangle count over the basket
     * co-occurrence graph, optionally on a deterministic 1/denom edge
@@ -971,6 +1091,72 @@ object OperatorQueries {
                  (SELECT c FROM trie) AS n_exact,
                  (SELECT c FROM tris) * 512 - (SELECT c FROM trie)
                    AS err""",
+    "q226_kcore" -> {
+      // the Spark side's 6 peel rounds, unrolled as chained CTEs
+      val rounds = (1 to 6).map { r =>
+        s"""k$r AS (SELECT src FROM e${r - 1}
+                    GROUP BY src HAVING count(*) >= 3),
+            e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+                    JOIN k$r a ON e.src = a.src
+                    JOIN k$r b ON e.dst = b.src)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e0 AS (SELECT a AS src, b AS dst FROM pairs
+                 UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          $rounds
+          SELECT src AS node, count(*)::BIGINT AS deg FROM e6
+          GROUP BY src ORDER BY node"""
+    },
+    "q227_label_prop" -> {
+      // 3 synchronous rounds: plurality neighbor label + self-vote,
+      // min-label tie-break — the identical vote/rank expressions
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT e.src AS node, l.lbl
+                    FROM e JOIN l${r - 1} l ON e.dst = l.node
+                    UNION ALL SELECT node, lbl FROM l${r - 1}),
+            c$r AS (SELECT node, lbl, count(*) AS c FROM v$r
+                    GROUP BY node, lbl),
+            l$r AS (SELECT node, lbl FROM (
+                      SELECT node, lbl, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                      FROM c$r) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+          $rounds
+          SELECT lbl, count(*)::BIGINT AS n_members, min(node) AS min_node
+          FROM l3 GROUP BY lbl ORDER BY n_members DESC, lbl"""
+    },
+    "q237_degree_assort" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                 FROM e GROUP BY src),
+         p AS (SELECT CAST(dx.d AS DECIMAL(19,0)) AS x,
+                      CAST(dy.d AS DECIMAL(19,0)) AS y
+               FROM e JOIN deg dx ON e.src = dx.node
+                      JOIN deg dy ON e.dst = dy.node),
+         m AS (SELECT count(*)::BIGINT AS n_edges,
+                      CAST(sum(x) AS DOUBLE) AS sx,
+                      CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x * y) AS DOUBLE) AS sxy,
+                      CAST(sum(x * x) AS DOUBLE) AS sxx,
+                      CAST(sum(y * y) AS DOUBLE) AS syy
+               FROM p)
+         SELECT n_edges,
+                round((n_edges::DOUBLE * sxy - sx * sy) /
+                  (sqrt(n_edges::DOUBLE * sxx - sx * sx) *
+                   sqrt(n_edges::DOUBLE * syy - sy * sy)), 6) AS r_assort
+         FROM m""",
     "q110_snapshot_diff" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -1356,6 +1356,76 @@ object OpsQueries {
       TimeTravel.readAsOf(s, tableDir, 2L)
         .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
         .orderBy($"user_id")
+    }),
+
+    // Plan-fingerprint result cache (serve.ResultCache): q03 is
+    // submitted TWICE — the first call computes and persists the
+    // result keyed by its canonicalized analyzed plan, the second
+    // resolves to the same fingerprint and re-READS it (a bare
+    // parquet scan of 10 rows: zero shuffle, zero source I/O — the
+    // Athena "reuse query results" semantics the reference's repeated
+    // SQL-file invocations would want). The hash gate proves the
+    // round-trip is value-exact against q03's own oracle;
+    // ResultCacheSpec pins the mechanics (hit doesn't rewrite,
+    // literal change re-keys, equivalent builds share a key).
+    "q233_result_cache" -> ((s, dir) => {
+      import s.implicits._
+      import graft.serve.ResultCache
+      val cacheDir = java.nio.file.Files
+        .createTempDirectory("graft-rescache").toString
+      val q = Core.queries("q03_total_cost_per_customer")
+      ResultCache.through(s, cacheDir, q(s, dir)).count() // miss: writes
+      ResultCache.through(s, cacheDir, q(s, dir))         // hit: reads
+        .orderBy($"total_cost_usd".desc, $"o_custkey")
+    }),
+
+    // KMV set-overlap estimation (Beyer et al. 2007): Jaccard between
+    // the viewing and purchasing user populations from two
+    // CONSTANT-SIZE bottom-k sketches — ρ = |X ∩ skA ∩ skB| / |X|
+    // with X the k smallest of the merged sketch. The q220 portable
+    // hash makes every sketch element replayable in DuckDB, so the
+    // ESTIMATOR is hash-verified end-to-end; exact companion + signed
+    // error ride in-row under the sketchAudit gate. At 100 TB each
+    // side is one partial-aggregable bottom-k over its distinct keys
+    // and the comparison is k×k array work on TWO 1-row frames — set
+    // overlap without ever joining the sets.
+    "q234_kmv_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val ev = Tables.table(s, dir, "events")
+      def users(t: String) = ev.filter($"event_type" === t)
+        .select($"user_id").distinct()
+      def sketch(t: String, nm: String) = users(t)
+        .select(TextFunctions.hash60(
+          concat($"user_id".cast("string"), lit("_kmvjacc"))).as("h"))
+        .agg(call_function("graft_kmv", $"h", lit(KmvK)).as(nm))
+      val merged = sketch("view", "ska")
+        .crossJoin(sketch("purchase", "skb")) // 1-row × 1-row
+        .withColumn("xu",
+          slice(array_sort(array_union($"ska", $"skb")), 1, KmvK))
+        .withColumn("k_merged", size($"xu").cast("long"))
+        .withColumn("rho_num", size(filter($"xu", x =>
+          array_contains($"ska", x) && array_contains($"skb", x)))
+          .cast("long"))
+        .withColumn("j_est", round($"rho_num".cast("double") /
+          $"k_merged".cast("double"), 6))
+        .select($"k_merged", $"rho_num", $"j_est")
+      if (!audit) merged
+      else {
+        val exact = users("view").toDF("u")
+          .join(users("purchase").toDF("u"), "u")
+          .agg(count(lit(1)).as("n_inter"))
+          .crossJoin(users("view").agg(count(lit(1)).as("n_a")))
+          .crossJoin(users("purchase").agg(count(lit(1)).as("n_b")))
+          .select($"n_inter", $"n_a", $"n_b",
+            round($"n_inter".cast("double") /
+              ($"n_a" + $"n_b" - $"n_inter").cast("double"), 6)
+              .as("j_exact"))
+        merged.crossJoin(broadcast(exact))
+          .select($"k_merged", $"rho_num", $"n_a", $"n_b", $"n_inter",
+            $"j_exact", $"j_est",
+            round($"j_est" - $"j_exact", 6).as("err"))
+      }
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1364,6 +1434,43 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // the cache round-trip must be value-exact: q03's own oracle
+    "q233_result_cache" -> Core.oracles("q03_total_cost_per_customer"),
+
+    // every sketch element replays through the portable hash, so the
+    // whole estimator — merge, ρ, and the exact companion — is SQL
+    "q234_kmv_jaccard" ->
+      s"""WITH a AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type = 'view'),
+          b AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase'),
+          ha AS (SELECT CAST('0x' || substr(md5(user_id::VARCHAR
+                   || '_kmvjacc'), 1, 15) AS BIGINT) AS h FROM a),
+          hb AS (SELECT CAST('0x' || substr(md5(user_id::VARCHAR
+                   || '_kmvjacc'), 1, 15) AS BIGINT) AS h FROM b),
+          ska AS (SELECT list_sort(list(h))[1:$KmvK] AS ska FROM ha),
+          skb AS (SELECT list_sort(list(h))[1:$KmvK] AS skb FROM hb),
+          m AS (SELECT ska, skb,
+                  list_sort(list_distinct(ska || skb))[1:$KmvK] AS xu
+                FROM ska, skb),
+          est AS (SELECT len(xu)::BIGINT AS k_merged,
+                    len(list_filter(xu, x -> list_contains(ska, x)
+                      AND list_contains(skb, x)))::BIGINT AS rho_num
+                  FROM m),
+          ex AS (SELECT
+                   (SELECT count(*) FROM a JOIN b USING (user_id))
+                     ::BIGINT AS n_inter,
+                   (SELECT count(*) FROM a)::BIGINT AS n_a,
+                   (SELECT count(*) FROM b)::BIGINT AS n_b)
+          SELECT k_merged, rho_num, n_a, n_b, n_inter,
+                 round(n_inter::DOUBLE /
+                   (n_a + n_b - n_inter)::DOUBLE, 6) AS j_exact,
+                 round(rho_num::DOUBLE / k_merged::DOUBLE, 6) AS j_est,
+                 round(round(rho_num::DOUBLE / k_merged::DOUBLE, 6) -
+                   round(n_inter::DOUBLE /
+                     (n_a + n_b - n_inter)::DOUBLE, 6), 6) AS err
+          FROM est, ex""",
 
     // What a healthy 8-shard write must report: the engine computed
     // the verdicts from real data + manifest; the oracle pins them.

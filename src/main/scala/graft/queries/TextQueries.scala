@@ -1847,9 +1847,105 @@ object TextQueries {
         .withColumn("rare_frac",
           round($"n_rare".cast("double") / $"n_tokens".cast("double"), 6))
         .orderBy($"doc_id")
+    }),
+
+    // TF-IDF top-3 terms per document — the classic keyword extractor
+    // next to q103's query-time BM25: rational idf (N+1)/(df+1) (the
+    // q103 no-transcendentals discipline — same ordering as the log
+    // form, bit-replayable in any engine), tf from one token explode,
+    // df from one term aggregate. Per-doc top-3 via row_number
+    // partitioned by doc_id (never a global window); the corpus size
+    // rides as a broadcast 1-row frame. At 100 TB: two hash
+    // aggregates + one term-keyed join — all partial-aggregable, and
+    // the window state is 3 rows per doc.
+    "q228_tfidf_terms" -> ((s, dir) => {
+      import s.implicits._
+      val toks = fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = tf.select($"doc_id").distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"term".asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", round($"tf".cast("double") *
+          (($"n_docs" + lit(1)).cast("double") /
+            ($"df" + lit(1)).cast("double")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank".cast("long").as("rank"),
+          $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+    }),
+
+    // Rényi-2 lexical diversity per document: collision probability
+    // Σc²/n² and effective vocabulary n²/Σc² (= exp of Rényi-2
+    // entropy) — the diversity measure that needs NO logarithm, so
+    // unlike Shannon entropy it is exactly rational (integer Σc² and
+    // n; one IEEE division at the end) and hash-verifiable across
+    // engines. Low effective vocab flags boilerplate/template docs
+    // the same way low Shannon entropy would, at a fraction of the
+    // numeric risk. One tf aggregate + one per-doc aggregate, both
+    // partial-aggregable; nothing is corpus-global.
+    "q229_renyi_diversity" -> ((s, dir) => {
+      import s.implicits._
+      fanout(Tables.table(s, dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_uniq"),
+          sum($"c" * $"c").as("sum_c2"))
+        .select($"doc_id", $"n_tokens", $"n_uniq",
+          round($"sum_c2".cast("double") /
+            ($"n_tokens" * $"n_tokens").cast("double"), 6)
+            .as("collision_p"),
+          round(($"n_tokens" * $"n_tokens").cast("double") /
+            $"sum_c2".cast("double"), 6).as("eff_vocab"))
+        .orderBy($"doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q228_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, term),
+         df AS (SELECT term, count(*)::BIGINT AS df
+                FROM tf GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  round(tf.tf::DOUBLE *
+                    ((n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE), 6)
+                    AS score
+           FROM tf JOIN df USING (term), n)
+         SELECT doc_id, rank, term, tf, df, score FROM (
+           SELECT doc_id, term, tf, df, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rank
+           FROM scored)
+         WHERE rank <= 3
+         ORDER BY doc_id, rank""",
+    "q229_renyi_diversity" ->
+      """WITH tfq AS (
+           SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           GROUP BY doc_id, term)
+         SELECT doc_id,
+                sum(c)::BIGINT AS n_tokens,
+                count(*)::BIGINT AS n_uniq,
+                round(sum(c * c)::DOUBLE /
+                  (sum(c)::BIGINT * sum(c)::BIGINT)::DOUBLE, 6)
+                  AS collision_p,
+                round((sum(c)::BIGINT * sum(c)::BIGINT)::DOUBLE /
+                  sum(c * c)::DOUBLE, 6) AS eff_vocab
+         FROM tfq GROUP BY doc_id ORDER BY doc_id""",
     "q178_prefix_cache_report" ->
       """WITH w AS (
            SELECT source,

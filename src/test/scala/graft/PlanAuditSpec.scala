@@ -93,7 +93,28 @@ class PlanAuditSpec extends SparkSuite {
     // q217: corpus stats ride as broadcast 1-ROW frames (the q103
     // pattern) and each leg pairs bounded top-5/top-1 frames
     // (scalar x scalar); overlap itself is a 5-row equi-join.
-    "q217_chunk_retrieval_agreement")
+    "q217_chunk_retrieval_agreement",
+    // q225: the IVF probe itself equi-joins on cell (hash join); the
+    // BNLJ is the audit leg's EXACT companion — q206's cosine-only
+    // broadcast semi join (already whitelisted above), riding in-row
+    // to state the probe's recall shortfall. sketchAudit=false drops
+    // it, leaving only the equi-keyed probe.
+    "q225_semantic_decontam_ivf",
+    // q228: the corpus size rides as a broadcast 1-ROW frame (the
+    // q103/q111 scalar-stats pattern); tf→df itself equi-joins on
+    // term.
+    "q228_tfidf_terms",
+    // q234: every crossJoin pairs 1-ROW sketch/count frames (the
+    // q111/q153 scalar × scalar pattern); the only data-sized work
+    // is the two bottom-k aggregates and one equi-join on user_id.
+    "q234_kmv_jaccard",
+    // q236: the 1-ROW moment rollup pairs the broadcast 1-ROW
+    // top-decile sum (scalar × scalar); the rank itself is
+    // GlobalIndex's range exchange, not a window or a product.
+    "q236_revenue_gini",
+    // q238: the 9-row digit census pairs its broadcast 1-ROW total
+    // (the q103/q111 scalar-stats pattern).
+    "q238_benford_audit")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.serve.ResultCache
+
+/** serve.ResultCache: the fingerprint keys on plan SEMANTICS (two
+  * different DataFrame call sequences building the same query share an
+  * entry; any literal/column/path change re-keys), a hit re-reads
+  * without rewriting, and the round-trip is value-exact.
+  */
+class ResultCacheSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def q(dir: String, cut: Int) =
+    Tables.table(spark, dir, "nation")
+      .filter($"n_regionkey" < cut)
+      .groupBy($"n_regionkey").count()
+
+  test("hit re-reads the stored result without rewriting") {
+    val cache = tmpDir("rescache").toString
+    val first = ResultCache.through(spark, cache, q(sf0001, 3))
+    val fp = ResultCache.fingerprint(q(sf0001, 3))
+    val marker = Paths.get(cache, fp, "_SUCCESS")
+    assert(Files.exists(marker), "miss did not persist an entry")
+    val t0 = Files.getLastModifiedTime(marker)
+    val second = ResultCache.through(spark, cache, q(sf0001, 3))
+    assert(Files.getLastModifiedTime(marker) === t0,
+      "hit rewrote the cache entry")
+    assert(second.orderBy("n_regionkey").collect().toSeq ===
+      first.orderBy("n_regionkey").collect().toSeq)
+    // and value-exact vs computing directly
+    assert(second.orderBy("n_regionkey").as[(Int, Long)].collect().toSeq
+      === q(sf0001, 3).orderBy("n_regionkey").as[(Int, Long)]
+        .collect().toSeq)
+  }
+
+  test("literal or input change re-keys; equivalent builds share a key") {
+    val base = ResultCache.fingerprint(q(sf0001, 3))
+    assert(ResultCache.fingerprint(q(sf0001, 4)) !== base,
+      "different literal must re-key")
+    // same query built through a different (but semantically equal)
+    // call sequence — filter pushed after the read in two steps
+    val alt = Tables.table(spark, sf0001, "nation")
+      .where($"n_regionkey" < 3)
+      .groupBy($"n_regionkey").count()
+    assert(ResultCache.fingerprint(alt) === base,
+      "semantically equal plans must share the fingerprint")
+  }
+}
