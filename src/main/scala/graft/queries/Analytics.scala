@@ -1270,6 +1270,50 @@ object Analytics {
           ($"ratio" > 1.3 || $"ratio" < 0.7).cast("int"))
         .select($"event_type", $"day", $"x", $"ratio", $"is_anomaly")
         .orderBy($"event_type", $"day")
+    }),
+
+    // RFM segmentation — the classic customer-value cube: quintile
+    // scores for Recency (days since last order, smaller is better),
+    // Frequency (order count) and Monetary (exact cents), segment =
+    // the three digits concatenated, reported as a segment census.
+    // The quintile thresholds come from ONE interpolated-percentile
+    // aggregate (Spark percentile ≡ DuckDB quantile_cont, the q43
+    // precedent) riding back as a broadcast 1-row frame — never
+    // ntile()'s global single-task window (the GlobalIndex rationale
+    // applied to scoring). Scores are comparison sums against the
+    // broadcast thresholds: pure scan work after two bounded
+    // aggregates.
+    "q240_rfm_segments" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate".cast("date").as("d"),
+          floor($"o_totalprice" * lit(100.0)).cast("long").as("cents"))
+      val cust = o.groupBy($"o_custkey").agg(
+        max($"d").as("last_d"),
+        count(lit(1)).as("f"),
+        sum($"cents".cast("decimal(19,0)")).cast("long").as("m"))
+      val maxd = o.agg(max($"d").as("maxd"))
+      val r = cust.crossJoin(broadcast(maxd))
+        .withColumn("rec", datediff($"maxd", $"last_d"))
+      val th = r.agg(
+        expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+        expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+        expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
+      def up(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column): org.apache.spark.sql.Column = // bigger is better
+        lit(1) + (1 to 4).map(i =>
+          when(v > element_at(q, i), 1).otherwise(0)).reduce(_ + _)
+      def down(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column): org.apache.spark.sql.Column = // smaller is better
+        lit(1) + (4 to 1 by -1).map(i =>
+          when(v <= element_at(q, i), 1).otherwise(0)).reduce(_ + _)
+      r.crossJoin(broadcast(th))
+        .withColumn("seg", concat(
+          down($"rec".cast("double"), $"rq").cast("string"),
+          up($"f".cast("double"), $"fq").cast("string"),
+          up($"m".cast("double"), $"mq").cast("string")))
+        .groupBy($"seg")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"m".cast("decimal(19,0)")).cast("long").as("total_cents"))
+        .orderBy($"seg")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1372,6 +1416,44 @@ object Analytics {
                      THEN 1 ELSE 0 END AS is_anomaly
          FROM d2 d JOIN base b USING (event_type, wd)
          ORDER BY d.event_type, d.day""",
+    "q240_rfm_segments" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate::DATE AS d,
+                  CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE))
+                    AS BIGINT) AS cents
+           FROM orders),
+         c AS (SELECT o_custkey, max(d) AS last_d,
+                      count(*)::BIGINT AS f,
+                      CAST(sum(CAST(cents AS DECIMAL(19,0))) AS BIGINT)
+                        AS m
+               FROM o GROUP BY o_custkey),
+         mx AS (SELECT max(d) AS maxd FROM o),
+         r AS (SELECT c.*, date_diff('day', last_d, maxd) AS rec
+               FROM c, mx),
+         th AS (SELECT
+                  quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2,
+                  quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4,
+                  quantile_cont(f, 0.2) AS f1, quantile_cont(f, 0.4) AS f2,
+                  quantile_cont(f, 0.6) AS f3, quantile_cont(f, 0.8) AS f4,
+                  quantile_cont(m, 0.2) AS m1, quantile_cont(m, 0.4) AS m2,
+                  quantile_cont(m, 0.6) AS m3, quantile_cont(m, 0.8) AS m4
+                FROM r),
+         seg AS (SELECT
+                   ((1 + (rec::DOUBLE <= r4)::INT + (rec::DOUBLE <= r3)::INT
+                       + (rec::DOUBLE <= r2)::INT + (rec::DOUBLE <= r1)::INT)
+                     ::VARCHAR
+                    || (1 + (f::DOUBLE > f1)::INT + (f::DOUBLE > f2)::INT
+                          + (f::DOUBLE > f3)::INT + (f::DOUBLE > f4)::INT)
+                        ::VARCHAR
+                    || (1 + (m::DOUBLE > m1)::INT + (m::DOUBLE > m2)::INT
+                          + (m::DOUBLE > m3)::INT + (m::DOUBLE > m4)::INT)
+                        ::VARCHAR) AS seg,
+                   m
+                 FROM r, th)
+         SELECT seg, count(*)::BIGINT AS n_customers,
+                CAST(sum(CAST(m AS DECIMAL(19,0))) AS BIGINT)
+                  AS total_cents
+         FROM seg GROUP BY seg ORDER BY seg""",
     "q230_wilson_ranking" ->
       // the IDENTICAL expression tree as the Spark side: every op is
       // IEEE correctly-rounded, so same tree → same double

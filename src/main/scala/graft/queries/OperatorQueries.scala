@@ -380,6 +380,63 @@ object OperatorQueries {
       m.select($"n_edges", round(r, 6).as("r_assort"))
     }),
 
+    // SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN):
+    // the pure-SQL extensibility seam — the function body is a SQL
+    // expression the analyzer INLINES into the calling plan, so it
+    // optimizes and codegens exactly like writing the expression by
+    // hand (no JVM round-trip, unlike a registered Scala closure).
+    // The oracle runs the expanded expression directly: hash equality
+    // proves definition-then-call ≡ inline, the contract that lets a
+    // SQL-only team package shared business logic. Net revenue sums
+    // through the dsumAt decimal gate at scale 6 — EXACTLY the
+    // product's true decimal width (2dp × 2dp × 2dp), and small
+    // enough that the group total stays under 2⁵³ micro-units: scale
+    // 8 pushed the sum past double's integer range and the final
+    // decimal→double cast rounded differently per engine (1-ulp
+    // hash miss).
+    "q241_sql_udf" -> ((s, dir) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_price(
+                 p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE
+               RETURN p * (CAST(1.0 AS DOUBLE) - d)
+                        * (CAST(1.0 AS DOUBLE) + t)""")
+      Tables.table(s, dir, "lineitem")
+        .createOrReplaceTempView("li_sqludf")
+      s.sql(s"""SELECT l_returnflag,
+                  ${Q.dsumAtSql(
+                    "graft_net_price(l_extendedprice, l_discount, l_tax)",
+                    6)} AS net_revenue,
+                  count(1) AS n_lines
+                FROM li_sqludf
+                GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // Collation-aware aggregation (Spark 4 collations): GROUP BY
+    // under UTF8_LCASE folds case-variant keys into one group while
+    // the payload aggregates still see the raw bytes — the
+    // semantics CI/locale-correct dedup needs WITHOUT an eager
+    // lower() projection (a collated column keeps its original bytes;
+    // at 100 TB that preserves dictionary encoding and lets future
+    // collation-aware scans prune). Case variety is synthesized
+    // deterministically (even doc_ids upper-cased); the oracle
+    // replays the equivalence class as GROUP BY lower() — equal
+    // hashes pin collated grouping ≡ case-insensitive equivalence on
+    // this ASCII domain, with min() (binary, uppercase-first) and
+    // the per-group binary-distinct census proving raw bytes survive.
+    "q242_collated_groupby" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .createOrReplaceTempView("docs_collate")
+      s.sql("""WITH t AS (
+                 SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                             ELSE source END AS mixed
+                 FROM docs_collate)
+               SELECT min(mixed) AS variant_min,
+                      count(1) AS n_docs,
+                      count(DISTINCT mixed) AS n_variants
+               FROM t
+               GROUP BY collate(mixed, 'UTF8_LCASE')
+               ORDER BY variant_min""")
+    }),
+
     // Association rules over market baskets (parts co-occurring in an
     // order): pair support from the same per-order self-join as q107's
     // edge build, confidence = supp(ab)/supp(a), lift =
@@ -1133,6 +1190,25 @@ object OperatorQueries {
           SELECT lbl, count(*)::BIGINT AS n_members, min(node) AS min_node
           FROM l3 GROUP BY lbl ORDER BY n_members DESC, lbl"""
     },
+    "q241_sql_udf" ->
+      // the UDF body, expanded inline — pins definition-then-call
+      // ≡ direct expression
+      s"""SELECT l_returnflag,
+            ${Q.dsumAtSql(
+              "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)" +
+                " * (CAST(1.0 AS DOUBLE) + l_tax)", 6)} AS net_revenue,
+            count(1) AS n_lines
+          FROM lineitem
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q242_collated_groupby" ->
+      """WITH t AS (
+           SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                       ELSE source END AS mixed
+           FROM documents)
+         SELECT min(mixed) AS variant_min,
+                count(1)::BIGINT AS n_docs,
+                count(DISTINCT mixed)::BIGINT AS n_variants
+         FROM t GROUP BY lower(mixed) ORDER BY variant_min""",
     "q237_degree_assort" ->
       """WITH pairs AS (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b

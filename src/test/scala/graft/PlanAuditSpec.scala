@@ -114,7 +114,11 @@ class PlanAuditSpec extends SparkSuite {
     "q236_revenue_gini",
     // q238: the 9-row digit census pairs its broadcast 1-ROW total
     // (the q103/q111 scalar-stats pattern).
-    "q238_benford_audit")
+    "q238_benford_audit",
+    // q240: the max-date and quintile-threshold frames are broadcast
+    // 1-ROW models (the q103/q111 scalar-stats pattern); scoring is
+    // pure scan work against them.
+    "q240_rfm_segments")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
