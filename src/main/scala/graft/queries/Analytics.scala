@@ -1314,6 +1314,35 @@ object Analytics {
         .agg(count(lit(1)).as("n_customers"),
           sum($"m".cast("decimal(19,0)")).cast("long").as("total_cents"))
         .orderBy($"seg")
+    }),
+
+    // Pareto frontier (skyline) per brand: the parts no other part of
+    // the brand beats on BOTH price (lower) and size (higher) — the
+    // multi-criteria shortlist operator. O(n log n), not the naive
+    // all-pairs dominance join: after deduping to distinct
+    // (brand, price, size) points, sort each brand by (price asc,
+    // size desc) and keep a row iff the running max size over
+    // STRICTLY-preceding rows doesn't reach it — a cheaper-or-equal
+    // part with ≥ size then implies strict dominance (equal-equal
+    // pairs were deduped). The window partitions by brand (dimension
+    // cardinality), so no global sort task; price is exact cents.
+    "q244_pareto_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.table(s, dir, "part")
+        .select($"p_brand",
+          floor($"p_retailprice" * lit(100.0)).cast("long")
+            .as("price_cents"),
+          $"p_size")
+        .groupBy($"p_brand", $"price_cents", $"p_size")
+        .agg(count(lit(1)).as("n_parts"))
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"price_cents".asc, $"p_size".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("max_sz_before", max($"p_size").over(w))
+        .filter($"max_sz_before".isNull ||
+          $"max_sz_before" < $"p_size")
+        .select($"p_brand", $"price_cents", $"p_size", $"n_parts")
+        .orderBy($"p_brand", $"price_cents")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1416,6 +1445,23 @@ object Analytics {
                      THEN 1 ELSE 0 END AS is_anomaly
          FROM d2 d JOIN base b USING (event_type, wd)
          ORDER BY d.event_type, d.day""",
+    "q244_pareto_frontier" ->
+      """WITH pts AS (
+           SELECT p_brand,
+                  CAST(floor(p_retailprice * CAST(100.0 AS DOUBLE))
+                    AS BIGINT) AS price_cents,
+                  p_size, count(*)::BIGINT AS n_parts
+           FROM part GROUP BY 1, 2, 3),
+         m AS (SELECT *,
+                 max(p_size) OVER (PARTITION BY p_brand
+                   ORDER BY price_cents ASC, p_size DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_sz_before
+               FROM pts)
+         SELECT p_brand, price_cents, p_size, n_parts
+         FROM m
+         WHERE max_sz_before IS NULL OR max_sz_before < p_size
+         ORDER BY p_brand, price_cents""",
     "q240_rfm_segments" ->
       """WITH o AS (
            SELECT o_custkey, o_orderdate::DATE AS d,

@@ -1426,6 +1426,105 @@ object OpsQueries {
             $"j_exact", $"j_est",
             round($"j_est" - $"j_exact", 6).as("err"))
       }
+    }),
+
+    // Order-independent table fingerprints — the cross-system
+    // integrity check run after every replication/migration (the
+    // Iceberg-snapshot-checksum idea, portable): per table, row count
+    // + the DECIMAL sum of a portable per-row hash over its stable
+    // identity columns. Addition commutes, so the checksum is
+    // independent of partitioning, task order, and file layout — and
+    // because the hash is the q220 portable one, DuckDB reproduces
+    // the exact digits, proving the two engines hold the same rows.
+    // One partial-aggregable scan per table; the checksum travels as
+    // its decimal-digit string (38 digits exceeds any integer type).
+    "q243_table_checksums" -> ((s, dir) => {
+      import s.implicits._
+      def fp(t: String, cols: Seq[String]) =
+        Tables.table(s, dir, t)
+          .select(TextFunctions.hash60(concat_ws("|",
+            cols.map(c => col(c).cast("string")): _*)).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"h".cast("decimal(38,0)")).cast("string").as("checksum"))
+          .select(lit(t).as("table_name"), $"n_rows", $"checksum")
+      fp("customer",
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .unionByName(fp("orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+        .unionByName(fp("lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_partkey")))
+        .orderBy($"table_name")
+    }),
+
+    // Median-of-means — the heavy-tail-robust mean estimator
+    // (sub-Gaussian concentration from 32 deterministic hash
+    // buckets): each bucket mean is a partial-aggregable decimal
+    // sum ÷ count, the median interpolates over exactly 32 bucket
+    // rows (a bounded model frame), and the plain mean rides
+    // alongside so the artifact states how much the tail moved it.
+    // The bucket assignment is the portable hash — partitioning-
+    // independent and replayed bit-exactly by the oracle.
+    "q245_median_of_means" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(floor($"value" * lit(100.0)).cast("long").as("cents"),
+          (TextFunctions.hash60(concat($"event_id".cast("string"),
+            lit("_mom"))) % 32).as("b"))
+      val bm = ev.groupBy($"b").agg(
+        (sum($"cents".cast("decimal(19,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("bucket_mean"))
+      val mom = bm.agg(count(lit(1)).as("n_buckets"),
+        expr("percentile(bucket_mean, 0.5)").as("mom_raw"))
+      val plain = ev.agg(count(lit(1)).as("n"),
+        (sum($"cents".cast("decimal(19,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_raw"))
+      plain.crossJoin(broadcast(mom))
+        .select($"n", round($"mean_raw", 6).as("mean_cents"),
+          $"n_buckets", round($"mom_raw", 6).as("mom_cents"))
+    }),
+
+    // Trailing-7-day active users from MERGEABLE daily KMV sketches —
+    // the sliding-window distinct-count pattern that makes WAU/MAU
+    // affordable at 100 TB: the data-sized pass builds one bottom-k
+    // sketch per day (partial-aggregable), and every window after
+    // that merges 7 CONSTANT-SIZE arrays — never re-scanning a week
+    // of raw events per window (the audit leg does exactly that
+    // re-scan, test-scale, to state the estimator's error in-row).
+    // The window runs over ≤ |days| sketch rows — bounded model
+    // frame, whitelisted like q214's decile curve.
+    "q246_kmv_wau" -> ((s, dir) => {
+      import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val k = 64
+      val daily = Tables.table(s, dir, "events")
+        .select($"ts".cast("date").as("day"), $"user_id")
+        .distinct()
+      val sk = daily
+        .select($"day", TextFunctions.hash60(
+          concat($"user_id".cast("string"), lit("_wau"))).as("h"))
+        .groupBy($"day")
+        .agg(call_function("graft_kmv", $"h", lit(k)).as("sk"),
+          count(lit(1)).as("dau"))
+      val w = Window.orderBy($"day").rowsBetween(-6, 0)
+      val est = sk.withColumn("merged",
+          slice(array_sort(array_distinct(
+            flatten(collect_list($"sk").over(w)))), 1, k))
+        .withColumn("wau_est",
+          round(when(size($"merged") < k, size($"merged").cast("double"))
+            .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+              element_at($"merged", k).cast("double")), 6))
+        .select($"day", $"dau", $"wau_est")
+      if (!audit) est.orderBy($"day")
+      else {
+        val exact = sk.select($"day".as("d"))
+          .join(daily, $"day" >= date_sub($"d", 6) && $"day" <= $"d")
+          .groupBy($"d").agg(countDistinct($"user_id").as("wau_exact"))
+          .withColumnRenamed("d", "day")
+        est.join(exact, "day")
+          .select($"day", $"dau", $"wau_exact", $"wau_est",
+            round($"wau_est" - $"wau_exact".cast("double"), 6).as("err"))
+          .orderBy($"day")
+      }
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1471,6 +1570,84 @@ object OpsQueries {
                    round(n_inter::DOUBLE /
                      (n_a + n_b - n_inter)::DOUBLE, 6), 6) AS err
           FROM est, ex""",
+
+    "q243_table_checksums" -> {
+      // every column rendered through an explicit ::VARCHAR so the
+      // bytes under md5 match Spark's cast("string") exactly
+      def fpSql(t: String, cols: Seq[String]) = {
+        val rendered = cols.map(c => s"$c::VARCHAR").mkString(", ")
+        s"""SELECT '$t' AS table_name, count(*)::BIGINT AS n_rows,
+              CAST(sum(CAST(CAST('0x' || substr(md5(
+                concat_ws('|', $rendered)), 1, 15) AS BIGINT)
+                AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+            FROM $t"""
+      }
+      fpSql("customer",
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")) +
+        " UNION ALL " +
+        fpSql("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus")) +
+        " UNION ALL " +
+        fpSql("lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_partkey")) +
+        " ORDER BY table_name"
+    },
+
+    "q245_median_of_means" ->
+      """WITH ev AS (
+           SELECT CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)
+                    AS cents,
+                  CAST('0x' || substr(md5(event_id::VARCHAR || '_mom'),
+                    1, 15) AS BIGINT) % 32 AS b
+           FROM events),
+         bm AS (SELECT b,
+                  CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+                    / count(*)::DOUBLE AS bucket_mean
+                FROM ev GROUP BY b),
+         mom AS (SELECT count(*)::BIGINT AS n_buckets,
+                   quantile_cont(bucket_mean, 0.5) AS mom_raw
+                 FROM bm),
+         plain AS (SELECT count(*)::BIGINT AS n,
+                     CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+                       / count(*)::DOUBLE AS mean_raw
+                   FROM ev)
+         SELECT n, round(mean_raw, 6) AS mean_cents,
+                n_buckets, round(mom_raw, 6) AS mom_cents
+         FROM plain, mom""",
+
+    "q246_kmv_wau" ->
+      s"""WITH daily AS (
+            SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+          sk AS (
+            SELECT day,
+                   list_sort(list(CAST('0x' || substr(md5(
+                     user_id::VARCHAR || '_wau'), 1, 15)
+                     AS BIGINT)))[1:64] AS sk,
+                   count(*)::BIGINT AS dau
+            FROM daily GROUP BY day),
+          m AS (
+            SELECT day, dau,
+                   list_sort(list_distinct(flatten(
+                     list(sk) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))[1:64]
+                     AS merged
+            FROM sk),
+          est AS (
+            SELECT day, dau,
+                   CASE WHEN len(merged) < 64
+                        THEN round(len(merged)::DOUBLE, 6)
+                        ELSE round(63.0 * 1152921504606846976.0
+                               / merged[64]::DOUBLE, 6)
+                   END AS wau_est
+            FROM m),
+          exact AS (
+            SELECT s.day, count(DISTINCT d.user_id)::BIGINT AS wau_exact
+            FROM sk s JOIN daily d
+              ON d.day >= s.day - 6 AND d.day <= s.day
+            GROUP BY s.day)
+          SELECT e.day, e.dau, x.wau_exact, e.wau_est,
+                 round(e.wau_est - x.wau_exact::DOUBLE, 6) AS err
+          FROM est e JOIN exact x ON e.day = x.day
+          ORDER BY e.day""",
 
     // What a healthy 8-shard write must report: the engine computed
     // the verdicts from real data + manifest; the oracle pins them.

@@ -118,7 +118,15 @@ class PlanAuditSpec extends SparkSuite {
     // q240: the max-date and quintile-threshold frames are broadcast
     // 1-ROW models (the q103/q111 scalar-stats pattern); scoring is
     // pure scan work against them.
-    "q240_rfm_segments")
+    "q240_rfm_segments",
+    // q245: the 1-ROW plain-mean rollup pairs the broadcast 1-ROW
+    // median-of-means model (scalar × scalar).
+    "q245_median_of_means",
+    // q246: the audit leg's date-range join probes the ≤|days| spine
+    // (30 rows at any SF window — calendar-bounded) against the daily
+    // pairs; the sketch path itself is one hash aggregate + a
+    // model-frame window.
+    "q246_kmv_wau")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -164,7 +172,11 @@ class PlanAuditSpec extends SparkSuite {
     "q68_top_ngrams_sketch", "q121_token_waterfill", "q139_hybrid_rrf",
     "q142_hybrid_rrf_ivf", "q143_ivf_append_drift",
     "q145_ivf_migration_plan", "q147_watermark_advisor",
-    "q214_vocab_growth")
+    "q214_vocab_growth",
+    // q246: the sliding merge windows over ≤|days| per-day SKETCH
+    // rows (constant-size arrays — the mergeable-summary model
+    // frame); the data-sized pass is the per-day hash aggregate.
+    "q246_kmv_wau")
 
   test("no query windows over the whole input in a single task") {
     // a Window with an empty PARTITION BY plans as ONE task sorting
