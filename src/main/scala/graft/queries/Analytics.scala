@@ -1343,6 +1343,50 @@ object Analytics {
           $"max_sz_before" < $"p_size")
         .select($"p_brand", $"price_cents", $"p_size", $"n_parts")
         .orderBy($"p_brand", $"price_cents")
+    }),
+
+    // Growth accounting — the daily new/retained/resurrected/churned
+    // decomposition (the "startup growth accounting" identity:
+    // active(d) = new + retained + resurrected; churned(d) =
+    // active(d−1) − retained(d)). q96's cohort matrix says WHERE
+    // retention decays; this says what yesterday's actives did TODAY.
+    // All exact integer counts: first-day per user is one hash
+    // aggregate, "active yesterday" is a self-equi-join of the
+    // (user, day) frame on (user, day−1) — never a window over the
+    // full timeline — and churn joins yesterday's 1-row-per-day
+    // census back broadcast-size.
+    "q248_growth_accounting" -> ((s, dir) => {
+      import s.implicits._
+      val ud = Tables.table(s, dir, "events")
+        .select($"user_id", $"ts".cast("date").as("day"))
+        .distinct()
+        .localCheckpoint() // 4 consumers below
+      val first = ud.groupBy($"user_id").agg(min($"day").as("first_day"))
+      // "active yesterday" as an equi-join flag: shift each active day
+      // forward one and join on (user, day) — no per-user window
+      val yest = ud.select($"user_id", date_add($"day", 1).as("day"))
+        .distinct()
+        .withColumn("was_yesterday", lit(1))
+      val states = ud.join(first, "user_id")
+        .join(yest, Seq("user_id", "day"), "left_outer")
+        .select($"day",
+          when($"day" === $"first_day", "new")
+            .when($"was_yesterday".isNotNull, "retained")
+            .otherwise("resurrected").as("state"))
+        .groupBy($"day").pivot("state", Seq("new", "retained", "resurrected"))
+        .agg(count(lit(1)))
+        .select($"day",
+          coalesce($"new", lit(0L)).as("n_new"),
+          coalesce($"retained", lit(0L)).as("n_retained"),
+          coalesce($"resurrected", lit(0L)).as("n_resurrected"))
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val dauPrev = dau.select(date_add($"day", 1).as("day"),
+        $"dau".as("dau_prev"))
+      states.join(dau, "day")
+        .join(dauPrev, Seq("day"), "left_outer")
+        .select($"day", $"dau", $"n_new", $"n_retained", $"n_resurrected",
+          (coalesce($"dau_prev", lit(0L)) - $"n_retained").as("n_churned"))
+        .orderBy($"day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1445,6 +1489,38 @@ object Analytics {
                      THEN 1 ELSE 0 END AS is_anomaly
          FROM d2 d JOIN base b USING (event_type, wd)
          ORDER BY d.event_type, d.day""",
+    "q248_growth_accounting" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         fst AS (SELECT user_id, min(day) AS first_day
+                 FROM ud GROUP BY user_id),
+         yest AS (SELECT DISTINCT user_id, day + 1 AS day FROM ud),
+         st AS (SELECT u.day,
+                  CASE WHEN u.day = f.first_day THEN 'new'
+                       WHEN y.user_id IS NOT NULL THEN 'retained'
+                       ELSE 'resurrected' END AS state
+                FROM ud u
+                JOIN fst f ON u.user_id = f.user_id
+                LEFT JOIN yest y
+                  ON y.user_id = u.user_id AND y.day = u.day),
+         states AS (
+           SELECT day,
+             count(CASE WHEN state = 'new' THEN 1 END)::BIGINT AS n_new,
+             count(CASE WHEN state = 'retained' THEN 1 END)::BIGINT
+               AS n_retained,
+             count(CASE WHEN state = 'resurrected' THEN 1 END)::BIGINT
+               AS n_resurrected
+           FROM st GROUP BY day),
+         dau AS (SELECT day, count(*)::BIGINT AS dau
+                 FROM ud GROUP BY day),
+         dp AS (SELECT day + 1 AS day, dau AS dau_prev FROM dau)
+         SELECT s.day, d.dau, s.n_new, s.n_retained, s.n_resurrected,
+                (coalesce(dp.dau_prev, 0) - s.n_retained)::BIGINT
+                  AS n_churned
+         FROM states s
+         JOIN dau d ON s.day = d.day
+         LEFT JOIN dp ON dp.day = s.day
+         ORDER BY s.day""",
     "q244_pareto_frontier" ->
       """WITH pts AS (
            SELECT p_brand,

@@ -410,6 +410,29 @@ object OperatorQueries {
                 GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    // Named-parameter SQL (Spark 4): the injection-safe serving
+    // surface — the SAME registry query text reused across parameter
+    // bindings (`:lo/:hi/:st` bound server-side as literals, never
+    // string-spliced — what the reference's Athena callers should
+    // have done instead of f-strings). The binder folds params to
+    // literals BEFORE optimization, so the date range still reaches
+    // the parquet scan as a pushed filter (the q03 half-open-range
+    // discipline); the oracle inlines the same literals.
+    "q247_parameterized_sql" -> ((s, dir) => {
+      Tables.table(s, dir, "orders")
+        .createOrReplaceTempView("orders_param")
+      s.sql(
+        """SELECT o_orderpriority, count(1) AS n_orders,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           FROM orders_param
+           WHERE o_orderdate >= to_timestamp_ntz(:lo)
+             AND o_orderdate < to_timestamp_ntz(:hi)
+             AND o_orderstatus = :st
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""",
+        Map("lo" -> "1995-01-01", "hi" -> "1996-01-01", "st" -> "F"))
+    }),
+
     // Collation-aware aggregation (Spark 4 collations): GROUP BY
     // under UTF8_LCASE folds case-variant keys into one group while
     // the payload aggregates still see the raw bytes — the
@@ -645,13 +668,25 @@ object OperatorQueries {
       k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     var e = purchaseEdges(s, dir).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // peeling only REMOVES edges, so an unchanged edge COUNT between
+    // rounds means the exact fixpoint — the remaining rounds are
+    // no-op passes over the final core and are skipped (the ×10
+    // sweep showed them dominating: 6 full materializations of a
+    // converged frame). The early exit cannot change the result the
+    // oracle's fixed 6-round unrolling computes; the count itself is
+    // a near-free job against the just-checkpointed blocks.
+    var prevN = e.count()
+    var r = 0
+    while (r < rounds) {
       val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= k).select($"src".as("node"))
       e = e.join(keep.toDF("src"), "src")
         .join(keep.toDF("dst"), "dst")
         .select($"src", $"dst")
         .localCheckpoint()
+      val n = e.count()
+      r = if (n == prevN) rounds else r + 1
+      prevN = n
     }
     e.groupBy($"src").agg(count(lit(1)).as("deg"))
       .select($"src".as("node"), $"deg")
@@ -1190,6 +1225,17 @@ object OperatorQueries {
           SELECT lbl, count(*)::BIGINT AS n_members, min(node) AS min_node
           FROM l3 GROUP BY lbl ORDER BY n_members DESC, lbl"""
     },
+    "q247_parameterized_sql" ->
+      // the same query with the parameters inlined as literals —
+      // binding must change nothing
+      """SELECT o_orderpriority, count(1) AS n_orders,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+           AND o_orderstatus = 'F'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q241_sql_udf" ->
       // the UDF body, expanded inline — pins definition-then-call
       // ≡ direct expression
