@@ -1387,9 +1387,270 @@ object Analytics {
         .select($"day", $"dau", $"n_new", $"n_retained", $"n_resurrected",
           (coalesce($"dau_prev", lit(0L)) - $"n_retained").as("n_churned"))
         .orderBy($"day")
+    }),
+
+    // Sweep-line peak concurrency: how many 5-minute activity
+    // intervals overlap at once, per event type — the load-planning
+    // operator (max concurrent sessions / connections / jobs). Each
+    // event opens [ts, ts+300s); ends sort BEFORE starts at the same
+    // instant (half-open). The prefix sum is TWO-LEVEL so no single
+    // task ever sorts a type's whole timeline: a within-(type, day)
+    // running sum (bounded partitions, default RANGE frame so tied
+    // timestamps share one concurrency value — deterministic under
+    // any partitioning) plus a per-day offset cumulated over the tiny
+    // (type × day) totals frame and joined back broadcast. At 100 TB
+    // the day split is the q236 range-exchange discipline: finer
+    // buckets (hours) if a day is still too hot, same two frames.
+    "q249_peak_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events").select($"event_type", $"ts")
+      val deltas = ev.select($"event_type", $"ts".as("t"), lit(1).as("d"))
+        .union(ev.select($"event_type",
+          ($"ts" + expr("INTERVAL 300 SECONDS")).as("t"),
+          lit(-1).as("d")))
+        .withColumn("day", $"t".cast("date"))
+      val wInDay = Window.partitionBy($"event_type", $"day")
+        .orderBy($"t", $"d")
+      val dayTot = deltas.groupBy($"event_type", $"day")
+        .agg(sum($"d").as("day_sum"))
+      val wDays = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = dayTot
+        .select($"event_type", $"day",
+          coalesce(sum($"day_sum").over(wDays), lit(0L)).as("off"))
+      val cums = deltas
+        .join(broadcast(offsets), Seq("event_type", "day"))
+        .select($"event_type", $"t",
+          ($"off" + sum($"d").over(wInDay)).as("cum"))
+        .localCheckpoint() // two consumers: peak agg + argmax filter
+      val peaks = cums.groupBy($"event_type").agg(max($"cum").as("peak"))
+      cums.join(broadcast(peaks), "event_type")
+        .filter($"cum" === $"peak")
+        .groupBy($"event_type")
+        .agg(max($"cum").as("peak"), min($"t").as("first_peak_ts"),
+          count(lit(1)).as("n_at_peak"))
+        .orderBy($"event_type")
+    }),
+
+    // Market-basket brand affinity: support and lift for every brand
+    // pair co-purchased in one order — the co-occurrence mining
+    // operator behind "frequently bought together". Pairs are
+    // expanded AT THE ORDER from the sorted distinct-brand set
+    // (≤25 brands → ≤300 pairs per order, one shuffle — never an
+    // unbounded self-join), marginals and the order total are
+    // 25-row/1-row broadcast frames, and lift is one IEEE division
+    // of exactly-representable counts (the q230 discipline). The
+    // whole plan is one data-sized pass at any scale.
+    "q250_basket_lift" -> ((s, dir) => {
+      import s.implicits._
+      val pb = Tables.table(s, dir, "part")
+        .select($"p_partkey", $"p_brand")
+      val ob = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey")
+        .join(broadcast(pb), $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+        .distinct()
+        .localCheckpoint() // three consumers: pairs, marginals, total
+      val pairs = ob.groupBy($"ok")
+        .agg(sort_array(collect_set($"brand")).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+               transform(slice(bs, i + 2, size(bs)), y ->
+                 struct(x AS a, y AS b))))""")).as("p"))
+        .select($"p.a", $"p.b")
+      val nOrders = broadcast(
+        ob.select($"ok").distinct().agg(count(lit(1)).as("n_orders")))
+      val single = ob.groupBy($"brand").agg(count(lit(1)).as("n1"))
+      pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(single.toDF("a", "n_a")), "a")
+        .join(broadcast(single.toDF("b", "n_b")), "b")
+        .crossJoin(nOrders) // 1-row broadcast total
+        .filter($"n_ab" >= 20)
+        .select($"a".as("brand_a"), $"b".as("brand_b"),
+          $"n_ab", $"n_a", $"n_b",
+          round(($"n_ab".cast("double") * $"n_orders".cast("double")) /
+            ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"))
+        .orderBy($"lift".desc, $"brand_a", $"brand_b")
+        .limit(25)
+    }),
+
+    // Two-proportion z-test — the experiment-readout operator: users
+    // are deterministically split into two arms by the portable
+    // salted hash (the assignment an A/B platform persists; replayed
+    // bit-exactly by the oracle), conversion = "has a purchase
+    // event", and the pooled-variance z statistic decides
+    // significance. Per-user state folds in ONE partial-aggregable
+    // pass (groupBy user → conditional-sum agg to a single row); the
+    // closed form is the q230 Wilson discipline — every operand an
+    // exactly-representable count, every op IEEE-correctly-rounded,
+    // identical expression tree in both engines.
+    "q252_ab_ztest" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.table(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .select((graft.text.TextFunctions.hash60(
+          concat($"user_id".cast("string"), lit("_ab"))) % 2).as("arm"),
+          $"conv")
+      val t = u.agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0, $"conv".cast("long")).otherwise(0L))
+          .as("conv_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1, $"conv".cast("long")).otherwise(0L))
+          .as("conv_b"))
+      val (na, ca, nb, cb) = ($"n_a".cast("double"),
+        $"conv_a".cast("double"), $"n_b".cast("double"),
+        $"conv_b".cast("double"))
+      val p = (ca + cb) / (na + nb)
+      val z = (ca / na - cb / nb) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+      t.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+        round(ca / na, 6).as("rate_a"), round(cb / nb, 6).as("rate_b"),
+        round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
+    }),
+
+    // Equi-depth histogram — the value-distribution summary a query
+    // optimizer or data-quality dashboard keeps per column: 8 buckets
+    // of (near-)equal population over o_totalprice, boundaries being
+    // ACTUAL data values selected by exact rank. Ranks come from
+    // GlobalIndex.withGlobalSeq (range exchange + per-partition
+    // numbering — never a single-task global window); the 7 selected
+    // boundary rows are the only thing collected (a bounded model, as
+    // IVF centroids), and the census re-scans the checkpointed sorted
+    // frame once with a broadcast boundary array. Bucket rule: 1 +
+    // #(boundaries < v), so ties at a boundary land deterministically
+    // in the lower bucket on both engines.
+    "q253_equidepth_hist" -> ((s, dir) => {
+      import s.implicits._
+      val seqd = graft.operators.GlobalIndex.withGlobalSeq(
+        Tables.table(s, dir, "orders")
+          .select($"o_totalprice".as("v"), $"o_orderkey"),
+        Seq($"v", $"o_orderkey"))
+      val n = seqd.count()
+      val ranks = (1 to 7).map(k => (n * k + 7) / 8)
+      val bounds = seqd.filter($"global_seq".isin(ranks: _*))
+        .select($"v").as[Double].collect().sorted.toSeq
+      seqd.select($"v",
+          (lit(1) + bounds.map(b => when($"v" > b, 1).otherwise(0))
+            .reduce(_ + _)).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"), min($"v").as("lo"),
+          max($"v").as("hi"), dsum($"v").as("total"))
+        .orderBy($"bucket")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q252_ab_ztest" ->
+      """WITH u AS (
+           SELECT CAST('0x' || substr(md5(user_id::VARCHAR || '_ab'),
+                    1, 15) AS BIGINT) % 2 AS arm,
+                  max(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS conv
+           FROM events GROUP BY user_id),
+         t AS (
+           SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_a,
+                  sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT
+                    AS conv_a,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_b,
+                  sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT
+                    AS conv_b
+           FROM u)
+         SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+             AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - (CAST(conv_a AS DOUBLE)
+                           + CAST(conv_b AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                    + 1.0 / CAST(n_b AS DOUBLE))), 4) AS z,
+           abs((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - (CAST(conv_a AS DOUBLE)
+                           + CAST(conv_b AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                    + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
+             AS significant
+         FROM t""",
+    "q253_equidepth_hist" ->
+      // boundary values by exact rank over (v, key); bucket = 1 +
+      // #(boundaries < v) — identical tie rule to the engine
+      s"""WITH ranked AS (
+            SELECT o_totalprice AS v,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                     AS rn,
+                   count(*) OVER () AS n
+            FROM orders),
+          bounds AS (
+            SELECT v AS bv FROM ranked r
+            WHERE EXISTS (SELECT 1 FROM (VALUES (1),(2),(3),(4),(5),
+                            (6),(7)) t(k)
+                          WHERE r.rn = (r.n * t.k + 7) // 8)),
+          bkt AS (
+            SELECT v, 1 + (SELECT count(*) FROM bounds b
+                           WHERE b.bv < ranked.v) AS bucket
+            FROM ranked)
+          SELECT CAST(bucket AS INT) AS bucket,
+                 count(*)::BIGINT AS n_rows,
+                 min(v) AS lo, max(v) AS hi,
+                 ${dsumSql("v")} AS total
+          FROM bkt GROUP BY bucket ORDER BY bucket""",
+    "q249_peak_concurrency" ->
+      // one global-per-type window replays the engine's two-level
+      // decomposition — same default RANGE frame, so tied (t, d)
+      // rows share one concurrency value in both engines
+      """WITH deltas AS (
+           SELECT event_type, ts AS t, 1 AS d FROM events
+           UNION ALL
+           SELECT event_type, ts + INTERVAL 300 SECOND AS t, -1 AS d
+           FROM events),
+         cums AS (
+           SELECT event_type, t,
+                  CAST(sum(d) OVER (PARTITION BY event_type
+                                    ORDER BY t, d) AS BIGINT) AS cum
+           FROM deltas),
+         peaks AS (
+           SELECT event_type, max(cum) AS peak FROM cums GROUP BY 1)
+         SELECT c.event_type, max(c.cum) AS peak,
+                min(c.t) AS first_peak_ts,
+                count(*)::BIGINT AS n_at_peak
+         FROM cums c JOIN peaks p
+           ON c.event_type = p.event_type AND c.cum = p.peak
+         GROUP BY c.event_type ORDER BY c.event_type""",
+    "q250_basket_lift" ->
+      """WITH ob AS (
+           SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+         s AS (SELECT brand, count(*)::BIGINT AS n1 FROM ob
+               GROUP BY brand),
+         p AS (SELECT x.brand AS a, y.brand AS b,
+                      count(*)::BIGINT AS n_ab
+               FROM ob x JOIN ob y
+                 ON x.ok = y.ok AND x.brand < y.brand
+               GROUP BY 1, 2)
+         SELECT a AS brand_a, b AS brand_b, n_ab,
+                sa.n1 AS n_a, sb.n1 AS n_b,
+                round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+                  (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE)), 6)
+                  AS lift
+         FROM p JOIN s sa ON p.a = sa.brand
+                JOIN s sb ON p.b = sb.brand
+                CROSS JOIN n
+         WHERE n_ab >= 20
+         ORDER BY lift DESC, brand_a, brand_b LIMIT 25""",
     "q235_order_reconciliation" ->
       """WITH li AS (
            SELECT l_orderkey,

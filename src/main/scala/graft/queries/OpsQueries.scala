@@ -1525,6 +1525,44 @@ object OpsQueries {
             round($"wau_est" - $"wau_exact".cast("double"), 6).as("err"))
           .orderBy($"day")
       }
+    }),
+
+    // Table profiler — the "DESCRIBE my data" operator every catalog
+    // UI runs: per column of `orders`, row count, null count, exact
+    // distinct count, and rendered min/max, in ONE aggregate pass
+    // (the k distinct-counts share one Expand + one shuffle; nulls
+    // and min/max ride the same partial aggregate). Min/max are
+    // computed on the NATIVE type and rendered AFTER aggregation
+    // (string min of '10' < '9' would be wrong), with engine-stable
+    // renderings: decimal for doubles, fixed strftime for timestamps.
+    // At 100 TB the Expand's ×k row multiplier is the knob: swap the
+    // exact distincts for the q220 KMV bottom-k (same single pass,
+    // constant state per column) and the plan is scan-bound.
+    "q251_column_profile" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.table(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def render(c: Column, name: String): Column = name match {
+        case "o_totalprice" => c.cast("decimal(18,2)").cast("string")
+        case "o_orderdate" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+        case _ => c.cast("string")
+      }
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          count_distinct(col(c)).as(s"${c}__nd"),
+          render(min(col(c)), c).as(s"${c}__mn"),
+          render(max(col(c)), c).as(s"${c}__mx"))
+      }
+      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"), $"n_rows",
+          col(s"${c}__nn").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("min_val"),
+          col(s"${c}__mx").as("max_val"))): _*)).as("p"))
+        .select($"p.*")
+        .orderBy($"column_name")
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1533,6 +1571,29 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    "q251_column_profile" -> {
+      // one SELECT per column, unioned — the oracle recomputes each
+      // column independently; renderings mirror the engine's
+      // (decimal(18,2) for the double, fixed strftime for the ts)
+      def leg(c: String) = {
+        val mn = c match {
+          case "o_totalprice" =>
+            s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR)"
+          case "o_orderdate" =>
+            s"strftime(min($c), '%Y-%m-%d %H:%M:%S')"
+          case _ => s"CAST(min($c) AS VARCHAR)"
+        }
+        val mx = mn.replace(s"min($c)", s"max($c)")
+        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+              (count(*) - count($c))::BIGINT AS n_null,
+              count(DISTINCT $c)::BIGINT AS n_distinct,
+              $mn AS min_val, $mx AS max_val FROM orders"""
+      }
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map(leg)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     // the cache round-trip must be value-exact: q03's own oracle
     "q233_result_cache" -> Core.oracles("q03_total_cost_per_customer"),

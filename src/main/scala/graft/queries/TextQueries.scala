@@ -1906,9 +1906,88 @@ object TextQueries {
           round(($"n_tokens" * $"n_tokens").cast("double") /
             $"sum_c2".cast("double"), 6).as("eff_vocab"))
         .orderBy($"doc_id")
+    }),
+
+    // Naive-Bayes language gate — the classical counting classifier
+    // as a pure aggregation pipeline: train on even doc_ids (binary
+    // label en / non-en, three cheap binary text features), score the
+    // odd half, report the confusion census. The trained model is ONE
+    // row of Laplace-smoothed counts (8 longs) cross-joined broadcast
+    // into the scoring scan — training is a single conditional-sum
+    // aggregate, scoring is a stateless per-row expression, so both
+    // halves are one data-sized pass at any scale. Scores multiply
+    // class prior × three likelihood ratios as doubles in a fixed
+    // expression order (every operand an exactly-representable count,
+    // every op IEEE — the q230 discipline), so the argmax decision
+    // replays bit-exactly in DuckDB.
+    "q254_naive_bayes" -> ((s, dir) => {
+      import s.implicits._
+      val feat = Tables.table(s, dir, "documents")
+        .select($"doc_id", ($"lang" === "en").as("is_en"),
+          ($"n_chars" > 500).as("f1"),
+          $"text".contains(" the ").as("f2"),
+          ((length($"text") - length(regexp_replace($"text", " ", "")))
+            > 80).as("f3"))
+      def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+      val train = feat.filter($"doc_id" % 2 === 0).agg(
+        cnt($"is_en").as("n_en"), cnt(!$"is_en").as("n_ot"),
+        cnt($"is_en" && $"f1").as("c_en_1"),
+        cnt(!$"is_en" && $"f1").as("c_ot_1"),
+        cnt($"is_en" && $"f2").as("c_en_2"),
+        cnt(!$"is_en" && $"f2").as("c_ot_2"),
+        cnt($"is_en" && $"f3").as("c_en_3"),
+        cnt(!$"is_en" && $"f3").as("c_ot_3"))
+      def term(x: Column, c: Column, n: Column) =
+        when(x, (c + 1L).cast("double"))
+          .otherwise((n - c + 1L).cast("double")) /
+          (n + 2L).cast("double")
+      val scored = feat.filter($"doc_id" % 2 === 1)
+        .crossJoin(broadcast(train)) // 1-row model frame
+        .withColumn("s_en", $"n_en".cast("double") *
+          term($"f1", $"c_en_1", $"n_en") *
+          term($"f2", $"c_en_2", $"n_en") *
+          term($"f3", $"c_en_3", $"n_en"))
+        .withColumn("s_ot", $"n_ot".cast("double") *
+          term($"f1", $"c_ot_1", $"n_ot") *
+          term($"f2", $"c_ot_2", $"n_ot") *
+          term($"f3", $"c_ot_3", $"n_ot"))
+      scored.groupBy($"is_en", ($"s_en" > $"s_ot").as("pred_en"))
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+        .orderBy($"is_en", $"pred_en")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q254_naive_bayes" -> {
+      def term(x: String, c: String, n: String) =
+        s"(CASE WHEN $x THEN CAST($c + 1 AS DOUBLE) " +
+          s"ELSE CAST($n - $c + 1 AS DOUBLE) END " +
+          s"/ CAST($n + 2 AS DOUBLE))"
+      "WITH feat AS (SELECT doc_id, lang = 'en' AS is_en, " +
+        "n_chars > 500 AS f1, contains(text, ' the ') AS f2, " +
+        "(length(text) - length(replace(text, ' ', ''))) > 80 AS f3 " +
+        "FROM documents), " +
+        "train AS (SELECT " +
+        "sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_en, " +
+        "sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END)::BIGINT AS n_ot, " +
+        "sum(CASE WHEN is_en AND f1 THEN 1 ELSE 0 END)::BIGINT AS c_en_1, " +
+        "sum(CASE WHEN NOT is_en AND f1 THEN 1 ELSE 0 END)::BIGINT AS c_ot_1, " +
+        "sum(CASE WHEN is_en AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_en_2, " +
+        "sum(CASE WHEN NOT is_en AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_ot_2, " +
+        "sum(CASE WHEN is_en AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_en_3, " +
+        "sum(CASE WHEN NOT is_en AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_ot_3 " +
+        "FROM feat WHERE doc_id % 2 = 0), " +
+        "scored AS (SELECT is_en, " +
+        "CAST(n_en AS DOUBLE) * " + term("f1", "c_en_1", "n_en") +
+        " * " + term("f2", "c_en_2", "n_en") +
+        " * " + term("f3", "c_en_3", "n_en") + " AS s_en, " +
+        "CAST(n_ot AS DOUBLE) * " + term("f1", "c_ot_1", "n_ot") +
+        " * " + term("f2", "c_ot_2", "n_ot") +
+        " * " + term("f3", "c_ot_3", "n_ot") + " AS s_ot, doc_id " +
+        "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1) " +
+        "SELECT is_en, s_en > s_ot AS pred_en, " +
+        "count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id " +
+        "FROM scored GROUP BY is_en, pred_en ORDER BY is_en, pred_en"
+    },
     "q228_tfidf_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
