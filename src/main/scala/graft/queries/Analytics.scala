@@ -1477,8 +1477,10 @@ object Analytics {
     // Two-proportion z-test — the experiment-readout operator: users
     // are deterministically split into two arms by the portable
     // salted hash (the assignment an A/B platform persists; replayed
-    // bit-exactly by the oracle), conversion = "has a purchase
-    // event", and the pooled-variance z statistic decides
+    // bit-exactly by the oracle), conversion = "has a purchase above
+    // 150" (~46% base rate — every user purchases SOMETHING, so bare
+    // purchase would be degenerate p = 1), and the pooled-variance z
+    // statistic decides
     // significance. Per-user state folds in ONE partial-aggregable
     // pass (groupBy user → conditional-sum agg to a single row); the
     // closed form is the q230 Wilson discipline — every operand an
@@ -1488,8 +1490,8 @@ object Analytics {
       import s.implicits._
       val u = Tables.table(s, dir, "events")
         .groupBy($"user_id")
-        .agg(max(when($"event_type" === "purchase", 1).otherwise(0))
-          .as("conv"))
+        .agg(max(when($"event_type" === "purchase" && $"value" > 150.0, 1)
+          .otherwise(0)).as("conv"))
         .select((graft.text.TextFunctions.hash60(
           concat($"user_id".cast("string"), lit("_ab"))) % 2).as("arm"),
           $"conv")
@@ -1546,7 +1548,8 @@ object Analytics {
       """WITH u AS (
            SELECT CAST('0x' || substr(md5(user_id::VARCHAR || '_ab'),
                     1, 15) AS BIGINT) % 2 AS arm,
-                  max(CASE WHEN event_type = 'purchase' THEN 1
+                  max(CASE WHEN event_type = 'purchase'
+                               AND value > 150.0 THEN 1
                       ELSE 0 END) AS conv
            FROM events GROUP BY user_id),
          t AS (

@@ -1928,7 +1928,7 @@ object TextQueries {
           $"text".contains(" the ").as("f2"),
           ((length($"text") - length(regexp_replace($"text", " ", "")))
             > 80).as("f3"))
-      def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+      def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
       val train = feat.filter($"doc_id" % 2 === 0).agg(
         cnt($"is_en").as("n_en"), cnt(!$"is_en").as("n_ot"),
         cnt($"is_en" && $"f1").as("c_en_1"),
@@ -1937,7 +1937,7 @@ object TextQueries {
         cnt(!$"is_en" && $"f2").as("c_ot_2"),
         cnt($"is_en" && $"f3").as("c_en_3"),
         cnt(!$"is_en" && $"f3").as("c_ot_3"))
-      def term(x: Column, c: Column, n: Column) =
+      def term(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
         when(x, (c + 1L).cast("double"))
           .otherwise((n - c + 1L).cast("double")) /
           (n + 2L).cast("double")

@@ -78,4 +78,56 @@ class CensusOpsSpec extends SparkSuite {
     assert(prof("o_orderdate")._5
       .matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
   }
+
+  test("q252 arms partition the user set; z matches a recompute") {
+    val r = SparkEntry.queries("q252_ab_ztest")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .head()
+    val (nA, cA, nB, cB, _, _, z, sig) = r
+    val nUsers = Tables.table(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(nA + nB === nUsers, "arms must partition the users")
+    assert(cA <= nA && cB <= nB)
+    assert(cA > 0 && cA < nA, "conversion degenerate in arm A")
+    val (na, ca, nb, cb) =
+      (nA.toDouble, cA.toDouble, nB.toDouble, cB.toDouble)
+    val p = (ca + cb) / (na + nb)
+    val zExp = (ca / na - cb / nb) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(z - zExp) < 5e-5, s"z $z vs recomputed $zExp")
+    assert(sig === (math.abs(zExp) > 1.96))
+  }
+
+  test("q253 buckets partition the table into near-eighths") {
+    val rows = SparkEntry.queries("q253_equidepth_hist")(spark, sf0001)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === (1 to 8))
+    val n = Tables.table(spark, sf0001, "orders").count()
+    assert(rows.map(_._2).sum === n, "bucket populations must sum to n")
+    // equi-depth up to boundary ties: every bucket within ±1 of the
+    // ceil/floor eighth (o_totalprice has no heavy ties at sf0.001)
+    rows.foreach { case (b, cnt, _, _, _) =>
+      assert(math.abs(cnt - n / 8.0) <= 1.0,
+        s"bucket $b holds $cnt of $n — not equi-depth") }
+    // value ranges are ordered and non-overlapping
+    rows.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo._4 <= hi._3,
+        s"bucket ${lo._1} hi ${lo._4} overlaps ${hi._1} lo ${hi._3}")
+      case _ => ()
+    }
+  }
+
+  test("q254 census partitions the held-out half; beats majority") {
+    val rows = SparkEntry.queries("q254_naive_bayes")(spark, sf0001)
+      .as[(Boolean, Boolean, Long, Long)].collect().toSeq
+    val nTest = Tables.table(spark, sf0001, "documents")
+      .filter($"doc_id" % 2 === 1).count()
+    assert(rows.map(_._3).sum === nTest, "census must cover the test half")
+    val correct = rows.collect { case (a, p, n, _) if a == p => n }.sum
+    val majority = math.max(
+      rows.collect { case (true, _, n, _) => n }.sum,
+      rows.collect { case (false, _, n, _) => n }.sum)
+    assert(correct >= majority,
+      s"NB accuracy $correct/$nTest below majority $majority")
+  }
 }
