@@ -1541,9 +1541,158 @@ object Analytics {
         .agg(count(lit(1)).as("n_rows"), min($"v").as("lo"),
           max($"v").as("hi"), dsum($"v").as("total"))
         .orderBy($"bucket")
+    }),
+
+    // Linear multi-touch attribution — q188's last-touch fold with
+    // the credit SPREAD equally over every strictly-prior non-purchase
+    // event in the 1-day lookback (the other standard attribution
+    // model; purchases with no prior touch credit 'direct'). The four
+    // per-type counts are conditional sums over ONE per-user RANGE
+    // window on the micros axis (user timelines are bounded — no
+    // global window), and each touch's share is floor(1e6·cnt/n) ppm
+    // in pure long division, so credit is integer-exact and the
+    // floor-remainder ≤ 3 ppm per purchase is the only loss
+    // (conservation pinned in CensusOpsSpec).
+    "q255_linear_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-86400000000L, -1L)
+      def c(t: String) = coalesce(
+        sum(when($"event_type" === t, 1L).otherwise(0L)).over(w), lit(0L))
+      val pur = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("c_click", c("click"))
+        .withColumn("c_view", c("view"))
+        .withColumn("c_signup", c("signup"))
+        .withColumn("c_error", c("error"))
+        .filter($"event_type" === "purchase")
+        .withColumn("n", $"c_click" + $"c_view" + $"c_signup" + $"c_error")
+      def leg(t: String) = struct(lit(t).as("touch"),
+        expr(s"CASE WHEN n > 0 THEN (1000000 * c_$t) div n " +
+          "ELSE CAST(0 AS BIGINT) END").as("credit"))
+      val direct = struct(lit("direct").as("touch"),
+        when($"n" === 0L, 1000000L).otherwise(0L).as("credit"))
+      pur.select(explode(array(leg("click"), leg("view"),
+          leg("signup"), leg("error"), direct)).as("x"))
+        .select($"x.touch", $"x.credit")
+        .filter($"credit" > 0L)
+        .groupBy($"touch")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"credit").as("credit_ppm"))
+        .orderBy($"touch")
+    }),
+
+    // CUSUM changepoint screen — "did this series shift level, and
+    // when?": per event type, the cumulative sum of deviations of
+    // daily revenue cents from the type mean, argmax |C_t| = the
+    // classic changepoint estimate. Deviations are scaled by n_days
+    // (C'_t = n·prefix_t − t·S) so everything stays EXACT integer
+    // arithmetic in DECIMAL — no float mean, no drift; the one double
+    // appears at render time. Day frames are ~hundreds of rows per
+    // type (the per-type window is bounded); the argmax reuses the
+    // q249 broadcast-peak shape.
+    "q257_cusum_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val tot = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), sum($"x").as("s_tot"))
+      val cum = daily
+        .withColumn("pref", sum($"x").over(w))
+        .withColumn("t", row_number().over(w))
+        .join(broadcast(tot), "event_type")
+        .select($"event_type", $"day", $"n_days",
+          ($"n_days".cast("decimal(38,0)") * $"pref".cast("decimal(38,0)")
+            - $"t".cast("decimal(38,0)") * $"s_tot".cast("decimal(38,0)"))
+            .as("c"))
+        .localCheckpoint() // two consumers: peak agg + argmax filter
+      val peaks = cum.groupBy($"event_type")
+        .agg(max(abs($"c")).as("c_abs_max"))
+      cum.join(broadcast(peaks), "event_type")
+        .filter(abs($"c") === $"c_abs_max")
+        .groupBy($"event_type")
+        .agg(max($"n_days").as("n_days"), min($"day").as("cp_day"),
+          max($"c_abs_max").as("cmax"),
+          min(signum($"c").cast("int")).as("shift_sign"))
+        .select($"event_type", $"n_days", $"cp_day",
+          round($"cmax".cast("double") /
+            ($"n_days".cast("double") * lit(100.0)), 4)
+            .as("max_dev_dollar_days"),
+          $"shift_sign")
+        .orderBy($"event_type")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q255_linear_attribution" ->
+      """WITH cn AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us,
+             coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+                 ELSE 0 END) OVER uw, 0) AS c_click,
+             coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+                 ELSE 0 END) OVER uw, 0) AS c_view,
+             coalesce(sum(CASE WHEN event_type = 'signup' THEN 1
+                 ELSE 0 END) OVER uw, 0) AS c_signup,
+             coalesce(sum(CASE WHEN event_type = 'error' THEN 1
+                 ELSE 0 END) OVER uw, 0) AS c_error
+           FROM events
+           WINDOW uw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+         pur AS (
+           SELECT c_click, c_view, c_signup, c_error,
+                  c_click + c_view + c_signup + c_error AS n
+           FROM cn WHERE event_type = 'purchase'),
+         legs AS (
+           SELECT 'click' AS touch, CASE WHEN n > 0
+             THEN (1000000 * c_click) // n ELSE 0 END AS credit FROM pur
+           UNION ALL
+           SELECT 'view', CASE WHEN n > 0
+             THEN (1000000 * c_view) // n ELSE 0 END FROM pur
+           UNION ALL
+           SELECT 'signup', CASE WHEN n > 0
+             THEN (1000000 * c_signup) // n ELSE 0 END FROM pur
+           UNION ALL
+           SELECT 'error', CASE WHEN n > 0
+             THEN (1000000 * c_error) // n ELSE 0 END FROM pur
+           UNION ALL
+           SELECT 'direct', CASE WHEN n = 0 THEN 1000000 ELSE 0 END
+           FROM pur)
+         SELECT touch, count(*)::BIGINT AS n_purchases,
+                sum(credit)::BIGINT AS credit_ppm
+         FROM legs WHERE credit > 0
+         GROUP BY touch ORDER BY touch""",
+    "q257_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(floor(value * 100.0) AS BIGINT)) AS x
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, count(*)::BIGINT AS n_days,
+                  sum(x)::BIGINT AS s_tot
+           FROM daily GROUP BY 1),
+         cum AS (
+           SELECT d.event_type, d.day, t.n_days,
+                  CAST(t.n_days AS DECIMAL(38,0))
+                    * CAST(sum(d.x) OVER (PARTITION BY d.event_type
+                        ORDER BY d.day) AS DECIMAL(38,0))
+                  - CAST(row_number() OVER (PARTITION BY d.event_type
+                        ORDER BY d.day) AS DECIMAL(38,0))
+                    * CAST(t.s_tot AS DECIMAL(38,0)) AS c
+           FROM daily d JOIN tot t ON d.event_type = t.event_type),
+         peaks AS (
+           SELECT event_type, max(abs(c)) AS c_abs_max
+           FROM cum GROUP BY 1)
+         SELECT c.event_type, max(c.n_days) AS n_days,
+                min(c.day) AS cp_day,
+                round(CAST(max(p.c_abs_max) AS DOUBLE)
+                  / (CAST(max(c.n_days) AS DOUBLE) * 100.0), 4)
+                  AS max_dev_dollar_days,
+                CAST(min(CASE WHEN c.c > 0 THEN 1 WHEN c.c < 0 THEN -1
+                  ELSE 0 END) AS INT) AS shift_sign
+         FROM cum c JOIN peaks p
+           ON c.event_type = p.event_type AND abs(c.c) = p.c_abs_max
+         GROUP BY c.event_type ORDER BY c.event_type""",
     "q252_ab_ztest" ->
       """WITH u AS (
            SELECT CAST('0x' || substr(md5(user_id::VARCHAR || '_ab'),

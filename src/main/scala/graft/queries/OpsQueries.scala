@@ -1563,6 +1563,35 @@ object OpsQueries {
           col(s"${c}__mx").as("max_val"))): _*)).as("p"))
         .select($"p.*")
         .orderBy($"column_name")
+    }),
+
+    // Sequential Poisson sampling (Ohlsson 1998) — the deterministic
+    // weighted sample a training-mix pipeline draws when "sample docs
+    // ∝ length" must be reproducible across runs AND engines: each
+    // doc's priority is h/w (portable salted hash over its own id ÷
+    // its weight), the sample is the k smallest priorities. One
+    // TakeOrdered top-k — no shuffle beyond the limit's tree
+    // aggregation, no RNG state; re-running or re-partitioning cannot
+    // change membership, and the DuckDB oracle replays the exact
+    // sample. Expected-inclusion ppm (≈ k·w/Σw, the PPS design
+    // weight) rides per row from a 1-row broadcast total.
+    "q256_seq_poisson_sample" -> ((s, dir) => {
+      import s.implicits._
+      val k = 25
+      val d = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"n_chars")
+        .withColumn("h", TextFunctions.hash60(
+          concat($"doc_id".cast("string"), lit("_sps"))))
+        .withColumn("pr",
+          $"h".cast("double") / $"n_chars".cast("double"))
+      val tot = broadcast(d.agg(sum($"n_chars").as("w_tot")))
+      d.crossJoin(tot) // 1-row broadcast total
+        .orderBy($"pr", $"doc_id")
+        .limit(k)
+        .select($"doc_id", $"n_chars",
+          round(least(lit(1000000.0),
+            lit(1000000.0) * lit(25.0) * $"n_chars".cast("double") /
+              $"w_tot".cast("double")), 2).as("incl_ppm_expected"))
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1594,6 +1623,20 @@ object OpsQueries {
         "o_orderdate", "o_orderpriority").map(leg)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    "q256_seq_poisson_sample" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+                  CAST(CAST('0x' || substr(md5(doc_id::VARCHAR
+                      || '_sps'), 1, 15) AS BIGINT) AS DOUBLE)
+                    / CAST(n_chars AS DOUBLE) AS pr
+           FROM documents),
+         t AS (SELECT sum(n_chars)::BIGINT AS w_tot FROM documents)
+         SELECT doc_id, n_chars,
+                round(least(1000000.0,
+                  1000000.0 * 25.0 * CAST(n_chars AS DOUBLE)
+                    / CAST(w_tot AS DOUBLE)), 2) AS incl_ppm_expected
+         FROM d CROSS JOIN t ORDER BY pr, doc_id LIMIT 25""",
 
     // the cache round-trip must be value-exact: q03's own oracle
     "q233_result_cache" -> Core.oracles("q03_total_cost_per_customer"),

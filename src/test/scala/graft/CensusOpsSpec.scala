@@ -130,4 +130,65 @@ class CensusOpsSpec extends SparkSuite {
     assert(correct >= majority,
       s"NB accuracy $correct/$nTest below majority $majority")
   }
+
+  test("q255 credit conserves to 1e6 ppm per purchase (floor loss <4)") {
+    val rows = SparkEntry.queries("q255_linear_attribution")(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSeq
+    val np = Tables.table(spark, sf0001, "events")
+      .filter($"event_type" === "purchase").count()
+    val total = rows.map(_._3).sum
+    assert(total <= 1000000L * np, "credit exceeds the purchase mass")
+    assert(total >= (1000000L - 4L) * np,
+      s"floor loss too large: $total vs ${1000000L * np}")
+    // every touch type is one of the known five
+    assert(rows.map(_._1).toSet.subsetOf(
+      Set("click", "view", "signup", "error", "direct")))
+  }
+
+  test("q256 sample membership equals a driver-side recompute") {
+    val got = SparkEntry.queries("q256_seq_poisson_sample")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size === 25)
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toSeq
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = docs
+      .map { case (id, w) => (h60(s"${id}_sps").toDouble / w.toDouble, id) }
+      .sorted.take(25).map(_._2)
+    assert(got.map(_._1) === expect,
+      "sample must be the 25 smallest h/w priorities in order")
+    got.foreach { case (_, _, ppm) =>
+      assert(ppm > 0.0 && ppm <= 1000000.0) }
+  }
+
+  test("q257 changepoint matches a driver-side CUSUM recompute") {
+    val daily = Tables.table(spark, sf0001, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.floor($"value" * 100.0)
+          .cast("long")).as("x"))
+      .as[(String, java.sql.Date, Long)].collect().toSeq
+    val rows = SparkEntry.queries("q257_cusum_changepoint")(spark, sf0001)
+      .as[(String, Long, java.sql.Date, Double, Int)].collect().toSeq
+    rows.foreach { case (tpe, nDays, cpDay, _, _) =>
+      val series = daily.filter(_._1 == tpe).sortBy(_._2.toString)
+      assert(nDays === series.size.toLong)
+      val s = series.map(_._3).sum
+      val n = series.size.toLong
+      val cs = series.scanLeft(0L)(_ + _._3).tail
+        .zipWithIndex.map { case (pref, i) =>
+          (BigInt(n) * BigInt(pref) - BigInt(i + 1) * BigInt(s),
+            series(i)._2) }
+      val cmax = cs.map(_._1.abs).max
+      val cpExpect = cs.filter(_._1.abs == cmax).map(_._2.toString).min
+      assert(cpDay.toString === cpExpect, s"$tpe changepoint mismatch")
+      // telescoping identity: the final cumulative deviation is zero
+      assert(cs.last._1 === BigInt(0))
+    }
+  }
 }
