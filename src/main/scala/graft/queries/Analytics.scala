@@ -1622,9 +1622,68 @@ object Analytics {
             .as("max_dev_dollar_days"),
           $"shift_sign")
         .orderBy($"event_type")
+    }),
+
+    // Inter-arrival screen — the arrival-process profile a capacity
+    // planner reads: per event type, the distribution of per-user
+    // gaps between consecutive events (one lag over bounded
+    // (user, type) timelines — no global window), the
+    // method-of-moments exponential rate (λ = 1/mean), and a coarse
+    // gap census (<1 min / <1 h / <1 d / ≥1 d) as conditional sums in
+    // the same aggregate. Gap micros sum exactly as longs; the two
+    // doubles are one division each at render time.
+    "q259_interarrival" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"us")
+      val gaps = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("gap", $"us" - lag($"us", 1).over(w))
+        .filter($"gap".isNotNull)
+      gaps.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum($"gap").as("sum_us"),
+          sum(when($"gap" < 60000000L, 1L).otherwise(0L)).as("n_lt_1m"),
+          sum(when($"gap" >= 60000000L && $"gap" < 3600000000L, 1L)
+            .otherwise(0L)).as("n_lt_1h"),
+          sum(when($"gap" >= 3600000000L && $"gap" < 86400000000L, 1L)
+            .otherwise(0L)).as("n_lt_1d"),
+          sum(when($"gap" >= 86400000000L, 1L).otherwise(0L))
+            .as("n_ge_1d"))
+        .select($"event_type", $"n_gaps",
+          round($"sum_us".cast("double") /
+            ($"n_gaps".cast("double") * lit(1000000.0)), 3)
+            .as("mean_gap_sec"),
+          round($"n_gaps".cast("double") * lit(3600000000.0) /
+            $"sum_us".cast("double"), 4).as("rate_per_hour"),
+          $"n_lt_1m", $"n_lt_1h", $"n_lt_1d", $"n_ge_1d")
+        .orderBy($"event_type")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q259_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts)) AS gap
+           FROM events)
+         SELECT event_type, count(*)::BIGINT AS n_gaps,
+           round(CAST(sum(gap) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 3)
+             AS mean_gap_sec,
+           round(CAST(count(*) AS DOUBLE) * 3600000000.0
+             / CAST(sum(gap) AS DOUBLE), 4) AS rate_per_hour,
+           sum(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_lt_1m,
+           sum(CASE WHEN gap >= 60000000 AND gap < 3600000000
+             THEN 1 ELSE 0 END)::BIGINT AS n_lt_1h,
+           sum(CASE WHEN gap >= 3600000000 AND gap < 86400000000
+             THEN 1 ELSE 0 END)::BIGINT AS n_lt_1d,
+           sum(CASE WHEN gap >= 86400000000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_ge_1d
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "q255_linear_attribution" ->
       """WITH cn AS (
            SELECT user_id, event_type, epoch_us(ts) AS us,

@@ -1592,6 +1592,52 @@ object OpsQueries {
           round(least(lit(1000000.0),
             lit(1000000.0) * lit(25.0) * $"n_chars".cast("double") /
               $"w_tot".cast("double")), 2).as("incl_ppm_expected"))
+    }),
+
+    // Optimizer-grade join cardinality estimation — the statistics
+    // machinery INSIDE an engine, surfaced as a query: estimate
+    // |events ⋈ orders ON user_id = o_custkey| from per-side
+    // statistics only (row count, exact NDV, and a 20-entry
+    // most-common-values list — the Postgres/Catalyst histogram
+    // shape), then score it against the exact join count. Naive
+    // estimate = nₐ·n_b / max(dₐ,d_b); MCV-refined = Σ matched MCV
+    // products + uniform residual over the non-MCV mass. Every input
+    // is an exact integer from two partial-aggregable key censuses
+    // (MCVs = two TakeOrdered top-20s); the estimate arithmetic is
+    // the q230 IEEE discipline, so both engines derive the identical
+    // estimate — and the exact count prices the error honestly.
+    "q260_join_card_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.table(s, dir, "events")
+        .groupBy($"user_id".as("k")).agg(count(lit(1)).as("ca"))
+        .localCheckpoint() // stats + MCV + exact-join consumers
+      val b = Tables.table(s, dir, "orders")
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      val mcvA = a.orderBy($"ca".desc, $"k").limit(20)
+      val mcvB = b.orderBy($"cb".desc, $"k").limit(20)
+      val mcv = mcvA.join(mcvB, "k")
+        .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("mcv_hits"),
+          coalesce(sum($"ca"), lit(0L)).as("mcv_na"),
+          coalesce(sum($"cb"), lit(0L)).as("mcv_nb"),
+          count(lit(1)).as("mcv_matched"))
+      val statsA = a.agg(sum($"ca").as("n_a"), count(lit(1)).as("d_a"))
+      val statsB = b.agg(sum($"cb").as("n_b"), count(lit(1)).as("d_b"))
+      val actual = a.join(b, "k")
+        .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("actual"))
+      val naive = $"n_a".cast("double") * $"n_b".cast("double") /
+        greatest($"d_a", $"d_b").cast("double")
+      val resid = ($"n_a" - $"mcv_na").cast("double") *
+        ($"n_b" - $"mcv_nb").cast("double") /
+        greatest($"d_a" - $"mcv_matched", $"d_b" - $"mcv_matched",
+          lit(1L)).cast("double") // guard: all-MCV side
+      statsA.crossJoin(statsB).crossJoin(mcv).crossJoin(actual)
+        .select($"n_a", $"d_a", $"n_b", $"d_b", $"actual",
+          round(naive, 1).as("est_naive"),
+          round($"mcv_hits".cast("double") + resid, 1).as("est_mcv"),
+          round(naive / $"actual".cast("double"), 4).as("q_naive"),
+          round(($"mcv_hits".cast("double") + resid) /
+            $"actual".cast("double"), 4).as("q_mcv"))
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1637,6 +1683,41 @@ object OpsQueries {
                   1000000.0 * 25.0 * CAST(n_chars AS DOUBLE)
                     / CAST(w_tot AS DOUBLE)), 2) AS incl_ppm_expected
          FROM d CROSS JOIN t ORDER BY pr, doc_id LIMIT 25""",
+
+    "q260_join_card_estimate" ->
+      """WITH a AS (SELECT user_id AS k, count(*)::BIGINT AS ca
+                    FROM events GROUP BY 1),
+         b AS (SELECT o_custkey AS k, count(*)::BIGINT AS cb
+               FROM orders GROUP BY 1),
+         mcva AS (SELECT k, ca FROM a ORDER BY ca DESC, k LIMIT 20),
+         mcvb AS (SELECT k, cb FROM b ORDER BY cb DESC, k LIMIT 20),
+         mcv AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS mcv_hits,
+                        coalesce(sum(ca), 0)::BIGINT AS mcv_na,
+                        coalesce(sum(cb), 0)::BIGINT AS mcv_nb,
+                        count(*)::BIGINT AS mcv_matched
+                 FROM mcva JOIN mcvb USING (k)),
+         sa AS (SELECT sum(ca)::BIGINT AS n_a, count(*)::BIGINT AS d_a
+                FROM a),
+         sb AS (SELECT sum(cb)::BIGINT AS n_b, count(*)::BIGINT AS d_b
+                FROM b),
+         act AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS actual
+                 FROM a JOIN b USING (k))
+         SELECT n_a, d_a, n_b, d_b, actual,
+           round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / CAST(greatest(d_a, d_b) AS DOUBLE), 1) AS est_naive,
+           round(CAST(mcv_hits AS DOUBLE)
+             + CAST(n_a - mcv_na AS DOUBLE) * CAST(n_b - mcv_nb AS DOUBLE)
+               / CAST(greatest(d_a - mcv_matched, d_b - mcv_matched, 1)
+                   AS DOUBLE), 1) AS est_mcv,
+           round((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / CAST(greatest(d_a, d_b) AS DOUBLE))
+             / CAST(actual AS DOUBLE), 4) AS q_naive,
+           round((CAST(mcv_hits AS DOUBLE)
+             + CAST(n_a - mcv_na AS DOUBLE) * CAST(n_b - mcv_nb AS DOUBLE)
+               / CAST(greatest(d_a - mcv_matched, d_b - mcv_matched, 1)
+                   AS DOUBLE))
+             / CAST(actual AS DOUBLE), 4) AS q_mcv
+         FROM sa CROSS JOIN sb CROSS JOIN mcv CROSS JOIN act""",
 
     // the cache round-trip must be value-exact: q03's own oracle
     "q233_result_cache" -> Core.oracles("q03_total_cost_per_customer"),

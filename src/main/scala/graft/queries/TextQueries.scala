@@ -1908,10 +1908,13 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
-    // Naive-Bayes language gate — the classical counting classifier
-    // as a pure aggregation pipeline: train on even doc_ids (binary
-    // label en / non-en, three cheap binary text features), score the
-    // odd half, report the confusion census. The trained model is ONE
+    // Naive-Bayes long-form gate — the classical counting classifier
+    // as a pure aggregation pipeline: train on even doc_ids (label =
+    // "long-form" (>300 chars), predicted from three vocabulary
+    // signals that carry REAL statistical dependence on length —
+    // token repetition (Heaps' law) and two coupon-collector presence
+    // features — never from length itself), score the odd half,
+    // report the confusion census. The trained model is ONE
     // row of Laplace-smoothed counts (8 longs) cross-joined broadcast
     // into the scoring scan — training is a single conditional-sum
     // aggregate, scoring is a stateless per-row expression, so both
@@ -1922,72 +1925,130 @@ object TextQueries {
     // replays bit-exactly in DuckDB.
     "q254_naive_bayes" -> ((s, dir) => {
       import s.implicits._
-      val feat = Tables.table(s, dir, "documents")
-        .select($"doc_id", ($"lang" === "en").as("is_en"),
-          ($"n_chars" > 500).as("f1"),
-          $"text".contains(" the ").as("f2"),
-          ((length($"text") - length(regexp_replace($"text", " ", "")))
-            > 80).as("f3"))
-      def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
-      val train = feat.filter($"doc_id" % 2 === 0).agg(
-        cnt($"is_en").as("n_en"), cnt(!$"is_en").as("n_ot"),
-        cnt($"is_en" && $"f1").as("c_en_1"),
-        cnt(!$"is_en" && $"f1").as("c_ot_1"),
-        cnt($"is_en" && $"f2").as("c_en_2"),
-        cnt(!$"is_en" && $"f2").as("c_ot_2"),
-        cnt($"is_en" && $"f3").as("c_en_3"),
-        cnt(!$"is_en" && $"f3").as("c_ot_3"))
-      def term(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-        when(x, (c + 1L).cast("double"))
-          .otherwise((n - c + 1L).cast("double")) /
-          (n + 2L).cast("double")
-      val scored = feat.filter($"doc_id" % 2 === 1)
-        .crossJoin(broadcast(train)) // 1-row model frame
-        .withColumn("s_en", $"n_en".cast("double") *
-          term($"f1", $"c_en_1", $"n_en") *
-          term($"f2", $"c_en_2", $"n_en") *
-          term($"f3", $"c_en_3", $"n_en"))
-        .withColumn("s_ot", $"n_ot".cast("double") *
-          term($"f1", $"c_ot_1", $"n_ot") *
-          term($"f2", $"c_ot_2", $"n_ot") *
-          term($"f3", $"c_ot_3", $"n_ot"))
-      scored.groupBy($"is_en", ($"s_en" > $"s_ot").as("pred_en"))
+      nbScored(s, dir)
+        .groupBy($"is_long", ($"s_pos" > $"s_neg").as("pred_long"))
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
-        .orderBy($"is_en", $"pred_en")
+        .orderBy($"is_long", $"pred_long")
+    }),
+
+    // Calibration census (expected-calibration-error decomposition)
+    // for the q254 classifier — the eval a model gate needs BEYOND
+    // accuracy: normalize the two class scores to P(long), bucket
+    // into confidence deciles, and report per bucket the mean stated
+    // confidence next to the empirical long-rate; the gap is the ECE
+    // contribution. Mean confidence sums through dsumAt (decimal —
+    // order-independent), the bucket index is floor(10p) on doubles
+    // both engines compute identically, and the output is the 10-row
+    // reliability-diagram table rather than one opaque scalar.
+    "q258_nb_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val p = ($"s_pos" / ($"s_pos" + $"s_neg")).as("p")
+      val b = nbScored(s, dir).select($"is_long", p)
+        .select($"is_long", $"p",
+          least(lit(9), floor($"p" * 10.0).cast("int")).as("bucket"))
+      b.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(Q.dsumAt($"p", 8) / count(lit(1)).cast("double"), 6)
+            .as("mean_conf"),
+          round(sum(when($"is_long", 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("frac_long"))
+        .withColumn("gap", round(abs($"mean_conf" - $"frac_long"), 6))
+        .orderBy($"bucket")
     }))
 
+  /** q254/q258's shared scoring frame: binary NB (long-form vs not),
+    * three binary vocabulary features, trained on even doc_ids,
+    * scored on the odd half. The trained model is ONE row of Laplace counts broadcast
+    * into the scoring scan; scores multiply prior × likelihood ratios
+    * as doubles in a fixed expression order (IEEE-replayable). */
+  private def nbScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val feat = Tables.table(s, dir, "documents")
+      .select($"doc_id", ($"n_chars" > 300).as("is_long"),
+        ((size(split($"text", " ")) -
+          size(array_distinct(split($"text", " ")))) > 5).as("f1"),
+        $"text".contains(" the ").as("f2"),
+        (size(array_distinct(split($"text", " "))) > 45).as("f3"))
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val train = feat.filter($"doc_id" % 2 === 0).agg(
+      cnt($"is_long").as("n_pos"), cnt(!$"is_long").as("n_neg"),
+      cnt($"is_long" && $"f1").as("c_pos_1"),
+      cnt(!$"is_long" && $"f1").as("c_neg_1"),
+      cnt($"is_long" && $"f2").as("c_pos_2"),
+      cnt(!$"is_long" && $"f2").as("c_neg_2"),
+      cnt($"is_long" && $"f3").as("c_pos_3"),
+      cnt(!$"is_long" && $"f3").as("c_neg_3"))
+    def term(x: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(x, (c + 1L).cast("double"))
+        .otherwise((n - c + 1L).cast("double")) /
+        (n + 2L).cast("double")
+    feat.filter($"doc_id" % 2 === 1)
+      .crossJoin(broadcast(train)) // 1-row model frame
+      .withColumn("s_pos", $"n_pos".cast("double") *
+        term($"f1", $"c_pos_1", $"n_pos") *
+        term($"f2", $"c_pos_2", $"n_pos") *
+        term($"f3", $"c_pos_3", $"n_pos"))
+      .withColumn("s_neg", $"n_neg".cast("double") *
+        term($"f1", $"c_neg_1", $"n_neg") *
+        term($"f2", $"c_neg_2", $"n_neg") *
+        term($"f3", $"c_neg_3", $"n_neg"))
+  }
+
+  /** Shared WITH-prefix of the q254/q258 oracles: the NB feature,
+    * train, and scored frames as SQL, mirroring [[nbScored]]. */
+  private def nbScoredSql: String = {
+    def term(x: String, c: String, n: String) =
+      s"(CASE WHEN $x THEN CAST($c + 1 AS DOUBLE) " +
+        s"ELSE CAST($n - $c + 1 AS DOUBLE) END " +
+        s"/ CAST($n + 2 AS DOUBLE))"
+    "WITH feat AS (SELECT doc_id, n_chars > 300 AS is_long, " +
+      "(length(string_split(text, ' ')) " +
+      "- length(list_distinct(string_split(text, ' ')))) > 5 AS f1, " +
+      "contains(text, ' the ') AS f2, " +
+      "length(list_distinct(string_split(text, ' '))) > 45 AS f3 " +
+      "FROM documents), " +
+      "train AS (SELECT " +
+      "sum(CASE WHEN is_long THEN 1 ELSE 0 END)::BIGINT AS n_pos, " +
+      "sum(CASE WHEN NOT is_long THEN 1 ELSE 0 END)::BIGINT AS n_neg, " +
+      "sum(CASE WHEN is_long AND f1 THEN 1 ELSE 0 END)::BIGINT AS c_pos_1, " +
+      "sum(CASE WHEN NOT is_long AND f1 THEN 1 ELSE 0 END)::BIGINT AS c_neg_1, " +
+      "sum(CASE WHEN is_long AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_pos_2, " +
+      "sum(CASE WHEN NOT is_long AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_neg_2, " +
+      "sum(CASE WHEN is_long AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_pos_3, " +
+      "sum(CASE WHEN NOT is_long AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_neg_3 " +
+      "FROM feat WHERE doc_id % 2 = 0), " +
+      "scored AS (SELECT is_long, " +
+      "CAST(n_pos AS DOUBLE) * " + term("f1", "c_pos_1", "n_pos") +
+      " * " + term("f2", "c_pos_2", "n_pos") +
+      " * " + term("f3", "c_pos_3", "n_pos") + " AS s_pos, " +
+      "CAST(n_neg AS DOUBLE) * " + term("f1", "c_neg_1", "n_neg") +
+      " * " + term("f2", "c_neg_2", "n_neg") +
+      " * " + term("f3", "c_neg_3", "n_neg") + " AS s_neg, doc_id " +
+      "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)"
+  }
+
   val oracles: Map[String, String] = Map(
-    "q254_naive_bayes" -> {
-      def term(x: String, c: String, n: String) =
-        s"(CASE WHEN $x THEN CAST($c + 1 AS DOUBLE) " +
-          s"ELSE CAST($n - $c + 1 AS DOUBLE) END " +
-          s"/ CAST($n + 2 AS DOUBLE))"
-      "WITH feat AS (SELECT doc_id, lang = 'en' AS is_en, " +
-        "n_chars > 500 AS f1, contains(text, ' the ') AS f2, " +
-        "(length(text) - length(replace(text, ' ', ''))) > 80 AS f3 " +
-        "FROM documents), " +
-        "train AS (SELECT " +
-        "sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_en, " +
-        "sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END)::BIGINT AS n_ot, " +
-        "sum(CASE WHEN is_en AND f1 THEN 1 ELSE 0 END)::BIGINT AS c_en_1, " +
-        "sum(CASE WHEN NOT is_en AND f1 THEN 1 ELSE 0 END)::BIGINT AS c_ot_1, " +
-        "sum(CASE WHEN is_en AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_en_2, " +
-        "sum(CASE WHEN NOT is_en AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_ot_2, " +
-        "sum(CASE WHEN is_en AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_en_3, " +
-        "sum(CASE WHEN NOT is_en AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_ot_3 " +
-        "FROM feat WHERE doc_id % 2 = 0), " +
-        "scored AS (SELECT is_en, " +
-        "CAST(n_en AS DOUBLE) * " + term("f1", "c_en_1", "n_en") +
-        " * " + term("f2", "c_en_2", "n_en") +
-        " * " + term("f3", "c_en_3", "n_en") + " AS s_en, " +
-        "CAST(n_ot AS DOUBLE) * " + term("f1", "c_ot_1", "n_ot") +
-        " * " + term("f2", "c_ot_2", "n_ot") +
-        " * " + term("f3", "c_ot_3", "n_ot") + " AS s_ot, doc_id " +
-        "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1) " +
-        "SELECT is_en, s_en > s_ot AS pred_en, " +
-        "count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id " +
-        "FROM scored GROUP BY is_en, pred_en ORDER BY is_en, pred_en"
-    },
+    "q254_naive_bayes" -> (nbScoredSql +
+      " SELECT is_long, s_pos > s_neg AS pred_long, " +
+      "count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id " +
+      "FROM scored GROUP BY is_long, pred_long ORDER BY is_long, pred_long"),
+    "q258_nb_calibration" -> (nbScoredSql +
+      ", b AS (SELECT is_long, s_pos / (s_pos + s_neg) AS p, " +
+      "least(9, CAST(floor((s_pos / (s_pos + s_neg)) * 10.0) AS INT)) " +
+      "AS bucket FROM scored) " +
+      "SELECT bucket, count(*)::BIGINT AS n_docs, " +
+      "round(" + Q.dsumAtSql("p", 8) +
+      " / CAST(count(*) AS DOUBLE), 6) AS mean_conf, " +
+      "round(sum(CASE WHEN is_long THEN 1 ELSE 0 END)::BIGINT" +
+      "::DOUBLE / CAST(count(*) AS DOUBLE), 6) AS frac_long, " +
+      "round(abs(round(" + Q.dsumAtSql("p", 8) +
+      " / CAST(count(*) AS DOUBLE), 6) - " +
+      "round(sum(CASE WHEN is_long THEN 1 ELSE 0 END)::BIGINT" +
+      "::DOUBLE / CAST(count(*) AS DOUBLE), 6)), 6) AS gap " +
+      "FROM b GROUP BY bucket ORDER BY bucket"),
     "q228_tfidf_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -191,4 +191,55 @@ class CensusOpsSpec extends SparkSuite {
       assert(cs.last._1 === BigInt(0))
     }
   }
+
+  test("q258 calibration buckets cover the test half; gap identity") {
+    val rows = SparkEntry.queries("q258_nb_calibration")(spark, sf0001)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    val nTest = Tables.table(spark, sf0001, "documents")
+      .filter($"doc_id" % 2 === 1).count()
+    assert(rows.map(_._2).sum === nTest)
+    rows.foreach { case (b, _, conf, frac, gap) =>
+      assert(b >= 0 && b <= 9)
+      assert(conf >= 0.0 && conf <= 1.0 && frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(gap - math.abs(
+        BigDecimal(conf - frac).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)) < 1e-9)
+    }
+  }
+
+  test("q259 gap count identity: n_events minus one per timeline") {
+    val rows = SparkEntry.queries("q259_interarrival")(spark, sf0001)
+      .as[(String, Long, Double, Double, Long, Long, Long, Long)]
+      .collect().toSeq
+    val ev = Tables.table(spark, sf0001, "events")
+    rows.foreach { case (tpe, nGaps, mean, rate, a, b, c, d) =>
+      val n = ev.filter($"event_type" === tpe).count()
+      val timelines = ev.filter($"event_type" === tpe)
+        .select($"user_id").distinct().count()
+      assert(nGaps === n - timelines,
+        s"$tpe: each (user,type) timeline loses exactly its first event")
+      assert(a + b + c + d === nGaps, s"$tpe: census must cover gaps")
+      assert(mean > 0.0 && rate > 0.0)
+    }
+  }
+
+  test("q260 estimate inputs are exact; actual equals a real join") {
+    val r = SparkEntry.queries("q260_join_card_estimate")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    val (nA, dA, nB, dB, actual, estN, estM, qN, qM) = r
+    val ev = Tables.table(spark, sf0001, "events")
+    val os = Tables.table(spark, sf0001, "orders")
+    assert(nA === ev.count() && nB === os.count())
+    assert(dA === ev.select($"user_id").distinct().count())
+    assert(dB === os.select($"o_custkey").distinct().count())
+    assert(actual ===
+      ev.join(os, $"user_id" === $"o_custkey").count())
+    assert(estN > 0.0 && estM > 0.0)
+    // the reported q-errors are the estimates over the actual
+    assert(math.abs(qN - BigDecimal(estN / actual).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-4)
+    assert(math.abs(qM - BigDecimal(estM / actual).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-4)
+  }
 }
