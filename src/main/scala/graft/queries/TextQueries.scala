@@ -1954,6 +1954,64 @@ object TextQueries {
             count(lit(1)).cast("double"), 6).as("frac_long"))
         .withColumn("gap", round(abs($"mean_conf" - $"frac_long"), 6))
         .orderBy($"bucket")
+    }),
+
+    // nDCG@10 retrieval eval — the rank-quality metric the recall/MRR
+    // family (q145/q146) lacks: graded relevance with position
+    // discount. Per probe term, the SYSTEM ranking is single-term
+    // BM25 (length-normalized), the IDEAL ranks by raw tf — they
+    // disagree exactly where length normalization reorders, so the
+    // metric is non-trivial. Each top-10 is a TakeOrdered leg (never
+    // a per-term global window); the log2 discounts are 12-decimal
+    // LITERALS (the q238 Benford move — no libm ln cross-engine
+    // risk), so grade×discount is EXACT decimal and the DCG sum is
+    // order-independent. One doc scan per term + 10-row frames after.
+    "q261_ndcg_at10" -> ((s, dir) => {
+      import s.implicits._
+      val discounts = Seq("1.000000000000", "0.630929753571",
+        "0.500000000000", "0.430676558073", "0.386852807235",
+        "0.356207187108", "0.333333333333", "0.315464876786",
+        "0.301029995664", "0.289064826318")
+        .map(d => lit(new java.math.BigDecimal(d))
+          .cast("decimal(14,12)"))
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("dl", size($"w"))
+        .localCheckpoint() // one scan feeds all 6 top-k legs
+      val stats = broadcast(docs.agg(
+        (sum($"dl".cast("decimal(18,0)")).cast("double") /
+          count(lit(1))).as("avgdl")))
+      def dcgOf(top: org.apache.spark.sql.DataFrame, name: String) = {
+        val w10 = Window.partitionBy(lit(1))
+          .orderBy($"ord".desc, $"doc_id")
+        top.withColumn("rank", row_number().over(w10)) // 10-row frame
+          .select(($"g".cast("decimal(18,0)") *
+            element_at(array(discounts: _*), $"rank")).as("gd"))
+          .agg(coalesce(sum($"gd"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(32,12)"))
+            .as(name))
+      }
+      val legs = Seq("spark", "window", "hash").map { t =>
+        val scored = docs.crossJoin(stats)
+          .select($"doc_id", $"dl", $"avgdl",
+            size(filter($"w", x => x === lit(t))).as("g"))
+          .withColumn("bm25",
+            ($"g".cast("double") * lit(2.2)) /
+              ($"g".cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) *
+                  $"dl".cast("double") / $"avgdl")))
+        val sys = scored.orderBy($"bm25".desc, $"doc_id").limit(10)
+          .withColumn("ord", $"bm25")
+        val ideal = scored.orderBy($"g".desc, $"doc_id").limit(10)
+          .withColumn("ord", $"g".cast("double"))
+        dcgOf(sys, "dcg").crossJoin(dcgOf(ideal, "idcg"))
+          .select(lit(t).as("term"),
+            round($"dcg".cast("double"), 6).as("dcg"),
+            round($"idcg".cast("double"), 6).as("idcg"),
+            round($"dcg".cast("double") / $"idcg".cast("double"), 6)
+              .as("ndcg"))
+      }
+      legs.reduce(_ union _).orderBy($"term")
     }))
 
   /** q254/q258's shared scoring frame: binary NB (long-form vs not),
@@ -2031,6 +2089,70 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q261_ndcg_at10" -> {
+      // same 12-decimal discount literals, same BM25 form as the
+      // engine; each leg re-derives sys/ideal top-10 then joins the
+      // rank→discount table — decimal products, order-free sum
+      val disc = Seq("1.000000000000", "0.630929753571",
+        "0.500000000000", "0.430676558073", "0.386852807235",
+        "0.356207187108", "0.333333333333", "0.315464876786",
+        "0.301029995664", "0.289064826318").zipWithIndex
+        .map { case (d, i) =>
+          s"(${i + 1}, ${d}::DECIMAL(14,12))" }.mkString(", ")
+      def leg(t: String) =
+        s"""SELECT '$t' AS term,
+              round(CAST((SELECT coalesce(sum(
+                  CAST(g AS DECIMAL(18,0)) * d), 0)
+                FROM (SELECT g, row_number() OVER
+                        (ORDER BY bm25 DESC, doc_id) AS rank
+                      FROM (SELECT * FROM sc_$t
+                            ORDER BY bm25 DESC, doc_id LIMIT 10))
+                JOIN disc USING (rank)) AS DOUBLE), 6) AS dcg,
+              round(CAST((SELECT coalesce(sum(
+                  CAST(g AS DECIMAL(18,0)) * d), 0)
+                FROM (SELECT g, row_number() OVER
+                        (ORDER BY g DESC, doc_id) AS rank
+                      FROM (SELECT * FROM sc_$t
+                            ORDER BY g DESC, doc_id LIMIT 10))
+                JOIN disc USING (rank)) AS DOUBLE), 6) AS idcg,
+              round(CAST((SELECT coalesce(sum(
+                  CAST(g AS DECIMAL(18,0)) * d), 0)
+                FROM (SELECT g, row_number() OVER
+                        (ORDER BY bm25 DESC, doc_id) AS rank
+                      FROM (SELECT * FROM sc_$t
+                            ORDER BY bm25 DESC, doc_id LIMIT 10))
+                JOIN disc USING (rank)) AS DOUBLE)
+              / CAST((SELECT coalesce(sum(
+                  CAST(g AS DECIMAL(18,0)) * d), 0)
+                FROM (SELECT g, row_number() OVER
+                        (ORDER BY g DESC, doc_id) AS rank
+                      FROM (SELECT * FROM sc_$t
+                            ORDER BY g DESC, doc_id LIMIT 10))
+                JOIN disc USING (rank)) AS DOUBLE), 6) AS ndcg"""
+      def sc(t: String) =
+        s"""sc_$t AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> x = '$t'))::BIGINT AS g,
+                (len(list_filter(ws, x -> x = '$t'))::DOUBLE
+                   * CAST(2.2 AS DOUBLE))
+                / (len(list_filter(ws, x -> x = '$t'))::DOUBLE
+                   + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE)
+                          * len(ws)::DOUBLE / avgdl)) AS bm25
+              FROM w, st)"""
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          st AS (SELECT
+                   CAST(sum(CAST(len(ws) AS DECIMAL(18,0))) AS DOUBLE)
+                     / count(*) AS avgdl
+                 FROM w),
+          disc(rank, d) AS (SELECT * FROM (VALUES $disc)),
+          ${sc("spark")}, ${sc("window")}, ${sc("hash")}
+          ${leg("spark")} UNION ALL ${leg("window")}
+          UNION ALL ${leg("hash")}
+          ORDER BY term"""
+    },
     "q254_naive_bayes" -> (nbScoredSql +
       " SELECT is_long, s_pos > s_neg AS pred_long, " +
       "count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id " +
