@@ -1658,9 +1658,174 @@ object Analytics {
             $"sum_us".cast("double"), 4).as("rate_per_hour"),
           $"n_lt_1m", $"n_lt_1h", $"n_lt_1d", $"n_ge_1d")
         .orderBy($"event_type")
+    }),
+
+    // OLS trend line per event type — least-squares slope/intercept/r²
+    // of daily revenue (exact cents) against the day index, the
+    // trend-detection primitive behind every "is this metric growing"
+    // dashboard. The five moments (n, Σt, Σy, Σty, Σt², Σy²) are
+    // EXACT integer DECIMALs from one aggregate over the bounded
+    // per-type daily frame; slope/intercept/r² are each ONE IEEE
+    // division of exact operands at render time (the q230/q257
+    // discipline), so DuckDB replays them bit-for-bit. Two shuffles
+    // total (daily rollup + per-type moments); no global window —
+    // the day index is a per-type row_number over ≤n_days rows.
+    "q262_ols_trend" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val d38 = "decimal(38,0)"
+      val m = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum($"t").cast(d38).as("st"),
+          sum($"y").cast(d38).as("sy"),
+          sum($"t" * $"y").cast(d38).as("sty"),
+          sum($"t" * $"t").cast(d38).as("stt"),
+          sum($"y".cast(d38) * $"y".cast(d38)).as("syy"))
+      val covN = ($"n" * $"sty" - $"st" * $"sy").as("cov_n")
+      val varTn = ($"n" * $"stt" - $"st" * $"st").as("var_t_n")
+      val varYn = ($"n" * $"syy" - $"sy" * $"sy").as("var_y_n")
+      m.select($"event_type", $"n", covN, varTn, varYn,
+          // intercept numerator n·(Σy·Σt² − Σt·Σty) stays exact:
+          // Σy·Σt² − Σt·Σty = (Σy·varTn − Σt·covN)/n, so scale by n
+          ($"sy" * $"stt" - $"st" * $"sty").as("ic_n"))
+        .select($"event_type", $"n".cast("long").as("n_days"),
+          round($"cov_n".cast("double") / $"var_t_n".cast("double"), 4)
+            .as("slope_cents_per_day"),
+          round($"ic_n".cast("double") / $"var_t_n".cast("double"), 4)
+            .as("intercept_cents"),
+          round(($"cov_n".cast("double") * $"cov_n".cast("double")) /
+            ($"var_t_n".cast("double") * $"var_y_n".cast("double")), 6)
+            .as("r2"))
+        .orderBy($"event_type")
+    }),
+
+    // Kaplan-Meier churn curve — the product-limit survival estimator
+    // over customer order lifetimes, with RIGHT CENSORING done
+    // properly: a customer whose last order falls inside the final
+    // 90 days is still alive (observation time = study end − first
+    // order), everyone else churned at their last order. Lifetimes
+    // land in 180-day buckets, so the step table is a BOUNDED model
+    // frame (≤ span/180 ≈ 14 rows at any data scale — the q253
+    // collect-the-boundaries move); the data-sized work is one
+    // per-customer min/max aggregate. The survival recurrence
+    // S_k = ⌊S_{k−1}·(n_k−d_k)/n_k⌋ runs in EXACT integer
+    // parts-per-billion (no float product chain), so the DuckDB
+    // oracle replays it step for step with WITH RECURSIVE.
+    "q263_kaplan_meier" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate".cast("date").as("d"))
+      val dmax = ord.agg(max($"d").as("dmax"))
+      val steps = ord.groupBy($"o_custkey")
+        .agg(min($"d").as("first"), max($"d").as("last"))
+        .crossJoin(broadcast(dmax)) // 1-row study-end frame
+        .select($"first", $"last",
+          ($"last" > date_sub($"dmax", 90)).as("censored"), $"dmax")
+        .select($"censored",
+          when($"censored", datediff($"dmax", $"first"))
+            .otherwise(datediff($"last", $"first")).as("td"))
+        .groupBy(floor($"td" / 180).cast("long").as("bucket"))
+        .agg(sum(when(!$"censored", 1L).otherwise(0L)).as("d"),
+          sum(when($"censored", 1L).otherwise(0L)).as("c"))
+        .orderBy($"bucket")
+        .collect() // bounded: one row per 180-day bucket of the span
+      val total = steps.map(r => r.getLong(1) + r.getLong(2)).sum
+      var atRisk = total
+      var sPpb = 1000000000L
+      val out = steps.toSeq.map { r =>
+        val (b, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val n = atRisk
+        sPpb = sPpb * (n - d) / n // exact integer floor recurrence
+        atRisk -= d + c
+        (b, b * 180L, n, d, c, sPpb)
+      }
+      s.createDataFrame(out)
+        .toDF("bucket", "t_days", "n_risk", "d_churn", "c_censored",
+          "surv_ppb")
+        .orderBy($"bucket")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q263_kaplan_meier" ->
+      """WITH RECURSIVE dm AS (
+           SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+         cust AS (
+           SELECT min(CAST(o_orderdate AS DATE)) AS f,
+                  max(CAST(o_orderdate AS DATE)) AS l
+           FROM orders GROUP BY o_custkey),
+         t AS (
+           SELECT l > (SELECT dmax - 90 FROM dm) AS censored,
+                  CASE WHEN l > (SELECT dmax - 90 FROM dm)
+                       THEN (SELECT dmax FROM dm) - f
+                       ELSE l - f END AS td
+           FROM cust),
+         steps AS (
+           SELECT CAST(td // 180 AS BIGINT) AS bucket,
+                  sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT
+                    AS d,
+                  sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT
+                    AS c
+           FROM t GROUP BY 1),
+         ordered AS (
+           SELECT bucket, d, c,
+                  CAST(row_number() OVER (ORDER BY bucket) AS BIGINT)
+                    AS i,
+                  CAST((SELECT sum(d + c) FROM steps)
+                    - coalesce(sum(d + c) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+           FROM steps),
+         km AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(1000000000 AS BIGINT)
+                    AS s
+           UNION ALL
+           SELECT o.i, k.s * (o.n_risk - o.d) // o.n_risk
+           FROM km k JOIN ordered o ON o.i = k.i + 1)
+         SELECT o.bucket, o.bucket * 180 AS t_days, o.n_risk,
+                o.d AS d_churn, o.c AS c_censored, k.s AS surv_ppb
+         FROM ordered o JOIN km k ON k.i = o.i
+         ORDER BY o.bucket""",
+    "q262_ols_trend" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(floor(value * 100.0) AS BIGINT)) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  CAST(sum(t) AS DECIMAL(38,0)) AS st,
+                  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                  CAST(sum(t * y) AS DECIMAL(38,0)) AS sty,
+                  CAST(sum(t * t) AS DECIMAL(38,0)) AS stt,
+                  sum(CAST(y AS DECIMAL(38,0))
+                      * CAST(y AS DECIMAL(38,0))) AS syy
+           FROM idx GROUP BY 1),
+         d AS (
+           SELECT event_type, n,
+                  n * sty - st * sy AS cov_n,
+                  n * stt - st * st AS var_t_n,
+                  n * syy - sy * sy AS var_y_n,
+                  sy * stt - st * sty AS ic_n
+           FROM m)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(CAST(cov_n AS DOUBLE) / CAST(var_t_n AS DOUBLE), 4)
+                  AS slope_cents_per_day,
+                round(CAST(ic_n AS DOUBLE) / CAST(var_t_n AS DOUBLE), 4)
+                  AS intercept_cents,
+                round((CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
+                  / (CAST(var_t_n AS DOUBLE) * CAST(var_y_n AS DOUBLE)), 6)
+                  AS r2
+         FROM d ORDER BY event_type""",
     "q259_interarrival" ->
       """WITH g AS (
            SELECT event_type,
