@@ -2012,6 +2012,54 @@ object TextQueries {
               .as("ndcg"))
       }
       legs.reduce(_ union _).orderBy($"term")
+    }),
+
+    // Isotonic (PAV) score calibration — turn an UNCALIBRATED ranking
+    // signal (mean token length, a weak long-form predictor whose
+    // per-bucket empirical rate really does violate monotonicity in
+    // this corpus) into a monotone probability map, the standard
+    // post-hoc calibration move for margin/score outputs. Instead of
+    // the sequential pool-adjacent-violators sweep, this uses PAV's
+    // closed minimax form iso_i = max_{j≤i} min_{k≥i} mean(y_{j..k})
+    // — exact on the ≤20-row reliability frame (≤210 block means from
+    // prefix sums, bounded joins; the data-sized work is ONE
+    // conditional-sum aggregate over the docs). Block means are
+    // quantized to EXACT integer ppm via BIGINT DIV, so min/max
+    // selection and the fitted values replay bit-for-bit in DuckDB;
+    // the tiny windows are model-frame-sized, never data-sized.
+    "q264_isotonic_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val mtl = length(regexp_replace($"text", " ", ""))
+        .cast("double") / size(split($"text", " ")).cast("double")
+      val b = Tables.table(s, dir, "documents")
+        .select(($"n_chars" > 300).as("is_long"),
+          least(lit(19), greatest(lit(0),
+            floor(mtl * 10.0).cast("int") - 25)).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"is_long", 1L).otherwise(0L)).as("y"))
+      val wb = Window.orderBy($"bucket") // 10-row model frame
+      val pre = b
+        .withColumn("pn", sum($"n").over(wb))
+        .withColumn("py", sum($"y").over(wb))
+        .localCheckpoint() // 10 rows; feeds blocks twice + output once
+      val prefix = pre.select($"bucket".as("bk"), $"pn".as("pnk"),
+          $"py".as("pyk"))
+        .union(s.range(1).select(lit(-1).cast("int").as("bk"),
+          lit(0L).as("pnk"), lit(0L).as("pyk")))
+      val blocks = pre.select($"bucket".as("k"), $"pn", $"py")
+        .join(prefix, $"bk" < $"k")
+        .select(($"bk" + 1).as("j"), $"k",
+          expr("(py - pyk) * 1000000 DIV (pn - pnk)").as("ppm"))
+      val iso = pre.select($"bucket".as("i"))
+        .join(blocks, $"j" <= $"i" && $"i" <= $"k")
+        .groupBy($"i", $"j").agg(min($"ppm").as("mn"))
+        .groupBy($"i").agg(max($"mn").as("iso_ppm"))
+      pre.select($"bucket", $"n".as("n_docs"),
+          expr("y * 1000000 DIV n").as("emp_ppm"))
+        .join(iso, $"bucket" === $"i")
+        .select($"bucket", $"n_docs", $"emp_ppm", $"iso_ppm")
+        .orderBy($"bucket")
     }))
 
   /** q254/q258's shared scoring frame: binary NB (long-form vs not),
@@ -2157,6 +2205,41 @@ object TextQueries {
       " SELECT is_long, s_pos > s_neg AS pred_long, " +
       "count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id " +
       "FROM scored GROUP BY is_long, pred_long ORDER BY is_long, pred_long"),
+    "q264_isotonic_calibration" ->
+      """WITH scored AS (
+           SELECT n_chars > 300 AS is_long,
+                  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / CAST(length(string_split(text, ' ')) AS DOUBLE)
+                    AS mtl
+           FROM documents),
+         b AS (
+           SELECT least(19, greatest(0,
+                    CAST(floor(mtl * 10.0) AS INT) - 25)) AS bucket,
+                  count(*)::BIGINT AS n,
+                  sum(CASE WHEN is_long THEN 1 ELSE 0 END)::BIGINT AS y
+           FROM scored GROUP BY 1),
+         pre AS (
+           SELECT bucket, n, y,
+                  CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS pn,
+                  CAST(sum(y) OVER (ORDER BY bucket) AS BIGINT) AS py
+           FROM b),
+         prefix AS (
+           SELECT bucket AS bk, pn AS pnk, py AS pyk FROM pre
+           UNION ALL SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         blocks AS (
+           SELECT p.bk + 1 AS j, k.bucket AS k,
+                  (k.py - p.pyk) * 1000000 // (k.pn - p.pnk) AS ppm
+           FROM pre k JOIN prefix p ON p.bk < k.bucket),
+         iso AS (
+           SELECT i, max(mn) AS iso_ppm FROM (
+             SELECT p.bucket AS i, bl.j, min(bl.ppm) AS mn
+             FROM pre p JOIN blocks bl
+               ON bl.j <= p.bucket AND p.bucket <= bl.k
+             GROUP BY 1, 2) GROUP BY 1)
+         SELECT p.bucket, p.n AS n_docs,
+                p.y * 1000000 // p.n AS emp_ppm, iso.iso_ppm
+         FROM pre p JOIN iso ON iso.i = p.bucket
+         ORDER BY p.bucket""",
     "q258_nb_calibration" -> (nbScoredSql +
       ", b AS (SELECT is_long, s_pos / (s_pos + s_neg) AS p, " +
       "least(9, CAST(floor((s_pos / (s_pos + s_neg)) * 10.0) AS INT)) " +
