@@ -1748,9 +1748,59 @@ object Analytics {
         .toDF("bucket", "t_days", "n_risk", "d_churn", "c_censored",
           "surv_ppb")
         .orderBy($"bucket")
+    }),
+
+    // Simple-exponential-smoothing forecast (α = 1/2) — one-step-ahead
+    // daily-revenue prediction per event type, the classic smoother
+    // made EXACT: with a dyadic α the truncated weight series
+    // 1/2, 1/4, …, 2⁻¹³, 2⁻¹³ sums to exactly 1, so the forecast
+    // ×8192 is a PURE INTEGER combination Σ 2^(13−i)·y_(t−i) + y_(t−14)
+    // of cents — no float recurrence, no libm, and the DuckDB oracle
+    // replays every row bit-for-bit. The 14 lags ride ONE bounded
+    // per-type day window (the q257 shape, never a global window);
+    // at any data scale the state is 14 numbers per key — the same
+    // footprint an incremental streaming smoother would carry.
+    "q265_ses_forecast" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val lagged = (1 to 14).foldLeft(daily) { (df, i) =>
+        df.withColumn(s"l$i", lag($"y", i).over(w))
+      }
+      val f8192 = ((1 to 13).map(i => col(s"l$i") * lit(1L << (13 - i)))
+        .reduce(_ + _) + col("l14")).as("f8192")
+      lagged.filter($"l14".isNotNull)
+        .select($"event_type", $"day", $"y".as("actual_cents"), f8192)
+        .withColumn("forecast_cents", expr("f8192 DIV 8192"))
+        .withColumn("err_cents", $"actual_cents" - $"forecast_cents")
+        .orderBy($"event_type", $"day")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q265_ses_forecast" -> {
+      val lags = (1 to 14).map(i =>
+        s"lag(y, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
+        .mkString(", ")
+      val f = (1 to 13).map(i => s"l$i * ${1L << (13 - i)}")
+        .mkString(" + ") + " + l14"
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, day, y, $lags FROM daily),
+         f AS (
+           SELECT event_type, day, y AS actual_cents,
+                  CAST($f AS BIGINT) AS f8192
+           FROM lagged WHERE l14 IS NOT NULL)
+         SELECT event_type, day, actual_cents, f8192,
+                f8192 // 8192 AS forecast_cents,
+                actual_cents - (f8192 // 8192) AS err_cents
+         FROM f ORDER BY event_type, day"""
+    },
     "q263_kaplan_meier" ->
       """WITH RECURSIVE dm AS (
            SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
