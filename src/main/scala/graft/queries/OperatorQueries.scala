@@ -300,6 +300,49 @@ object OperatorQueries {
       }
     }),
 
+    // Single-source BFS hop census over the customer↔supplier
+    // purchase graph — the shortest-path primitive the graph family
+    // (q100 PageRank, q107 triangles, q226 k-core) lacked: hop
+    // distance from the lowest customer id to every reachable node,
+    // capped at 6 hops. Each round is one frontier⋈edges equijoin +
+    // distinct + anti-join against the visited set — the Pregel
+    // superstep shape, where at 100 TB both sides co-partition on the
+    // node key and AQE broadcasts the frontier once it shrinks; the
+    // visited set is localCheckpointed per round so no lineage blowup.
+    // Fully deterministic (min-hop semantics), so the DuckDB oracle
+    // replays it with a hop-capped WITH RECURSIVE + min-hop rollup.
+    "q266_bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+      val ords = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"),
+          ($"l_suppkey" + 1000000L).as("supp"))
+      val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+        .union(pairs.select($"supp".as("src"), $"cust".as("dst")))
+        .distinct()
+        .localCheckpoint() // reused by all 6 supersteps
+      var dist = edges.agg(min($"src").as("node"))
+        .withColumn("hop", lit(0))
+        .localCheckpoint()
+      var frontier = dist
+      for (h <- 1 to 6 if frontier.limit(1).count() > 0) {
+        val nxt = frontier.join(edges, $"node" === $"src")
+          .select($"dst".as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hop", lit(h))
+          .localCheckpoint()
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt
+      }
+      dist.groupBy($"hop")
+        .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
+          max($"node").as("max_node"), sum($"node").as("sum_nodes"))
+        .orderBy($"hop")
+    }),
+
     // k-core decomposition (k=3) of the customer↔supplier purchase
     // graph — the iterative-peeling operator behind "dense core"
     // extraction (Batagelj & Zaveršnik 2003): drop every node with
@@ -880,6 +923,29 @@ object OperatorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q266_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT o.o_custkey AS cust,
+                  l.l_suppkey + 1000000 AS supp
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT cust AS src, supp AS dst FROM pairs
+             UNION ALL SELECT supp AS src, cust AS dst FROM pairs)),
+         bfs AS (
+           SELECT (SELECT min(cust) FROM pairs) AS node, 0 AS hop
+           UNION
+           SELECT e.dst AS node, b.hop + 1 AS hop
+           FROM bfs b JOIN edges e ON e.src = b.node
+           WHERE b.hop < 6),
+         dist AS (
+           SELECT node, min(hop) AS hop FROM bfs GROUP BY 1)
+         SELECT hop, count(*)::BIGINT AS n_nodes,
+                CAST(min(node) AS BIGINT) AS min_node,
+                CAST(max(node) AS BIGINT) AS max_node,
+                CAST(sum(node) AS BIGINT) AS sum_nodes
+         FROM dist GROUP BY hop ORDER BY hop""",
     "q81_bloom_semi_join" ->
       s"""SELECT l_returnflag,
                  count(1) AS n_rows,
