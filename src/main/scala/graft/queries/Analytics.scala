@@ -1776,9 +1776,229 @@ object Analytics {
         .withColumn("forecast_cents", expr("f8192 DIV 8192"))
         .withColumn("err_cents", $"actual_cents" - $"forecast_cents")
         .orderBy($"event_type", $"day")
+    }),
+
+    // Mann-Kendall trend test — the NONPARAMETRIC companion to q262's
+    // OLS: S = Σ_{i<j} sign(y_j − y_i) over each type's daily series,
+    // immune to outliers and monotone transforms. The pair frame is
+    // bounded per type (the daily rollup is calendar-bounded at any
+    // data scale — n·(n−1)/2 ≈ 1.8k pairs for a 60-day window), so
+    // the self-join never explodes; S and the tie-corrected variance
+    // numerator 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are EXACT
+    // integers, and z touches IEEE only in the final
+    // (S∓1)/sqrt(var/18) — sqrt is correctly rounded by IEEE 754, so
+    // DuckDB replays the double bit-for-bit.
+    "q267_mann_kendall" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .localCheckpoint() // feeds pairs twice + ties once
+      val a = daily.select($"event_type", $"day".as("d1"), $"y".as("y1"))
+      val b = daily.select($"event_type".as("et2"), $"day".as("d2"),
+        $"y".as("y2"))
+      val sStat = a.join(b, $"event_type" === $"et2" && $"d1" < $"d2")
+        .groupBy($"event_type")
+        .agg(sum(signum($"y2" - $"y1").cast("long")).as("s_stat"))
+      val ties = daily.groupBy($"event_type", $"y")
+        .agg(count(lit(1)).as("t"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_vals"), sum($"t").as("n"),
+          sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_adj"))
+      sStat.join(ties, "event_type")
+        .select($"event_type", $"n".as("n_days"), $"s_stat",
+          ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_adj")
+            .as("var_s18"))
+        .withColumn("z", round(
+          when($"s_stat" > 0, ($"s_stat" - 1L).cast("double"))
+            .when($"s_stat" < 0, ($"s_stat" + 1L).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt($"var_s18".cast("double") / lit(18.0)), 6))
+        .orderBy($"event_type")
+    }),
+
+    // Theil-Sen robust slope — the median of all pairwise slopes
+    // (y_j − y_i)/(t_j − t_i), the 29%-breakdown-point estimator next
+    // to q267's test and q262's OLS fit. Slopes are quantized to
+    // EXACT integer micro-cents/day via BIGINT DIV (the q264 move),
+    // the median is exact rank selection over the bounded per-type
+    // pair frame (row_number on ~1.8k rows per type — never a
+    // data-sized window), and even-count medians ship as lo/hi/sum
+    // integers plus one IEEE division, so DuckDB replays every row.
+    "q268_theil_sen" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val idx = daily.withColumn("t", row_number().over(w).cast("long"))
+        .localCheckpoint() // self-joined below
+      val a = idx.select($"event_type", $"t".as("t1"), $"y".as("y1"))
+      val b = idx.select($"event_type".as("et2"), $"t".as("t2"),
+        $"y".as("y2"))
+      val slopes = a.join(b, $"event_type" === $"et2" && $"t1" < $"t2")
+        .select($"event_type",
+          expr("(y2 - y1) * 1000000 DIV (t2 - t1)").as("su"))
+      val ws = Window.partitionBy($"event_type").orderBy($"su")
+      val ranked = slopes
+        .withColumn("r", row_number().over(ws).cast("long"))
+      val m = slopes.groupBy($"event_type")
+        .agg(count(lit(1)).as("m"))
+      ranked.join(broadcast(m), "event_type")
+        .filter($"r" === expr("(m + 1) DIV 2") ||
+          $"r" === expr("(m + 2) DIV 2"))
+        .groupBy($"event_type")
+        .agg(max($"m").as("n_pairs"), min($"su").as("lo_ucents"),
+          max($"su").as("hi_ucents"))
+        .withColumn("slope_cents_per_day", round(
+          ($"lo_ucents" + $"hi_ucents").cast("double") / lit(2000000.0),
+          4))
+        .orderBy($"event_type")
+    }),
+
+    // Lead-lag cross-correlation screen — does click revenue LEAD
+    // purchase revenue? Pearson r between the two daily series at
+    // every offset in ±7 days, the causal-direction scan a growth
+    // analyst runs before claiming attribution. The lag dimension is
+    // an exploded 15-literal array (never 15 scans — ONE pass builds
+    // the daily frame, one equijoin per the shifted key matches the
+    // series), moments are exact integer DECIMALs per lag, and r
+    // touches IEEE only as covN/(sqrt(varXn)·sqrt(varYn)) of exact
+    // operands — both engines compute the same three roots and two
+    // products. |r| peaking at a nonzero lag is the lead signal.
+    "q269_leadlag_corr" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .localCheckpoint()
+      val clicks = daily.filter($"event_type" === "click")
+        .select($"day", $"y".as("x"))
+      val purch = daily.filter($"event_type" === "purchase")
+        .select($"day".as("pday"), $"y".as("py"))
+      val lags = clicks
+        .select($"day", $"x",
+          explode(array((-7 to 7).map(l => lit(l)): _*)).as("lg"))
+        .withColumn("mday", date_add($"day", $"lg"))
+      val d38 = "decimal(38,0)"
+      val mom = lags.join(purch, $"mday" === $"pday")
+        .groupBy($"lg")
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum($"x").cast(d38).as("sx"), sum($"py").cast(d38).as("sy"),
+          sum($"x".cast(d38) * $"py".cast(d38)).as("sxy"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"),
+          sum($"py".cast(d38) * $"py".cast(d38)).as("syy"))
+      mom.select($"lg".as("lag_days"), $"n".cast("long").as("n_days"),
+          ($"n" * $"sxy" - $"sx" * $"sy").as("cov_n"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("var_x_n"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("var_y_n"))
+        .select($"lag_days", $"n_days",
+          round($"cov_n".cast("double") /
+            (sqrt($"var_x_n".cast("double")) *
+              sqrt($"var_y_n".cast("double"))), 6).as("r"))
+        .orderBy($"lag_days")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q267_mann_kendall" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT a.event_type,
+                  CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1),
+         tg AS (
+           SELECT event_type, count(*)::BIGINT AS t
+           FROM daily GROUP BY event_type, y),
+         ties AS (
+           SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                    AS tie_adj
+           FROM tg GROUP BY 1)
+         SELECT s.event_type, ties.n AS n_days, s.s_stat,
+                ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie_adj
+                  AS var_s18,
+                round((CASE WHEN s.s_stat > 0
+                         THEN CAST(s.s_stat - 1 AS DOUBLE)
+                       WHEN s.s_stat < 0
+                         THEN CAST(s.s_stat + 1 AS DOUBLE)
+                       ELSE 0.0 END)
+                  / sqrt(CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                      - ties.tie_adj AS DOUBLE) / 18.0), 6) AS z
+         FROM s JOIN ties ON s.event_type = ties.event_type
+         ORDER BY s.event_type""",
+    "q268_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         slopes AS (
+           SELECT a.event_type,
+                  (b.y - a.y) * 1000000 // (b.t - a.t) AS su
+           FROM idx a JOIN idx b
+             ON a.event_type = b.event_type AND a.t < b.t),
+         ranked AS (
+           SELECT event_type, su,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY su) AS BIGINT) AS r,
+                  CAST(count(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS m
+           FROM slopes)
+         SELECT event_type, max(m) AS n_pairs,
+                CAST(min(su) AS BIGINT) AS lo_ucents,
+                CAST(max(su) AS BIGINT) AS hi_ucents,
+                round(CAST(min(su) + max(su) AS DOUBLE) / 2000000.0, 4)
+                  AS slope_cents_per_day
+         FROM ranked
+         WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+         GROUP BY event_type ORDER BY event_type""",
+    "q269_leadlag_corr" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         clicks AS (SELECT day, y AS x FROM daily
+                    WHERE event_type = 'click'),
+         purch AS (SELECT day AS pday, y AS py FROM daily
+                   WHERE event_type = 'purchase'),
+         lagged AS (
+           SELECT c.day, c.x, l.lg,
+                  c.day + CAST(l.lg AS INTEGER) AS mday
+           FROM clicks c CROSS JOIN (
+             SELECT unnest(range(-7, 8)) AS lg) l),
+         mom AS (
+           SELECT lg,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                  CAST(sum(py) AS DECIMAL(38,0)) AS sy,
+                  sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(py AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(x AS DECIMAL(38,0))) AS sxx,
+                  sum(CAST(py AS DECIMAL(38,0))
+                    * CAST(py AS DECIMAL(38,0))) AS syy
+           FROM lagged JOIN purch ON mday = pday
+           GROUP BY 1)
+         SELECT CAST(lg AS INT) AS lag_days, CAST(n AS BIGINT) AS n_days,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                  AS r
+         FROM mom ORDER BY lag_days""",
     "q265_ses_forecast" -> {
       val lags = (1 to 14).map(i =>
         s"lag(y, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
