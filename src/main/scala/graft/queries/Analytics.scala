@@ -1897,9 +1897,202 @@ object Analytics {
             (sqrt($"var_x_n".cast("double")) *
               sqrt($"var_y_n".cast("double"))), 6).as("r"))
         .orderBy($"lag_days")
+    }),
+
+    // Deterministic k-means (Lloyd, k=4, 3 unrolled rounds) over
+    // customer (total spend, avg order value) in exact cents — the
+    // workhorse clustering operator made ENGINE-EXACT: init is the 4
+    // lowest-custkey points, assignment is integer squared distance
+    // with ties to the lower centroid id, and centroid updates are
+    // BIGINT DIV means (empty cluster keeps its centroid), so every
+    // round is bit-deterministic and the DuckDB oracle unrolls the
+    // same 3 rounds as chained CTEs. The per-round collect is the
+    // k-row model frame (the IVF/q253 move — at 100 TB assignment
+    // stays a stateless broadcast-literal expression over one scan;
+    // k·rounds tiny frames never touch a shuffle).
+    "q270_kmeans_lloyd" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.table(s, dir, "orders")
+        .groupBy($"o_custkey".as("pid"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0)).cast("long"))
+          .as("x"), count(lit(1)).as("n"))
+        .withColumn("y", expr("x DIV n"))
+        .select($"pid", $"x", $"y")
+        .localCheckpoint() // scanned once per round
+      var cents: Seq[(Int, Long, Long)] = pts.orderBy($"pid").limit(4)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1, r.getLong(1), r.getLong(2)) }
+      def assignCol = {
+        val ds = cents.map { case (cid, cx, cy) =>
+          struct((($"x" - lit(cx)) * ($"x" - lit(cx)) +
+            ($"y" - lit(cy)) * ($"y" - lit(cy))).as("d"),
+            lit(cid).as("c"))
+        }
+        least(ds: _*).getField("c").as("cid")
+      }
+      for (_ <- 1 to 3) {
+        val upd = pts.select($"x", $"y", assignCol)
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"y").as("sy"))
+          .collect().map(r => r.getInt(0) ->
+            (r.getLong(2) / r.getLong(1), r.getLong(3) / r.getLong(1)))
+          .toMap
+        cents = cents.map { case (cid, cx, cy) =>
+          upd.get(cid).map { case (nx, ny) => (cid, nx, ny) }
+            .getOrElse((cid, cx, cy))
+        }
+      }
+      val cdf = cents.toDF("cid", "cx_cents", "cy_cents")
+      pts.select($"x", $"y", assignCol)
+        .withColumn("sqd", {
+          val d = cents.map { case (cid, cx, cy) =>
+            when($"cid" === cid, ($"x" - lit(cx)) * ($"x" - lit(cx)) +
+              ($"y" - lit(cy)) * ($"y" - lit(cy)))
+          }
+          coalesce(d: _*)
+        })
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_points"),
+          sum(expr("sqd DIV 10000")).as("wcss_sqdollars"))
+        .join(broadcast(cdf), "cid")
+        .select($"cid", $"n_points", $"cx_cents", $"cy_cents",
+          $"wcss_sqdollars")
+        .orderBy($"cid")
+    }),
+
+    // Poisson-bootstrap confidence interval for the mean order value
+    // — the bootstrap that actually DISTRIBUTES: instead of resampling
+    // n rows with replacement (impossible without a global draw),
+    // each of 32 replicates weights every row by an independent
+    // Poisson(1) multiplicity (Chamandy et al., Google 2012),
+    // decided by the PORTABLE salted hash over (orderkey, replicate)
+    // so the DuckDB oracle replays the exact draws. One explode ×32 +
+    // one 32-group aggregate; replicate means are single IEEE
+    // divisions of exact integer sums; the CI is exact rank selection
+    // over the 32-row replicate frame (min/max at B=32 ≈ the 2.5/97.5
+    // band), and the bootstrap SE touches IEEE only in the final
+    // sqrt of exact-moment operands.
+    "q271_poisson_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val cuts = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+        999406L)
+      val base = Tables.table(s, dir, "orders")
+        .select($"o_orderkey",
+          floor($"o_totalprice" * lit(100.0)).cast("long").as("v"))
+      val rep = base
+        .select($"o_orderkey", $"v",
+          explode(array((1 to 32).map(lit): _*)).as("b"))
+        .withColumn("u", graft.text.TextFunctions.hash60(
+          concat($"o_orderkey".cast("string"), lit("_bs"),
+            $"b".cast("string"))) % 1000000L)
+        .withColumn("mult",
+          cuts.zipWithIndex.foldRight(lit(6L)) { case ((c, k), e) =>
+            when($"u" < c, k.toLong).otherwise(e)
+          })
+        .groupBy($"b")
+        .agg(sum($"mult" * $"v").as("sv"), sum($"mult").as("sn"))
+        .select(($"sv".cast("double") / $"sn".cast("double"))
+          .as("mean_b"))
+      val point = base.agg(
+        (sum($"v").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_hat"))
+      rep.agg(count(lit(1)).as("n_reps"),
+          round(min($"mean_b"), 4).as("ci_lo_cents"),
+          round(max($"mean_b"), 4).as("ci_hi_cents"),
+          round(sqrt((Q.dsumAt($"mean_b" * $"mean_b", 4) -
+            Q.dsumAt($"mean_b", 4) * Q.dsumAt($"mean_b", 4) /
+              count(lit(1)).cast("double")) /
+            (count(lit(1)).cast("double") - 1.0)), 4).as("se_cents"))
+        .crossJoin(point) // 1-row frames
+        .select($"n_reps", round($"mean_hat", 4).as("mean_cents"),
+          $"ci_lo_cents", $"ci_hi_cents", $"se_cents")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q270_kmeans_lloyd" -> {
+      // one Lloyd round: assign by squared distance (ties → lower
+      // cid), recompute centroids as BIGINT // means, empty cluster
+      // keeps its centroid — unrolled 3× as chained CTEs
+      def round(i: Int) =
+        s"""a$i AS (
+           SELECT pid, x, y, cid,
+                  row_number() OVER (PARTITION BY pid ORDER BY
+                    (x - cx) * (x - cx) + (y - cy) * (y - cy), cid)
+                    AS rn
+           FROM p CROSS JOIN c${i - 1}),
+         c$i AS (
+           SELECT c.cid, coalesce(u.ncx, c.cx) AS cx,
+                  coalesce(u.ncy, c.cy) AS cy
+           FROM c${i - 1} c LEFT JOIN (
+             SELECT cid, CAST(sum(x) AS BIGINT) // count(*) AS ncx,
+                    CAST(sum(y) AS BIGINT) // count(*) AS ncy
+             FROM a$i WHERE rn = 1 GROUP BY cid) u
+             ON u.cid = c.cid)"""
+      s"""WITH pts AS (
+           SELECT o_custkey AS pid,
+                  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x,
+                  count(*)::BIGINT AS n
+           FROM orders GROUP BY 1),
+         p AS (SELECT pid, x, x // n AS y FROM pts),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY pid) AS INT) AS cid,
+                  x AS cx, y AS cy
+           FROM (SELECT pid, x, y FROM p ORDER BY pid LIMIT 4)),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)},
+         af AS (
+           SELECT pid, x, y, cid, cx, cy,
+                  row_number() OVER (PARTITION BY pid ORDER BY
+                    (x - cx) * (x - cx) + (y - cy) * (y - cy), cid)
+                    AS rn
+           FROM p CROSS JOIN c3)
+         SELECT cid, count(*)::BIGINT AS n_points,
+                CAST(min(cx) AS BIGINT) AS cx_cents,
+                CAST(min(cy) AS BIGINT) AS cy_cents,
+                CAST(sum(((x - cx) * (x - cx) + (y - cy) * (y - cy))
+                  // 10000) AS BIGINT) AS wcss_sqdollars
+         FROM af WHERE rn = 1
+         GROUP BY cid ORDER BY cid"""
+    },
+    "q271_poisson_bootstrap" ->
+      s"""WITH base AS (
+           SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+           FROM orders),
+         rep AS (
+           SELECT b.b, v,
+                  CAST('0x' || substr(md5(o_orderkey::VARCHAR || '_bs'
+                    || b.b::VARCHAR), 1, 15) AS BIGINT) % 1000000 AS u
+           FROM base CROSS JOIN
+             (SELECT unnest(range(1, 33)) AS b) b),
+         mult AS (
+           SELECT b, v,
+                  CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                       WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                       WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                       ELSE 6 END AS m
+           FROM rep),
+         means AS (
+           SELECT CAST(sum(m * v) AS DOUBLE)
+                    / CAST(sum(m) AS DOUBLE) AS mean_b
+           FROM mult GROUP BY b),
+         pt AS (
+           SELECT CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS mean_hat
+           FROM base)
+         SELECT count(*)::BIGINT AS n_reps,
+                round((SELECT mean_hat FROM pt), 4) AS mean_cents,
+                round(min(mean_b), 4) AS ci_lo_cents,
+                round(max(mean_b), 4) AS ci_hi_cents,
+                round(sqrt((${Q.dsumAtSql("mean_b * mean_b", 4)}
+                  - ${Q.dsumAtSql("mean_b", 4)}
+                    * ${Q.dsumAtSql("mean_b", 4)}
+                    / CAST(count(*) AS DOUBLE))
+                  / (CAST(count(*) AS DOUBLE) - 1.0)), 4) AS se_cents
+         FROM means""",
     "q267_mann_kendall" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
