@@ -2007,9 +2007,142 @@ object Analytics {
         .crossJoin(point) // 1-row frames
         .select($"n_reps", round($"mean_hat", 4).as("mean_cents"),
           $"ci_lo_cents", $"ci_hi_cents", $"se_cents")
+    }),
+
+    // Time-weighted average value (TWAP) — the right daily mean for a
+    // SAMPLED-WHEN-IT-CHANGES signal: each event's value holds until
+    // the next event of that type, so it's weighted by its holding
+    // time in micros (last event holds to end of day, UTC). One lead()
+    // over bounded (type, day) timelines; Σ(cents·micros) is an exact
+    // integer DECIMAL (no float accumulation), TWAP is one IEEE
+    // division per group, and the arithmetic-mean companion rides
+    // in-row to show WHERE time weighting matters.
+    "q272_twap_daily" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_type", $"ts".cast("date").as("day"),
+          unix_micros($"ts").as("us"),
+          floor($"value" * lit(100.0)).cast("long").as("cents"))
+      val w = Window.partitionBy($"event_type", $"day").orderBy($"us")
+      val eod = unix_micros(date_add($"day", 1).cast("timestamp"))
+      val d38 = "decimal(38,0)"
+      ev.withColumn("hold", coalesce(lead($"us", 1).over(w), eod) - $"us")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"hold").cast(d38).as("sw"),
+          sum($"cents".cast(d38) * $"hold".cast(d38)).as("swv"),
+          sum($"cents").cast(d38).as("sv"))
+        .select($"event_type", $"n_events",
+          round($"swv".cast("double") /
+            ($"sw".cast("double") * lit(100.0)), 4).as("twap_dollars"),
+          round($"sv".cast("double") /
+            ($"n_events".cast("double") * lit(100.0)), 4)
+            .as("mean_dollars"))
+        .orderBy($"event_type")
+    }),
+
+    // Trimmed + winsorized mean of order value — the robust-location
+    // pair every metrics pipeline needs once heavy tails appear:
+    // drop (trim) or clamp (winsorize) the outer 5% by EXACT global
+    // rank. Rank comes from GlobalIndex.withGlobalSeq (range exchange
+    // + per-partition offsets — never a single-task global window);
+    // the two clamp boundaries are the rank-(k+1) and rank-(n−k) rows
+    // (a 2-row collect); all three means are single IEEE divisions of
+    // exact integer-cent sums, so DuckDB replays every digit.
+    "q273_trimmed_mean" -> ((s, dir) => {
+      import s.implicits._
+      val seqd = graft.operators.GlobalIndex.withGlobalSeq(
+        Tables.table(s, dir, "orders")
+          .select(floor($"o_totalprice" * lit(100.0)).cast("long")
+            .as("cents"), $"o_orderkey"),
+        Seq($"cents", $"o_orderkey"))
+        .localCheckpoint() // 3 consumers below
+      val n = seqd.count()
+      val k = n * 5 / 100
+      val bounds = seqd
+        .filter($"global_seq" === (k + 1) || $"global_seq" === (n - k))
+        .select($"global_seq", $"cents").as[(Long, Long)]
+        .collect().sortBy(_._1).map(_._2) // 2-row boundary frame
+      val (loB, hiB) = (bounds.head, bounds.last)
+      seqd.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"global_seq" > k && $"global_seq" <= n - k,
+            $"cents").otherwise(0L)).as("s_trim"),
+          sum(when($"global_seq" > k && $"global_seq" <= n - k, 1L)
+            .otherwise(0L)).as("n_trim"),
+          sum(when($"global_seq" <= k, lit(loB))
+            .when($"global_seq" > n - k, lit(hiB))
+            .otherwise($"cents")).as("s_wins"),
+          sum($"cents").as("s_raw"))
+        .select($"n_rows", lit(k).as("k_trimmed_each_side"),
+          lit(loB).as("lo_clamp_cents"), lit(hiB).as("hi_clamp_cents"),
+          round($"s_trim".cast("double") /
+            ($"n_trim".cast("double") * lit(100.0)), 4)
+            .as("trimmed_mean_dollars"),
+          round($"s_wins".cast("double") /
+            ($"n_rows".cast("double") * lit(100.0)), 4)
+            .as("winsor_mean_dollars"),
+          round($"s_raw".cast("double") /
+            ($"n_rows".cast("double") * lit(100.0)), 4)
+            .as("raw_mean_dollars"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q272_twap_daily" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  epoch_us(ts) AS us,
+                  CAST(floor(value * 100.0) AS BIGINT) AS cents
+           FROM events),
+         h AS (
+           SELECT event_type, cents,
+                  coalesce(lead(us) OVER (PARTITION BY event_type, day
+                      ORDER BY us),
+                    epoch_us(CAST(day + 1 AS TIMESTAMP))) - us AS hold
+           FROM ev)
+         SELECT event_type, count(*)::BIGINT AS n_events,
+                round(CAST(sum(CAST(cents AS DECIMAL(38,0))
+                      * CAST(hold AS DECIMAL(38,0))) AS DOUBLE)
+                  / (CAST(sum(CAST(hold AS DECIMAL(38,0))) AS DOUBLE)
+                     * 100.0), 4) AS twap_dollars,
+                round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 100.0), 4)
+                  AS mean_dollars
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "q273_trimmed_mean" ->
+      """WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+                  o_orderkey
+           FROM orders),
+         r AS (
+           SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS rk,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+           FROM o),
+         p AS (SELECT cents, rk, n, n * 5 // 100 AS k FROM r),
+         b AS (
+           SELECT max(CASE WHEN rk = k + 1 THEN cents END) AS lo,
+                  max(CASE WHEN rk = n - k THEN cents END) AS hi
+           FROM p)
+         SELECT max(n) AS n_rows, max(k) AS k_trimmed_each_side,
+                (SELECT lo FROM b) AS lo_clamp_cents,
+                (SELECT hi FROM b) AS hi_clamp_cents,
+                round(CAST(sum(CASE WHEN rk > k AND rk <= n - k
+                    THEN cents ELSE 0 END) AS DOUBLE)
+                  / (CAST(sum(CASE WHEN rk > k AND rk <= n - k
+                      THEN 1 ELSE 0 END) AS DOUBLE) * 100.0), 4)
+                  AS trimmed_mean_dollars,
+                round(CAST(sum(CASE WHEN rk <= k
+                      THEN (SELECT lo FROM b)
+                    WHEN rk > n - k THEN (SELECT hi FROM b)
+                    ELSE cents END) AS DOUBLE)
+                  / (CAST(max(n) AS DOUBLE) * 100.0), 4)
+                  AS winsor_mean_dollars,
+                round(CAST(sum(cents) AS DOUBLE)
+                  / (CAST(max(n) AS DOUBLE) * 100.0), 4)
+                  AS raw_mean_dollars
+         FROM p""",
     "q270_kmeans_lloyd" -> {
       // one Lloyd round: assign by squared distance (ties → lower
       // cid), recompute centroids as BIGINT // means, empty cluster
