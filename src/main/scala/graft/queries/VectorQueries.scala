@@ -772,6 +772,82 @@ object VectorQueries {
         .withColumn("occupancy_pm", expr("1000 * n_buckets div 64"))
         .withColumn("top_share_pm", expr("1000 * top_bucket_n div n_vecs"))
         .orderBy($"label")
+    }),
+
+    // Per-dimension Fisher discriminant score — the feature-selection
+    // audit "which embedding coordinates actually separate the
+    // labels": F_j = between-class / within-class variance. Elements
+    // snap to the dyadic 1/1024 grid (floor(v·1024): exact IEEE
+    // power-of-two multiply + floor, the q133 discipline — never a
+    // float→DECIMAL cast), so all moments are EXACT integers; the
+    // per-class scatter terms t_c = ⌊2²⁰·Sx_c²/n_c⌋ are exact BIGINT
+    // DIVs (order-free to sum, unlike float terms), and F touches
+    // IEEE only in the final one-division render. One posexplode +
+    // two hash aggregates; output is dim-bounded (64 rows).
+    "q274_fisher_score" -> ((s, dir) => {
+      import s.implicits._
+      val perClass = Tables.table(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("j", "v")))
+        .select($"label", $"j",
+          floor($"v".cast("double") * lit(1024.0)).cast("long")
+            .as("x"))
+        .groupBy($"j", $"label")
+        .agg(count(lit(1)).as("nc"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+      perClass
+        .select($"j", $"nc", $"sx", $"sxx",
+          expr("sx * sx * 1048576 DIV nc").as("tc"))
+        .groupBy($"j")
+        .agg(sum($"nc").as("n"), sum($"sx").as("sx_all"),
+          sum($"sxx").as("sxx_all"), sum($"tc").as("t"))
+        .select($"j", $"n",
+          ($"t" - expr("sx_all * sx_all * 1048576 DIV n")).as("ssb_u"),
+          ($"sxx_all" * lit(1048576L) - $"t").as("ssw_u"))
+        .select($"j", $"n",
+          round($"ssb_u".cast("double") / $"ssw_u".cast("double"), 6)
+            .as("fisher_ratio"))
+        .orderBy($"j")
+    }),
+
+    // Top principal component by POWER ITERATION in pure fixed-point
+    // — PCA's workhorse step as a distributed integer program: with
+    // X on the 1/1024 dyadic grid and v L∞-normalized to 1024
+    // integer units each round, y = Xv and w = Xᵀy are EXACT integer
+    // sums (order-free at any cluster layout), and renormalization
+    // v' = ⌊1024·w/max|w|⌋ is a fixed scalar double chain both
+    // engines compute bit-identically. 3 unrolled rounds from the
+    // all-ones start; the DuckDB oracle replays them as chained
+    // CTEs. Per round: one y-aggregate (n groups) + one w-aggregate
+    // (64 groups) + a 64-row collect — the model-frame move; the
+    // data-sized pass is the posexploded scan, 3×.
+    "q275_power_iteration" -> ((s, dir) => {
+      import s.implicits._
+      val x = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("j", "e")))
+        .select($"vec_id", $"j",
+          floor($"e".cast("double") * lit(1024.0)).cast("long")
+            .as("x"))
+        .localCheckpoint() // scanned twice per round
+      var v: Map[Int, Long] = (0 until 64).map(_ -> 1024L).toMap
+      for (_ <- 1 to 3) {
+        val vCol = coalesce(
+          v.toSeq.sortBy(_._1).map { case (j, vj) =>
+            when($"j" === j, lit(vj)) }: _*)
+        val y = x.withColumn("vj", vCol)
+          .groupBy($"vec_id")
+          .agg(sum($"x" * $"vj").cast("decimal(38,0)").as("y"))
+        val w = x.join(y, "vec_id")
+          .groupBy($"j")
+          .agg(sum($"x".cast("decimal(38,0)") * $"y").as("w"))
+          .collect().map(r => r.getInt(0) ->
+            BigDecimal(r.getDecimal(1)).toBigInt).toMap // 64-row model
+        val mx = w.values.map(_.abs).max
+        v = w.map { case (j, wj) =>
+          j -> math.floor(wj.toDouble * 1024.0 / mx.toDouble).toLong
+        }
+      }
+      s.createDataFrame(v.toSeq.sortBy(_._1).map(t => (t._1, t._2)))
+        .toDF("j", "v_fixed").orderBy($"j")
     }))
 
   /** Retained for callers that want the ANN surface without oracles
@@ -788,6 +864,66 @@ object VectorQueries {
       s" * sqrt(${dotDim(bv, bv, n)}))"
 
   val oracles: Map[String, String] = Map(
+    "q274_fisher_score" ->
+      """WITH d AS (
+           SELECT label,
+                  generate_subscripts(embedding, 1) - 1 AS j,
+                  CAST(floor(unnest(embedding)::DOUBLE * 1024.0)
+                    AS BIGINT) AS x
+           FROM embeddings),
+         pc AS (
+           SELECT j, label, count(*)::BIGINT AS nc,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM d GROUP BY 1, 2),
+         t AS (
+           SELECT j, nc, sx, sxx,
+                  sx * sx * 1048576 // nc AS tc
+           FROM pc),
+         g AS (
+           SELECT j, CAST(sum(nc) AS BIGINT) AS n,
+                  CAST(sum(sx) AS BIGINT) AS sx_all,
+                  CAST(sum(sxx) AS BIGINT) AS sxx_all,
+                  CAST(sum(tc) AS BIGINT) AS t
+           FROM t GROUP BY 1)
+         SELECT j, n,
+                round(CAST(t - (sx_all * sx_all * 1048576 // n)
+                    AS DOUBLE)
+                  / CAST(sxx_all * 1048576 - t AS DOUBLE), 6)
+                  AS fisher_ratio
+         FROM g ORDER BY j""",
+    "q275_power_iteration" -> {
+      // one fixed-point power-iteration round: y = Xv (exact integer
+      // per-vector sums), w = Xᵀy (exact integer per-dim sums),
+      // v' = ⌊1024·w/max|w|⌋ — unrolled 3× as chained CTEs
+      def round(i: Int) =
+        s"""y$i AS (
+           SELECT x.vec_id, sum(CAST(x.x AS HUGEINT) * v${i - 1}.v)
+                    AS y
+           FROM x JOIN v${i - 1} ON x.j = v${i - 1}.j GROUP BY 1),
+         w$i AS (
+           SELECT x.j, sum(CAST(x.x AS HUGEINT) * y$i.y) AS w
+           FROM x JOIN y$i ON x.vec_id = y$i.vec_id GROUP BY 1),
+         v$i AS (
+           SELECT j, CAST(floor(CAST(w AS DOUBLE) * 1024.0
+                    / CAST((SELECT max(abs(w)) FROM w$i) AS DOUBLE))
+                  AS BIGINT) AS v
+           FROM w$i)"""
+      s"""WITH x AS (
+           SELECT vec_id,
+                  generate_subscripts(embedding, 1) - 1 AS j,
+                  CAST(floor(unnest(embedding)::DOUBLE * 1024.0)
+                    AS BIGINT) AS x
+           FROM embeddings),
+         v0 AS (
+           SELECT unnest(range(0, 64)) AS j,
+                  CAST(1024 AS HUGEINT) AS v),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)}
+         SELECT CAST(j AS INT) AS j, CAST(v AS BIGINT) AS v_fixed
+         FROM v3 ORDER BY j"""
+    },
     "q133_embedding_drift" ->
       s"""WITH d AS (SELECT label, unnest(embedding) AS v,
                             generate_subscripts(embedding, 1) AS dim
