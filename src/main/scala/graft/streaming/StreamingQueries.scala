@@ -192,13 +192,59 @@ object StreamingQueries {
         .orderBy(col("day_start"))
     }
 
+  /** Streaming at-least-once dedup via dropDuplicatesWithinWatermark
+    * (Spark 3.5+): a doubled event feed (the same source unioned with
+    * itself — the redelivery a Kafka at-least-once consumer actually
+    * sees) deduped on event_id with BOUNDED state. Unlike plain
+    * streaming dropDuplicates (state grows with all keys ever seen —
+    * unusable on an unbounded stream), the within-watermark form
+    * evicts a key's dedup state once the watermark passes its event
+    * time + delay, so state is (keys per watermark window), not (keys
+    * per stream lifetime) — the only shape that survives 100 TB/day.
+    * Redeliveries here carry identical timestamps, so every duplicate
+    * lands inside the window and the drained result equals batch
+    * DISTINCT — exactly what the oracle replays. */
+  def streamedDedupWithinWatermark(spark: SparkSession,
+      dir: String): DataFrame = StreamTuning.withStatePartitions(spark) {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_dedup_${runId.incrementAndGet()}_")
+      .toString
+    def feed(): DataFrame = Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val q = feed().union(feed()) // injected at-least-once redelivery
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("event_id")).as("sum_ids"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q.Fn] = Map(
     "q210_statestore_read" -> ((s, dir) => stateStoreAudit(s, dir)),
     "q35_stream_tumbling" -> ((s, dir) => streamedTumblingCounts(s, dir)),
     "q106_stream_static_join" -> ((s, dir) => streamedSegmentEnrichment(s, dir)),
-    "q134_stream_topk" -> ((s, dir) => streamedTopKPerDay(s, dir)))
+    "q134_stream_topk" -> ((s, dir) => streamedTopKPerDay(s, dir)),
+    "q276_stream_dedup_watermark" ->
+      ((s, dir) => streamedDedupWithinWatermark(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "q276_stream_dedup_watermark" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+                count(DISTINCT event_id)::BIGINT AS n_distinct,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q210_statestore_read" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
                 count(1) AS n_events
