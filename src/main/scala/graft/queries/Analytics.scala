@@ -2085,9 +2085,175 @@ object Analytics {
           round($"s_raw".cast("double") /
             ($"n_rows".cast("double") * lit(100.0)), 4)
             .as("raw_mean_dollars"))
+    }),
+
+    // Trend + weekday decomposition — the "STL-lite" additive model
+    // y = trend + weekday + residual a seasonality-aware monitor
+    // fits, in PURE INTEGER arithmetic: the trend line is q262's OLS
+    // fit kept as an exact rational (fit·10⁶ = (ic_n + cov_n·t)·10⁶
+    // DIV var_t_n — numerators in DECIMAL(38,0), one integral
+    // divide), the weekday effect is the per-(type, weekday) mean of
+    // the detrended series as a micro-cents DIV (a 7-row-per-type
+    // model joined back broadcast, the q239 shape), and the residual
+    // is a subtraction. weekday() is the cross-engine-safe Monday=0
+    // index (≡ DuckDB isodow−1). No float ever appears, so every row
+    // replays bit-for-bit.
+    "q279_seasonal_decomp" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val d38 = "decimal(38,0)"
+      val idx = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .localCheckpoint() // feeds moments + the decomposition scan
+      val m = idx.groupBy($"event_type")
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum($"t").cast(d38).as("st"), sum($"y").cast(d38).as("sy"),
+          sum($"t" * $"y").cast(d38).as("sty"),
+          sum($"t" * $"t").cast(d38).as("stt"))
+        .select($"event_type",
+          ($"n" * $"sty" - $"st" * $"sy").as("cov_n"),
+          ($"n" * $"stt" - $"st" * $"st").as("var_t_n"),
+          ($"sy" * $"stt" - $"st" * $"sty").as("ic_n"))
+      val detrended = idx.join(broadcast(m), "event_type")
+        .select($"event_type", $"day", $"y",
+          expr(s"CAST((ic_n + cov_n * CAST(t AS $d38)) * 1000000" +
+            s" AS $d38) DIV var_t_n").as("trend_ucents"))
+        .withColumn("wd", weekday($"day"))
+        .withColumn("d_u", $"y" * lit(1000000L) - $"trend_ucents")
+        .localCheckpoint() // feeds weekday model + final join
+      val wdEffect = detrended.groupBy($"event_type", $"wd")
+        .agg(expr("sum(d_u) DIV count(1)").as("weekday_ucents"))
+      detrended.join(broadcast(wdEffect), Seq("event_type", "wd"))
+        .select($"event_type", $"day", $"wd", $"y".as("actual_cents"),
+          $"trend_ucents", $"weekday_ucents",
+          ($"d_u" - $"weekday_ucents").as("resid_ucents"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // Pairwise correlation matrix of the five per-type daily revenue
+    // series — q269's lead-lag generalized to every same-day type
+    // pair: one pivot to a (day × 5) frame (a single hash aggregate
+    // with conditional sums — never 5 scans), then exact integer
+    // DECIMAL moments per pair over the bounded pair set, Pearson r
+    // as one IEEE expression of exact operands. Missing days count as
+    // zero revenue (the pivot's semantic), which is the right reading
+    // for an arrival stream.
+    "q280_corr_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"ts".cast("date").as("day"))
+        .pivot("event_type", types)
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")))
+        .select($"day" +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .localCheckpoint() // all 10 pair aggregates scan it once each
+      val d38 = "decimal(38,0)"
+      val pairs = for {
+        i <- types.indices; j <- i + 1 until types.length
+      } yield (types(i), types(j))
+      pairs.map { case (a, b) =>
+        daily.agg(count(lit(1)).cast(d38).as("n"),
+            sum(col(a)).cast(d38).as("sx"),
+            sum(col(b)).cast(d38).as("sy"),
+            sum(col(a).cast(d38) * col(b).cast(d38)).as("sxy"),
+            sum(col(a).cast(d38) * col(a).cast(d38)).as("sxx"),
+            sum(col(b).cast(d38) * col(b).cast(d38)).as("syy"))
+          .select(lit(a).as("type_a"), lit(b).as("type_b"),
+            $"n".cast("long").as("n_days"),
+            round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))),
+              6).as("r"))
+      }.reduce(_ union _).orderBy($"type_a", $"type_b")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q279_seasonal_decomp" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  CAST(sum(t) AS DECIMAL(38,0)) AS st,
+                  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                  CAST(sum(t * y) AS DECIMAL(38,0)) AS sty,
+                  CAST(sum(t * t) AS DECIMAL(38,0)) AS stt
+           FROM idx GROUP BY 1),
+         d AS (
+           SELECT event_type,
+                  n * sty - st * sy AS cov_n,
+                  n * stt - st * st AS var_t_n,
+                  sy * stt - st * sty AS ic_n
+           FROM m),
+         det AS (
+           SELECT i.event_type, i.day, i.y,
+                  isodow(i.day) - 1 AS wd,
+                  CAST(CAST((d.ic_n + d.cov_n
+                      * CAST(i.t AS DECIMAL(38,0))) * 1000000
+                    AS HUGEINT) // CAST(d.var_t_n AS HUGEINT)
+                    AS BIGINT) AS trend_ucents
+           FROM idx i JOIN d ON i.event_type = d.event_type),
+         det2 AS (
+           SELECT *, y * 1000000 - trend_ucents AS d_u FROM det),
+         wde AS (
+           SELECT event_type, wd,
+                  CAST(CAST(sum(d_u) AS HUGEINT) // count(*)
+                    AS BIGINT) AS weekday_ucents
+           FROM det2 GROUP BY 1, 2)
+         SELECT t.event_type, t.day, CAST(t.wd AS INT) AS wd,
+                t.y AS actual_cents, t.trend_ucents,
+                w.weekday_ucents,
+                t.d_u - w.weekday_ucents AS resid_ucents
+         FROM det2 t JOIN wde w
+           ON t.event_type = w.event_type AND t.wd = w.wd
+         ORDER BY t.event_type, t.day""",
+    "q280_corr_matrix" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"""CAST(coalesce(sum(CASE WHEN event_type = '$t'
+              THEN CAST(floor(value * 100.0) AS BIGINT) END), 0)
+            AS BIGINT) AS $t""").mkString(", ")
+      val pairs = for {
+        i <- types.indices; j <- i + 1 until types.length
+      } yield (types(i), types(j))
+      val legs = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS type_a, '$b' AS type_b,
+                CAST(count(*) AS BIGINT) AS n_days,
+                round(CAST(CAST(count(*) AS DECIMAL(38,0))
+                      * sum(CAST($a AS DECIMAL(38,0))
+                        * CAST($b AS DECIMAL(38,0)))
+                    - CAST(sum($a) AS DECIMAL(38,0))
+                      * CAST(sum($b) AS DECIMAL(38,0)) AS DOUBLE)
+                  / (sqrt(CAST(CAST(count(*) AS DECIMAL(38,0))
+                      * sum(CAST($a AS DECIMAL(38,0))
+                        * CAST($a AS DECIMAL(38,0)))
+                    - CAST(sum($a) AS DECIMAL(38,0))
+                      * CAST(sum($a) AS DECIMAL(38,0)) AS DOUBLE))
+                    * sqrt(CAST(CAST(count(*) AS DECIMAL(38,0))
+                      * sum(CAST($b AS DECIMAL(38,0))
+                        * CAST($b AS DECIMAL(38,0)))
+                    - CAST(sum($b) AS DECIMAL(38,0))
+                      * CAST(sum($b) AS DECIMAL(38,0)) AS DOUBLE))),
+                  6) AS r
+           FROM pivoted"""
+      }.mkString(" UNION ALL ")
+      s"""WITH pivoted AS (
+           SELECT CAST(ts AS DATE) AS day, $cols
+           FROM events GROUP BY 1)
+         SELECT * FROM ($legs) ORDER BY type_a, type_b"""
+    },
     "q272_twap_daily" ->
       """WITH ev AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

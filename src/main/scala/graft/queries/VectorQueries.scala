@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.vector.{Ivf, VectorFunctions}
@@ -848,6 +849,92 @@ object VectorQueries {
       }
       s.createDataFrame(v.toSeq.sortBy(_._1).map(t => (t._1, t._2)))
         .toDF("j", "v_fixed").orderBy($"j")
+    }),
+
+    // Reciprocal-rank fusion — the standard hybrid-retrieval merge
+    // (Cormack et al., SIGIR'09): for each probe document, fuse the
+    // LEXICAL top-10 (token-set Jaccard, exact ppm via BIGINT DIV)
+    // with the VECTOR top-10 (cosine over the aligned embeddings) by
+    // RRF score Σ ⌊10⁹/(60+rank)⌋ — pure integers, so the fused
+    // ordering replays bit-for-bit. Every top-k is a per-probe
+    // TakeOrdered leg (the q261 shape — never a data-sized window);
+    // the fusion itself runs on ≤20-row frames. Lexical and vector
+    // retrieval disagree by construction (surface overlap vs
+    // embedding geometry), which is exactly what RRF exists to merge.
+    "q277_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+        .localCheckpoint() // 3 probe legs scan it
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .localCheckpoint()
+      val legs = Seq(0L, 1L, 2L).map { p =>
+        val pTok = docs.filter($"doc_id" === p)
+          .select($"tk".as("ptk")) // 1-row probe frame
+        val lex = docs.filter($"doc_id" =!= p)
+          .crossJoin(broadcast(pTok))
+          .select($"doc_id",
+            size(array_intersect($"tk", $"ptk")).cast("long").as("i"),
+            size($"tk").cast("long").as("la"),
+            size($"ptk").cast("long").as("lb"))
+          .select($"doc_id",
+            expr("i * 1000000 DIV (la + lb - i)").as("jac_ppm"))
+          .orderBy($"jac_ppm".desc, $"doc_id").limit(10)
+          .withColumn("rank",
+            row_number().over(Window.orderBy($"jac_ppm".desc,
+              $"doc_id"))) // 10-row frame
+          .select($"doc_id", $"rank".as("lex_rank"))
+        val pVec = vecs.filter($"vec_id" === p)
+          .select($"embedding".as("pv"))
+        val vec = vecs.filter($"vec_id" =!= p)
+          .crossJoin(broadcast(pVec))
+          .select($"vec_id".as("doc_id"),
+            VectorFunctions.cosine($"embedding", $"pv").as("cos"))
+          .orderBy($"cos".desc, $"doc_id").limit(10)
+          .withColumn("rank",
+            row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+          .select($"doc_id", $"rank".as("vec_rank"))
+        lex.join(vec, Seq("doc_id"), "full_outer") // ≤20-row frame
+          .select(lit(p).as("probe_id"), $"doc_id",
+            (coalesce(expr("1000000000 DIV (60 + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000000 DIV (60 + vec_rank)"), lit(0L)))
+              .as("rrf_ppb"),
+            coalesce($"lex_rank", lit(-1)).as("lex_rank"),
+            coalesce($"vec_rank", lit(-1)).as("vec_rank"))
+          .orderBy($"rrf_ppb".desc, $"doc_id").limit(5)
+      }
+      legs.reduce(_ union _).orderBy($"probe_id", $"rrf_ppb".desc,
+        $"doc_id")
+    }),
+
+    // MinHash-LSH parameter planner — the s-curve table an engineer
+    // reads before picking (bands, rows) for q28's dedup: detection
+    // probability p = 1 − (1 − s^r)^b on a 19-point similarity grid
+    // for five (b, r) configs. All powers are EXPLICIT
+    // multiply-by-squaring chains (x², x⁴, x⁸, x¹⁶, x³²) — fixed IEEE
+    // op order, never libm pow, so both engines produce identical
+    // doubles. Pure literal compute (no table scan): the planner is a
+    // 95-row model frame at any data scale.
+    "q278_lsh_planner" -> ((s, dir) => {
+      import s.implicits._
+      def ipow(x: org.apache.spark.sql.Column, n: Int):
+          org.apache.spark.sql.Column = n match {
+        case 1 => x
+        case k if k % 2 == 0 => { val h = ipow(x, k / 2); h * h }
+        case k => x * ipow(x, k - 1)
+      }
+      val grid = s.range(1, 20)
+        .select(($"id" * 5).cast("int").as("s_pct"),
+          ($"id".cast("double") * lit(0.05)).as("sim"))
+      val configs = Seq((8, 4), (16, 4), (32, 4), (8, 8), (16, 8))
+      configs.map { case (b, r) =>
+        grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          $"s_pct",
+          round(lit(1.0) - ipow(lit(1.0) - ipow($"sim", r), b), 6)
+            .as("p_detect"))
+      }.reduce(_ union _)
+        .orderBy($"bands", $"rows_per_band", $"s_pct")
     }))
 
   /** Retained for callers that want the ANN surface without oracles
@@ -864,6 +951,75 @@ object VectorQueries {
       s" * sqrt(${dotDim(bv, bv, n)}))"
 
   val oracles: Map[String, String] = Map(
+    "q277_rrf_fusion" -> {
+      def leg(p: Int) =
+        s"""lex$p AS (
+           SELECT doc_id, i * 1000000 // (la + lb - i) AS jac_ppm
+           FROM (
+             SELECT d.doc_id,
+                    CAST(length(list_intersect(d.tk, p.tk))
+                      AS BIGINT) AS i,
+                    CAST(length(d.tk) AS BIGINT) AS la,
+                    CAST(length(p.tk) AS BIGINT) AS lb
+             FROM docs d,
+                  (SELECT tk FROM docs WHERE doc_id = $p) p
+             WHERE d.doc_id <> $p)
+           ORDER BY jac_ppm DESC, doc_id LIMIT 10),
+         lexr$p AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY jac_ppm
+             DESC, doc_id) AS INT) AS lex_rank FROM lex$p),
+         vec$p AS (
+           SELECT e.vec_id AS doc_id,
+                  ${cosDim("e.embedding", "p.pv", 64)} AS cos
+           FROM embeddings e,
+                (SELECT embedding AS pv FROM embeddings
+                 WHERE vec_id = $p) p
+           WHERE e.vec_id <> $p
+           ORDER BY cos DESC, doc_id LIMIT 10),
+         vecr$p AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC,
+             doc_id) AS INT) AS vec_rank FROM vec$p),
+         fused$p AS (
+           SELECT CAST($p AS BIGINT) AS probe_id, doc_id,
+                  CAST(coalesce(1000000000 // (60 + l.lex_rank), 0)
+                    + coalesce(1000000000 // (60 + v.vec_rank), 0)
+                    AS BIGINT) AS rrf_ppb,
+                  coalesce(l.lex_rank, -1) AS lex_rank,
+                  coalesce(v.vec_rank, -1) AS vec_rank
+           FROM lexr$p l FULL OUTER JOIN vecr$p v USING (doc_id)
+           ORDER BY rrf_ppb DESC, doc_id LIMIT 5)"""
+      s"""WITH docs AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+           FROM documents),
+         ${leg(0)},
+         ${leg(1)},
+         ${leg(2)}
+         SELECT * FROM (
+           SELECT * FROM fused0
+           UNION ALL SELECT * FROM fused1
+           UNION ALL SELECT * FROM fused2)
+         ORDER BY probe_id, rrf_ppb DESC, doc_id"""
+    },
+    "q278_lsh_planner" -> {
+      def sqlPow(e: String, n: Int): String = n match {
+        case 1 => e
+        case k if k % 2 == 0 =>
+          val h = sqlPow(e, k / 2); s"($h * $h)"
+        case k => s"($e * ${sqlPow(e, k - 1)})"
+      }
+      val configs = Seq((8, 4), (16, 4), (32, 4), (8, 8), (16, 8))
+      val legs = configs.map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+                CAST(k * 5 AS INT) AS s_pct,
+                round(1.0 - ${sqlPow(
+          s"(1.0 - ${sqlPow("(CAST(k AS DOUBLE) * 0.05)", r)})", b)},
+                  6) AS p_detect
+           FROM grid"""
+      }.mkString(" UNION ALL ")
+      s"""WITH grid AS (SELECT unnest(range(1, 20)) AS k)
+         SELECT * FROM ($legs)
+         ORDER BY bands, rows_per_band, s_pct"""
+    },
     "q274_fisher_score" ->
       """WITH d AS (
            SELECT label,

@@ -126,7 +126,34 @@ class PlanAuditSpec extends SparkSuite {
     // (30 rows at any SF window — calendar-bounded) against the daily
     // pairs; the sketch path itself is one hash aggregate + a
     // model-frame window.
-    "q246_kmv_wau")
+    "q246_kmv_wau",
+    // q250: the marginal/total frames ride as broadcast 1-ROW
+    // models (the q103/q111 scalar-stats pattern); pair expansion
+    // itself happens AT the order, never via a join.
+    "q250_basket_lift",
+    // q254/q258: the trained NB model is ONE row of Laplace counts
+    // cross-joined broadcast into the scoring scan — scalar × data,
+    // stateless per row.
+    "q254_naive_bayes", "q258_nb_calibration",
+    // q256: the design-weight divides by a broadcast 1-ROW total.
+    "q256_seq_poisson_sample",
+    // q260: the naive/MCV estimates pair 1-ROW census rollups and
+    // the two ≤20-row MCV frames (scalar/model × scalar/model).
+    "q260_join_card_estimate",
+    // q261: per-term corpus stats (avgdl) ride as a broadcast 1-ROW
+    // frame; the DCG×IDCG pairing crosses two 1-ROW aggregates.
+    "q261_ndcg_at10",
+    // q264: the PAV minimax joins the ≤20-row prefix frame against
+    // itself and the ≤210-row block frame — model × model, bounded
+    // by the bucket count at any data scale.
+    "q264_isotonic_calibration",
+    // q271: the replicate CI frame (32 rows) pairs the broadcast
+    // 1-ROW point estimate (scalar × scalar).
+    "q271_poisson_bootstrap",
+    // q277: each probe's token/vector frame is a broadcast 1-ROW
+    // model against the scan; the RRF fusion full-outer-joins two
+    // 10-row top-k legs (model × model).
+    "q277_rrf_fusion")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
@@ -176,7 +203,14 @@ class PlanAuditSpec extends SparkSuite {
     // q246: the sliding merge windows over ≤|days| per-day SKETCH
     // rows (constant-size arrays — the mergeable-summary model
     // frame); the data-sized pass is the per-day hash aggregate.
-    "q246_kmv_wau")
+    "q246_kmv_wau",
+    // q261: the rank windows run over TakeOrdered 10-row top-k legs
+    // (the optimizer folds the lit(1) partition key away); the
+    // data-sized pass is the per-term scoring scan.
+    "q261_ndcg_at10",
+    // q277: same shape — rank windows over 10-row top-k legs per
+    // probe; retrieval itself is TakeOrdered over the scan.
+    "q277_rrf_fusion")
 
   test("no query windows over the whole input in a single task") {
     // a Window with an empty PARTITION BY plans as ONE task sorting
