@@ -2169,9 +2169,115 @@ object Analytics {
                 sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))),
               6).as("r"))
       }.reduce(_ union _).orderBy($"type_a", $"type_b")
+    }),
+
+    // Distribution drift monitor — first-week vs last-week value
+    // distribution per event type, the input-drift gate a model
+    // pipeline runs before trusting fresh data: total-variation
+    // distance and a χ² drift score over 8 fixed value buckets,
+    // both in EXACT integer arithmetic (TV as
+    // ⌊10⁶·Σ|n_i·M − m_i·N| / (2·N·M)⌋, χ² per bucket as a
+    // DECIMAL-numerator integral divide with +1 Laplace smoothing on
+    // the reference so empty buckets never divide by zero). The
+    // window bounds ride as a broadcast 1-row frame; the census is
+    // one conditional-sum aggregate — a single data pass at any
+    // scale.
+    "q281_dist_drift" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_type", $"ts".cast("date").as("day"),
+          least(lit(7), floor($"value" / lit(62.5)).cast("int"))
+            .as("bucket"))
+      val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val cens = ev.crossJoin(broadcast(span))
+        .select($"event_type", $"bucket",
+          when(datediff($"day", $"d0") < 7, 1L).otherwise(0L).as("rf"),
+          when(datediff($"d1", $"day") < 7, 1L).otherwise(0L).as("cu"))
+        .groupBy($"event_type", $"bucket")
+        .agg(sum($"rf").as("n"), sum($"cu").as("m"))
+        .withColumn("n1", $"n" + 1L) // Laplace on the reference
+      val tot = cens.groupBy($"event_type")
+        .agg(sum($"n1").as("nn"), sum($"m").as("mm"))
+      cens.join(broadcast(tot), "event_type")
+        .select($"event_type", $"n1", $"m", $"nn", $"mm",
+          abs($"n1" * $"mm" - $"m" * $"nn").as("dv"))
+        .withColumn("chi_u",
+          expr("CAST((m * nn - n1 * mm) AS DECIMAL(38,0))" +
+            " * (m * nn - n1 * mm) * 1000000" +
+            " DIV (CAST(mm AS DECIMAL(38,0)) * n1 * nn)"))
+        .groupBy($"event_type")
+        .agg(max($"nn").as("n_ref"), max($"mm").as("n_cur"),
+          expr("sum(dv) * 1000000 DIV (2 * max(nn) * max(mm))")
+            .as("tv_ppm"),
+          sum($"chi_u").as("chi2_micro"))
+        .orderBy($"event_type")
+    }),
+
+    // UNPIVOT round-trip — Spark's relational melt (SQL UNPIVOT,
+    // 3.4+) driven through actual SQL text: the q37 per-day pivot is
+    // folded back to long form, pinning that pivot∘unpivot ≡ the
+    // plain GROUP BY census (the oracle runs the census directly).
+    // The unpivot itself is a generator projection — scan-parallel,
+    // no exchange beyond the pivot's own aggregate.
+    "q282_unpivot_melt" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.table(s, dir, "events")
+        .groupBy($"ts".cast("date").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select($"day" +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .createOrReplaceTempView("graft_q282_pivoted")
+      s.sql(s"""
+        SELECT day, event_type, n_events
+        FROM graft_q282_pivoted
+        UNPIVOT (n_events FOR event_type IN (${types.mkString(", ")}))
+        ORDER BY day, event_type""")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q281_dist_drift" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  least(7, CAST(floor(value / 62.5) AS INT)) AS bucket
+           FROM events),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         cens AS (
+           SELECT event_type, bucket,
+                  CAST(sum(CASE WHEN day - (SELECT d0 FROM span) < 7
+                    THEN 1 ELSE 0 END) AS BIGINT) + 1 AS n1,
+                  CAST(sum(CASE WHEN (SELECT d1 FROM span) - day < 7
+                    THEN 1 ELSE 0 END) AS BIGINT) AS m
+           FROM ev GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(n1) AS BIGINT) AS nn,
+                  CAST(sum(m) AS BIGINT) AS mm
+           FROM cens GROUP BY 1)
+         SELECT c.event_type, max(t.nn) AS n_ref, max(t.mm) AS n_cur,
+                CAST(sum(abs(c.n1 * t.mm - c.m * t.nn)) AS BIGINT)
+                  * 1000000 // (2 * max(t.nn) * max(t.mm)) AS tv_ppm,
+                CAST(sum(CAST((c.m * t.nn - c.n1 * t.mm) AS HUGEINT)
+                    * (c.m * t.nn - c.n1 * t.mm) * 1000000
+                    // (CAST(t.mm AS HUGEINT) * c.n1 * t.nn))
+                  AS BIGINT) AS chi2_micro
+         FROM cens c JOIN tot t USING (event_type)
+         GROUP BY c.event_type ORDER BY c.event_type""",
+    "q282_unpivot_melt" ->
+      """WITH days AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         t AS (
+           SELECT unnest(['click', 'error', 'purchase', 'signup',
+             'view']) AS event_type),
+         c AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2)
+         SELECT d.day, t.event_type,
+                CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+         FROM days d CROSS JOIN t
+         LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+         ORDER BY d.day, t.event_type""",
     "q279_seasonal_decomp" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
