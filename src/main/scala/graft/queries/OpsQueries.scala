@@ -1638,6 +1638,36 @@ object OpsQueries {
           round(naive / $"actual".cast("double"), 4).as("q_naive"),
           round(($"mcv_hits".cast("double") + resid) /
             $"actual".cast("double"), 4).as("q_mcv"))
+    }),
+
+    // Join-skew advisor — the pre-flight a 100 TB shuffle join needs:
+    // per candidate join key, the key-frequency census (rows,
+    // distinct keys, mean and max rows per key, the heaviest key
+    // itself) and the SALT FACTOR ⌈max/mean⌉ that would level the
+    // hottest reducer — exactly the number the salting pattern
+    // (q87's demo) takes as input. One partial-aggregable census per
+    // key (two hash aggregates, no window, no collect); every
+    // statistic is integer arithmetic so the advice replays
+    // bit-for-bit.
+    "q283_skew_advisor" -> ((s, dir) => {
+      import s.implicits._
+      def audit(table: String, key: String) = {
+        val c = Tables.table(s, dir, table)
+          .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        c.agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+            max($"c").as("max_per_key"))
+          .select(lit(table).as("table_name"), lit(key).as("key_col"),
+            $"n_rows", $"n_keys",
+            expr("n_rows DIV n_keys").as("mean_per_key"),
+            $"max_per_key",
+            expr("(max_per_key * n_keys + n_rows - 1) DIV n_rows")
+              .as("salt_factor"))
+      }
+      Seq(audit("events", "user_id"),
+        audit("lineitem", "l_orderkey"),
+        audit("lineitem", "l_suppkey"))
+        .reduce(_ union _)
+        .orderBy($"table_name", $"key_col")
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1646,6 +1676,25 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    "q283_skew_advisor" -> {
+      def audit(table: String, key: String) =
+        s"""SELECT '$table' AS table_name, '$key' AS key_col,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                count(*)::BIGINT AS n_keys,
+                CAST(sum(c) AS BIGINT) // count(*) AS mean_per_key,
+                CAST(max(c) AS BIGINT) AS max_per_key,
+                (CAST(max(c) AS BIGINT) * count(*)
+                  + CAST(sum(c) AS BIGINT) - 1)
+                  // CAST(sum(c) AS BIGINT) AS salt_factor
+           FROM (SELECT $key, count(*)::BIGINT AS c FROM $table
+                 GROUP BY 1)"""
+      s"""SELECT * FROM (
+            ${audit("events", "user_id")}
+            UNION ALL ${audit("lineitem", "l_orderkey")}
+            UNION ALL ${audit("lineitem", "l_suppkey")})
+          ORDER BY table_name, key_col"""
+    },
 
     "q251_column_profile" -> {
       // one SELECT per column, unioned — the oracle recomputes each
