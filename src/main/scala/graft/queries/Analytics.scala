@@ -2234,9 +2234,128 @@ object Analytics {
         FROM graft_q282_pivoted
         UNPIVOT (n_events FOR event_type IN (${types.mkString(", ")}))
         ORDER BY day, event_type""")
+    }),
+
+    // Binary-segmentation changepoints — q257's CUSUM applied
+    // HIERARCHICALLY (Scott–Knott / binary segmentation): level 1
+    // finds each type's global changepoint, level 2 re-runs the same
+    // exact-integer CUSUM inside the two resulting segments. The
+    // recursion is just a second window pass partitioned by
+    // (type, segment) — same bounded per-type day frames, same
+    // DECIMAL deviation n'·P'_t − t'·S' (telescoping to zero at each
+    // segment end), same broadcast-peak argmax; no new machinery and
+    // no float anywhere except the dollar rendering.
+    "q284_binary_segmentation" -> ((s, dir) => {
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("x"))
+        .localCheckpoint()
+      // one CUSUM level over an arbitrary partitioning
+      def level(df: org.apache.spark.sql.DataFrame,
+          parts: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val pcols = parts.map(col)
+        val w = Window.partitionBy(pcols: _*).orderBy($"day")
+        val tot = df.groupBy(pcols: _*)
+          .agg(count(lit(1)).as("n_days"), sum($"x").as("s_tot"))
+        val cum = df
+          .withColumn("pref", sum($"x").over(w))
+          .withColumn("t", row_number().over(w))
+          .join(broadcast(tot), parts)
+          .select(pcols :+ $"day" :+ $"n_days" :+
+            (($"n_days".cast(d38) * $"pref".cast(d38)
+              - $"t".cast(d38) * $"s_tot".cast(d38)).as("c")): _*)
+          .localCheckpoint()
+        val peaks = cum.groupBy(pcols: _*)
+          .agg(max(abs($"c")).as("c_abs_max"))
+        cum.join(broadcast(peaks), parts)
+          .filter(abs($"c") === $"c_abs_max")
+          .groupBy(pcols: _*)
+          .agg(max($"n_days").as("n_days"), min($"day").as("cp_day"),
+            max($"c_abs_max").as("cmax"))
+      }
+      val l1 = level(daily, Seq("event_type"))
+        .select($"event_type", $"cp_day".as("cp1"))
+      val seg = daily.join(broadcast(l1), "event_type")
+        .withColumn("segment",
+          when($"day" <= $"cp1", "pre").otherwise("post"))
+      val l2 = level(seg, Seq("event_type", "segment"))
+      val out1 = level(daily, Seq("event_type"))
+        .withColumn("segment", lit("all"))
+      (out1.select($"event_type", $"segment", $"n_days", $"cp_day",
+          round($"cmax".cast("double") /
+            ($"n_days".cast("double") * lit(100.0)), 4)
+            .as("max_dev_dollar_days"))
+        union
+        l2.select($"event_type", $"segment", $"n_days", $"cp_day",
+          round($"cmax".cast("double") /
+            ($"n_days".cast("double") * lit(100.0)), 4)
+            .as("max_dev_dollar_days")))
+        .orderBy($"event_type", $"segment")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q284_binary_segmentation" -> {
+      // one exact-integer CUSUM level over `src` partitioned by
+      // `parts`, named with suffix `sfx` — the q257 CTE shape reused
+      // at both levels of the segmentation
+      def levelSql(src: String, parts: Seq[String], sfx: String) = {
+        val p = parts.mkString(", ")
+        s"""tot$sfx AS (
+           SELECT $p, count(*)::BIGINT AS n_days,
+                  CAST(sum(x) AS BIGINT) AS s_tot
+           FROM $src GROUP BY $p),
+         cum$sfx AS (
+           SELECT d.*, t.n_days,
+                  CAST(t.n_days AS DECIMAL(38,0))
+                    * CAST(sum(d.x) OVER (PARTITION BY ${parts.map(
+                        "d." + _).mkString(", ")}
+                        ORDER BY d.day) AS DECIMAL(38,0))
+                  - CAST(row_number() OVER (PARTITION BY ${parts.map(
+                        "d." + _).mkString(", ")}
+                        ORDER BY d.day) AS DECIMAL(38,0))
+                    * CAST(t.s_tot AS DECIMAL(38,0)) AS c
+           FROM $src d JOIN tot$sfx t
+             ON ${parts.map(c => s"d.$c = t.$c").mkString(" AND ")}),
+         pk$sfx AS (
+           SELECT $p, max(abs(c)) AS c_abs_max
+           FROM cum$sfx GROUP BY $p),
+         arg$sfx AS (
+           SELECT ${parts.map("c." + _).mkString(", ")},
+                  max(c.n_days) AS n_days, min(c.day) AS cp_day,
+                  max(p.c_abs_max) AS cmax
+           FROM cum$sfx c JOIN pk$sfx p
+             ON ${parts.map(k => s"c.$k = p.$k").mkString(" AND ")}
+               AND abs(c.c) = p.c_abs_max
+           GROUP BY ${parts.map("c." + _).mkString(", ")})"""
+      }
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         ${levelSql("daily", Seq("event_type"), "1")},
+         seg AS (
+           SELECT d.event_type, d.day, d.x,
+                  CASE WHEN d.day <= a.cp_day THEN 'pre'
+                       ELSE 'post' END AS segment
+           FROM daily d JOIN arg1 a ON d.event_type = a.event_type),
+         ${levelSql("seg", Seq("event_type", "segment"), "2")}
+         SELECT * FROM (
+           SELECT event_type, 'all' AS segment, n_days, cp_day,
+                  round(CAST(cmax AS DOUBLE)
+                    / (CAST(n_days AS DOUBLE) * 100.0), 4)
+                    AS max_dev_dollar_days
+           FROM arg1
+           UNION ALL
+           SELECT event_type, segment, n_days, cp_day,
+                  round(CAST(cmax AS DOUBLE)
+                    / (CAST(n_days AS DOUBLE) * 100.0), 4)
+                    AS max_dev_dollar_days
+           FROM arg2)
+         ORDER BY event_type, segment"""
+    },
     "q281_dist_drift" ->
       """WITH ev AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
