@@ -2293,9 +2293,57 @@ object Analytics {
             ($"n_days".cast("double") * lit(100.0)), 4)
             .as("max_dev_dollar_days")))
         .orderBy($"event_type", $"segment")
+    }),
+
+    // Log₂ latency histogram (the HdrHistogram shape) — per-type
+    // inter-arrival gaps bucketed by ⌊log₂(micros)⌋, the constant-
+    // size latency profile an SLO monitor keeps per key: exponential
+    // buckets cover nine decades in ~47 rows where a linear histogram
+    // needs millions. The bucket index is EXACT — a generated
+    // power-of-two threshold CASE (never libm log2, whose result at a
+    // boundary value could round either way); gaps come from one lag
+    // over bounded (user, type) timelines; per-bucket min/max/sum
+    // micros are exact longs. The census is partial-aggregable — at
+    // 100 TB each executor ships ≤47 rows per type.
+    "q285_log2_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"us")
+      val gaps = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("gap", $"us" - lag($"us", 1).over(w))
+        .filter($"gap".isNotNull && $"gap" > 0)
+      // ⌊log₂⌋ as a threshold chain: highest k with 2^k ≤ gap — the
+      // ascending fold leaves the LARGEST threshold outermost
+      val b = (1 to 46).foldLeft(lit(0)) { (e, k) =>
+        when($"gap" >= lit(1L << k), lit(k)).otherwise(e)
+      }
+      gaps.withColumn("bucket", b)
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n_gaps"), min($"gap").as("min_us"),
+          max($"gap").as("max_us"), sum($"gap").as("sum_us"))
+        .orderBy($"event_type", $"bucket")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q285_log2_histogram" -> {
+      val caseExpr = "CASE " + (46 to 1 by -1).map(k =>
+        s"WHEN gap >= ${1L << k} THEN $k").mkString(" ") +
+        " ELSE 0 END"
+      s"""WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts)) AS gap
+           FROM events)
+         SELECT event_type, CAST($caseExpr AS INT) AS bucket,
+                count(*)::BIGINT AS n_gaps,
+                CAST(min(gap) AS BIGINT) AS min_us,
+                CAST(max(gap) AS BIGINT) AS max_us,
+                CAST(sum(gap) AS BIGINT) AS sum_us
+         FROM g WHERE gap IS NOT NULL AND gap > 0
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
     "q284_binary_segmentation" -> {
       // one exact-integer CUSUM level over `src` partitioned by
       // `parts`, named with suffix `sfx` — the q257 CTE shape reused
