@@ -171,4 +171,65 @@ class StatsOpsSpec extends SparkSuite {
     assert(nReps == 32 && lo <= hi && se > 0)
     assert(mean > lo - 10 * se && mean < hi + 10 * se)
   }
+
+  test("q277 RRF: fused score is exactly the two leg contributions") {
+    val rows = SparkEntry.queries("q277_rrf_fusion")(spark, sf0001)
+      .as[(Long, Long, Long, Int, Int)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rrf, lexR, vecR) =>
+      val expect = (if (lexR > 0) 1000000000L / (60 + lexR) else 0L) +
+        (if (vecR > 0) 1000000000L / (60 + vecR) else 0L)
+      assert(rrf == expect)
+    }
+    // per probe: ≤5 rows, score non-increasing
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.size <= 5)
+      val s = g.sortBy(r => (-r._3, r._2)).map(_._3)
+      assert(s == s.sorted.reverse)
+    }
+  }
+
+  test("q280/q281: correlation and drift statistics stay in range") {
+    val corr = SparkEntry.queries("q280_corr_matrix")(spark, sf0001)
+      .selectExpr("r").as[Double].collect()
+    assert(corr.length == 10)
+    corr.foreach(r => assert(r >= -1.0000001 && r <= 1.0000001))
+    val drift = SparkEntry.queries("q281_dist_drift")(spark, sf0001)
+      .selectExpr("tv_ppm", "chi2_micro").as[(Long, Long)].collect()
+    assert(drift.nonEmpty)
+    drift.foreach { case (tv, chi) =>
+      assert(tv >= 0 && tv <= 1000000 && chi >= 0)
+    }
+  }
+
+  test("q284 level-1 row replays q257's single changepoint") {
+    val all = SparkEntry.queries("q284_binary_segmentation")(
+      spark, sf0001)
+      .filter($"segment" === "all")
+      .selectExpr("event_type", "n_days", "cp_day",
+        "max_dev_dollar_days")
+      .as[(String, Long, java.sql.Date, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3.toString, r._4))).toMap
+    val q257 = SparkEntry.queries("q257_cusum_changepoint")(
+      spark, sf0001)
+      .selectExpr("event_type", "CAST(n_days AS BIGINT)", "cp_day",
+        "max_dev_dollar_days")
+      .as[(String, Long, java.sql.Date, Double)].collect()
+    assert(q257.nonEmpty)
+    q257.foreach { case (t, n, cp, dev) =>
+      assert(all(t) == ((n, cp.toString, dev)))
+    }
+  }
+
+  test("q285: every bucket's min/max sit inside [2^k, 2^(k+1))") {
+    val rows = SparkEntry.queries("q285_log2_histogram")(spark, sf0001)
+      .selectExpr("bucket", "min_us", "max_us")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, mn, mx) =>
+      assert(mn >= (1L << k) || k == 0)
+      assert(mx < (1L << (k + 1)))
+      assert(mn <= mx)
+    }
+  }
 }
