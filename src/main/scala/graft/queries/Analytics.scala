@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2098,40 +2099,12 @@ object Analytics {
     // is a subtraction. weekday() is the cross-engine-safe Monday=0
     // index (≡ DuckDB isodow−1). No float ever appears, so every row
     // replays bit-for-bit.
-    "q279_seasonal_decomp" -> ((s, dir) => {
-      import s.implicits._
-      val daily = Tables.table(s, dir, "events")
-        .groupBy($"event_type", $"ts".cast("date").as("day"))
-        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
-      val w = Window.partitionBy($"event_type").orderBy($"day")
-      val d38 = "decimal(38,0)"
-      val idx = daily
-        .withColumn("t", row_number().over(w).cast("long"))
-        .localCheckpoint() // feeds moments + the decomposition scan
-      val m = idx.groupBy($"event_type")
-        .agg(count(lit(1)).cast(d38).as("n"),
-          sum($"t").cast(d38).as("st"), sum($"y").cast(d38).as("sy"),
-          sum($"t" * $"y").cast(d38).as("sty"),
-          sum($"t" * $"t").cast(d38).as("stt"))
-        .select($"event_type",
-          ($"n" * $"sty" - $"st" * $"sy").as("cov_n"),
-          ($"n" * $"stt" - $"st" * $"st").as("var_t_n"),
-          ($"sy" * $"stt" - $"st" * $"sty").as("ic_n"))
-      val detrended = idx.join(broadcast(m), "event_type")
-        .select($"event_type", $"day", $"y",
-          expr(s"CAST((ic_n + cov_n * CAST(t AS $d38)) * 1000000" +
-            s" AS $d38) DIV var_t_n").as("trend_ucents"))
-        .withColumn("wd", weekday($"day"))
-        .withColumn("d_u", $"y" * lit(1000000L) - $"trend_ucents")
-        .localCheckpoint() // feeds weekday model + final join
-      val wdEffect = detrended.groupBy($"event_type", $"wd")
-        .agg(expr("sum(d_u) DIV count(1)").as("weekday_ucents"))
-      detrended.join(broadcast(wdEffect), Seq("event_type", "wd"))
-        .select($"event_type", $"day", $"wd", $"y".as("actual_cents"),
-          $"trend_ucents", $"weekday_ucents",
-          ($"d_u" - $"weekday_ucents").as("resid_ucents"))
-        .orderBy($"event_type", $"day")
-    }),
+    "q279_seasonal_decomp" -> ((s, dir) =>
+      decomposed(s, dir)
+        .selectExpr("event_type", "day", "wd", "y AS actual_cents",
+          "trend_ucents", "weekday_ucents",
+          "d_u - weekday_ucents AS resid_ucents")
+        .orderBy(col("event_type"), col("day"))),
 
     // Pairwise correlation matrix of the five per-type daily revenue
     // series — q269's lead-lag generalized to every same-day type
@@ -2323,9 +2296,217 @@ object Analytics {
         .agg(count(lit(1)).as("n_gaps"), min($"gap").as("min_us"),
           max($"gap").as("max_us"), sum($"gap").as("sum_us"))
         .orderBy($"event_type", $"bucket")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov test — does click value follow
+    // the same distribution as purchase value? D = max|F₁−F₂| as an
+    // EXACT integer: group both samples by distinct value (the only
+    // data-sized pass), then GlobalIndex.withGlobalCumSum runs each
+    // ECDF as a range exchange + per-partition offsets — never a
+    // single-task global window — and the sup-gap |ca·n₂ − cb·n₁| is
+    // pure BIGINT. The asymptotic λ = D·√(n₁n₂/(n₁+n₂)) touches IEEE
+    // once at render. The distribution-free drift companion to
+    // q281's binned TV/χ².
+    "q286_ks_test" -> ((s, dir) => {
+      import s.implicits._
+      val g = Tables.table(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type",
+          floor($"value" * lit(100.0)).cast("long").as("v"))
+        .groupBy($"v")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+          .as("ac"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("bc"))
+      val c1 = graft.operators.GlobalIndex.withGlobalCumSum(
+        g, Seq($"v"), $"ac", sumCol = "ca", seqCol = "sq1")
+      val cum = graft.operators.GlobalIndex.withGlobalCumSum(
+        c1, Seq($"v"), $"bc", sumCol = "cb", seqCol = "sq2")
+      val tot = g.agg(sum($"ac").as("n1"), sum($"bc").as("n2"))
+      cum.crossJoin(broadcast(tot)) // 1-row totals frame
+        .select($"n1", $"n2",
+          abs($"ca" * $"n2" - $"cb" * $"n1").as("gap"))
+        .groupBy($"n1", $"n2")
+        .agg(max($"gap").as("d_num"))
+        .select($"n1", $"n2",
+          expr("d_num * 1000000 DIV (n1 * n2)").as("d_ppm"),
+          round(($"d_num".cast("double") /
+            ($"n1".cast("double") * $"n2".cast("double"))) *
+            sqrt(($"n1" * $"n2").cast("double") /
+              ($"n1" + $"n2").cast("double")), 6).as("lambda"))
+    }),
+
+    // Wald–Wolfowitz runs test on q279's residuals — IS the
+    // decomposition's leftover actually random? Count sign runs in
+    // each type's residual sequence (one lag over the bounded
+    // per-type day frame), compare to the exact expected-runs model:
+    // z = (R·N − 2n₊n₋ − N) / √(2n₊n₋(2n₊n₋−N)/(N−1)) — integer
+    // operands, IEEE once. Too FEW runs = leftover structure (the
+    // decomposition missed a component); too many = oscillation.
+    "q287_runs_test" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val seq = decomposed(s, dir)
+        .select($"event_type", $"day",
+          when($"d_u" - $"weekday_ucents" >= 0, 1L).otherwise(0L)
+            .as("s"))
+        .withColumn("brk",
+          when(lag($"s", 1).over(w).isNull ||
+            lag($"s", 1).over(w) =!= $"s", 1L).otherwise(0L))
+      seq.groupBy($"event_type")
+        .agg(sum($"brk").as("runs"), sum($"s").as("n_pos"),
+          sum(lit(1L) - $"s").as("n_neg"))
+        .select($"event_type", $"runs", $"n_pos", $"n_neg",
+          round(($"runs" * ($"n_pos" + $"n_neg") -
+            lit(2L) * $"n_pos" * $"n_neg" - ($"n_pos" + $"n_neg"))
+            .cast("double") /
+            sqrt((lit(2L) * $"n_pos" * $"n_neg" *
+              (lit(2L) * $"n_pos" * $"n_neg" - $"n_pos" - $"n_neg"))
+              .cast("double") /
+              ($"n_pos" + $"n_neg" - 1L).cast("double")), 6).as("z"))
+        .orderBy($"event_type")
     }))
 
+  /** Shared engine body of q279/q287: the integer trend+weekday
+    * decomposition — per-(type, day) columns (event_type, day, wd, y,
+    * trend_ucents, d_u, weekday_ucents), all exact integers (OLS fit
+    * as a DECIMAL-numerator integral divide, weekday effect a 7-row
+    * DIV model joined back broadcast). */
+  private def decomposed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.table(s, dir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val d38 = "decimal(38,0)"
+    val idx = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .localCheckpoint() // feeds moments + the decomposition scan
+    val m = idx.groupBy($"event_type")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"t").cast(d38).as("st"), sum($"y").cast(d38).as("sy"),
+        sum($"t" * $"y").cast(d38).as("sty"),
+        sum($"t" * $"t").cast(d38).as("stt"))
+      .select($"event_type",
+        ($"n" * $"sty" - $"st" * $"sy").as("cov_n"),
+        ($"n" * $"stt" - $"st" * $"st").as("var_t_n"),
+        ($"sy" * $"stt" - $"st" * $"sty").as("ic_n"))
+    val detrended = idx.join(broadcast(m), "event_type")
+      .select($"event_type", $"day", $"y",
+        expr(s"CAST((ic_n + cov_n * CAST(t AS $d38)) * 1000000" +
+          s" AS $d38) DIV var_t_n").as("trend_ucents"))
+      .withColumn("wd", weekday($"day"))
+      .withColumn("d_u", $"y" * lit(1000000L) - $"trend_ucents")
+      .localCheckpoint() // feeds weekday model + final join
+    val wdEffect = detrended.groupBy($"event_type", $"wd")
+      .agg(expr("sum(d_u) DIV count(1)").as("weekday_ucents"))
+    detrended.join(broadcast(wdEffect), Seq("event_type", "wd"))
+  }
+
+  /** Shared WITH-body of the q279/q287 oracles: the integer
+    * trend+weekday decomposition CTEs up to det2 (per-day detrended
+    * values) and wde (the 7-row weekday model). */
+  private val seasonalCte: String =
+    """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  CAST(sum(t) AS DECIMAL(38,0)) AS st,
+                  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                  CAST(sum(t * y) AS DECIMAL(38,0)) AS sty,
+                  CAST(sum(t * t) AS DECIMAL(38,0)) AS stt
+           FROM idx GROUP BY 1),
+         d AS (
+           SELECT event_type,
+                  n * sty - st * sy AS cov_n,
+                  n * stt - st * st AS var_t_n,
+                  sy * stt - st * sty AS ic_n
+           FROM m),
+         det AS (
+           SELECT i.event_type, i.day, i.y,
+                  isodow(i.day) - 1 AS wd,
+                  CAST(CAST((d.ic_n + d.cov_n
+                      * CAST(i.t AS DECIMAL(38,0))) * 1000000
+                    AS HUGEINT) // CAST(d.var_t_n AS HUGEINT)
+                    AS BIGINT) AS trend_ucents
+           FROM idx i JOIN d ON i.event_type = d.event_type),
+         det2 AS (
+           SELECT *, y * 1000000 - trend_ucents AS d_u FROM det),
+         wde AS (
+           SELECT event_type, wd,
+                  CAST(CAST(sum(d_u) AS HUGEINT) // count(*)
+                    AS BIGINT) AS weekday_ucents
+           FROM det2 GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
+    "q286_ks_test" ->
+      """WITH a AS (
+           SELECT CAST(floor(value * 100.0) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click'),
+         b AS (
+           SELECT CAST(floor(value * 100.0) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN src = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ac,
+                  CAST(sum(CASE WHEN src = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bc
+           FROM (SELECT v, 'a' AS src FROM a
+                 UNION ALL SELECT v, 'b' AS src FROM b)
+           GROUP BY 1),
+         c AS (
+           SELECT v,
+                  CAST(sum(ac) OVER (ORDER BY v) AS BIGINT) AS ca,
+                  CAST(sum(bc) OVER (ORDER BY v) AS BIGINT) AS cb
+           FROM g),
+         t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+                      (SELECT CAST(count(*) AS BIGINT) FROM b) AS n2)
+         SELECT t.n1, t.n2,
+                CAST(max(abs(c.ca * t.n2 - c.cb * t.n1)) AS BIGINT)
+                  * 1000000 // (t.n1 * t.n2) AS d_ppm,
+                round((CAST(max(abs(c.ca * t.n2 - c.cb * t.n1))
+                    AS DOUBLE) / (CAST(t.n1 AS DOUBLE)
+                      * CAST(t.n2 AS DOUBLE)))
+                  * sqrt(CAST(t.n1 * t.n2 AS DOUBLE)
+                    / CAST(t.n1 + t.n2 AS DOUBLE)), 6) AS lambda
+         FROM c, t GROUP BY t.n1, t.n2""",
+    "q287_runs_test" -> (seasonalCte +
+      """, r AS (
+           SELECT t.event_type, t.day,
+                  CASE WHEN t.d_u - w.weekday_ucents >= 0
+                    THEN 1 ELSE 0 END AS s
+           FROM det2 t JOIN wde w
+             ON t.event_type = w.event_type AND t.wd = w.wd),
+         seq AS (
+           SELECT event_type, s,
+                  CASE WHEN lag(s) OVER (PARTITION BY event_type
+                      ORDER BY day) IS DISTINCT FROM s
+                    THEN 1 ELSE 0 END AS brk
+           FROM r),
+         agg AS (
+           SELECT event_type,
+                  CAST(sum(brk) AS BIGINT) AS runs,
+                  CAST(sum(s) AS BIGINT) AS n_pos,
+                  CAST(sum(1 - s) AS BIGINT) AS n_neg
+           FROM seq GROUP BY 1)
+         SELECT event_type, runs, n_pos, n_neg,
+                round(CAST(runs * (n_pos + n_neg) - 2 * n_pos * n_neg
+                      - (n_pos + n_neg) AS DOUBLE)
+                  / sqrt(CAST(2 * n_pos * n_neg
+                      * (2 * n_pos * n_neg - n_pos - n_neg)
+                    AS DOUBLE) / CAST(n_pos + n_neg - 1 AS DOUBLE)),
+                  6) AS z
+         FROM agg ORDER BY event_type"""),
     "q285_log2_histogram" -> {
       val caseExpr = "CASE " + (46 to 1 by -1).map(k =>
         s"WHEN gap >= ${1L << k} THEN $k").mkString(" ") +
@@ -2445,53 +2626,15 @@ object Analytics {
          FROM days d CROSS JOIN t
          LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
          ORDER BY d.day, t.event_type""",
-    "q279_seasonal_decomp" ->
-      """WITH daily AS (
-           SELECT event_type, CAST(ts AS DATE) AS day,
-                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
-                    AS BIGINT) AS y
-           FROM events GROUP BY 1, 2),
-         idx AS (
-           SELECT event_type, day, y,
-                  CAST(row_number() OVER (PARTITION BY event_type
-                    ORDER BY day) AS BIGINT) AS t
-           FROM daily),
-         m AS (
-           SELECT event_type,
-                  CAST(count(*) AS DECIMAL(38,0)) AS n,
-                  CAST(sum(t) AS DECIMAL(38,0)) AS st,
-                  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
-                  CAST(sum(t * y) AS DECIMAL(38,0)) AS sty,
-                  CAST(sum(t * t) AS DECIMAL(38,0)) AS stt
-           FROM idx GROUP BY 1),
-         d AS (
-           SELECT event_type,
-                  n * sty - st * sy AS cov_n,
-                  n * stt - st * st AS var_t_n,
-                  sy * stt - st * sty AS ic_n
-           FROM m),
-         det AS (
-           SELECT i.event_type, i.day, i.y,
-                  isodow(i.day) - 1 AS wd,
-                  CAST(CAST((d.ic_n + d.cov_n
-                      * CAST(i.t AS DECIMAL(38,0))) * 1000000
-                    AS HUGEINT) // CAST(d.var_t_n AS HUGEINT)
-                    AS BIGINT) AS trend_ucents
-           FROM idx i JOIN d ON i.event_type = d.event_type),
-         det2 AS (
-           SELECT *, y * 1000000 - trend_ucents AS d_u FROM det),
-         wde AS (
-           SELECT event_type, wd,
-                  CAST(CAST(sum(d_u) AS HUGEINT) // count(*)
-                    AS BIGINT) AS weekday_ucents
-           FROM det2 GROUP BY 1, 2)
+    "q279_seasonal_decomp" -> (seasonalCte +
+      """
          SELECT t.event_type, t.day, CAST(t.wd AS INT) AS wd,
                 t.y AS actual_cents, t.trend_ucents,
                 w.weekday_ucents,
                 t.d_u - w.weekday_ucents AS resid_ucents
          FROM det2 t JOIN wde w
            ON t.event_type = w.event_type AND t.wd = w.wd
-         ORDER BY t.event_type, t.day""",
+         ORDER BY t.event_type, t.day"""),
     "q280_corr_matrix" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val cols = types.map(t =>
