@@ -2365,6 +2365,41 @@ object Analytics {
               .cast("double") /
               ($"n_pos" + $"n_neg" - 1L).cast("double")), 6).as("z"))
         .orderBy($"event_type")
+    }),
+
+    // Neyman allocation — the variance-optimal survey design the
+    // proportional stratified sample (q153 family) leaves on the
+    // table: allocate a 1000-row budget to strata ∝ N_h·σ_h. Because
+    // N_h·σ_h = √(N_h·Σx² − (Σx)²) the weight is ONE sqrt of an
+    // exact DECIMAL scatter numerator per stratum; weights sum
+    // through dsumAt (decimal — order-independent across the 5
+    // strata), and the proportional companion rides in-row as an
+    // exact DIV so the table shows exactly where Neyman shifts
+    // budget toward high-variance strata. One data pass.
+    "q288_neyman_allocation" -> ((s, dir) => {
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val st = Tables.table(s, dir, "events")
+        .select($"event_type",
+          floor($"value" * lit(100.0)).cast("long").as("x"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast(d38).as("nh"),
+          sum($"x").cast(d38).as("sx"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"))
+        .select($"event_type", $"nh".cast("long").as("n_h"),
+          sqrt(($"nh" * $"sxx" - $"sx" * $"sx").cast("double"))
+            .as("w"))
+        .localCheckpoint() // 5-row strata model, joined to its total
+      val tot = st.agg(Q.dsumAt($"w", 4).as("wsum"),
+        sum($"n_h").as("n"))
+      st.crossJoin(broadcast(tot)) // 5 × 1-row
+        .select($"event_type", $"n_h",
+          round($"w" / $"n_h".cast("double") / lit(100.0), 4)
+            .as("sigma_dollars"),
+          floor(lit(1000.0) * $"w" / $"wsum").cast("long")
+            .as("neyman_n"),
+          expr("1000 * n_h DIV n").as("prop_n"))
+        .orderBy($"event_type")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2448,6 +2483,31 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q288_neyman_allocation" -> (
+      s"""WITH st AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_h,
+                  sqrt(CAST(CAST(count(*) AS DECIMAL(38,0))
+                      * sum(CAST(CAST(floor(value * 100.0) AS BIGINT)
+                          AS DECIMAL(38,0))
+                        * CAST(CAST(floor(value * 100.0) AS BIGINT)
+                          AS DECIMAL(38,0)))
+                    - CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                        AS DECIMAL(38,0))
+                      * CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                        AS DECIMAL(38,0)) AS DOUBLE)) AS w
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT ${Q.dsumAtSql("w", 4)} AS wsum,
+                  CAST(sum(n_h) AS BIGINT) AS n
+           FROM st)
+         SELECT st.event_type, st.n_h,
+                round(st.w / CAST(st.n_h AS DOUBLE) / 100.0, 4)
+                  AS sigma_dollars,
+                CAST(floor(1000.0 * st.w / tot.wsum) AS BIGINT)
+                  AS neyman_n,
+                1000 * st.n_h // tot.n AS prop_n
+         FROM st, tot ORDER BY st.event_type"""),
     "q286_ks_test" ->
       """WITH a AS (
            SELECT CAST(floor(value * 100.0) AS BIGINT) AS v
