@@ -2400,6 +2400,46 @@ object Analytics {
             .as("neyman_n"),
           expr("1000 * n_h DIV n").as("prop_n"))
         .orderBy($"event_type")
+    }),
+
+    // Difference-in-differences — the experiment readout when
+    // treatment lands mid-stream: arms from q252's portable salted
+    // hash, periods split at the stream midpoint (a broadcast 1-row
+    // bound), per-(arm, period) mean purchase value from exact cent
+    // sums, DiD = (B₁−B₀) − (A₁−A₀) composed from the four means in
+    // one fixed IEEE expression. ONE conditional-sum aggregate is the
+    // whole data pass; the oracle replays arm assignment, split, and
+    // the arithmetic bit-for-bit.
+    "q289_diff_in_diff" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select(
+          (graft.text.TextFunctions.hash60(
+            concat($"user_id".cast("string"), lit("_ab"))) % 2)
+            .as("arm"),
+          unix_micros($"ts").as("us"),
+          floor($"value" * lit(100.0)).cast("long").as("v"))
+      val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .withColumn("post", ($"us" >= $"mid").cast("int"))
+        .groupBy($"arm", $"post")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .select($"arm", $"post", $"n",
+          ($"sv".cast("double") / $"n".cast("double")).as("mean_c"))
+        .localCheckpoint() // 4-row cell frame
+      val get = (a: Int, p: Int) => cells
+        .filter($"arm" === a && $"post" === p)
+        .select($"n".as(s"n_$a$p"), $"mean_c".as(s"m_$a$p"))
+      get(0, 0).crossJoin(get(0, 1)).crossJoin(get(1, 0))
+        .crossJoin(get(1, 1)) // 1-row × 1-row chains
+        .select($"n_00", $"n_01", $"n_10", $"n_11",
+          round($"m_00" / 100.0, 4).as("a_pre_dollars"),
+          round($"m_01" / 100.0, 4).as("a_post_dollars"),
+          round($"m_10" / 100.0, 4).as("b_pre_dollars"),
+          round($"m_11" / 100.0, 4).as("b_post_dollars"),
+          round((($"m_11" - $"m_10") - ($"m_01" - $"m_00")) / 100.0,
+            4).as("did_dollars"))
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2483,6 +2523,36 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q289_diff_in_diff" ->
+      """WITH ev AS (
+           SELECT CAST('0x' || substr(md5(user_id::VARCHAR || '_ab'),
+                    1, 15) AS BIGINT) % 2 AS arm,
+                  epoch_us(ts) AS us,
+                  CAST(floor(value * 100.0) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         mid AS (
+           SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         cells AS (
+           SELECT arm,
+                  CASE WHEN us >= (SELECT mid FROM mid)
+                    THEN 1 ELSE 0 END AS post,
+                  count(*)::BIGINT AS n,
+                  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS mean_c
+           FROM ev GROUP BY 1, 2)
+         SELECT a00.n AS n_00, a01.n AS n_01,
+                a10.n AS n_10, a11.n AS n_11,
+                round(a00.mean_c / 100.0, 4) AS a_pre_dollars,
+                round(a01.mean_c / 100.0, 4) AS a_post_dollars,
+                round(a10.mean_c / 100.0, 4) AS b_pre_dollars,
+                round(a11.mean_c / 100.0, 4) AS b_post_dollars,
+                round(((a11.mean_c - a10.mean_c)
+                  - (a01.mean_c - a00.mean_c)) / 100.0, 4)
+                  AS did_dollars
+         FROM (SELECT * FROM cells WHERE arm = 0 AND post = 0) a00,
+              (SELECT * FROM cells WHERE arm = 0 AND post = 1) a01,
+              (SELECT * FROM cells WHERE arm = 1 AND post = 0) a10,
+              (SELECT * FROM cells WHERE arm = 1 AND post = 1) a11""",
     "q288_neyman_allocation" -> (
       s"""WITH st AS (
            SELECT event_type,
