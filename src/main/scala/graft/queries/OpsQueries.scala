@@ -1668,6 +1668,55 @@ object OpsQueries {
         audit("lineitem", "l_suppkey"))
         .reduce(_ union _)
         .orderBy($"table_name", $"key_col")
+    }),
+
+    // Table-version diff — the reconciliation census a migration or
+    // CDC backfill is signed off with: old vs new snapshot full-outer
+    // joined on the key, every row classified
+    // added/removed/changed/unchanged, per class a count and an
+    // order-independent DECIMAL checksum of the portable row hash
+    // (the q243 fingerprint discipline — partitioning/layout never
+    // move it). The "new" snapshot here is a simulated repricing
+    // batch (urgent orders +5%, one dropped customer, synthetic new
+    // keys), so every class is non-empty and pinned. One equi-join
+    // on the key — co-partitionable at any scale.
+    "q290_table_diff" -> ((s, dir) => {
+      import s.implicits._
+      val old = Tables.table(s, dir, "orders")
+        .select($"o_orderkey".as("k"),
+          floor($"o_totalprice" * lit(100.0)).cast("long").as("v"))
+      // the simulated new version: urgent orders repriced +5%,
+      // customer 1's orders deleted, 100 synthetic appended keys
+      val neu = Tables.table(s, dir, "orders")
+        .filter($"o_custkey" =!= 1L)
+        .select($"o_orderkey".as("k"),
+          when($"o_orderpriority" === "1-URGENT",
+            expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)" +
+              " * 105 DIV 100"))
+            .otherwise(floor($"o_totalprice" * lit(100.0))
+              .cast("long")).as("v"))
+        .union(Tables.table(s, dir, "orders")
+          .orderBy($"o_orderkey").limit(100)
+          .select(($"o_orderkey" + 900000000L).as("k"),
+            floor($"o_totalprice" * lit(100.0)).cast("long").as("v")))
+      def rh(k: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) =
+        graft.text.TextFunctions.hash60(
+          concat(k.cast("string"), lit("_"), v.cast("string")))
+      old.select($"k", $"v".as("v_old"))
+        .join(neu.select($"k", $"v".as("v_new")), Seq("k"),
+          "full_outer")
+        .select($"k",
+          when($"v_old".isNull, "added")
+            .when($"v_new".isNull, "removed")
+            .when($"v_old" =!= $"v_new", "changed")
+            .otherwise("unchanged").as("class"),
+          coalesce($"v_new", $"v_old").as("v"))
+        .groupBy($"class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(rh($"k", $"v").cast("decimal(38,0)")).cast("string")
+            .as("checksum")) // string render: the q243 portable type
+        .orderBy($"class")
     }))
 
   /** DuckDB spelling of [[cmsBucket]] (`k`, `i` are SQL exprs). */
@@ -1676,6 +1725,38 @@ object OpsQueries {
       s"1, 8) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    "q290_table_diff" ->
+      """WITH old AS (
+           SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+           FROM orders),
+         neu AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                      * 105 // 100
+                    ELSE CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                  END AS v
+           FROM orders WHERE o_custkey <> 1
+           UNION ALL
+           SELECT o_orderkey + 900000000 AS k,
+                  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+           FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)),
+         d AS (
+           SELECT CASE WHEN o.k IS NULL THEN 'added'
+                       WHEN n.k IS NULL THEN 'removed'
+                       WHEN o.v <> n.v THEN 'changed'
+                       ELSE 'unchanged' END AS class,
+                  coalesce(o.k, n.k) AS k,
+                  coalesce(n.v, o.v) AS v
+           FROM old o FULL OUTER JOIN neu n ON o.k = n.k)
+         SELECT class, count(*)::BIGINT AS n_rows,
+                CAST(CAST(sum(CAST(CAST('0x' || substr(md5(
+                    k::VARCHAR || '_' || v::VARCHAR), 1, 15)
+                  AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS VARCHAR) AS checksum
+         FROM d GROUP BY class ORDER BY class""",
 
     "q283_skew_advisor" -> {
       def audit(table: String, key: String) =
