@@ -153,7 +153,19 @@ class PlanAuditSpec extends SparkSuite {
     // q277: each probe's token/vector frame is a broadcast 1-ROW
     // model against the scan; the RRF fusion full-outer-joins two
     // 10-row top-k legs (model × model).
-    "q277_rrf_fusion")
+    "q277_rrf_fusion",
+    // q281: the window-bounds (min/max day) frame is a broadcast
+    // 1-ROW model against the scan (the q103/q111 pattern).
+    "q281_dist_drift",
+    // q286: the sample totals (n1, n2) pair the per-value cumulative
+    // frame as a broadcast 1-ROW model.
+    "q286_ks_test",
+    // q288: the 5-row strata model pairs its broadcast 1-ROW weight
+    // total (model × scalar).
+    "q288_neyman_allocation",
+    // q289: the stream-midpoint bound is a broadcast 1-ROW frame;
+    // the DiD compose chains four 1-row cell frames.
+    "q289_diff_in_diff")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
