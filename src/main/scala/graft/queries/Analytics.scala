@@ -2440,6 +2440,53 @@ object Analytics {
           round($"m_11" / 100.0, 4).as("b_post_dollars"),
           round((($"m_11" - $"m_10") - ($"m_01" - $"m_00")) / 100.0,
             4).as("did_dollars"))
+    }),
+
+    // Split-conformal prediction interval for the q265 forecaster —
+    // the distribution-free uncertainty band modern forecast evals
+    // ship: calibrate on the first half of forecastable days (q̂ =
+    // the ⌈0.9·(n+1)⌉-th smallest |error| by EXACT rank over the
+    // bounded per-type day frame), then measure empirical coverage
+    // of ±q̂ on the held-out second half — integer cents throughout,
+    // coverage as an exact ppm DIV. If the residuals are exchangeable
+    // the guarantee says coverage ≳ 90%; the table shows it.
+    "q291_conformal_forecast" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val lagged = (1 to 14).foldLeft(daily) { (df, i) =>
+        df.withColumn(s"l$i", lag($"y", i).over(w))
+      }
+      val f8192 = (1 to 13).map(i => col(s"l$i") * lit(1L << (13 - i)))
+        .reduce(_ + _) + col("l14")
+      val errs = lagged.filter($"l14".isNotNull)
+        .withColumn("f8192", f8192) // non-negative: DIV == floor
+        .select($"event_type", $"day",
+          expr("abs(y - f8192 DIV 8192)").as("aerr"))
+        .withColumn("i", row_number().over(w))
+        .localCheckpoint() // split + rank + coverage share it
+      val n = errs.groupBy($"event_type")
+        .agg(count(lit(1)).as("nf"))
+        .withColumn("n_cal", expr("nf DIV 2"))
+      val cal = errs.join(broadcast(n), "event_type")
+        .filter($"i" <= $"n_cal")
+      val wr = Window.partitionBy($"event_type").orderBy($"aerr", $"day")
+      val qhat = cal.withColumn("r", row_number().over(wr))
+        .filter($"r" === expr("CAST(ceil((n_cal + 1) * 0.9) AS INT)")
+          || ($"r" === $"n_cal" &&
+            expr("ceil((n_cal + 1) * 0.9)") > $"n_cal"))
+        .groupBy($"event_type").agg(min($"aerr").as("q90_cents"))
+      errs.join(broadcast(n), "event_type")
+        .filter($"i" > $"n_cal")
+        .join(broadcast(qhat), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+          max($"q90_cents").as("q90_cents"),
+          expr("sum(CASE WHEN aerr <= q90_cents THEN 1 ELSE 0 END)" +
+            " * 1000000 DIV count(1)").as("coverage_ppm"))
+        .orderBy($"event_type")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2523,6 +2570,51 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q291_conformal_forecast" -> {
+      val lags = (1 to 14).map(i =>
+        s"lag(y, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
+        .mkString(", ")
+      val f = (1 to 13).map(i => s"l$i * ${1L << (13 - i)}")
+        .mkString(" + ") + " + l14"
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM daily_src GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, day, y, $lags FROM daily),
+         errs AS (
+           SELECT event_type, day,
+                  abs(y - CAST($f AS BIGINT) // 8192) AS aerr,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS INT) AS i
+           FROM lagged WHERE l14 IS NOT NULL),
+         n AS (
+           SELECT event_type, count(*)::BIGINT // 2 AS n_cal
+           FROM errs GROUP BY 1),
+         rk AS (
+           SELECT e.event_type, n.n_cal, e.aerr,
+                  CAST(row_number() OVER (PARTITION BY e.event_type
+                    ORDER BY e.aerr, e.day) AS BIGINT) AS r
+           FROM errs e JOIN n ON e.event_type = n.event_type
+           WHERE e.i <= n.n_cal),
+         qh AS (
+           SELECT event_type, CAST(min(aerr) AS BIGINT) AS q90_cents
+           FROM rk
+           WHERE r = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+              OR (r = n_cal AND ceil((n_cal + 1) * 0.9) > n_cal)
+           GROUP BY 1)
+         SELECT e.event_type, max(n.n_cal) AS n_cal,
+                count(*)::BIGINT AS n_test,
+                max(q.q90_cents) AS q90_cents,
+                CAST(sum(CASE WHEN e.aerr <= q.q90_cents
+                  THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                  // CAST(count(*) AS BIGINT) AS coverage_ppm
+         FROM errs e JOIN n ON e.event_type = n.event_type
+         JOIN qh q ON e.event_type = q.event_type
+         WHERE e.i > n.n_cal
+         GROUP BY 1 ORDER BY 1""".replace("daily_src", "events")
+    },
     "q289_diff_in_diff" ->
       """WITH ev AS (
            SELECT CAST('0x' || substr(md5(user_id::VARCHAR || '_ab'),
