@@ -2060,6 +2060,68 @@ object TextQueries {
         .join(iso, $"bucket" === $"i")
         .select($"bucket", $"n_docs", $"emp_ppm", $"iso_ppm")
         .orderBy($"bucket")
+    }),
+
+    // Feature-ablation importance for the q254 classifier — which
+    // signal actually carries the decision? Each ablation drops ONE
+    // feature's likelihood ratio from the NB product (the principled
+    // NB ablation — retraining is unnecessary because counts are
+    // per-feature) and re-measures eval accuracy. ALL four configs
+    // score in ONE scan (four fixed-order double products in the same
+    // projection against the broadcast 1-row count model), so the
+    // importance table costs one aggregate, and every accuracy is an
+    // exact ppm DIV the oracle replays.
+    "q292_ablation_importance" -> ((s, dir) => {
+      import s.implicits._
+      val feat = Tables.table(s, dir, "documents")
+        .select($"doc_id", ($"n_chars" > 300).as("is_long"),
+          ((size(split($"text", " ")) -
+            size(array_distinct(split($"text", " ")))) > 5).as("f1"),
+          $"text".contains(" the ").as("f2"),
+          (size(array_distinct(split($"text", " "))) > 45).as("f3"))
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      val train = feat.filter($"doc_id" % 2 === 0).agg(
+        cnt($"is_long").as("n_pos"), cnt(!$"is_long").as("n_neg"),
+        cnt($"is_long" && $"f1").as("c_pos_1"),
+        cnt(!$"is_long" && $"f1").as("c_neg_1"),
+        cnt($"is_long" && $"f2").as("c_pos_2"),
+        cnt(!$"is_long" && $"f2").as("c_neg_2"),
+        cnt($"is_long" && $"f3").as("c_pos_3"),
+        cnt(!$"is_long" && $"f3").as("c_neg_3"))
+      def term(j: Int, pos: Boolean) = {
+        val cls = if (pos) "pos" else "neg"
+        val n = col(s"n_$cls"); val c = col(s"c_${cls}_$j")
+        when(col(s"f$j"), (c + 1L).cast("double"))
+          .otherwise((n - c + 1L).cast("double")) /
+          (n + 2L).cast("double")
+      }
+      def correct(skip: Int) = {
+        val kept = Seq(1, 2, 3).filterNot(_ == skip)
+        val sp = kept.foldLeft($"n_pos".cast("double"))(
+          (e, j) => e * term(j, pos = true))
+        val sn = kept.foldLeft($"n_neg".cast("double"))(
+          (e, j) => e * term(j, pos = false))
+        sum(when((sp > sn) === $"is_long", 1L).otherwise(0L))
+      }
+      val a = feat.filter($"doc_id" % 2 === 1)
+        .crossJoin(broadcast(train)) // 1-row count model
+        .agg(count(lit(1)).as("n_eval"), correct(0).as("c0"),
+          correct(1).as("c1"), correct(2).as("c2"),
+          correct(3).as("c3"))
+      a.select($"n_eval", $"c0", explode(array(
+          struct(lit("none").as("ablated"), $"c0".as("n_correct")),
+          struct(lit("f1_repetition").as("ablated"),
+            $"c1".as("n_correct")),
+          struct(lit("f2_the").as("ablated"), $"c2".as("n_correct")),
+          struct(lit("f3_vocab").as("ablated"),
+            $"c3".as("n_correct")))).as("r"))
+        .select($"r.ablated".as("ablated"), $"n_eval",
+          $"r.n_correct".as("n_correct"),
+          expr("r.n_correct * 1000000 DIV n_eval").as("acc_ppm"),
+          expr("(c0 - r.n_correct) * 1000000 DIV n_eval")
+            .as("drop_ppm"))
+        .orderBy($"ablated")
     }))
 
   /** q254/q258's shared scoring frame: binary NB (long-form vs not),
@@ -2105,11 +2167,16 @@ object TextQueries {
 
   /** Shared WITH-prefix of the q254/q258 oracles: the NB feature,
     * train, and scored frames as SQL, mirroring [[nbScored]]. */
-  private def nbScoredSql: String = {
-    def term(x: String, c: String, n: String) =
-      s"(CASE WHEN $x THEN CAST($c + 1 AS DOUBLE) " +
-        s"ELSE CAST($n - $c + 1 AS DOUBLE) END " +
-        s"/ CAST($n + 2 AS DOUBLE))"
+  /** The likelihood-ratio factor of feature `x` for a class with
+    * positive count `c` out of `n` (Laplace), as oracle SQL. */
+  private def nbTermSql(x: String, c: String, n: String) =
+    s"(CASE WHEN $x THEN CAST($c + 1 AS DOUBLE) " +
+      s"ELSE CAST($n - $c + 1 AS DOUBLE) END " +
+      s"/ CAST($n + 2 AS DOUBLE))"
+
+  /** The feat + train CTE prefix shared by the q254/q258/q292
+    * oracles (features, labels, the 1-row Laplace count model). */
+  private def nbFeatTrainSql: String =
     "WITH feat AS (SELECT doc_id, n_chars > 300 AS is_long, " +
       "(length(string_split(text, ' ')) " +
       "- length(list_distinct(string_split(text, ' ')))) > 5 AS f1, " +
@@ -2125,18 +2192,48 @@ object TextQueries {
       "sum(CASE WHEN NOT is_long AND f2 THEN 1 ELSE 0 END)::BIGINT AS c_neg_2, " +
       "sum(CASE WHEN is_long AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_pos_3, " +
       "sum(CASE WHEN NOT is_long AND f3 THEN 1 ELSE 0 END)::BIGINT AS c_neg_3 " +
-      "FROM feat WHERE doc_id % 2 = 0), " +
-      "scored AS (SELECT is_long, " +
-      "CAST(n_pos AS DOUBLE) * " + term("f1", "c_pos_1", "n_pos") +
-      " * " + term("f2", "c_pos_2", "n_pos") +
-      " * " + term("f3", "c_pos_3", "n_pos") + " AS s_pos, " +
-      "CAST(n_neg AS DOUBLE) * " + term("f1", "c_neg_1", "n_neg") +
-      " * " + term("f2", "c_neg_2", "n_neg") +
-      " * " + term("f3", "c_neg_3", "n_neg") + " AS s_neg, doc_id " +
+      "FROM feat WHERE doc_id % 2 = 0)"
+
+  private def nbScoredSql: String =
+    nbFeatTrainSql +
+      ", scored AS (SELECT is_long, " +
+      "CAST(n_pos AS DOUBLE) * " + nbTermSql("f1", "c_pos_1", "n_pos") +
+      " * " + nbTermSql("f2", "c_pos_2", "n_pos") +
+      " * " + nbTermSql("f3", "c_pos_3", "n_pos") + " AS s_pos, " +
+      "CAST(n_neg AS DOUBLE) * " + nbTermSql("f1", "c_neg_1", "n_neg") +
+      " * " + nbTermSql("f2", "c_neg_2", "n_neg") +
+      " * " + nbTermSql("f3", "c_neg_3", "n_neg") + " AS s_neg, doc_id " +
       "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)"
-  }
 
   val oracles: Map[String, String] = Map(
+    "q292_ablation_importance" -> {
+      def prod(cls: String, kept: Seq[Int]) =
+        s"CAST(n_$cls AS DOUBLE)" + kept.map(j =>
+          " * " + nbTermSql(s"f$j", s"c_${cls}_$j", s"n_$cls"))
+          .mkString
+      def cflag(skip: Int) = {
+        val kept = Seq(1, 2, 3).filterNot(_ == skip)
+        s"CAST(sum(CASE WHEN ((${prod("pos", kept)}) > " +
+          s"(${prod("neg", kept)})) = is_long THEN 1 ELSE 0 END) " +
+          "AS BIGINT)"
+      }
+      def row(name: String, c: String) =
+        s"""SELECT '$name' AS ablated, n_eval, $c AS n_correct,
+              $c * 1000000 // n_eval AS acc_ppm,
+              (c0 - $c) * 1000000 // n_eval AS drop_ppm FROM a"""
+      nbFeatTrainSql +
+        s""", a AS (
+             SELECT count(*)::BIGINT AS n_eval,
+                    ${cflag(0)} AS c0, ${cflag(1)} AS c1,
+                    ${cflag(2)} AS c2, ${cflag(3)} AS c3
+             FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)
+           SELECT * FROM (
+             ${row("none", "c0")}
+             UNION ALL ${row("f1_repetition", "c1")}
+             UNION ALL ${row("f2_the", "c2")}
+             UNION ALL ${row("f3_vocab", "c3")})
+           ORDER BY ablated"""
+    },
     "q261_ndcg_at10" -> {
       // same 12-decimal discount literals, same BM25 form as the
       // engine; each leg re-derives sys/ideal top-10 then joins the
