@@ -2122,6 +2122,67 @@ object TextQueries {
           expr("(c0 - r.n_correct) * 1000000 DIV n_eval")
             .as("drop_ppm"))
         .orderBy($"ablated")
+    }),
+
+    // 5-fold cross-validation of the NB gate — as PURE relational
+    // algebra: folds by the portable salted hash, ONE per-fold count
+    // aggregate (5 rows), and each fold's training model materializes
+    // by the leave-one-out identity model_k = totals − fold_k (NB
+    // trains on counts, so holding a fold out is a subtraction, not a
+    // retrain). Scoring joins every doc to ITS OWN fold's model row
+    // (a broadcast 5-row frame) — one data pass for all five folds,
+    // per-fold accuracy as exact ppm DIVs; the cross-fold spread is
+    // the gate's stability readout.
+    "q293_kfold_cv" -> ((s, dir) => {
+      import s.implicits._
+      val feat = Tables.table(s, dir, "documents")
+        .select($"doc_id", ($"n_chars" > 300).as("is_long"),
+          ((size(split($"text", " ")) -
+            size(array_distinct(split($"text", " ")))) > 5).as("f1"),
+          $"text".contains(" the ").as("f2"),
+          (size(array_distinct(split($"text", " "))) > 45).as("f3"),
+          (graft.text.TextFunctions.hash60(
+            concat($"doc_id".cast("string"), lit("_cv"))) % 5)
+            .as("fold"))
+        .localCheckpoint() // counted once, scored once
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      val names = Seq("n_pos", "n_neg", "c_pos_1", "c_neg_1",
+        "c_pos_2", "c_neg_2", "c_pos_3", "c_neg_3")
+      val perFold = feat.groupBy($"fold").agg(
+        cnt($"is_long").as("n_pos"), cnt(!$"is_long").as("n_neg"),
+        cnt($"is_long" && $"f1").as("c_pos_1"),
+        cnt(!$"is_long" && $"f1").as("c_neg_1"),
+        cnt($"is_long" && $"f2").as("c_pos_2"),
+        cnt(!$"is_long" && $"f2").as("c_neg_2"),
+        cnt($"is_long" && $"f3").as("c_pos_3"),
+        cnt(!$"is_long" && $"f3").as("c_neg_3"))
+        .localCheckpoint() // 5-row fold census
+      val totCols = names.map(n => sum(col(n)).as(s"t_$n"))
+      val totals = perFold.agg(totCols.head, totCols.tail: _*)
+      // leave-one-out: fold k's TRAINING counts = totals − fold k
+      val models = perFold.crossJoin(broadcast(totals))
+        .select(($"fold" +: names.map(n =>
+          (col(s"t_$n") - col(n)).as(n))): _*)
+      def term(j: Int, pos: Boolean) = {
+        val cls = if (pos) "pos" else "neg"
+        val n = col(s"n_$cls"); val c = col(s"c_${cls}_$j")
+        when(col(s"f$j"), (c + 1L).cast("double"))
+          .otherwise((n - c + 1L).cast("double")) /
+          (n + 2L).cast("double")
+      }
+      val sp = (1 to 3).foldLeft($"n_pos".cast("double"))(
+        (e, j) => e * term(j, pos = true))
+      val sn = (1 to 3).foldLeft($"n_neg".cast("double"))(
+        (e, j) => e * term(j, pos = false))
+      feat.join(broadcast(models), "fold")
+        .groupBy($"fold")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when((sp > sn) === $"is_long", 1L).otherwise(0L))
+            .as("n_correct"))
+        .select($"fold", $"n_eval", $"n_correct",
+          expr("n_correct * 1000000 DIV n_eval").as("acc_ppm"))
+        .orderBy($"fold")
     }))
 
   /** q254/q258's shared scoring frame: binary NB (long-form vs not),
@@ -2206,6 +2267,48 @@ object TextQueries {
       "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)"
 
   val oracles: Map[String, String] = Map(
+    "q293_kfold_cv" -> {
+      val counts = Seq(
+        "n_pos" -> "is_long", "n_neg" -> "NOT is_long",
+        "c_pos_1" -> "is_long AND f1", "c_neg_1" -> "NOT is_long AND f1",
+        "c_pos_2" -> "is_long AND f2", "c_neg_2" -> "NOT is_long AND f2",
+        "c_pos_3" -> "is_long AND f3", "c_neg_3" -> "NOT is_long AND f3")
+      val pf = counts.map { case (n, p) =>
+        s"sum(CASE WHEN $p THEN 1 ELSE 0 END)::BIGINT AS $n" }
+        .mkString(", ")
+      val tot = counts.map { case (n, _) =>
+        s"CAST(sum($n) AS BIGINT) AS t_$n" }.mkString(", ")
+      val loo = counts.map { case (n, _) =>
+        s"tot.t_$n - pf.$n AS $n" }.mkString(", ")
+      def prod(cls: String) =
+        s"CAST(n_$cls AS DOUBLE)" + (1 to 3).map(j =>
+          " * " + nbTermSql(s"f$j", s"c_${cls}_$j", s"n_$cls"))
+          .mkString
+      s"""WITH feat AS (
+           SELECT doc_id, n_chars > 300 AS is_long,
+                  (length(string_split(text, ' '))
+                   - length(list_distinct(string_split(text, ' '))))
+                    > 5 AS f1,
+                  contains(text, ' the ') AS f2,
+                  length(list_distinct(string_split(text, ' ')))
+                    > 45 AS f3,
+                  CAST('0x' || substr(md5(doc_id::VARCHAR || '_cv'),
+                    1, 15) AS BIGINT) % 5 AS fold
+           FROM documents),
+         pf AS (SELECT fold, $pf FROM feat GROUP BY 1),
+         tot AS (SELECT $tot FROM pf),
+         models AS (SELECT pf.fold, $loo FROM pf, tot)
+         SELECT f.fold, count(*)::BIGINT AS n_eval,
+                CAST(sum(CASE WHEN ((${prod("pos")}) >
+                    (${prod("neg")})) = f.is_long
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(sum(CASE WHEN ((${prod("pos")}) >
+                    (${prod("neg")})) = f.is_long
+                  THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                  // CAST(count(*) AS BIGINT) AS acc_ppm
+         FROM feat f JOIN models ON f.fold = models.fold
+         GROUP BY f.fold ORDER BY f.fold"""
+    },
     "q292_ablation_importance" -> {
       def prod(cls: String, kept: Seq[Int]) =
         s"CAST(n_$cls AS DOUBLE)" + kept.map(j =>
