@@ -2487,6 +2487,56 @@ object Analytics {
           expr("sum(CASE WHEN aerr <= q90_cents THEN 1 ELSE 0 END)" +
             " * 1000000 DIV count(1)").as("coverage_ppm"))
         .orderBy($"event_type")
+    }),
+
+    // Quadratic trend fit — y = a + b·t + c·t² per type by EXACT
+    // Cramér's rule on the 3×3 normal equations: the six power sums
+    // Σt⁰..Σt⁴ and three cross-moments Σy, Σty, Σt²y are exact
+    // DECIMAL(38,0) integers from one aggregate, every 3×3
+    // determinant expands exactly in DECIMAL (entries ≤10⁸, dets
+    // ≤10³⁰ — headroom pinned by the calendar-bounded day index),
+    // and the three coefficients are single IEEE divisions. The
+    // CURVATURE sign answers what q262's line can't: is growth
+    // accelerating or saturating?
+    "q294_quadratic_trend" -> ((s, dir) => {
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val m = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast(d38).as("s0"),
+          sum($"t").cast(d38).as("s1"),
+          sum($"t" * $"t").cast(d38).as("s2"),
+          sum($"t" * $"t" * $"t").cast(d38).as("s3"),
+          sum($"t" * $"t" * $"t" * $"t").cast(d38).as("s4"),
+          sum($"y").cast(d38).as("b0"),
+          sum($"t" * $"y").cast(d38).as("b1"),
+          sum($"t".cast(d38) * $"t".cast(d38) * $"y".cast(d38))
+            .as("b2"))
+      type C = org.apache.spark.sql.Column
+      def det3(a: C, b: C, c: C, d: C, e: C, f: C,
+          g: C, h: C, i: C): C =
+        a * (e * i - f * h) - b * (d * i - f * g) +
+          c * (d * h - e * g)
+      val dd = det3($"s0", $"s1", $"s2", $"s1", $"s2", $"s3",
+        $"s2", $"s3", $"s4")
+      val da = det3($"b0", $"s1", $"s2", $"b1", $"s2", $"s3",
+        $"b2", $"s3", $"s4")
+      val db = det3($"s0", $"b0", $"s2", $"s1", $"b1", $"s3",
+        $"s2", $"b2", $"s4")
+      val dc = det3($"s0", $"s1", $"b0", $"s1", $"s2", $"b1",
+        $"s2", $"s3", $"b2")
+      m.select($"event_type", $"s0".cast("long").as("n_days"),
+          round(da.cast("double") / dd.cast("double") / 100.0, 4)
+            .as("a_dollars"),
+          round(db.cast("double") / dd.cast("double") / 100.0, 4)
+            .as("b_dollars_per_day"),
+          round(dc.cast("double") / dd.cast("double") / 100.0, 6)
+            .as("c_dollars_per_day2"))
+        .orderBy($"event_type")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2570,6 +2620,52 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q294_quadratic_trend" -> {
+      def det3(m: Seq[String]): String = {
+        val Seq(a, b, c, d, e, f, g, h, i) = m
+        s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+          s" + $c * ($d * $h - $e * $g))"
+      }
+      val dd = det3(Seq("s0", "s1", "s2", "s1", "s2", "s3",
+        "s2", "s3", "s4"))
+      val da = det3(Seq("b0", "s1", "s2", "b1", "s2", "s3",
+        "b2", "s3", "s4"))
+      val db = det3(Seq("s0", "b0", "s2", "s1", "b1", "s3",
+        "s2", "b2", "s4"))
+      val dc = det3(Seq("s0", "s1", "b0", "s1", "s2", "b1",
+        "s2", "s3", "b2"))
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DECIMAL(38,0)) AS s0,
+                  CAST(sum(t) AS DECIMAL(38,0)) AS s1,
+                  CAST(sum(t * t) AS DECIMAL(38,0)) AS s2,
+                  CAST(sum(t * t * t) AS DECIMAL(38,0)) AS s3,
+                  CAST(sum(t * t * t * t) AS DECIMAL(38,0)) AS s4,
+                  CAST(sum(y) AS DECIMAL(38,0)) AS b0,
+                  CAST(sum(t * y) AS DECIMAL(38,0)) AS b1,
+                  sum(CAST(t AS DECIMAL(38,0))
+                    * CAST(t AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) AS b2
+           FROM idx GROUP BY 1)
+         SELECT event_type, CAST(s0 AS BIGINT) AS n_days,
+                round(CAST($da AS DOUBLE) / CAST($dd AS DOUBLE)
+                  / 100.0, 4) AS a_dollars,
+                round(CAST($db AS DOUBLE) / CAST($dd AS DOUBLE)
+                  / 100.0, 4) AS b_dollars_per_day,
+                round(CAST($dc AS DOUBLE) / CAST($dd AS DOUBLE)
+                  / 100.0, 6) AS c_dollars_per_day2
+         FROM m ORDER BY event_type"""
+    },
     "q291_conformal_forecast" -> {
       val lags = (1 to 14).map(i =>
         s"lag(y, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
