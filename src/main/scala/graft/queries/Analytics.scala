@@ -2537,6 +2537,37 @@ object Analytics {
           round(dc.cast("double") / dd.cast("double") / 100.0, 6)
             .as("c_dollars_per_day2"))
         .orderBy($"event_type")
+    }),
+
+    // Rolling 14-day OLS slope — the LOCAL trend signal per day (the
+    // "rolling beta" of a monitoring dashboard): all five regression
+    // moments ride ONE bounded 14-row sliding window per type (exact
+    // long sums — day index and cents are integers), the slope is
+    // q262's closed form per row, one IEEE division each. Days with
+    // a short history emit their partial-window fit (n < 14 rides
+    // out with the row, so the reader can mask the warm-up).
+    "q295_rolling_slope" -> ((s, dir) => {
+      import s.implicits._
+      val wSeq = Window.partitionBy($"event_type").orderBy($"day")
+      val roll = Window.partitionBy($"event_type").orderBy($"t")
+        .rowsBetween(-13, 0)
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .withColumn("t", row_number().over(wSeq).cast("long"))
+      daily
+        .withColumn("n", count(lit(1)).over(roll))
+        .withColumn("st", sum($"t").over(roll))
+        .withColumn("sy", sum($"y").over(roll))
+        .withColumn("sty", sum($"t" * $"y").over(roll))
+        .withColumn("stt", sum($"t" * $"t").over(roll))
+        .select($"event_type", $"day", $"n".as("n_window"),
+          $"y".as("actual_cents"),
+          round(($"n" * $"sty" - $"st" * $"sy").cast("double") /
+            ($"n" * $"stt" - $"st" * $"st").cast("double"), 4)
+            .as("slope_cents_per_day"))
+        .filter($"n_window" >= 2) // slope undefined on 1 point
+        .orderBy($"event_type", $"day")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2620,6 +2651,32 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q295_rolling_slope" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         r AS (
+           SELECT event_type, day, y,
+                  CAST(count(*) OVER w AS BIGINT) AS n,
+                  CAST(sum(t) OVER w AS BIGINT) AS st,
+                  CAST(sum(y) OVER w AS BIGINT) AS sy,
+                  CAST(sum(t * y) OVER w AS BIGINT) AS sty,
+                  CAST(sum(t * t) OVER w AS BIGINT) AS stt
+           FROM idx
+           WINDOW w AS (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, n AS n_window, y AS actual_cents,
+                round(CAST(n * sty - st * sy AS DOUBLE)
+                  / CAST(n * stt - st * st AS DOUBLE), 4)
+                  AS slope_cents_per_day
+         FROM r WHERE n >= 2 ORDER BY event_type, day""",
     "q294_quadratic_trend" -> {
       def det3(m: Seq[String]): String = {
         val Seq(a, b, c, d, e, f, g, h, i) = m

@@ -2183,6 +2183,31 @@ object TextQueries {
         .select($"fold", $"n_eval", $"n_correct",
           expr("n_correct * 1000000 DIV n_eval").as("acc_ppm"))
         .orderBy($"fold")
+    }),
+
+    // Dedup threshold sweep — the tuning table a dedup pipeline
+    // owner reads before committing to a jaccard cutoff: at 0.7 /
+    // 0.8 / 0.9, how many docs cluster, how many clusters form, how
+    // many docs a keep-one policy would REMOVE, and how big the
+    // largest cluster gets (the over-merging smell). Each leg is the
+    // q75 LSH-pair + min-label closure at that threshold; the
+    // censuses are 1-row aggregates. Clustering cost is shared
+    // machinery — at 100 TB you run the sweep on a hash sample, same
+    // code path.
+    "q296_dedup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      Seq(70, 90, 95).map { pct =>
+        val cl = graft.dedup.ConnectedComponents.nearDupClusters(
+          docs, "doc_id", "text", pct / 100.0)
+        cl.agg(count(lit(1)).as("n_dup_docs"),
+            countDistinct($"cluster_id").as("n_clusters"),
+            max($"cluster_size").as("max_cluster_size"))
+          .select(lit(pct).as("threshold_pct"), $"n_dup_docs",
+            $"n_clusters",
+            ($"n_dup_docs" - $"n_clusters").as("docs_removed"),
+            $"max_cluster_size")
+      }.reduce(_ union _).orderBy($"threshold_pct")
     }))
 
   /** q254/q258's shared scoring frame: binary NB (long-form vs not),
@@ -2267,6 +2292,54 @@ object TextQueries {
       "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)"
 
   val oracles: Map[String, String] = Map(
+    "q296_dedup_threshold_sweep" -> {
+      // one threshold leg: the q75 exact-jaccard closure (the same
+      // banding-recall assumption q125 documents) + a 1-row census
+      def leg(pct: Int) =
+        s"""SELECT $pct AS threshold_pct,
+              count(*)::BIGINT AS n_dup_docs,
+              count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+              count(*)::BIGINT - count(DISTINCT cluster_id)::BIGINT
+                AS docs_removed,
+              CAST(max(cluster_size) AS BIGINT) AS max_cluster_size
+           FROM (
+             SELECT l.id, l.cluster_id,
+                    count(*) OVER (PARTITION BY l.cluster_id)
+                      AS cluster_size
+             FROM (
+               SELECT id, least(min(r), id) AS cluster_id
+               FROM reach$pct GROUP BY id) l)"""
+      def closure(pct: Int) =
+        s"""e$pct AS (
+             SELECT a.doc_id AS ia, b.doc_id AS ib
+             FROM d a JOIN d b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                      - len(list_intersect(a.sh, b.sh))::DOUBLE)
+                   >= ${pct / 100.0}),
+           sym$pct AS (
+             SELECT ia, ib FROM e$pct
+             UNION SELECT ib AS ia, ia AS ib FROM e$pct),
+           reach$pct(id, r) AS (
+             SELECT ia, ib FROM sym$pct
+             UNION
+             SELECT s.ia, reach$pct.r
+             FROM sym$pct s JOIN reach$pct ON s.ib = reach$pct.id)"""
+      s"""WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+         d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+               FROM w),
+         ${closure(70)},
+         ${closure(90)},
+         ${closure(95)}
+         SELECT * FROM (
+           ${leg(70)} UNION ALL ${leg(90)} UNION ALL ${leg(95)})
+         ORDER BY threshold_pct"""
+    },
     "q293_kfold_cv" -> {
       val counts = Seq(
         "n_pos" -> "is_long", "n_neg" -> "NOT is_long",
