@@ -2568,6 +2568,75 @@ object Analytics {
             .as("slope_cents_per_day"))
         .filter($"n_window" >= 2) // slope undefined on 1 point
         .orderBy($"event_type", $"day")
+    }),
+
+    // Hysteresis (two-threshold) alerting — the debounced monitor
+    // real alerting uses so a metric hovering AT one threshold
+    // doesn't flap: ALERT arms when daily revenue exceeds 120% of the
+    // type's mean and disarms only below 80%. The state machine is
+    // relational: each day emits its crossing signal (arm/disarm/
+    // hold-as-null) and the armed state is last(signal IGNORE NULLS)
+    // over the bounded per-type day window — no sequential fold, no
+    // UDF, and DuckDB replays it with the same IGNORE NULLS frame.
+    // Thresholds are exact integer comparisons (5·y vs 6·mean·n
+    // cross-multiplied — no division), so arming replays exactly.
+    "q297_hysteresis_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val tot = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val sig = daily.join(broadcast(tot), "event_type")
+        // y > 1.2·mean  ⇔  5·y·n > 6·sy   (exact integers)
+        .withColumn("crossing",
+          when($"y" * 5L * $"n" > $"sy" * 6L, lit(1))
+            .when($"y" * 5L * $"n" < $"sy" * 4L, lit(0))
+            .otherwise(lit(null).cast("int")))
+        .withColumn("armed",
+          coalesce(last($"crossing", ignoreNulls = true).over(w),
+            lit(0)))
+      val wo = Window.partitionBy($"event_type").orderBy($"day")
+      sig.withColumn("prev", lag($"armed", 1, 0).over(wo))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"armed".cast("long")).as("days_armed"),
+          sum(when($"armed" > $"prev", 1L).otherwise(0L))
+            .as("n_alerts_fired"),
+          min(when($"armed" === 1, $"day")).as("first_alert_day"))
+        .orderBy($"event_type")
+    }),
+
+    // Top-k + OTHERS rollup — the report shape every BI page ends
+    // with: the five highest-revenue customers as rows, everything
+    // else collapsed into one OTHERS line so the table still sums to
+    // the total. Top-5 is a TakeOrderedAndProject (never a global
+    // sort); OTHERS = broadcast total − Σtop5, both exact cents, so
+    // the invariant Σrows = total is arithmetic, not hope.
+    "q298_topk_others" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.table(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" * lit(100.0)).cast("long"))
+          .as("cents"), count(lit(1)).as("n_orders"))
+        .localCheckpoint() // top-5 leg + total leg
+      val top = per.orderBy($"cents".desc, $"o_custkey").limit(5)
+        .select($"o_custkey".cast("string").as("customer"),
+          $"n_orders", $"cents")
+      val tot = per.agg(sum($"cents").as("t_cents"),
+        sum($"n_orders").as("t_orders"), count(lit(1)).as("t_cust"))
+      val topSum = top.agg(sum($"cents").as("k_cents"),
+        sum($"n_orders").as("k_orders"), count(lit(1)).as("k_cust"))
+      val others = tot.crossJoin(topSum) // 1-row × 1-row
+        .select(lit("OTHERS").as("customer"),
+          ($"t_orders" - $"k_orders").as("n_orders"),
+          ($"t_cents" - $"k_cents").as("cents"))
+      top.union(others)
+        .select($"customer", $"n_orders",
+          round($"cents".cast("double") / 100.0, 2).as("dollars"))
+        .orderBy($"dollars".desc, $"customer")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2651,6 +2720,70 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q297_hysteresis_alerts" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, count(*)::BIGINT AS n,
+                  CAST(sum(y) AS BIGINT) AS sy
+           FROM daily GROUP BY 1),
+         sig AS (
+           SELECT d.event_type, d.day,
+                  CASE WHEN d.y * 5 * t.n > t.sy * 6 THEN 1
+                       WHEN d.y * 5 * t.n < t.sy * 4 THEN 0
+                  END AS crossing
+           FROM daily d JOIN tot t ON d.event_type = t.event_type),
+         st AS (
+           SELECT event_type, day,
+                  coalesce(last_value(crossing IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS armed
+           FROM sig),
+         pv AS (
+           SELECT event_type, day, armed,
+                  coalesce(lag(armed) OVER (PARTITION BY event_type
+                    ORDER BY day), 0) AS prev
+           FROM st)
+         SELECT event_type, count(*)::BIGINT AS n_days,
+                CAST(sum(armed) AS BIGINT) AS days_armed,
+                CAST(sum(CASE WHEN armed > prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alerts_fired,
+                min(CASE WHEN armed = 1 THEN day END)
+                  AS first_alert_day
+         FROM pv GROUP BY 1 ORDER BY 1""",
+    "q298_topk_others" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100.0)
+                    AS BIGINT)) AS BIGINT) AS cents,
+                  count(*)::BIGINT AS n_orders
+           FROM orders GROUP BY 1),
+         top AS (
+           SELECT o_custkey::VARCHAR AS customer, n_orders, cents
+           FROM per ORDER BY cents DESC, o_custkey LIMIT 5),
+         tot AS (
+           SELECT CAST(sum(cents) AS BIGINT) AS t_cents,
+                  CAST(sum(n_orders) AS BIGINT) AS t_orders
+           FROM per),
+         ks AS (
+           SELECT CAST(sum(cents) AS BIGINT) AS k_cents,
+                  CAST(sum(n_orders) AS BIGINT) AS k_orders
+           FROM top)
+         SELECT * FROM (
+           SELECT customer, n_orders,
+                  round(CAST(cents AS DOUBLE) / 100.0, 2) AS dollars
+           FROM top
+           UNION ALL
+           SELECT 'OTHERS' AS customer,
+                  t_orders - k_orders AS n_orders,
+                  round(CAST(t_cents - k_cents AS DOUBLE) / 100.0, 2)
+                    AS dollars
+           FROM tot, ks)
+         ORDER BY dollars DESC, customer""",
     "q295_rolling_slope" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
