@@ -2637,6 +2637,42 @@ object Analytics {
         .select($"customer", $"n_orders",
           round($"cents".cast("double") / 100.0, 2).as("dollars"))
         .orderBy($"dollars".desc, $"customer")
+    }),
+
+    // Weighted median — the "typical price per UNIT SOLD" (each line
+    // weighted by its quantity), which answers a different question
+    // than q273's row-median: smallest price v with cumulative
+    // quantity ≥ half the total. The cumulative weight runs through
+    // GlobalIndex.withGlobalCumSum (range exchange + per-partition
+    // offsets — never a single-task window); the qualifying-row pick
+    // is min(struct(seq, v)) over the filtered frame (exact integer
+    // comparison 2·cum ≥ W), and the UNWEIGHTED median companion
+    // reads the same pass's row index — one exchange for both.
+    "q299_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select(floor($"l_extendedprice" * lit(100.0)).cast("long")
+          .as("v"), $"l_quantity".cast("long").as("q"),
+          $"l_orderkey", $"l_linenumber")
+      val cum = graft.operators.GlobalIndex.withGlobalCumSum(
+        li, Seq($"v", $"l_orderkey", $"l_linenumber"), $"q")
+        .localCheckpoint() // totals + two median picks share it
+      val tot = cum.agg(count(lit(1)).as("n_rows"),
+        sum($"q").as("w_total"))
+      val wMed = cum.crossJoin(broadcast(tot))
+        .filter($"global_csum" * 2L >= $"w_total")
+        .agg(min(struct($"global_seq", $"v")).as("m"))
+        .select($"m.v".as("w_median_cents"))
+      val uMed = cum.crossJoin(broadcast(tot))
+        .filter($"global_seq" * 2L >= $"n_rows")
+        .agg(min(struct($"global_seq", $"v")).as("m"))
+        .select($"m.v".as("u_median_cents"))
+      tot.crossJoin(wMed).crossJoin(uMed) // 1-row frames
+        .select($"n_rows", $"w_total".as("total_qty"),
+          round($"w_median_cents".cast("double") / 100.0, 2)
+            .as("weighted_median_dollars"),
+          round($"u_median_cents".cast("double") / 100.0, 2)
+            .as("unweighted_median_dollars"))
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2720,6 +2756,36 @@ object Analytics {
            FROM det2 GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q299_weighted_median" ->
+      """WITH li AS (
+           SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+                    AS v,
+                  CAST(l_quantity AS BIGINT) AS q,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+         cum AS (
+           SELECT v, q,
+                  CAST(sum(q) OVER (ORDER BY v, l_orderkey,
+                    l_linenumber) AS BIGINT) AS csum,
+                  CAST(row_number() OVER (ORDER BY v, l_orderkey,
+                    l_linenumber) AS BIGINT) AS seq
+           FROM li),
+         tot AS (
+           SELECT count(*)::BIGINT AS n_rows,
+                  CAST(sum(q) AS BIGINT) AS w_total
+           FROM li),
+         wm AS (
+           SELECT v FROM cum, tot WHERE csum * 2 >= w_total
+           ORDER BY seq LIMIT 1),
+         um AS (
+           SELECT v FROM cum, tot WHERE seq * 2 >= n_rows
+           ORDER BY seq LIMIT 1)
+         SELECT tot.n_rows, tot.w_total AS total_qty,
+                round(CAST(wm.v AS DOUBLE) / 100.0, 2)
+                  AS weighted_median_dollars,
+                round(CAST(um.v AS DOUBLE) / 100.0, 2)
+                  AS unweighted_median_dollars
+         FROM tot, wm, um""",
     "q297_hysteresis_alerts" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
