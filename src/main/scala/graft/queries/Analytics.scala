@@ -2673,6 +2673,42 @@ object Analytics {
             .as("weighted_median_dollars"),
           round($"u_median_cents".cast("double") / 100.0, 2)
             .as("unweighted_median_dollars"))
+    }),
+
+    // Pipeline-health one-pager — the capstone composition: one
+    // (metric, value) table a data-platform on-call reads first,
+    // each row produced by machinery verified elsewhere in the
+    // registry: table volumes, referential orphans (the q111 check),
+    // near-dup burden (q75's closure), worst distribution drift
+    // (q281's TV), alert pressure (q297's hysteresis count), and the
+    // hottest join key's salt factor (q283). Every leg is a 1-row
+    // integer aggregate; the union is a 7-row frame. One query to
+    // demo the engine end-to-end.
+    "q300_pipeline_health" -> ((s, dir) => {
+      import s.implicits._
+      def metric(name: String, v: org.apache.spark.sql.Column,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(v.cast("long").as("value"))
+          .select(lit(name).as("metric"), $"value")
+      val orders = Tables.table(s, dir, "orders")
+      val events = Tables.table(s, dir, "events")
+      val rows = metric("rows_orders", count(lit(1)), orders)
+        .union(metric("rows_events", count(lit(1)), events))
+      val orphans = metric("orphan_lineitems", count(lit(1)),
+        Tables.table(s, dir, "lineitem").join(orders,
+          $"l_orderkey" === $"o_orderkey", "left_anti"))
+      val dups = graft.dedup.ConnectedComponents.nearDupClusters(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 0.9)
+      val dupRemoved = metric("neardup_docs_removable",
+        count(lit(1)) - countDistinct($"cluster_id"), dups)
+      val drift = metric("max_drift_tv_ppm", max($"tv_ppm"),
+        queries("q281_dist_drift")(s, dir))
+      val alerts = metric("alerts_fired", sum($"n_alerts_fired"),
+        queries("q297_hysteresis_alerts")(s, dir))
+      val salt = metric("max_salt_factor", max($"salt_factor"),
+        graft.queries.OpsQueries.queries("q283_skew_advisor")(s, dir))
+      Seq(rows, orphans, dupRemoved, drift, alerts, salt)
+        .reduce(_ union _).orderBy($"metric")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2755,39 +2791,37 @@ object Analytics {
                     AS BIGINT) AS weekday_ucents
            FROM det2 GROUP BY 1, 2)"""
 
-  val oracles: Map[String, String] = Map(
-    "q299_weighted_median" ->
-      """WITH li AS (
-           SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT)
-                    AS v,
-                  CAST(l_quantity AS BIGINT) AS q,
-                  l_orderkey, l_linenumber
-           FROM lineitem),
-         cum AS (
-           SELECT v, q,
-                  CAST(sum(q) OVER (ORDER BY v, l_orderkey,
-                    l_linenumber) AS BIGINT) AS csum,
-                  CAST(row_number() OVER (ORDER BY v, l_orderkey,
-                    l_linenumber) AS BIGINT) AS seq
-           FROM li),
+  /** q281's oracle text, shared with the q300 one-pager. */
+  private val q281Sql: String =
+    """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  least(7, CAST(floor(value / 62.5) AS INT)) AS bucket
+           FROM events),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         cens AS (
+           SELECT event_type, bucket,
+                  CAST(sum(CASE WHEN day - (SELECT d0 FROM span) < 7
+                    THEN 1 ELSE 0 END) AS BIGINT) + 1 AS n1,
+                  CAST(sum(CASE WHEN (SELECT d1 FROM span) - day < 7
+                    THEN 1 ELSE 0 END) AS BIGINT) AS m
+           FROM ev GROUP BY 1, 2),
          tot AS (
-           SELECT count(*)::BIGINT AS n_rows,
-                  CAST(sum(q) AS BIGINT) AS w_total
-           FROM li),
-         wm AS (
-           SELECT v FROM cum, tot WHERE csum * 2 >= w_total
-           ORDER BY seq LIMIT 1),
-         um AS (
-           SELECT v FROM cum, tot WHERE seq * 2 >= n_rows
-           ORDER BY seq LIMIT 1)
-         SELECT tot.n_rows, tot.w_total AS total_qty,
-                round(CAST(wm.v AS DOUBLE) / 100.0, 2)
-                  AS weighted_median_dollars,
-                round(CAST(um.v AS DOUBLE) / 100.0, 2)
-                  AS unweighted_median_dollars
-         FROM tot, wm, um""",
-    "q297_hysteresis_alerts" ->
-      """WITH daily AS (
+           SELECT event_type, CAST(sum(n1) AS BIGINT) AS nn,
+                  CAST(sum(m) AS BIGINT) AS mm
+           FROM cens GROUP BY 1)
+         SELECT c.event_type, max(t.nn) AS n_ref, max(t.mm) AS n_cur,
+                CAST(sum(abs(c.n1 * t.mm - c.m * t.nn)) AS BIGINT)
+                  * 1000000 // (2 * max(t.nn) * max(t.mm)) AS tv_ppm,
+                CAST(sum(CAST((c.m * t.nn - c.n1 * t.mm) AS HUGEINT)
+                    * (c.m * t.nn - c.n1 * t.mm) * 1000000
+                    // (CAST(t.mm AS HUGEINT) * c.n1 * t.nn))
+                  AS BIGINT) AS chi2_micro
+         FROM cens c JOIN tot t USING (event_type)
+         GROUP BY c.event_type ORDER BY c.event_type"""
+
+  /** q297's oracle text, shared with the q300 one-pager. */
+  private val q297Sql: String =
+    """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
                   CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
                     AS BIGINT) AS y
@@ -2820,7 +2854,94 @@ object Analytics {
                   AS BIGINT) AS n_alerts_fired,
                 min(CASE WHEN armed = 1 THEN day END)
                   AS first_alert_day
-         FROM pv GROUP BY 1 ORDER BY 1""",
+         FROM pv GROUP BY 1 ORDER BY 1"""
+
+  val oracles: Map[String, String] = Map(
+    "q300_pipeline_health" ->
+      s"""WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+         d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+               FROM w),
+         e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM d a JOIN d b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
+                        - len(list_intersect(a.sh, b.sh))::DOUBLE)
+                     >= 0.9),
+         sym AS (SELECT ia, ib FROM e
+                 UNION SELECT ib AS ia, ia AS ib FROM e),
+         reach(id, r) AS (
+           SELECT ia, ib FROM sym
+           UNION
+           SELECT s.ia, reach.r FROM sym s JOIN reach
+             ON s.ib = reach.id),
+         lab AS (SELECT id, least(min(r), id) AS cluster_id
+                 FROM reach GROUP BY id)
+         SELECT * FROM (
+           SELECT 'rows_orders' AS metric,
+                  (SELECT count(*) FROM orders)::BIGINT AS value
+           UNION ALL
+           SELECT 'rows_events' AS metric,
+                  (SELECT count(*) FROM events)::BIGINT AS value
+           UNION ALL
+           SELECT 'orphan_lineitems' AS metric,
+                  (SELECT count(*) FROM lineitem l
+                   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL)::BIGINT AS value
+           UNION ALL
+           SELECT 'neardup_docs_removable' AS metric,
+                  (SELECT count(*) - count(DISTINCT cluster_id)
+                   FROM lab)::BIGINT AS value
+           UNION ALL
+           SELECT 'max_drift_tv_ppm' AS metric,
+                  (SELECT CAST(max(tv_ppm) AS BIGINT)
+                   FROM ($q281Sql)) AS value
+           UNION ALL
+           SELECT 'alerts_fired' AS metric,
+                  (SELECT CAST(sum(n_alerts_fired) AS BIGINT)
+                   FROM ($q297Sql)) AS value
+           UNION ALL
+           SELECT 'max_salt_factor' AS metric,
+                  (SELECT CAST(max(salt_factor) AS BIGINT)
+                   FROM (${graft.queries.OpsQueries
+                     .oracles("q283_skew_advisor")})) AS value)
+         ORDER BY metric""",
+    "q281_dist_drift" -> q281Sql,
+    "q297_hysteresis_alerts" -> q297Sql,
+    "q299_weighted_median" ->
+      """WITH li AS (
+           SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+                    AS v,
+                  CAST(l_quantity AS BIGINT) AS q,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+         cum AS (
+           SELECT v, q,
+                  CAST(sum(q) OVER (ORDER BY v, l_orderkey,
+                    l_linenumber) AS BIGINT) AS csum,
+                  CAST(row_number() OVER (ORDER BY v, l_orderkey,
+                    l_linenumber) AS BIGINT) AS seq
+           FROM li),
+         tot AS (
+           SELECT count(*)::BIGINT AS n_rows,
+                  CAST(sum(q) AS BIGINT) AS w_total
+           FROM li),
+         wm AS (
+           SELECT v FROM cum, tot WHERE csum * 2 >= w_total
+           ORDER BY seq LIMIT 1),
+         um AS (
+           SELECT v FROM cum, tot WHERE seq * 2 >= n_rows
+           ORDER BY seq LIMIT 1)
+         SELECT tot.n_rows, tot.w_total AS total_qty,
+                round(CAST(wm.v AS DOUBLE) / 100.0, 2)
+                  AS weighted_median_dollars,
+                round(CAST(um.v AS DOUBLE) / 100.0, 2)
+                  AS unweighted_median_dollars
+         FROM tot, wm, um""",
     "q298_topk_others" ->
       """WITH per AS (
            SELECT o_custkey,
@@ -3159,32 +3280,6 @@ object Analytics {
            FROM arg2)
          ORDER BY event_type, segment"""
     },
-    "q281_dist_drift" ->
-      """WITH ev AS (
-           SELECT event_type, CAST(ts AS DATE) AS day,
-                  least(7, CAST(floor(value / 62.5) AS INT)) AS bucket
-           FROM events),
-         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
-         cens AS (
-           SELECT event_type, bucket,
-                  CAST(sum(CASE WHEN day - (SELECT d0 FROM span) < 7
-                    THEN 1 ELSE 0 END) AS BIGINT) + 1 AS n1,
-                  CAST(sum(CASE WHEN (SELECT d1 FROM span) - day < 7
-                    THEN 1 ELSE 0 END) AS BIGINT) AS m
-           FROM ev GROUP BY 1, 2),
-         tot AS (
-           SELECT event_type, CAST(sum(n1) AS BIGINT) AS nn,
-                  CAST(sum(m) AS BIGINT) AS mm
-           FROM cens GROUP BY 1)
-         SELECT c.event_type, max(t.nn) AS n_ref, max(t.mm) AS n_cur,
-                CAST(sum(abs(c.n1 * t.mm - c.m * t.nn)) AS BIGINT)
-                  * 1000000 // (2 * max(t.nn) * max(t.mm)) AS tv_ppm,
-                CAST(sum(CAST((c.m * t.nn - c.n1 * t.mm) AS HUGEINT)
-                    * (c.m * t.nn - c.n1 * t.mm) * 1000000
-                    // (CAST(t.mm AS HUGEINT) * c.n1 * t.nn))
-                  AS BIGINT) AS chi2_micro
-         FROM cens c JOIN tot t USING (event_type)
-         GROUP BY c.event_type ORDER BY c.event_type""",
     "q282_unpivot_melt" ->
       """WITH days AS (
            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
