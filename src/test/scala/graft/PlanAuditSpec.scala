@@ -165,7 +165,18 @@ class PlanAuditSpec extends SparkSuite {
     "q288_neyman_allocation",
     // q289: the stream-midpoint bound is a broadcast 1-ROW frame;
     // the DiD compose chains four 1-row cell frames.
-    "q289_diff_in_diff")
+    "q289_diff_in_diff",
+    // q292/q293: the NB count model is a broadcast 1-ROW (q292) /
+    // 5-ROW fold-census (q293) frame against the scoring scan.
+    "q292_ablation_importance", "q293_kfold_cv",
+    // q298: OTHERS = 1-row total × 1-row top-k sum (scalar × scalar).
+    "q298_topk_others",
+    // q299: the totals frame (n, W) rides broadcast 1-ROW into the
+    // cumulative scan; the two median picks chain 1-row frames.
+    "q299_weighted_median",
+    // q300: every health metric is a 1-row aggregate; the one-pager
+    // composes them and inherits q281/q283/q297's model frames.
+    "q300_pipeline_health")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
