@@ -2208,6 +2208,55 @@ object TextQueries {
             ($"n_dup_docs" - $"n_clusters").as("docs_removed"),
             $"max_cluster_size")
       }.reduce(_ union _).orderBy($"threshold_pct")
+    }),
+
+    // Flesch reading-ease score — the classical readability gate,
+    // made engine-exact: syllables ≈ vowel groups (one regexp_count,
+    // the standard heuristic), sentences = terminal-punctuation runs
+    // (min 1), words = the token count every other text query uses.
+    // The score is one fixed IEEE expression of three exact integer
+    // counts, so it replays bit-for-bit; a per-band census rides
+    // below the per-doc rows' machinery as the aggregate gate view.
+    "q301_flesch_readability" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_words"),
+          greatest(lit(1L),
+            regexp_count($"text", lit("[.!?]+")).cast("long"))
+            .as("n_sentences"),
+          regexp_count($"text", lit("[aeiouy]+")).cast("long")
+            .as("n_syllables"))
+      counts.select($"doc_id", $"n_words", $"n_sentences",
+          $"n_syllables",
+          round(lit(206.835) -
+            lit(1.015) * ($"n_words".cast("double") /
+              $"n_sentences".cast("double")) -
+            lit(84.6) * ($"n_syllables".cast("double") /
+              $"n_words".cast("double")), 3).as("flesch"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID confusion matrix — the EVAL the q25 heuristic never
+    // had: its prediction against the corpus's true `lang` label,
+    // per (true, predicted) cell with the within-language share in
+    // exact ppm. One conditional aggregate; the heuristic's blind
+    // spots (fr/zh → 'und' or 'en') are visible as off-diagonal
+    // mass, which is exactly what an eval table is for.
+    "q302_langid_confusion" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.table(s, dir, "documents")
+        .select($"lang".as("true_lang"),
+          predictLang($"text").as("predicted_lang"))
+        .groupBy($"true_lang", $"predicted_lang")
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy($"true_lang").agg(sum($"n").as("n_true"))
+      c.join(broadcast(t), "true_lang")
+        .select($"true_lang", $"predicted_lang", $"n",
+          expr("n * 1000000 DIV n_true").as("share_ppm"),
+          ($"true_lang" === $"predicted_lang").cast("int")
+            .as("is_correct"))
+        .orderBy($"true_lang", $"predicted_lang")
     }))
 
   /** q254/q258's shared scoring frame: binary NB (long-form vs not),
@@ -2253,6 +2302,24 @@ object TextQueries {
 
   /** Shared WITH-prefix of the q254/q258 oracles: the NB feature,
     * train, and scored frames as SQL, mirroring [[nbScored]]. */
+  /** The q25 language-prediction CASE over a split-words column `w`,
+    * shared by the q25 and q302 oracles. */
+  private val predictLangSqlCase: String =
+    """CASE
+         WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) > 0
+          AND len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+            >= greatest(
+                 len(list_filter(w, x -> x IN ('el','la','de','los','que'))),
+                 len(list_filter(w, x -> x IN ('der','die','das','und','ist'))))
+         THEN 'en'
+         WHEN len(list_filter(w, x -> x IN ('el','la','de','los','que'))) > 0
+          AND len(list_filter(w, x -> x IN ('el','la','de','los','que')))
+            >= len(list_filter(w, x -> x IN ('der','die','das','und','ist')))
+         THEN 'es'
+         WHEN len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) > 0
+         THEN 'de'
+         ELSE 'und' END"""
+
   /** The likelihood-ratio factor of feature `x` for a class with
     * positive count `c` out of `n` (Laplace), as oracle SQL. */
   private def nbTermSql(x: String, c: String, n: String) =
@@ -3141,26 +3208,50 @@ object TextQueries {
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          ORDER BY doc_id""",
     "q25_langid" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS hits_en,
                 len(list_filter(w, x -> x IN ('el','la','de','los','que'))) AS hits_es,
                 len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
-                CASE
-                  WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) > 0
-                   AND len(list_filter(w, x -> x IN ('the','a','of','and','to')))
-                     >= greatest(
-                          len(list_filter(w, x -> x IN ('el','la','de','los','que'))),
-                          len(list_filter(w, x -> x IN ('der','die','das','und','ist'))))
-                  THEN 'en'
-                  WHEN len(list_filter(w, x -> x IN ('el','la','de','los','que'))) > 0
-                   AND len(list_filter(w, x -> x IN ('el','la','de','los','que')))
-                     >= len(list_filter(w, x -> x IN ('der','die','das','und','ist')))
-                  THEN 'es'
-                  WHEN len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) > 0
-                  THEN 'de'
-                  ELSE 'und' END AS predicted_lang
+                $predictLangSqlCase AS predicted_lang
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          ORDER BY doc_id""",
+    "q301_flesch_readability" ->
+      """SELECT doc_id,
+                CAST(length(string_split(text, ' ')) AS BIGINT)
+                  AS n_words,
+                CAST(greatest(1,
+                  len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables,
+                round(206.835
+                  - 1.015 * (CAST(length(string_split(text, ' '))
+                      AS DOUBLE)
+                    / CAST(greatest(1, len(regexp_extract_all(text,
+                        '[.!?]+'))) AS DOUBLE))
+                  - 84.6 * (CAST(len(regexp_extract_all(text,
+                        '[aeiouy]+')) AS DOUBLE)
+                    / CAST(length(string_split(text, ' '))
+                        AS DOUBLE)), 3) AS flesch
+         FROM documents ORDER BY doc_id""",
+    "q302_langid_confusion" ->
+      s"""WITH p AS (
+           SELECT lang AS true_lang, $predictLangSqlCase
+                    AS predicted_lang
+           FROM (SELECT lang, string_split(text, ' ') AS w
+                 FROM documents)),
+         c AS (
+           SELECT true_lang, predicted_lang, count(*)::BIGINT AS n
+           FROM p GROUP BY 1, 2),
+         t AS (
+           SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
+           FROM c GROUP BY 1)
+         SELECT c.true_lang, c.predicted_lang, c.n,
+                c.n * 1000000 // t.n_true AS share_ppm,
+                CAST(CASE WHEN c.true_lang = c.predicted_lang
+                  THEN 1 ELSE 0 END AS INT) AS is_correct
+         FROM c JOIN t USING (true_lang)
+         ORDER BY c.true_lang, c.predicted_lang""",
     "q26_doc_fingerprints" -> (
       docSets +
       """ SELECT d.doc_id,
