@@ -2709,6 +2709,67 @@ object Analytics {
         graft.queries.OpsQueries.queries("q283_skew_advisor")(s, dir))
       Seq(rows, orphans, dupRemoved, drift, alerts, salt)
         .reduce(_ union _).orderBy($"metric")
+    }),
+
+    // Journey trigrams — q119's transition matrix extended one hop:
+    // the most-travelled THREE-step paths (A→B→C) across user
+    // timelines, the pattern a UX funnel designer actually reads.
+    // Two lags on one bounded per-user window, a count census over
+    // the ≤|types|³ path space, ties broken by path; top-10 is a
+    // TakeOrdered. Share ppm divides the exact path count by the
+    // broadcast total.
+    "q303_journey_trigrams" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val tri = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+          $"event_id")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .groupBy($"event_type".as("step1"), $"e2".as("step2"),
+          $"e3".as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // total + top-10 share it
+      val tot = tri.agg(sum($"n").as("t"))
+      tri.crossJoin(broadcast(tot))
+        .select($"step1", $"step2", $"step3", $"n",
+          expr("n * 1000000 DIV t").as("share_ppm"))
+        .orderBy($"n".desc, $"step1", $"step2", $"step3")
+        .limit(10)
+    }),
+
+    // One-way ANOVA F — does WEEKDAY explain daily revenue? The
+    // classical F = (SSB/(k−1)) / (SSW/(N−k)) per event type from
+    // exact integer moments: per-(type, weekday) sums feed the q274
+    // scatter identities (t_g = ⌊2²⁰·S_g²/n_g⌋ exact BIGINT DIVs,
+    // order-free), SSB/SSW are integer differences, and F is one
+    // IEEE ratio. The weekday effect q279 MODELS, this one TESTS.
+    "q304_anova_weekday" -> ((s, dir) => {
+      import s.implicits._
+      val g = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .select($"event_type", weekday($"day").as("wd"),
+          expr("y DIV 1024").as("x")) // kilo-cents-ish: keeps
+        // S_g²·2²⁰ inside BIGINT at any realistic daily revenue
+        .groupBy($"event_type", $"wd")
+        .agg(count(lit(1)).as("ng"), sum($"x").as("sg"),
+          sum($"x" * $"x").as("sgg"))
+        .withColumn("tg", expr("sg * sg * 1048576 DIV ng"))
+      g.groupBy($"event_type")
+        .agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+          sum($"sg").as("s"), sum($"sgg").as("ss"), sum($"tg").as("t"))
+        .select($"event_type", $"k".cast("int").as("k_groups"),
+          $"n".as("n_days"),
+          ($"t" - expr("s * s * 1048576 DIV n")).as("ssb_u"),
+          ($"ss" * lit(1048576L) - $"t").as("ssw_u"))
+        .select($"event_type", $"k_groups", $"n_days",
+          round(($"ssb_u".cast("double") /
+            ($"k_groups" - 1).cast("double")) /
+            ($"ssw_u".cast("double") /
+              ($"n_days" - $"k_groups").cast("double")), 6).as("f"))
+        .orderBy($"event_type")
     }))
 
   /** Shared engine body of q279/q287: the integer trend+weekday
@@ -2857,6 +2918,54 @@ object Analytics {
          FROM pv GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
+    "q303_journey_trigrams" ->
+      """WITH tri AS (
+           SELECT event_type AS step1,
+                  lead(event_type, 1) OVER w AS step2,
+                  lead(event_type, 2) OVER w AS step3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id)),
+         c AS (
+           SELECT step1, step2, step3, count(*)::BIGINT AS n
+           FROM tri WHERE step3 IS NOT NULL GROUP BY 1, 2, 3),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+         SELECT step1, step2, step3, n,
+                n * 1000000 // t.t AS share_ppm
+         FROM c, t
+         ORDER BY n DESC, step1, step2, step3 LIMIT 10""",
+    "q304_anova_weekday" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         x AS (
+           SELECT event_type, isodow(day) - 1 AS wd,
+                  y // 1024 AS x
+           FROM daily),
+         g AS (
+           SELECT event_type, wd, count(*)::BIGINT AS ng,
+                  CAST(sum(x) AS BIGINT) AS sg,
+                  CAST(sum(x * x) AS BIGINT) AS sgg
+           FROM x GROUP BY 1, 2),
+         tg AS (
+           SELECT event_type, wd, ng, sg, sgg,
+                  sg * sg * 1048576 // ng AS tg
+           FROM g),
+         a AS (
+           SELECT event_type, count(*)::BIGINT AS k,
+                  CAST(sum(ng) AS BIGINT) AS n,
+                  CAST(sum(sg) AS BIGINT) AS s,
+                  CAST(sum(sgg) AS BIGINT) AS ss,
+                  CAST(sum(tg) AS BIGINT) AS t
+           FROM tg GROUP BY 1)
+         SELECT event_type, CAST(k AS INT) AS k_groups, n AS n_days,
+                round((CAST(t - (s * s * 1048576 // n) AS DOUBLE)
+                    / CAST(k - 1 AS DOUBLE))
+                  / (CAST(ss * 1048576 - t AS DOUBLE)
+                    / CAST(n - k AS DOUBLE)), 6) AS f
+         FROM a ORDER BY event_type""",
     "q300_pipeline_health" ->
       s"""WITH RECURSIVE
          w AS (SELECT doc_id, string_split(text, ' ') AS w
