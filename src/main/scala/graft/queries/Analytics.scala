@@ -2711,34 +2711,6 @@ object Analytics {
         .reduce(_ union _).orderBy($"metric")
     }),
 
-    // Journey trigrams — q119's transition matrix extended one hop:
-    // the most-travelled THREE-step paths (A→B→C) across user
-    // timelines, the pattern a UX funnel designer actually reads.
-    // Two lags on one bounded per-user window, a count census over
-    // the ≤|types|³ path space, ties broken by path; top-10 is a
-    // TakeOrdered. Share ppm divides the exact path count by the
-    // broadcast total.
-    "q303_journey_trigrams" -> ((s, dir) => {
-      import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-      val tri = Tables.table(s, dir, "events")
-        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
-          $"event_id")
-        .withColumn("e2", lead($"event_type", 1).over(w))
-        .withColumn("e3", lead($"event_type", 2).over(w))
-        .filter($"e3".isNotNull)
-        .groupBy($"event_type".as("step1"), $"e2".as("step2"),
-          $"e3".as("step3"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint() // total + top-10 share it
-      val tot = tri.agg(sum($"n").as("t"))
-      tri.crossJoin(broadcast(tot))
-        .select($"step1", $"step2", $"step3", $"n",
-          expr("n * 1000000 DIV t").as("share_ppm"))
-        .orderBy($"n".desc, $"step1", $"step2", $"step3")
-        .limit(10)
-    }),
-
     // One-way ANOVA F — does WEEKDAY explain daily revenue? The
     // classical F = (SSB/(k−1)) / (SSW/(N−k)) per event type from
     // exact integer moments: per-(type, weekday) sums feed the q274
@@ -2918,22 +2890,6 @@ object Analytics {
          FROM pv GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
-    "q303_journey_trigrams" ->
-      """WITH tri AS (
-           SELECT event_type AS step1,
-                  lead(event_type, 1) OVER w AS step2,
-                  lead(event_type, 2) OVER w AS step3
-           FROM events
-           WINDOW w AS (PARTITION BY user_id
-             ORDER BY epoch_us(ts), event_id)),
-         c AS (
-           SELECT step1, step2, step3, count(*)::BIGINT AS n
-           FROM tri WHERE step3 IS NOT NULL GROUP BY 1, 2, 3),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
-         SELECT step1, step2, step3, n,
-                n * 1000000 // t.t AS share_ppm
-         FROM c, t
-         ORDER BY n DESC, step1, step2, step3 LIMIT 10""",
     "q304_anova_weekday" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

@@ -176,10 +176,7 @@ class PlanAuditSpec extends SparkSuite {
     "q299_weighted_median",
     // q300: every health metric is a 1-row aggregate; the one-pager
     // composes them and inherits q281/q283/q297's model frames.
-    "q300_pipeline_health",
-    // q303: the share denominator is a broadcast 1-ROW total against
-    // the ≤|types|³ path census.
-    "q303_journey_trigrams")
+    "q300_pipeline_health")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
