@@ -2711,6 +2711,51 @@ object Analytics {
         .reduce(_ union _).orderBy($"metric")
     }),
 
+    // Gap-fill linear interpolation — the timeseries fill() operator
+    // (InfluxDB/TimescaleDB class), SELF-EVALUATING: 20% of each
+    // type's days are deterministically hidden (portable salted
+    // hash, so the oracle replays the holes), the neighbors are
+    // recovered with last/first(IGNORE NULLS) windows over the
+    // bounded per-type day frame, the fill is EXACT integer
+    // micro-cents ⌊(prev·(nd−d) + next·(d−pd))·10⁶ / (nd−pd)⌋, and
+    // because the hidden truth is known, per-type MAE of the
+    // interpolation rides out in-row — the fill operator and its
+    // accuracy report in one pass.
+    "q305_gapfill_interpolation" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .withColumn("hidden",
+          graft.text.TextFunctions.hash60(
+            concat($"event_type", lit("_gap"),
+              $"day".cast("string"))) % 5L === 0L)
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val before = w.rowsBetween(Window.unboundedPreceding, -1)
+      val after = w.rowsBetween(1, Window.unboundedFollowing)
+      val obs = when(!$"hidden", $"y")
+      val obsDay = when(!$"hidden", $"day")
+      val filled = daily
+        .withColumn("pv", last(obs, ignoreNulls = true).over(before))
+        .withColumn("pd", last(obsDay, ignoreNulls = true)
+          .over(before))
+        .withColumn("nv", first(obs, ignoreNulls = true).over(after))
+        .withColumn("nd", first(obsDay, ignoreNulls = true)
+          .over(after))
+        .filter($"hidden" && $"pv".isNotNull && $"nv".isNotNull)
+        .select($"event_type", $"y",
+          expr("(pv * (datediff(nd, day)) + nv * (datediff(day, pd)))" +
+            " * 1000000 DIV datediff(nd, pd)").as("fill_u"))
+      filled.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_filled"),
+          sum(abs($"fill_u" - $"y" * 1000000L)).as("sae_u"))
+        .select($"event_type", $"n_filled",
+          round($"sae_u".cast("double") /
+            ($"n_filled".cast("double") * lit(100000000.0)), 4)
+            .as("mae_dollars"))
+        .orderBy($"event_type")
+    }),
+
     // One-way ANOVA F — does WEEKDAY explain daily revenue? The
     // classical F = (SSB/(k−1)) / (SSW/(N−k)) per event type from
     // exact integer moments: per-(type, weekday) sums feed the q274
@@ -2890,6 +2935,43 @@ object Analytics {
          FROM pv GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
+    "q305_gapfill_interpolation" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y,
+                  CAST('0x' || substr(md5(event_type || '_gap'
+                    || CAST(ts AS DATE)::VARCHAR), 1, 15) AS BIGINT)
+                    % 5 = 0 AS hidden
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         nb AS (
+           SELECT event_type, day, y, hidden,
+                  last_value(CASE WHEN NOT hidden THEN y END
+                    IGNORE NULLS) OVER wb AS pv,
+                  last_value(CASE WHEN NOT hidden THEN day END
+                    IGNORE NULLS) OVER wb AS pd,
+                  first_value(CASE WHEN NOT hidden THEN y END
+                    IGNORE NULLS) OVER wa AS nv,
+                  first_value(CASE WHEN NOT hidden THEN day END
+                    IGNORE NULLS) OVER wa AS nd
+           FROM daily
+           WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING),
+                  wa AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 1 FOLLOWING
+                    AND UNBOUNDED FOLLOWING)),
+         f AS (
+           SELECT event_type, y,
+                  (pv * (nd - day) + nv * (day - pd)) * 1000000
+                    // (nd - pd) AS fill_u
+           FROM nb
+           WHERE hidden AND pv IS NOT NULL AND nv IS NOT NULL)
+         SELECT event_type, count(*)::BIGINT AS n_filled,
+                round(CAST(sum(abs(fill_u - y * 1000000)) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
+                  AS mae_dollars
+         FROM f GROUP BY 1 ORDER BY 1""",
     "q304_anova_weekday" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
