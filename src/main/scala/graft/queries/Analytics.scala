@@ -2711,6 +2711,87 @@ object Analytics {
         .reduce(_ union _).orderBy($"metric")
     }),
 
+    // Uplift by spend decile — the heterogeneous-treatment-effect
+    // table an experimenter reads after q252's flat z-test: users
+    // bucketed by pre-assignment spend decile (thresholds from ONE
+    // percentile aggregate broadcast back — the q240 move, never a
+    // global ntile window), arms by the portable salted hash, and
+    // per decile the conversion-rate LIFT between arms in exact ppm
+    // (two conditional sums, integer cross-multiplication). Where
+    // the lift concentrates tells you WHO the treatment moves.
+    "q306_uplift_deciles" -> ((s, dir) => {
+      import s.implicits._
+      val users = Tables.table(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(sum(floor($"value" * lit(100.0)).cast("long"))
+          .as("spend"),
+          max(when($"event_type" === "purchase" && $"value" > 150.0,
+            1L).otherwise(0L)).as("conv"))
+        .select($"user_id", $"spend", $"conv",
+          (graft.text.TextFunctions.hash60(
+            concat($"user_id".cast("string"), lit("_ab"))) % 2)
+            .as("arm"))
+        .localCheckpoint() // thresholds + scoring share it
+      val qCols = (1 to 4).map(k =>
+        expr(s"percentile(spend, ${k * 0.2})").as(s"q$k"))
+      val qs = users.agg(qCols.head, qCols.tail: _*)
+      users.crossJoin(broadcast(qs)) // 1-row threshold model
+        .withColumn("decile",
+          when($"spend" <= $"q1", 1).when($"spend" <= $"q2", 2)
+            .when($"spend" <= $"q3", 3).when($"spend" <= $"q4", 4)
+            .otherwise(5))
+        .groupBy($"decile")
+        .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === 0, $"conv").otherwise(0L)).as("c_a"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"arm" === 1, $"conv").otherwise(0L)).as("c_b"))
+        .select($"decile", $"n_a", $"c_a", $"n_b", $"c_b",
+          expr("c_a * 1000000 DIV n_a").as("rate_a_ppm"),
+          expr("c_b * 1000000 DIV n_b").as("rate_b_ppm"),
+          expr("c_b * 1000000 DIV n_b - c_a * 1000000 DIV n_a")
+            .as("uplift_ppm"))
+        .orderBy($"decile")
+    }),
+
+    // MASE forecast skill — the scale-free forecast eval (Hyndman &
+    // Koehler 2006): the q265 smoother's MAE divided by the
+    // seasonal-naive (lag-7) baseline's MAE on the same days. Both
+    // error sums are EXACT integers from the same one-window pass
+    // (the SES forecast is the exact ⌊f/8192⌋ integer, the naive is
+    // a lag), so the only IEEE op is the final ratio — MASE < 1
+    // means the smoother beats "same day last week".
+    "q307_mase_forecast_skill" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val lagged = (1 to 14).foldLeft(daily) { (df, i) =>
+        df.withColumn(s"l$i", lag($"y", i).over(w))
+      }
+      val f8192 = (1 to 13).map(i => col(s"l$i") * lit(1L << (13 - i)))
+        .reduce(_ + _) + col("l14")
+      lagged.filter($"l14".isNotNull)
+        .withColumn("f8192", f8192)
+        .select($"event_type",
+          expr("abs(y - f8192 DIV 8192)").as("e_model"),
+          abs($"y" - $"l7").as("e_naive"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"e_model").as("sae_model"),
+          sum($"e_naive").as("sae_naive"))
+        .select($"event_type", $"n_days",
+          round($"sae_model".cast("double") /
+            ($"n_days".cast("double") * lit(100.0)), 4)
+            .as("mae_model_dollars"),
+          round($"sae_naive".cast("double") /
+            ($"n_days".cast("double") * lit(100.0)), 4)
+            .as("mae_naive_dollars"),
+          round($"sae_model".cast("double") /
+            $"sae_naive".cast("double"), 6).as("mase"))
+        .orderBy($"event_type")
+    }),
+
     // Gap-fill linear interpolation — the timeseries fill() operator
     // (InfluxDB/TimescaleDB class), SELF-EVALUATING: 20% of each
     // type's days are deterministically hidden (portable salted
@@ -2935,6 +3016,87 @@ object Analytics {
          FROM pv GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
+    "q306_uplift_deciles" ->
+      """WITH users AS (
+           SELECT user_id,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS spend,
+                  CAST(max(CASE WHEN event_type = 'purchase'
+                      AND value > 150.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+           FROM events GROUP BY 1),
+         u2 AS (
+           SELECT *, CAST('0x' || substr(md5(user_id::VARCHAR
+                    || '_ab'), 1, 15) AS BIGINT) % 2 AS arm
+           FROM users),
+         qs AS (
+           SELECT quantile_cont(spend, 0.2) AS q1,
+                  quantile_cont(spend, 0.4) AS q2,
+                  quantile_cont(spend, 0.6) AS q3,
+                  quantile_cont(spend, 0.8) AS q4
+           FROM users),
+         d AS (
+           SELECT u2.*, CASE WHEN spend <= q1 THEN 1
+                             WHEN spend <= q2 THEN 2
+                             WHEN spend <= q3 THEN 3
+                             WHEN spend <= q4 THEN 4
+                             ELSE 5 END AS decile
+           FROM u2, qs)
+         SELECT CAST(decile AS INT) AS decile,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) AS c_a,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  AS BIGINT) AS c_b,
+                CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) * 1000000
+                  // CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rate_a_ppm,
+                CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  AS BIGINT) * 1000000
+                  // CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rate_b_ppm,
+                CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  AS BIGINT) * 1000000
+                  // CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+                - CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) * 1000000
+                  // CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS uplift_ppm
+         FROM d GROUP BY decile ORDER BY decile""",
+    "q307_mase_forecast_skill" -> {
+      val lags = (1 to 14).map(i =>
+        s"lag(y, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
+        .mkString(", ")
+      val f = (1 to 13).map(i => s"l$i * ${1L << (13 - i)}")
+        .mkString(" + ") + " + l14"
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, day, y, $lags FROM daily),
+         e AS (
+           SELECT event_type,
+                  abs(y - CAST($f AS BIGINT) // 8192) AS e_model,
+                  abs(y - l7) AS e_naive
+           FROM lagged WHERE l14 IS NOT NULL)
+         SELECT event_type, count(*)::BIGINT AS n_days,
+                round(CAST(sum(e_model) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 100.0), 4)
+                  AS mae_model_dollars,
+                round(CAST(sum(e_naive) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 100.0), 4)
+                  AS mae_naive_dollars,
+                round(CAST(sum(e_model) AS DOUBLE)
+                  / CAST(sum(e_naive) AS DOUBLE), 6) AS mase
+         FROM e GROUP BY 1 ORDER BY 1"""
+    },
     "q305_gapfill_interpolation" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
