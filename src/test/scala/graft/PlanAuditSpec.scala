@@ -176,7 +176,10 @@ class PlanAuditSpec extends SparkSuite {
     "q299_weighted_median",
     // q300: every health metric is a 1-row aggregate; the one-pager
     // composes them and inherits q281/q283/q297's model frames.
-    "q300_pipeline_health")
+    "q300_pipeline_health",
+    // q306: the quintile-threshold frame is a broadcast 1-ROW model
+    // (the q240 pattern) against the per-user scan.
+    "q306_uplift_deciles")
 
   /** Streaming queries execute the stream inside fn() and return a
     * parquet reader — their interesting plan is the streaming one,
