@@ -9,7 +9,6 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Analytics.queries ++
       graft.queries.TextQueries.queries ++ graft.queries.VectorQueries.queries ++
-      graft.queries.VectorQueries.oracleExempt ++
       graft.queries.MultimodalQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.streaming.StatefulSessionize.queries ++

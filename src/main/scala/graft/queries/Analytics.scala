@@ -15,6 +15,16 @@ import graft.Tables
 object Analytics {
   import Q._
 
+  /** Exact ⌊a/b⌋ for a non-negative DECIMAL numerator: (a − a%b)/b —
+    * the numerator is made exactly divisible first, so the decimal
+    * divide is rounding-free and stays decimal end to end (Spark's
+    * DIV converts its quotient back to LONG, re-introducing the
+    * 64-bit wrap the decimal cast exists to avoid). Equals DuckDB's
+    * `//` on HUGEINT for the same operands. */
+  def exactFloorDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - a % b) / b).cast("decimal(38,0)")
+
   /** Typed row for the Dataset-API query (top-level: local case
     * classes cannot derive Encoders). */
   final case class Cust(c_custkey: Long, c_name: String,
@@ -143,17 +153,22 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
-    // Approximate distinct (HLL++). Sketches are engine-specific, so
-    // no DuckDB oracle — the driver records a rows-only check. The
-    // accuracy contract rides IN the output: the exact count and the
-    // absolute error are companion columns, so the driver artifact
-    // itself shows the estimate within the documented rsd bound
-    // (AnalyticsSpec asserts err_pct < 5). The exact companion is a
-    // test-scale audit column — at 100 TB you ship only the sketch,
-    // which is the whole point (constant-size merge vs full distinct
-    // shuffle) — so it is gated on spark.graft.sketchAudit (default
-    // on; Bench turns it off so the timed body is the sketch path
-    // alone, not the exact shuffle the sketch exists to replace).
+    // Approximate distinct (HLL++). Sketch REGISTERS are
+    // engine-specific, so the raw estimate can't be hash-compared —
+    // but its ACCURACY CONTRACT can (the q220 move, applied here in
+    // r10 to retire the oracle exemption): the audit output carries
+    // the exact count (replayable) plus the contract predicate
+    // "estimate within 5% of exact" as a boolean the oracle expects
+    // TRUE. The HLL sketch still RUNS and feeds the predicate from
+    // its live estimate, so a Spark upgrade that drifted the sketch
+    // out of contract flips the boolean and the driver row goes red —
+    // the bound is now gate-checked, not just spec-pinned
+    // (CoreQueriesSpec keeps the raw-value assertion). The exact
+    // companion is a test-scale audit column — at 100 TB you ship
+    // only the sketch, which is the whole point (constant-size merge
+    // vs full distinct shuffle) — so it is gated on
+    // spark.graft.sketchAudit (default on; Bench turns it off so the
+    // timed body is the sketch path alone).
     "q17_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
@@ -163,8 +178,10 @@ object Analytics {
           .agg(
             approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
             countDistinct($"l_orderkey").as("exact_orders"))
-          .select($"l_returnflag", $"approx_orders", $"exact_orders",
-            abs($"approx_orders" - $"exact_orders").as("abs_err"))
+          .select($"l_returnflag", $"exact_orders",
+            (abs($"approx_orders" - $"exact_orders").cast("double") <=
+              $"exact_orders".cast("double") * 0.05)
+              .as("hll_within_5pct"))
           .orderBy($"l_returnflag")
       else
         grouped
@@ -226,29 +243,44 @@ object Analytics {
 
     // Approximate percentiles (Greenwald-Khanna sketch): like HLL for
     // distincts, the sketch replaces a full sort with a constant-size
-    // mergeable summary — the 100 TB path for quantiles. No oracle
-    // (sketch internals are engine-specific), but the exact median
-    // and the absolute error ride beside the estimate so the accuracy
-    // contract is visible in the driver artifact (AnalyticsSpec bounds
-    // it). Exact companion is test-scale audit only — at 100 TB the
+    // mergeable summary — the 100 TB path for quantiles. GK internals
+    // are engine-specific, so the raw estimate can't be hash-compared
+    // — but (the q220 move, r10) the audit output is replayable: the
+    // RANK-EXACT median (the element at rank ⌈n/2⌉ under a total
+    // order — a data VALUE, no interpolation ambiguity; the
+    // q171/q221 selection machinery) plus the contract predicate
+    // "GK estimate within 1% of exact" as a boolean the oracle
+    // expects TRUE. The GK sketch still RUNS and feeds the predicate
+    // live, so a drift out of contract flips the driver row red.
+    // Exact companion is test-scale audit only — at 100 TB the
     // sketch replaces it — so it is gated on spark.graft.sketchAudit
-    // (default on; Bench turns it off so the timed body is the sketch
-    // alone, not the exact sort it replaces).
+    // (default on; Bench turns it off so the timed body is the
+    // sketch alone, not the exact sort it replaces).
     "q50_percentile_approx" -> ((s, dir) => {
       import s.implicits._
       val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
-      val grouped = Tables.table(s, dir, "lineitem").groupBy($"l_returnflag")
-      if (audit)
-        grouped
-          .agg(
-            percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
-              .as("p50_price_approx"),
-            percentile($"l_extendedprice", lit(0.5)).as("p50_price_exact"))
-          .select($"l_returnflag", $"p50_price_approx", $"p50_price_exact",
-            abs($"p50_price_approx" - $"p50_price_exact").as("abs_err"))
+      val src = Tables.table(s, dir, "lineitem")
+      if (audit) {
+        val byG = Window.partitionBy($"l_returnflag")
+        val exact = src
+          .select($"l_returnflag", $"l_extendedprice",
+            $"l_orderkey", $"l_linenumber")
+          .withColumn("rn", row_number().over(byG.orderBy(
+            $"l_extendedprice", $"l_orderkey", $"l_linenumber")))
+          .withColumn("n", count(lit(1)).over(byG))
+          .groupBy($"l_returnflag", $"n")
+          .agg(max(when($"rn" === expr("(n + 1) div 2"),
+            $"l_extendedprice")).as("p50_exact"))
+        val gk = src.groupBy($"l_returnflag")
+          .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+            .as("gk"))
+        exact.join(gk, "l_returnflag")
+          .select($"l_returnflag", $"n", $"p50_exact",
+            (abs($"gk" - $"p50_exact") <= $"p50_exact" * 0.01)
+              .as("gk_within_1pct"))
           .orderBy($"l_returnflag")
-      else
-        grouped
+      } else
+        src.groupBy($"l_returnflag")
           .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
             .as("p50_price_approx"))
           .orderBy($"l_returnflag")
@@ -2854,13 +2886,21 @@ object Analytics {
         .groupBy($"event_type", $"wd")
         .agg(count(lit(1)).as("ng"), sum($"x").as("sg"),
           sum($"x" * $"x").as("sgg"))
-        .withColumn("tg", expr("sg * sg * 1048576 DIV ng"))
+        // square in DECIMAL(38,0): sg² wraps BIGINT once a weekday
+        // bucket's kilo-cent sum passes ~3e9 (the q274 advisory); the
+        // ⌊a/b⌋ = (a − a%b)/b form keeps the quotient decimal too (DIV
+        // would convert it back to LONG). Oracle mirrors in HUGEINT.
+        .withColumn("tg", Analytics.exactFloorDiv(
+          expr("CAST(sg AS DECIMAL(38,0)) * sg * 1048576"), $"ng"))
       g.groupBy($"event_type")
         .agg(count(lit(1)).as("k"), sum($"ng").as("n"),
-          sum($"sg").as("s"), sum($"sgg").as("ss"), sum($"tg").as("t"))
+          sum($"sg").as("s"), sum($"sgg".cast("decimal(38,0)")).as("ss"),
+          sum($"tg").as("t"))
         .select($"event_type", $"k".cast("int").as("k_groups"),
           $"n".as("n_days"),
-          ($"t" - expr("s * s * 1048576 DIV n")).as("ssb_u"),
+          ($"t" - Analytics.exactFloorDiv(
+            expr("CAST(s AS DECIMAL(38,0)) * s * 1048576"), $"n"))
+            .as("ssb_u"),
           ($"ss" * lit(1048576L) - $"t").as("ssw_u"))
         .select($"event_type", $"k_groups", $"n_days",
           round(($"ssb_u".cast("double") /
@@ -3151,14 +3191,14 @@ object Analytics {
            FROM x GROUP BY 1, 2),
          tg AS (
            SELECT event_type, wd, ng, sg, sgg,
-                  sg * sg * 1048576 // ng AS tg
+                  CAST(sg AS HUGEINT) * sg * 1048576 // ng AS tg
            FROM g),
          a AS (
            SELECT event_type, count(*)::BIGINT AS k,
                   CAST(sum(ng) AS BIGINT) AS n,
-                  CAST(sum(sg) AS BIGINT) AS s,
-                  CAST(sum(sgg) AS BIGINT) AS ss,
-                  CAST(sum(tg) AS BIGINT) AS t
+                  CAST(sum(sg) AS HUGEINT) AS s,
+                  CAST(sum(sgg) AS HUGEINT) AS ss,
+                  CAST(sum(tg) AS HUGEINT) AS t
            FROM tg GROUP BY 1)
          SELECT event_type, CAST(k AS INT) AS k_groups, n AS n_days,
                 round((CAST(t - (s * s * 1048576 // n) AS DOUBLE)
@@ -4627,7 +4667,33 @@ object Analytics {
                 count(DISTINCT l_partkey) AS n_parts,
                 count(1) AS n_lines
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // q17_approx_distinct: intentionally no oracle (engine-specific HLL)
+    // q17/q50: the sketch VALUES are engine-specific, but the audit
+    // output is replayable — exact companion plus the accuracy
+    // contract as a boolean the oracle expects TRUE (the live sketch
+    // feeds the predicate on the Spark side; a contract breach flips
+    // the driver row red). Retired from the oracle-exempt list in r10.
+    "q17_approx_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+                TRUE AS hll_within_5pct
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+    "q50_percentile_approx" ->
+      """WITH s AS (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                    AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                max(CASE WHEN rn = (n + 1) // 2
+                    THEN l_extendedprice END) AS p50_exact,
+                TRUE AS gk_within_1pct
+         FROM s
+         GROUP BY l_returnflag, n
+         ORDER BY l_returnflag""",
     "q18_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

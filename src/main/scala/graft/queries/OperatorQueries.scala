@@ -300,6 +300,49 @@ object OperatorQueries {
       }
     }),
 
+    // q100's documented SUB-LINEAR scale path — Doulion-style
+    // deterministic edge sampling applied to the ITERATIVE operator
+    // class: keep each (cust, supp) purchase pair with p = 1/4,
+    // decided by the portable salted hash of the UNDIRECTED pair (so
+    // both walk directions agree and the DuckDB oracle replays the
+    // identical sample), then run the same 3-iteration PageRank on
+    // the kept edges. Every per-iteration cost (src-join, dst-
+    // aggregate, rank-vector checkpoint) shrinks with p — the knob a
+    // 100 TB web-graph run actually turns; sampled PageRank preserves
+    // the rank ORDERING of well-connected nodes (what consumers rank
+    // by), and the top-20 is the consumer view. Exact companion +
+    // signed per-node error ride in-row, audit-gated like every
+    // sketch twin (bench times the sampled leg alone).
+    "q308_pagerank_doulion" -> ((s, dir) => {
+      import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+      val ords = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"),
+          ($"l_suppkey" + 1000000L).as("supp"))
+      val kept = pairs.filter(TextFunctions.hash60(
+        concat($"cust".cast("string"), lit("_"),
+          $"supp".cast("string"), lit("_prsample"))) <
+        lit((1L << 60) / 4L))
+      def edges(p: org.apache.spark.sql.DataFrame) =
+        p.select($"cust".as("src"), $"supp".as("dst"))
+          .union(p.select($"supp".as("src"), $"cust".as("dst")))
+      val top = graft.operators.PageRank.run(edges(kept), "src", "dst",
+          iters = 3)
+        .select($"node", $"rank".as("rank_s"))
+        .orderBy($"rank_s".desc, $"node").limit(20)
+      if (!audit) top
+      else top.join(graft.operators.PageRank.run(edges(pairs), "src",
+          "dst", iters = 3)
+          .select($"node", $"rank".as("rank_exact")), "node")
+        .select($"node", $"rank_s", $"rank_exact",
+          ($"rank_s" - $"rank_exact").as("err"))
+        .orderBy($"rank_s".desc, $"node")
+    }),
+
     // Single-source BFS hop census over the customer↔supplier
     // purchase graph — the shortest-path primitive the graph family
     // (q100 PageRank, q107 triangles, q226 k-core) lacked: hop
@@ -999,6 +1042,62 @@ object OperatorQueries {
           ${iter("1", "2")},
           ${iter("2", "3")}
           SELECT node, rank FROM r3 ORDER BY node"""
+    },
+
+    // Both legs replayed: the SAME deterministic pair sample (md5
+    // threshold, undirected-pair salt) and the full graph, each
+    // through the identical 3-iteration replay as the q100 oracle —
+    // hash equality proves sample, sampled ranks, and exact
+    // companion. Numeric discipline inherited from q100: double
+    // division, DECIMAL(28,15) cross-edge sums, every literal CAST
+    // to DOUBLE.
+    "q308_pagerank_doulion" -> {
+      def iter(tag: String, prev: String, out: String): String =
+        s"""c$tag$out AS (
+              SELECT e.dst AS node,
+                     CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(28,15)))
+                       AS DOUBLE) AS contrib
+              FROM e$tag e JOIN deg$tag d ON e.src = d.src
+                     JOIN r$tag$prev r ON r.node = e.src
+              GROUP BY e.dst),
+            r$tag$out AS (
+              SELECT n.node,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn$tag)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib,
+                           CAST(0.0 AS DOUBLE)) AS rank
+              FROM nodes$tag n LEFT JOIN c$tag$out c ON n.node = c.node)"""
+      def graph(tag: String, src: String): String =
+        s"""e$tag AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT cust AS src, supp AS dst FROM $src
+              UNION ALL SELECT supp AS src, cust AS dst FROM $src)),
+          nodes$tag AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e$tag UNION ALL SELECT dst FROM e$tag)),
+          nn$tag AS (SELECT count(1) AS n FROM nodes$tag),
+          deg$tag AS (SELECT src, count(1) AS deg FROM e$tag GROUP BY src),
+          r${tag}0 AS (SELECT node,
+            CAST(1.0 AS DOUBLE) / (SELECT n FROM nn$tag) AS rank
+            FROM nodes$tag),
+          ${iter(tag, "0", "1")},
+          ${iter(tag, "1", "2")},
+          ${iter(tag, "2", "3")}"""
+      s"""WITH pairs AS (
+            SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          keptp AS (
+            SELECT cust, supp FROM pairs
+            WHERE CAST('0x' || substr(md5(cust::VARCHAR || '_' ||
+                    supp::VARCHAR || '_prsample'), 1, 15) AS BIGINT)
+                  < ${(1L << 60) / 4L}),
+          ${graph("s", "keptp")},
+          ${graph("f", "pairs")},
+          top AS (SELECT node, rank AS rank_s FROM rs3
+                  ORDER BY rank_s DESC, node LIMIT 20)
+          SELECT t.node, t.rank_s, f.rank AS rank_exact,
+                 t.rank_s - f.rank AS err
+          FROM top t JOIN rf3 f ON f.node = t.node
+          ORDER BY t.rank_s DESC, t.node"""
     },
 
     // full-rescan definition the year-by-year fold must equal exactly

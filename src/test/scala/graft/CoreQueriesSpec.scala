@@ -15,8 +15,12 @@ class CoreQueriesSpec extends SparkSuite {
   /** Queries deliberately without a DuckDB oracle (engine-specific
     * results); each must have a semantic ScalaTest instead. */
   val oracleExempt =
-    Set("q17_approx_distinct", "q50_percentile_approx",
-      // (q68 moved to the oracled set in r5 as the blockwise
+    Set(
+      // (q17/q50 moved to the oracled set in r10: the audit output
+      // is the exact companion + the accuracy contract as a boolean
+      // the oracle expects TRUE — the live sketch feeds the
+      // predicate, so a contract breach goes red at the driver.
+      // q68 moved to the oracled set in r5 as the blockwise
       // mergeable-summary form — order-independent given the portable
       // block hash, so DuckDB replays it; the streaming single-pass
       // fold stays under FreqItemsSpec. q94/q33/q40/q90 moved in r4:
@@ -37,13 +41,16 @@ class CoreQueriesSpec extends SparkSuite {
       "q138_top_ngrams_stream")
 
   test("percentile_approx companion columns bound the error <1%") {
-    // the estimate, the exact median, and |err| ride in the SAME
-    // driver-visible output (VERDICT r4 task 6)
+    // the exact median and the GK accuracy contract ride in the SAME
+    // driver-visible output (VERDICT r4 task 6; boolean form r10) —
+    // the predicate is computed from the LIVE sketch, so this test
+    // plus the driver hash gate both pin the bound
     SparkEntry.queries("q50_percentile_approx")(spark, sf0001)
       .collect().foreach { r =>
-        val (flag, exact, err) =
-          (r.getString(0), r.getDouble(2), r.getDouble(3))
-        assert(err / exact < 0.01, s"$flag: abs_err=$err exact=$exact")
+        val (flag, exact, ok) =
+          (r.getString(0), r.getDouble(2), r.getBoolean(3))
+        assert(exact > 0.0, s"$flag: empty group")
+        assert(ok, s"$flag: GK estimate drifted >1% from exact=$exact")
       }
   }
 
@@ -58,10 +65,10 @@ class CoreQueriesSpec extends SparkSuite {
   test("approx_count_distinct companion columns bound the error <5%") {
     SparkEntry.queries("q17_approx_distinct")(spark, sf0001)
       .collect().foreach { r =>
-        val (flag, exact, err) =
-          (r.getString(0), r.getLong(2), r.getLong(3))
-        assert(err.toDouble / exact < 0.05,
-          s"$flag: abs_err=$err exact=$exact")
+        val (flag, exact, ok) =
+          (r.getString(0), r.getLong(1), r.getBoolean(2))
+        assert(exact > 0L, s"$flag: empty group")
+        assert(ok, s"$flag: HLL estimate drifted >5% from exact=$exact")
       }
   }
 

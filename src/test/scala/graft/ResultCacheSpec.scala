@@ -47,4 +47,17 @@ class ResultCacheSpec extends SparkSuite {
     assert(ResultCache.fingerprint(alt) === base,
       "semantically equal plans must share the fingerprint")
   }
+
+  test("rewriting the data behind a cached path re-keys (no stale hit)") {
+    val dir = tmpDir("rescache-src").toString
+    Tables.table(spark, sf0001, "nation").limit(3)
+      .write.mode("overwrite").parquet(dir)
+    def rq = spark.read.parquet(dir).groupBy($"n_regionkey").count()
+    val before = ResultCache.fingerprint(rq)
+    Thread.sleep(5) // mtime granularity
+    Tables.table(spark, sf0001, "nation").limit(5)
+      .write.mode("overwrite").parquet(dir)
+    assert(ResultCache.fingerprint(rq) !== before,
+      "same path + new data must produce a new fingerprint")
+  }
 }
