@@ -96,6 +96,30 @@ object GlogFixtures {
   def tableName(path: String): String =
     Paths.get(path).getFileName.toString
 
+  private val versionTok = scala.collection.mutable.Map[String, String]()
+
+  /** Time-travel fixture (q309): the first HALF of the feed is
+    * written, the snapshot token captured, then the second half
+    * appended — so the table holds one committed version BEHIND its
+    * head. Returns (path, token-after-half). Appends never bump the
+    * generation, so the token stays readable for the JVM's lifetime;
+    * read-only consumers share it like every other fixture. */
+  def eventsLogVersioned(s: SparkSession, dir: String,
+      shards: Int): (String, String) = {
+    val p = shared(dir, s"evver$shards") { o =>
+      val ev = eventsFeed(s, dir)
+      val n = ev.count()
+      ev.filter(col("event_id") < n / 2).write.format(Fmt)
+        .mode("append").option("shards", shards).save(o)
+      versionTok.synchronized {
+        versionTok(o) = graft.sources.GraftLog.currentVersion(o)
+      }
+      ev.filter(col("event_id") >= n / 2).write.format(Fmt)
+        .mode("append").option("shards", shards).save(o)
+    }
+    (p, versionTok.synchronized(versionTok(p)))
+  }
+
   private def eventsFeed(s: SparkSession, dir: String) =
     Tables.table(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),

@@ -859,6 +859,36 @@ object OpsQueries {
           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
     }),
 
+    // Graftlog SNAPSHOT READS (time travel) — r9 brief #6: the append
+    // path is naturally versioned (shard names monotonic with append
+    // order), so a snapshot token g<generation>.<shardCount> pins "the
+    // table as of that commit" at ZERO storage cost; structural
+    // rewrites bump the generation and old tokens fail loudly (the
+    // vacuumed-snapshot contract — GraftLogVersionSpec pins it). The
+    // fixture writes the first half of the feed, captures the token,
+    // appends the rest; both legs then read the SAME live table —
+    // v1 through the token (sees only the pre-append shards, served
+    // by the metadata-aggregate path where possible), current without
+    // it. The oracle replays the halves from the events table, so
+    // hash equality proves the snapshot read returns exactly the
+    // pre-append content after new appends landed.
+    "q309_graftlog_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val (log, v1) = GlogFixtures.eventsLogVersioned(s, dir, 8)
+      def leg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct($"user_id").as("n_users"),
+            min($"event_id").as("min_event_id"),
+            max($"event_id").as("max_event_id"),
+            Q.dsum($"value").as("sum_value"))
+          .select(lit(tag).as("leg"), $"n_rows", $"n_users",
+            $"min_event_id", $"max_event_id", $"sum_value")
+      val fmt = "graft.sources.GraftLogSource"
+      leg(s.read.format(fmt).option("version", v1).load(log), "v1_half")
+        .unionByName(leg(s.read.format(fmt).load(log), "v2_current"))
+        .orderBy($"leg")
+    }),
+
     // Probe-manifest join with runtime shard pruning: the probe side
     // is a SCAN with selective predicates (every 500th event id in
     // the first eighth of the log), so Catalyst both (a) infers the
@@ -2404,6 +2434,26 @@ object OpsQueries {
       """SELECT count(*) AS n_events, min(event_id) AS min_id,
                 max(event_id) AS max_id
          FROM events""",
+
+    // both snapshot legs replayed from the halves the fixture wrote:
+    // v1 = event_id < n/2 (the pre-append commit), current = all rows
+    "q309_graftlog_time_travel" ->
+      s"""WITH legs AS (
+            SELECT 'v1_half' AS leg, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_users,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            WHERE event_id < (SELECT count(*) FROM events) // 2
+            UNION ALL
+            SELECT 'v2_current' AS leg, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_users,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events)
+          SELECT * FROM legs ORDER BY leg""",
 
     "q160_graftlog_runtime_prune" ->
       s"""SELECT event_type, count(*) AS n,

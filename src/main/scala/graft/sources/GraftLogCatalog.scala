@@ -87,6 +87,22 @@ class GraftLogCatalog extends TableCatalog
     new GraftLogTable(dir, GraftLog.isBucketed(dir))
   }
 
+  /** SQL time travel: `SELECT … FROM glog.t VERSION AS OF 'g0.8'` —
+    * Spark routes the literal to this overload; the token pins the
+    * snapshot's shard prefix for every scan of the returned handle
+    * (see [[GraftLog.shardsAt]]: appends keep old tokens readable,
+    * rewrites truncate history and old tokens fail loudly). The token
+    * is validated HERE so a vacuumed or malformed version is an
+    * analysis-time error, not a mid-query one. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!Files.isDirectory(Paths.get(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    GraftLog.shardsAt(dir, Some(version)) // validate eagerly
+    new GraftLogTable(dir, GraftLog.isBucketed(dir), Some(version))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -246,7 +246,8 @@ object GraftLog {
     * outside are untouched; the ≤ 2 boundary shards (and any shard
     * missing its sidecar) are rewritten in place with fresh stats.
     * The rewrite preserves a bucketed shard's ub sidecar field. */
-  def deleteWhere(path: String, lo: Long, hi: Long): Unit =
+  def deleteWhere(path: String, lo: Long, hi: Long): Unit = {
+    var structural = false
     listShards(path).foreach { si =>
       val covered = si.stats.map { case (mn, mx, _) => mn >= lo && mx <= hi }
       val disjoint = si.stats.exists { case (mn, mx, _) => mx < lo || mn > hi }
@@ -255,6 +256,7 @@ object GraftLog {
         Files.deleteIfExists(
           Paths.get(si.file.stripSuffix(".graftlog") + ".meta"))
         shardsDropped.incrementAndGet()
+        structural = true
       } else if (!disjoint) { // partial overlap or no sidecar: rewrite
         val kept = Files.readAllLines(Paths.get(si.file)).asScala
           .filter(_.nonEmpty)
@@ -283,8 +285,12 @@ object GraftLog {
             Seq((hidden, name, s"${ids.min}|${ids.max}|${ids.size}$ub")))
         }
         shardsRewritten.incrementAndGet()
+        structural = true
       }
     }
+    // sidecar-only drops bypass commitSwap: truncate history here too
+    if (structural) bumpGeneration(path)
+  }
 
   /** A shard plus its sidecar stats (None = sidecar missing: the
     * shard is readable but unprunable and cannot serve aggregates)
@@ -376,6 +382,13 @@ object GraftLog {
       }
     }
     Files.deleteIfExists(m)
+    // every swap retires/replaces shards — snapshot tokens minted
+    // before it are no longer servable (retention 0): truncate
+    // history HERE, at the roll-forward, so a committer that crashed
+    // after the manifest rename still truncates when the next reader
+    // completes its swap (an idempotent-race double bump is harmless:
+    // generations only need to be monotonic)
+    bumpGeneration(path)
   }
 
   /** Listing + sidecar parse, shared by planning, stats reporting
@@ -400,6 +413,78 @@ object GraftLog {
             if (p.length > 3) Some(p(3).toLong) else None)
         }
       }
+  }
+
+  /** ---- Snapshot versions (r10) ----
+    *
+    * The append path is naturally versioned: shard names are
+    * monotonic with append order ([[nextShardIndex]]), so "the table
+    * as of N shards" is a prefix of the name-sorted listing — version
+    * metadata at zero storage cost, the same observation the
+    * streaming offset (shard count) already exploits. Structural
+    * REWRITES (copy-on-write replace, range delete, compaction,
+    * INSERT OVERWRITE/TRUNCATE) physically retire shards — the
+    * format's VACUUM is immediate, retention 0 — so they TRUNCATE
+    * history: a one-line `_generation` marker is bumped at every
+    * rewrite commit, and a snapshot token pins (generation,
+    * shardCount). Reading a token from an older generation fails
+    * LOUDLY ("history vacuumed") instead of silently serving rows the
+    * snapshot never contained — the Delta/Iceberg contract for a
+    * vacuumed snapshot, at one marker-file cost per rewrite. */
+  private[sources] val GenerationMarker = "_generation"
+
+  /** Rewrite generation of the table at `path` (0 = never rewritten). */
+  def generation(path: String): Long = {
+    val p = Paths.get(path, GenerationMarker)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Called by every structural-rewrite commit; atomic replace so a
+    * concurrent reader sees the old or the new generation, never a
+    * torn marker. */
+  private[sources] def bumpGeneration(path: String): Unit = {
+    val tmp = Paths.get(path, s".$GenerationMarker.tmp")
+    Files.write(tmp, (generation(path) + 1).toString
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, GenerationMarker),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Snapshot token of the CURRENT table state — pass it back later
+    * via `.option("version", token)` to re-read this exact state. */
+  def currentVersion(path: String): String =
+    s"g${generation(path)}.${listShards(path).size}"
+
+  /** The shard list a snapshot token pins: the first `count` shards
+    * in name order, valid only within the generation that minted the
+    * token. */
+  def shardsAt(path: String, version: Option[String]): Seq[ShardInfo] = {
+    val all = listShards(path)
+    version match {
+      case None => all
+      case Some(tok) =>
+        val m = """g(\d+)\.(\d+)""".r
+        tok.trim match {
+          case m(g, n) =>
+            if (g.toLong != generation(path))
+              throw new IllegalArgumentException(
+                s"graftlog version $tok of $path is from generation $g " +
+                  s"but the table is at generation ${generation(path)}: " +
+                  "a rewrite (delete/compaction/overwrite) vacuumed the " +
+                  "snapshot's shards — history before a rewrite is not " +
+                  "retained")
+            if (n.toInt > all.size)
+              throw new IllegalArgumentException(
+                s"graftlog version $tok of $path names ${n.toInt} shards " +
+                  s"but only ${all.size} exist")
+            all.take(n.toInt)
+          case other => throw new IllegalArgumentException(
+            s"malformed graftlog version token '$other' " +
+              "(expected g<generation>.<shardCount>)")
+        }
+    }
   }
 
   /** First free shard index: one past the highest index any existing
@@ -513,7 +598,8 @@ object GraftLog {
   }
 }
 
-class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
+class GraftLogTable(path: String, bucketed: Boolean = false,
+    pinnedVersion: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -576,7 +662,11 @@ class GraftLogTable(path: String, bucketed: Boolean = false) extends Table
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, schema(),
-      Option(options.get("maxShardsPerTrigger")).map(_.toInt))
+      Option(options.get("maxShardsPerTrigger")).map(_.toInt),
+      // a catalog time-travel load (VERSION AS OF) pins every scan of
+      // this table handle; a reader-level .option("version", …) on a
+      // plain load can still ask explicitly
+      Option(options.get("version")).orElse(pinnedVersion))
 
   /** Batch write: `df.write.format("graft.sources.GraftLogSource")
     * .mode("append").save(dir)`. The arriving schema must BE the
@@ -1013,6 +1103,7 @@ case class GraftLogBucketedCommitMessage(shards: Seq[WriterCommitMessage])
 class GraftLogScanBuilder(path: String,
     tableSchema: StructType = GraftLog.schema,
     maxShardsPerTrigger: Option[Int] = None,
+    version: Option[String] = None,
     onPlan: Seq[String] => Unit = _ => ()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -1134,7 +1225,7 @@ class GraftLogScanBuilder(path: String,
 
   override def build(): Scan =
     new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg,
-      pushedLimit, pushedTopN, onPlan)
+      pushedLimit, pushedTopN, onPlan, version)
 }
 
 /** Observability at the DSv2 seam: per-task and driver-side custom
@@ -1167,7 +1258,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     pushedAgg: Option[Seq[AggregateFunc]] = None,
     limit: Option[Int] = None,
     topN: Option[(Boolean, Int)] = None,
-    onPlan: Seq[String] => Unit = _ => ())
+    onPlan: Seq[String] => Unit = _ => (),
+    version: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -1181,7 +1273,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * shard selection — all of it is pruning). */
   override def reportDriverMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val total = GraftLog.listShards(path).size
+    val total = GraftLog.shardsAt(path, version).size
     val planned =
       if (pushedAgg.isDefined) 0
       else bucketGroups match {
@@ -1256,7 +1348,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * without a sidecar can never be pruned. */
   private def liveShards: Seq[GraftLog.ShardInfo] = {
     val (lo, hi) = bounds
-    GraftLog.listShards(path).filter { s =>
+    GraftLog.shardsAt(path, version).filter { s =>
       s.stats match {
         case None => true
         case Some((mn, mx, _)) =>
@@ -1421,8 +1513,10 @@ class GraftLogScan(path: String, pushed: Array[Filter],
       case Some(aggs) =>
         // metadata-only: fold the sidecars on the driver (O(#shards),
         // same listing planInputPartitions already does) and emit the
-        // single final row from one empty-work partition
-        val stats = GraftLog.listShards(path).flatMap(_.stats)
+        // single final row from one empty-work partition — over the
+        // SNAPSHOT's shard prefix when a version is pinned, so even
+        // the metadata-only path time-travels
+        val stats = GraftLog.shardsAt(path, version).flatMap(_.stats)
         val values: Array[Option[Long]] = aggs.map {
           case _: CountStar => Some(stats.map(_._3).sum)
           case _: Min =>

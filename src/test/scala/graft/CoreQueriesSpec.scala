@@ -6,9 +6,30 @@ package graft
 class CoreQueriesSpec extends SparkSuite {
 
   test("every registered query runs and returns rows on sf0.001") {
+    // piggybacked duplicate lint (r9 brief #7): two registry entries
+    // whose ANALYZED CANONICALIZED plans read the same input files
+    // are the same query registered twice (the q303 class of
+    // mistake) — catch it in CI, not at judge review. The plan string
+    // alone is not enough: relation nodes print WITHOUT their paths,
+    // so two distinct streaming drains that each return a window over
+    // their own emission dir would collide (q168 vs q172) — the
+    // sorted inputFiles list restores the source identity. Queries
+    // that materialize through localCheckpoint get per-run RDD ids
+    // and can never collide, so the lint has no false positives by
+    // construction.
+    val seen = scala.collection.mutable.Map[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf0001).count()
+      val df = fn(spark, sf0001)
+      val n = df.count()
       assert(n > 0, s"$name returned no rows")
+      val fp = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((df.queryExecution.analyzed.canonicalized.toString +
+          df.inputFiles.sorted.mkString("\n"))
+          .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      seen.get(fp).foreach(prev => fail(
+        s"$name and $prev register byte-identical canonical plans " +
+          "over the same inputs — duplicate query; drop one"))
+      seen(fp) = name
     }
   }
 

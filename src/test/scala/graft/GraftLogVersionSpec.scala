@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftLog
+
+/** Graftlog snapshot reads (r9 brief #6): a token minted by
+  * `GraftLog.currentVersion` keeps reading the SAME rows after later
+  * appends (the shard-prefix invariant); structural rewrites bump the
+  * generation and old tokens fail LOUDLY instead of serving rows the
+  * snapshot never held (the vacuumed-snapshot contract).
+  */
+class GraftLogVersionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GraftLogSource"
+
+  /** Fresh 2-commit table: events ids [0,n) in `shards` shards, then
+    * ids [n, 2n) appended. Returns (dir, token-after-first-commit). */
+  private def twoCommits(n: Int, shards: Int): (String, String) = {
+    val dir = tmpDir("glog-ver").toString
+    def feed(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select($"id".as("event_id"),
+        to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+        ($"id" % 7).as("user_id"), lit("click").as("event_type"),
+        ($"id" % 100).cast("double").as("value"))
+    feed(0, n).write.format(fmt).mode("append")
+      .option("shards", shards).save(dir)
+    val tok = GraftLog.currentVersion(dir)
+    feed(n, 2 * n).write.format(fmt).mode("append")
+      .option("shards", shards).save(dir)
+    (dir, tok)
+  }
+
+  test("a snapshot token still reads the pre-append rows after appends") {
+    val (dir, tok) = twoCommits(400, 4)
+    assert(tok === "g0.4", s"append-only table must stay generation 0: $tok")
+    val old = spark.read.format(fmt).option("version", tok).load(dir)
+    assert(old.count() === 400L)
+    assert(old.agg(max($"event_id")).as[Long].head() === 399L)
+    val cur = spark.read.format(fmt).load(dir)
+    assert(cur.count() === 800L)
+    // the snapshot equals the first commit row for row
+    assert(old.select($"event_id").as[Long].collect().sorted.toSeq ===
+      (0L until 400L).toSeq)
+  }
+
+  test("the metadata-aggregate fast path serves the snapshot, not the head") {
+    val (dir, tok) = twoCommits(300, 3)
+    // count/min/max fold sidecars on the driver — must fold only the
+    // snapshot's prefix
+    val r = spark.read.format(fmt).option("version", tok).load(dir)
+      .agg(count(lit(1)), min($"event_id"), max($"event_id"))
+      .as[(Long, Long, Long)].head()
+    assert(r === ((300L, 0L, 299L)))
+  }
+
+  test("SQL VERSION AS OF resolves through the catalog") {
+    val (dir, tok) = twoCommits(200, 2)
+    val base = java.nio.file.Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogver",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogver.base", base)
+    val tbl = s"glogver.`${java.nio.file.Paths.get(dir).getFileName}`"
+    val n = spark.sql(
+      s"SELECT count(*) FROM $tbl VERSION AS OF '$tok'")
+      .as[Long].head()
+    assert(n === 200L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() === 400L)
+  }
+
+  test("a rewrite truncates history: old tokens fail loudly") {
+    val (dir, tok) = twoCommits(400, 4)
+    val base = java.nio.file.Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogver2",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogver2.base", base)
+    val tbl = s"glogver2.`${java.nio.file.Paths.get(dir).getFileName}`"
+    spark.sql(s"DELETE FROM $tbl WHERE event_id < 100")
+    assert(GraftLog.generation(dir) >= 1L, "a range delete must bump")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("version", tok).load(dir).count()
+    }
+    assert(e.getMessage.contains("generation"), e.getMessage)
+    // the post-rewrite state mints servable tokens again
+    val tok2 = GraftLog.currentVersion(dir)
+    assert(spark.read.format(fmt).option("version", tok2).load(dir)
+      .count() === 700L)
+  }
+
+  test("malformed and future tokens are rejected") {
+    val (dir, _) = twoCommits(100, 2)
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("version", "nonsense").load(dir).count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("version", "g0.99").load(dir).count()
+    }
+  }
+}
