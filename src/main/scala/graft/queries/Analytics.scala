@@ -2869,6 +2869,63 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // KEYLESS interval-overlap join (the classical "interval join"):
+    // user sessions [start, end] × derived campaign windows, no join
+    // key at all — the naive form is an O(n·m) inequality product.
+    // Rendered scale-right via GRID BUCKETING: both interval sets
+    // explode onto the day grid they span (sessions cover ≤ 2 day
+    // buckets — gap-bounded; campaigns 3 — fixed), the join becomes a
+    // day-bucket EQUI-join, duplicates from multi-bucket spans drop
+    // by key, and the exact overlap refines per pair. At 100 TB this
+    // is how every temporal-overlap workload (ads attribution,
+    // downtime × jobs, promo exposure) avoids the product: work is
+    // Σ per-bucket |sessions|·|campaigns-that-day| with campaigns
+    // per day O(1). Overlap math in exact integer micros.
+    "q314_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val dayUs = 86400L * 1000000L
+      val ev = Tables.table(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = ev
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("brk", when($"prev".isNull ||
+          unix_micros($"ts") - unix_micros($"prev") > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum($"brk").over(w))
+        .groupBy($"user_id", $"sid")
+        .agg(min(unix_micros($"ts")).as("s_us"),
+          max(unix_micros($"ts")).as("e_us"))
+      // campaign windows: 3 days on / 4 off from the global min ts —
+      // a calendar-bounded spine (1-row span frame, the q263 move)
+      val camps = ev.agg(min(unix_micros($"ts")).as("lo"),
+          max(unix_micros($"ts")).as("hi"))
+        .select($"lo", explode(sequence(lit(0L),
+          floor(($"hi" - $"lo") / lit(7L * dayUs)).cast("long")))
+          .as("cid"))
+        .select($"cid", ($"lo" + $"cid" * lit(7L * dayUs)).as("c_s"))
+        .select($"cid", $"c_s", ($"c_s" + lit(3L * dayUs)).as("c_e"))
+        .localCheckpoint() // bounded spine, reused by the bucket join
+      def grid(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) = // buckets [a, b) touches
+        sequence((a / dayUs).cast("long"), ((b - 1) / dayUs).cast("long"))
+      val sb = sess.select($"user_id", $"sid", $"s_us", $"e_us",
+        explode(grid($"s_us", $"e_us" + 1)).as("bucket"))
+      val cb = camps.select($"cid", $"c_s", $"c_e",
+        explode(grid($"c_s", $"c_e")).as("bucket"))
+      sb.join(cb, "bucket")
+        .filter($"s_us" < $"c_e" && $"c_s" <= $"e_us")
+        .select($"user_id", $"sid", $"cid",
+          (least($"e_us", $"c_e") - greatest($"s_us", $"c_s"))
+            .as("ov_us"))
+        .distinct() // a pair sharing 2 buckets must count once
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct($"user_id").as("n_users"),
+          expr("sum(ov_us) DIV 1000000").as("overlap_sec"))
+        .orderBy($"cid")
+    }),
+
     // One-way ANOVA F — does WEEKDAY explain daily revenue? The
     // classical F = (SSB/(k−1)) / (SSW/(N−k)) per event type from
     // exact integer moments: per-(type, weekday) sums feed the q274
@@ -3174,6 +3231,44 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // the oracle affords the O(n·m) inequality join the engine's grid
+    // bucketing exists to avoid — same sessions, same spine, same
+    // exact-micros overlap
+    "q314_interval_overlap" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, sid, min(epoch_us(ts)) AS s_us,
+                  max(epoch_us(ts)) AS e_us
+           FROM (
+             SELECT user_id, ts, SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged)
+           GROUP BY user_id, sid),
+         span AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                  FROM events),
+         camps AS (
+           SELECT cid, lo + cid * 604800000000 AS c_s,
+                  lo + cid * 604800000000 + 259200000000 AS c_e
+           FROM span, unnest(generate_series(0,
+             (hi - lo) // 604800000000)) AS t(cid)),
+         pairs AS (
+           SELECT s.user_id, s.sid, c.cid,
+                  least(s.e_us, c.c_e) - greatest(s.s_us, c.c_s) AS ov_us
+           FROM sess s JOIN camps c
+             ON s.s_us < c.c_e AND c.c_s <= s.e_us)
+         SELECT cid, count(*)::BIGINT AS n_sessions,
+                count(DISTINCT user_id)::BIGINT AS n_users,
+                CAST(sum(ov_us) // 1000000 AS BIGINT) AS overlap_sec
+         FROM pairs GROUP BY cid ORDER BY cid""",
+
     "q304_anova_weekday" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

@@ -343,6 +343,56 @@ object OperatorQueries {
         .orderBy($"rank_s".desc, $"node")
     }),
 
+    // RECURSIVE CTE — Spark 4's WITH RECURSIVE (UnionLoop) surface,
+    // exercised on a hop-capped reachability census over the part
+    // co-purchase graph. ONE SQL text runs verbatim on BOTH engines
+    // (the strongest possible oracle: zero re-rendering), so this
+    // gates Spark's recursion semantics — UNION ALL level expansion,
+    // the hop-cap termination, aggregation over the accumulated
+    // working table — against DuckDB's, not just the arithmetic.
+    // Different graph, cap and frontier semantics from q266 (which
+    // pins the DataFrame superstep loop; this pins the declarative
+    // SQL recursion the engine now plans itself). Scale shape: each
+    // level is one equi-join of the level's rows to the edge list;
+    // basket-bounded degree keeps the UNION ALL expansion O(deg²)
+    // per source at any SF (see recursiveReachSql).
+    "q311_recursive_reachability" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .createOrReplaceTempView("li_q311")
+      s.sql(recursiveReachSql("li_q311"))
+    }),
+
+    // Connected components via ALTERNATING STAR CONTRACTION (Kiveris
+    // et al., "Connected Components in MapReduce and Beyond") — the
+    // O(log n)-round algorithm the dedup clustering documents as its
+    // adversarial-diameter fallback, finally driver-GATED rather than
+    // only spec-pinned: min-label propagation (q75's engine) needs
+    // O(diameter) rounds, star contraction O(log n) regardless, the
+    // difference between 3 rounds and thousands on a long-path
+    // component. Runs on a deterministic 1/64 salted-hash thinning of
+    // the part co-purchase graph (sparse ⇒ a real multi-component
+    // census; the hash replays in DuckDB, whose oracle closes the
+    // same components with a recursive min-label closure). Output:
+    // component-size census — size, how many components, min root id.
+    "q313_components_alternating" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey")
+      val pairs = li.toDF("ok", "x")
+        .join(li.toDF("ok2", "y"), $"ok" === $"ok2" && $"x" < $"y")
+        .select($"x", $"y").distinct()
+        .filter(TextFunctions.hash60(concat($"x".cast("string"),
+          lit("_"), $"y".cast("string"), lit("_cc"))) <
+          lit((1L << 60) / 64L))
+      val labeled = graft.dedup.ConnectedComponents
+        .labelAlternating(pairs, "x", "y")
+      labeled.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          min($"cluster_id").as("min_root"))
+        .orderBy($"cluster_size")
+    }),
+
     // Single-source BFS hop census over the customer↔supplier
     // purchase graph — the shortest-path primitive the graph family
     // (q100 PageRank, q107 triangles, q226 k-core) lacked: hop
@@ -786,6 +836,34 @@ object OperatorQueries {
     * [[triangleCount]]; the sample filter runs BEFORE the edge-dedup
     * exchange so every downstream cost shrinks with p. Returns
     * (edges kept, triangles among them). */
+  /** q311's ONE query text, shared verbatim by the Spark run and the
+    * DuckDB oracle — only the lineitem relation name differs. Spark's
+    * recursion supports UNION ALL only (4.1), so the working table
+    * carries PATH COUNTS, not a deduped frontier — bounded anyway:
+    * the part co-purchase graph has basket-bounded degree (~order
+    * size², independent of corpus scale), so a 2-hop UNION ALL
+    * expansion is O(deg²) rows per source at ANY SF. The min-hop
+    * rollup after the recursion restores BFS semantics. */
+  def recursiveReachSql(lineitem: String): String =
+    s"""WITH RECURSIVE
+        e AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM $lineitem a JOIN $lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey),
+        src AS (SELECT min(s) AS s0 FROM e),
+        reach(node, hop) AS (
+          SELECT s0, 0 FROM src
+          UNION ALL
+          SELECT e.d, reach.hop + 1
+          FROM reach JOIN e ON e.s = reach.node
+          WHERE reach.hop < 2),
+        mh AS (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+        SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
+               max(node) AS max_node,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM mh GROUP BY hop ORDER BY hop"""
+
   def triangleTotal(s: org.apache.spark.sql.SparkSession, dir: String,
       sampleDenom: Option[Long]): (Long, Long) = {
     import s.implicits._
@@ -1043,6 +1121,39 @@ object OperatorQueries {
           ${iter("2", "3")}
           SELECT node, rank FROM r3 ORDER BY node"""
     },
+
+    // the IDENTICAL text Spark ran — zero re-rendering drift possible
+    "q311_recursive_reachability" -> recursiveReachSql("lineitem"),
+
+    // same deterministic edge thinning (md5 threshold), components
+    // closed by a recursive min-label closure, same census
+    "q313_components_alternating" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+          e AS (
+            SELECT x, y FROM pairs
+            WHERE CAST('0x' || substr(md5(x::VARCHAR || '_' ||
+                    y::VARCHAR || '_cc'), 1, 15) AS BIGINT)
+                  < ${(1L << 60) / 64L}),
+          sym AS (
+            SELECT x AS ia, y AS ib FROM e
+            UNION SELECT y AS ia, x AS ib FROM e),
+          reach(id, r) AS (
+            SELECT ia, ib FROM sym
+            UNION
+            SELECT s.ia, reach.r
+            FROM sym s JOIN reach ON s.ib = reach.id),
+          lab AS (
+            SELECT id, least(min(r), id) AS cid
+            FROM reach GROUP BY id),
+          sizes AS (SELECT cid, count(*)::BIGINT AS sz
+                    FROM lab GROUP BY cid)
+          SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+                 min(cid) AS min_root
+          FROM sizes GROUP BY sz ORDER BY cluster_size""",
 
     // Both legs replayed: the SAME deterministic pair sample (md5
     // threshold, undirected-pair salt) and the full graph, each

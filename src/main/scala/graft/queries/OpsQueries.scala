@@ -889,6 +889,30 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Incremental snapshot delta (change-data-feed read) — what
+    // changed since a consumer's last checkpoint, WITHOUT an
+    // anti-join: snapshot tokens pin shard prefixes, so "rows v1 did
+    // not yet contain" is a shard SLICE (`sinceVersion`) — pure
+    // manifest arithmetic; the scan opens only the delta's shards no
+    // matter how big the table is. That is the 100 TB consumption
+    // loop for every downstream incremental job (index append q150,
+    // incremental dedup q115, the fold q95 models): each cycle reads
+    // the slice, never rescans the corpus. GraftLogVersionSpec pins
+    // slice ≡ anti-join; the oracle replays the delta as the second
+    // half of the feed.
+    "q310_snapshot_delta" -> ((s, dir) => {
+      import s.implicits._
+      val (log, v1) = GlogFixtures.eventsLogVersioned(s, dir, 8)
+      s.read.format("graft.sources.GraftLogSource")
+        .option("sinceVersion", v1).load(log)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_new"),
+          min($"event_id").as("min_event_id"),
+          max($"event_id").as("max_event_id"),
+          Q.dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
     // Probe-manifest join with runtime shard pruning: the probe side
     // is a SCAN with selective predicates (every 500th event id in
     // the first eighth of the log), so Catalyst both (a) infers the
@@ -2434,6 +2458,16 @@ object OpsQueries {
       """SELECT count(*) AS n_events, min(event_id) AS min_id,
                 max(event_id) AS max_id
          FROM events""",
+
+    "q310_snapshot_delta" ->
+      s"""SELECT event_type, count(*) AS n_new,
+                 min(event_id) AS min_event_id,
+                 max(event_id) AS max_event_id,
+                 ${Q.dsumSql("value")} AS sum_value
+          FROM events
+          WHERE event_id >= (SELECT count(*) FROM events) // 2
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // both snapshot legs replayed from the halves the fixture wrote:
     // v1 = event_id < n/2 (the pre-append commit), current = all rows

@@ -390,6 +390,85 @@ object VectorQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // FILTERED ANN — metadata-constrained vector search (the
+    // pgvector/Qdrant "filter + top-k" staple the ANN family lacked):
+    // neighbors must satisfy a predicate (here: share the query's
+    // label — the multi-tenant / same-language constraint). The
+    // filter is pushed INTO the candidate join as a second equi-key
+    // (cell AND label), so selectivity cuts candidate volume before
+    // any cosine is computed — at 100 TB the index is written
+    // partitioned by (cell, label) and a filtered probe reads
+    // nprobe·(1/|labels|) of the corpus; post-filtering after an
+    // unfiltered ANN would instead LOSE recall (filtered-out
+    // neighbors consume top-k slots). The exact filtered top-5 rides
+    // in-row (label equality makes it an equi-join too, never a
+    // product) with per-query recall — self-evaluating like q144.
+    "q312_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = fanout(Tables.table(s, dir, "embeddings"))
+      val model = Ivf.fit(emb, "vec_id", "embedding", cells = 16,
+        iters = 1)
+      def norm(c: org.apache.spark.sql.Column) =
+        sqrt(VectorFunctions.dotExact(c, c))
+      val corpus = emb.select($"vec_id".as("neighbor_id"),
+          $"embedding".as("c_vec"), norm($"embedding").as("c_norm"),
+          Ivf.cellColumn($"embedding", model).as("cell"),
+          $"label".as("n_label"))
+        .localCheckpoint() // the at-rest index (cell+label keyed)
+      val q = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_vec"),
+          norm($"embedding").as("q_norm"), $"label".as("q_label"),
+          explode(Ivf.probeCells($"embedding", model, 4)).as("cell"))
+      val cos = VectorFunctions.dotExact($"q_vec", $"c_vec") /
+        ($"q_norm" * $"c_norm")
+      val byQ = Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id")
+      val cand = q.join(corpus, Seq("cell"))
+        .filter($"q_label" === $"n_label" &&
+          $"query_id" =!= $"neighbor_id")
+        .withColumn("cosine", cos)
+      val ann5 = cand.withColumn("rank", row_number().over(byQ))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"neighbor_id")
+      val nCand = cand.groupBy($"query_id")
+        .agg(count(lit(1)).as("n_cands"))
+      // exact filtered top-5: label equality IS the equi-key, so the
+      // exactness baseline shuffles on label, never a product
+      val exact5 = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_vec"),
+          norm($"embedding").as("q_norm"), $"label")
+        .join(emb.select($"vec_id".as("neighbor_id"),
+          $"embedding".as("c_vec"), norm($"embedding").as("c_norm"),
+          $"label"), Seq("label"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", row_number().over(byQ))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank".as("e_rank"),
+          $"neighbor_id".as("e_neighbor"))
+      val hits = ann5.join(exact5,
+          ann5("query_id") === exact5("query_id") &&
+            $"neighbor_id" === $"e_neighbor")
+        .groupBy(ann5("query_id")).agg(count(lit(1)).as("hits"))
+      val top1a = ann5.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1_ann"))
+      val top1e = exact5.filter($"e_rank" === 1)
+        .select($"query_id", $"e_neighbor".as("top1_exact"))
+      emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"label".as("q_label"))
+        .join(nCand, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .join(top1a, Seq("query_id"), "left")
+        .join(top1e, Seq("query_id"), "left")
+        .select($"query_id", $"q_label",
+          coalesce($"n_cands", lit(0L)).as("n_cands"),
+          coalesce($"hits", lit(0L)).as("hits"),
+          expr("coalesce(hits, CAST(0 AS BIGINT)) * 1000000 DIV 5")
+            .as("recall_pm"),
+          $"top1_ann", $"top1_exact")
+        .orderBy($"query_id")
+    }),
+
     // ANN over the int8-quantized corpus (q85's codes) with exact
     // float rescore of the overfetched candidates. Approximation
     // affects recall only (bounded in TextVectorSpec) — but the
@@ -1421,6 +1500,76 @@ object VectorQueries {
             FROM scored)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    // Exact replay of the filtered probe: same Lloyd CTEs, candidate
+    // join on (cell, label), per-query top-5 with the q40 tie rule,
+    // exact filtered top-5 as a label equi-join, hits/recall in-row.
+    "q312_ann_filtered" ->
+      s"""WITH ${lloydCtes(16)},
+          corpus AS (
+            SELECT s.vec_id AS neighbor_id, s.cell, e.label AS n_label
+            FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1) s JOIN embeddings e ON e.vec_id = s.vec_id
+            WHERE s.rn = 1),
+          qprobe AS (
+            SELECT s.vec_id AS query_id, s.cell, e.label AS q_label
+            FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cell DESC) AS rn
+              FROM s1 WHERE vec_id < 20) s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            WHERE s.rn <= 4),
+          cand AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+            FROM qprobe q JOIN corpus c
+              ON q.cell = c.cell AND q.q_label = c.n_label
+            JOIN embeddings eq ON eq.vec_id = q.query_id
+            JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+            WHERE c.neighbor_id <> q.query_id),
+          ann5 AS (
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM cand) WHERE rank <= 5),
+          ncand AS (
+            SELECT query_id, count(*)::BIGINT AS n_cands
+            FROM cand GROUP BY query_id),
+          exact5 AS (
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${cosSql("q.embedding", "e.embedding")}
+                         DESC, e.vec_id) AS rank
+              FROM embeddings q JOIN embeddings e
+                ON q.label = e.label AND e.vec_id <> q.vec_id
+              WHERE q.vec_id < 20) WHERE rank <= 5),
+          hits AS (
+            SELECT a.query_id, count(*)::BIGINT AS hits
+            FROM ann5 a JOIN exact5 x
+              ON a.query_id = x.query_id
+             AND a.neighbor_id = x.neighbor_id
+            GROUP BY a.query_id)
+          SELECT b.vec_id AS query_id, b.label AS q_label,
+                 coalesce(n.n_cands, 0) AS n_cands,
+                 coalesce(h.hits, 0) AS hits,
+                 coalesce(h.hits, 0) * 1000000 // 5 AS recall_pm,
+                 (SELECT neighbor_id FROM ann5 a
+                  WHERE a.query_id = b.vec_id AND a.rank = 1)
+                   AS top1_ann,
+                 (SELECT neighbor_id FROM exact5 x
+                  WHERE x.query_id = b.vec_id AND x.rank = 1)
+                   AS top1_exact
+          FROM embeddings b
+          LEFT JOIN ncand n ON n.query_id = b.vec_id
+          LEFT JOIN hits h ON h.query_id = b.vec_id
+          WHERE b.vec_id < 20
+          ORDER BY query_id""",
 
     // Exact replay of knnQuantized(k=5, overfetch=4): per-dim
     // [min,max] fit (q85's CTE), quantize→dequantize to the cell's

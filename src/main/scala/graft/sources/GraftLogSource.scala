@@ -487,6 +487,26 @@ object GraftLog {
     }
   }
 
+  /** Incremental read window: the shards BETWEEN two snapshots —
+    * everything `since` did not yet contain, up to `asOf` (or the
+    * head). Because tokens pin shard PREFIXES, the delta is a shard
+    * SLICE: pure manifest arithmetic, no anti-join over data — the
+    * change-data-feed read at metadata cost. Both tokens validate
+    * against the current generation like [[shardsAt]]. */
+  def shardsBetween(path: String, since: Option[String],
+      asOf: Option[String]): Seq[ShardInfo] = {
+    val upTo = shardsAt(path, asOf)
+    since match {
+      case None => upTo
+      case Some(tok) =>
+        val n = shardsAt(path, Some(tok)).size
+        require(n <= upTo.size,
+          s"sinceVersion $tok is newer than the read end " +
+            s"(${asOf.getOrElse("head")}) of $path")
+        upTo.drop(n)
+    }
+  }
+
   /** First free shard index: one past the highest index any existing
     * shard carries. Appends name their shards from here so a second
     * batch write can never clobber an earlier one (ATOMIC_MOVE
@@ -665,8 +685,10 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       Option(options.get("maxShardsPerTrigger")).map(_.toInt),
       // a catalog time-travel load (VERSION AS OF) pins every scan of
       // this table handle; a reader-level .option("version", …) on a
-      // plain load can still ask explicitly
-      Option(options.get("version")).orElse(pinnedVersion))
+      // plain load can still ask explicitly. sinceVersion reads only
+      // the shards a snapshot did NOT yet contain (incremental feed).
+      Option(options.get("version")).orElse(pinnedVersion),
+      Option(options.get("sinceVersion")))
 
   /** Batch write: `df.write.format("graft.sources.GraftLogSource")
     * .mode("append").save(dir)`. The arriving schema must BE the
@@ -1104,6 +1126,7 @@ class GraftLogScanBuilder(path: String,
     tableSchema: StructType = GraftLog.schema,
     maxShardsPerTrigger: Option[Int] = None,
     version: Option[String] = None,
+    sinceVersion: Option[String] = None,
     onPlan: Seq[String] => Unit = _ => ()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -1225,7 +1248,7 @@ class GraftLogScanBuilder(path: String,
 
   override def build(): Scan =
     new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg,
-      pushedLimit, pushedTopN, onPlan, version)
+      pushedLimit, pushedTopN, onPlan, version, sinceVersion)
 }
 
 /** Observability at the DSv2 seam: per-task and driver-side custom
@@ -1259,7 +1282,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     limit: Option[Int] = None,
     topN: Option[(Boolean, Int)] = None,
     onPlan: Seq[String] => Unit = _ => (),
-    version: Option[String] = None)
+    version: Option[String] = None,
+    sinceVersion: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -1273,7 +1297,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * shard selection — all of it is pruning). */
   override def reportDriverMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val total = GraftLog.shardsAt(path, version).size
+    val total = GraftLog.shardsBetween(path, sinceVersion, version).size
     val planned =
       if (pushedAgg.isDefined) 0
       else bucketGroups match {
@@ -1348,7 +1372,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * without a sidecar can never be pruned. */
   private def liveShards: Seq[GraftLog.ShardInfo] = {
     val (lo, hi) = bounds
-    GraftLog.shardsAt(path, version).filter { s =>
+    GraftLog.shardsBetween(path, sinceVersion, version).filter { s =>
       s.stats match {
         case None => true
         case Some((mn, mx, _)) =>
@@ -1516,7 +1540,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
         // single final row from one empty-work partition — over the
         // SNAPSHOT's shard prefix when a version is pinned, so even
         // the metadata-only path time-travels
-        val stats = GraftLog.shardsAt(path, version).flatMap(_.stats)
+        val stats =
+          GraftLog.shardsBetween(path, sinceVersion, version).flatMap(_.stats)
         val values: Array[Option[Long]] = aggs.map {
           case _: CountStar => Some(stats.map(_._3).sum)
           case _: Min =>

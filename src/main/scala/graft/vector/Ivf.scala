@@ -49,8 +49,10 @@ object Ivf {
     * answer). */
   def cellColumn(vec: Column, m: Model): Column = assignCell(vec, m)
 
-  /** The nprobe best cells for a query vector, as an array. */
-  private def probeCells(vec: Column, m: Model, nprobe: Int): Column =
+  /** The nprobe best cells for a query vector, as an array — public
+    * for callers composing their OWN candidate join (filtered ANN
+    * joins on (cell, filter-key) instead of cell alone, q312). */
+  def probeCells(vec: Column, m: Model, nprobe: Int): Column =
     topCells(vec, m, nprobe)
 
   /** Lloyd iterations with deterministic init (first `cells` vectors

@@ -88,6 +88,22 @@ class GraftLogVersionSpec extends SparkSuite {
       .count() === 700L)
   }
 
+  test("sinceVersion slice equals the anti-join delta") {
+    val (dir, tok) = twoCommits(250, 5)
+    val delta = spark.read.format(fmt).option("sinceVersion", tok).load(dir)
+    val cur = spark.read.format(fmt).load(dir)
+    val old = spark.read.format(fmt).option("version", tok).load(dir)
+    val byAntiJoin = cur.join(old.select($"event_id".as("o")),
+      $"event_id" === $"o", "left_anti")
+    assert(delta.count() === 250L)
+    assert(delta.except(byAntiJoin).isEmpty &&
+      byAntiJoin.drop("o").except(delta).isEmpty,
+      "shard-slice delta must equal the anti-join definition")
+    // composes with version: since tok AS OF tok = empty window
+    assert(spark.read.format(fmt).option("sinceVersion", tok)
+      .option("version", tok).load(dir).count() === 0L)
+  }
+
   test("malformed and future tokens are rejected") {
     val (dir, _) = twoCommits(100, 2)
     intercept[IllegalArgumentException] {
