@@ -112,9 +112,21 @@ object ConnectedComponents {
     var cur = edges.select(col(idA).as("u"), col(idB).as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
     var sig = signature(cur)
+    // adaptive round width: every round runs ~6 tiny shuffles over an
+    // edge frame that only SHRINKS — at session width each op pays
+    // (width × rounds) near-empty tasks, which dominated wall time on
+    // thinned graphs (q313: 8.6 s of task overhead at sf0.1). Width
+    // follows the measured edge count (the adaptive-cells discipline
+    // applied to the loop), growing for 100 TB inputs and collapsing
+    // to a handful of tasks for small ones.
+    val parts = math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      math.max(4L, sig._1 / 100000L)).toInt
+    cur = cur.repartition(parts, $"u").localCheckpoint()
     var done = false
     while (!done) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur))
+        .repartition(parts, $"u").localCheckpoint()
       val nextSig = signature(next)
       done = nextSig == sig
       cur = next

@@ -378,12 +378,21 @@ object OperatorQueries {
       import s.implicits._
       val li = Tables.table(s, dir, "lineitem")
         .select($"l_orderkey".as("ok"), $"l_partkey")
-      val pairs = li.toDF("ok", "x")
-        .join(li.toDF("ok2", "y"), $"ok" === $"ok2" && $"x" < $"y")
-        .select($"x", $"y").distinct()
+      // per-order sorted-set explode (the q107 pair generator): one
+      // aggregate shuffle instead of a two-sided self-join; the hash
+      // thinning applies BEFORE the dedup exchange so the distinct
+      // moves 1/64 of the pairs
+      val pairs = li.groupBy($"ok")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y ->
+                 struct(x AS x, y AS y))))""")).as("p"))
+        .select($"p.x", $"p.y")
         .filter(TextFunctions.hash60(concat($"x".cast("string"),
           lit("_"), $"y".cast("string"), lit("_cc"))) <
           lit((1L << 60) / 64L))
+        .distinct()
       val labeled = graft.dedup.ConnectedComponents
         .labelAlternating(pairs, "x", "y")
       labeled.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
@@ -843,14 +852,20 @@ object OperatorQueries {
     * the part co-purchase graph has basket-bounded degree (~order
     * size², independent of corpus scale), so a 2-hop UNION ALL
     * expansion is O(deg²) rows per source at ANY SF. The min-hop
-    * rollup after the recursion restores BFS semantics. */
+    * rollup after the recursion restores BFS semantics. The `% 4`
+    * order subset is deterministic and part of the shared text:
+    * UnionLoop re-derives non-materialized CTEs per level, so the
+    * edge build runs once per hop — pricing it down keeps the
+    * recursion (the thing under test) the dominant term, not the
+    * repeated pair generation. */
   def recursiveReachSql(lineitem: String): String =
     s"""WITH RECURSIVE
         e AS (
           SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
           FROM $lineitem a JOIN $lineitem b
             ON a.l_orderkey = b.l_orderkey
-           AND a.l_partkey <> b.l_partkey),
+           AND a.l_partkey <> b.l_partkey
+          WHERE a.l_orderkey % 4 = 0),
         src AS (SELECT min(s) AS s0 FROM e),
         reach(node, hop) AS (
           SELECT s0, 0 FROM src

@@ -29,7 +29,11 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     "q224_triangle_doulion" -> ("audit mode runs sampled AND exact " +
       "legs; bench (audit off) runs the sampled leg only"),
     "q227_label_prop" -> ("3 rounds x |E| vote shuffle — the " +
-      "iterative superstep floor for this graph"))
+      "iterative superstep floor for this graph"),
+    "q313_components_alternating" -> ("star contraction runs to " +
+      "FIXPOINT (~10 rounds x 2 jobs on the thinned graph): wall time " +
+      "is round-count x fixed job overhead, not data; at 100 TB each " +
+      "round is one linear pass and the log-round bound is the point"))
 
   test("no undocumented query exceeds 5 s at sf0.1 in the file of record") {
     val p = Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json")
