@@ -2869,6 +2869,60 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // Off-policy (counterfactual) evaluation — "what would a NEW
+    // action policy have earned on the logged traffic?", the eval
+    // every logged-interaction pipeline runs before an A/B test:
+    // IPS (Horvitz-Thompson importance weighting), its clipped
+    // variant (cap w at 3 — the variance/bias knob), SNIPS
+    // (self-normalized), and the effective sample size that says how
+    // much of the log the reweighting actually uses. Logged policy =
+    // the empirical action distribution; target policy = a fixed
+    // prior over event types (π ∝ 0..4/10). Weights depend only on
+    // the ACTION, so everything reduces to a 5-row census; they are
+    // QUANTIZED to exact ppm integers (the q133 dyadic-grid
+    // discipline applied to importance weights, via exactFloorDiv so
+    // nothing re-enters 64-bit), making every sum exact decimal and
+    // each final metric ONE IEEE division chain the oracle replays.
+    "q315_ips_offpolicy" -> ((s, dir) => {
+      import s.implicits._
+      val piNum = when($"event_type" === "view", 1L)
+        .when($"event_type" === "click", 2L)
+        .when($"event_type" === "signup", 3L)
+        .when($"event_type" === "purchase", 4L).otherwise(0L)
+      val perA = Tables.table(s, dir, "events")
+        .select($"event_type",
+          floor($"value" * lit(1000000.0)).cast("long").as("r_u"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_a"),
+          sum($"r_u".cast("decimal(38,0)")).as("sum_r_u"))
+        .withColumn("pi_num", piNum)
+      val j = perA
+        .crossJoin(broadcast(perA.agg(sum($"n_a").as("n")))) // 1-row N
+        .withColumn("w_ppm", Analytics.exactFloorDiv(
+          expr("CAST(pi_num AS DECIMAL(38,0)) * n * 1000000"),
+          expr("10 * n_a")))
+        .withColumn("w_clip_ppm",
+          least($"w_ppm", lit(3000000L).cast("decimal(38,0)")))
+      j.groupBy($"n")
+        .agg(sum($"w_ppm" * $"sum_r_u").as("v_num"),
+          sum($"w_clip_ppm" * $"sum_r_u").as("vc_num"),
+          sum($"w_ppm" * $"n_a").as("sw"),
+          sum($"w_ppm" * $"w_ppm" * $"n_a").as("sw2"))
+        .select($"n",
+          ($"v_num".cast("double") /
+            ($"n".cast("double") * lit(1.0e12))).as("v_ips"),
+          ($"v_num".cast("double") /
+            (lit(1.0e6) * $"sw".cast("double"))).as("v_snips"),
+          ($"vc_num".cast("double") /
+            ($"n".cast("double") * lit(1.0e12))).as("v_clip"),
+          // double route (not exactFloorDiv): sw²·10⁶ would pass 10³⁸
+          // near 3e9 rows; the IEEE chain is identical on both
+          // engines and has no cliff
+          floor($"sw".cast("double") * $"sw".cast("double") *
+            lit(1.0e6) / ($"sw2".cast("double") * $"n".cast("double")))
+            .cast("long").as("ess_share_ppm"))
+    }),
+
     // KEYLESS interval-overlap join (the classical "interval join"):
     // user sessions [start, end] × derived campaign windows, no join
     // key at all — the naive form is an O(n·m) inequality product.
@@ -3231,6 +3285,46 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // same 5-row census, HUGEINT-exact weight quantization, the same
+    // single-division renders
+    "q315_ips_offpolicy" ->
+      """WITH a AS (
+           SELECT event_type, count(*)::BIGINT AS n_a,
+                  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+                    AS HUGEINT) AS sum_r_u,
+                  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4
+                       ELSE 0 END AS pi_num
+           FROM events GROUP BY event_type),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM a),
+         w AS (
+           SELECT a.*, t.n,
+                  CAST(pi_num AS HUGEINT) * n * 1000000 // (10 * n_a)
+                    AS w_ppm
+           FROM a, t),
+         wc AS (
+           SELECT *, least(w_ppm, 3000000::HUGEINT) AS w_clip_ppm
+           FROM w),
+         s AS (
+           SELECT n,
+                  sum(w_ppm * sum_r_u) AS v_num,
+                  sum(w_clip_ppm * sum_r_u) AS vc_num,
+                  sum(w_ppm * n_a) AS sw,
+                  sum(w_ppm * w_ppm * n_a) AS sw2
+           FROM wc GROUP BY n)
+         SELECT n,
+                CAST(v_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12)
+                  AS v_ips,
+                CAST(v_num AS DOUBLE) / (1.0e6 * CAST(sw AS DOUBLE))
+                  AS v_snips,
+                CAST(vc_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12)
+                  AS v_clip,
+                CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                    * 1.0e6
+                    / (CAST(sw2 AS DOUBLE) * CAST(n AS DOUBLE)))
+                  AS BIGINT) AS ess_share_ppm
+         FROM s""",
+
     // the oracle affords the O(n·m) inequality join the engine's grid
     // bucketing exists to avoid — same sessions, same spine, same
     // exact-micros overlap

@@ -889,6 +889,39 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Column-level encryption round-trip — the data-at-rest
+    // governance surface (PII columns encrypted in the lake, decrypted
+    // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
+    // (deterministic — no IV — which is exactly why real deployments
+    // use it only for equality-preserving tokenization; the comment IS
+    // the caveat). The oracle cannot run AES, so the gate is the
+    // INVARIANTS, all replayable: the round-trip must return the
+    // original bytes (n_roundtrip_ok vs sha-of-original distincts),
+    // and ECB ciphertext length is a pure function of plaintext octet
+    // length ((len/16 + 1)·16 — Spark measures the REAL ciphertext,
+    // DuckDB computes the formula; a padding/mode drift breaks the
+    // hash). Scan-parallel per-row crypto + one census aggregate.
+    "q316_aes_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // key: 16-byte AES-128 literal inside the expressions below
+      val d = Tables.table(s, dir, "documents")
+        .select($"source", $"text",
+          expr("aes_decrypt(aes_encrypt(CAST(text AS BINARY), " +
+            "'0123456789abcdef', 'ECB', 'PKCS'), " +
+            "'0123456789abcdef', 'ECB', 'PKCS')").as("back"),
+          length(expr("aes_encrypt(CAST(text AS BINARY), " +
+            "'0123456789abcdef', 'ECB', 'PKCS')")).cast("long")
+            .as("cipher_len"))
+      d.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"back".cast("string") === $"text", 1L)
+            .otherwise(0L)).as("n_roundtrip_ok"),
+          sum($"cipher_len").as("sum_cipher_bytes"),
+          countDistinct(sha2($"back".cast("string"), 256))
+            .as("n_distinct_sha"))
+        .orderBy($"source")
+    }),
+
     // Incremental snapshot delta (change-data-feed read) — what
     // changed since a consumer's last checkpoint, WITHOUT an
     // anti-join: snapshot tokens pin shard prefixes, so "rows v1 did
@@ -2458,6 +2491,18 @@ object OpsQueries {
       """SELECT count(*) AS n_events, min(event_id) AS min_id,
                 max(event_id) AS max_id
          FROM events""",
+
+    // the invariants, not the cipher: round-trip count = doc count,
+    // ECB/PKCS7 length formula, sha-of-decrypted = sha-of-original
+    "q316_aes_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+                count(*) AS n_roundtrip_ok,
+                CAST(sum((strlen(text) // 16 + 1) * 16) AS BIGINT)
+                  AS sum_cipher_bytes,
+                count(DISTINCT sha256(text))::BIGINT AS n_distinct_sha
+         FROM documents
+         GROUP BY source
+         ORDER BY source""",
 
     "q310_snapshot_delta" ->
       s"""SELECT event_type, count(*) AS n_new,

@@ -52,6 +52,17 @@ object StreamStreamJoin {
   def purchaseViewPairsFullOuter(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, "full_outer")
 
+  /** LEFT SEMI variant — "purchases preceded by a view", the
+    * existence filter as a STREAM-STREAM operator: the left row emits
+    * once (on its first match) and carries no right columns, so state
+    * on the left can drop a key as soon as one match lands instead of
+    * buffering for late additional matches — the cheapest member of
+    * the join matrix (q66 inner, q71 left-outer, q222 full-outer; this
+    * completes it). Every match arrives before the AvailableNow drain
+    * ends, so the final set equals the batch EXISTS the oracle runs. */
+  def purchaseViewSemi(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, "left_semi")
+
   private def run(spark: SparkSession, dir: String,
       joinType: String): DataFrame = {
     // a stream-stream join keeps FOUR state stores per shuffle
@@ -87,9 +98,12 @@ object StreamStreamJoin {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") < col("p_ts"),
       joinType)
-    val q = joined
-      .select(col("event_id"), col("user_id"), col("view_event_id"),
-        col("v_ts").as("view_ts"))
+    val q = (if (joinType == "left_semi")
+        joined.select(col("event_id"), col("user_id"),
+          col("p_ts")) // semi output carries LEFT columns only
+      else joined
+        .select(col("event_id"), col("user_id"), col("view_event_id"),
+          col("v_ts").as("view_ts")))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$out/_checkpoint")
@@ -99,8 +113,9 @@ object StreamStreamJoin {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/result")
-      .orderBy(col("event_id"), asc_nulls_first("view_event_id"))
+    val res = spark.read.parquet(s"$out/result")
+    if (joinType == "left_semi") res.orderBy(col("event_id"))
+    else res.orderBy(col("event_id"), asc_nulls_first("view_event_id"))
   }
 
   val queries: Map[String, graft.queries.Q.Fn] = Map(
@@ -108,7 +123,8 @@ object StreamStreamJoin {
     "q71_stream_left_outer_join" ->
       ((s, dir) => purchaseViewPairsLeftOuter(s, dir)),
     "q222_stream_full_outer_join" ->
-      ((s, dir) => purchaseViewPairsFullOuter(s, dir)))
+      ((s, dir) => purchaseViewPairsFullOuter(s, dir)),
+    "q317_stream_semi_join" -> ((s, dir) => purchaseViewSemi(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q66_stream_interval_join" ->
@@ -120,6 +136,19 @@ object StreamStreamJoin {
           AND epoch_us(v.ts) < epoch_us(p.ts)
          WHERE p.event_type = 'purchase' AND v.event_type = 'view'
          ORDER BY p.event_id, view_event_id""",
+    // matched-only semantics: every match arrives before the drain
+    // ends, so the final set is the batch EXISTS — no watermark cutoff
+    "q317_stream_semi_join" ->
+      """SELECT p.event_id, p.user_id, p.ts AS p_ts
+         FROM events p
+         WHERE p.event_type = 'purchase'
+           AND EXISTS (
+             SELECT 1 FROM events v
+             WHERE v.event_type = 'view'
+               AND v.user_id = p.user_id
+               AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+               AND epoch_us(v.ts) < epoch_us(p.ts))
+         ORDER BY p.event_id""",
     // Matched pairs always emit. An unmatched purchase emits (with
     // nulls) only once the global watermark — min over BOTH streams of
     // (that stream's max event time) minus the 1 h delay — passes its

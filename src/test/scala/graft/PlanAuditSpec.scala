@@ -131,6 +131,10 @@ class PlanAuditSpec extends SparkSuite {
     // models (the q103/q111 scalar-stats pattern); pair expansion
     // itself happens AT the order, never via a join.
     "q250_basket_lift",
+    // q315: the action census (≤ 5 rows — one per event type) pairs
+    // the broadcast 1-ROW total-N frame (the q103/q111 scalar-stats
+    // pattern); all data-sized work is the single census aggregate.
+    "q315_ips_offpolicy",
     // q254/q258: the trained NB model is ONE row of Laplace counts
     // cross-joined broadcast into the scoring scan — scalar × data,
     // stateless per row.
