@@ -2869,6 +2869,74 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // Markov removal-effect attribution (Anderl et al.'s data-driven
+    // multi-touch model): which channel actually CARRIES conversions,
+    // measured by deleting it — journeys truncate at first purchase
+    // (CONV absorbing), trail off to END otherwise; transition
+    // probabilities quantize to exact ppm; conversion probability
+    // from START is 8 quantized value-iteration rounds (ppb floors —
+    // every number an exact integer both engines reproduce);
+    // removal effect for channel c = relative drop in P(conv) when
+    // state c is forced dead; shares normalize the effects. The
+    // transition matrix is a ≤|types|²-row METADATA frame — the
+    // IVF-centroid collect class — so the 5 chain evaluations run
+    // driver-side in integer arithmetic; the data-sized work is ONE
+    // lag-window pass + one count aggregate. The oracle replays all
+    // 5 × 8 rounds as chained CTEs over the same quantized matrix.
+    "q318_markov_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seq0 = Tables.table(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(w))
+      val cut = seq0.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"rn").as("cut"))
+      val seq = seq0.join(cut, Seq("user_id"), "left")
+        .filter($"cut".isNull || $"rn" <= $"cut")
+        .withColumn("st", when($"event_type" === "purchase",
+          lit("CONV")).otherwise($"event_type"))
+      val wk = Window.partitionBy($"user_id").orderBy($"rn")
+      val mid = seq.withColumn("nxt", lead($"st", 1).over(wk))
+        .filter($"st" =!= "CONV")
+        .select($"st".as("src"),
+          coalesce($"nxt", lit("END")).as("dst"))
+      val start = seq.filter($"rn" === 1)
+        .select(lit("START").as("src"), $"st".as("dst"))
+      val trans = mid.unionByName(start)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy($"src").agg(sum($"n").as("nt"))
+      // bounded model collect: ≤ |types+2|² rows by construction
+      val tppm: Map[(String, String), Long] = trans.join(tot, "src")
+        .select($"src", $"dst", expr("n * 1000000 DIV nt").as("t_ppm"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+      val states = (tppm.keys.map(_._1) ++ tppm.keys.map(_._2)).toSet
+      def pStart(removed: String): Long = {
+        var p = states.map(st =>
+          st -> (if (st == "CONV") 1000000000L else 0L)).toMap
+        for (_ <- 1 to 8) {
+          p = states.map { st =>
+            st -> (if (st == "CONV") 1000000000L
+              else if (st == "END" || st == removed) 0L
+              else states.toSeq.map(t =>
+                tppm.getOrElse((st, t), 0L) * p(t)).sum / 1000000L)
+          }.toMap
+        }
+        p.getOrElse("START", 0L)
+      }
+      val pFull = pStart("__none")
+      val channels = Seq("click", "error", "signup", "view")
+      val effects = channels.map(c =>
+        c -> ((pFull - pStart(c)) * 1000000L / pFull))
+      val sumEff = effects.map(_._2).sum
+      effects.map { case (c, e) =>
+        (c, pFull, pStart(c), e,
+          if (sumEff == 0L) 0L else e * 1000000L / sumEff)
+      }.toDF("channel", "p_full_ppb", "p_removed_ppb",
+          "removal_effect_ppm", "share_ppm")
+        .orderBy($"channel")
+    }),
+
     // Off-policy (counterfactual) evaluation — "what would a NEW
     // action policy have earned on the logged traffic?", the eval
     // every logged-interaction pipeline runs before an A/B test:
@@ -3285,6 +3353,93 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // all 5 chains × 8 quantized value-iteration rounds replayed as
+    // chained CTEs over the same ppm transition matrix
+    "q318_markov_attribution" -> {
+      def chain(tag: String, removed: String): String = {
+        val base = s"""p${tag}0 AS (
+            SELECT state, CASE WHEN state = 'CONV'
+              THEN 1000000000 ELSE 0 END AS p FROM states)"""
+        val steps = (1 to 8).map { k =>
+          s"""p$tag$k AS (
+            SELECT s.state,
+                   CASE WHEN s.state = 'CONV' THEN 1000000000
+                        WHEN s.state = 'END' OR s.state = '$removed'
+                          THEN 0
+                        ELSE coalesce((
+                          SELECT sum(t.t_ppm * p.p) // 1000000
+                          FROM tppm t JOIN p$tag${k - 1} p
+                            ON p.state = t.dst
+                          WHERE t.src = s.state), 0) END AS p
+            FROM states s)"""
+        }
+        (base +: steps).mkString(",\n          ")
+      }
+      val variants = Seq("full" -> "__none", "click" -> "click",
+        "error" -> "error", "signup" -> "signup", "view" -> "view")
+      val chains = variants.map { case (tag, r) => chain(tag, r) }
+        .mkString(",\n          ")
+      val res = variants.filter(_._1 != "full").map { case (tag, _) =>
+        s"""SELECT '$tag' AS channel,
+              (SELECT p FROM pfull8 WHERE state = 'START')
+                AS p_full_ppb,
+              (SELECT p FROM p${tag}8 WHERE state = 'START')
+                AS p_removed_ppb"""
+      }.mkString("\n            UNION ALL ")
+      s"""WITH seq0 AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rn
+            FROM events),
+          cut AS (
+            SELECT user_id, min(rn) AS cut FROM seq0
+            WHERE event_type = 'purchase' GROUP BY user_id),
+          seq AS (
+            SELECT s.user_id, s.rn,
+                   CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                        ELSE s.event_type END AS st
+            FROM seq0 s LEFT JOIN cut c USING (user_id)
+            WHERE c.cut IS NULL OR s.rn <= c.cut),
+          mid AS (
+            SELECT src, dst FROM (
+              SELECT st AS src,
+                     coalesce(lead(st) OVER (PARTITION BY user_id
+                       ORDER BY rn), 'END') AS dst
+              FROM seq) WHERE src <> 'CONV'),
+          strt AS (SELECT 'START' AS src, st AS dst FROM seq
+                   WHERE rn = 1),
+          trans AS (
+            SELECT src, dst, count(*)::BIGINT AS n FROM (
+              SELECT * FROM mid UNION ALL SELECT * FROM strt)
+            GROUP BY src, dst),
+          tppm AS (
+            SELECT t.src, t.dst, t.n * 1000000 // nt.nt AS t_ppm
+            FROM trans t JOIN (
+              SELECT src, CAST(sum(n) AS BIGINT) AS nt
+              FROM trans GROUP BY src) nt ON nt.src = t.src),
+          states AS (
+            SELECT DISTINCT state FROM (
+              SELECT src AS state FROM tppm
+              UNION SELECT dst FROM tppm)),
+          $chains,
+          res AS (
+            $res),
+          eff AS (
+            SELECT channel, p_full_ppb, p_removed_ppb,
+                   (p_full_ppb - p_removed_ppb) * 1000000 // p_full_ppb
+                     AS removal_effect_ppm
+            FROM res),
+          tot AS (SELECT sum(removal_effect_ppm) AS se FROM eff)
+          SELECT channel, CAST(p_full_ppb AS BIGINT) AS p_full_ppb,
+                 CAST(p_removed_ppb AS BIGINT) AS p_removed_ppb,
+                 CAST(removal_effect_ppm AS BIGINT)
+                   AS removal_effect_ppm,
+                 CAST(CASE WHEN se = 0 THEN 0
+                      ELSE removal_effect_ppm * 1000000 // se END
+                   AS BIGINT) AS share_ppm
+          FROM eff, tot ORDER BY channel"""
+    },
+
     // same 5-row census, HUGEINT-exact weight quantization, the same
     // single-division renders
     "q315_ips_offpolicy" ->
