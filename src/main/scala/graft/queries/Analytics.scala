@@ -2869,6 +2869,82 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // Window-function surface completion — ntile / cume_dist /
+    // nth_value (the three the registry's 40+ window queries never
+    // exercised), all in ONE per-customer pass under a TOTAL order
+    // (price, then orderkey) so every rank-adjacent function is
+    // deterministic: which spend quartile each order falls in within
+    // its customer's history, its exact cumulative share, and the
+    // customer's second-cheapest order as the nth_value anchor.
+    // Keyed windows (15k+ customers), never global — one shuffle on
+    // the key, the shape that holds at any scale.
+    "q320_window_surface" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"price_cents", $"o_orderkey")
+      Tables.table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          floor($"o_totalprice" * lit(100.0)).cast("long")
+            .as("price_cents"))
+        .withColumn("spend_quartile", ntile(4).over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("second_cheapest_cents",
+          nth_value($"price_cents", 2).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .select($"o_custkey", $"o_orderkey", $"price_cents",
+          $"spend_quartile", $"cume", $"second_cheapest_cents")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Rolling-origin backtest (Tashman's temporal cross-validation —
+    // the eval q307's single split can't give): 4 origins per event
+    // type, each training on observations ≤ o and scoring the next 7,
+    // comparing seasonal-naive (y[t−7], observation-indexed) against
+    // a trailing 14-observation mean. A forecaster that wins once may
+    // be lucky; winning across origins is the deployable signal.
+    // Everything exact integer cents: per-(type, origin) summed
+    // absolute errors, winner by comparison — no division anywhere.
+    // One daily census + one window pass + two bounded equi-joins
+    // (the origin frame is 4 rows per type — a model frame).
+    "q319_rolling_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val byT = Window.partitionBy($"event_type").orderBy($"day")
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(sum(floor($"value" * lit(100.0)).cast("long")).as("y"))
+        .withColumn("t", row_number().over(byT).cast("long"))
+        .localCheckpoint() // shared by 4 derived frames
+      val origins = daily.groupBy($"event_type")
+        .agg(max($"t").as("n"))
+        .select($"event_type", explode(sequence(lit(1L), lit(4L)))
+          .as("i"))
+        .join(daily.groupBy($"event_type").agg(max($"t").as("n")),
+          "event_type")
+        .select($"event_type", $"i", ($"n" - lit(7L) * $"i").as("o"))
+      val ma = daily
+        .withColumn("wsum", sum($"y").over(byT.rowsBetween(-13, 0)))
+        .withColumn("wcnt", count(lit(1)).over(byT.rowsBetween(-13, 0)))
+        .select($"event_type", $"t".as("o"),
+          expr("wsum DIV wcnt").as("y_ma"))
+      val snaive = daily.select($"event_type", ($"t" + 7L).as("t"),
+        $"y".as("y_sn"))
+      daily.join(origins, "event_type")
+        .filter($"t" > $"o" && $"t" <= $"o" + 7L)
+        .join(snaive, Seq("event_type", "t"))
+        .join(ma, Seq("event_type", "o"))
+        .groupBy($"event_type", $"i")
+        .agg(min($"o").as("origin_t"),
+          sum(abs($"y" - $"y_sn")).as("sae_snaive_cents"),
+          sum(abs($"y" - $"y_ma")).as("sae_mavg_cents"))
+        .select($"event_type", $"i", $"origin_t",
+          $"sae_snaive_cents", $"sae_mavg_cents",
+          when($"sae_snaive_cents" < $"sae_mavg_cents", "snaive")
+            .when($"sae_mavg_cents" < $"sae_snaive_cents", "mavg14")
+            .otherwise("tie").as("winner"))
+        .orderBy($"event_type", $"i")
+    }),
+
     // Markov removal-effect attribution (Anderl et al.'s data-driven
     // multi-touch model): which channel actually CARRIES conversions,
     // measured by deleting it — journeys truncate at first purchase
@@ -3353,6 +3429,69 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // same total order, same functions — DuckDB's ntile/cume_dist/
+    // nth_value share Spark's SQL-standard definitions
+    "q320_window_surface" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                  AS price_cents,
+                ntile(4) OVER w AS spend_quartile,
+                cume_dist() OVER w AS cume,
+                nth_value(CAST(floor(o_totalprice * 100.0) AS BIGINT),
+                  2) OVER (PARTITION BY o_custkey
+                    ORDER BY floor(o_totalprice * 100.0), o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+                  AS second_cheapest_cents
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY floor(o_totalprice * 100.0), o_orderkey)
+         ORDER BY o_orderkey""",
+
+    // same observation-indexed daily frame, same trailing window,
+    // same exact-cents error sums
+    "q319_rolling_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, y,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         origins AS (
+           SELECT event_type, i, n - 7 * i AS o
+           FROM (SELECT event_type, max(t) AS n FROM idx GROUP BY 1),
+                unnest(generate_series(1, 4)) AS g(i)),
+         ma AS (
+           SELECT event_type, t AS o,
+                  CAST(sum(y) OVER w // count(*) OVER w AS BIGINT)
+                    AS y_ma
+           FROM idx
+           WINDOW w AS (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         sn AS (SELECT event_type, t + 7 AS t, y AS y_sn FROM idx)
+         SELECT d.event_type, CAST(og.i AS BIGINT) AS i,
+                CAST(min(og.o) AS BIGINT) AS origin_t,
+                CAST(sum(abs(d.y - sn.y_sn)) AS BIGINT)
+                  AS sae_snaive_cents,
+                CAST(sum(abs(d.y - ma.y_ma)) AS BIGINT)
+                  AS sae_mavg_cents,
+                CASE WHEN sum(abs(d.y - sn.y_sn))
+                       < sum(abs(d.y - ma.y_ma)) THEN 'snaive'
+                     WHEN sum(abs(d.y - ma.y_ma))
+                       < sum(abs(d.y - sn.y_sn)) THEN 'mavg14'
+                     ELSE 'tie' END AS winner
+         FROM idx d
+         JOIN origins og ON og.event_type = d.event_type
+          AND d.t > og.o AND d.t <= og.o + 7
+         JOIN sn ON sn.event_type = d.event_type AND sn.t = d.t
+         JOIN ma ON ma.event_type = d.event_type AND ma.o = og.o
+         GROUP BY d.event_type, og.i
+         ORDER BY d.event_type, i""",
+
     // all 5 chains × 8 quantized value-iteration rounds replayed as
     // chained CTEs over the same ppm transition matrix
     "q318_markov_attribution" -> {

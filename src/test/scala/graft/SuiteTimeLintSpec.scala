@@ -33,7 +33,11 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     "q313_components_alternating" -> ("star contraction runs to " +
       "FIXPOINT (~10 rounds x 2 jobs on the thinned graph): wall time " +
       "is round-count x fixed job overhead, not data; at 100 TB each " +
-      "round is one linear pass and the log-round bound is the point"))
+      "round is one linear pass and the log-round bound is the point"),
+    "q308_pagerank_doulion" -> ("4.2 s on a quiet machine; 3 " +
+      "iterations x (join + agg + checkpoint) on the sampled edges " +
+      "is iteration-overhead bound and load-sensitive around the " +
+      "threshold"))
 
   test("no undocumented query exceeds 5 s at sf0.1 in the file of record") {
     val p = Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json")
