@@ -2869,6 +2869,33 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // Leave-one-out target encoding — the categorical feature
+    // encoding gradient-boosted models train on: replace a category
+    // with the mean target of OTHER rows in that category
+    // ((Σ_cat − y_i)/(n_cat − 1)), the one-line trick that blocks the
+    // self-leakage plain mean-encoding suffers. Exact integer cents
+    // end to end, one IEEE division per row; the category census is a
+    // 5-row broadcast model frame and the dimension join broadcasts —
+    // zero data-sized shuffles beyond the scan.
+    "q322_target_encoding_loo" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment".as("segment"))
+      val scored = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          floor($"o_totalprice" * lit(100.0)).cast("long")
+            .as("y_cents"))
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      val census = scored.groupBy($"segment")
+        .agg(count(lit(1)).as("n_cat"),
+          sum($"y_cents".cast("decimal(38,0)")).as("sum_cat"))
+      scored.join(broadcast(census), "segment")
+        .select($"o_orderkey", $"segment", $"y_cents",
+          (($"sum_cat" - $"y_cents").cast("double") /
+            ($"n_cat" - 1L).cast("double")).as("loo_enc_cents"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Window-function surface completion — ntile / cume_dist /
     // nth_value (the three the registry's 40+ window queries never
     // exercised), all in ONE per-customer pass under a TOTAL order
@@ -3429,6 +3456,24 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // same census, same exact-cents LOO arithmetic
+    "q322_target_encoding_loo" ->
+      """WITH scored AS (
+           SELECT o.o_orderkey, c.c_mktsegment AS segment,
+                  CAST(floor(o.o_totalprice * 100.0) AS BIGINT)
+                    AS y_cents
+           FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey),
+         census AS (
+           SELECT segment, count(*)::BIGINT AS n_cat,
+                  CAST(sum(y_cents) AS HUGEINT) AS sum_cat
+           FROM scored GROUP BY segment)
+         SELECT s.o_orderkey, s.segment, s.y_cents,
+                CAST(c.sum_cat - s.y_cents AS DOUBLE)
+                  / CAST(c.n_cat - 1 AS DOUBLE) AS loo_enc_cents
+         FROM scored s JOIN census c ON c.segment = s.segment
+         ORDER BY s.o_orderkey""",
+
     // same total order, same functions — DuckDB's ntile/cume_dist/
     // nth_value share Spark's SQL-standard definitions
     "q320_window_surface" ->

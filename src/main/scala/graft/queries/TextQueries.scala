@@ -2237,6 +2237,51 @@ object TextQueries {
         .orderBy($"threshold_pct")
     }),
 
+    // Decision stump — the best single-feature split, the primitive
+    // every tree ensemble greedily stacks: for each candidate
+    // threshold on the token count, the weighted Gini impurity of
+    // predicting is_long (the q254 label) from "f ≤ c", in EXACT ppm
+    // (per-side floors of integer rationals via exactFloorDiv — no
+    // float accumulation), rank 1 = the split a stump would take.
+    // Candidates are every distinct token count: an integer feature's
+    // domain is BOUNDED by construction (documents have ≤ ~100-word
+    // counts at any corpus size — the q68 block-summary class), so
+    // the cumulative window runs over a census frame, not the corpus;
+    // the data-sized work is ONE hash aggregate.
+    "q321_decision_stump" -> ((s, dir) => {
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val cen = Tables.table(s, dir, "documents")
+        .select(size(split($"text", " ")).cast("long").as("f"),
+          ($"n_chars" > 300).cast("long").as("y"))
+        .groupBy($"f")
+        .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+      val w = Window.orderBy($"f") // bounded census (distinct counts)
+      val cum = cen
+        .withColumn("n_left", sum($"n").over(w))
+        .withColumn("pos_left", sum($"pos").over(w))
+        .crossJoin(broadcast(cen.agg(sum($"n").as("nt"),
+          sum($"pos").as("post")))) // 1-row totals frame
+        .withColumn("n_right", $"nt" - $"n_left")
+        .withColumn("pos_right", $"post" - $"pos_left")
+      def gSide(nS: org.apache.spark.sql.Column,
+          pS: org.apache.spark.sql.Column) =
+        when(nS === 0L, lit(0L).cast(d38)).otherwise(
+          Analytics.exactFloorDiv(
+            (nS.cast(d38) * nS - pS.cast(d38) * pS -
+              (nS - pS).cast(d38) * (nS - pS)) * lit(1000000L),
+            nS.cast(d38) * $"nt"))
+      val scored = cum.withColumn("gini_ppm",
+          (gSide($"n_left", $"pos_left") +
+            gSide($"n_right", $"pos_right")).cast("long"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"gini_ppm", $"f"))) // same bounded census
+        .select($"f".as("threshold_words"), $"n_left", $"pos_left",
+          $"n_right", $"pos_right", $"gini_ppm", $"rank")
+        .orderBy($"threshold_words")
+    }),
+
     // Flesch reading-ease score — the classical readability gate,
     // made engine-exact: syllables ≈ vowel groups (one regexp_count,
     // the standard heuristic), sentences = terminal-punctuation runs
@@ -2386,6 +2431,54 @@ object TextQueries {
       "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)"
 
   val oracles: Map[String, String] = Map(
+    // same census, same cumulative walk, HUGEINT-exact per-side
+    // Gini floors, same rank tie-break
+    "q321_decision_stump" ->
+      """WITH cen AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS f,
+                  count(*)::BIGINT AS n,
+                  CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                        CAST(sum(pos) AS BIGINT) AS post FROM cen),
+         cum AS (
+           SELECT f,
+                  CAST(sum(n) OVER (ORDER BY f) AS BIGINT) AS n_left,
+                  CAST(sum(pos) OVER (ORDER BY f) AS BIGINT)
+                    AS pos_left,
+                  nt, post
+           FROM cen, tot),
+         sides AS (
+           SELECT f, n_left, pos_left,
+                  nt - n_left AS n_right, post - pos_left AS pos_right,
+                  nt
+           FROM cum),
+         scored AS (
+           SELECT f, n_left, pos_left, n_right, pos_right,
+                  CAST(
+                    (CASE WHEN n_left = 0 THEN 0 ELSE
+                      (CAST(n_left AS HUGEINT) * n_left
+                       - CAST(pos_left AS HUGEINT) * pos_left
+                       - CAST(n_left - pos_left AS HUGEINT)
+                         * (n_left - pos_left)) * 1000000
+                      // (CAST(n_left AS HUGEINT) * nt) END)
+                    +
+                    (CASE WHEN n_right = 0 THEN 0 ELSE
+                      (CAST(n_right AS HUGEINT) * n_right
+                       - CAST(pos_right AS HUGEINT) * pos_right
+                       - CAST(n_right - pos_right AS HUGEINT)
+                         * (n_right - pos_right)) * 1000000
+                      // (CAST(n_right AS HUGEINT) * nt) END)
+                    AS BIGINT) AS gini_ppm
+           FROM sides)
+         SELECT f AS threshold_words, n_left, pos_left, n_right,
+                pos_right, gini_ppm,
+                CAST(row_number() OVER (ORDER BY gini_ppm, f) AS INT)
+                  AS rank
+         FROM scored
+         ORDER BY threshold_words""",
+
     "q296_dedup_threshold_sweep" -> {
       // Both legs replayed: the SAME deterministic 1/8 doc sample
       // (md5 threshold on doc_id, the q224 discipline) and the full

@@ -131,6 +131,12 @@ class PlanAuditSpec extends SparkSuite {
     // models (the q103/q111 scalar-stats pattern); pair expansion
     // itself happens AT the order, never via a join.
     "q250_basket_lift",
+    // q321: the threshold-candidate census (≤ distinct token counts —
+    // an integer feature's bounded domain, the q68 block-summary
+    // class) pairs its broadcast 1-ROW totals frame (the q103/q111
+    // scalar-stats pattern); the data-sized work is one hash
+    // aggregate.
+    "q321_decision_stump",
     // q315: the action census (≤ 5 rows — one per event type) pairs
     // the broadcast 1-ROW total-N frame (the q103/q111 scalar-stats
     // pattern); all data-sized work is the single census aggregate.
@@ -240,7 +246,11 @@ class PlanAuditSpec extends SparkSuite {
     "q261_ndcg_at10",
     // q277: same shape — rank windows over 10-row top-k legs per
     // probe; retrieval itself is TakeOrdered over the scan.
-    "q277_rrf_fusion")
+    "q277_rrf_fusion",
+    // q321: cumulative + rank windows run over the threshold-
+    // candidate CENSUS (distinct token counts — a bounded integer
+    // domain, the q68 block-summary class), never the corpus.
+    "q321_decision_stump")
 
   test("no query windows over the whole input in a single task") {
     // a Window with an empty PARTITION BY plans as ONE task sorting
