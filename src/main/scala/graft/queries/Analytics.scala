@@ -2869,6 +2869,52 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // Temporal training-label assembly — the leakage-free example
+    // builder every churn/propensity model needs: at each observation
+    // cut, features come ONLY from the past window [cut−28d, cut) and
+    // the label ONLY from the future window [cut, cut+28d) — the
+    // point-in-time hygiene that q164's split audit checks, here as
+    // the CONSTRUCTIVE operator. Two cuts derive from the global span
+    // (a 1-row frame exploded to a 2-row spine — broadcast); per
+    // (cut, user) one aggregate computes past activity and the
+    // future-purchase label in the same pass via windowed conditional
+    // sums; the output census shows the class balance and the
+    // feature-by-label separation in exact ppm.
+    "q323_temporal_labels" -> ((s, dir) => {
+      import s.implicits._
+      val d28 = 28L * 86400L * 1000000L
+      val ev = Tables.table(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+      val cuts = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+        .select(explode(sequence(lit(1L), lit(2L))).as("cut_i"),
+          $"lo", $"hi")
+        .select($"cut_i",
+          expr("lo + (hi - lo) * cut_i DIV 3").as("cut_us"))
+      val labeled = ev.crossJoin(broadcast(cuts)) // 2-row spine
+        .filter($"us" >= $"cut_us" - d28 && $"us" < $"cut_us" + d28)
+        .groupBy($"cut_i", $"user_id")
+        .agg(
+          sum(when($"us" < $"cut_us", 1L).otherwise(0L)).as("n_past"),
+          sum(when($"us" < $"cut_us" &&
+            $"event_type" === "purchase", 1L).otherwise(0L))
+            .as("past_purchases"),
+          max(when($"us" >= $"cut_us" &&
+            $"event_type" === "purchase", 1L).otherwise(0L))
+            .as("label"))
+        .filter($"n_past" > 0L) // observable at the cut
+      labeled.groupBy($"cut_i", $"label")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"n_past").as("sum_past_events"),
+          sum($"past_purchases").as("sum_past_purchases"))
+        .select($"cut_i", $"label", $"n_users", $"sum_past_events",
+          $"sum_past_purchases",
+          expr("sum_past_events * 1000000 DIV n_users")
+            .as("events_per_user_ppm"),
+          expr("sum_past_purchases * 1000000 DIV n_users")
+            .as("purchases_per_user_ppm"))
+        .orderBy($"cut_i", $"label")
+    }),
+
     // Leave-one-out target encoding — the categorical feature
     // encoding gradient-boosted models train on: replace a category
     // with the mean target of OTHER rows in that category
@@ -3456,6 +3502,44 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // same 2-cut spine, same windowed conditional sums, exact ppm
+    "q323_temporal_labels" ->
+      """WITH span AS (
+           SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+         cuts AS (
+           SELECT cut_i, lo + (hi - lo) * cut_i // 3 AS cut_us
+           FROM span, unnest(generate_series(1, 2)) AS g(cut_i)),
+         labeled AS (
+           SELECT c.cut_i, e.user_id,
+                  sum(CASE WHEN epoch_us(e.ts) < c.cut_us
+                      THEN 1 ELSE 0 END) AS n_past,
+                  sum(CASE WHEN epoch_us(e.ts) < c.cut_us
+                       AND e.event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS past_purchases,
+                  max(CASE WHEN epoch_us(e.ts) >= c.cut_us
+                       AND e.event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS label
+           FROM events e JOIN cuts c
+             ON epoch_us(e.ts) >= c.cut_us - 2419200000000
+            AND epoch_us(e.ts) < c.cut_us + 2419200000000
+           GROUP BY c.cut_i, e.user_id
+           HAVING sum(CASE WHEN epoch_us(e.ts) < c.cut_us
+                      THEN 1 ELSE 0 END) > 0)
+         SELECT CAST(cut_i AS BIGINT) AS cut_i,
+                CAST(label AS BIGINT) AS label,
+                count(*)::BIGINT AS n_users,
+                CAST(sum(n_past) AS BIGINT) AS sum_past_events,
+                CAST(sum(past_purchases) AS BIGINT)
+                  AS sum_past_purchases,
+                CAST(sum(n_past) * 1000000 // count(*) AS BIGINT)
+                  AS events_per_user_ppm,
+                CAST(sum(past_purchases) * 1000000 // count(*)
+                  AS BIGINT) AS purchases_per_user_ppm
+         FROM labeled
+         GROUP BY cut_i, label
+         ORDER BY cut_i, label""",
+
     // same census, same exact-cents LOO arithmetic
     "q322_target_encoding_loo" ->
       """WITH scored AS (

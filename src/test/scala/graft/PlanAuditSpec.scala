@@ -131,6 +131,11 @@ class PlanAuditSpec extends SparkSuite {
     // models (the q103/q111 scalar-stats pattern); pair expansion
     // itself happens AT the order, never via a join.
     "q250_basket_lift",
+    // q323: the observation-cut spine is a broadcast 2-ROW frame
+    // derived from the 1-row span aggregate (the q263 study-end
+    // move); the data-sized work is one windowed conditional
+    // aggregate per (cut, user).
+    "q323_temporal_labels",
     // q321: the threshold-candidate census (≤ distinct token counts —
     // an integer feature's bounded domain, the q68 block-summary
     // class) pairs its broadcast 1-ROW totals frame (the q103/q111
