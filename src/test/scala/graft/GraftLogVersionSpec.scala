@@ -104,6 +104,20 @@ class GraftLogVersionSpec extends SparkSuite {
       .option("version", tok).load(dir).count() === 0L)
   }
 
+  test("a delta read PLANS only the delta's shards (one partition each)") {
+    val (dir, tok) = twoCommits(300, 6)
+    // 12 shards on disk; the slice must plan exactly the 6 appended
+    // after the token — the manifest-arithmetic guarantee, visible as
+    // the scan's partition count (one InputPartition per shard)
+    val delta = spark.read.format(fmt).option("sinceVersion", tok).load(dir)
+    assert(delta.rdd.getNumPartitions === 6,
+      "sinceVersion must plan one partition per DELTA shard only")
+    val full = spark.read.format(fmt).load(dir)
+    assert(full.rdd.getNumPartitions === 12)
+    val old = spark.read.format(fmt).option("version", tok).load(dir)
+    assert(old.rdd.getNumPartitions === 6)
+  }
+
   test("malformed and future tokens are rejected") {
     val (dir, _) = twoCommits(100, 2)
     intercept[IllegalArgumentException] {
