@@ -2869,6 +2869,41 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // Overdispersion census (Fano factor / index of dispersion) — IS
+    // daily event arrival Poisson? The assumption q271's Poisson
+    // bootstrap and q256's Poisson sampler lean on, finally TESTED:
+    // per event type, variance/mean of the daily counts, with the
+    // χ²-style dispersion statistic (n−1)·F whose expectation under
+    // Poisson is n−1. Exact integer moments via the q262 decimal
+    // discipline (n·Σx² − (Σx)² never re-enters 64-bit); F and the
+    // verdict margin are single IEEE renders. One daily census + one
+    // 5-group aggregate — nothing data-sized after the first pass.
+    "q324_dispersion_index" -> ((s, dir) => {
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val daily = Tables.table(s, dir, "events")
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum($"x").cast(d38).as("sx"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"))
+        .select($"event_type", $"n".cast("long").as("n_days"),
+          ($"sx".cast("double") / $"n".cast("double")).as("mean_daily"),
+          // F = [(n·Σx² − (Σx)²)/(n·(n−1))] / (Σx/n)
+          //   = (n·Σx² − (Σx)²) / ((n−1)·Σx), one division chain
+          (($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+            (($"n" - 1).cast("double") * $"sx".cast("double")))
+            .as("fano"),
+          // overdispersed iff the dispersion statistic (n−1)·F
+          // exceeds n−1 by more than 50% — an exact integer-side
+          // comparison: n·Σx² − (Σx)² > 1.5·(n−1)·Σx rendered as
+          // 2·(n·Σx² − (Σx)²) > 3·(n−1)·Σx (all decimal-exact)
+          (($"n" * $"sxx" - $"sx" * $"sx") * 2 >
+            ($"n" - 1) * $"sx" * 3).as("overdispersed"))
+        .orderBy($"event_type")
+    }),
+
     // Temporal training-label assembly — the leakage-free example
     // builder every churn/propensity model needs: at each observation
     // cut, features come ONLY from the past window [cut−28d, cut) and
@@ -3502,6 +3537,28 @@ object Analytics {
                   / (CAST(count(*) AS DOUBLE) * 100000000.0), 4)
                   AS mae_dollars
          FROM f GROUP BY 1 ORDER BY 1""",
+    // same DECIMAL(38,0) moment identities, same division chains
+    "q324_dispersion_index" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                  sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(x AS DECIMAL(38,0))) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+                CAST(n * sxx - sx * sx AS DOUBLE)
+                  / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                  AS fano,
+                (n * sxx - sx * sx) * 2 > (n - 1) * sx * 3
+                  AS overdispersed
+         FROM m ORDER BY event_type""",
+
     // same 2-cut spine, same windowed conditional sums, exact ppm
     "q323_temporal_labels" ->
       """WITH span AS (
