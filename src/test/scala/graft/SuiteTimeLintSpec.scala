@@ -43,17 +43,33 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     val p = Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json")
     assume(Files.exists(p), "no BENCH_LOCAL.json yet — run a full bench")
     val txt = Files.readString(p)
-    // the file is one JSON object; the per-query map is the only place
-    // query ids appear as keys with numeric values
+    // parse ONLY the "queries" map — the file also carries
+    // peak_task_mem_mb / spill_mb maps keyed by the SAME query ids,
+    // and a whole-file regex would silently read those instead (it
+    // did: toMap kept the LAST occurrence, so v1 of this lint was
+    // checking spill bytes, which are ~0 everywhere)
+    val start = txt.indexOf("\"queries\":{")
+    assert(start >= 0, "BENCH_LOCAL.json carried no queries map")
+    val body = txt.substring(start + "\"queries\":{".length,
+      txt.indexOf('}', start))
     val entry = """"(q[0-9]+[a-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
-    val times = entry.findAllMatchIn(txt)
+    val times = entry.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     assert(times.nonEmpty, "BENCH_LOCAL.json carried no per-query map")
+    // contended-run guard: this box spikes INDIVIDUAL queries up to
+    // ~6× under host noise (measured 291→445 s for the same suite in
+    // one day), so per-query assertions are only meaningful on a
+    // quiet-run file. A quiet full run averages ~0.90 s/query; when
+    // the file's mean exceeds that by >15% the lint self-disarms and
+    // says to re-measure rather than flagging noise as regressions.
+    val mean = times.values.sum / times.size
+    assume(mean <= 1.0,
+      f"BENCH_LOCAL.json is from a contended run (${mean}%.2f s/query " +
+        "mean vs ~0.90 quiet) — re-run the bench on an idle machine " +
+        "before trusting per-query times")
     // budget = max(5 s, 6× suite median): the absolute floor is the
-    // r9 brief's 5 s; the median factor tracks MACHINE speed, so a
-    // shared-host slow day (measured: the same suite swings 309–357 s
-    // run to run) inflates every query together without flagging a
-    // structurally-fine one that drifted past a fixed cutoff
+    // r9 brief's 5 s; the median factor tracks MACHINE speed within
+    // the quiet band
     val med = times.values.toSeq.sorted.apply(times.size / 2)
     val budget = math.max(5.0, 6.0 * med)
     val offenders = times.filter(_._2 > budget).keySet -- whitelist.keySet
