@@ -348,18 +348,39 @@ object TextQueries {
     // frequencies (one word-count shuffle + a bounded driver-side
     // merge loop — the IVF-centroid model class), then tokenize every
     // doc scan-parallel via the graft_bpe_encode expression (merge
-    // table as a codegen reference object). No SQL oracle (iterative
-    // merges aren't SQL-expressible): driver does a rows check; the
-    // semantic contract is BpeSpec.
+    // table as a codegen reference object). The iterative merge loop
+    // itself is not SQL-expressible, so the driver gate is the
+    // q17/q50/q316 contract-boolean form: every row carries exact
+    // replayable anchors (word count, non-space code points) plus the
+    // LIVE tokenizer's invariants as booleans the oracle expects
+    // TRUE — round-trip identity (concatenated tokens reproduce the
+    // text minus separators: tokenization must never lose or invent
+    // a character) and the compression bounds (each word ≥ 1 token,
+    // each token ≥ 1 code point), plus the learned merge-table size
+    // as a constant (a degenerate training run that learns < 64
+    // rules flips it). A broken train OR encode violates one of
+    // these and the driver row goes red; BpeSpec keeps the raw
+    // token-level assertions (hand-worked merges, independent model,
+    // repartition determinism).
     "q88_bpe_tokens" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
       val merges = graft.text.Bpe.train(docs, "text", numMerges = 64)
-      docs.select($"doc_id",
+      docs.select($"doc_id", $"text",
           graft.text.Bpe.encode($"text", merges).as("toks"))
         .select($"doc_id",
-          size($"toks").cast("long").as("n_bpe_tokens"),
-          array_join(slice($"toks", 1, 12), "|").as("head_tokens"))
+          size(filter(split($"text", " "), w => length(w) > 0))
+            .cast("long").as("n_words"),
+          length(replace($"text", lit(" "), lit(""))).cast("long")
+            .as("n_chars_nonspace"),
+          (array_join($"toks", "") === replace($"text", lit(" "), lit("")))
+            .as("roundtrip_ok"),
+          (size($"toks").cast("long")
+            .between(size(filter(split($"text", " "), w => length(w) > 0))
+              .cast("long"),
+              length(replace($"text", lit(" "), lit(""))).cast("long")))
+            .as("toks_in_bounds"),
+          lit(merges.size.toLong).as("n_merges_learned"))
         .orderBy($"doc_id")
     }),
 
@@ -1189,14 +1210,46 @@ object TextQueries {
     // this one holds ≤ cap counters per partition at every moment.
     // The price is arrival-order dependence (the MG decrement step) —
     // estimates are a pure function of the PARTITIONING, not the SET,
-    // so no engine-independent oracle exists (rows-only driver check;
-    // MgBoundSpec pins the MG invariant est ≤ true ≤ est + N/(cap+1)
-    // against exact counts instead).
+    // so the estimates themselves admit no engine-independent oracle.
+    // Driver gate (the q17/q50 contract-boolean form, retiring the
+    // r1–r10 oracle exemption): rows are the EXACT top-20 bigrams
+    // (replayable — count desc, ngram tiebreak), each carrying the
+    // LIVE sketch's Misra-Gries invariant est ≤ true ≤ est + N/(cap+1)
+    // as a boolean the oracle expects TRUE, checked in exact integer
+    // arithmetic ((true−est)·(cap+1) ≤ N). An absent survivor counts
+    // as est = 0 — exactly what MG guarantees may only happen when
+    // true ≤ N/(cap+1). A sketch drift (fold bug, merge bug, Spark
+    // upgrade) flips the boolean and the driver row goes red;
+    // MgBoundSpec keeps the invariant pinned over EVERY survivor,
+    // not just the top-20. The exact companion is a test-scale audit
+    // leg gated on spark.graft.sketchAudit (Bench turns it off so
+    // the timed body stays the constant-memory sketch alone).
     "q138_top_ngrams_stream" -> ((s, dir) => {
       import s.implicits._
-      mgStreamSketch(Tables.table(s, dir, "documents"))
-        .orderBy($"est_n".desc, $"ngram")
-        .limit(20)
+      val audit = s.conf.get("spark.graft.sketchAudit", "true").toBoolean
+      val docs = Tables.table(s, dir, "documents")
+      if (!audit)
+        mgStreamSketch(docs)
+          .orderBy($"est_n".desc, $"ngram")
+          .limit(20)
+      else {
+        val grams = Q.fanout(docs)
+          .select(explode(ngrams($"text", 2)).as("ngram"))
+        val exactTop = grams.groupBy($"ngram")
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy($"exact_n".desc, $"ngram")
+          .limit(20)
+        val total = grams.agg(count(lit(1)).as("nn"))
+        exactTop
+          .join(mgStreamSketch(docs), Seq("ngram"), "left")
+          .crossJoin(broadcast(total)) // 1-row total, bounded by design
+          .select($"ngram", $"exact_n",
+            ((coalesce($"est_n", lit(0L)) <= $"exact_n") &&
+              (($"exact_n" - coalesce($"est_n", lit(0L))) *
+                lit((mgCap + 1).toLong) <= $"nn"))
+              .as("mg_within_bound"))
+          .orderBy($"exact_n".desc, $"ngram")
+      }
     }),
 
     // Paragraph-level corpus dedup (the Dolma/RefinedWeb passage
@@ -2431,6 +2484,36 @@ object TextQueries {
       "FROM feat CROSS JOIN train WHERE doc_id % 2 = 1)"
 
   val oracles: Map[String, String] = Map(
+    // Contract-boolean form (q17/q50 pattern): the anchors (word
+    // count, non-space code points) replay exactly; the tokenizer's
+    // round-trip identity, compression bounds, and merge-table size
+    // are invariants of a CORRECT train+encode, so the oracle expects
+    // them as constants — the live Spark side feeds them from the
+    // actual learned tokenizer and any drift flips a boolean red.
+    "q88_bpe_tokens" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(text, ' '),
+                                x -> x <> ''))::BIGINT AS n_words,
+                length(replace(text, ' ', ''))::BIGINT AS n_chars_nonspace,
+                TRUE AS roundtrip_ok,
+                TRUE AS toks_in_bounds,
+                64::BIGINT AS n_merges_learned
+         FROM documents
+         ORDER BY doc_id""",
+    // Exact top-20 bigrams (replayable) + the live MG sketch's
+    // invariant as a boolean expected TRUE (q17/q50 pattern; the
+    // estimates themselves are arrival-order-dependent by design).
+    "q138_top_ngrams_stream" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT unnest([concat_ws(' ', ws[i], ws[i+1])
+                              FOR i IN generate_series(1, len(ws) - 1)])
+                        AS ngram
+               FROM w)
+         SELECT ngram, count(1)::BIGINT AS exact_n,
+                TRUE AS mg_within_bound
+         FROM g GROUP BY ngram
+         ORDER BY exact_n DESC, ngram LIMIT 20""",
     // same census, same cumulative walk, HUGEINT-exact per-side
     // Gini floors, same rank tie-break
     "q321_decision_stump" ->

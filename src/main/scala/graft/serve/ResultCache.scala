@@ -92,18 +92,32 @@ object ResultCache {
   }
 
   /** Atomically rename `tmp` into `dst`; false = lost the race (an
-    * equal entry is already live — same fingerprint ⇒ same bytes). */
-  private def promote(tmp: Path, dst: Path): Boolean =
+    * equal entry is already live — same fingerprint ⇒ same bytes).
+    * On Linux, rename(2) onto an existing non-empty directory fails
+    * with ENOTEMPTY, which the JDK surfaces as
+    * DirectoryNotEmptyException (not FileAlreadyExistsException) — so
+    * a lost race is ANY rename failure where the winner's entry is
+    * live (`dst/_SUCCESS` exists). Only a failure with no live entry
+    * is a real error worth surfacing. */
+  private def promote(tmp: Path, dst: Path): Boolean = {
+    def lostRace(e: java.nio.file.FileSystemException): Boolean =
+      e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+        e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+        Files.exists(dst.resolve("_SUCCESS"))
     try { Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE); true }
     catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         // same-volume local rename supports ATOMIC_MOVE; a cache dir
         // on a filesystem that doesn't gets the plain-rename fallback
         // (still all-or-nothing for directories on POSIX)
         try { Files.move(tmp, dst); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        catch {
+          case e2: java.nio.file.FileSystemException if lostRace(e2) =>
+            false
+        }
+      case e: java.nio.file.FileSystemException if lostRace(e) => false
     }
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

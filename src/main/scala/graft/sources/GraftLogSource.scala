@@ -433,29 +433,82 @@ object GraftLog {
     * vacuumed snapshot, at one marker-file cost per rewrite. */
   private[sources] val GenerationMarker = "_generation"
 
-  /** Rewrite generation of the table at `path` (0 = never rewritten). */
+  /** Rewrite generation of the table at `path` (0 = never rewritten).
+    *
+    * Source of truth is the set of CLAIM files `_generation.<n>` —
+    * each minted by an atomic create-if-absent ([[bumpGeneration]]'s
+    * compare-and-swap), so two concurrent rewrites can never collapse
+    * into one bump. The bare `_generation` marker is kept as a
+    * one-read cache of the same number; we take the max of both so a
+    * writer that crashed between claim and marker refresh still
+    * counts (the claim IS the commit point). */
   def generation(path: String): Long = {
+    if (!Files.isDirectory(Paths.get(path))) return 0L
     val p = Paths.get(path, GenerationMarker)
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    val marker =
+      if (Files.exists(p))
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    val claimPrefix = GenerationMarker + "."
+    val claims = withListing(Paths.get(path))(_
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(claimPrefix) &&
+        n.drop(claimPrefix.length).forall(_.isDigit))
+      .map(_.drop(claimPrefix.length).toLong).toSeq)
+    (marker +: claims).max
   }
 
-  /** Called by every structural-rewrite commit; atomic replace so a
-    * concurrent reader sees the old or the new generation, never a
-    * torn marker. */
-  private[sources] def bumpGeneration(path: String): Unit = {
-    val tmp = Paths.get(path, s".$GenerationMarker.tmp")
-    Files.write(tmp, (generation(path) + 1).toString
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, GenerationMarker),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  /** Called by every structural-rewrite commit. Compare-and-swap: the
+    * commit point is an atomic `Files.createFile` of the claim file
+    * `_generation.<g+1>` — if another rewrite already claimed g+1 the
+    * create fails atomically and we RETRY against the refreshed
+    * generation, so N concurrent rewrites produce N distinct bumps
+    * (the r10 read-modify-write could collapse two rewrites into one
+    * bump, leaving a token minted between them silently "valid" over
+    * twice-rewritten shards). The bare marker refresh after the claim
+    * is a best-effort cache update; [[generation]] folds claims in,
+    * so a crash before the refresh loses nothing. */
+  private[sources] def bumpGeneration(path: String): Long = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val next = generation(path) + 1
+      try {
+        Files.createFile(Paths.get(path, s"$GenerationMarker.$next"))
+        val tmp = Paths.get(path, s".$GenerationMarker.tmp." +
+          java.util.UUID.randomUUID().toString.take(8))
+        Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+        try Files.move(tmp, Paths.get(path, GenerationMarker),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp) } // cache refresh lost a race: fine
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"bumpGeneration($path): lost the claim race 1000 times")
   }
 
   /** Snapshot token of the CURRENT table state — pass it back later
-    * via `.option("version", token)` to re-read this exact state. */
-  def currentVersion(path: String): String =
-    s"g${generation(path)}.${listShards(path).size}"
+    * via `.option("version", token)` to re-read this exact state.
+    * The generation is read BEFORE and AFTER the shard listing (which
+    * may roll a pending swap forward, bumping the generation) and the
+    * pair is only minted when both reads agree — otherwise the token
+    * would pair a stale generation with a post-swap shard count and
+    * be unreadable on first use. */
+  def currentVersion(path: String): String = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val g1 = generation(path)
+      val n = listShards(path).size // may complete a pending swap
+      val g2 = generation(path)
+      if (g1 == g2) return s"g$g2.$n"
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"currentVersion($path): generation did not stabilize")
+  }
 
   /** The shard list a snapshot token pins: the first `count` shards
     * in name order, valid only within the generation that minted the
@@ -1234,7 +1287,12 @@ class GraftLogScanBuilder(path: String,
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case f => isEventId(f)
-      } && GraftLog.listShards(path).forall(_.stats.isDefined)
+      } &&
+      // gate on the shards THIS scan will fold — a sidecar-less shard
+      // outside a pinned snapshot/delta window must not disable the
+      // fast path for a read that never touches it
+      GraftLog.shardsBetween(path, sinceVersion, version)
+        .forall(_.stats.isDefined)
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
