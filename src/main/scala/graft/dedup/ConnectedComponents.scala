@@ -75,8 +75,19 @@ object ConnectedComponents {
     * is a star rooted at its min id. Convergence is checked on a
     * (count, hash-sum) signature of the edge set — one cheap
     * aggregate per round instead of a full EXCEPT. */
+  /** @param rounds 0 = run to a detected fixpoint (a count+xor
+    *   signature job per round, plus the extra round that proves
+    *   stability — the safe default for unknown graphs); N > 0 =
+    *   unroll exactly N contraction rounds with NO signature jobs
+    *   (the q226 k-core discipline: star contraction converges in
+    *   O(log n) rounds regardless of diameter, so a caller that has
+    *   PINNED convergence-by-round-N on its data class — see
+    *   ConnectedComponentsSpec's fixed≡fixpoint pin for q313 — drops
+    *   ~2 jobs/round of detection overhead; at 100 TB the signature
+    *   aggregates are full-edge passes, so the fixed form saves real
+    *   scans, not just scheduler time). */
   def labelAlternating(edges: DataFrame, idA: String = "id_a",
-      idB: String = "id_b"): DataFrame = {
+      idB: String = "id_b", rounds: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -111,7 +122,9 @@ object ConnectedComponents {
 
     var cur = edges.select(col(idA).as("u"), col(idB).as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
-    var sig = signature(cur)
+    // edge count for the adaptive width; in fixed-round mode this is
+    // the ONLY pre-loop action (no per-round signatures)
+    var sig = if (rounds > 0) (cur.count(), 0L) else signature(cur)
     // adaptive round width: every round runs ~6 tiny shuffles over an
     // edge frame that only SHRINKS — at session width each op pays
     // (width × rounds) near-empty tasks, which dominated wall time on
@@ -123,14 +136,20 @@ object ConnectedComponents {
       spark.sessionState.conf.numShufflePartitions.toLong,
       math.max(4L, sig._1 / 100000L)).toInt
     cur = cur.repartition(parts, $"u").localCheckpoint()
-    var done = false
-    while (!done) {
-      val next = smallStar(largeStar(cur))
-        .repartition(parts, $"u").localCheckpoint()
-      val nextSig = signature(next)
-      done = nextSig == sig
-      cur = next
-      sig = nextSig
+    if (rounds > 0) {
+      for (_ <- 1 to rounds)
+        cur = smallStar(largeStar(cur))
+          .repartition(parts, $"u").localCheckpoint()
+    } else {
+      var done = false
+      while (!done) {
+        val next = smallStar(largeStar(cur))
+          .repartition(parts, $"u").localCheckpoint()
+        val nextSig = signature(next)
+        done = nextSig == sig
+        cur = next
+        sig = nextSig
+      }
     }
     // fixpoint: stars (child -> root). Roots label themselves.
     cur.select($"u".as("id"), $"v".as("cluster_id"))

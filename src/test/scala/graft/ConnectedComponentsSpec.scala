@@ -51,6 +51,34 @@ class ConnectedComponentsSpec extends SparkSuite {
     check(star ++ clique ++ Seq((100L, 101L)))
   }
 
+  test("q313's fixed 6 rounds reach the star-contraction fixpoint " +
+      "on testdata (and on the adversarial path graph at its log2 depth)") {
+    import org.apache.spark.sql.functions._
+    // the exact edge frame q313 contracts (1/64-thinned co-purchase
+    // pairs), at sf0.001: fixed-round output must equal the
+    // detected-fixpoint output — the convergence the fixed unrolling
+    // assumes, asserted (the q226 k-core discipline)
+    val pairs = graft.queries.GraphFixtures.partPairs(spark, sf0001)
+      .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+      .filter(graft.text.TextFunctions.hash60(concat(
+        col("x").cast("string"), lit("_"), col("y").cast("string"),
+        lit("_cc"))) < lit((1L << 60) / 64L))
+      .distinct()
+    val fixed = ConnectedComponents
+      .labelAlternating(pairs, "x", "y", rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    val fixpoint = ConnectedComponents.labelAlternating(pairs, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(fixed === fixpoint, "fixed(6) ≡ fixpoint on q313's graph")
+    // sanity on a graph where round count MATTERS: a 64-node path
+    // needs ~log2(64) alternating rounds; fixed(6) must close it too
+    val path = (1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val gotFixed = ConnectedComponents
+      .labelAlternating(path.toDF("id_a", "id_b"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(gotFixed === model(path), "fixed(6) on a 64-node path")
+  }
+
   test("random graphs match union-find") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 5) {

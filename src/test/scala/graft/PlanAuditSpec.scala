@@ -146,6 +146,11 @@ class PlanAuditSpec extends SparkSuite {
     // the broadcast 1-ROW total-N frame (the q103/q111 scalar-stats
     // pattern); all data-sized work is the single census aggregate.
     "q315_ips_offpolicy",
+    // q138: the audit leg pairs the exact top-20 bigrams with a
+    // broadcast 1-ROW total-count frame (the q103/q111 scalar-stats
+    // pattern) to evaluate the MG invariant boolean; the data-sized
+    // work is the exact-count aggregate + the constant-memory sketch.
+    "q138_top_ngrams_stream",
     // q254/q258: the trained NB model is ONE row of Laplace counts
     // cross-joined broadcast into the scoring scan — scalar × data,
     // stateless per row.
