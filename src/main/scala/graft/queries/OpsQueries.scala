@@ -889,6 +889,64 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Snapshot RETENTION + VACUUM (r11, the storage-reclaim half of
+    // the time-travel story): a structural rewrite no longer destroys
+    // history — superseded shards move to the retired store and the
+    // pre-rewrite token keeps reading its EXACT rows (leg t1: the
+    // full feed, read through the old token AFTER a quarter of it was
+    // range-deleted) — until an explicit VACUUM reclaims them, after
+    // which the old token fails loudly while the current one still
+    // reads (legs t2/t3 + the contract booleans, the q316 replayable-
+    // invariant form: the oracle can't run a vacuum, but every
+    // aggregate is a pure function of the events feed and both
+    // booleans are invariants of a correct retention implementation).
+    // GraftLogVersionSpec pins the file-level mechanics (retired
+    // store, retainGenerations window, minAge guard, idempotence);
+    // this row puts the end-to-end contract under the driver's hash
+    // gate. Scale shape: retention bookkeeping is one listing file +
+    // O(retired shards) renames per rewrite; vacuum is driver-side
+    // metadata work — never a data scan.
+    "q325_graftlog_retention" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val tbl = s"ret${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      // private clone of the shared ingest — this query MUTATES and
+      // VACUUMS it
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val n = Tables.table(s, dir, "events").count()
+      val tokFull = graft.sources.GraftLog.currentVersion(log)
+      // structural rewrite: range-delete the first quarter
+      graft.sources.GraftLog.deleteWhere(log, 0L, n / 4 - 1)
+      val tokCur = graft.sources.GraftLog.currentVersion(log)
+      // bounded 1-row collects (the model-frame class): each leg must
+      // be READ at its point in the lifecycle — t1 before the vacuum
+      // destroys it, t3 after — so the census rows are materialized
+      // scalars, not a lazy plan over state that no longer exists
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val pre = stats(s.read.format(fmt).option("version", tokFull)
+        .load(log))
+      val cur = stats(s.read.format(fmt).load(log))
+      val (vFiles, vBytes) = graft.sources.GraftLog.vacuum(log)
+      val oldFails =
+        try { s.read.format(fmt).option("version", tokFull).load(log)
+          .count(); false }
+        catch { case _: IllegalArgumentException => true }
+      val after = stats(s.read.format(fmt).option("version", tokCur)
+        .load(log))
+      Seq(("t1_pre_delete_snapshot", pre._1, pre._2, pre._3, pre._4),
+          ("t2_post_delete", cur._1, cur._2, cur._3, cur._4),
+          ("t3_after_vacuum", after._1, after._2, after._3, after._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("vacuum_reclaimed", lit(vFiles > 0 && vBytes > 0))
+        .withColumn("old_token_fails_after_vacuum", lit(oldFails))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -2516,6 +2574,35 @@ object OpsQueries {
 
     // both snapshot legs replayed from the halves the fixture wrote:
     // v1 = event_id < n/2 (the pre-append commit), current = all rows
+    // Every aggregate is a pure function of the events feed (t1 =
+    // full feed through the retained snapshot; t2/t3 = post-delete
+    // state before/after vacuum); the booleans are invariants of a
+    // correct retention+vacuum implementation (the q316 pattern).
+    "q325_graftlog_retention" ->
+      s"""WITH q AS (SELECT (SELECT count(*) FROM events) // 4 AS cut),
+          legs AS (
+            SELECT 't1_pre_delete_snapshot' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 't2_post_delete' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id >= (SELECT cut FROM q)
+            UNION ALL
+            SELECT 't3_after_vacuum' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id >= (SELECT cut FROM q))
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS vacuum_reclaimed,
+                 TRUE AS old_token_fails_after_vacuum
+          FROM legs ORDER BY leg""",
+
     "q309_graftlog_time_travel" ->
       s"""WITH legs AS (
             SELECT 'v1_half' AS leg, count(*) AS n_rows,

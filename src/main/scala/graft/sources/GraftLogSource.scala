@@ -248,13 +248,12 @@ object GraftLog {
     * The rewrite preserves a bucketed shard's ub sidecar field. */
   def deleteWhere(path: String, lo: Long, hi: Long): Unit = {
     var structural = false
+    recordHistory(path) // retention: pin the pre-delete listing first
     listShards(path).foreach { si =>
       val covered = si.stats.map { case (mn, mx, _) => mn >= lo && mx <= hi }
       val disjoint = si.stats.exists { case (mn, mx, _) => mx < lo || mn > hi }
       if (covered.contains(true)) {
-        Files.delete(Paths.get(si.file))
-        Files.deleteIfExists(
-          Paths.get(si.file.stripSuffix(".graftlog") + ".meta"))
+        retire(path, si.file) // retained until VACUUM
         shardsDropped.incrementAndGet()
         structural = true
       } else if (!disjoint) { // partial overlap or no sidecar: rewrite
@@ -264,11 +263,8 @@ object GraftLog {
             val id = line.substring(0, line.indexOf('|')).toLong
             id < lo || id > hi
           }
-        val metaPath =
-          Paths.get(si.file.stripSuffix(".graftlog") + ".meta")
         if (kept.isEmpty) {
-          Files.delete(Paths.get(si.file))
-          Files.deleteIfExists(metaPath)
+          retire(path, si.file) // retained until VACUUM
         } else {
           // atomic in-place replace via the swap manifest: the kept
           // rows stage as a hidden tmp, then one promote rename
@@ -357,21 +353,33 @@ object GraftLog {
     val lines =
       try Files.readAllLines(m, StandardCharsets.UTF_8).asScala
       catch { case _: java.nio.file.NoSuchFileException => return }
+    // retention bookkeeping BEFORE any mutation: pin this
+    // generation's shard listing so pre-rewrite snapshot tokens stay
+    // resolvable (first entrant wins; a crashed-and-resumed
+    // application finds it already written)
+    recordHistory(path)
     lines.filter(_.nonEmpty).foreach { line =>
       val p = line.split('|')
       p(0) match {
         case "drop" =>
-          Files.deleteIfExists(Paths.get(path, p(1)))
-          Files.deleteIfExists(
-            Paths.get(path, p(1).stripSuffix(".graftlog") + ".meta"))
+          // RETAIN, don't delete: superseded shards move to the
+          // retired store so snapshot tokens of this generation keep
+          // reading until VACUUM reclaims them
+          retire(path, Paths.get(path, p(1)).toString)
         case "promote" =>
           val tmp = Paths.get(path, p(1))
           val fin = Paths.get(path, p(2))
-          if (Files.exists(tmp))
+          if (Files.exists(tmp)) {
+            // same-name in-place rewrite: the OLD content belongs to
+            // the pre-swap generation — retire it before the
+            // replacing rename (guarded on tmp existing, so an
+            // idempotent re-entry can never retire the NEW file)
+            if (Files.exists(fin)) retire(path, fin.toString)
             try Files.move(tmp, fin,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             catch { case _: java.nio.file.NoSuchFileException => () }
+          }
           // sidecar body rides the manifest (idempotent re-write)
           Files.write(
             Paths.get(path, p(2).stripSuffix(".graftlog") + ".meta"),
@@ -383,12 +391,178 @@ object GraftLog {
     }
     Files.deleteIfExists(m)
     // every swap retires/replaces shards — snapshot tokens minted
-    // before it are no longer servable (retention 0): truncate
-    // history HERE, at the roll-forward, so a committer that crashed
-    // after the manifest rename still truncates when the next reader
-    // completes its swap (an idempotent-race double bump is harmless:
-    // generations only need to be monotonic)
+    // before it move to the RETAINED tier (readable via the history
+    // manifest + retired store until VACUUM): bump HERE, at the
+    // roll-forward, so a committer that crashed after the manifest
+    // rename still bumps when the next reader completes its swap (an
+    // idempotent-race double bump is harmless: generations only need
+    // to be monotonic)
     bumpGeneration(path)
+  }
+
+  /** ---- Snapshot retention + VACUUM (r11) ----
+    *
+    * Structural rewrites no longer destroy history at retention 0:
+    * each mutation first pins the CURRENT generation's shard listing
+    * under `_history/g<gen>.names`, and every superseded shard file
+    * (+ sidecar) moves to `_retired/g<gen>/` instead of being
+    * deleted — so a snapshot token `g<gen>.<n>` minted before the
+    * rewrite keeps reading its exact rows afterwards (the
+    * Delta/Iceberg time-travel-across-commits contract). Storage is
+    * reclaimed EXPLICITLY by [[vacuum]], after which vacuumed tokens
+    * fail loudly while current (and retained) tokens still read.
+    *
+    * Resolution rule for a historical token of generation g: take the
+    * first n names from `_history/g<g>.names`; each name's content AS
+    * OF g is the copy retired at the FIRST rewrite ≥ g that touched
+    * it (`_retired/g<r>/<name>`, smallest r ≥ g), or the live file if
+    * no rewrite since touched it. Mutations are single-writer (the
+    * format's documented assumption); tokens minted between completed
+    * operations are exact.
+    */
+  private[sources] val HistoryDir = "_history"
+  private[sources] val RetiredDir = "_retired"
+
+  /** Pin the current generation's live shard listing (idempotent,
+    * first-writer-wins). Raw directory listing on purpose — this is
+    * called from inside the swap roll-forward, so it must not
+    * re-enter [[listShards]]. */
+  private def recordHistory(path: String): Unit = {
+    val g = generation(path)
+    val f = Paths.get(path, HistoryDir, s"g$g.names")
+    if (Files.exists(f)) return
+    Files.createDirectories(f.getParent)
+    val names = withListing(Paths.get(path))(_
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".graftlog")).toSeq).sorted
+    val tmp = Paths.get(path, HistoryDir,
+      s".g$g.names.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      Files.deleteIfExists(tmp) } // lost the race: equal content won
+  }
+
+  /** Move a superseded shard (+ sidecar) into the retired store of
+    * the CURRENT generation (its content was live through this
+    * generation). Idempotent: a re-entered roll-forward whose file is
+    * already gone is a no-op. */
+  private[sources] def retire(path: String, shardFile: String): Unit = {
+    val g = generation(path)
+    val dst = Paths.get(path, RetiredDir, s"g$g")
+    Files.createDirectories(dst)
+    val name = Paths.get(shardFile).getFileName.toString
+    try Files.move(Paths.get(shardFile), dst.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException => () }
+    val meta = Paths.get(shardFile.stripSuffix(".graftlog") + ".meta")
+    if (Files.exists(meta))
+      try Files.move(meta,
+        dst.resolve(name.stripSuffix(".graftlog") + ".meta"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.NoSuchFileException => () }
+  }
+
+  /** Shard list of a RETAINED historical snapshot (generation g <
+    * current): the token's prefix of the pinned listing, each name
+    * resolved to its as-of-g content. Fails loudly when VACUUM has
+    * reclaimed the needed history. */
+  private def shardsAtHistorical(path: String, g: Long,
+      n: Int): Seq[ShardInfo] = {
+    val hist = Paths.get(path, HistoryDir, s"g$g.names")
+    if (!Files.exists(hist))
+      throw new IllegalArgumentException(
+        s"graftlog generation $g of $path has been vacuumed — its " +
+          "history manifest and retired shards were reclaimed; " +
+          "snapshots survive rewrites only until VACUUM passes their " +
+          "retention window")
+    val names = Files.readAllLines(hist, StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).toSeq
+    if (n > names.size)
+      throw new IllegalArgumentException(
+        s"graftlog version g$g.$n of $path names $n shards but " +
+          s"generation $g held only ${names.size}")
+    // retired generations ≥ g, ascending: first hit = content as of g
+    val rd = Paths.get(path, RetiredDir)
+    val gens =
+      if (!Files.isDirectory(rd)) Seq.empty[Long]
+      else withListing(rd)(_.map(_.getFileName.toString).toSeq)
+        .collect { case s if s.startsWith("g") &&
+          s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+        .filter(_ >= g).sorted
+    names.take(n).map { name =>
+      val candidates = gens.iterator
+        .map(r => Paths.get(path, RetiredDir, s"g$r", name))
+        .filter(Files.exists(_)) ++
+        Iterator(Paths.get(path, name)).filter(Files.exists(_))
+      if (!candidates.hasNext)
+        throw new IllegalArgumentException(
+          s"graftlog shard $name of generation $g of $path has been " +
+            "vacuumed — the snapshot is no longer servable")
+      shardInfoOf(candidates.next().toString)
+    }
+  }
+
+  /** Reclaim snapshot history: delete retired shard copies, history
+    * manifests, and superseded generation-claim files for every
+    * generation OLDER than (current − retainGenerations), optionally
+    * only when the artifacts are at least `minAgeMs` old (the
+    * RETAIN-window form). Returns (files deleted, bytes reclaimed).
+    * Tokens at vacuumed generations fail loudly afterwards; the
+    * current generation — and any within the retention window — keep
+    * reading (GraftLogVersionSpec pins both sides). Driver-side
+    * metadata work, O(#retired files): the same cost class as the
+    * listing, never a data scan. */
+  def vacuum(path: String, retainGenerations: Int = 0,
+      minAgeMs: Long = 0L): (Long, Long) = {
+    require(retainGenerations >= 0, s"retainGenerations=$retainGenerations")
+    applySwapIfPresent(path) // complete any pending swap first
+    val g = generation(path)
+    val keepFrom = g - retainGenerations
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var files = 0L
+    var bytes = 0L
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      minAgeMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
+    def del(p: java.nio.file.Path): Unit = {
+      bytes += (try Files.size(p) catch { case _: java.io.IOException => 0L })
+      if (Files.deleteIfExists(p)) files += 1
+    }
+    def genOf(name: String, prefix: String): Option[Long] = {
+      val s = name.stripPrefix(prefix)
+      if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
+        Some(s.toLong)
+      else None
+    }
+    val rd = Paths.get(path, RetiredDir)
+    if (Files.isDirectory(rd))
+      withListing(rd)(_.toSeq).foreach { d =>
+        genOf(d.getFileName.toString, "g") match {
+          case Some(r) if r < keepFrom && oldEnough(d) =>
+            withListing(d)(_.toSeq).foreach(del)
+            Files.deleteIfExists(d)
+          case _ => ()
+        }
+      }
+    val hd = Paths.get(path, HistoryDir)
+    if (Files.isDirectory(hd))
+      withListing(hd)(_.toSeq).foreach { f =>
+        genOf(f.getFileName.toString.stripSuffix(".names"), "g") match {
+          case Some(r) if r < keepFrom &&
+            f.getFileName.toString.endsWith(".names") && oldEnough(f) =>
+            del(f)
+          case _ => ()
+        }
+      }
+    // superseded CAS claim files: only the max carries information
+    withListing(Paths.get(path))(_.map(_.getFileName.toString).toSeq)
+      .foreach { name =>
+        genOf(name, s"$GenerationMarker.").foreach { r =>
+          if (r < g) del(Paths.get(path, name))
+        }
+      }
+    (files, bytes)
   }
 
   /** Listing + sidecar parse, shared by planning, stats reporting
@@ -402,17 +576,21 @@ object GraftLog {
     applySwapIfPresent(path)
     withListing(dir)(_
       .filter(_.toString.endsWith(".graftlog")).toSeq).sortBy(_.toString)
-      .map { shard =>
-        val meta = Paths.get(shard.toString.stripSuffix(".graftlog") + ".meta")
-        if (!Files.exists(meta)) ShardInfo(shard.toString, None)
-        else {
-          val p = new String(Files.readAllBytes(meta),
-            StandardCharsets.UTF_8).trim.split('|')
-          ShardInfo(shard.toString,
-            Some((p(0).toLong, p(1).toLong, p(2).toLong)),
-            if (p.length > 3) Some(p(3).toLong) else None)
-        }
-      }
+      .map(shard => shardInfoOf(shard.toString))
+  }
+
+  /** Shard file → ShardInfo (sidecar parse), shared by the live
+    * listing and historical-snapshot resolution. */
+  private def shardInfoOf(file: String): ShardInfo = {
+    val meta = Paths.get(file.stripSuffix(".graftlog") + ".meta")
+    if (!Files.exists(meta)) ShardInfo(file, None)
+    else {
+      val p = new String(Files.readAllBytes(meta),
+        StandardCharsets.UTF_8).trim.split('|')
+      ShardInfo(file,
+        Some((p(0).toLong, p(1).toLong, p(2).toLong)),
+        if (p.length > 3) Some(p(3).toLong) else None)
+    }
   }
 
   /** ---- Snapshot versions (r10) ----
@@ -423,14 +601,15 @@ object GraftLog {
     * metadata at zero storage cost, the same observation the
     * streaming offset (shard count) already exploits. Structural
     * REWRITES (copy-on-write replace, range delete, compaction,
-    * INSERT OVERWRITE/TRUNCATE) physically retire shards — the
-    * format's VACUUM is immediate, retention 0 — so they TRUNCATE
-    * history: a one-line `_generation` marker is bumped at every
-    * rewrite commit, and a snapshot token pins (generation,
-    * shardCount). Reading a token from an older generation fails
-    * LOUDLY ("history vacuumed") instead of silently serving rows the
-    * snapshot never contained — the Delta/Iceberg contract for a
-    * vacuumed snapshot, at one marker-file cost per rewrite. */
+    * INSERT OVERWRITE/TRUNCATE) bump a `_generation` marker and move
+    * superseded shards to the RETAINED tier (see the r11 retention
+    * block below): a token from an older generation keeps reading its
+    * exact rows through the pinned history listing + retired store,
+    * until an explicit [[vacuum]] reclaims that generation — after
+    * which the token fails LOUDLY ("vacuumed") instead of silently
+    * serving rows the snapshot never contained. The Delta/Iceberg
+    * time-travel + VACUUM contract, at one marker + one listing file
+    * per rewrite. */
   private[sources] val GenerationMarker = "_generation"
 
   /** Rewrite generation of the table at `path` (0 = never rewritten).
@@ -521,18 +700,24 @@ object GraftLog {
         val m = """g(\d+)\.(\d+)""".r
         tok.trim match {
           case m(g, n) =>
-            if (g.toLong != generation(path))
+            val cur = generation(path)
+            if (g.toLong > cur)
               throw new IllegalArgumentException(
-                s"graftlog version $tok of $path is from generation $g " +
-                  s"but the table is at generation ${generation(path)}: " +
-                  "a rewrite (delete/compaction/overwrite) vacuumed the " +
-                  "snapshot's shards — history before a rewrite is not " +
-                  "retained")
-            if (n.toInt > all.size)
-              throw new IllegalArgumentException(
-                s"graftlog version $tok of $path names ${n.toInt} shards " +
-                  s"but only ${all.size} exist")
-            all.take(n.toInt)
+                s"graftlog version $tok of $path names generation $g " +
+                  s"but the table is at generation $cur — tokens from " +
+                  "the future are malformed")
+            if (g.toLong < cur)
+              // RETAINED snapshot across rewrites: resolve through the
+              // pinned history listing + retired store (fails loudly
+              // once VACUUM reclaims it)
+              shardsAtHistorical(path, g.toLong, n.toInt)
+            else {
+              if (n.toInt > all.size)
+                throw new IllegalArgumentException(
+                  s"graftlog version $tok of $path names ${n.toInt} " +
+                    s"shards but only ${all.size} exist")
+              all.take(n.toInt)
+            }
           case other => throw new IllegalArgumentException(
             s"malformed graftlog version token '$other' " +
               "(expected g<generation>.<shardCount>)")
@@ -552,6 +737,21 @@ object GraftLog {
     since match {
       case None => upTo
       case Some(tok) =>
+        // the delta-as-slice identity holds only WITHIN a generation
+        // (appends only add shards); across a rewrite the old listing
+        // is not a prefix of the new one, so a slice would be wrong —
+        // refuse loudly and let the consumer re-baseline
+        val genOf = """g(\d+)\.\d+""".r
+        def gen(t: String): Long = t.trim match {
+          case genOf(g) => g.toLong
+          case _ => generation(path) // malformed: shardsAt throws below
+        }
+        val asOfGen = asOf.map(gen).getOrElse(generation(path))
+        require(gen(tok) == asOfGen,
+          s"sinceVersion $tok and read end ${asOf.getOrElse("head")} of " +
+            s"$path span a structural rewrite (generations ${gen(tok)} vs " +
+            s"$asOfGen) — a change-data slice across a rewrite is not " +
+            "defined; re-baseline the consumer from a full snapshot")
         val n = shardsAt(path, Some(tok)).size
         require(n <= upTo.size,
           s"sinceVersion $tok is newer than the read end " +

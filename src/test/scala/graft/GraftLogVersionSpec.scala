@@ -69,23 +69,91 @@ class GraftLogVersionSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() === 400L)
   }
 
-  test("a rewrite truncates history: old tokens fail loudly") {
+  test("a rewrite RETAINS history: old tokens read their exact rows; " +
+      "VACUUM reclaims them and then they fail loudly") {
     val (dir, tok) = twoCommits(400, 4)
     val base = java.nio.file.Paths.get(dir).getParent.toString
     spark.conf.set("spark.sql.catalog.glogver2",
       "graft.sources.GraftLogCatalog")
     spark.conf.set("spark.sql.catalog.glogver2.base", base)
     val tbl = s"glogver2.`${java.nio.file.Paths.get(dir).getFileName}`"
+    val full = GraftLog.currentVersion(dir) // g0.8, both commits
     spark.sql(s"DELETE FROM $tbl WHERE event_id < 100")
     assert(GraftLog.generation(dir) >= 1L, "a range delete must bump")
+    // retention: the pre-delete snapshots still read their EXACT rows
+    val old = spark.read.format(fmt).option("version", tok).load(dir)
+    assert(old.count() === 400L, "pre-rewrite token must keep reading")
+    assert(old.select($"event_id").as[Long].collect().sorted.toSeq ===
+      (0L until 400L).toSeq,
+      "retained snapshot must serve the as-of rows, deleted ids included")
+    assert(spark.read.format(fmt).option("version", full).load(dir)
+      .count() === 800L)
+    // current state reads the post-delete rows
+    assert(spark.read.format(fmt).load(dir).count() === 700L)
+    val tok2 = GraftLog.currentVersion(dir)
+    // VACUUM (retention 0): retired shards + history manifests of
+    // pre-rewrite generations are reclaimed
+    val (files, bytes) = GraftLog.vacuum(dir)
+    assert(files > 0 && bytes > 0, s"vacuum must reclaim ($files, $bytes)")
     val e = intercept[IllegalArgumentException] {
       spark.read.format(fmt).option("version", tok).load(dir).count()
     }
-    assert(e.getMessage.contains("generation"), e.getMessage)
-    // the post-rewrite state mints servable tokens again
-    val tok2 = GraftLog.currentVersion(dir)
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // ...while the current generation's token still reads
     assert(spark.read.format(fmt).option("version", tok2).load(dir)
       .count() === 700L)
+    assert(spark.read.format(fmt).load(dir).count() === 700L)
+    // idempotent: a second vacuum finds nothing
+    assert(GraftLog.vacuum(dir)._1 === 0L)
+  }
+
+  test("vacuum retainGenerations keeps the window readable") {
+    val (dir, tok0) = twoCommits(200, 2)
+    // rewrite #1: delete a prefix → generation ≥ 1
+    graft.sources.GraftLog.deleteWhere(dir, 0L, 49L)
+    val g1tok = GraftLog.currentVersion(dir)
+    val g1 = GraftLog.generation(dir)
+    // rewrite #2: compaction → generation ≥ 2
+    GraftLog.compact(spark, dir, 2)
+    assert(GraftLog.generation(dir) > g1)
+    // retain every generation back to (and including) g1: g1's token
+    // must survive the vacuum, g0's must not
+    val retain = (GraftLog.generation(dir) - g1).toInt
+    GraftLog.vacuum(dir, retainGenerations = retain)
+    assert(spark.read.format(fmt).option("version", g1tok).load(dir)
+      .count() === 350L, "retained generation must keep reading")
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("version", tok0).load(dir).count()
+    }
+    // a large minAge leaves even vacuum-eligible generations in place
+    val (f2, _) = GraftLog.vacuum(dir, retainGenerations = 0,
+      minAgeMs = 24L * 3600 * 1000)
+    assert(f2 === 0L, "minAgeMs must protect young history")
+  }
+
+  test("a compaction-superseded token reads identically until vacuumed") {
+    val (dir, _) = twoCommits(150, 3)
+    val tok = GraftLog.currentVersion(dir) // g0.6 — full table
+    val before = spark.read.format(fmt).load(dir)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    GraftLog.compact(spark, dir, 2)
+    val viaToken = spark.read.format(fmt).option("version", tok).load(dir)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(viaToken === before,
+      "pre-compaction snapshot must read the pre-compaction shards")
+    GraftLog.vacuum(dir)
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("version", tok).load(dir).count()
+    }
+  }
+
+  test("a delta slice across a structural rewrite refuses loudly") {
+    val (dir, tok) = twoCommits(100, 2)
+    graft.sources.GraftLog.deleteWhere(dir, 0L, 9L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("sinceVersion", tok).load(dir).count()
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
   }
 
   test("sinceVersion slice equals the anti-join delta") {
