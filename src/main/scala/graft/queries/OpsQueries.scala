@@ -889,6 +889,53 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // The named-query registry THROUGH the result cache (r11 brief
+    // #7): the reference's three Athena SQL texts run verbatim over
+    // reference-dialect views of the star schema, each submitted
+    // TWICE through QueryRegistry.cached — first call computes and
+    // persists keyed by canonicalized-plan+input-listing fingerprint,
+    // second resolves to the same key and re-READS (the Athena
+    // "reuse query results" semantics over the registry surface).
+    // The returned rows are the third query's CACHED result (a bare
+    // parquet re-read), so the hash gate proves the round-trip is
+    // value-exact; `served_from_cache` asserts all three hit.
+    // Exactness note: the view defines total_cost as DECIMAL(18,4) so
+    // the reference text's SUM(total_cost) folds exactly on both
+    // engines (a double sum would be order-sensitive); the view also
+    // shifts o_orderdate +30 years so the text's YEAR(...)=2025
+    // predicate selects the 1995 slice of the testdata.
+    "q326_registry_cached" -> ((s, dir) => {
+      import s.implicits._
+      import graft.serve.QueryRegistry
+      Tables.table(s, dir, "customer")
+        .createOrReplaceTempView("dim_clientes")
+      Tables.table(s, dir, "supplier").as("s")
+        .join(Tables.table(s, dir, "nation").as("n"),
+          $"s.s_nationkey" === $"n.n_nationkey")
+        .select($"s.s_suppkey".as("supplier_id"),
+          $"n.n_name".as("country_of_origin"))
+        .createOrReplaceTempView("dim_proveedores")
+      Tables.table(s, dir, "lineitem").as("l")
+        .join(Tables.table(s, dir, "orders").as("o"),
+          $"l.l_orderkey" === $"o.o_orderkey")
+        .select($"o.o_custkey".as("customer_id"),
+          ($"l.l_extendedprice" * (lit(1.0) - $"l.l_discount"))
+            .cast("decimal(18,4)").as("total_cost"),
+          add_months($"o.o_orderdate", 360).as("transaction_date"))
+        .createOrReplaceTempView("fact_transacciones_energia")
+      val cacheDir = java.nio.file.Files
+        .createTempDirectory("graft-regcache").toString
+      val names = QueryRegistry.namedQueries.keys.toSeq.sorted
+      names.foreach(n => QueryRegistry.cached(s, n, cacheDir).count())
+      val allHit = names.forall(n => QueryRegistry.isCached(s, n, cacheDir))
+      QueryRegistry.cached(s, "costo_total_por_cliente", cacheDir)
+        // exact decimal fold inside the cached text; ONE deterministic
+        // rounding to double at the serve seam (the dsum discipline)
+        .withColumn("total_cost_usd", $"total_cost_usd".cast("double"))
+        .withColumn("served_from_cache", lit(allHit))
+        .orderBy($"total_cost_usd".desc, $"customer_id")
+    }),
+
     // Snapshot RETENTION + VACUUM (r11, the storage-reclaim half of
     // the time-travel story): a structural rewrite no longer destroys
     // history — superseded shards move to the retired store and the
@@ -2574,6 +2621,21 @@ object OpsQueries {
 
     // both snapshot legs replayed from the halves the fixture wrote:
     // v1 = event_id < n/2 (the pre-append commit), current = all rows
+    // The reference's total_cost_per_customer.sql semantics over the
+    // star schema (the +30y view shift maps YEAR=2025 onto the 1995
+    // slice); DECIMAL(18,4) sum replays exactly. The cache round-trip
+    // itself must be value-invisible — that is the point of the row.
+    "q326_registry_cached" ->
+      """SELECT o_custkey AS customer_id,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_cost_usd,
+                TRUE AS served_from_cache
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(CAST(o_orderdate AS DATE)) = 1995
+         GROUP BY o_custkey
+         ORDER BY total_cost_usd DESC, customer_id
+         LIMIT 10""",
+
     // Every aggregate is a pure function of the events feed (t1 =
     // full feed through the retained snapshot; t2/t3 = post-delete
     // state before/after vacuum); the booleans are invariants of a

@@ -52,6 +52,36 @@ object QueryRegistry {
     spark.sql(namedQueries.getOrElse(
       name, throw new IllegalArgumentException(s"unknown query: $name")))
 
+  /** Serve a named query through the plan-fingerprint result cache
+    * (serve.ResultCache) — the Athena "reuse query results" flag for
+    * the registry surface: a re-submitted query against unchanged
+    * inputs re-READS its prior result (a bare parquet scan, zero
+    * shuffle, zero source I/O) instead of recomputing.
+    *
+    * Invalidation story: none needed, by construction — the
+    * fingerprint is a SHA-256 over the canonicalized analyzed plan
+    * AND the input file listing (path, size, mtime per file), so a
+    * changed literal, a changed view definition, or new/rewritten
+    * data behind a registered view RE-KEYS automatically; the stale
+    * entry is simply never read again (reclaim the directory on any
+    * schedule — entries are self-contained). Ordering is not
+    * preserved by the parquet round-trip: callers re-apply their
+    * ORDER BY, the same contract as any result-set store. */
+  def cached(spark: SparkSession, name: String,
+      cacheDir: String = defaultCacheDir): DataFrame =
+    ResultCache.through(spark, cacheDir, run(spark, name))
+
+  /** True iff `cached(name)` would be served from the cache. */
+  def isCached(spark: SparkSession, name: String,
+      cacheDir: String = defaultCacheDir): Boolean =
+    ResultCache.isCached(cacheDir, run(spark, name))
+
+  /** Default cache location: per-user under the system tmp dir. */
+  def defaultCacheDir: String =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-result-cache").toString
+
   def runSqlFile(spark: SparkSession, path: String): DataFrame =
     spark.sql(loadSqlFile(path))
 

@@ -48,6 +48,36 @@ class ResultCacheSpec extends SparkSuite {
       "semantically equal plans must share the fingerprint")
   }
 
+  test("QueryRegistry.cached serves the named surface through the " +
+      "cache: miss computes, hit re-reads, data change re-keys") {
+    import graft.serve.QueryRegistry
+    val cache = tmpDir("regcache").toString
+    val src = tmpDir("regcache-src").toString
+    Tables.table(spark, sf0001, "customer").limit(7)
+      .write.mode("overwrite").parquet(src)
+    spark.read.parquet(src).createOrReplaceTempView("dim_clientes")
+    val name = "conteo_total_clientes" // one of the three Athena texts
+    assert(!QueryRegistry.isCached(spark, name, cache))
+    assert(QueryRegistry.cached(spark, name, cache)
+      .as[Long].head() === 7L)
+    assert(QueryRegistry.isCached(spark, name, cache), "miss must persist")
+    // hit path: same value, entry not rewritten
+    val fp = ResultCache.fingerprint(QueryRegistry.run(spark, name))
+    val marker = Paths.get(cache, fp, "_SUCCESS")
+    val t0 = Files.getLastModifiedTime(marker)
+    assert(QueryRegistry.cached(spark, name, cache).as[Long].head() === 7L)
+    assert(Files.getLastModifiedTime(marker) === t0, "hit rewrote entry")
+    // invalidation = re-keying: new data behind the registered view
+    // makes the SAME name a cache miss (the stale entry is never read)
+    Thread.sleep(5) // mtime granularity
+    Tables.table(spark, sf0001, "customer").limit(9)
+      .write.mode("overwrite").parquet(src)
+    spark.read.parquet(src).createOrReplaceTempView("dim_clientes")
+    assert(!QueryRegistry.isCached(spark, name, cache),
+      "data change must re-key the named query")
+    assert(QueryRegistry.cached(spark, name, cache).as[Long].head() === 9L)
+  }
+
   test("rewriting the data behind a cached path re-keys (no stale hit)") {
     val dir = tmpDir("rescache-src").toString
     Tables.table(spark, sf0001, "nation").limit(3)

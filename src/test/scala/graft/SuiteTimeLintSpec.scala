@@ -22,18 +22,17 @@ class SuiteTimeLintSpec extends AnyFunSuite {
   private val whitelist: Map[String, String] = Map(
     "q107_triangle_count" -> ("exact Schank-Wagner wedge enumeration — " +
       "super-linear with density by nature; sub-linear twin is q224"),
-    "q296_dedup_threshold_sweep" -> ("three LSH closures; sampled 1/8 " +
-      "path is the bench body from r10 on — expected to fall under 5 s"),
     "q100_pagerank" -> ("3 full-edge iterations, the exactness " +
       "baseline; sub-linear twin is q308"),
     "q224_triangle_doulion" -> ("audit mode runs sampled AND exact " +
       "legs; bench (audit off) runs the sampled leg only"),
     "q227_label_prop" -> ("3 rounds x |E| vote shuffle — the " +
       "iterative superstep floor for this graph"),
-    "q313_components_alternating" -> ("star contraction runs to " +
-      "FIXPOINT (~10 rounds x 2 jobs on the thinned graph): wall time " +
-      "is round-count x fixed job overhead, not data; at 100 TB each " +
-      "round is one linear pass and the log-round bound is the point"),
+    "q313_components_alternating" -> ("star contraction, FIXED 6 " +
+      "rounds (r11; spec pins fixed ≡ fixpoint): wall time is " +
+      "round-count x fixed job overhead, not data — hovers at the " +
+      "budget; at 100 TB each round is one linear pass and the " +
+      "log-round bound is the point"),
     "q308_pagerank_doulion" -> ("4.2 s on a quiet machine; 3 " +
       "iterations x (join + agg + checkpoint) on the sampled edges " +
       "is iteration-overhead bound and load-sensitive around the " +
@@ -80,5 +79,17 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     // and the whitelist must not rot: every entry still registered
     val gone = whitelist.keySet -- SparkEntry.queries.keySet
     assert(gone.isEmpty, s"whitelisted but no longer registered: $gone")
+    // anti-rot in the OTHER direction (r11): an entry that now runs
+    // comfortably under budget no longer needs its excuse — stale
+    // entries blunt the lint (the r10 verdict caught exactly one:
+    // q296's "expected to fall under 5 s" after it did). The 0.8×
+    // margin keeps queries that HOVER at the threshold (q224/q227
+    // swing ±15% with host load) from flapping in and out.
+    val healed = whitelist.keySet
+      .filter(q => times.get(q).exists(_ < 0.8 * budget))
+    assert(healed.isEmpty,
+      f"whitelisted but now under ${0.8 * budget}%.1f s — drop the " +
+        "stale entries: " +
+        healed.toSeq.sorted.map(q => s"$q=${times(q)}s").mkString(", "))
   }
 }
