@@ -2904,6 +2904,93 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // k-anonymity / l-diversity census (Sweeney 2002; Machanavajjhala
+    // et al. 2007) — the PRIVACY-side release gate the governance pack
+    // (PII masking q06, decontamination, retention) lacked: before a
+    // dataset leaves the lake, every row must hide in an equivalence
+    // class of ≥ k rows over its QUASI-IDENTIFIERS, and each class
+    // must carry ≥ l distinct values of the SENSITIVE attribute (else
+    // membership in the class leaks it). Quasi-identifiers here:
+    // (nation, market segment, account-balance decile — a coarse bin,
+    // exactly how releases generalize a continuous column); sensitive:
+    // the order priority mix of the customer's orders (via one
+    // semi-aggregate). ONE hash aggregate over the classes + a
+    // bounded census rollup — the same partial-aggregable scale shape
+    // as any GROUP BY; at 100 TB the class table is ≪ rows (that is
+    // the point of generalization). Output: per k-risk band, how many
+    // classes/rows, and the census booleans a release gate checks.
+    "q327_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5L
+      val l = 2L
+      val cust = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+          // decile bin of the balance: floor((bal+1000)/1200) — a
+          // FIXED generalization grid (data-independent, so the
+          // class key is stable release to release)
+          floor(($"c_acctbal" + lit(1000.0)) / lit(1200.0))
+            .cast("long").as("bal_bin"))
+      // sensitive attribute: the customer's dominant order priority
+      val sens = Tables.table(s, dir, "orders")
+        .groupBy($"o_custkey", $"o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"o_custkey")
+        .agg(max(struct($"c", $"o_orderpriority")).as("m"))
+        .select($"o_custkey".as("c_custkey"),
+          $"m.o_orderpriority".as("priority"))
+      val classes = cust.join(sens, Seq("c_custkey"), "left")
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_bin")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(coalesce($"priority", lit("NONE")))
+            .as("l_div"))
+      classes
+        .groupBy(when($"class_size" >= k, lit("ok_k"))
+          .otherwise(lit("at_risk_k")).as("k_band"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum($"class_size").as("n_rows"),
+          min($"class_size").as("min_class_size"),
+          max($"class_size").as("max_class_size"),
+          sum(when($"l_div" < l, 1L).otherwise(0L))
+            .as("n_low_diversity_classes"),
+          sum(when($"l_div" < l, $"class_size").otherwise(0L))
+            .as("n_low_diversity_rows"))
+        .orderBy($"k_band")
+    }),
+
+    // Gaps-and-islands activity streaks — the classic consecutive-run
+    // operator the 40+ window queries never exercised: a user's
+    // longest run of CONSECUTIVE active days. The island trick makes
+    // it one per-user window pass: for each distinct (user, day),
+    // day − row_number() is CONSTANT within a consecutive run and
+    // distinct across runs — no self-join, no recursion; then two
+    // bounded aggregates (per-island length, per-user max) and a
+    // global histogram. Every window is keyed by user (15k+ keys at
+    // sf0.01, millions at scale — one shuffle, parallel everywhere);
+    // the histogram is ≤ max-streak rows. The operator behind
+    // engagement streaks, sensor-uptime runs, and SLA window audits.
+    "q328_activity_streaks" -> ((s, dir) => {
+      import s.implicits._
+      val days = Tables.table(s, dir, "events")
+        .select($"user_id", $"ts".cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val streaks = days
+        .withColumn("island",
+          date_sub($"day", row_number().over(w)))
+        .groupBy($"user_id", $"island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(max($"len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum($"len").as("n_active_days"))
+      streaks.groupBy($"longest_streak")
+        .agg(count(lit(1)).as("n_users"),
+          min($"user_id").as("min_user"),
+          sum($"n_streaks").as("sum_streaks"),
+          sum($"n_active_days").as("sum_active_days"))
+        .orderBy($"longest_streak")
+    }),
+
     // Temporal training-label assembly — the leakage-free example
     // builder every churn/propensity model needs: at each observation
     // cut, features come ONLY from the past window [cut−28d, cut) and
@@ -3558,6 +3645,63 @@ object Analytics {
                 (n * sxx - sx * sx) * 2 > (n - 1) * sx * 3
                   AS overdispersed
          FROM m ORDER BY event_type""",
+
+    // same fixed generalization grid, same dominant-priority tiebreak
+    // (count desc, then priority desc), same k=5 / l=2 bands
+    "q327_k_anonymity" ->
+      """WITH sens AS (
+           SELECT o_custkey AS c_custkey, o_orderpriority AS priority,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY count(*) DESC, o_orderpriority DESC) AS rn
+           FROM orders GROUP BY o_custkey, o_orderpriority),
+         cust AS (
+           SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+                  CAST(floor((c.c_acctbal + 1000.0) / 1200.0) AS BIGINT)
+                    AS bal_bin,
+                  coalesce(s.priority, 'NONE') AS priority
+           FROM customer c
+           LEFT JOIN (SELECT * FROM sens WHERE rn = 1) s
+             ON c.c_custkey = s.c_custkey),
+         classes AS (
+           SELECT c_nationkey, c_mktsegment, bal_bin,
+                  count(*)::BIGINT AS class_size,
+                  count(DISTINCT priority)::BIGINT AS l_div
+           FROM cust GROUP BY 1, 2, 3)
+         SELECT CASE WHEN class_size >= 5 THEN 'ok_k'
+                     ELSE 'at_risk_k' END AS k_band,
+                count(*)::BIGINT AS n_classes,
+                sum(class_size)::BIGINT AS n_rows,
+                min(class_size)::BIGINT AS min_class_size,
+                max(class_size)::BIGINT AS max_class_size,
+                sum(CASE WHEN l_div < 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_low_diversity_classes,
+                sum(CASE WHEN l_div < 2 THEN class_size ELSE 0 END)::BIGINT
+                  AS n_low_diversity_rows
+         FROM classes GROUP BY 1 ORDER BY k_band""",
+
+    // same island trick: day − row_number() is constant within a
+    // consecutive run
+    "q328_activity_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         isl AS (
+           SELECT user_id,
+                  day - CAST(row_number() OVER (PARTITION BY user_id
+                             ORDER BY day) AS INTEGER) AS island
+           FROM days),
+         runs AS (
+           SELECT user_id, island, count(*)::BIGINT AS len
+           FROM isl GROUP BY 1, 2),
+         per_user AS (
+           SELECT user_id, max(len) AS longest_streak,
+                  count(*)::BIGINT AS n_streaks,
+                  sum(len)::BIGINT AS n_active_days
+           FROM runs GROUP BY 1)
+         SELECT longest_streak, count(*)::BIGINT AS n_users,
+                min(user_id) AS min_user,
+                sum(n_streaks)::BIGINT AS sum_streaks,
+                sum(n_active_days)::BIGINT AS sum_active_days
+         FROM per_user GROUP BY 1 ORDER BY longest_streak""",
 
     // same 2-cut spine, same windowed conditional sums, exact ppm
     "q323_temporal_labels" ->

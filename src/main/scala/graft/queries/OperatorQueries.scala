@@ -354,6 +354,41 @@ object OperatorQueries {
         .orderBy($"rank_s".desc, $"node")
     }),
 
+    // EXECUTED salted join — the skew-mitigation q283 only ADVISES:
+    // the fact side tags each row with a deterministic salt in
+    // [0, S), the dim side replicates ×S (one bounded explode of the
+    // SMALL side), and the join key widens to (key, salt) — a hot key
+    // whose rows all landed in one reduce task now spreads over S
+    // tasks, at the price of an S× copy of the dim (bounded by
+    // construction). Algebra: salt-join ≡ join, because every fact
+    // row matches exactly the one dim replica carrying its salt —
+    // THAT identity is what the hash gate proves (the oracle runs the
+    // unsalted join). shuffle_hash hint on the replicated dim keeps
+    // the demo on the exchange path the technique exists for (at this
+    // SF Catalyst would broadcast the dim and salting would be moot;
+    // at 100 TB a fact×fact join can't broadcast and this is the
+    // knob — AQE's skew-join split covers sort-merge, salting covers
+    // hash-partitioned aggregates and storage-partitioned layouts AQE
+    // can't re-split).
+    "q329_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val saltN = 8
+      val fact = Tables.table(s, dir, "lineitem")
+        .select($"l_suppkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("rev"),
+          pmod($"l_orderkey" * 7 + $"l_linenumber", lit(saltN))
+            .cast("int").as("salt"))
+      val dim = Tables.table(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey")
+        .withColumn("salt", explode(lit((0 until saltN).toArray)))
+      fact.join(dim.hint("shuffle_hash"),
+          $"l_suppkey" === $"s_suppkey" && fact("salt") === dim("salt"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"), Q.dsum($"rev").as("revenue"))
+        .orderBy($"s_nationkey")
+    }),
+
     // RECURSIVE CTE — Spark 4's WITH RECURSIVE (UnionLoop) surface,
     // exercised on a hop-capped reachability census over the part
     // co-purchase graph. ONE SQL text runs verbatim on BOTH engines
@@ -1027,6 +1062,14 @@ object OperatorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the UNSALTED join: salt-join ≡ join is the identity under test
+    "q329_salted_join" ->
+      s"""SELECT s_nationkey, count(*)::BIGINT AS n_items,
+                 ${graft.queries.Q.dsumSql(
+                   "l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey ORDER BY s_nationkey""",
+
     "q266_bfs_hops" ->
       """WITH RECURSIVE pairs AS (
            SELECT o.o_custkey AS cust,

@@ -936,6 +936,53 @@ object OpsQueries {
         .orderBy($"total_cost_usd".desc, $"customer_id")
     }),
 
+    // ZERO-COPY shallow clone (the lakehouse CLONE TABLE/branching
+    // primitive, r11): the current snapshot of the shared ingest is
+    // cloned by HARDLINK — O(#shards) metadata ops, no data bytes
+    // moved at any table size — and the clone then lives its own
+    // life: an append lands in the clone only (leg t2 grows, the
+    // source leg t1 does not — `src_unchanged` pins it), and because
+    // hardlinks pin inodes, a rewrite+VACUUM on either side can never
+    // pull shards out from under the other (GraftLogSourceSpec pins
+    // the inode property; this row gates the end-to-end census). The
+    // dev/test-branch workflow at 100 TB: clone the prod table in
+    // milliseconds, run the experiment against the clone, drop it.
+    "q330_glog_shallow_clone" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val src = GlogFixtures.eventsLog(s, dir, 8)
+      val dst = java.nio.file.Paths
+        .get(s"${GlogFixtures.CatBase}/clone${runId.incrementAndGet()}")
+      // clear a leftover from a PRIOR JVM (runIds restart per JVM;
+      // shallowClone itself refuses a non-empty destination)
+      if (java.nio.file.Files.isDirectory(dst)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dst).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      graft.sources.GraftLog.shallowClone(src, dst.toString)
+      // clone-only append: the first 100 events re-ingested
+      Tables.table(s, dir, "events")
+        .filter($"event_id" < 100)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .write.format(fmt).mode("append").option("shards", 1)
+        .save(dst.toString)
+      def leg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            min($"event_id").as("min_event_id"),
+            max($"event_id").as("max_event_id"),
+            Q.dsum($"value").as("sum_value"))
+          .select(lit(tag).as("leg"), $"n_rows", $"min_event_id",
+            $"max_event_id", $"sum_value")
+      val srcN = s.read.format(fmt).load(src).count()
+      val evN = Tables.table(s, dir, "events").count()
+      leg(s.read.format(fmt).load(src), "t1_source")
+        .unionByName(leg(s.read.format(fmt).load(dst.toString),
+          "t2_clone_after_append"))
+        .withColumn("src_unchanged", lit(srcN == evN))
+        .orderBy($"leg")
+    }),
+
     // Snapshot RETENTION + VACUUM (r11, the storage-reclaim half of
     // the time-travel story): a structural rewrite no longer destroys
     // history — superseded shards move to the retired store and the
@@ -2621,6 +2668,29 @@ object OpsQueries {
 
     // both snapshot legs replayed from the halves the fixture wrote:
     // v1 = event_id < n/2 (the pre-append commit), current = all rows
+    // t1 = the untouched feed; t2 = feed + the re-appended first 100
+    // events (value sums replay through the dsum decimal gate; the
+    // boolean is the clone-independence invariant).
+    "q330_glog_shallow_clone" ->
+      s"""WITH legs AS (
+            SELECT 't1_source' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 't2_clone_after_append' AS leg,
+                   count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM (SELECT * FROM events
+                  UNION ALL
+                  SELECT * FROM events WHERE event_id < 100))
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS src_unchanged
+          FROM legs ORDER BY leg""",
+
     // The reference's total_cost_per_customer.sql semantics over the
     // star schema (the +30y view shift maps YEAR=2025 onto the 1995
     // slice); DECIMAL(18,4) sum replays exactly. The cache round-trip

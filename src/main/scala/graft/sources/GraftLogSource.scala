@@ -504,6 +504,41 @@ object GraftLog {
     }
   }
 
+  /** ZERO-COPY shallow clone (Delta's CLONE, the lakehouse
+    * dev/test/branching primitive): materialize the snapshot
+    * `version` of `src` (default: current) as an independent table at
+    * `dst` by HARDLINKING its shard files + sidecars — no data bytes
+    * move, clone cost is O(#shards) metadata ops at any table size.
+    * The clone starts its own life: fresh generation namespace, its
+    * appends/rewrites/vacuums never touch the source, and — the
+    * hardlink property — a later rewrite+VACUUM on the SOURCE cannot
+    * pull data out from under the clone (the inode survives while any
+    * link holds it; same guarantee both directions). Same-filesystem
+    * only (hardlinks); falls back to a copy per file when the link
+    * fails (cross-device), degrading to a deep clone, not an error. */
+  def shallowClone(src: String, dst: String,
+      version: Option[String] = None): Int = {
+    val shards = shardsAt(src, version)
+    val d = Paths.get(dst)
+    require(!Files.exists(d) || withListing(d)(_.isEmpty),
+      s"clone destination $dst must be empty")
+    Files.createDirectories(d)
+    def linkOrCopy(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      try Files.createLink(to, from)
+      catch { case _: java.io.IOException => Files.copy(from, to) }
+    shards.foreach { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      linkOrCopy(Paths.get(si.file), d.resolve(name))
+      val meta = Paths.get(si.file.stripSuffix(".graftlog") + ".meta")
+      if (Files.exists(meta))
+        linkOrCopy(meta, d.resolve(name.stripSuffix(".graftlog") + ".meta"))
+    }
+    // an evolved source clones with its added columns intact
+    val ext = Paths.get(src, ExtSchemaFile)
+    if (Files.exists(ext)) Files.copy(ext, d.resolve(ExtSchemaFile))
+    shards.size
+  }
+
   /** Reclaim snapshot history: delete retired shard copies, history
     * manifests, and superseded generation-claim files for every
     * generation OLDER than (current − retainGenerations), optionally

@@ -147,6 +147,44 @@ class GraftLogVersionSpec extends SparkSuite {
     }
   }
 
+  test("shallow clone: zero-copy snapshot, independent lives, " +
+      "source vacuum cannot starve the clone") {
+    val (dir, tok) = twoCommits(200, 2)
+    val clone = tmpDir("glog-clone").resolve("c1").toString
+    // clone the HALF snapshot, not the head — version-pinned cloning
+    val n = graft.sources.GraftLog.shallowClone(dir, clone, Some(tok))
+    assert(n === 2, "g0.2 names two shards")
+    val viaClone = spark.read.format(fmt).load(clone)
+    assert(viaClone.count() === 200L)
+    assert(viaClone.select($"event_id").as[Long].collect().sorted.toSeq
+      === (0L until 200L).toSeq, "clone ≡ the pinned snapshot")
+    // zero-copy: the clone's shards are HARDLINKS of the source's
+    val firstShard = GraftLog.listShards(clone).head.file
+    assert(java.nio.file.Files.getAttribute(
+      java.nio.file.Paths.get(firstShard), "unix:nlink")
+      .asInstanceOf[Integer] >= 2, "clone shard must be a hardlink")
+    // independence: append to the clone; source unchanged
+    spark.range(9000, 9010)
+      .select($"id".as("event_id"),
+        to_timestamp_ntz(lit("2024-01-02 00:00:00")).as("ts"),
+        ($"id" % 7).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"))
+      .write.format(fmt).mode("append").option("shards", 1).save(clone)
+    assert(spark.read.format(fmt).load(clone).count() === 210L)
+    assert(spark.read.format(fmt).load(dir).count() === 400L,
+      "a clone append must not leak into the source")
+    // the inode property: rewrite + vacuum the SOURCE; the clone's
+    // hardlinked shards keep their data alive
+    graft.sources.GraftLog.deleteWhere(dir, 0L, 399L)
+    GraftLog.vacuum(dir)
+    assert(spark.read.format(fmt).load(clone).count() === 210L,
+      "source vacuum must not pull shards out from under the clone")
+    // and a non-empty destination refuses
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftLog.shallowClone(dir, clone)
+    }
+  }
+
   test("a delta slice across a structural rewrite refuses loudly") {
     val (dir, tok) = twoCommits(100, 2)
     graft.sources.GraftLog.deleteWhere(dir, 0L, 9L)
