@@ -936,6 +936,47 @@ object OpsQueries {
         .orderBy($"total_cost_usd".desc, $"customer_id")
     }),
 
+    // Table maintenance by SQL CALL (Spark 4's ProcedureCatalog seam,
+    // r11) — the full dev-branch lifecycle a SQL-only client runs
+    // with zero Scala entry points: CALL clone (zero-copy hardlink
+    // branch) → CALL compact (12 small shards → 2 event_id-clustered
+    // ones, committed via the swap manifest) → CALL vacuum (reclaim
+    // the retired originals). The returned rows are the table read
+    // AFTER all three ops — byte-identical to the raw feed (that is
+    // the gate: three structural ops, zero value drift) — plus each
+    // procedure's summary as contract booleans. Procedures are
+    // driver-side manifest work returning one LocalScan row; no
+    // executor touches data except compact's re-cluster write.
+    "q331_sql_call_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val src = GlogFixtures.eventsLog(s, dir, 12)
+      val srcTbl = GlogFixtures.tableName(src)
+      val devTbl = s"mx${runId.incrementAndGet()}"
+      val devDir = java.nio.file.Paths.get(GlogFixtures.CatBase, devTbl)
+      if (java.nio.file.Files.isDirectory(devDir)) { // prior-JVM leftover
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(devDir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val linked = s.sql(
+        s"CALL glog.clone(src => '$srcTbl', dst => '$devTbl')")
+        .as[Int].head()
+      val (before, after) = s.sql(
+        s"CALL glog.compact(table => '$devTbl', shards => 2)")
+        .as[(Int, Int)].head()
+      val (vFiles, vBytes) = s.sql(
+        s"CALL glog.vacuum(table => '$devTbl')").as[(Long, Long)].head()
+      s.sql(s"SELECT event_type, count(*) AS n, " +
+          s"${Q.dsumSql("value")} AS total_value " +
+          s"FROM glog.$devTbl GROUP BY event_type")
+        .withColumn("cloned_12", lit(linked == 12))
+        .withColumn("compacted_12_to_2", lit(before == 12 && after == 2))
+        .withColumn("vacuum_reclaimed", lit(vFiles >= 12L && vBytes > 0L))
+        .orderBy($"event_type")
+    }),
+
     // ZERO-COPY shallow clone (the lakehouse CLONE TABLE/branching
     // primitive, r11): the current snapshot of the shared ingest is
     // cloned by HARDLINK — O(#shards) metadata ops, no data bytes
@@ -2668,6 +2709,17 @@ object OpsQueries {
 
     // both snapshot legs replayed from the halves the fixture wrote:
     // v1 = event_id < n/2 (the pre-append commit), current = all rows
+    // Three structural ops, zero value drift: the post-maintenance
+    // read replays as the raw feed; procedure summaries are the
+    // contract booleans.
+    "q331_sql_call_maintenance" ->
+      s"""SELECT event_type, count(*) AS n,
+                 ${Q.dsumSql("value")} AS total_value,
+                 TRUE AS cloned_12,
+                 TRUE AS compacted_12_to_2,
+                 TRUE AS vacuum_reclaimed
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
     // t1 = the untouched feed; t2 = feed + the re-appended first 100
     // events (value sums replay through the dsum decimal gate; the
     // boolean is the clone-independence invariant).

