@@ -11,22 +11,22 @@ import graft.Tables
 
 /** JVM-level cache of the purchase-graph edge frames shared across
   * the graph-query family (the GlogFixtures discipline applied to
-  * derived frames): q226/q227/q237/q266 each re-derived the same
-  * distinct symmetric customer↔supplier edge set, and q107/q224/q313
-  * the same per-order part co-purchase pair explosion — per run,
-  * that was ~7 redundant scan+shuffle materializations of identical
-  * frames in one Verify/Bench/test JVM. Each variant is now computed
-  * ONCE per (testdata dir, variant) per JVM and staged as parquet
-  * under /tmp; consumers re-read the staged file.
+  * derived frames): the part co-purchase pair explosion was derived
+  * three times per run (q107 + q224's two legs) and the symmetric
+  * customer↔supplier edge set four times — each variant is now
+  * computed ONCE per (testdata dir, variant) per JVM and staged as
+  * parquet under /tmp.
   *
-  * NOT staged, deliberately: the raw customer↔supplier pair list
-  * q100/q308 weight their walks with — that build is a broadcast
-  * join over two pruned scans (near-free), and PageRank measured ~2×
-  * slower consuming staged-parquet edges than join-derived ones at
-  * sf0.1 even on identical pre-checkpointed inputs (block-layout
-  * sensitivity of the iteration jobs). Staging pays where the shared
-  * frame is EXPENSIVE to derive or consumed many times; those two
-  * build inline.
+  * MEASURED scope, not a blanket rule: staging pays for the
+  * EXPENSIVE-to-derive part-pair explosion (q107 7.0→5.8 s, q224
+  * 4.5→3.2 s, q313) and for single-pass psym consumers (q237
+  * 1.9→1.4 s). It LOSES for the iterative consumers — PageRank
+  * (q100/q308), LPA (q227), BFS (q266), k-core (q226) all measured
+  * 1.5–2× slower on staged-parquet edges than join-derived ones in
+  * one-JVM A/Bs, even with both sides localCheckpointed (the staged
+  * scan's round-robin layout plans worse under the per-round joins
+  * than the inline distinct's hash layout) — so those build inline
+  * (OperatorQueries.purchaseEdges) and pin with localCheckpoint.
   *
   * Parquet staging, not localCheckpoint, deliberately: Bench
   * unpersists every cached block between queries (so queries measure

@@ -24,8 +24,6 @@ class SuiteTimeLintSpec extends AnyFunSuite {
       "super-linear with density by nature; sub-linear twin is q224"),
     "q100_pagerank" -> ("3 full-edge iterations, the exactness " +
       "baseline; sub-linear twin is q308"),
-    "q224_triangle_doulion" -> ("audit mode runs sampled AND exact " +
-      "legs; bench (audit off) runs the sampled leg only"),
     "q227_label_prop" -> ("3 rounds x |E| vote shuffle — the " +
       "iterative superstep floor for this graph"),
     "q313_components_alternating" -> ("star contraction, FIXED 6 " +
@@ -58,13 +56,16 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     // contended-run guard: this box spikes INDIVIDUAL queries up to
     // ~6× under host noise (measured 291→445 s for the same suite in
     // one day), so per-query assertions are only meaningful on a
-    // quiet-run file. A quiet full run averages ~0.90 s/query; when
-    // the file's mean exceeds that by >15% the lint self-disarms and
+    // quiet-run file; on a contended one the lint self-disarms and
     // says to re-measure rather than flagging noise as regressions.
+    // Calibration r11: the quiet-run mean drifted 0.90 → ~1.00 as the
+    // registry grew heavier (330 queries incl. the graph/maintenance
+    // families); 1.15 still catches genuinely contended files (the
+    // slow-day sweeps read 1.2–1.4) without disarming on a normal run.
     val mean = times.values.sum / times.size
-    assume(mean <= 1.0,
+    assume(mean <= 1.15,
       f"BENCH_LOCAL.json is from a contended run (${mean}%.2f s/query " +
-        "mean vs ~0.90 quiet) — re-run the bench on an idle machine " +
+        "mean vs ~1.00 quiet) — re-run the bench on an idle machine " +
         "before trusting per-query times")
     // budget = max(5 s, 6× suite median): the absolute floor is the
     // r9 brief's 5 s; the median factor tracks MACHINE speed within
@@ -82,9 +83,10 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     // anti-rot in the OTHER direction (r11): an entry that now runs
     // comfortably under budget no longer needs its excuse — stale
     // entries blunt the lint (the r10 verdict caught exactly one:
-    // q296's "expected to fall under 5 s" after it did). The 0.8×
-    // margin keeps queries that HOVER at the threshold (q224/q227
-    // swing ±15% with host load) from flapping in and out.
+    // q296's "expected to fall under 5 s" after it did — this check
+    // then caught q224 the same way in r11). The 0.8× margin keeps
+    // queries that HOVER at the threshold (q107/q227/q313 swing ±15%
+    // with host load) from flapping in and out.
     val healed = whitelist.keySet
       .filter(q => times.get(q).exists(_ < 0.8 * budget))
     assert(healed.isEmpty,
