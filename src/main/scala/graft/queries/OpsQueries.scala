@@ -977,6 +977,46 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // DESCRIBE HISTORY for the graftlog format (CALL glog.history):
+    // one row per generation — pinned shard count, resolvability,
+    // retired-store footprint, liveness — the listing a retention
+    // policy reads before deciding what VACUUM may reclaim. The
+    // scripted lifecycle (ingest → range delete → compact → vacuum)
+    // is probed through the SQL procedure at each step; the driver
+    // row carries the replayable current-table census plus the
+    // history invariants a correct implementation must satisfy as
+    // booleans (generation rows contiguous from 0, exactly one
+    // current, every pre-vacuum generation resolvable, every vacuumed
+    // one unresolvable with an empty retired store). Manifest-read
+    // cost only — history never scans data.
+    "q332_glog_history" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"hist${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(GlogFixtures.CatBase, tbl)
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val n = Tables.table(s, dir, "events").count()
+      graft.sources.GraftLog.deleteWhere(out.toString, 0L, n / 4 - 1)
+      s.sql(s"CALL glog.compact(table => '$tbl', shards => 2)").collect()
+      def hist() = s.sql(s"CALL glog.history(table => '$tbl')")
+        .as[(Long, Int, Boolean, Long, Long, Boolean)].collect().toSeq
+      val pre = hist()
+      s.sql(s"CALL glog.vacuum(table => '$tbl')").collect()
+      val post = hist()
+      def shapeOk(h: Seq[(Long, Int, Boolean, Long, Long, Boolean)]) =
+        h.map(_._1) == (0L until h.size).toSeq &&
+          h.count(_._6) == 1 && h.last._6 && h.last._3
+      s.sql(s"SELECT count(*) AS n_rows_current, " +
+          s"min(event_id) AS min_event_id, " +
+          s"${Q.dsumSql("value")} AS sum_value FROM glog.$tbl")
+        .withColumn("history_contiguous_one_current",
+          lit(shapeOk(pre) && shapeOk(post)))
+        .withColumn("pre_vacuum_all_resolvable", lit(pre.forall(_._3)))
+        .withColumn("post_vacuum_olds_reclaimed",
+          lit(post.dropRight(1).forall(g => !g._3 && g._4 == 0L)))
+    }),
+
     // ZERO-COPY shallow clone (the lakehouse CLONE TABLE/branching
     // primitive, r11): the current snapshot of the shared ingest is
     // cloned by HARDLINK — O(#shards) metadata ops, no data bytes
@@ -2709,6 +2749,18 @@ object OpsQueries {
 
     // both snapshot legs replayed from the halves the fixture wrote:
     // v1 = event_id < n/2 (the pre-append commit), current = all rows
+    // Census of the post-delete table (replayable); history-shape
+    // invariants as contract booleans (the q316 pattern).
+    "q332_glog_history" ->
+      s"""SELECT count(*) AS n_rows_current,
+                 min(event_id) AS min_event_id,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 TRUE AS history_contiguous_one_current,
+                 TRUE AS pre_vacuum_all_resolvable,
+                 TRUE AS post_vacuum_olds_reclaimed
+          FROM events
+          WHERE event_id >= (SELECT count(*) FROM events) // 4""",
+
     // Three structural ops, zero value drift: the post-maintenance
     // read replays as the raw feed; procedure summaries are the
     // contract booleans.

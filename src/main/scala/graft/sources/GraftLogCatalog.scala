@@ -224,11 +224,11 @@ class GraftLogCatalog extends TableCatalog
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false // mutates state
-    protected def run(input: InternalRow): InternalRow
+    protected def run(input: InternalRow): Array[InternalRow]
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val row = run(input)
+      val result = run(input)
       util.List.of[Scan](new LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = result
         override def readSchema(): StructType = out
       }).iterator()
     }
@@ -252,10 +252,10 @@ class GraftLogCatalog extends TableCatalog
       StructField("files_deleted", DataTypes.LongType, nullable = false),
       StructField("bytes_reclaimed", DataTypes.LongType,
         nullable = false)))) {
-    override protected def run(input: InternalRow): InternalRow = {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
       val (f, b) = GraftLog.vacuum(tableDir(input.getUTF8String(0).toString),
         input.getInt(1), input.getLong(2))
-      InternalRow(f, b)
+      Array(InternalRow(f, b))
     }
   }
 
@@ -267,11 +267,11 @@ class GraftLogCatalog extends TableCatalog
       StructField("shards_before", DataTypes.IntegerType, nullable = false),
       StructField("shards_after", DataTypes.IntegerType,
         nullable = false)))) {
-    override protected def run(input: InternalRow): InternalRow = {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
       val (before, after) = GraftLog.compact(
         org.apache.spark.sql.SparkSession.active,
         tableDir(input.getUTF8String(0).toString), input.getInt(1))
-      InternalRow(before, after)
+      Array(InternalRow(before, after))
     }
   }
 
@@ -284,20 +284,39 @@ class GraftLogCatalog extends TableCatalog
     new StructType(Array(
       StructField("shards_linked", DataTypes.IntegerType,
         nullable = false)))) {
-    override protected def run(input: InternalRow): InternalRow = {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
       val version =
         if (input.isNullAt(2)) None
         else Some(input.getUTF8String(2).toString)
-      InternalRow(GraftLog.shallowClone(
+      Array(InternalRow(GraftLog.shallowClone(
         tableDir(input.getUTF8String(0).toString),
-        tableDir(input.getUTF8String(1).toString), version))
+        tableDir(input.getUTF8String(1).toString), version)))
     }
+  }
+
+  private def historyProc: MaintenanceProc = new MaintenanceProc("history",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build()),
+    new StructType(Array(
+      StructField("generation", DataTypes.LongType, nullable = false),
+      StructField("n_shards_pinned", DataTypes.IntegerType,
+        nullable = false),
+      StructField("resolvable", DataTypes.BooleanType, nullable = false),
+      StructField("retired_files", DataTypes.LongType, nullable = false),
+      StructField("retired_bytes", DataTypes.LongType, nullable = false),
+      StructField("is_current", DataTypes.BooleanType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[InternalRow] =
+      GraftLog.history(tableDir(input.getUTF8String(0).toString))
+        .map { case (g, p, res, rf, rb, curr) =>
+          InternalRow(g, p, res, rf, rb, curr) }.toArray
   }
 
   private val procedures: Map[String, () => UnboundProcedure] = Map(
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
-    "clone" -> (() => cloneProc))
+    "clone" -> (() => cloneProc),
+    "history" -> (() => historyProc))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().isEmpty)

@@ -247,15 +247,23 @@ object GraftLog {
     * missing its sidecar) are rewritten in place with fresh stats.
     * The rewrite preserves a bucketed shard's ub sidecar field. */
   def deleteWhere(path: String, lo: Long, hi: Long): Unit = {
-    var structural = false
-    recordHistory(path) // retention: pin the pre-delete listing first
+    // ONE swap commit for the whole delete (r11): per-shard commits
+    // would bump the generation once per rewritten shard, minting
+    // history-less intermediate generations AND letting a reader
+    // observe a half-deleted table between them; batching every drop
+    // and staged rewrite behind a single manifest rename makes the
+    // delete atomic — readers see the table before it or after it,
+    // never between — with exactly one generation bump and one pinned
+    // history listing.
+    val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+    val promotes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     listShards(path).foreach { si =>
       val covered = si.stats.map { case (mn, mx, _) => mn >= lo && mx <= hi }
       val disjoint = si.stats.exists { case (mn, mx, _) => mx < lo || mn > hi }
       if (covered.contains(true)) {
-        retire(path, si.file) // retained until VACUUM
+        drops += si.file // retired (retention) at the swap roll-forward
         shardsDropped.incrementAndGet()
-        structural = true
       } else if (!disjoint) { // partial overlap or no sidecar: rewrite
         val kept = Files.readAllLines(Paths.get(si.file)).asScala
           .filter(_.nonEmpty)
@@ -264,28 +272,24 @@ object GraftLog {
             id < lo || id > hi
           }
         if (kept.isEmpty) {
-          retire(path, si.file) // retained until VACUUM
+          drops += si.file
         } else {
-          // atomic in-place replace via the swap manifest: the kept
-          // rows stage as a hidden tmp, then one promote rename
-          // supersedes the old shard — a reader can never see a torn
-          // half-written shard (a plain Files.write over the live
-          // file could be observed mid-write)
+          // staged as a hidden tmp; the manifest's promote rename
+          // supersedes the old shard in place — a reader can never
+          // see a torn half-written shard
           val name = Paths.get(si.file).getFileName.toString
           val hidden = s".del-$name.tmp"
           Files.write(Paths.get(path, hidden),
             kept.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
           val ids = kept.map(l => l.substring(0, l.indexOf('|')).toLong)
           val ub = si.ub.map(u => s"|$u").getOrElse("")
-          commitSwap(path, Nil,
-            Seq((hidden, name, s"${ids.min}|${ids.max}|${ids.size}$ub")))
+          promotes += ((hidden, name, s"${ids.min}|${ids.max}|${ids.size}$ub"))
         }
         shardsRewritten.incrementAndGet()
-        structural = true
       }
     }
-    // sidecar-only drops bypass commitSwap: truncate history here too
-    if (structural) bumpGeneration(path)
+    if (drops.nonEmpty || promotes.nonEmpty)
+      commitSwap(path, drops.toSeq, promotes.toSeq)
   }
 
   /** A shard plus its sidecar stats (None = sidecar missing: the
@@ -501,6 +505,37 @@ object GraftLog {
           s"graftlog shard $name of generation $g of $path has been " +
             "vacuumed — the snapshot is no longer servable")
       shardInfoOf(candidates.next().toString)
+    }
+  }
+
+  /** Commit-history listing (Delta's DESCRIBE HISTORY for the
+    * format): one row per generation 0..current — how many shards its
+    * snapshot listing pins, whether its history is still resolvable
+    * (false = vacuumed), what the retired store holds for it, and
+    * which generation is live. Driver-side manifest reads only,
+    * O(generations + retired files) — never a data scan. The row a
+    * retention policy or an incident review actually reads before
+    * deciding what VACUUM may reclaim. */
+  def history(path: String):
+      Seq[(Long, Int, Boolean, Long, Long, Boolean)] = {
+    applySwapIfPresent(path)
+    val cur = generation(path)
+    (0L to cur).map { g =>
+      val pinned =
+        if (g == cur) listShards(path).size
+        else {
+          val h = Paths.get(path, HistoryDir, s"g$g.names")
+          if (!Files.exists(h)) -1
+          else Files.readAllLines(h, StandardCharsets.UTF_8)
+            .asScala.count(_.nonEmpty)
+        }
+      val rd = Paths.get(path, RetiredDir, s"g$g")
+      val (rf, rb) =
+        if (!Files.isDirectory(rd)) (0L, 0L)
+        else withListing(rd)(_.foldLeft((0L, 0L)) { case ((n, b), f) =>
+          (n + 1, b + (try Files.size(f)
+            catch { case _: java.io.IOException => 0L })) })
+      (g, if (pinned < 0) 0 else pinned, pinned >= 0, rf, rb, g == cur)
     }
   }
 

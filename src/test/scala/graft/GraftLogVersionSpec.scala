@@ -222,6 +222,34 @@ class GraftLogVersionSpec extends SparkSuite {
     }
   }
 
+  test("CALL history lists every generation: pinned shard counts, " +
+      "retired store, vacuum visibility") {
+    val (dir, _) = twoCommits(100, 2) // 4 shards, g0
+    val base = java.nio.file.Paths.get(dir).getParent.toString
+    val tbl = java.nio.file.Paths.get(dir).getFileName.toString
+    spark.conf.set("spark.sql.catalog.glogh",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogh.base", base)
+    def hist() = spark.sql(s"CALL glogh.history(table => '$tbl')")
+      .as[(Long, Int, Boolean, Long, Long, Boolean)].collect().toSeq
+    // fresh table: one generation, live, nothing retired
+    assert(hist() === Seq((0L, 4, true, 0L, 0L, true)))
+    // compaction: g0's 4 shards retire, g1 pins 2
+    GraftLog.compact(spark, dir, 2)
+    val h1 = hist()
+    assert(h1.map(_._1) === Seq(0L, 1L), "one row per generation")
+    assert(h1.head === ((0L, 4, true, 4L * 2, h1.head._5, false)) ||
+      (h1.head._2 == 4 && h1.head._3 && h1.head._4 >= 4L && !h1.head._6),
+      s"g0 must stay resolvable with its shards retired: $h1")
+    assert(h1(1)._2 === 2 && h1(1)._6, s"g1 is current with 2 shards: $h1")
+    // vacuum: g0 becomes unresolvable, retired store empty
+    GraftLog.vacuum(dir)
+    val h2 = hist()
+    assert(h2.head._3 === false && h2.head._4 === 0L,
+      s"vacuumed generation must list as unresolvable: $h2")
+    assert(h2(1)._2 === 2 && h2(1)._6)
+  }
+
   test("a delta slice across a structural rewrite refuses loudly") {
     val (dir, tok) = twoCommits(100, 2)
     graft.sources.GraftLog.deleteWhere(dir, 0L, 9L)
