@@ -85,7 +85,16 @@ object ConnectedComponents {
     *   ConnectedComponentsSpec's fixed≡fixpoint pin for q313 — drops
     *   ~2 jobs/round of detection overhead; at 100 TB the signature
     *   aggregates are full-edge passes, so the fixed form saves real
-    *   scans, not just scheduler time). */
+    *   scans, not just scheduler time). Fixed-round runs are GUARDED,
+    *   not trusted: convergence-by-round-N is a measurement on the
+    *   caller's data class, not a theorem for arbitrary inputs, so
+    *   after the unrolled rounds a cheap structural check over the
+    *   FINAL (contracted) edge set asserts the fixpoint shape — every
+    *   component a star rooted at its min id — and throws instead of
+    *   returning an unconverged labeling (which would silently emit a
+    *   wrong component census wherever the oracle is not replayed,
+    *   e.g. Bench). Two aggregates over the contracted edges (one
+    *   edge per non-root node), not an extra contraction round. */
   def labelAlternating(edges: DataFrame, idA: String = "id_a",
       idB: String = "id_b", rounds: Int = 0): DataFrame = {
     val spark = edges.sparkSession
@@ -140,6 +149,35 @@ object ConnectedComponents {
       for (_ <- 1 to rounds)
         cur = smallStar(largeStar(cur))
           .repartition(parts, $"u").localCheckpoint()
+      // Fixpoint-shape guard: converged ⟺ the edge set is a star
+      // forest rooted at component minima — (a) every edge points
+      // down (v < u: the root is the min), (b) every non-root has
+      // exactly one root, (c) no node is both child and root. Each
+      // is violated by ANY unconverged state (a mid-algorithm edge
+      // chain breaks (c); a node between two candidate roots breaks
+      // (b)), and together they imply one more largeStar/smallStar
+      // round is a no-op — so passing here IS the fixpoint proof,
+      // at the cost of two aggregates over the contracted edges
+      // instead of a full extra round + signatures.
+      val down = cur.agg(
+        sum(when($"v" >= $"u", 1L).otherwise(0L)),
+        count(lit(1))).head()
+      val multi = cur.select($"u".as("n"), lit(1).as("c"), lit(0).as("r"))
+        .union(cur.select($"v".as("n"), lit(0).as("c"), lit(1).as("r")))
+        .groupBy($"n")
+        .agg(sum($"c").as("as_child"), max($"r").as("as_root"))
+        .filter($"as_child" > 1 || ($"as_child" > 0 && $"as_root" > 0))
+        .count()
+      val downViolations =
+        if (down.isNullAt(0)) 0L else down.getLong(0)
+      if (downViolations > 0L || multi > 0L)
+        throw new IllegalStateException(
+          s"labelAlternating(rounds=$rounds) did not converge: the " +
+            s"contracted edge set is not a min-rooted star forest " +
+            s"($downViolations upward edges, $multi nodes with " +
+            "multiple labels or dual child/root roles) — this graph " +
+            "needs more contraction rounds; rerun with rounds=0 " +
+            "(detected fixpoint) or a larger bound")
     } else {
       var done = false
       while (!done) {

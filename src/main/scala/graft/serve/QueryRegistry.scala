@@ -76,11 +76,16 @@ object QueryRegistry {
       cacheDir: String = defaultCacheDir): Boolean =
     ResultCache.isCached(cacheDir, run(spark, name))
 
-  /** Default cache location: per-user under the system tmp dir. */
+  /** Default cache location: per-user under the system tmp dir (the
+    * user name IS in the path — on a multi-user host a shared fixed
+    * dir would collide: permission failures on each other's entries,
+    * and a pre-created dir owned by another user poisons the cache
+    * location). */
   def defaultCacheDir: String =
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-result-cache").toString
+      s"graft-result-cache-${sys.props.getOrElse("user.name", "anon")}")
+      .toString
 
   def runSqlFile(spark: SparkSession, path: String): DataFrame =
     spark.sql(loadSqlFile(path))

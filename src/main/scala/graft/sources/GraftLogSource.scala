@@ -325,19 +325,27 @@ object GraftLog {
     * reader rolls the swap forward via [[applySwapIfPresent]] before
     * listing, so no read can ever observe both generations (the
     * duplicate-row window the pre-manifest two-phase commit had) or
-    * neither. Roll-forward is idempotent — concurrent
-    * readers/committers racing the same manifest converge on the same
-    * final state (renames of a gone tmp are caught; sidecar writes
-    * and drops are idempotent). Multi-WRITER commits racing two
-    * DIFFERENT manifests are out of scope, as for any file-format
-    * table without a catalog lock (the reference's Redshift upsert
-    * has the same single-writer assumption). */
+    * neither.
+    *
+    * The manifest records the generation it supersedes (`gen|<g>`
+    * first line) and distinguishes fresh-name promotes (`promote`)
+    * from same-name in-place rewrites (`rewrite`, detected here by
+    * the final name already existing) — both are load-bearing for
+    * the race-safety of the roll-forward, see [[applySwapIfPresent]].
+    * Multi-WRITER commits racing two DIFFERENT manifests are out of
+    * scope, as for any file-format table without a catalog lock (the
+    * reference's Redshift upsert has the same single-writer
+    * assumption); concurrent READERS racing the committer (or each
+    * other) over ONE manifest converge — see the roll-forward. */
   def commitSwap(path: String, drops: Seq[String],
       promotes: Seq[(String, String, String)]): Unit = {
-    val body = (drops.map(f =>
-        s"drop|${Paths.get(f).getFileName}") ++
-      promotes.map { case (tmp, fin, meta) => s"promote|$tmp|$fin|$meta" })
-      .mkString("", "\n", "\n")
+    val body = (s"gen|${generation(path)}" +:
+      (drops.map(f => s"drop|${Paths.get(f).getFileName}") ++
+        promotes.map { case (tmp, fin, meta) =>
+          val op =
+            if (Files.exists(Paths.get(path, fin))) "rewrite" else "promote"
+          s"$op|$tmp|$fin|$meta"
+        })).mkString("", "\n", "\n")
     val mTmp = Paths.get(path, s".$SwapManifest.tmp")
     Files.write(mTmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(mTmp, Paths.get(path, SwapManifest),
@@ -345,46 +353,100 @@ object GraftLog {
     applySwapIfPresent(path)
   }
 
-  /** Roll a pending swap forward (crash recovery + read-path barrier):
-    * called at the top of every listing, so a manifest left by a
-    * crashed committer is completed by the next reader. Promotes
-    * rename-with-replace (same-name in-place rewrites are atomic: the
-    * old file is superseded in one rename, so they carry no drop
-    * entry); drops delete file + sidecar. */
+  /** Publish a staged tmp under its final name with EXCLUSIVE
+    * semantics: hardlink (link(2) fails atomically if the target
+    * exists — unlike rename(2), which silently replaces on POSIX),
+    * then unlink the tmp. Lost races and re-entries no-op: a missing
+    * tmp means another thread already published and cleaned up; an
+    * existing fin means the publish itself is done (shard-index
+    * claims guarantee no unrelated writer can hold the name — see
+    * [[claimShardIndices]]), so only the leftover tmp needs removal. */
+  private def publishExclusive(tmp: java.nio.file.Path,
+      fin: java.nio.file.Path): Unit = {
+    try {
+      Files.createLink(fin, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Roll a pending swap forward (crash recovery + read-path
+    * barrier): called at the top of every listing, so a manifest left
+    * by a crashed committer is completed by the next reader.
+    *
+    * RACE-SAFE by file-system arbitration, not by locking: any number
+    * of readers and the committer may execute this concurrently for
+    * the same manifest and converge on the same final state, because
+    * every mutation is an atomic single-winner operation whose losers
+    * no-op —
+    *
+    *  - the generation is pinned IN the manifest (`gen|<g>` line), so
+    *    a straggler thread that resumes after others completed still
+    *    retires into `_retired/g<g>/` where the occupied destination
+    *    rejects it (FileAlreadyExists → no-op), never into a fresh
+    *    later-generation dir (the r11 TOCTOU: a stale `exists(tmp)`
+    *    check let a straggler retire a just-promoted NEW shard);
+    *  - `promote` (fresh name) never retires anything — there is no
+    *    old content under that name by construction, so the one
+    *    data-loss interleaving is unreachable;
+    *  - `rewrite` (same name) retires the old fin FIRST — the move
+    *    into the pinned retired slot is the claim: exactly one thread
+    *    wins it (occupancy arbitrates), and only then is the tmp
+    *    linked in under the now-free name;
+    *  - publishes are exclusive hardlinks ([[publishExclusive]]), so
+    *    a late thread can never clobber the new shard with a replace;
+    *  - the generation bump claims EXACTLY g+1 (atomic create of
+    *    `_generation.<g+1>`; already-exists → someone bumped → no-op)
+    *    instead of incrementing whatever it reads, so N threads
+    *    racing one manifest produce one bump, not N phantom
+    *    generations — and the bump lands BEFORE the manifest delete,
+    *    so a crash between them re-enters with every entry already
+    *    idempotent and the claim already taken. */
   def applySwapIfPresent(path: String): Unit = {
     val m = Paths.get(path, SwapManifest)
     if (!Files.exists(m)) return
     val lines =
       try Files.readAllLines(m, StandardCharsets.UTF_8).asScala
       catch { case _: java.nio.file.NoSuchFileException => return }
+    val entries = lines.filter(_.nonEmpty).map(_.split('|'))
+    // the generation this swap supersedes — pinned in the manifest so
+    // every racer (including post-completion stragglers) retires into
+    // the SAME store; fallback for a manifest without the line
+    val g0: Long = entries.collectFirst { case p if p(0) == "gen" =>
+      p(1).toLong }.getOrElse(generation(path))
     // retention bookkeeping BEFORE any mutation: pin this
     // generation's shard listing so pre-rewrite snapshot tokens stay
     // resolvable (first entrant wins; a crashed-and-resumed
     // application finds it already written)
-    recordHistory(path)
-    lines.filter(_.nonEmpty).foreach { line =>
-      val p = line.split('|')
+    recordHistory(path, g0)
+    entries.foreach { p =>
       p(0) match {
+        case "gen" => ()
         case "drop" =>
           // RETAIN, don't delete: superseded shards move to the
           // retired store so snapshot tokens of this generation keep
           // reading until VACUUM reclaims them
-          retire(path, Paths.get(path, p(1)).toString)
-        case "promote" =>
+          retire(path, Paths.get(path, p(1)).toString, g0)
+        case "rewrite" =>
+          // same-name in-place rewrite: the OLD content belongs to
+          // the pre-swap generation — retire it first (single-winner:
+          // the retired slot g0/<name> is the claim), then link the
+          // staged tmp in under the freed name
           val tmp = Paths.get(path, p(1))
           val fin = Paths.get(path, p(2))
-          if (Files.exists(tmp)) {
-            // same-name in-place rewrite: the OLD content belongs to
-            // the pre-swap generation — retire it before the
-            // replacing rename (guarded on tmp existing, so an
-            // idempotent re-entry can never retire the NEW file)
-            if (Files.exists(fin)) retire(path, fin.toString)
-            try Files.move(tmp, fin,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            catch { case _: java.nio.file.NoSuchFileException => () }
-          }
-          // sidecar body rides the manifest (idempotent re-write)
+          if (Files.exists(tmp) && Files.exists(fin))
+            retire(path, fin.toString, g0)
+          publishExclusive(tmp, fin)
+          Files.write(
+            Paths.get(path, p(2).stripSuffix(".graftlog") + ".meta"),
+            p.drop(3).mkString("|").getBytes(StandardCharsets.UTF_8))
+        case "promote" =>
+          // fresh name: nothing to retire, ever — the exclusive link
+          // is the whole promote
+          publishExclusive(Paths.get(path, p(1)), Paths.get(path, p(2)))
           Files.write(
             Paths.get(path, p(2).stripSuffix(".graftlog") + ".meta"),
             p.drop(3).mkString("|").getBytes(StandardCharsets.UTF_8))
@@ -393,15 +455,13 @@ object GraftLog {
             s"corrupt swap manifest entry in $path: $other")
       }
     }
-    Files.deleteIfExists(m)
     // every swap retires/replaces shards — snapshot tokens minted
-    // before it move to the RETAINED tier (readable via the history
-    // manifest + retired store until VACUUM): bump HERE, at the
-    // roll-forward, so a committer that crashed after the manifest
-    // rename still bumps when the next reader completes its swap (an
-    // idempotent-race double bump is harmless: generations only need
-    // to be monotonic)
-    bumpGeneration(path)
+    // before it move to the RETAINED tier: claim exactly g0+1 (not
+    // "whatever + 1" — racers of one manifest must produce ONE bump),
+    // BEFORE the manifest delete so a crash between them cannot lose
+    // the bump
+    claimGeneration(path, g0 + 1)
+    if (Files.deleteIfExists(m)) recordCommit(path)
   }
 
   /** ---- Snapshot retention + VACUUM (r11) ----
@@ -427,12 +487,12 @@ object GraftLog {
   private[sources] val HistoryDir = "_history"
   private[sources] val RetiredDir = "_retired"
 
-  /** Pin the current generation's live shard listing (idempotent,
+  /** Pin generation `g`'s live shard listing (idempotent,
     * first-writer-wins). Raw directory listing on purpose — this is
     * called from inside the swap roll-forward, so it must not
-    * re-enter [[listShards]]. */
-  private def recordHistory(path: String): Unit = {
-    val g = generation(path)
+    * re-enter [[listShards]]; `g` is the manifest-pinned generation,
+    * not a fresh read (see [[applySwapIfPresent]]'s race notes). */
+  private def recordHistory(path: String, g: Long): Unit = {
     val f = Paths.get(path, HistoryDir, s"g$g.names")
     if (Files.exists(f)) return
     Files.createDirectories(f.getParent)
@@ -448,24 +508,40 @@ object GraftLog {
   }
 
   /** Move a superseded shard (+ sidecar) into the retired store of
-    * the CURRENT generation (its content was live through this
-    * generation). Idempotent: a re-entered roll-forward whose file is
-    * already gone is a no-op. */
-  private[sources] def retire(path: String, shardFile: String): Unit = {
-    val g = generation(path)
+    * generation `g` — the manifest-pinned generation its content was
+    * live through, passed in (never re-read) so a straggler racing a
+    * completed roll-forward targets the SAME store, where occupancy
+    * arbitrates. Both lost-race shapes no-op: the file already gone
+    * (another thread moved it) and the destination already occupied
+    * (another thread retired it — and, in the straggler case, what we
+    * are holding is the just-promoted NEW shard, which must NOT move;
+    * the occupied slot is exactly what protects it). */
+  private[sources] def retire(path: String, shardFile: String,
+      g: Long): Unit = {
     val dst = Paths.get(path, RetiredDir, s"g$g")
     Files.createDirectories(dst)
     val name = Paths.get(shardFile).getFileName.toString
-    try Files.move(Paths.get(shardFile), dst.resolve(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.NoSuchFileException => () }
+    val won =
+      try {
+        Files.move(Paths.get(shardFile), dst.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.NoSuchFileException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    // the meta rides ONLY with the shard-move win: a loser touching
+    // the live meta could be holding the already-promoted NEW
+    // sidecar (straggler case), which must stay in place
     val meta = Paths.get(shardFile.stripSuffix(".graftlog") + ".meta")
-    if (Files.exists(meta))
+    if (won && Files.exists(meta))
       try Files.move(meta,
         dst.resolve(name.stripSuffix(".graftlog") + ".meta"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch { case _: java.nio.file.NoSuchFileException => () }
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
   }
 
   /** Shard list of a RETAINED historical snapshot (generation g <
@@ -571,6 +647,9 @@ object GraftLog {
     // an evolved source clones with its added columns intact
     val ext = Paths.get(src, ExtSchemaFile)
     if (Files.exists(ext)) Files.copy(ext, d.resolve(ExtSchemaFile))
+    // the clone's own commit history starts here (its generations are
+    // fresh, so the source's commit markers would resolve wrong)
+    recordCommit(dst)
     shards.size
   }
 
@@ -593,8 +672,6 @@ object GraftLog {
     val cutoff = System.currentTimeMillis() - minAgeMs
     var files = 0L
     var bytes = 0L
-    def oldEnough(p: java.nio.file.Path): Boolean =
-      minAgeMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     def del(p: java.nio.file.Path): Unit = {
       bytes += (try Files.size(p) catch { case _: java.io.IOException => 0L })
       if (Files.deleteIfExists(p)) files += 1
@@ -605,24 +682,46 @@ object GraftLog {
         Some(s.toLong)
       else None
     }
+    // Per-GENERATION reclaim, ONE age decision driving both artifacts
+    // and history-manifest-first deletion order — both load-bearing
+    // (the r11 shape reclaimed _retired/g<r> before _history/g<r>
+    // .names in separate loops with separate mtime checks, so a crash
+    // or a cutoff landing between them could leave the generation
+    // RESOLVABLE while its retired copies were gone; for a shard
+    // rewritten in place under the same name, historical resolution
+    // then fell through to the LIVE file and silently served
+    // post-rewrite rows to a retained token). Deleting the history
+    // manifest first makes the generation loudly unresolvable before
+    // any of its data disappears: the failure mode of a crash
+    // mid-vacuum is "snapshot fails although its bytes survive" —
+    // never "snapshot reads wrong bytes".
     val rd = Paths.get(path, RetiredDir)
-    if (Files.isDirectory(rd))
-      withListing(rd)(_.toSeq).foreach { d =>
-        genOf(d.getFileName.toString, "g") match {
-          case Some(r) if r < keepFrom && oldEnough(d) =>
-            withListing(d)(_.toSeq).foreach(del)
-            Files.deleteIfExists(d)
-          case _ => ()
-        }
-      }
     val hd = Paths.get(path, HistoryDir)
-    if (Files.isDirectory(hd))
-      withListing(hd)(_.toSeq).foreach { f =>
-        genOf(f.getFileName.toString.stripSuffix(".names"), "g") match {
-          case Some(r) if r < keepFrom &&
-            f.getFileName.toString.endsWith(".names") && oldEnough(f) =>
-            del(f)
-          case _ => ()
+    val retiredGens =
+      if (!Files.isDirectory(rd)) Set.empty[Long]
+      else withListing(rd)(_.map(_.getFileName.toString).toSeq)
+        .flatMap(genOf(_, "g")).toSet
+    val historyGens =
+      if (!Files.isDirectory(hd)) Set.empty[Long]
+      else withListing(hd)(_.map(_.getFileName.toString).toSeq)
+        .filter(_.endsWith(".names"))
+        .flatMap(n => genOf(n.stripSuffix(".names"), "g")).toSet
+    (retiredGens ++ historyGens).filter(_ < keepFrom).toSeq.sorted
+      .foreach { r =>
+        val hist = hd.resolve(s"g$r.names")
+        val dir = rd.resolve(s"g$r")
+        def mt(p: java.nio.file.Path): Long =
+          try Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue }
+        val oldEnough = minAgeMs <= 0L ||
+          ((!Files.exists(hist) || mt(hist) <= cutoff) &&
+            (!Files.isDirectory(dir) || mt(dir) <= cutoff))
+        if (oldEnough) {
+          del(hist) // FIRST: the generation fails loudly from here on
+          if (Files.isDirectory(dir)) {
+            withListing(dir)(_.toSeq).foreach(del)
+            Files.deleteIfExists(dir)
+          }
         }
       }
     // superseded CAS claim files: only the max carries information
@@ -707,36 +806,107 @@ object GraftLog {
     (marker +: claims).max
   }
 
-  /** Called by every structural-rewrite commit. Compare-and-swap: the
-    * commit point is an atomic `Files.createFile` of the claim file
-    * `_generation.<g+1>` — if another rewrite already claimed g+1 the
-    * create fails atomically and we RETRY against the refreshed
-    * generation, so N concurrent rewrites produce N distinct bumps
-    * (the r10 read-modify-write could collapse two rewrites into one
-    * bump, leaving a token minted between them silently "valid" over
-    * twice-rewritten shards). The bare marker refresh after the claim
-    * is a best-effort cache update; [[generation]] folds claims in,
-    * so a crash before the refresh loses nothing. */
+  /** Claim EXACTLY generation `g` for the table (compare-and-swap:
+    * an atomic `Files.createFile` of `_generation.<g>` — the create
+    * fails atomically if already claimed). Returns whether THIS call
+    * won the claim. Two distinct callers use it two distinct ways:
+    * the swap roll-forward claims the manifest-pinned g0+1, so N
+    * threads racing ONE manifest produce ONE bump (already-claimed →
+    * no-op, not a retry — a retry would mint phantom generations);
+    * [[bumpGeneration]] retries upward, so N concurrent REWRITES
+    * produce N distinct bumps. The bare marker refresh after a won
+    * claim is a best-effort cache update; [[generation]] folds claims
+    * in, so a crash before the refresh loses nothing. */
+  private[sources] def claimGeneration(path: String, g: Long): Boolean =
+    try {
+      Files.createFile(Paths.get(path, s"$GenerationMarker.$g"))
+      val tmp = Paths.get(path, s".$GenerationMarker.tmp." +
+        java.util.UUID.randomUUID().toString.take(8))
+      Files.write(tmp, g.toString.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, Paths.get(path, GenerationMarker),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp) } // cache refresh lost a race: fine
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  /** Bump to the NEXT free generation, whatever it is — the entry
+    * point for a structural rewrite that did not come through a swap
+    * manifest. Retries against the refreshed generation on a lost
+    * claim, so concurrent rewrites can never collapse into one bump
+    * (a token minted between them would be silently "valid" over
+    * twice-rewritten shards). */
   private[sources] def bumpGeneration(path: String): Long = {
     var attempts = 0
     while (attempts < 1000) {
       val next = generation(path) + 1
-      try {
-        Files.createFile(Paths.get(path, s"$GenerationMarker.$next"))
-        val tmp = Paths.get(path, s".$GenerationMarker.tmp." +
-          java.util.UUID.randomUUID().toString.take(8))
-        Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-        try Files.move(tmp, Paths.get(path, GenerationMarker),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp) } // cache refresh lost a race: fine
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
-      }
+      if (claimGeneration(path, next)) return next
+      attempts += 1
     }
     throw new IllegalStateException(
       s"bumpGeneration($path): lost the claim race 1000 times")
+  }
+
+  /** ---- Commit wall-clock timestamps (r12): TIMESTAMP AS OF ----
+    *
+    * Every commit (batch append, swap roll-forward, streaming epoch,
+    * the [[write]] helper) drops one empty marker file
+    * `_commits/<ts_ms>-<token>` recording "at wall-clock ts_ms the
+    * table was at snapshot <token>" — createFile is atomic and
+    * duplicate-safe, so racing recorders converge without a log-file
+    * append protocol, and the store is O(#commits) metadata (the same
+    * cost class as Delta's _delta_log listing). [[timestampAsOf]]
+    * resolves the form users actually type ("the table as of
+    * yesterday 09:00") to the newest token at-or-before the instant;
+    * reads then flow through the exact version machinery —
+    * including its loud failure once VACUUM reclaims the needed
+    * generation. */
+  private[sources] val CommitsDir = "_commits"
+
+  /** Record "the table is NOW at its current version" (idempotent,
+    * race-safe). Called after every commit completes. */
+  private[sources] def recordCommit(path: String): Unit = {
+    val tok = currentVersion(path)
+    val d = Paths.get(path, CommitsDir)
+    Files.createDirectories(d)
+    try Files.createFile(d.resolve(
+      s"${System.currentTimeMillis()}-$tok"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Resolve a wall-clock instant to the snapshot token current at
+    * that instant: the newest recorded commit at-or-before `tsMs`
+    * (ties and same-millisecond commits resolve to the LATEST state:
+    * markers sort by (ts, generation, shardCount)). Fails loudly when
+    * the instant predates the earliest recorded commit, or when the
+    * table has no commit record at all (written by a pre-r12 writer —
+    * version tokens still work; wall-clock resolution needs the
+    * markers). */
+  def timestampAsOf(path: String, tsMs: Long): String = {
+    applySwapIfPresent(path)
+    val d = Paths.get(path, CommitsDir)
+    val marker = """(\d+)-g(\d+)\.(\d+)""".r
+    val commits =
+      if (!Files.isDirectory(d)) Seq.empty
+      else withListing(d)(_.map(_.getFileName.toString).toSeq)
+        .collect { case marker(ts, g, n) =>
+          (ts.toLong, g.toLong, n.toLong) }
+        .sorted
+    if (commits.isEmpty)
+      throw new IllegalArgumentException(
+        s"graftlog table $path records no commit timestamps — " +
+          "TIMESTAMP AS OF needs the _commits markers (written by " +
+          "every r12+ commit); use a version token instead")
+    val at = commits.filter(_._1 <= tsMs)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMs predates the earliest recorded commit of " +
+          s"$path (${commits.head._1}) — there is no table state to " +
+          "read at that instant")
+    val (_, g, n) = at.last
+    s"g$g.$n"
   }
 
   /** Snapshot token of the CURRENT table state — pass it back later
@@ -872,9 +1042,11 @@ object GraftLog {
     val tmp = path + "__compact_tmp"
     def rmdir(d: String): Unit = {
       val p = Paths.get(d)
-      if (Files.isDirectory(p)) {
-        withListing(p)(_.toSeq).foreach(Files.delete)
-        Files.delete(p)
+      if (Files.isDirectory(p)) { // recursive: staging carries _commits
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally w.close()
       }
     }
     rmdir(tmp)
@@ -938,6 +1110,7 @@ object GraftLog {
         Files.write(Paths.get(dir, f"shard-$i%05d.meta"),
           meta.getBytes(StandardCharsets.UTF_8))
     }
+    recordCommit(dir)
   }
 }
 
@@ -1124,10 +1297,13 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
   // atomic rename in DataWriter.commit; Spark's output commit
   // coordinator admits ONE attempt per partition) and readers treat
   // a missing sidecar as "cannot prune, still read" — so there is no
-  // global commit action. A lakehouse-grade all-or-nothing commit
-  // would write a manifest here (the store.TimeTravel _SUCCESS
-  // pattern); shard-level atomicity is the log-ingest contract.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // global commit action beyond recording the commit's wall-clock
+  // instant for TIMESTAMP AS OF resolution. A lakehouse-grade
+  // all-or-nothing commit would write a manifest here (the
+  // store.TimeTravel _SUCCESS pattern); shard-level atomicity is the
+  // log-ingest contract.
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftLog.recordCommit(path)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
