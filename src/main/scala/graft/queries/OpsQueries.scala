@@ -1122,6 +1122,77 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // TIMESTAMP AS OF — wall-clock time travel (r12 brief #1), the
+    // form users actually type ("the table as of yesterday 09:00"):
+    // every commit drops a `_commits/<ts_ms>-<token>` marker, and an
+    // instant resolves to the newest snapshot at-or-before it, then
+    // reads on the exact-version machinery — so retention, vacuum
+    // loudness and the metadata-aggregate fast path all compose with
+    // wall-clock addressing for free. The lifecycle here crosses TWO
+    // rewrite boundaries (range-delete head, then tail), reading the
+    // same table at three captured instants; every census is a pure
+    // function of the events feed (the oracle replays the three
+    // slices), and the boolean legs pin the loud failures — an
+    // instant predating the table, and a pre-rewrite instant after
+    // VACUUM reclaimed its generation — plus that the current instant
+    // keeps reading. GraftLogTimestampSpec pins the boundary mechanics
+    // (between-commits resolution, catalog TIMESTAMP AS OF SQL).
+    // Scale shape: resolution is one O(#commits) marker listing —
+    // manifest-tier, never a data scan.
+    "q333_timestamp_as_of" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val tbl = s"tsof${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      // the file-level copy carries no commit markers: stamp "now =
+      // the full feed" (the pre-r12 migration surface)
+      graft.sources.GraftLog.recordCommit(log)
+      val n = Tables.table(s, dir, "events").count()
+      val q = n / 4
+      def instant(): Long = {
+        Thread.sleep(5); val t = System.currentTimeMillis()
+        Thread.sleep(5); t
+      }
+      val t1 = instant()
+      graft.sources.GraftLog.deleteWhere(log, 0L, q - 1) // rewrite #1
+      val t2 = instant()
+      graft.sources.GraftLog.deleteWhere(log, 3 * q, Long.MaxValue) // #2
+      val t3 = instant()
+      def asOf(t: Long) = s.read.format(fmt)
+        .option("timestampAsOf", t.toString).load(log)
+      // 1-row collects (the q325 discipline): each leg must be READ
+      // at its point in the lifecycle — t1/t2 resolve to generations
+      // the vacuum below reclaims
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val l1 = stats(asOf(t1))
+      val l2 = stats(asOf(t2))
+      val l3 = stats(asOf(t3))
+      val preHistoryFails =
+        try { asOf(0L).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      val (vFiles, _) = graft.sources.GraftLog.vacuum(log)
+      val oldInstantFails =
+        try { asOf(t1).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      val currentReads = stats(asOf(t3)) == l3
+      Seq(("t1_pre_rewrites", l1._1, l1._2, l1._3, l1._4),
+          ("t2_head_deleted", l2._1, l2._2, l2._3, l2._4),
+          ("t3_tail_deleted", l3._1, l3._2, l3._3, l3._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("pre_history_instant_fails", lit(preHistoryFails))
+        .withColumn("vacuum_reclaimed", lit(vFiles > 0L))
+        .withColumn("pre_rewrite_instant_fails_after_vacuum",
+          lit(oldInstantFails))
+        .withColumn("current_instant_reads_after_vacuum",
+          lit(currentReads))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -2837,6 +2908,37 @@ object OpsQueries {
           SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
                  TRUE AS vacuum_reclaimed,
                  TRUE AS old_token_fails_after_vacuum
+          FROM legs ORDER BY leg""",
+
+    // Three wall-clock instants replayed as the three feed slices the
+    // rewrites left behind; the booleans are invariants of a correct
+    // TIMESTAMP AS OF + retention implementation (the q316 pattern).
+    "q333_timestamp_as_of" ->
+      s"""WITH q AS (SELECT (SELECT count(*) FROM events) // 4 AS c),
+          legs AS (
+            SELECT 't1_pre_rewrites' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 't2_head_deleted' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id >= (SELECT c FROM q)
+            UNION ALL
+            SELECT 't3_tail_deleted' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id >= (SELECT c FROM q)
+              AND event_id < 3 * (SELECT c FROM q))
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS pre_history_instant_fails,
+                 TRUE AS vacuum_reclaimed,
+                 TRUE AS pre_rewrite_instant_fails_after_vacuum,
+                 TRUE AS current_instant_reads_after_vacuum
           FROM legs ORDER BY leg""",
 
     "q309_graftlog_time_travel" ->

@@ -106,6 +106,27 @@ class GraftLogCatalog extends TableCatalog
     new GraftLogTable(dir, GraftLog.isBucketed(dir), Some(version))
   }
 
+  /** SQL time travel by WALL CLOCK: `SELECT … FROM glog.t TIMESTAMP
+    * AS OF '2026-08-15 09:00:00'` — the form users actually type.
+    * Spark hands the literal here as MICROseconds since epoch; the
+    * commit markers ([[GraftLog.recordCommit]]) resolve it to the
+    * newest snapshot token at-or-before the instant, and the read
+    * then runs on the exact-version machinery — including its loud
+    * failure once VACUUM has reclaimed the needed generation.
+    * Resolution happens at analysis, so an instant predating the
+    * table (or a table with no commit record) is an analysis-time
+    * error, not a mid-query one. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!Files.isDirectory(Paths.get(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    val token = GraftLog.timestampAsOf(dir,
+      Math.floorDiv(timestampMicros, 1000L))
+    GraftLog.shardsAt(dir, Some(token)) // validate eagerly
+    new GraftLogTable(dir, GraftLog.isBucketed(dir), Some(token))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -866,8 +866,11 @@ object GraftLog {
   private[sources] val CommitsDir = "_commits"
 
   /** Record "the table is NOW at its current version" (idempotent,
-    * race-safe). Called after every commit completes. */
-  private[sources] def recordCommit(path: String): Unit = {
+    * race-safe). Called after every commit completes; public so a
+    * table assembled OUTSIDE the commit paths (a file-level copy, a
+    * pre-r12 migration) can be stamped and become TIMESTAMP AS OF
+    * addressable from that instant. */
+  def recordCommit(path: String): Unit = {
     val tok = currentVersion(path)
     val d = Paths.get(path, CommitsDir)
     Files.createDirectories(d)
@@ -1179,11 +1182,18 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, schema(),
       Option(options.get("maxShardsPerTrigger")).map(_.toInt),
-      // a catalog time-travel load (VERSION AS OF) pins every scan of
-      // this table handle; a reader-level .option("version", …) on a
-      // plain load can still ask explicitly. sinceVersion reads only
-      // the shards a snapshot did NOT yet contain (incremental feed).
-      Option(options.get("version")).orElse(pinnedVersion),
+      // a catalog time-travel load (VERSION AS OF / TIMESTAMP AS OF)
+      // pins every scan of this table handle; a reader-level
+      // .option("version", …) or .option("timestampAsOf", epochMs) on
+      // a plain load can still ask explicitly (wall-clock resolution
+      // happens HERE, at plan time, through the commit markers — the
+      // scan then runs on the exact-version machinery). sinceVersion
+      // reads only the shards a snapshot did NOT yet contain
+      // (incremental feed).
+      Option(options.get("version"))
+        .orElse(Option(options.get("timestampAsOf"))
+          .map(ts => GraftLog.timestampAsOf(path, ts.toLong)))
+        .orElse(pinnedVersion),
       Option(options.get("sinceVersion")))
 
   /** Batch write: `df.write.format("graft.sources.GraftLogSource")
