@@ -73,15 +73,30 @@ class GraftLogSource extends TableProvider {
   private def bucketed(path: String, opts: util.Map[String, String]): Boolean =
     opts.containsKey("bucketBy") || GraftLog.isBucketed(path)
 
+  private def changeFeed(opts: util.Map[String, String]): Boolean =
+    Option(new CaseInsensitiveStringMap(opts).get("readChangeFeed"))
+      .exists(_.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (bucketed(options.get("path"), options)) GraftLog.bucketedSchema
-    else StructType(GraftLog.schema.fields ++
-      GraftLog.extSchema(options.get("path")))
+    if (bucketed(options.get("path"), options)) {
+      require(!changeFeed(options),
+        "readChangeFeed is not supported on bucketed graftlog tables " +
+          "(their layout never rewrites, so the feed is the plain " +
+          "sinceVersion slice)")
+      GraftLog.bucketedSchema
+    } else {
+      val base = StructType(GraftLog.schema.fields ++
+        GraftLog.extSchema(options.get("path")))
+      if (changeFeed(options))
+        StructType(base.fields :+ GraftLog.ChangeTypeField)
+      else base
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftLogTable(properties.get("path"),
-      bucketed(properties.get("path"), properties))
+      bucketed(properties.get("path"), properties),
+      changeFeed = changeFeed(properties))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -175,12 +190,14 @@ object GraftLog {
   case class LineCol(pos: Int, dt: DataType) extends ColRef
   case object UbCol extends ColRef
   case object ShardCol extends ColRef
+  case object ChangeTypeCol extends ColRef
 
   /** Resolve projected column names against base + evolved schema. */
   def resolveCols(requiredCols: Array[String],
       ext: Seq[StructField]): Array[ColRef] =
     requiredCols.map {
       case "_shard" => ShardCol
+      case "_change_type" => ChangeTypeCol
       case "ub" => UbCol
       case c =>
         val base = schema.fieldNames.indexOf(c)
@@ -1003,6 +1020,46 @@ object GraftLog {
     }
   }
 
+  /** ---- Row-level change data feed (r12 brief #2) ----
+    *
+    * `_change_type` ∈ {insert, delete} between two snapshot tokens,
+    * DERIVED LAZILY from the retention machinery instead of written
+    * at commit: a snapshot's shard list resolves every shard NAME to
+    * the file holding its as-of content (live, or the retired copy —
+    * shards are immutable once written, so "same resolved file" ⟺
+    * "same content"); the change set between two snapshots is then a
+    * pure name-level diff — names only in the old snapshot (or
+    * resolving to a different file) contribute their old rows as
+    * deletes, names only in the new one (or resolving differently)
+    * their new rows as inserts. An UPDATE therefore reads as
+    * delete+insert, and a rewritten shard contributes its FULL
+    * before/after images — rows present in both cancel under the
+    * consumer's net (apply deletes, then inserts), which reconstructs
+    * the exact target state: precisely the staged-upsert contract the
+    * reference's Redshift loop wants
+    * (etl-s3-processed-to-redshift.py:73-82), without snapshot
+    * diffing a 100 TB table — the feed opens ONLY the touched shards.
+    * Readable until VACUUM reclaims the needed generations (then
+    * loud, like any historical read). */
+  def changeSet(path: String, since: String,
+      end: Option[String]): Seq[(String, String)] = {
+    def resolved(tok: String): Map[String, String] =
+      shardsAt(path, Some(tok)).map(si =>
+        Paths.get(si.file).getFileName.toString -> si.file).toMap
+    val a = resolved(since)
+    val b = resolved(end.getOrElse(currentVersion(path)))
+    val deletes = a.collect {
+      case (n, f) if !b.get(n).contains(f) => (f, "delete") }
+    val inserts = b.collect {
+      case (n, f) if !a.get(n).contains(f) => (f, "insert") }
+    (deletes ++ inserts).toSeq.sortBy(_._1)
+  }
+
+  /** The change-feed read schema: the table's columns plus the
+    * change-type marker. */
+  private[sources] val ChangeTypeField =
+    StructField("_change_type", StringType, nullable = false)
+
   /** First free shard index: one past the highest index any existing
     * shard carries. Appends name their shards from here so a second
     * batch write can never clobber an earlier one (ATOMIC_MOVE
@@ -1118,7 +1175,8 @@ object GraftLog {
 }
 
 class GraftLogTable(path: String, bucketed: Boolean = false,
-    pinnedVersion: Option[String] = None) extends Table
+    pinnedVersion: Option[String] = None,
+    changeFeed: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -1171,9 +1229,13 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
     * load; bucketed layouts never evolve (the catalog refuses). */
   private val ext: Seq[StructField] =
     if (bucketed) Nil else GraftLog.extSchema(path)
-  override def schema(): StructType =
-    if (bucketed) GraftLog.bucketedSchema
-    else StructType(GraftLog.schema.fields ++ ext)
+  override def schema(): StructType = {
+    val base =
+      if (bucketed) GraftLog.bucketedSchema
+      else StructType(GraftLog.schema.fields ++ ext)
+    if (changeFeed) StructType(base.fields :+ GraftLog.ChangeTypeField)
+    else base
+  }
   override def partitioning(): Array[Transform] =
     if (bucketed) Array(Expressions.identity("ub")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
@@ -1194,7 +1256,8 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
         .orElse(Option(options.get("timestampAsOf"))
           .map(ts => GraftLog.timestampAsOf(path, ts.toLong)))
         .orElse(pinnedVersion),
-      Option(options.get("sinceVersion")))
+      Option(options.get("sinceVersion")),
+      changeFeed = changeFeed)
 
   /** Batch write: `df.write.format("graft.sources.GraftLogSource")
     * .mode("append").save(dir)`. The arriving schema must BE the
@@ -1636,10 +1699,15 @@ class GraftLogScanBuilder(path: String,
     maxShardsPerTrigger: Option[Int] = None,
     version: Option[String] = None,
     sinceVersion: Option[String] = None,
-    onPlan: Seq[String] => Unit = _ => ()) extends ScanBuilder
+    onPlan: Seq[String] => Unit = _ => (),
+    changeFeed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
+  if (changeFeed) require(sinceVersion.isDefined,
+    "readChangeFeed needs .option(\"sinceVersion\", <token>) — the " +
+      "feed is defined between two snapshots (end defaults to the " +
+      "current version)")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var pushedAgg: Option[Seq[AggregateFunc]] = None
@@ -1663,7 +1731,7 @@ class GraftLogScanBuilder(path: String,
     * never offers a limit while filters remain, and ours are always
     * residuals. */
   override def pushLimit(limit: Int): Boolean =
-    pushedAgg.isEmpty && limit > 0 && {
+    !changeFeed && pushedAgg.isEmpty && limit > 0 && {
       pushedLimit = Some(limit)
       true
     }
@@ -1679,7 +1747,7 @@ class GraftLogScanBuilder(path: String,
     * instead (partial pushdown: Spark's TakeOrderedAndProject above
     * the scan makes selection an I/O optimization, never semantics). */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
-    pushedAgg.isEmpty && limit > 0 && orders.length == 1 && {
+    !changeFeed && pushedAgg.isEmpty && limit > 0 && orders.length == 1 && {
       orders(0).expression() match {
         case n: NamedReference if n.fieldNames.sameElements(Array("event_id")) =>
           pushedTopN =
@@ -1738,7 +1806,7 @@ class GraftLogScanBuilder(path: String,
       }
       case _ => false
     }
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+    !changeFeed && pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -1762,7 +1830,7 @@ class GraftLogScanBuilder(path: String,
 
   override def build(): Scan =
     new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg,
-      pushedLimit, pushedTopN, onPlan, version, sinceVersion)
+      pushedLimit, pushedTopN, onPlan, version, sinceVersion, changeFeed)
 }
 
 /** Observability at the DSv2 seam: per-task and driver-side custom
@@ -1797,10 +1865,17 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     topN: Option[(Boolean, Int)] = None,
     onPlan: Seq[String] => Unit = _ => (),
     version: Option[String] = None,
-    sinceVersion: Option[String] = None)
+    sinceVersion: Option[String] = None,
+    changeFeed: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
+
+  /** Change-feed shard set, resolved ONCE at scan construction (the
+    * same plan-time listing every scan pays): (file, insert|delete)
+    * per touched shard — the feed opens only these, never the table. */
+  private lazy val changes: Seq[(String, String)] =
+    GraftLog.changeSet(path, sinceVersion.get, version)
 
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1811,6 +1886,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * shard selection — all of it is pruning). */
   override def reportDriverMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    if (changeFeed)
+      return Array(GraftLogMetrics.TaskMetric("shardsPruned", 0L))
     val total = GraftLog.shardsBetween(path, sinceVersion, version).size
     val planned =
       if (pushedAgg.isDefined) 0
@@ -1907,6 +1984,15 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * shuffle instead. Rows are unknown if any live shard lost its
     * sidecar; bytes are always known (file sizes). */
   override def estimateStatistics(): Statistics = {
+    if (changeFeed) {
+      val bytes = changes.map(c => GraftLog.ShardInfo(c._1, None).bytes).sum
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
     val live = liveShards
     val rows: java.util.OptionalLong =
       if (live.forall(_.stats.isDefined))
@@ -1996,7 +2082,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     val ascOrder: Array[SortOrder] = Array(
       Expressions.sort(Expressions.column("event_id"),
         SortDirection.ASCENDING))
-    if (pushedAgg.isDefined || !required.fieldNames.contains("event_id"))
+    if (pushedAgg.isDefined || changeFeed ||
+        !required.fieldNames.contains("event_id"))
       Array.empty
     else bucketGroups match {
       case Some(gs) =>
@@ -2018,6 +2105,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * bucket so both sides of a storage-partitioned join list their
     * partitions in the same key order. */
   private def bucketGroups: Option[Seq[(Long, Seq[GraftLog.ShardInfo])]] = {
+    if (changeFeed) return None // CDF never reads a bucketed layout
     val live = liveShards
     if (live.nonEmpty && live.forall(_.ub.isDefined) &&
         required.fieldNames.contains("ub"))
@@ -2033,7 +2121,10 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     * aggregate without an exchange. Anything else reads as unknown. */
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (pushedAgg.isDefined)
+    if (changeFeed)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(changes.size)
+    else if (pushedAgg.isDefined)
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(1)
     else bucketGroups match {
@@ -2046,7 +2137,13 @@ class GraftLogScan(path: String, pushed: Array[Filter],
           .UnknownPartitioning(selectedShards.size)
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (changeFeed) {
+      onPlan(changes.map(_._1))
+      return changes.map { case (f, ct) =>
+        GraftLogPartition(f, None, None, None, Some(ct)): InputPartition
+      }.toArray
+    }
     pushedAgg match {
       case Some(aggs) =>
         // metadata-only: fold the sidecars on the driver (O(#shards),
@@ -2081,6 +2178,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
             .toArray
       }
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames,
@@ -2095,9 +2193,11 @@ case class GraftLogAggPartition(values: Array[Option[Long]])
 /** `headCap` keeps only the shard's first n rows (pushed LIMIT, or an
   * ascending top-n riding the format's within-shard event_id order);
   * `tailCap` keeps the LAST n rows (descending top-n) — mutually
-  * exclusive by construction. */
+  * exclusive by construction. `change` tags a change-feed partition:
+  * every row of the shard reads with that `_change_type`. */
 case class GraftLogPartition(file: String, ub: Option[Long] = None,
-    headCap: Option[Int] = None, tailCap: Option[Int] = None)
+    headCap: Option[Int] = None, tailCap: Option[Int] = None,
+    change: Option[String] = None)
     extends InputPartition
 
 /** One whole bucket of a bucketed table — its partition key is what
@@ -2210,8 +2310,9 @@ class GraftLogReaderFactory(requiredCols: Array[String],
     * homogeneous per scan, so Spark never sees a mixed batch. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition match {
-      // metadata-column projections stay on the row reader
-      case GraftLogPartition(_, _, None, None) =>
+      // metadata-column and change-feed projections stay on the row
+      // reader
+      case GraftLogPartition(_, _, None, None, None) =>
         !refs.contains(GraftLog.ShardCol)
       case _ => false
     }
@@ -2219,7 +2320,7 @@ class GraftLogReaderFactory(requiredCols: Array[String],
   override def createColumnarReader(partition: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case GraftLogPartition(file, ub, None, None) =>
+      case GraftLogPartition(file, ub, None, None, None) =>
         new GraftLogColumnarReader(file, refs, ub)
       case p => throw new IllegalStateException(
         s"no columnar reader for partition $p")
@@ -2238,8 +2339,8 @@ class GraftLogReaderFactory(requiredCols: Array[String],
             values.map(v => (v.map(Long.box).orNull): Any))
         override def close(): Unit = ()
       }
-    case GraftLogPartition(file, ub, head, tail) =>
-      val base = new GraftLogReader(file, refs, ub)
+    case GraftLogPartition(file, ub, head, tail, change) =>
+      val base = new GraftLogReader(file, refs, ub, change)
       (head, tail) match {
         case (Some(n), _) => new GraftLogHeadReader(base, n)
         case (_, Some(n)) => new GraftLogTailReader(base, n)
@@ -2311,8 +2412,9 @@ class GraftLogColumnarReader(file: String,
   private val vectors: Array[OnHeapColumnVector] = refs.map {
     case GraftLog.LineCol(_, dt) => new OnHeapColumnVector(capacity, dt)
     case GraftLog.UbCol => new OnHeapColumnVector(capacity, LongType)
-    case GraftLog.ShardCol => throw new IllegalStateException(
-      "_shard projections keep the row reader")
+    case GraftLog.ShardCol | GraftLog.ChangeTypeCol =>
+      throw new IllegalStateException(
+        "_shard/_change_type projections keep the row reader")
   }
   private val batch = new ColumnarBatch(
     vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
@@ -2345,7 +2447,8 @@ class GraftLogColumnarReader(file: String,
             case GraftLog.UbCol => vectors(c).putLong(n, ub.getOrElse(
               throw new IllegalStateException(
                 s"projection asked for ub but shard $file has no sidecar")))
-            case GraftLog.ShardCol => () // unreachable (factory refuses)
+            // unreachable (factory refuses both)
+            case GraftLog.ShardCol | GraftLog.ChangeTypeCol => ()
           }
           c += 1
         }
@@ -2374,8 +2477,12 @@ class GraftLogColumnarReader(file: String,
   * the line. Evolved columns (positions ≥ 5) null-fill when the line
   * predates the ALTER (fewer fields) or carries the null token. */
 class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
-    ub: Option[Long] = None) extends PartitionReader[InternalRow] {
+    ub: Option[Long] = None,
+    change: Option[String] = None) extends PartitionReader[InternalRow] {
   GraftLog.filesOpened.incrementAndGet()
+
+  private val changeTag: UTF8String =
+    change.map(UTF8String.fromString).orNull
 
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -2408,6 +2515,11 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
           throw new IllegalStateException(
             s"projection asked for ub but shard $file has no bucket sidecar"))
         case GraftLog.ShardCol => shardName
+        case GraftLog.ChangeTypeCol =>
+          if (changeTag == null) throw new IllegalStateException(
+            s"projection asked for _change_type but the partition over " +
+              s"$file carries no change tag (not a change-feed read)")
+          else changeTag
       }
       i += 1
     }
