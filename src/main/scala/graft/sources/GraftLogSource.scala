@@ -457,16 +457,16 @@ object GraftLog {
           if (Files.exists(tmp) && Files.exists(fin))
             retire(path, fin.toString, g0)
           publishExclusive(tmp, fin)
-          Files.write(
-            Paths.get(path, p(2).stripSuffix(".graftlog") + ".meta"),
-            p.drop(3).mkString("|").getBytes(StandardCharsets.UTF_8))
+          writeMetaAtomic(path,
+            p(2).stripSuffix(".graftlog") + ".meta",
+            p.drop(3).mkString("|"))
         case "promote" =>
           // fresh name: nothing to retire, ever — the exclusive link
           // is the whole promote
           publishExclusive(Paths.get(path, p(1)), Paths.get(path, p(2)))
-          Files.write(
-            Paths.get(path, p(2).stripSuffix(".graftlog") + ".meta"),
-            p.drop(3).mkString("|").getBytes(StandardCharsets.UTF_8))
+          writeMetaAtomic(path,
+            p(2).stripSuffix(".graftlog") + ".meta",
+            p.drop(3).mkString("|"))
         case other =>
           throw new IllegalStateException(
             s"corrupt swap manifest entry in $path: $other")
@@ -748,6 +748,20 @@ object GraftLog {
           if (r < g) del(Paths.get(path, name))
         }
       }
+    // shard-index claims whose shard HAS been published: the claim
+    // served its purpose (the live shard now holds the index). Claims
+    // with no published shard are kept — see the conflict-contract
+    // scaladoc: deleting one could hand a slow writer's index away.
+    val idx = """shard-(\d+)""".r
+    val names = withListing(Paths.get(path))(
+      _.map(_.getFileName.toString).toSeq)
+    val published = names.filter(_.endsWith(".graftlog"))
+      .flatMap(n => idx.findFirstMatchIn(n).map(_.group(1).toInt)).toSet
+    names.filter(_.startsWith(ClaimPrefix)).foreach { c =>
+      idx.findFirstMatchIn(c).map(_.group(1).toInt).foreach { i =>
+        if (published.contains(i)) del(Paths.get(path, c))
+      }
+    }
     (files, bytes)
   }
 
@@ -765,17 +779,37 @@ object GraftLog {
       .map(shard => shardInfoOf(shard.toString))
   }
 
+  /** Atomic sidecar write: stage + rename, so a concurrent reader
+    * sees the old body, the new body, or no file — never a torn one
+    * (Files.write alone exposed an empty/partial window that a racing
+    * listShards parsed as corrupt). */
+  private[sources] def writeMetaAtomic(path: String, metaName: String,
+      body: String): Unit = {
+    val tmp = Paths.get(path, s".$metaName.tmp." +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, metaName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Shard file → ShardInfo (sidecar parse), shared by the live
-    * listing and historical-snapshot resolution. */
+    * listing and historical-snapshot resolution. A malformed or
+    * vanished sidecar (a writer crashed mid-write before the atomic
+    * discipline, or the shard was retired mid-listing) degrades to
+    * "readable but unprunable", never a reader crash. */
   private def shardInfoOf(file: String): ShardInfo = {
     val meta = Paths.get(file.stripSuffix(".graftlog") + ".meta")
     if (!Files.exists(meta)) ShardInfo(file, None)
-    else {
+    else try {
       val p = new String(Files.readAllBytes(meta),
         StandardCharsets.UTF_8).trim.split('|')
       ShardInfo(file,
         Some((p(0).toLong, p(1).toLong, p(2).toLong)),
         if (p.length > 3) Some(p(3).toLong) else None)
+    } catch {
+      case _: NumberFormatException | _: ArrayIndexOutOfBoundsException |
+           _: java.nio.file.NoSuchFileException => ShardInfo(file, None)
     }
   }
 
@@ -1060,18 +1094,137 @@ object GraftLog {
   private[sources] val ChangeTypeField =
     StructField("_change_type", StringType, nullable = false)
 
+  /** ---- Concurrent-writer conflict contract (r12 brief #3) ----
+    *
+    * Shard-INDEX claims make concurrent commits name-safe. The
+    * conflict matrix for two concurrent operations on one table:
+    *
+    *  - append ∥ append — SAFE, serialized by claims: each write job
+    *    claims its index range atomically ([[claimShardIndices]]);
+    *    losers retry past the winner's range, so no two writers ever
+    *    target one name, and task publish is an exclusive hardlink
+    *    that throws instead of clobbering if the invariant is somehow
+    *    broken.
+    *  - append ∥ compact / INSERT OVERWRITE / CoW UPDATE/MERGE —
+    *    SAFE with append-wins semantics: the rewrite's output names
+    *    are claimed before staging, so a racing append can never take
+    *    them; the rewrite retires exactly the shards it LISTED at
+    *    start, so shards appended during it survive the swap (they
+    *    are simply not part of the rewritten snapshot — the same
+    *    blind-append-commutes rule as Delta's WriteSerializable).
+    *  - append ∥ range DELETE — SAFE, same shape: rows appended
+    *    during the delete survive even if they match the range (the
+    *    delete applies to the snapshot it read).
+    *  - rewrite ∥ rewrite (two compacts, compact ∥ delete, …) — OUT
+    *    OF SCOPE, single-structural-writer assumption (two different
+    *    swap manifests race for one path), as for any file-format
+    *    table without a catalog lock. Generation claims keep even
+    *    this from silently collapsing bumps, but the row-level
+    *    outcome is last-writer-wins.
+    *
+    * A claim is an empty `_claim.shard-<idx>` marker; it outlives the
+    * write (harmless — an index is never reused while its claim or
+    * shard exists) and [[vacuum]] reclaims claims whose shard has
+    * been published. Claims of crashed writers whose shard never
+    * landed are kept forever: deleting one could hand the index to a
+    * new writer while the original (slow, not crashed) still holds
+    * it — a skipped index costs nothing, a reused one is a race. */
+  private[sources] val ClaimPrefix = "_claim."
+
   /** First free shard index: one past the highest index any existing
-    * shard carries. Appends name their shards from here so a second
-    * batch write can never clobber an earlier one (ATOMIC_MOVE
-    * silently replaces on POSIX), and names stay monotonic with
-    * append order — the invariant the streaming offset (shard count
-    * in name order) relies on. */
+    * shard OR CLAIM carries. Appends name their shards from here so a
+    * second batch write can never clobber an earlier one, and names
+    * stay monotonic with append order — the invariant the streaming
+    * offset (shard count in name order) relies on. */
   def nextShardIndex(path: String): Int = {
     val idx = """shard-(\d+)""".r
     val existing = listShards(path).flatMap(s =>
       idx.findFirstMatchIn(Paths.get(s.file).getFileName.toString)
         .map(_.group(1).toInt))
-    if (existing.isEmpty) 0 else existing.max + 1
+    val claimed = withListing(Paths.get(path))(
+      _.map(_.getFileName.toString)
+        .filter(_.startsWith(ClaimPrefix))
+        .flatMap(n => idx.findFirstMatchIn(n).map(_.group(1).toInt))
+        .toSeq)
+    (existing ++ claimed).maxOption.fold(0)(_ + 1)
+  }
+
+  /** Per-path monitor serializing the claim→publish section of an
+    * append commit WITHIN this JVM (across processes the claim CAS
+    * still prevents collisions; see [[publishAppend]] for the
+    * residual cross-process ordering note). */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(
+      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Publish an append job's staged shards: claim the index range and
+    * link the tmps in under their final names IN INDEX ORDER, then
+    * write sidecars — all at JOB commit, atomically per shard and
+    * all-or-nothing per job w.r.t. failures before this point (a
+    * failed job leaves only hidden tmps, never partial shards).
+    *
+    * WHY commit-time, ordered publishing is load-bearing: snapshot
+    * tokens pin a COUNT-prefix of the name-sorted listing, which is
+    * only well-defined if names become visible in ascending order. A
+    * claim taken at write START with task-time publishing broke that
+    * — a slow task could publish index 15 AFTER indices 16-19 landed,
+    * so a token minted in between pinned a prefix that later CHANGED
+    * (caught by GraftLogConcurrencySpec: a compaction reading such a
+    * token duplicated the late shard and lost the last one). Claiming
+    * and linking here, in order, under the per-path lock makes
+    * in-process visibility strictly prefix-monotonic. Cross-process
+    * appenders keep collision-freedom via the claim CAS and retain a
+    * microsecond-scale reordering window (the cost of a listing-based
+    * format without a central commit log — structural rewrites are
+    * immune: their visibility is one atomic manifest). Tmps sort by
+    * partition id, so the ordered distribution's event_id clustering
+    * maps onto ascending shard names and sidecar ranges stay
+    * disjoint. */
+  def publishAppend(path: String,
+      pending: Seq[(String, String, Option[Long])]): Unit = {
+    if (pending.nonEmpty) lockFor(path).synchronized {
+      val base = claimShardIndices(path, pending.size)
+      pending.sortBy(_._1).zipWithIndex.foreach {
+        case ((tmp, meta, ub), i) =>
+          val stem = f"shard-${base + i}%05d" +
+            ub.fold("")(u => f"-b$u%05d")
+          // exclusive: a collision here is a broken claim invariant —
+          // fail loudly rather than clobber
+          Files.createLink(Paths.get(path, s"$stem.graftlog"),
+            Paths.get(path, tmp))
+          Files.deleteIfExists(Paths.get(path, tmp))
+          writeMetaAtomic(path, s"$stem.meta", meta)
+      }
+    }
+    recordCommit(path)
+  }
+
+  /** Atomically claim `count` consecutive shard indices: the commit
+    * point per index is an atomic create of its claim marker; any
+    * collision releases the partial range and retries past the
+    * refreshed maximum — the optimistic-concurrency loop that makes
+    * appends safe against each other and against a staging rewrite. */
+  def claimShardIndices(path: String, count: Int): Int = {
+    Files.createDirectories(Paths.get(path))
+    if (count <= 0) return nextShardIndex(path)
+    var attempts = 0
+    while (attempts < 1000) {
+      val base = nextShardIndex(path)
+      val claimed =
+        scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val ok = (base until base + count).forall { i =>
+        val c = Paths.get(path, f"${ClaimPrefix}shard-$i%05d")
+        try { Files.createFile(c); claimed += c; true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+      if (ok) return base
+      claimed.foreach(Files.deleteIfExists(_)) // lost the race: release
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"claimShardIndices($path, $count): lost the claim race 1000 times")
   }
 
   /** Compact a small-shard log into `shards` large ones — the
@@ -1097,7 +1250,15 @@ object GraftLog {
     require(!isBucketed(path),
       s"$path is a bucketed graftlog table; compaction would need the " +
         "bucket count, which the layout does not record — re-ingest instead")
-    val olds = listShards(path)
+    // Pin the snapshot FIRST and read through its token: the rewrite
+    // read otherwise plans its own (later) listing, so a shard
+    // appended between this listing and the read would be folded into
+    // the compacted output WITHOUT being retired — duplicated rows
+    // (caught by GraftLogConcurrencySpec's append∥compact race). With
+    // the token, compact reads exactly what it retires and racing
+    // appends stay untouched — the append-wins contract.
+    val tok = currentVersion(path)
+    val olds = shardsAt(path, Some(tok))
     val before = olds.size
     val tmp = path + "__compact_tmp"
     def rmdir(d: String): Unit = {
@@ -1118,14 +1279,16 @@ object GraftLog {
       Files.copy(Paths.get(path, ExtSchemaFile),
         Paths.get(tmp, ExtSchemaFile))
     }
-    spark.read.format("graft.sources.GraftLogSource").load(path)
+    spark.read.format("graft.sources.GraftLogSource")
+      .option("version", tok).load(path)
       .write.format("graft.sources.GraftLogSource")
       .mode("append").option("shards", shards).save(tmp)
     val staged = listShards(tmp)
     // stage inside the table dir as hidden tmps (same filesystem —
-    // plain renames), numbered past every live shard; invisible to
+    // plain renames), with CLAIMED indices past every live shard so a
+    // racing append can never take the output names; invisible to
     // readers until the manifest lands
-    val base = nextShardIndex(path)
+    val base = claimShardIndices(path, staged.size)
     val promotes = staged.zipWithIndex.map { case (s, i) =>
       val hidden = f".compact-${base + i}%05d.tmp"
       Files.move(Paths.get(s.file), Paths.get(path, hidden),
@@ -1360,24 +1523,21 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    // driver-side, once per write: appends start numbering past every
-    // existing shard so they can never clobber an earlier write and
-    // keep names monotonic with append order (streaming offset model)
-    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path),
-      ext = ext)
+    // tasks stage hidden tmps only; names are assigned at JOB commit
+    new GraftLogWriterFactory(path, buckets, 0, pending = true, ext = ext)
   }
-  // Per-shard visibility is handled at the task seam (tmp file +
-  // atomic rename in DataWriter.commit; Spark's output commit
-  // coordinator admits ONE attempt per partition) and readers treat
-  // a missing sidecar as "cannot prune, still read" — so there is no
-  // global commit action beyond recording the commit's wall-clock
-  // instant for TIMESTAMP AS OF resolution. A lakehouse-grade
-  // all-or-nothing commit would write a manifest here (the
-  // store.TimeTravel _SUCCESS pattern); shard-level atomicity is the
-  // log-ingest contract.
+  // JOB-commit publishing (r12): tasks stage hidden tmps (invisible
+  // to every reader — they match neither *.graftlog nor the streaming
+  // poll); this commit claims the index range and links the shards in
+  // ascending order under the per-path lock, which is what keeps
+  // snapshot-token COUNT-prefixes well-defined under concurrent
+  // appends (see GraftLog.publishAppend) — and makes a batch append
+  // all-or-nothing: a job that dies before this point leaves no
+  // partial shards.
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftLog.recordCommit(path)
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    GraftLog.publishAppend(path, GraftLogSwapCommit.pending(messages))
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogSwapCommit.abort(path, messages)
 }
 
 /** Copy-on-write row-level operations (SQL UPDATE / MERGE INTO, and
@@ -1453,9 +1613,22 @@ private object GraftLogSwapCommit {
       }
     messages.toSeq.flatMap(walk)
   }
+  def pending(messages: Array[WriterCommitMessage])
+      : Seq[(String, String, Option[Long])] = {
+    def walk(m: WriterCommitMessage): Seq[(String, String, Option[Long])] =
+      m match {
+        case GraftLogPendingCommitMessage(tmp, meta, ub) =>
+          Seq((tmp, meta, ub))
+        case GraftLogBucketedCommitMessage(ms) => ms.flatMap(walk)
+        case _ => Nil
+      }
+    messages.toSeq.flatMap(walk)
+  }
   def abort(path: String, messages: Array[WriterCommitMessage]): Unit = {
     def drop(m: WriterCommitMessage): Unit = m match {
       case GraftLogDeferredCommitMessage(tmp, _, _) =>
+        Files.deleteIfExists(Paths.get(path, tmp))
+      case GraftLogPendingCommitMessage(tmp, _, _) =>
         Files.deleteIfExists(Paths.get(path, tmp))
       case GraftLogCommitMessage(file, n, _, _) if n > 0L =>
         Files.deleteIfExists(Paths.get(file))
@@ -1476,7 +1649,8 @@ class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int],
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     existing = GraftLog.listShards(path).map(_.file)
-    new GraftLogWriterFactory(path, buckets, GraftLog.nextShardIndex(path),
+    new GraftLogWriterFactory(path, buckets,
+      GraftLog.claimShardIndices(path, info.numPartitions()),
       defer = true, ext = ext)
   }
   // atomic: new-generation shards are hidden tmps until the swap
@@ -1502,7 +1676,8 @@ class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
     // width (numFields - 5), with a first-row plausibility assertion
     // so a changed metadata layout fails loudly instead of writing
     // garbage; the UPDATE/MERGE specs pin exact round-tripped values
-    new GraftLogWriterFactory(path, None, GraftLog.nextShardIndex(path),
+    new GraftLogWriterFactory(path, None,
+      GraftLog.claimShardIndices(path, info.numPartitions()),
       markerOffset = true, defer = true,
       ext = GraftLog.extSchema(path).map(_.dataType))
   }
@@ -1522,15 +1697,17 @@ class GraftLogWriterFactory(path: String, buckets: Option[Int] = None,
     baseIndex: Int = 0,
     markerOffset: Boolean = false,
     defer: Boolean = false,
+    pending: Boolean = false,
     ext: Seq[DataType] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = buckets match {
     case Some(n) =>
       new GraftLogBucketedWriter(path, baseIndex + partitionId, taskId, n,
-        defer = defer)
+        defer = defer, pending = pending)
     case None =>
       new GraftLogWriter(path, baseIndex + partitionId, taskId,
-        markerOffset = markerOffset, defer = defer, ext = ext)
+        markerOffset = markerOffset, defer = defer, pending = pending,
+        ext = ext)
   }
 }
 
@@ -1544,6 +1721,13 @@ case class GraftLogCommitMessage(file: String, rows: Long,
 case class GraftLogDeferredCommitMessage(tmpName: String,
     finalName: String, meta: String) extends WriterCommitMessage
 
+/** An append-staged shard awaiting its NAME: still a hidden tmp at
+  * task commit; the job commit claims the index range and links it in
+  * ([[GraftLog.publishAppend]] — names must become visible in
+  * ascending order for count-prefix snapshot tokens to stay stable). */
+case class GraftLogPendingCommitMessage(tmpName: String,
+    meta: String, ub: Option[Long]) extends WriterCommitMessage
+
 /** One shard + sidecar per non-empty partition. Data lands in a
   * hidden `.tmp` (invisible to both batch listing and the streaming
   * source's shard poll — neither matches `*.graftlog`), then task
@@ -1555,6 +1739,7 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     shardUb: Option[Long] = None,
     markerOffset: Boolean = false,
     defer: Boolean = false,
+    pending: Boolean = false,
     ext: Seq[DataType] = Nil)
     extends DataWriter[InternalRow] {
   private val extTypes = ext.toArray
@@ -1625,6 +1810,11 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     if (n == 0L) {
       Files.deleteIfExists(tmp)
       GraftLogCommitMessage("", 0L, 0L, 0L)
+    } else if (pending) {
+      // append-staged: the job commit claims indices and links this
+      // in — no empty-partition index holes, names visible in order
+      GraftLogPendingCommitMessage(tmp.getFileName.toString,
+        s"$mn|$mx|$n" + shardUb.fold("")(u => s"|$u"), shardUb)
     } else if (defer) {
       // swap-committed write (CoW replace / overwrite): the shard
       // stays a hidden tmp — invisible to every reader — until the
@@ -1635,11 +1825,14 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
         s"$mn|$mx|$n" + shardUb.fold("")(u => s"|$u"))
     } else {
       val shard = Paths.get(dir, s"$stem.graftlog")
-      Files.move(tmp, shard,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      val meta = s"$mn|$mx|$n" + shardUb.fold("")(u => s"|$u")
-      Files.write(Paths.get(dir, s"$stem.meta"),
-        meta.getBytes(StandardCharsets.UTF_8))
+      // EXCLUSIVE publish: link(2) fails atomically if the name is
+      // taken (rename(2) would silently replace on POSIX). Index
+      // claims make a collision impossible; if one happens anyway the
+      // loud failure here is a broken-invariant report, not data loss.
+      Files.createLink(shard, tmp)
+      Files.deleteIfExists(tmp)
+      GraftLog.writeMetaAtomic(dir, s"$stem.meta",
+        s"$mn|$mx|$n" + shardUb.fold("")(u => s"|$u"))
       GraftLogCommitMessage(shard.toString, n, mn, mx)
     }
   }
@@ -1662,7 +1855,8 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
   * wrong bucket column would silently mis-route rows and corrupt
   * every storage-partitioned join over the table. */
 class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
-    buckets: Int, defer: Boolean = false) extends DataWriter[InternalRow] {
+    buckets: Int, defer: Boolean = false,
+    pending: Boolean = false) extends DataWriter[InternalRow] {
   private var cur: GraftLogWriter = _
   private var curUb: Long = -1L
   private val done = Seq.newBuilder[WriterCommitMessage]
@@ -1675,7 +1869,7 @@ class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
     if (cur == null || ub != curUb) {
       if (cur != null) done += cur.commit()
       cur = new GraftLogWriter(dir, pid, taskId, shardUb = Some(ub),
-        defer = defer)
+        defer = defer, pending = pending)
       curUb = ub
     }
     cur.write(r)
