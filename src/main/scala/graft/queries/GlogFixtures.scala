@@ -35,11 +35,16 @@ object GlogFixtures {
 
   private val Fmt = "graft.sources.GraftLogSource"
 
-  /** Shared read-only fixture: built once per (testdata dir, key) per
-    * JVM; `build` receives the target dir and must write the table. */
-  def shared(dir: String, key: String)(build: String => Unit): String =
+  /** Shared read-only fixture: built once per (testdata dir, content
+    * signature, key) per JVM; `build` receives the target dir and
+    * must write the table. The signature term (file names + sizes +
+    * mtimes of the testdata dir) closes the same-JVM staleness
+    * window: testdata regenerated under the same path re-keys and
+    * rebuilds instead of serving stale staged shards. */
+  def shared(dir: String, key: String)(build: String => Unit): String = {
+    val sig = dirSig(dir)
     built.synchronized {
-      built.getOrElseUpdate(s"$dir|$key", {
+      built.getOrElseUpdate(s"$dir|$sig|$key", {
         val name =
           s"shared_${key}_${math.abs(dir.hashCode).toHexString}"
         val out = Paths.get(CatBase, name)
@@ -49,6 +54,23 @@ object GlogFixtures {
         out.toString
       })
     }
+  }
+
+  private def dirSig(dir: String): String = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) "absent"
+    else {
+      val s = Files.walk(p)
+      try {
+        val items = s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"${p.relativize(f)}:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+        java.lang.Integer.toHexString(items.hashCode)
+      } finally s.close()
+    }
+  }
 
   /** The full events feed as an unbucketed `shards`-shard graftlog
     * table (the layout q159/q172/q194…q201 all start from). */

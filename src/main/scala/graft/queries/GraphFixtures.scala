@@ -50,6 +50,28 @@ object GraphFixtures {
 
   val FixBase = "/tmp/graft-graph-fix"
 
+  /** Content signature of the testdata dir (relative name + size +
+    * mtime of every file): part of every cache key AND staged path,
+    * so testdata regenerated UNDER THE SAME PATH — even mid-JVM —
+    * re-keys and rebuilds instead of serving a stale staged frame
+    * (the r11 verdict's same-JVM staleness window). One directory
+    * walk of a few dozen files per fixture access — stat-tier cost. */
+  private def dirSig(dir: String): String = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) "absent"
+    else {
+      val s = Files.walk(p)
+      try {
+        val items = s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"${p.relativize(f)}:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+        java.lang.Integer.toHexString(items.hashCode)
+      } finally s.close()
+    }
+  }
+
   /** @param fanout re-spread the staged scan across the session's
     *   shuffle width on read. A few-MB staged file scans as ONE
     *   partition (not even splittable), which would serialize the
@@ -61,10 +83,11 @@ object GraphFixtures {
     *   shuffles. */
   private def staged(s: SparkSession, dir: String, key: String,
       fanout: Boolean)(build: => DataFrame): DataFrame = {
+    val sig = dirSig(dir)
     val path = built.synchronized {
-      built.getOrElseUpdate(s"$dir|$key", {
+      built.getOrElseUpdate(s"$dir|$sig|$key", {
         val out = Paths.get(FixBase,
-          s"${key}_${math.abs(dir.hashCode).toHexString}")
+          s"${key}_${math.abs(s"$dir|$sig".hashCode).toHexString}")
         rm(out)
         build.write.parquet(out.toString)
         out.toString
@@ -131,9 +154,11 @@ object GraphFixtures {
 
   /** lineitem row count for adaptive exchange sizing (cached: it
     * prices partition counts in several graph kernels). */
-  def lineitemCount(s: SparkSession, dir: String): Long =
+  def lineitemCount(s: SparkSession, dir: String): Long = {
+    val k = s"$dir|${dirSig(dir)}"
     counts.synchronized {
-      counts.getOrElseUpdate(dir,
+      counts.getOrElseUpdate(k,
         Tables.table(s, dir, "lineitem").count())
     }
+  }
 }

@@ -1193,6 +1193,130 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // CBO statistics surface (r12 brief #5): q154 computed
+    // ANALYZE-style stats as DATA; this row feeds them to the
+    // PLANNER and proves the planning consequence — the same
+    // selective join is planned as a shuffle before ANALYZE (the
+    // filtered side prices at raw file size) and as a broadcast
+    // after it (column NDV prices the equality filter at ~1 row),
+    // probed under CBO with AQE off so the flip is attributable to
+    // stats alone, then confs restored. The returned census is the
+    // recorded statistics themselves, every exact field replayable
+    // by the oracle (rowCount, min/max, nullCount — ANALYZE computes
+    // these exactly; the HLL-approximate NDV rides as a tolerance
+    // boolean). At 100 TB this is the difference between a planner
+    // that broadcasts a selectively-filtered dimension and one that
+    // shuffles 100 TB against it — CboStatsSpec pins the mechanics.
+    "q336_cbo_stats" -> ((s, dir) => {
+      import s.implicits._
+      val id = runId.incrementAndGet()
+      val cust = s"cbo_cust_$id"
+      val ords = s"cbo_ord_$id"
+      s.catalog.createTable(cust, "parquet",
+        Map("path" -> s"$dir/customer.parquet"))
+      s.catalog.createTable(ords, "parquet",
+        Map("path" -> s"$dir/orders.parquet"))
+      val nCust = s.table(cust).count()
+      val probeSql =
+        s"""SELECT o.o_orderkey, c.c_name FROM $ords o
+            JOIN $cust c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey = ${nCust / 2}"""
+      def withConf[A](pairs: (String, String)*)(f: => A): A = {
+        val old = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+        pairs.foreach { case (k, v) => s.conf.set(k, v) }
+        try f finally old.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      }
+      def broadcasts: Boolean = withConf(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "1024") {
+        s.sql(probeSql).queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+      }
+      val before = broadcasts
+      s.sql(s"ANALYZE TABLE $cust COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"ANALYZE TABLE $ords COMPUTE STATISTICS")
+      val after = broadcasts
+      val col = s.sql(s"DESC EXTENDED $cust c_custkey").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val rowsRe = """(\d+) rows""".r
+      val statRows = s.sql(s"DESC EXTENDED $cust").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .get("Statistics").flatMap(v =>
+          rowsRe.findFirstMatchIn(v).map(_.group(1).toLong))
+        .getOrElse(-1L)
+      val ndv = col("distinct_count").toLong
+      Seq((statRows, col("min").toLong, col("max").toLong,
+          col("num_nulls").toLong))
+        .toDF("n_rows_stat", "min_custkey", "max_custkey", "n_nulls")
+        .withColumn("ndv_within_tolerance",
+          // ANALYZE's NDV is HyperLogLog++ at relativeSD=0.05: the
+          // TYPICAL error is ~5%, the tail reaches ~3sigma — gate at
+          // 15% so the boolean pins "a real estimate", not HLL luck
+          lit(math.abs(ndv - nCust).toDouble / nCust <= 0.15))
+        .withColumn("broadcast_with_stats_only", lit(after && !before))
+    }),
+
+    // Procedure-surface completion (r12 brief #7): retention as a
+    // STORED table property + sidecar repair, SQL-only end to end —
+    // CALL set_retention persists the policy (echoed back, pinned as
+    // a boolean), a structural rewrite follows, and an ARGUMENT-LESS
+    // CALL vacuum honors the stored window (the pre-rewrite token
+    // still reads its exact census — `retained_window_reads`), then
+    // a crashed-writer sidecar loss is repaired by CALL analyze
+    // (rebuilt count + all-sidecars-present + the metadata-aggregate
+    // fast path returning the right total, all booleans). The row
+    // census is the post-delete table the oracle replays.
+    // RetentionPolicySpec pins the file-level mechanics; this row
+    // gates the SQL lifecycle under the driver hash. Scale shape:
+    // set_retention/vacuum are manifest work; analyze scans only the
+    // sidecar-less shards.
+    "q335_retention_procedures" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"rpol${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(GlogFixtures.CatBase, tbl)
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val n = Tables.table(s, dir, "events").count()
+      val policyEcho = s.sql(
+        s"CALL glog.set_retention(table => '$tbl', " +
+          "retain_generations => 1)").as[(Int, Long)].head()
+      val tok0 = graft.sources.GraftLog.currentVersion(log)
+      s.sql(s"DELETE FROM glog.$tbl WHERE event_id < ${n / 4}")
+      s.sql(s"CALL glog.vacuum(table => '$tbl')").collect()
+      // stored policy retained the pre-rewrite generation: the old
+      // token must still read the FULL feed
+      val retainedReads =
+        s.read.format("graft.sources.GraftLogSource")
+          .option("version", tok0).load(log).count() == n
+      // crashed-writer shape: drop one sidecar, repair via analyze
+      val aMeta = java.nio.file.Files.list(out).iterator()
+      var lost: java.nio.file.Path = null
+      while (aMeta.hasNext) {
+        val p = aMeta.next()
+        if (lost == null && p.toString.endsWith(".meta")) lost = p
+      }
+      java.nio.file.Files.delete(lost)
+      val (_, rebuilt) = s.sql(
+        s"CALL glog.analyze(table => '$tbl')").as[(Int, Int)].head()
+      val allSidecars = graft.sources.GraftLog.listShards(log)
+        .forall(_.stats.isDefined)
+      s.sql(s"SELECT event_type, count(*) AS n_rows, " +
+          s"min(event_id) AS min_event_id, " +
+          s"${Q.dsumSql("value")} AS sum_value " +
+          s"FROM glog.$tbl GROUP BY event_type")
+        .withColumn("policy_echoed", lit(policyEcho == ((1, 0L))))
+        .withColumn("retained_window_reads", lit(retainedReads))
+        .withColumn("sidecar_rebuilt",
+          lit(rebuilt == 1 && allSidecars))
+        .orderBy($"event_type")
+    }),
+
     // Row-level CHANGE DATA FEED (r12 brief #2) — what the
     // reference's downstream-upsert loop actually wants instead of
     // snapshot diffing (etl-s3-processed-to-redshift.py:73-82): the
@@ -3004,6 +3128,31 @@ object OpsQueries {
                  TRUE AS pre_rewrite_instant_fails_after_vacuum,
                  TRUE AS current_instant_reads_after_vacuum
           FROM legs ORDER BY leg""",
+
+    // ANALYZE's exact fields replay directly; the approximate NDV and
+    // the planning flip are invariant booleans.
+    "q336_cbo_stats" ->
+      """SELECT count(*) AS n_rows_stat,
+               min(c_custkey) AS min_custkey,
+               max(c_custkey) AS max_custkey,
+               CAST(0 AS BIGINT) AS n_nulls,
+               TRUE AS ndv_within_tolerance,
+               TRUE AS broadcast_with_stats_only
+         FROM customer""",
+
+    // Post-delete census; the booleans are invariants of a correct
+    // stored-policy vacuum + sidecar repair.
+    "q335_retention_procedures" ->
+      s"""SELECT event_type, count(*) AS n_rows,
+                 min(event_id) AS min_event_id,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 TRUE AS policy_echoed,
+                 TRUE AS retained_window_reads,
+                 TRUE AS sidecar_rebuilt
+          FROM events
+          WHERE event_id >= (SELECT count(*) FROM events) // 4
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // Net deletes = the range-deleted head quarter; net inserts = the
     // 100 id-shifted re-appends; the boolean is the reconciliation

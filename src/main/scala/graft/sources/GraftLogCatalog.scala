@@ -262,13 +262,16 @@ class GraftLogCatalog extends TableCatalog
     dirOf(Identifier.of(parts.dropRight(1), parts.last))
   }
 
+  // -1 defaults = "use the table's stored retention policy"
+  // (CALL glog.set_retention) — the SQL-only lifecycle needs no knobs
+  // repeated at every vacuum
   private def vacuumProc: MaintenanceProc = new MaintenanceProc("vacuum",
     Array(
       ProcedureParameter.in("table", DataTypes.StringType).build(),
       ProcedureParameter.in("retain_generations", DataTypes.IntegerType)
-        .defaultValue("0").build(),
+        .defaultValue("-1").build(),
       ProcedureParameter.in("min_age_ms", DataTypes.LongType)
-        .defaultValue("0").build()),
+        .defaultValue("-1").build()),
     new StructType(Array(
       StructField("files_deleted", DataTypes.LongType, nullable = false),
       StructField("bytes_reclaimed", DataTypes.LongType,
@@ -333,11 +336,55 @@ class GraftLogCatalog extends TableCatalog
           InternalRow(g, p, res, rf, rb, curr) }.toArray
   }
 
+  /** `CALL glog.set_retention(table, retain_generations, min_age_ms)`
+    * — persist the vacuum defaults on the table, so retention becomes
+    * a one-time declaration instead of a per-vacuum argument. */
+  private def setRetentionProc: MaintenanceProc =
+    new MaintenanceProc("set_retention",
+      Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("retain_generations",
+          DataTypes.IntegerType).build(),
+        ProcedureParameter.in("min_age_ms", DataTypes.LongType)
+          .defaultValue("0").build()),
+      new StructType(Array(
+        StructField("retain_generations", DataTypes.IntegerType,
+          nullable = false),
+        StructField("min_age_ms", DataTypes.LongType,
+          nullable = false)))) {
+      override protected def run(input: InternalRow): Array[InternalRow] = {
+        val dir = tableDir(input.getUTF8String(0).toString)
+        GraftLog.setRetention(dir, input.getInt(1), input.getLong(2))
+        val (r, m) = GraftLog.retentionPolicy(dir)
+        Array(InternalRow(r, m))
+      }
+    }
+
+  /** `CALL glog.analyze(table)` — rebuild missing sidecars so pruning,
+    * reported statistics and the metadata-aggregate fast path recover
+    * after a writer crashed between shard and sidecar. */
+  private def analyzeProc: MaintenanceProc = new MaintenanceProc("analyze",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build()),
+    new StructType(Array(
+      StructField("shards_listed", DataTypes.IntegerType,
+        nullable = false),
+      StructField("sidecars_rebuilt", DataTypes.IntegerType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
+      val (listed, rebuilt) = GraftLog.analyze(
+        tableDir(input.getUTF8String(0).toString))
+      Array(InternalRow(listed, rebuilt))
+    }
+  }
+
   private val procedures: Map[String, () => UnboundProcedure] = Map(
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
     "clone" -> (() => cloneProc),
-    "history" -> (() => historyProc))
+    "history" -> (() => historyProc),
+    "set_retention" -> (() => setRetentionProc),
+    "analyze" -> (() => analyzeProc))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().isEmpty)

@@ -661,9 +661,12 @@ object GraftLog {
       if (Files.exists(meta))
         linkOrCopy(meta, d.resolve(name.stripSuffix(".graftlog") + ".meta"))
     }
-    // an evolved source clones with its added columns intact
+    // an evolved source clones with its added columns intact; table
+    // properties (retention policy) travel with the clone too
     val ext = Paths.get(src, ExtSchemaFile)
     if (Files.exists(ext)) Files.copy(ext, d.resolve(ExtSchemaFile))
+    val ret = Paths.get(src, RetentionFile)
+    if (Files.exists(ret)) Files.copy(ret, d.resolve(RetentionFile))
     // the clone's own commit history starts here (its generations are
     // fresh, so the source's commit markers would resolve wrong)
     recordCommit(dst)
@@ -680,13 +683,80 @@ object GraftLog {
     * reading (GraftLogVersionSpec pins both sides). Driver-side
     * metadata work, O(#retired files): the same cost class as the
     * listing, never a data scan. */
-  def vacuum(path: String, retainGenerations: Int = 0,
-      minAgeMs: Long = 0L): (Long, Long) = {
-    require(retainGenerations >= 0, s"retainGenerations=$retainGenerations")
+  /** Table-level retention policy (`_retention` file, atomic write):
+    * the DEFAULTS [[vacuum]] applies when called without explicit
+    * knobs — the piece that makes the SQL-only lifecycle complete
+    * (`CALL glog.set_retention(...)` once, then every plain
+    * `CALL glog.vacuum(table => …)` honors it). */
+  private[sources] val RetentionFile = "_retention"
+
+  def setRetention(path: String, retainGenerations: Int,
+      minAgeMs: Long): Unit = {
+    require(retainGenerations >= 0 && minAgeMs >= 0L,
+      s"retention policy must be non-negative, got " +
+        s"($retainGenerations, $minAgeMs)")
+    val tmp = Paths.get(path, s".$RetentionFile.tmp." +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, s"$retainGenerations|$minAgeMs"
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, RetentionFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The stored policy, or (0, 0) — reclaim everything — when none
+    * was ever set. */
+  def retentionPolicy(path: String): (Int, Long) = {
+    val f = Paths.get(path, RetentionFile)
+    if (!Files.exists(f)) (0, 0L)
+    else {
+      val p = new String(Files.readAllBytes(f),
+        StandardCharsets.UTF_8).trim.split('|')
+      (p(0).toInt, p(1).toLong)
+    }
+  }
+
+  /** Rebuild MISSING sidecars (a writer that crashed between shard
+    * and sidecar leaves a readable but unprunable, aggregate-blocking
+    * shard): scan only those shards, recompute min|max|rows, write
+    * atomically. Returns (shards listed, sidecars rebuilt).
+    * Driver-side and O(missing shards × shard size) — shards are
+    * written bounded, and a healthy table has zero missing, so the
+    * common case is a pure listing. Bucket values are NOT recoverable
+    * (the bucket count is not recorded in the layout), so a rebuilt
+    * sidecar carries no ub — exactly the pre-crash pruning/aggregate
+    * capability is restored, never an invented layout claim. */
+  def analyze(path: String): (Int, Int) = {
+    val shards = listShards(path)
+    val missing = shards.filter(_.stats.isEmpty)
+    missing.foreach { si =>
+      val ids = Files.readAllLines(Paths.get(si.file),
+          StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty)
+        .map(l => l.substring(0, l.indexOf('|')).toLong)
+      if (ids.nonEmpty) {
+        val name = Paths.get(si.file).getFileName.toString
+        writeMetaAtomic(path,
+          name.stripSuffix(".graftlog") + ".meta",
+          s"${ids.min}|${ids.max}|${ids.size}")
+      }
+    }
+    (shards.size, missing.size)
+  }
+
+  /** `retainGenerations` / `minAgeMs` < 0 (the default) resolve to
+    * the table's stored retention policy ([[setRetention]]); explicit
+    * non-negative values override it. */
+  def vacuum(path: String, retainGenerations: Int = -1,
+      minAgeMs: Long = -1L): (Long, Long) = {
+    val stored = retentionPolicy(path)
+    val retain =
+      if (retainGenerations < 0) stored._1 else retainGenerations
+    val minAge = if (minAgeMs < 0L) stored._2 else minAgeMs
     applySwapIfPresent(path) // complete any pending swap first
     val g = generation(path)
-    val keepFrom = g - retainGenerations
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val keepFrom = g - retain
+    val cutoff = System.currentTimeMillis() - minAge
     var files = 0L
     var bytes = 0L
     def del(p: java.nio.file.Path): Unit = {
@@ -730,7 +800,7 @@ object GraftLog {
         def mt(p: java.nio.file.Path): Long =
           try Files.getLastModifiedTime(p).toMillis
           catch { case _: java.io.IOException => Long.MaxValue }
-        val oldEnough = minAgeMs <= 0L ||
+        val oldEnough = minAge <= 0L ||
           ((!Files.exists(hist) || mt(hist) <= cutoff) &&
             (!Files.isDirectory(dir) || mt(dir) <= cutoff))
         if (oldEnough) {

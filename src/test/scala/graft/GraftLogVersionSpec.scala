@@ -223,7 +223,8 @@ class GraftLogVersionSpec extends SparkSuite {
       .flatMap(r => (0 until r.length).flatMap(i =>
         if (!r.isNullAt(i) && r.get(i).isInstanceOf[String])
           Some(r.getString(i)) else None)).toSet
-    assert(Set("clone", "compact", "vacuum", "history")
+    assert(Set("clone", "compact", "vacuum", "history",
+      "set_retention", "analyze")
       .subsetOf(listed), s"SHOW PROCEDURES listed: $listed")
     intercept[Exception] {
       spark.sql(s"CALL glogp.nonsense(table => '$tbl')").collect()

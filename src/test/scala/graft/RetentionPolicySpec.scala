@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftLog
+
+/** set_retention + analyze — the procedure-surface completion (r12
+  * brief #7): a stored `_retention` policy becomes vacuum's DEFAULT
+  * (explicit knobs still override), travels with shallow clones, and
+  * `analyze` rebuilds missing sidecars so pruning and the
+  * metadata-aggregate fast path recover after a crashed writer.
+  */
+class RetentionPolicySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GraftLogSource"
+
+  private def feed(lo: Int, hi: Int) = spark.range(lo, hi)
+    .select($"id".as("event_id"),
+      to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+      ($"id" % 7).as("user_id"), lit("click").as("event_type"),
+      ($"id" % 100).cast("double").as("value"))
+
+  test("a stored policy drives argument-less vacuum; explicit knobs " +
+      "override; the policy clones with the table") {
+    val dir = tmpDir("glog-pol").toString
+    feed(0, 400).write.format(fmt).mode("append")
+      .option("shards", 4).save(dir)
+    val tok0 = GraftLog.currentVersion(dir)
+    GraftLog.setRetention(dir, retainGenerations = 1, minAgeMs = 0L)
+    assert(GraftLog.retentionPolicy(dir) === ((1, 0L)))
+    GraftLog.deleteWhere(dir, 0L, 99L) // g0 → g1
+    // policy retains 1 generation: plain vacuum must NOT reclaim g0
+    GraftLog.vacuum(dir)
+    assert(spark.read.format(fmt).option("version", tok0).load(dir)
+      .count() === 400L, "retained window must stay readable")
+    // the policy travels with a shallow clone
+    val clone = tmpDir("glog-pol-clone").toString + "/c"
+    GraftLog.shallowClone(dir, clone)
+    assert(GraftLog.retentionPolicy(clone) === ((1, 0L)))
+    // explicit knobs override the stored policy
+    GraftLog.vacuum(dir, retainGenerations = 0, minAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("version", tok0).load(dir).count()
+    }
+  }
+
+  test("SQL: set_retention persists, vacuum() honors it, analyze " +
+      "rebuilds a lost sidecar") {
+    val dir = tmpDir("glog-pol").toString
+    feed(0, 300).write.format(fmt).mode("append")
+      .option("shards", 3).save(dir)
+    val base = Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogr",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogr.base", base)
+    val tbl = s"glogr.`${Paths.get(dir).getFileName}`"
+    val name = Paths.get(dir).getFileName.toString
+    assert(spark.sql(
+      s"CALL glogr.set_retention(table => '$name', " +
+        "retain_generations => 1)").as[(Int, Long)].head() === ((1, 0L)))
+    val tok0 = GraftLog.currentVersion(dir)
+    spark.sql(s"DELETE FROM $tbl WHERE event_id < 50")
+    spark.sql(s"CALL glogr.vacuum(table => '$name')").collect()
+    assert(spark.read.format(fmt).option("version", tok0).load(dir)
+      .count() === 300L, "SQL vacuum must honor the stored policy")
+    // lose a sidecar (crashed-writer shape): aggregates must refuse
+    // the metadata path but stay correct; analyze restores it
+    val meta = Files.list(Paths.get(dir)).iterator()
+    val lost = {
+      var f: java.nio.file.Path = null
+      while (meta.hasNext) {
+        val p = meta.next()
+        if (p.toString.endsWith(".meta") && f == null) f = p
+      }
+      f
+    }
+    Files.delete(lost)
+    val (listed, rebuilt) = spark.sql(
+      s"CALL glogr.analyze(table => '$name')").as[(Int, Int)].head()
+    assert(rebuilt === 1, s"one sidecar rebuilt (of $listed listed)")
+    val si = GraftLog.listShards(dir)
+    assert(si.forall(_.stats.isDefined), "all sidecars present again")
+    // rebuilt stats are the real content stats: sidecar rows sum to
+    // the table count
+    assert(si.flatMap(_.stats).map(_._3).sum ===
+      spark.read.format(fmt).load(dir).count())
+  }
+}
