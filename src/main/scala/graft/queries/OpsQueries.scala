@@ -1193,6 +1193,70 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Streaming SINK into the graftlog connector (r12 brief #6):
+    // writeStream → exactly-once epoch commits — tasks stage hidden
+    // tmps, each micro-batch publishes through ONE pure-append swap
+    // manifest carrying its idempotence marker, so a replayed batch
+    // drops and a mid-publish crash completes via roll-forward
+    // (GraftLogStreamingSinkSpec pins replay/restart/crash shapes).
+    // Here the shared 8-shard events fixture DRAINS THROUGH THE
+    // CONNECTOR'S OWN micro-batch source (maxShardsPerTrigger=2 → 4
+    // epochs) into a fresh graftlog table; the drained census must
+    // equal the raw feed (that is the hash gate) and the booleans pin
+    // that multiple epoch commits actually happened and that a second
+    // drain from the same checkpoint re-ingests nothing. The 100 TB
+    // shape: continuous ingest lands event_id-clustered shards per
+    // epoch (the write's RequiresDistributionAndOrdering applies per
+    // batch), so streaming-ingested tables prune exactly like batch
+    // ones.
+    "q337_streaming_glog_sink" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val src = GlogFixtures.eventsLog(s, dir, 8)
+      val id = runId.incrementAndGet()
+      val dst = java.nio.file.Paths.get(GlogFixtures.CatBase, s"ssink$id")
+      val cp = java.nio.file.Paths.get(GlogFixtures.CatBase, s"sscp$id")
+      Seq(dst, cp).foreach { p =>
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format(fmt)
+          .option("maxShardsPerTrigger", 2).load(src)
+          .writeStream.format(fmt)
+          .option("path", dst.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
+      drain()
+      val afterFirst = s.read.format(fmt).load(dst.toString).count()
+      import scala.jdk.CollectionConverters._
+      val epochsDir = dst.resolve("_epochs")
+      val epochs =
+        if (!java.nio.file.Files.isDirectory(epochsDir)) 0
+        else {
+          val l = java.nio.file.Files.list(epochsDir)
+          try l.iterator().asScala.size finally l.close()
+        }
+      drain() // checkpoint restart: nothing new to ingest
+      val afterSecond = s.read.format(fmt).load(dst.toString).count()
+      s.read.format(fmt).load(dst.toString)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"event_id").as("min_event_id"),
+          max($"event_id").as("max_event_id"),
+          Q.dsum($"value").as("sum_value"))
+        .withColumn("multi_epoch_commit", lit(epochs >= 3))
+        .withColumn("restart_ingests_nothing",
+          lit(afterFirst == afterSecond))
+        .orderBy($"event_type")
+    }),
+
     // CBO statistics surface (r12 brief #5): q154 computed
     // ANALYZE-style stats as DATA; this row feeds them to the
     // PLANNER and proves the planning consequence — the same
@@ -3128,6 +3192,17 @@ object OpsQueries {
                  TRUE AS pre_rewrite_instant_fails_after_vacuum,
                  TRUE AS current_instant_reads_after_vacuum
           FROM legs ORDER BY leg""",
+
+    // The drained table census replays as the raw feed; exactly-once
+    // mechanics ride as invariant booleans.
+    "q337_streaming_glog_sink" ->
+      s"""SELECT event_type, count(*) AS n_rows,
+                 min(event_id) AS min_event_id,
+                 max(event_id) AS max_event_id,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 TRUE AS multi_epoch_commit,
+                 TRUE AS restart_ingests_nothing
+          FROM events GROUP BY event_type ORDER BY event_type""",
 
     // ANALYZE's exact fields replay directly; the approximate NDV and
     // the planning flip are invariant booleans.

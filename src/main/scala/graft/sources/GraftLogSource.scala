@@ -355,20 +355,28 @@ object GraftLog {
     * assumption); concurrent READERS racing the committer (or each
     * other) over ONE manifest converge — see the roll-forward. */
   def commitSwap(path: String, drops: Seq[String],
-      promotes: Seq[(String, String, String)]): Unit = {
-    val body = (s"gen|${generation(path)}" +:
-      (drops.map(f => s"drop|${Paths.get(f).getFileName}") ++
-        promotes.map { case (tmp, fin, meta) =>
-          val op =
-            if (Files.exists(Paths.get(path, fin))) "rewrite" else "promote"
-          s"$op|$tmp|$fin|$meta"
-        })).mkString("", "\n", "\n")
-    val mTmp = Paths.get(path, s".$SwapManifest.tmp")
-    Files.write(mTmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(mTmp, Paths.get(path, SwapManifest),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← the commit point
-    applySwapIfPresent(path)
-  }
+      promotes: Seq[(String, String, String)]): Unit =
+    lockFor(path).synchronized {
+      // the manifest NAME is shared with streaming-epoch commits: the
+      // lock (in-JVM) plus completing any pending manifest first keeps
+      // this rename from replacing an unapplied one (cross-process,
+      // structural-vs-anything concurrency is the documented
+      // single-structural-writer assumption)
+      applySwapIfPresent(path)
+      val body = (s"gen|${generation(path)}" +:
+        (drops.map(f => s"drop|${Paths.get(f).getFileName}") ++
+          promotes.map { case (tmp, fin, meta) =>
+            val op =
+              if (Files.exists(Paths.get(path, fin))) "rewrite"
+              else "promote"
+            s"$op|$tmp|$fin|$meta"
+          })).mkString("", "\n", "\n")
+      val mTmp = Paths.get(path, s".$SwapManifest.tmp")
+      Files.write(mTmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(mTmp, Paths.get(path, SwapManifest),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← the commit point
+      applySwapIfPresent(path)
+    }
 
   /** Publish a staged tmp under its final name with EXCLUSIVE
     * semantics: hardlink (link(2) fails atomically if the target
@@ -434,14 +442,30 @@ object GraftLog {
     // the SAME store; fallback for a manifest without the line
     val g0: Long = entries.collectFirst { case p if p(0) == "gen" =>
       p(1).toLong }.getOrElse(generation(path))
+    // a pure-APPEND manifest (streaming epoch commit): nothing is
+    // superseded, so no history pin and no generation bump — the
+    // manifest only buys atomic multi-shard visibility + crash
+    // completion + the idempotence marker
+    val appendOnly: Boolean = entries.exists(p =>
+      p(0) == "gen" && p.length > 2 && p(2) == "append")
     // retention bookkeeping BEFORE any mutation: pin this
     // generation's shard listing so pre-rewrite snapshot tokens stay
     // resolvable (first entrant wins; a crashed-and-resumed
     // application finds it already written)
-    recordHistory(path, g0)
+    if (!appendOnly) recordHistory(path, g0)
     entries.foreach { p =>
       p(0) match {
         case "gen" => ()
+        case "mark" =>
+          // epoch-idempotence marker: lands only when the manifest
+          // does, so "marker exists" ⟺ "this epoch's shards are (or
+          // will be, via roll-forward) visible"
+          val d = Paths.get(path, EpochsDir)
+          Files.createDirectories(d)
+          try Files.createFile(d.resolve(p(1)))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
         case "drop" =>
           // RETAIN, don't delete: superseded shards move to the
           // retired store so snapshot tokens of this generation keep
@@ -476,8 +500,8 @@ object GraftLog {
     // before it move to the RETAINED tier: claim exactly g0+1 (not
     // "whatever + 1" — racers of one manifest must produce ONE bump),
     // BEFORE the manifest delete so a crash between them cannot lose
-    // the bump
-    claimGeneration(path, g0 + 1)
+    // the bump. Pure-append manifests never bump (nothing retired).
+    if (!appendOnly) claimGeneration(path, g0 + 1)
     if (Files.deleteIfExists(m)) recordCommit(path)
   }
 
@@ -1271,6 +1295,65 @@ object GraftLog {
     recordCommit(path)
   }
 
+  /** Committed streaming-epoch markers: `_epochs/<queryId>-<epoch>`,
+    * created by the epoch manifest's `mark` entry — so the marker
+    * exists iff the epoch's shards are durably committed. */
+  private[sources] val EpochsDir = "_epochs"
+
+  /** EXACTLY-ONCE streaming epoch commit: publish a micro-batch's
+    * staged shards atomically and idempotently.
+    *
+    *  - The commit point is ONE swap-manifest rename (a pure-append
+    *    manifest: promote entries + the epoch marker, no drops, no
+    *    generation bump). A crash after the rename is completed by
+    *    the next reader's roll-forward — links are exclusive, so
+    *    re-application never duplicates; a crash before it leaves
+    *    only hidden tmps (invisible; the replayed epoch commits
+    *    fresh and the orphans are inert litter).
+    *  - A REPLAYED epoch (Spark re-runs a batch whose commit already
+    *    landed but whose checkpoint write did not) is detected by the
+    *    marker and dropped — its tmps deleted, nothing published.
+    *    This is sound because graftlog offsets replay identical data
+    *    (shards are immutable; the offset is a name-prefix count).
+    *  - Names are claimed at commit under the per-path lock, so epoch
+    *    shards obey the same prefix-monotonic visibility contract as
+    *    batch appends ([[publishAppend]]); readers roll the manifest
+    *    forward before listing, so no listing can see a later append
+    *    without this epoch's shards. */
+  def commitStreamEpoch(path: String, queryId: String, epochId: Long,
+      pending: Seq[(String, String, Option[Long])]): Unit = {
+    val marker = s"$queryId-$epochId"
+    lockFor(path).synchronized {
+      if (Files.exists(Paths.get(path, EpochsDir, marker))) {
+        // replayed epoch: already durably committed — drop the replay
+        pending.foreach(p => Files.deleteIfExists(Paths.get(path, p._1)))
+        return
+      }
+      if (pending.isEmpty) {
+        // an empty batch still needs its marker (idempotence) — no
+        // manifest required, nothing becomes visible
+        Files.createDirectories(Paths.get(path, EpochsDir))
+        try Files.createFile(Paths.get(path, EpochsDir, marker))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        return
+      }
+      val base = claimShardIndices(path, pending.size)
+      val promotes = pending.sortBy(_._1).zipWithIndex.map {
+        case ((tmp, meta, ub), i) =>
+          val fin = f"shard-${base + i}%05d" +
+            ub.fold("")(u => f"-b$u%05d") + ".graftlog"
+          s"promote|$tmp|$fin|$meta"
+      }
+      val body = (s"gen|${generation(path)}|append" +:
+        (promotes :+ s"mark|$marker")).mkString("", "\n", "\n")
+      val mTmp = Paths.get(path, s".$SwapManifest.tmp")
+      Files.write(mTmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(mTmp, Paths.get(path, SwapManifest),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← commit point
+      applySwapIfPresent(path)
+    }
+  }
+
   /** Atomically claim `count` consecutive shard indices: the commit
     * point per index is an atomic create of its claim marker; any
     * collision releases the partial range and retries past the
@@ -1473,7 +1556,8 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
     if (bucketed) Array(Expressions.identity("ub")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, schema(),
       Option(options.get("maxShardsPerTrigger")).map(_.toInt),
@@ -1529,6 +1613,7 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       require(buckets.exists(_ > 0),
         "bucketed graftlog writes need .option(\"buckets\", n > 0)")
     }
+    val queryId = info.queryId()
     new WriteBuilder with SupportsTruncate {
       // INSERT OVERWRITE / SaveMode.Overwrite: Spark asks the builder
       // to truncate; the overwrite batch-write snapshots the existing
@@ -1540,7 +1625,7 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       override def build(): Write = {
         val b = if (bucketed) buckets else None
         if (doTruncate) new GraftLogTruncateWrite(path, shards, b, writeExt)
-        else new GraftLogWrite(path, shards, b, writeExt)
+        else new GraftLogWrite(path, shards, b, writeExt, Some(queryId))
       }
     }
   }
@@ -1556,7 +1641,8 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
   * pre-shape its data still produces a well-clustered log. */
 class GraftLogWrite(path: String, shards: Option[Int] = None,
     buckets: Option[Int] = None,
-    ext: Seq[DataType] = Nil)
+    ext: Seq[DataType] = Nil,
+    queryId: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
   private val byEventId: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("event_id"),
@@ -1584,7 +1670,60 @@ class GraftLogWrite(path: String, shards: Option[Int] = None,
     buckets.orElse(shards).getOrElse(0)
   override def toBatch: BatchWrite =
     new GraftLogBatchWrite(path, buckets, ext)
+
+  /** Structured Streaming sink: `df.writeStream.format(...)` into the
+    * connector — micro-batches land as exactly-once epoch commits
+    * ([[GraftLog.commitStreamEpoch]]): tasks stage hidden tmps, the
+    * epoch commit publishes them through ONE pure-append swap
+    * manifest carrying the epoch's idempotence marker, so a replayed
+    * batch after a crash is detected and dropped, and a crash
+    * mid-publish is completed by the next reader's roll-forward.
+    * The write's RequiresDistributionAndOrdering applies per
+    * micro-batch, so each epoch's shards stay event_id-clustered with
+    * disjoint sidecar ranges — streaming ingest keeps the same
+    * pruning power as batch ingest. Bucketed layouts are refused
+    * (their whole-bucket-per-task contract needs a planned global
+    * clustering the per-batch stream cannot guarantee across epochs). */
+  override def toStreaming: org.apache.spark.sql.connector.write
+      .streaming.StreamingWrite = {
+    require(buckets.isEmpty,
+      s"graftlog streaming writes into a bucketed table are not " +
+        s"supported ($path)")
+    new GraftLogStreamingWrite(path,
+      queryId.getOrElse(throw new IllegalStateException(
+        "streaming write without a query id")), ext)
+  }
   override def description(): String = s"graftlog write $path"
+}
+
+class GraftLogStreamingWrite(path: String, queryId: String,
+    ext: Seq[DataType])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new GraftLogStreamingWriterFactory(path, ext)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftLog.commitStreamEpoch(path, queryId, epochId,
+      GraftLogSwapCommit.pending(messages))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftLogSwapCommit.abort(path, messages)
+}
+
+class GraftLogStreamingWriterFactory(path: String, ext: Seq[DataType])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftLogWriter(path, partitionId, taskId,
+      pending = true, ext = ext)
 }
 
 class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
