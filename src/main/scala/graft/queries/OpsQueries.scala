@@ -1257,6 +1257,184 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // STREAMING change data feed — the q334 batch surface as a
+    // micro-batch source (readStream + readChangeFeed): offsets are
+    // snapshot TOKENS, so triggers step through COMMITS (a trigger
+    // boundary must be a real table version — maxCommitsPerTrigger=1
+    // makes each micro-batch exactly one commit's changeSet), and a
+    // checkpointed consumer resumes from an exact version. The
+    // lifecycle: range-delete the head quarter (commit 1), append 100
+    // id-shifted events (commit 2), append 50 more (commit 3), then
+    // ONE AvailableNow drain — which must slice into exactly three
+    // micro-batches, one per commit. The census is the NET feed per
+    // (micro-batch, change_type) — a pure function of the events feed
+    // the oracle replays — and the identities ride as contract
+    // booleans: net(streamed batches) ≡ net(one-shot batch CDF), one
+    // commit per trigger. GraftLogChangeFeedStreamSpec pins
+    // batch==commit slicing, checkpoint-restart resumption, the
+    // vacuumed-resume loud failure and the malformed-token fast
+    // failure. Scale shape: the consumer loop at 100 TB — each cycle
+    // opens only the shards its commits touched, never the table.
+    "q338_streaming_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val id = runId.incrementAndGet()
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/cdfs$id")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val stage = java.nio.file.Paths.get(
+        s"${GlogFixtures.CatBase}/cdfs${id}_batches")
+      val cp = java.nio.file.Paths.get(
+        s"${GlogFixtures.CatBase}/cdfs${id}_cp")
+      Seq(stage, cp).foreach { p =>
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      val n = Tables.table(s, dir, "events").count()
+      val tok0 = graft.sources.GraftLog.currentVersion(log)
+      def appendShifted(lo: Long, hi: Long): Unit =
+        Tables.table(s, dir, "events")
+          .filter($"event_id" >= lo && $"event_id" < hi)
+          .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+            $"event_type", $"value")
+          .write.format(fmt).mode("append").option("shards", 1).save(log)
+      val drainedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def drain(): Seq[Long] = {
+        val q = s.readStream.format(fmt)
+          .option("readChangeFeed", "true")
+          .option("sinceVersion", tok0)
+          .option("maxCommitsPerTrigger", 1)
+          .load(log)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, b: Long) =>
+            df.select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("_change_type"))
+              .write.mode("overwrite").parquet(s"$stage/batch=$b")
+            drainedIds.synchronized { drainedIds += b }
+            ()
+          }
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        drainedIds.toSeq
+      }
+      graft.sources.GraftLog.deleteWhere(log, 0L, n / 4 - 1) // commit 1
+      appendShifted(0L, 100L) // commit 2
+      appendShifted(100L, 150L) // commit 3
+      val drained = drain()
+      val all = s.read.parquet(stage.toString)
+        .withColumn("batch", $"batch".cast("long")).localCheckpoint()
+      val key = Seq("event_id", "ts", "user_id", "event_type", "value")
+      def net(df: org.apache.spark.sql.DataFrame, extra: Seq[String]) = {
+        val ins = df.filter($"_change_type" === "insert")
+        val del = df.filter($"_change_type" === "delete")
+        (ins.join(del, extra ++ key, "left_anti"),
+          del.join(ins, extra ++ key, "left_anti"))
+      }
+      val (bIns, bDel) = net(all, Seq("batch")) // per-commit net
+      val cdf = s.read.format(fmt).option("readChangeFeed", "true")
+        .option("sinceVersion", tok0).load(log).localCheckpoint()
+      val (oIns, oDel) = net(cdf, Nil) // one-shot net
+      val sIns = bIns.select(key.map(col): _*)
+      val sDel = bDel.select(key.map(col): _*)
+      val matches =
+        sIns.except(oIns.select(key.map(col): _*)).isEmpty &&
+          oIns.select(key.map(col): _*).except(sIns).isEmpty &&
+          sDel.except(oDel.select(key.map(col): _*)).isEmpty &&
+          oDel.select(key.map(col): _*).except(sDel).isEmpty
+      val oneCommitPerTrigger = drained.sorted == Seq(0L, 1L, 2L)
+      bDel.withColumn("change_type", lit("delete"))
+        .unionByName(bIns.withColumn("change_type", lit("insert")))
+        .groupBy($"batch", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"event_id").as("min_event_id"),
+          max($"event_id").as("max_event_id"),
+          Q.dsum($"value").as("sum_value"))
+        .withColumn("stream_matches_batch_feed", lit(matches))
+        .withColumn("one_commit_per_trigger", lit(oneCommitPerTrigger))
+        .orderBy($"batch", $"change_type")
+    }),
+
+    // CDF-driven incremental view maintenance — q184's Δ-propagation
+    // generalized from append-only to FULL DML: a keyed rollup
+    // (count + exact decimal sum per event_type) is materialized at
+    // tok0, then the table takes a copy-on-write UPDATE, a range
+    // DELETE and an append; the view is maintained by folding the
+    // RAW change feed with SIGNED weights (insert = +1/+value,
+    // delete = −1/−value — a rewritten shard's before/after images
+    // cancel arithmetically, so the fold needs no net/dedup pass)
+    // and merging |keys|+|Δkeys| rows into the stored view. The
+    // result hash-matches the oracle's one-shot recompute of the
+    // final state, and maintained ≡ recompute rides in-row as a
+    // contract boolean. Exactness: the stored partials and the
+    // signed fold are DECIMAL(18,4) end-to-end (the Q.dsum rule
+    // applied to STORED state — q184's lesson). Scale shape: the
+    // maintenance cycle reads only the shards the commits touched
+    // and re-aggregates only the view's key cardinality — a 100 TB
+    // fact history is never rescanned, under ANY mix of appends,
+    // updates and deletes.
+    "q339_cdf_view_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val tbl = s"ivm${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val n = Tables.table(s, dir, "events").count()
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"value".cast("decimal(18,4)")).as("sum_value"))
+      val viewDir = java.nio.file.Files
+        .createTempDirectory(s"graft_cdfview_${runId.incrementAndGet()}_")
+        .toString
+      val tok0 = graft.sources.GraftLog.currentVersion(log)
+      aggOf(s.read.format(fmt).load(log))
+        .write.mode("overwrite").parquet(s"$viewDir/v0")
+      // full-DML epoch: CoW UPDATE, range DELETE, append — disjoint
+      // event_id ranges so each commit's effect is attributable
+      s.sql(s"UPDATE glog.$tbl SET value = value * 2 " +
+        s"WHERE event_id < ${n / 8}")
+      graft.sources.GraftLog.deleteWhere(log, n / 2, n / 2 + n / 8 - 1)
+      Tables.table(s, dir, "events").filter($"event_id" < 100)
+        .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value")
+        .write.format(fmt).mode("append").option("shards", 1).save(log)
+      // maintenance: signed fold of the raw feed, merged into the view
+      val cdf = s.read.format(fmt).option("readChangeFeed", "true")
+        .option("sinceVersion", tok0).load(log)
+      val sign = when($"_change_type" === "insert", 1L).otherwise(-1L)
+      val delta = cdf.groupBy($"event_type")
+        .agg(sum(sign).as("n_rows"),
+          sum(sign.cast("decimal(18,4)") * $"value".cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("sum_value"))
+      val maintained = s.read.parquet(s"$viewDir/v0")
+        .select($"event_type", $"n_rows",
+          $"sum_value".cast("decimal(18,4)").as("sum_value"))
+        .unionByName(delta)
+        .groupBy($"event_type")
+        .agg(sum($"n_rows").as("n_rows"),
+          sum($"sum_value").cast("decimal(18,4)").as("sum_value"))
+        .filter($"n_rows" =!= 0L)
+        .localCheckpoint()
+      val recomputed = aggOf(s.read.format(fmt).load(log))
+        .select($"event_type", $"n_rows",
+          $"sum_value".cast("decimal(18,4)").as("sum_value"))
+      val matches = maintained.except(recomputed).isEmpty &&
+        recomputed.except(maintained).isEmpty
+      maintained
+        .select($"event_type", $"n_rows",
+          $"sum_value".cast("double").as("sum_value"))
+        .withColumn("maintained_matches_recompute", lit(matches))
+        .orderBy($"event_type")
+    }),
+
     // CBO statistics surface (r12 brief #5): q154 computed
     // ANALYZE-style stats as DATA; this row feeds them to the
     // PLANNER and proves the planning consequence — the same
@@ -3249,6 +3427,52 @@ object OpsQueries {
           SELECT change_type, n_rows, min_event_id, max_event_id,
                  sum_value, TRUE AS cdf_reconciles_snapshot_diff
           FROM legs ORDER BY change_type""",
+
+    "q338_streaming_change_feed" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          legs AS (
+            SELECT 0 AS batch, 'delete' AS change_type,
+                   count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id < (SELECT c FROM n) // 4
+            UNION ALL
+            SELECT 1 AS batch, 'insert' AS change_type,
+                   count(*) AS n_rows,
+                   min(event_id + (SELECT c FROM n)) AS min_event_id,
+                   max(event_id + (SELECT c FROM n)) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id < 100
+            UNION ALL
+            SELECT 2 AS batch, 'insert' AS change_type,
+                   count(*) AS n_rows,
+                   min(event_id + (SELECT c FROM n)) AS min_event_id,
+                   max(event_id + (SELECT c FROM n)) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events WHERE event_id >= 100 AND event_id < 150)
+          SELECT batch, change_type, n_rows, min_event_id,
+                 max_event_id, sum_value,
+                 TRUE AS stream_matches_batch_feed,
+                 TRUE AS one_commit_per_trigger
+          FROM legs ORDER BY batch, change_type""",
+
+    "q339_cdf_view_maintenance" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          final AS (
+            SELECT event_type,
+                   CASE WHEN event_id < (SELECT c FROM n) // 8
+                        THEN value * 2 ELSE value END AS value
+            FROM events
+            WHERE NOT (event_id >= (SELECT c FROM n) // 2
+                       AND event_id < (SELECT c FROM n) // 2
+                                      + (SELECT c FROM n) // 8)
+            UNION ALL
+            SELECT event_type, value FROM events WHERE event_id < 100)
+          SELECT event_type, count(*) AS n_rows,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 TRUE AS maintained_matches_recompute
+          FROM final GROUP BY event_type ORDER BY event_type""",
 
     "q309_graftlog_time_travel" ->
       s"""WITH legs AS (
