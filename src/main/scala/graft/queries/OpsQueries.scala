@@ -1435,6 +1435,105 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // SECONDARY RANGE INDEX — time pruning on an id-clustered log:
+    // the graftlog sidecars prune event_id only, but ts CORRELATES
+    // with event_id (ingest order), so a per-shard ts min/max index
+    // ([[GraftLog.buildIndex]], echo-bound to shard content) turns
+    // the predicate every event table actually gets — a time window —
+    // into shard pruning. The census is a 3-of-30-day window rollup
+    // per event_type (pure function of the events feed — the hash
+    // gate IS the indexed-vs-oracle identity), and the I/O contract
+    // rides as a boolean: the indexed read opened STRICTLY fewer
+    // shards than the table holds. GraftLogIndexSpec pins exactness,
+    // staleness (in-place rewrite → index ignored, never wrong rows)
+    // and atomicity. Scale shape: consulting is O(#shards) small
+    // manifest reads; a 3-day window over a year of 100 TB opens ~1%
+    // of shards instead of all of them.
+    "q340_ts_range_index" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val id = runId.incrementAndGet()
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/tsidx$id")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val built = graft.sources.GraftLog.buildIndex(s, log, "ts", "range")
+      val before = graft.sources.GraftLog.filesOpened.get()
+      val census = s.read.format(fmt).load(log)
+        .filter($"ts" >= lit("2024-01-10").cast("timestamp_ntz") &&
+          $"ts" < lit("2024-01-13").cast("timestamp_ntz"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"event_id").as("min_event_id"),
+          max($"event_id").as("max_event_id"),
+          Q.dsum($"value").as("sum_value"))
+        .localCheckpoint()
+      val opened = graft.sources.GraftLog.filesOpened.get() - before
+      census
+        .withColumn("index_pruned_shards", lit(opened < built))
+        .orderBy($"event_type")
+    }),
+
+    // SECONDARY BLOOM INDEX — the point-lookup / needle-absent fast
+    // path: a per-shard bloom over user_id (long) and event_type
+    // (string) prunes EQUALITY probes of keys a shard provably lacks
+    // (no false negatives — a pruned shard cannot hold the key). The
+    // legs: an absent user and an absent type must each return zero
+    // rows having opened ZERO shards (the bloom answers from the
+    // manifest alone — booleans under the hash gate), while a present
+    // user's census scans whatever shards might hold it and
+    // hash-matches the oracle. GraftLogIndexSpec pins shard-local
+    // present-key pruning and staleness. Scale shape: "does this key
+    // exist in 100 TB" becomes O(#shards) bloom probes at plan time —
+    // no task ever launches for an absent key.
+    "q341_bloom_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val id = runId.incrementAndGet()
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/blidx$id")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      graft.sources.GraftLog.buildIndex(s, log, "user_id", "bloom")
+      graft.sources.GraftLog.buildIndex(s, log, "event_type", "bloom")
+      val probeUser = Tables.table(s, dir, "events")
+        .filter($"event_id" === 0L).select($"user_id")
+        .as[Long].head() // 1-row probe-key lookup
+      def opened[A](f: => A): (A, Long) = {
+        val b = graft.sources.GraftLog.filesOpened.get()
+        val r = f
+        (r, graft.sources.GraftLog.filesOpened.get() - b)
+      }
+      val (absentUser, oAu) = opened {
+        s.read.format(fmt).load(log)
+          .filter($"user_id" === 999999999999L).count()
+      }
+      val (absentType, oAt) = opened {
+        s.read.format(fmt).load(log)
+          .filter($"event_type" === "no_such_type").count()
+      }
+      val (presentCensus, _) = opened {
+        s.read.format(fmt).load(log)
+          .filter($"user_id" === probeUser)
+          .agg(count(lit(1)).as("n_rows"),
+            min($"event_id").as("min_event_id"),
+            max($"event_id").as("max_event_id"),
+            Q.dsum($"value").as("sum_value"))
+          .select(lit("present_user").as("leg"), $"n_rows",
+            $"min_event_id", $"max_event_id", $"sum_value")
+          .localCheckpoint()
+      }
+      def zeroLeg(name: String, n: Long) =
+        presentCensus.limit(1).select(lit(name).as("leg"),
+          lit(n).as("n_rows"), lit(null).cast("long").as("min_event_id"),
+          lit(null).cast("long").as("max_event_id"),
+          lit(null).cast("double").as("sum_value"))
+      presentCensus
+        .unionByName(zeroLeg("absent_user", absentUser))
+        .unionByName(zeroLeg("absent_type", absentType))
+        .withColumn("absent_probes_open_zero_shards",
+          lit(oAu == 0L && oAt == 0L))
+        .orderBy($"leg")
+    }),
+
     // CBO statistics surface (r12 brief #5): q154 computed
     // ANALYZE-style stats as DATA; this row feeds them to the
     // PLANNER and proves the planning consequence — the same
@@ -3473,6 +3572,36 @@ object OpsQueries {
                  ${Q.dsumSql("value")} AS sum_value,
                  TRUE AS maintained_matches_recompute
           FROM final GROUP BY event_type ORDER BY event_type""",
+
+    "q340_ts_range_index" ->
+      s"""SELECT event_type, count(*) AS n_rows,
+                 min(event_id) AS min_event_id,
+                 max(event_id) AS max_event_id,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 TRUE AS index_pruned_shards
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10'
+            AND ts < TIMESTAMP '2024-01-13'
+          GROUP BY event_type ORDER BY event_type""",
+
+    "q341_bloom_point_lookup" ->
+      s"""WITH legs AS (
+            SELECT 'present_user' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            WHERE user_id = (SELECT user_id FROM events
+                             WHERE event_id = 0)
+            UNION ALL
+            SELECT 'absent_user', 0, CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+            UNION ALL
+            SELECT 'absent_type', 0, CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS absent_probes_open_zero_shards
+          FROM legs ORDER BY leg""",
 
     "q309_graftlog_time_travel" ->
       s"""WITH legs AS (

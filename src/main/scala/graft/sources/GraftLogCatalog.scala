@@ -378,13 +378,37 @@ class GraftLogCatalog extends TableCatalog
     }
   }
 
+  /** `CALL glog.index('tbl', 'col', 'range'|'bloom')` — build (or
+    * rebuild after rewrites) the secondary shard index on a
+    * non-clustered column; see [[GraftLog.buildIndex]]. The SQL-only
+    * client gets the same point-lookup/time-window pruning the Scala
+    * API does. */
+  private def indexProc: MaintenanceProc = new MaintenanceProc("index",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("column", DataTypes.StringType).build(),
+      ProcedureParameter.in("kind", DataTypes.StringType).build()),
+    new StructType(Array(
+      StructField("shards_indexed", DataTypes.IntegerType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
+      val n = GraftLog.buildIndex(
+        org.apache.spark.sql.SparkSession.active,
+        tableDir(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString)
+      Array(InternalRow(n))
+    }
+  }
+
   private val procedures: Map[String, () => UnboundProcedure] = Map(
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
     "clone" -> (() => cloneProc),
     "history" -> (() => historyProc),
     "set_retention" -> (() => setRetentionProc),
-    "analyze" -> (() => analyzeProc))
+    "analyze" -> (() => analyzeProc),
+    "index" -> (() => indexProc))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().isEmpty)

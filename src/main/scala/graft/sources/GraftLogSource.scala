@@ -1223,6 +1223,268 @@ object GraftLog {
       .map { case (g, n) => s"g$g.$n" }
   }
 
+  /** ---- Secondary shard indexes (`_index/`) ----
+    *
+    * Sidecars prune on event_id (the clustering axis); everything
+    * else scans. A secondary index adds per-shard pruning on a
+    * NON-clustered column without touching the layout: one small
+    * `_index/<shard>.<col>.{range|bloom}` file per shard, consulted
+    * at plan time for pushed filters on that column.
+    *
+    *  - `range` — per-shard min/max (as a long: integral columns
+    *    directly, timestamps as epoch micros). Prunes range and
+    *    equality predicates. Sharp exactly when the column CORRELATES
+    *    with the layout (ts over an id-clustered log — the time-
+    *    predicate case every event table hits); useless-but-harmless
+    *    when it doesn't.
+    *  - `bloom` — a per-shard `org.apache.spark.util.sketch
+    *    .BloomFilter` over a long or string column. Prunes EQUALITY
+    *    probes of ABSENT keys (no false negatives, so a pruned shard
+    *    provably lacks the key); present keys scan whatever shards
+    *    might hold them. The point-lookup / needle-absent fast path.
+    *
+    * STALENESS is handled by an echo, not a protocol: each index file
+    * records the (event_id min|max|rows|bytes) of the shard it was
+    * built from; at read time the index is honored only when the echo
+    * matches the LIVE shard's sidecar stats + size. A shard rewritten
+    * in place (CoW UPDATE, partial-overlap delete) therefore silently
+    * degrades to "readable, unprunable" — never wrong rows — until
+    * [[buildIndex]] runs again. Index files of vanished shards are
+    * inert for the same reason. Pruning is an I/O optimization only:
+    * every filter stays a residual Spark re-applies row-level.
+    *
+    * Scale shape: building is one distributed pass grouped by the
+    * `_shard` metadata column, with index files written FROM THE
+    * EXECUTORS (the driver never holds the blooms); consulting is
+    * O(#shards) small reads at plan time — the cost class the sidecar
+    * listing already pays. */
+  private[sources] val IndexDir = "_index"
+
+  sealed trait ShardIndex
+  case class RangeIdx(lo: Long, hi: Long) extends ShardIndex
+  case class BloomIdx(bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends ShardIndex
+
+  /** Echo string binding an index file to the exact shard content it
+    * was built from: sidecar stats + file size. */
+  private def echoOf(si: ShardInfo): String = si.stats match {
+    case Some((mn, mx, n)) => s"$mn|$mx|$n|${si.bytes}"
+    case None => ""
+  }
+
+  /** Columns with at least one index file — the acceptance set for
+    * non-event_id filter pushdown. One directory listing. */
+  def indexedColumns(path: String): Set[String] = {
+    val d = Paths.get(path, IndexDir)
+    if (!Files.isDirectory(d)) return Set.empty
+    val name = """.+\.graftlog\.([A-Za-z0-9_]+)\.(range|bloom)""".r
+    withListing(d)(_.map(_.getFileName.toString).toSeq)
+      .collect { case name(c, _) => c }.toSet
+  }
+
+  /** Load and VALIDATE the indexes on `colName` for the given shards:
+    * shardFileName → index, containing only entries whose echo
+    * matches the live shard. Malformed/missing/stale files simply
+    * drop out (the shard stays unprunable). */
+  def loadIndexes(path: String, colName: String,
+      shards: Seq[ShardInfo]): Map[String, ShardIndex] = {
+    val d = Paths.get(path, IndexDir)
+    if (!Files.isDirectory(d)) return Map.empty
+    shards.flatMap { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      val want = echoOf(si)
+      if (want.isEmpty) None
+      else {
+        def parse(p: java.nio.file.Path): Option[ShardIndex] =
+          if (!Files.isRegularFile(p)) None
+          else try {
+            val parts = new String(Files.readAllBytes(p),
+              StandardCharsets.UTF_8).trim.split("\\|", -1)
+            parts(0) match {
+              case "range" if parts.length == 7 &&
+                  parts.slice(3, 7).mkString("|") == want =>
+                Some(RangeIdx(parts(1).toLong, parts(2).toLong))
+              case "bloom" if parts.length == 6 &&
+                  parts.slice(1, 5).mkString("|") == want =>
+                val bytes = java.util.Base64.getDecoder.decode(parts(5))
+                Some(BloomIdx(org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(bytes))))
+              case _ => None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parse(d.resolve(s"$name.$colName.range"))
+          .orElse(parse(d.resolve(s"$name.$colName.bloom")))
+          .map(name -> _)
+      }
+    }.toMap
+  }
+
+  /** External filter value → the index's long domain. Timestamps
+    * compare as epoch micros (the format's stored representation). */
+  private[sources] def idxLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case d: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(d))
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i))
+    case _ => None
+  }
+
+  /** The single attribute a comparison filter constrains (the only
+    * filter shapes shard pruning understands). */
+  private[sources] def filterAttr(f: Filter): Option[String] = f match {
+    case EqualTo(c, _) => Some(c)
+    case GreaterThan(c, _) => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _) => Some(c)
+    case LessThanOrEqual(c, _) => Some(c)
+    case _ => None
+  }
+
+  /** Does this index PROVE the shard cannot satisfy the filter?
+    * Conservative: anything unprovable returns false (shard scans). */
+  private[sources] def idxProvesAbsent(idx: ShardIndex,
+      f: Filter): Boolean = (idx, f) match {
+    case (RangeIdx(lo, hi), EqualTo(_, v)) =>
+      idxLong(v).exists(x => x < lo || x > hi)
+    case (RangeIdx(lo, hi), GreaterThan(_, v)) =>
+      idxLong(v).exists(x => hi <= x)
+    case (RangeIdx(lo, hi), GreaterThanOrEqual(_, v)) =>
+      idxLong(v).exists(x => hi < x)
+    case (RangeIdx(lo, hi), LessThan(_, v)) =>
+      idxLong(v).exists(x => lo >= x)
+    case (RangeIdx(lo, hi), LessThanOrEqual(_, v)) =>
+      idxLong(v).exists(x => lo > x)
+    case (BloomIdx(bf), EqualTo(_, v)) => v match {
+      case l: java.lang.Long => !bf.mightContainLong(l)
+      case i: java.lang.Integer => !bf.mightContainLong(i.toLong)
+      case s: String => !bf.mightContainString(s)
+      case u: UTF8String => !bf.mightContainString(u.toString)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** One index file, written atomically (stage + rename) so a racing
+    * plan-time read never parses a torn file. Callable from executor
+    * tasks — everything it needs arrives as arguments. */
+  private[sources] def writeIndexFile(path: String, shardName: String,
+      colName: String, kind: String, body: String): Unit = {
+    val d = Paths.get(path, IndexDir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$shardName.$colName.$kind.tmp." +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, d.resolve(s"$shardName.$colName.$kind"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Build (or rebuild) the secondary index on `colName`. One
+    * distributed pass over the pinned snapshot grouped by `_shard`;
+    * per-shard results land as `_index` files written from the
+    * executors. Returns the number of shards indexed. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, kind: String, fpp: Double = 0.01): Int = {
+    require(kind == "range" || kind == "bloom",
+      s"index kind must be range|bloom, got $kind")
+    require(colName != "event_id",
+      "event_id is the clustering axis — the sidecars already prune it")
+    val tok = currentVersion(path)
+    val shards = shardsAt(path, Some(tok))
+    if (shards.isEmpty) return 0
+    val echo: Map[String, String] = shards.map(si =>
+      Paths.get(si.file).getFileName.toString -> echoOf(si)).toMap
+    val df = spark.read.format("graft.sources.GraftLogSource")
+      .option("version", tok).load(path)
+      .select(org.apache.spark.sql.functions.col("_shard"),
+        org.apache.spark.sql.functions.col(colName))
+    val dt = df.schema.fields(1).dataType
+    kind match {
+      case "range" =>
+        require(dt == LongType || dt == IntegerType ||
+            dt == TimestampType || dt == TimestampNTZType,
+          s"range index needs an integral or timestamp column, " +
+            s"$colName is ${dt.sql}")
+        // metadata-scale result (#shards rows): driver write is fine
+        val rows = df.groupBy("_shard")
+          .agg(org.apache.spark.sql.functions.min(colName).as("lo"),
+            org.apache.spark.sql.functions.max(colName).as("hi"))
+          .collect()
+        rows.foreach { r =>
+          val name = r.getString(0)
+          for {
+            lo <- idxLong(r.get(1)); hi <- idxLong(r.get(2))
+            e <- echo.get(name) if e.nonEmpty
+          } writeIndexFile(path, name, colName, "range",
+            s"range|$lo|$hi|$e")
+        }
+        rows.length
+      case "bloom" =>
+        require(dt == LongType || dt == IntegerType || dt == StringType,
+          s"bloom index needs a long or string column, $colName is ${dt.sql}")
+        val expected = math.max(1L, shards.flatMap(_.stats).map(_._3)
+          .foldLeft(0L)(math.max))
+        val p = path // serializable copies for the task closure
+        val c = colName
+        val ech = echo
+        import org.apache.spark.sql.{Encoder, Encoders}
+        import org.apache.spark.sql.expressions.Aggregator
+        import org.apache.spark.util.sketch.BloomFilter
+        def bloomAgg[T](put: (BloomFilter, T) => Unit) =
+          new Aggregator[T, BloomFilter, Array[Byte]] {
+            override def zero: BloomFilter =
+              BloomFilter.create(expected, fpp)
+            override def reduce(b: BloomFilter, a: T): BloomFilter = {
+              put(b, a); b
+            }
+            override def merge(x: BloomFilter, y: BloomFilter)
+                : BloomFilter = { x.mergeInPlace(y); x }
+            override def finish(b: BloomFilter): Array[Byte] = {
+              val o = new java.io.ByteArrayOutputStream()
+              b.writeTo(o); o.toByteArray
+            }
+            override def bufferEncoder: Encoder[BloomFilter] =
+              Encoders.javaSerialization[BloomFilter]
+            override def outputEncoder: Encoder[Array[Byte]] =
+              Encoders.BINARY
+          }
+        // blooms never index NULL (IS NULL is not an equality probe)
+        val in = df.na.drop(Seq(colName))
+        val perShard: org.apache.spark.sql.Dataset[(String, Array[Byte])] =
+          dt match {
+            case StringType =>
+              in.map(r => (r.getString(0), r.getString(1)))(
+                  Encoders.tuple(Encoders.STRING, Encoders.STRING))
+                .groupByKey(_._1)(Encoders.STRING)
+                .mapValues(_._2)(Encoders.STRING)
+                .agg(bloomAgg[String]((b, v) => b.putString(v)).toColumn)
+            case _ =>
+              in.map(r => (r.getString(0),
+                  r.getAs[Number](1).longValue()))(
+                  Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+                .groupByKey(_._1)(Encoders.STRING)
+                .mapValues(_._2)(Encoders.scalaLong)
+                .agg(bloomAgg[Long]((b, v) => b.putLong(v)).toColumn)
+          }
+        perShard.map { case (name, bytes) =>
+            ech.get(name).filter(_.nonEmpty).foreach { e =>
+              writeIndexFile(p, name, c, "bloom",
+                s"bloom|$e|${java.util.Base64.getEncoder.encodeToString(bytes)}")
+            }
+            1
+          }(Encoders.scalaInt)
+          .reduce(_ + _)
+    }
+  }
+
   /** ---- Concurrent-writer conflict contract (r12 brief #3) ----
     *
     * Shard-INDEX claims make concurrent commits name-safe. The
@@ -2198,16 +2460,15 @@ class GraftLogScanBuilder(path: String,
       }
     }
 
-  /** Accept event_id comparisons for shard pruning; return EVERY
-    * filter as a residual so Spark re-applies them row-level —
-    * pruning stays an I/O optimization, never a semantics change. */
+  /** Accept comparisons on event_id (sidecar ranges) and on any
+    * column carrying a secondary index (`_index/` — see
+    * [[GraftLog.buildIndex]]) for shard pruning; return EVERY filter
+    * as a residual so Spark re-applies them row-level — pruning stays
+    * an I/O optimization, never a semantics change. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo("event_id", _) | GreaterThan("event_id", _) |
-           GreaterThanOrEqual("event_id", _) | LessThan("event_id", _) |
-           LessThanOrEqual("event_id", _) => true
-      case _ => false
-    }
+    lazy val idxCols = GraftLog.indexedColumns(path)
+    pushed = filters.filter(f => GraftLog.filterAttr(f).exists(c =>
+      c == "event_id" || idxCols(c)))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -2405,12 +2666,28 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     (lo, hi)
   }
 
-  /** Shards surviving static bounds + runtime-id pruning. A shard
-    * without a sidecar can never be pruned. */
+  /** Shards surviving static bounds + runtime-id pruning + secondary
+    * indexes. A shard without a sidecar can never be pruned; a shard
+    * whose index is stale (echo mismatch after an in-place rewrite)
+    * keeps scanning — the index only ever REMOVES provably-empty
+    * work, and every filter stays a residual. */
   private def liveShards: Seq[GraftLog.ShardInfo] = {
     val (lo, hi) = bounds
-    GraftLog.shardsBetween(path, sinceVersion, version).filter { s =>
-      s.stats match {
+    val listed = GraftLog.shardsBetween(path, sinceVersion, version)
+    // pushed filters on indexed columns: load + validate each
+    // column's index map once per scan (O(#shards) small reads — the
+    // cost class the sidecar listing already pays)
+    val idxFilters = pushed.toSeq.flatMap(f =>
+      GraftLog.filterAttr(f).filter(_ != "event_id").map(c => (c, f)))
+    val idxByCol: Map[String, Map[String, GraftLog.ShardIndex]] =
+      idxFilters.map(_._1).distinct
+        .map(c => c -> GraftLog.loadIndexes(path, c, listed)).toMap
+    listed.filter { s =>
+      val name = Paths.get(s.file).getFileName.toString
+      val idxKeeps = !idxFilters.exists { case (c, f) =>
+        idxByCol(c).get(name).exists(GraftLog.idxProvesAbsent(_, f))
+      }
+      idxKeeps && (s.stats match {
         case None => true
         case Some((mn, mx, _)) =>
           mx >= lo && mn <= hi && runtimeIds.forall { ids =>
@@ -2419,7 +2696,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
             val from = if (i >= 0) i else -i - 1
             from < ids.length && ids(from) <= mx
           }
-      }
+      })
     }
   }
 

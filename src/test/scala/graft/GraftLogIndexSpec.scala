@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftLog
+
+/** Secondary shard indexes (`_index/`): per-shard range and bloom
+  * sidecars that prune pushed filters on NON-clustered columns.
+  * Pins: a ts range index prunes a time window to the overlapping
+  * shards with results identical to the unindexed read; a bloom
+  * index prunes absent-key point probes to zero opened shards and
+  * shard-local present keys to their one shard; a stale index (shard
+  * rewritten in place under its name) is IGNORED — correct rows, no
+  * pruning — until rebuilt; validation refusals fail loudly.
+  */
+class GraftLogIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GraftLogSource"
+
+  /** 400 rows in 4 shards of 100; ts tracks event_id (1 s apart);
+    * user_id is SHARD-LOCAL (shard k holds only users 10k..10k+9);
+    * event_type is t<shard> — so every secondary column has structure
+    * an index can exploit. */
+  private def writeShards(): String = {
+    val dir = tmpDir("graftlog_idx_").toString
+    val rows = (0L until 400L).map(i =>
+      (i, 1700000000000000L + i * 1000000L,
+        (i / 100L) * 10L + i % 10L, s"t${i / 100}", i * 0.5))
+    GraftLog.write(rows, dir, rowsPerShard = 100)
+    dir
+  }
+
+  test("ts range index prunes a time window; results identical") {
+    val dir = writeShards()
+    assert(GraftLog.buildIndex(spark, dir, "ts", "range") === 4)
+    assert(GraftLog.indexedColumns(dir) === Set("ts"))
+    // window [150 s, 250 s) overlaps shards 1 and 2 only
+    val lo = java.time.LocalDateTime.ofEpochSecond(
+      1700000150L, 0, java.time.ZoneOffset.UTC)
+    val hi = java.time.LocalDateTime.ofEpochSecond(
+      1700000250L, 0, java.time.ZoneOffset.UTC)
+    def windowed() = spark.read.format(fmt).load(dir)
+      .filter($"ts" >= lit(lo) && $"ts" < lit(hi))
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    GraftLog.filesOpened.set(0)
+    val got = windowed()
+    assert(got === (150L until 250L).toSeq, "window rows exact")
+    assert(GraftLog.filesOpened.get() === 2,
+      "ts window opens only the two overlapping shards")
+  }
+
+  test("bloom index: absent key opens zero shards, shard-local key " +
+      "opens one; string columns probe too") {
+    val dir = writeShards()
+    assert(GraftLog.buildIndex(spark, dir, "user_id", "bloom") === 4)
+    assert(GraftLog.buildIndex(spark, dir, "event_type", "bloom") === 4)
+    GraftLog.filesOpened.set(0)
+    val absent = spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 9999L).count()
+    assert(absent === 0L)
+    assert(GraftLog.filesOpened.get() === 0,
+      "a provably-absent key opens no shard")
+    GraftLog.filesOpened.set(0)
+    val present = spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 25L).count() // shard 2's local user
+    assert(present === 10L)
+    assert(GraftLog.filesOpened.get() === 1,
+      "a shard-local key opens exactly its shard")
+    GraftLog.filesOpened.set(0)
+    val byType = spark.read.format(fmt).load(dir)
+      .filter($"event_type" === "t3").count()
+    assert(byType === 100L)
+    assert(GraftLog.filesOpened.get() === 1,
+      "string bloom prunes to the one shard holding t3")
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_type" === "nope").count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0)
+  }
+
+  test("a stale index is ignored after an in-place rewrite — correct " +
+      "rows, no pruning — and pruning resumes after rebuild") {
+    val dir = writeShards()
+    GraftLog.buildIndex(spark, dir, "user_id", "bloom")
+    // partial-overlap delete rewrites shard 0 IN PLACE under its name
+    GraftLog.deleteWhere(dir, 0L, 49L)
+    // user 5 lived in shard 0's deleted half; user 7 survives there.
+    // With the stale index the reader must NOT trust shard 0's bloom:
+    // correctness first — the rows must be right either way.
+    val u7 = spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 7L).select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(u7 === Seq(57L, 67L, 77L, 87L, 97L),
+      "rewritten shard serves its post-rewrite rows despite the index")
+    // the rewritten shard's index entry is stale → it scans even for
+    // an absent probe; the three untouched shards still prune
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 9999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 1,
+      "only the stale-indexed shard scans for an absent key")
+    // rebuild: the full absent-key prune returns
+    GraftLog.buildIndex(spark, dir, "user_id", "bloom")
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 9999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0)
+  }
+
+  test("validation: event_id refused, bad kinds refused, range on a " +
+      "double refused, unindexed filters not accepted for pruning") {
+    val dir = writeShards()
+    intercept[IllegalArgumentException] {
+      GraftLog.buildIndex(spark, dir, "event_id", "range")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.buildIndex(spark, dir, "user_id", "minmaxsketch")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.buildIndex(spark, dir, "value", "range")
+    }
+    // no index on value: the filter stays residual-only and all
+    // shards scan — but results are exact
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"value" === 25.0).count() === 1L)
+    assert(GraftLog.filesOpened.get() === 4)
+  }
+
+  test("CALL glog.index builds the same index from SQL") {
+    val dir = writeShards()
+    val base = Paths.get(dir).getParent.toString
+    val tbl = Paths.get(dir).getFileName.toString
+    spark.conf.set("spark.sql.catalog.glogidx",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogidx.base", base)
+    val r = spark.sql(
+      s"CALL glogidx.index(table => '$tbl', `column` => 'user_id', " +
+        "kind => 'bloom')").collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(4))
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 9999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0,
+      "the SQL-built index prunes like the Scala-built one")
+  }
+
+  test("index files are atomic and echo-bound: a torn or foreign file " +
+      "never crashes the reader") {
+    val dir = writeShards()
+    GraftLog.buildIndex(spark, dir, "user_id", "bloom")
+    // corrupt one index file in place
+    val idx = Files.list(Paths.get(dir, "_index")).iterator()
+    val f = idx.next()
+    Files.write(f, "bloom|garbage".getBytes("UTF-8"))
+    val n = spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 25L).count()
+    assert(n === 10L, "a malformed index file degrades to a scan")
+  }
+}

@@ -224,7 +224,7 @@ class GraftLogVersionSpec extends SparkSuite {
         if (!r.isNullAt(i) && r.get(i).isInstanceOf[String])
           Some(r.getString(i)) else None)).toSet
     assert(Set("clone", "compact", "vacuum", "history",
-      "set_retention", "analyze")
+      "set_retention", "analyze", "index")
       .subsetOf(listed), s"SHOW PROCEDURES listed: $listed")
     intercept[Exception] {
       spark.sql(s"CALL glogp.nonsense(table => '$tbl')").collect()
