@@ -401,11 +401,21 @@ object OperatorQueries {
     // SQL recursion the engine now plans itself). Scale shape: each
     // level is one equi-join of the level's rows to the edge list;
     // basket-bounded degree keeps the UNION ALL expansion O(deg²)
-    // per source at any SF (see recursiveReachSql).
+    // per source at any SF (see reachEdgesSql). The edge CTE is
+    // STAGED (localCheckpoint + view) before the recursion: Spark's
+    // UnionLoop re-plans a non-materialized CTE at every level, so
+    // the inline form rebuilt the pair explosion once per hop — the
+    // r12 one-JVM A/B measured 3.8 s inline vs 1.75 s staged at
+    // sf0.1. DuckDB materializes the multiply-referenced CTE once on
+    // its own, so staging makes Spark's execution match the shape
+    // the oracle's single statement already has; the RECURSIVE text
+    // itself stays verbatim-identical on both engines.
     "q311_recursive_reachability" -> ((s, dir) => {
       Tables.table(s, dir, "lineitem")
         .createOrReplaceTempView("li_q311")
-      s.sql(recursiveReachSql("li_q311"))
+      val e = s.sql(reachEdgesSql("li_q311")).localCheckpoint()
+      e.createOrReplaceTempView("e_q311")
+      s.sql(reachRecursiveSql("e_q311"))
     }),
 
     // Connected components via ALTERNATING STAR CONTRACTION (Kiveris
@@ -894,27 +904,44 @@ object OperatorQueries {
     * [[triangleCount]]; the sample filter runs BEFORE the edge-dedup
     * exchange so every downstream cost shrinks with p. Returns
     * (edges kept, triangles among them). */
-  /** q311's ONE query text, shared verbatim by the Spark run and the
-    * DuckDB oracle — only the lineitem relation name differs. Spark's
-    * recursion supports UNION ALL only (4.1), so the working table
-    * carries PATH COUNTS, not a deduped frontier — bounded anyway:
-    * the part co-purchase graph has basket-bounded degree (~order
-    * size², independent of corpus scale), so a 2-hop UNION ALL
-    * expansion is O(deg²) rows per source at ANY SF. The min-hop
-    * rollup after the recursion restores BFS semantics. The `% 4`
-    * order subset is deterministic and part of the shared text:
-    * UnionLoop re-derives non-materialized CTEs per level, so the
-    * edge build runs once per hop — pricing it down keeps the
-    * recursion (the thing under test) the dominant term, not the
-    * repeated pair generation. */
-  def recursiveReachSql(lineitem: String): String =
-    s"""WITH RECURSIVE
-        e AS (
-          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  /** q311's edge build: deterministic 1/4-of-orders part co-purchase
+    * pairs. Basket-bounded degree (~order size², independent of
+    * corpus scale) keeps the downstream 2-hop UNION ALL expansion
+    * O(deg²) rows per source at ANY SF. */
+  def reachEdgesSql(lineitem: String): String =
+    s"""SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
           FROM $lineitem a JOIN $lineitem b
             ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey <> b.l_partkey
-          WHERE a.l_orderkey % 4 = 0),
+          WHERE a.l_orderkey % 4 = 0"""
+
+  /** q311's recursion text, shared VERBATIM by the Spark run and the
+    * DuckDB oracle — only the edge relation name differs. Spark's
+    * recursion supports UNION ALL only (4.1), so the working table
+    * carries PATH COUNTS, not a deduped frontier; the min-hop rollup
+    * after the recursion restores BFS semantics. */
+  def reachRecursiveSql(edges: String): String =
+    s"""WITH RECURSIVE
+        src AS (SELECT min(s) AS s0 FROM $edges),
+        reach(node, hop) AS (
+          SELECT s0, 0 FROM src
+          UNION ALL
+          SELECT e.d, reach.hop + 1
+          FROM reach JOIN $edges e ON e.s = reach.node
+          WHERE reach.hop < 2),
+        mh AS (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+        SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
+               max(node) AS max_node,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM mh GROUP BY hop ORDER BY hop"""
+
+  /** The oracle's one-statement form: the edge CTE inlined into the
+    * recursive text. DuckDB materializes a multiply-referenced CTE
+    * once, so this single statement already executes edges-built-once
+    * there — the shape [[queries]]' staged Spark form matches. */
+  def recursiveReachSql(lineitem: String): String =
+    s"""WITH RECURSIVE
+        e AS (${reachEdgesSql(lineitem)}),
         src AS (SELECT min(s) AS s0 FROM e),
         reach(node, hop) AS (
           SELECT s0, 0 FROM src

@@ -482,7 +482,12 @@ object OpsQueries {
       val tbl = GlogFixtures.tableName(GlogFixtures.eventsLog(s, dir, 8))
       val sink = java.nio.file.Files
         .createTempDirectory(s"graft_streamtbl_$run").toString
-      val q = s.readStream.option("maxShardsPerTrigger", "2")
+      // 4 shards/trigger: 8 shards → 2 micro-batches, which still
+      // exercises stateful accumulation across batch boundaries (the
+      // thing this query gates) at half the trigger overhead of the
+      // old 2/trigger (r12 one-JVM A/B: 4.7 s → 2.7 s at sf0.1);
+      // fine-grained backpressure itself is q35 + StreamingIngestSpec
+      val q = s.readStream.option("maxShardsPerTrigger", "4")
         .table(s"glog.$tbl")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
