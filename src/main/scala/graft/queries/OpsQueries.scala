@@ -1440,6 +1440,117 @@ object OpsQueries {
         .orderBy($"event_type")
     }),
 
+    // CDC REPLICATION end-to-end — the zero-ETL loop the change feed
+    // exists for: a replica table is kept equal to a source table by
+    // APPLYING the per-commit change feed through standard MERGE, the
+    // reference's Redshift staged-upsert pattern
+    // (etl-s3-processed-to-redshift.py:58-96) with the feed replacing
+    // the staging diff. The source takes a range DELETE, a CoW
+    // UPDATE, an append and a COMPACT; the consumer loop walks the
+    // commit markers, nets each commit's raw images (full-row except
+    // both ways — unchanged rows in rewritten shards cancel, an
+    // update collapses to one upsert), and MERGEs net-upserts +
+    // pure-deletes into the replica. The apply counts per commit are
+    // pure functions of the events feed (oracle-replayable), the
+    // replica's final census is the hash gate, and two identities
+    // ride as booleans: replica ≡ source at head (full-row, both
+    // directions), and the COMPACT commit applied ZERO rows — a pure
+    // rewrite is a net no-op, so replication never rewrites the
+    // replica for housekeeping. Scale shape: each cycle reads only
+    // touched shards and MERGE rewrites only matched replica groups —
+    // a 100 TB replica follows a 100 TB source at the cost of the
+    // changes, with maintenance traffic filtered out by the net.
+    "q342_cdc_replication" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", "/tmp/graft-glog-cat")
+      val run = runId.incrementAndGet()
+      val srcT = s"cdcs$run"
+      val dstT = s"cdcd$run"
+      val srcOut = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$srcT")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), srcOut)
+      val src = srcOut.toString
+      val dst = s"${GlogFixtures.CatBase}/$dstT"
+      val n = Tables.table(s, dir, "events").count()
+      val tok0 = graft.sources.GraftLog.currentVersion(src)
+      s.read.format(fmt).option("version", tok0).load(src)
+        .write.format(fmt).mode("append").option("shards", 8).save(dst)
+      // four source commits: delete, CoW update, append, compact
+      graft.sources.GraftLog.deleteWhere(src, 0L, n / 8 - 1)
+      s.sql(s"UPDATE glog.$srcT SET value = value + 1000 " +
+        s"WHERE event_id >= ${n / 4} AND event_id < ${n / 4 + n / 16}")
+      Tables.table(s, dir, "events").filter($"event_id" < 100)
+        .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value")
+        .write.format(fmt).mode("append").option("shards", 1).save(src)
+      graft.sources.GraftLog.compact(s, src, 4)
+      // the consumer loop: per-commit net-CDF apply via MERGE
+      val cols = Seq($"event_id", $"ts", $"user_id", $"event_type",
+        $"value")
+      val toks = tok0 +: graft.sources.GraftLog.commitTokensAfter(src, tok0)
+      val applied = toks.sliding(2).zipWithIndex.map {
+        case (Seq(a, b), i) =>
+          val cdf = s.read.format(fmt).option("readChangeFeed", "true")
+            .option("sinceVersion", a).option("version", b).load(src)
+            .localCheckpoint()
+          val ins = cdf.filter($"_change_type" === "insert")
+            .select(cols: _*)
+          val del = cdf.filter($"_change_type" === "delete")
+            .select(cols: _*)
+          val netIns = ins.except(del).localCheckpoint()
+          val pureDel = del.except(ins).select($"event_id")
+            .except(netIns.select($"event_id")).localCheckpoint()
+          val (nU, nD) = (netIns.count(), pureDel.count())
+          if (nU + nD > 0) {
+            val chg = netIns.withColumn("_action", lit("upsert"))
+              .unionByName(pureDel.select($"event_id",
+                lit(null).cast("timestamp_ntz").as("ts"),
+                lit(null).cast("long").as("user_id"),
+                lit(null).cast("string").as("event_type"),
+                lit(null).cast("double").as("value"),
+                lit("delete").as("_action")))
+            chg.createOrReplaceTempView(s"cdc_chg_$run")
+            s.sql(
+              s"""MERGE INTO glog.$dstT t USING cdc_chg_$run c
+                  ON t.event_id = c.event_id
+                  WHEN MATCHED AND c._action = 'delete' THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET value = c.value,
+                    ts = c.ts, user_id = c.user_id,
+                    event_type = c.event_type
+                  WHEN NOT MATCHED AND c._action = 'upsert' THEN
+                    INSERT (event_id, ts, user_id, event_type, value)
+                    VALUES (c.event_id, c.ts, c.user_id, c.event_type,
+                      c.value)""")
+          }
+          (i + 1, nU, nD)
+      }.toSeq
+      val aNow = s.read.format(fmt).load(src).select(cols: _*)
+        .localCheckpoint()
+      val bNow = s.read.format(fmt).load(dst).select(cols: _*)
+        .localCheckpoint()
+      val matches = aNow.except(bNow).isEmpty &&
+        bNow.except(aNow).isEmpty
+      val compactNoop = applied.size == 4 &&
+        applied.last._2 == 0L && applied.last._3 == 0L
+      val applyLegs = applied.map { case (i, u, d) =>
+        (s"apply_$i", Option(u), Option(d), Option.empty[Long],
+          Option.empty[Double])
+      }
+      val applyDf = applyLegs.toDF("leg", "n_upserts", "n_deletes",
+        "n_rows", "sum_value")
+      val censusDf = bNow.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), Q.dsum($"value").as("sum_value"))
+        .select(concat(lit("census_"), $"event_type").as("leg"),
+          lit(null).cast("long").as("n_upserts"),
+          lit(null).cast("long").as("n_deletes"),
+          $"n_rows", $"sum_value")
+      applyDf.unionByName(censusDf)
+        .withColumn("replica_matches_source", lit(matches))
+        .withColumn("compaction_net_noop", lit(compactNoop))
+        .orderBy($"leg")
+    }),
+
     // SECONDARY RANGE INDEX — time pruning on an id-clustered log:
     // the graftlog sidecars prune event_id only, but ts CORRELATES
     // with event_id (ingest order), so a per-shard ts min/max index
@@ -3577,6 +3688,38 @@ object OpsQueries {
                  ${Q.dsumSql("value")} AS sum_value,
                  TRUE AS maintained_matches_recompute
           FROM final GROUP BY event_type ORDER BY event_type""",
+
+    "q342_cdc_replication" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          final AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id >= (SELECT c FROM n) // 4
+                         AND event_id < (SELECT c FROM n) // 4
+                                        + (SELECT c FROM n) // 16
+                        THEN value + 1000 ELSE value END AS value
+            FROM events WHERE event_id >= (SELECT c FROM n) // 8
+            UNION ALL
+            SELECT event_id + (SELECT c FROM n), event_type, value
+            FROM events WHERE event_id < 100),
+          legs AS (
+            SELECT 'apply_1' AS leg, CAST(0 AS BIGINT) AS n_upserts,
+                   CAST((SELECT c FROM n) // 8 AS BIGINT) AS n_deletes,
+                   CAST(NULL AS BIGINT) AS n_rows,
+                   CAST(NULL AS DOUBLE) AS sum_value
+            UNION ALL
+            SELECT 'apply_2', (SELECT c FROM n) // 16, 0, NULL, NULL
+            UNION ALL
+            SELECT 'apply_3', 100, 0, NULL, NULL
+            UNION ALL
+            SELECT 'apply_4', 0, 0, NULL, NULL
+            UNION ALL
+            SELECT 'census_' || event_type, NULL, NULL, count(*),
+                   ${Q.dsumSql("value")}
+            FROM final GROUP BY event_type)
+          SELECT leg, n_upserts, n_deletes, n_rows, sum_value,
+                 TRUE AS replica_matches_source,
+                 TRUE AS compaction_net_noop
+          FROM legs ORDER BY leg""",
 
     "q340_ts_range_index" ->
       s"""SELECT event_type, count(*) AS n_rows,
