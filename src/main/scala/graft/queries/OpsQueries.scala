@@ -1169,10 +1169,15 @@ object OpsQueries {
         .option("timestampAsOf", t.toString).load(log)
       // 1-row collects (the q325 discipline): each leg must be READ
       // at its point in the lifecycle — t1/t2 resolve to generations
-      // the vacuum below reclaims
+      // the vacuum below reclaims. Option decode: a ×N ScaleUp
+      // surrogate has GAPPED event_ids, so a count-quarter range can
+      // be empty there and an empty leg's min/max/sum are NULL — the
+      // bench must run at any id layout even though the oracle gate
+      // only ever sees the contiguous testdata.
       def stats(df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)), min($"event_id"), max($"event_id"),
-          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+          Q.dsum($"value"))
+          .as[(Long, Option[Long], Option[Long], Option[Double])].head()
       val l1 = stats(asOf(t1))
       val l2 = stats(asOf(t2))
       val l3 = stats(asOf(t3))
