@@ -1479,8 +1479,12 @@ object OpsQueries {
       val dst = s"${GlogFixtures.CatBase}/$dstT"
       val n = Tables.table(s, dir, "events").count()
       val tok0 = graft.sources.GraftLog.currentVersion(src)
-      s.read.format(fmt).option("version", tok0).load(src)
-        .write.format(fmt).mode("append").option("shards", 8).save(dst)
+      // bootstrap the replica as a ZERO-COPY shallow clone of the
+      // source's tok0 snapshot (how a real replica seeds: O(#shards)
+      // hardlinks, no data write), then CDC keeps it current; the
+      // q330 inode property makes the clone safe under the source's
+      // later rewrites/vacuum
+      graft.sources.GraftLog.shallowClone(src, dst, Some(tok0))
       // four source commits: delete, CoW update, append, compact
       graft.sources.GraftLog.deleteWhere(src, 0L, n / 8 - 1)
       s.sql(s"UPDATE glog.$srcT SET value = value + 1000 " +
