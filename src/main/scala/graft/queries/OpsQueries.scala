@@ -1477,6 +1477,14 @@ object OpsQueries {
       GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), srcOut)
       val src = srcOut.toString
       val dst = s"${GlogFixtures.CatBase}/$dstT"
+      // clear a leftover from a PRIOR JVM (runIds restart per JVM;
+      // shallowClone refuses a non-empty destination — the q330 rule)
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst))) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dst))
+          .iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       val n = Tables.table(s, dir, "events").count()
       val tok0 = graft.sources.GraftLog.currentVersion(src)
       // bootstrap the replica as a ZERO-COPY shallow clone of the
@@ -1845,6 +1853,89 @@ object OpsQueries {
       census(netDel, "delete").unionByName(census(netIns, "insert"))
         .withColumn("cdf_reconciles_snapshot_diff", lit(reconciles))
         .orderBy($"change_type")
+    }),
+
+    // Merge-on-read DELETION VECTORS — the missing half of the
+    // row-level-delete economics: the copy-on-write paths (q194/q196)
+    // rewrite every touched shard, which for k SCATTERED keys at
+    // 100 TB means k multi-GB rewrites to remove k rows. `DELETE …
+    // WHERE event_id IN (…)` instead lands per-shard `_dv/` sidecars
+    // (suppressed keys + a content echo) through the same atomic swap
+    // commit — zero data I/O, O(#touched shards) metadata — and every
+    // reader subtracts them at scan time; the next compaction reads
+    // through the dv-aware scan and purges physically for free (the
+    // Delta/Iceberg merge-on-read trade on this format). The
+    // lifecycle here pins the full contract in one run: a bulk
+    // scattered delete (every 97th id) plus a SQL IN-list delete,
+    // both provably rewrite-free (shard listing + CoW counters
+    // unchanged — the boolean); a pre-delete snapshot token still
+    // reading the suppressed rows (t1); the change feed emitting the
+    // dv deltas as `delete` rows that reconcile exactly with the
+    // snapshot diff (boolean); and compaction purging the vectors
+    // (live `_dv/` empty — boolean) while the census stays identical
+    // (t4 == t3). Pushdown correctness under vectors (counts are
+    // physical; LIMIT/agg self-disable) is DeletionVectorSpec's.
+    "q343_deletion_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"dv${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val n = Tables.table(s, dir, "events").count()
+      val tok0 = G.currentVersion(log)
+      def listing = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      val before = listing
+      val rw0 = G.shardsRewritten.get()
+      val gp0 = G.groupsReplaced.get()
+      // bulk scattered delete: every 97th id, merge-on-read
+      G.deleteVectors(log, (0L until n by 97).toSeq)
+      val tok1 = G.currentVersion(log)
+      // SQL surface: an IN-list routes to the dv path too
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      s.sql(s"DELETE FROM glog.$tbl WHERE event_id IN (1, 2, 5)")
+      val noRewrite = listing == before &&
+        G.shardsRewritten.get() == rw0 && G.groupsReplaced.get() == gp0
+      // 1-row collects (the q325 discipline): each leg read at its
+      // point in the lifecycle
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t1 = stats(s.read.format(fmt).option("version", tok0).load(log))
+      val t2 = stats(s.read.format(fmt).option("version", tok1).load(log))
+      val t3 = stats(s.read.format(fmt).load(log))
+      // the feed of both dv commits == the snapshot diff, row-exact
+      val cols = Seq($"event_id", $"ts", $"user_id", $"event_type",
+        $"value")
+      val cdf = s.read.format(fmt).option("readChangeFeed", "true")
+        .option("sinceVersion", tok0).load(log).localCheckpoint()
+      val dels = cdf.filter($"_change_type" === "delete").select(cols: _*)
+      val diff = s.read.format(fmt).option("version", tok0).load(log)
+        .except(s.read.format(fmt).load(log))
+      val reconciles = cdf.filter($"_change_type" === "insert").isEmpty &&
+        dels.except(diff).isEmpty && diff.except(dels).isEmpty
+      G.compact(s, log, 4)
+      val t4 = stats(s.read.format(fmt).load(log))
+      val purged = {
+        val d = java.nio.file.Paths.get(log, "_dv")
+        !java.nio.file.Files.isDirectory(d) || {
+          val l = java.nio.file.Files.list(d)
+          try !l.iterator().hasNext finally l.close()
+        }
+      }
+      Seq(("t1_pre_delete_snapshot", t1._1, t1._2, t1._3, t1._4),
+          ("t2_after_dv_delete", t2._1, t2._2, t2._3, t2._4),
+          ("t3_after_sql_in_delete", t3._1, t3._2, t3._3, t3._4),
+          ("t4_post_compact", t4._1, t4._2, t4._3, t4._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("dv_wrote_no_shard", lit(noRewrite))
+        .withColumn("cdf_matches_snapshot_diff", lit(reconciles))
+        .withColumn("vectors_purged_by_compact", lit(purged))
+        .orderBy($"leg")
     }),
 
     // Column-level encryption round-trip — the data-at-rest
@@ -3651,6 +3742,33 @@ object OpsQueries {
           SELECT change_type, n_rows, min_event_id, max_event_id,
                  sum_value, TRUE AS cdf_reconciles_snapshot_diff
           FROM legs ORDER BY change_type""",
+
+    "q343_deletion_vectors" ->
+      s"""WITH legs AS (
+            SELECT 't1_pre_delete_snapshot' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 't2_after_dv_delete', count(*), min(event_id),
+                   max(event_id), ${Q.dsumSql("value")}
+            FROM events WHERE event_id % 97 <> 0
+            UNION ALL
+            SELECT 't3_after_sql_in_delete', count(*), min(event_id),
+                   max(event_id), ${Q.dsumSql("value")}
+            FROM events
+            WHERE event_id % 97 <> 0 AND event_id NOT IN (1, 2, 5)
+            UNION ALL
+            SELECT 't4_post_compact', count(*), min(event_id),
+                   max(event_id), ${Q.dsumSql("value")}
+            FROM events
+            WHERE event_id % 97 <> 0 AND event_id NOT IN (1, 2, 5))
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS dv_wrote_no_shard,
+                 TRUE AS cdf_matches_snapshot_diff,
+                 TRUE AS vectors_purged_by_compact
+          FROM legs ORDER BY leg""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

@@ -282,11 +282,19 @@ object GraftLog {
         drops += si.file // retired (retention) at the swap roll-forward
         shardsDropped.incrementAndGet()
       } else if (!disjoint) { // partial overlap or no sidecar: rewrite
+        // a rewrite must not resurrect rows a deletion vector already
+        // suppressed: the shard's valid dv applies to the kept lines
+        // (its files then retire with the old content at the swap)
+        val dv: Array[Long] = dvFileFor(path,
+            Paths.get(si.file).getFileName.toString, si,
+            generation(path))
+          .map(dvKeys).getOrElse(Array.empty[Long])
         val kept = Files.readAllLines(Paths.get(si.file)).asScala
           .filter(_.nonEmpty)
           .filter { line =>
             val id = line.substring(0, line.indexOf('|')).toLong
-            id < lo || id > hi
+            (id < lo || id > hi) &&
+              (dv.isEmpty || java.util.Arrays.binarySearch(dv, id) < 0)
           }
         if (kept.isEmpty) {
           drops += si.file
@@ -355,7 +363,8 @@ object GraftLog {
     * assumption); concurrent READERS racing the committer (or each
     * other) over ONE manifest converge — see the roll-forward. */
   def commitSwap(path: String, drops: Seq[String],
-      promotes: Seq[(String, String, String)]): Unit =
+      promotes: Seq[(String, String, String)],
+      dvs: Seq[(String, String)] = Nil): Unit =
     lockFor(path).synchronized {
       // the manifest NAME is shared with streaming-epoch commits: the
       // lock (in-JVM) plus completing any pending manifest first keeps
@@ -370,7 +379,12 @@ object GraftLog {
               if (Files.exists(Paths.get(path, fin))) "rewrite"
               else "promote"
             s"$op|$tmp|$fin|$meta"
-          })).mkString("", "\n", "\n")
+          } ++
+          // deletion-vector publishes: hidden tmp → _dv/<name>.g<G>.dv
+          // ('/' never appears in shard names, so the two path fields
+          // stay unambiguous in the '|'-split format)
+          dvs.map { case (tmp, fin) => s"dv|$tmp|$fin" }))
+        .mkString("", "\n", "\n")
       val mTmp = Paths.get(path, s".$SwapManifest.tmp")
       Files.write(mTmp, body.getBytes(StandardCharsets.UTF_8))
       Files.move(mTmp, Paths.get(path, SwapManifest),
@@ -491,6 +505,12 @@ object GraftLog {
           writeMetaAtomic(path,
             p(2).stripSuffix(".graftlog") + ".meta",
             p.drop(3).mkString("|"))
+        case "dv" =>
+          // deletion-vector publish: like a promote, nothing is ever
+          // retired (the vector is ADDITIVE metadata); the generation
+          // tag in its name keeps it invisible until the bump below
+          Files.createDirectories(Paths.get(path, DvDir))
+          publishExclusive(Paths.get(path, p(1)), Paths.get(path, p(2)))
         case other =>
           throw new IllegalStateException(
             s"corrupt swap manifest entry in $path: $other")
@@ -583,6 +603,29 @@ object GraftLog {
         case _: java.nio.file.NoSuchFileException => ()
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
+    // deletion vectors ride with the content they describe: every
+    // live dv of this shard name moves into the same retired store,
+    // so (a) historical reads find shard copy + vector side by side,
+    // (b) live `_dv/` never holds vectors for dead files — a later
+    // shard reusing the name can't meet a leftover vector — and
+    // (c) VACUUM reclaims both together. Winner-only, like the meta.
+    if (won) {
+      val dvd = Paths.get(path, DvDir)
+      if (Files.isDirectory(dvd))
+        withListing(dvd)(_.filter { f =>
+          f.getFileName.toString match {
+            case DvName(n, _) => n == name
+            case _ => false
+          }
+        }.toSeq).foreach { f =>
+          try Files.move(f, dst.resolve(f.getFileName.toString),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+        }
+    }
   }
 
   /** Shard list of a RETAINED historical snapshot (generation g <
@@ -1170,17 +1213,48 @@ object GraftLog {
     * Readable until VACUUM reclaims the needed generations (then
     * loud, like any historical read). */
   def changeSet(path: String, since: String,
-      end: Option[String]): Seq[(String, String)] = {
-    def resolved(tok: String): Map[String, String] =
-      shardsAt(path, Some(tok)).map(si =>
-        Paths.get(si.file).getFileName.toString -> si.file).toMap
+      end: Option[String]): Seq[(String, String, Option[DvRef])] = {
+    // each snapshot resolves shard name → (serving file, governing
+    // dv): the dv is part of the snapshot's visible state, so the
+    // diff must be over BOTH. Three change shapes fall out:
+    //  - file differs (rewrite/drop/add): full before/after images,
+    //    each read through ITS snapshot's dv (suppress-mode) — a row
+    //    invisible at a snapshot must not appear as its image;
+    //  - file same, dv grew (a dv-only delete commit): the newly
+    //    suppressed rows are the change — the reader emits ONLY the
+    //    dv DELTA (keep-mode, new minus old), as deletes;
+    //  - neither: no change.
+    def resolved(tok: String): Map[String, (String, Option[String])] = {
+      val g = tokenOrd(tok)._1
+      shardsAt(path, Some(tok)).map { si =>
+        val name = Paths.get(si.file).getFileName.toString
+        name -> (si.file, dvFileFor(path, name, si, g))
+      }.toMap
+    }
     val a = resolved(since)
     val b = resolved(end.getOrElse(currentVersion(path)))
     val deletes = a.collect {
-      case (n, f) if !b.get(n).contains(f) => (f, "delete") }
+      case (n, (f, dv)) if !b.get(n).exists(_._1 == f) =>
+        (f, "delete", dv.map(DvRef(_, keep = false)))
+    }
     val inserts = b.collect {
-      case (n, f) if !a.get(n).contains(f) => (f, "insert") }
-    (deletes ++ inserts).toSeq.sortBy(_._1)
+      case (n, (f, dv)) if !a.get(n).exists(_._1 == f) =>
+        (f, "insert", dv.map(DvRef(_, keep = false)))
+    }
+    val dvDeltas = b.collect {
+      case (n, (f, dvB)) if a.get(n).exists(_._1 == f) &&
+          a(n)._2 != dvB =>
+        // dvs are cumulative while the file lives, so dvB ⊇ dvA and
+        // dvB is defined whenever they differ; defend anyway
+        val dvA = a(n)._2
+        (f, "delete", Some(DvRef(
+          dvB.getOrElse(throw new IllegalStateException(
+            s"graftlog change feed: dv of $n vanished between $since " +
+              s"and ${end.getOrElse("head")} of $path while the shard " +
+              "file stayed — cumulative-dv invariant broken")),
+          keep = true, minus = dvA)))
+    }
+    (deletes ++ inserts ++ dvDeltas).toSeq.sortBy(_._1)
   }
 
   /** The change-feed read schema: the table's columns plus the
@@ -1485,6 +1559,230 @@ object GraftLog {
     }
   }
 
+  /** ---- Deletion vectors (merge-on-read point deletes) ----
+    *
+    * A copy-on-write delete of k scattered keys rewrites every
+    * touched shard — at 100 TB that is k multi-GB rewrites to remove
+    * k rows. A DELETION VECTOR instead records the suppressed keys in
+    * a tiny per-shard sidecar (`_dv/<shard>.g<G>.dv`) and lets every
+    * reader subtract them at scan time: the delete is O(#touched
+    * shards) small METADATA writes with zero data I/O, and the
+    * physical purge is deferred to the next compaction (which reads
+    * through the DV-aware scan and so drops the rows for free) — the
+    * Delta/Iceberg merge-on-read trade, on this format.
+    *
+    * File format: first line = the ECHO (`min|max|rows|bytes`) of the
+    * exact shard content the vector binds to (the `_index/` staleness
+    * contract), then one suppressed event_id per line, sorted. Files
+    * are CUMULATIVE per shard: a second delete writes the union at a
+    * new generation, so a reader needs exactly ONE dv file.
+    *
+    * Versioning rides the generation machinery: a DV commit stages
+    * its files hidden, then lands them through the swap manifest
+    * (entry type `dv`) — history pinned, generation bumped, commit
+    * marker recorded, all-or-nothing. Resolution for a read at
+    * generation g: the latest dv of the shard with dvGen ≤ g whose
+    * echo matches the serving file. A snapshot token minted BEFORE
+    * the delete therefore still reads the suppressed rows (its
+    * resolved generation precedes the dv's), and a crash before the
+    * manifest lands leaves the staged dvs invisible — never a torn
+    * delete.
+    *
+    * Lifecycle invariant: live `_dv/` entries always describe LIVE
+    * shard files — [[retire]] moves a shard's dv files into the same
+    * `_retired/g<r>/` store as the shard copy they describe (where
+    * historical resolution finds both, and VACUUM reclaims both).
+    * This is what makes the echo binding airtight: a later shard
+    * reusing a retired name (truncate → re-ingest) can never meet a
+    * leftover vector, even if its content is byte-identical.
+    *
+    * Correctness couplings (each enforced in code, pinned by
+    * DeletionVectorSpec):
+    *  - sidecar-served aggregates, LIMIT and top-n shard selection
+    *    all price shards by PHYSICAL row counts — every pushdown that
+    *    consumes counts self-disables while any dv exists
+    *    ([[hasDvFiles]] gates the ScanBuilder);
+    *  - range DELETE's partial-shard rewrite applies the shard's
+    *    valid dv to the kept lines (a rewrite must not resurrect
+    *    suppressed rows);
+    *  - the change feed resolves each snapshot's dv state: a dv-only
+    *    commit emits its newly-suppressed rows as `delete` changes
+    *    (the dv DELTA — [[DvRef]] keep-mode), and full before/after
+    *    shard images read through their snapshot's dv. */
+  private[sources] val DvDir = "_dv"
+
+  /** How a reader applies a dv file to a shard: `keep = false`
+    * suppresses the listed keys (the scan path); `keep = true` emits
+    * ONLY the listed keys minus those also in `minus` (the change
+    * feed's dv-delta path). */
+  case class DvRef(file: String, keep: Boolean,
+      minus: Option[String] = None) extends Serializable
+
+  /** Suppressed keys of a dv file (sorted; the echo line skipped).
+    * Executor-side: a dv is a few KB, read once per task. */
+  def dvKeys(file: String): Array[Long] = {
+    val lines = Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8)
+    val out = new Array[Long](math.max(0, lines.size - 1))
+    var i = 1
+    while (i < lines.size) {
+      out(i - 1) = lines.get(i).trim.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Any dv file anywhere on the table (live or retired)? One cheap
+    * listing; gates every count-priced pushdown. Conservative on
+    * purpose: even a stale (echo-dead) vector disables the fast
+    * paths — correctness never hinges on staleness detection here. */
+  def hasDvFiles(path: String): Boolean = {
+    def nonEmptyDir(d: java.nio.file.Path): Boolean =
+      Files.isDirectory(d) && withListing(d)(_.exists(p =>
+        p.getFileName.toString.endsWith(".dv")))
+    if (nonEmptyDir(Paths.get(path, DvDir))) return true
+    val rd = Paths.get(path, RetiredDir)
+    Files.isDirectory(rd) && withListing(rd)(_.exists(g =>
+      nonEmptyDir(g)))
+  }
+
+  private val DvName = """(.+\.graftlog)\.g(\d+)\.dv""".r
+
+  /** The dv file governing `name` as served by `si.file` at
+    * generation `gen`: latest dvGen ≤ gen among the candidates
+    * CO-LOCATED with the serving file (live `_dv/` for a live shard,
+    * the retired store's dir for a retired copy), echo-validated
+    * against the serving content. */
+  def dvFileFor(path: String, name: String, si: ShardInfo,
+      gen: Long): Option[String] = {
+    val servingDir = Paths.get(si.file).getParent
+    val live = Paths.get(path).toAbsolutePath.normalize ==
+      servingDir.toAbsolutePath.normalize
+    val d = if (live) Paths.get(path, DvDir) else servingDir
+    if (!Files.isDirectory(d)) return None
+    val want = echoOf(si)
+    if (want.isEmpty) return None
+    val cands = withListing(d)(_.map(_.getFileName.toString).toSeq)
+      .collect { case DvName(n, g) if n == name && g.toLong <= gen =>
+        (g.toLong, n) }
+    cands.sortBy(-_._1).view.map { case (g, n) =>
+      d.resolve(s"$n.g$g.dv")
+    }.find { f =>
+      try {
+        val first = Files.lines(f)
+        val echo = try first.findFirst().orElse("") finally first.close()
+        echo == want
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }.map(_.toString)
+  }
+
+  /** Resolve the dv for every shard of a planned read — one `_dv`
+    * listing's worth of work per scan (the sidecar cost class). */
+  def dvMap(path: String, shards: Seq[ShardInfo],
+      gen: Long): Map[String, String] =
+    shards.flatMap { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      dvFileFor(path, name, si, gen).map(name -> _)
+    }.toMap
+
+  /** Rows a delete suppressed (observability twin of
+    * [[shardsRewritten]]): dv files written by [[deleteVectors]]. */
+  val dvFilesWritten = new AtomicLong(0)
+
+  /** Executor-side row visibility under a [[DvRef]]: suppress-mode
+    * hides the listed keys; keep-mode shows ONLY `file`'s keys minus
+    * `minus`'s (the change feed's dv delta). Keys load once per task
+    * (a dv is a few KB); probes are binary searches. */
+  private[sources] final class DvFilter(ref: Option[DvRef])
+      extends Serializable {
+    private val (only, drop): (Array[Long], Array[Long]) = ref match {
+      case None => (null, null)
+      case Some(DvRef(f, false, _)) => (null, dvKeys(f))
+      case Some(DvRef(f, true, minus)) =>
+        val m = minus.map(dvKeys).getOrElse(Array.empty[Long])
+        (dvKeys(f).filter(k =>
+          java.util.Arrays.binarySearch(m, k) < 0), null)
+    }
+    val active: Boolean = only != null || drop != null
+    def visible(id: Long): Boolean =
+      (drop == null || java.util.Arrays.binarySearch(drop, id) < 0) &&
+        (only == null || java.util.Arrays.binarySearch(only, id) >= 0)
+  }
+
+  /** Merge-on-read DELETE of scattered keys: for each live shard
+    * whose sidecar range intersects the key set, stage a cumulative
+    * dv (prior valid vector ∪ new keys bounded to the shard's range)
+    * and land them all in ONE swap commit — atomic, versioned, zero
+    * data I/O (membership is not probed: suppressing a key a shard
+    * never held is a no-op, so binding the range-overlap superset is
+    * correct and keeps the delete purely manifest-priced). Returns
+    * the number of dv files committed. Not defined for bucketed
+    * layouts (their per-bucket readers never consult dvs — use the
+    * CoW paths there). */
+  def deleteVectors(path: String, keys: Seq[Long]): Int =
+    lockFor(path).synchronized {
+      require(keys.nonEmpty, "deleteVectors needs at least one key")
+      require(!isBucketed(path),
+        s"$path is a bucketed graftlog table; deletion vectors are " +
+          "defined for the unbucketed layout — use the copy-on-write " +
+          "DELETE/MERGE paths instead")
+      applySwapIfPresent(path)
+      val ks = keys.distinct.sorted.toArray
+      val g0 = generation(path)
+      val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      listShards(path).foreach { si =>
+        val name = Paths.get(si.file).getFileName.toString
+        val hit: Array[Long] = si.stats match {
+          case Some((mn, mx, _)) =>
+            val from = {
+              val i = java.util.Arrays.binarySearch(ks, mn)
+              if (i >= 0) i else -i - 1
+            }
+            val until = {
+              val i = java.util.Arrays.binarySearch(ks, mx)
+              if (i >= 0) i + 1 else -i - 1
+            }
+            java.util.Arrays.copyOfRange(ks, from, until)
+          case None => ks // unprunable shard: bind the full superset
+        }
+        if (hit.nonEmpty) {
+          val prior = dvFileFor(path, name, si, g0)
+            .map(dvKeys).getOrElse(Array.empty[Long])
+          val merged = (prior ++ hit).distinct.sorted
+          val body = (echoOf(si) +: merged.map(_.toString))
+            .mkString("", "\n", "\n")
+          val tmp = s".dv-$name.g${g0 + 1}.tmp"
+          Files.write(Paths.get(path, tmp),
+            body.getBytes(StandardCharsets.UTF_8))
+          dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
+        }
+      }
+      if (dvs.nonEmpty) {
+        commitSwap(path, Nil, Nil, dvs.toSeq)
+        dvFilesWritten.addAndGet(dvs.size.toLong)
+      }
+      dvs.size
+    }
+
+  /** Fold a pushed DELETE condition into a discrete key SET — the
+    * merge-on-read routing: `DELETE … WHERE event_id IN (…)` lands
+    * here (deletion vectors), while range/equality conjunctions keep
+    * the sidecar-drop/CoW path ([[deleteRange]]). */
+  def deleteKeySet(filters: Array[Filter]): Option[Seq[Long]] =
+    filters match {
+      case Array(org.apache.spark.sql.sources.In("event_id", vs))
+          if vs.nonEmpty =>
+        val nums = vs.toSeq.map {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case s: Short => Some(s.toLong)
+          case b: Byte => Some(b.toLong)
+          case _ => None
+        }
+        if (nums.forall(_.isDefined)) Some(nums.flatten) else None
+      case _ => None
+    }
+
   /** ---- Concurrent-writer conflict contract (r12 brief #3) ----
     *
     * Shard-INDEX claims make concurrent commits name-safe. The
@@ -1752,6 +2050,83 @@ object GraftLog {
     (before, staged.size)
   }
 
+  /** Z-ORDER CLUSTERING rewrite (`OPTIMIZE … ZORDER BY` for the
+    * format): re-shards the table so every shard covers a tight range
+    * in BOTH event_id and `dim` — rows are range-partitioned by their
+    * Morton value ([[graft.functions.ZOrder]]: the two columns scaled
+    * to their domains and bit-interleaved), then each shard is
+    * event_id-sorted internally, keeping the format's within-shard
+    * order contract. After the rewrite a secondary range index on
+    * `dim` ([[buildIndex]]) prunes sharply instead of degenerating
+    * (an id-clustered layout spreads every dim value across every
+    * shard), at the documented price that shard event_id ranges now
+    * OVERLAP — top-n shard selection self-disables via its
+    * disjointness check and sidecar pruning on event_id widens; you
+    * cluster on what you filter by. Same commit shape as [[compact]]:
+    * one distributed pass (the write plans NO exchange beyond the
+    * z range partitioning — `preservePartitioning`), staged hidden,
+    * landed by one atomic swap; racing appends survive (append-wins).
+    * Scale: the one full rewrite every clustering op costs on any
+    * engine; afterwards dim-selective reads open O(matching shards)
+    * instead of O(all). */
+  def clusterZ(spark: org.apache.spark.sql.SparkSession, path: String,
+      shards: Int, dim: String = "user_id"): (Int, Int) = {
+    require(shards >= 1, s"shards=$shards")
+    require(!isBucketed(path),
+      s"$path is a bucketed graftlog table; its layout is already " +
+        "clustered by bucket — re-ingest to change it")
+    require(dim != "event_id",
+      "z-order needs a SECOND dimension; event_id is the first")
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val tok = currentVersion(path)
+    val olds = shardsAt(path, Some(tok))
+    val before = olds.size
+    val tmp = path + "__cluster_tmp"
+    def rmdir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (Files.isDirectory(p)) {
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally w.close()
+      }
+    }
+    rmdir(tmp)
+    if (Files.exists(Paths.get(path, ExtSchemaFile))) {
+      Files.createDirectories(Paths.get(tmp))
+      Files.copy(Paths.get(path, ExtSchemaFile),
+        Paths.get(tmp, ExtSchemaFile))
+    }
+    val df = spark.read.format("graft.sources.GraftLogSource")
+      .option("version", tok).load(path)
+    val dimL = col(dim).cast("long")
+    val dom = df.agg(fmin(col("event_id")), fmax(col("event_id")),
+      fmin(dimL), fmax(dimL)).head()
+    if (dom.isNullAt(0)) return (before, 0) // empty table: nothing to do
+    val z = graft.functions.ZOrder.zvalue(
+      graft.functions.ZOrder.scaled(col("event_id"),
+        dom.getLong(0), dom.getLong(1)),
+      graft.functions.ZOrder.scaled(dimL, dom.getLong(2), dom.getLong(3)))
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(shards, col("__graft_z"))
+      .drop("__graft_z")
+      .write.format("graft.sources.GraftLogSource")
+      .mode("append").option("preservePartitioning", "true").save(tmp)
+    val staged = listShards(tmp)
+    val base = claimShardIndices(path, staged.size)
+    val promotes = staged.zipWithIndex.map { case (s, i) =>
+      val hidden = f".cluster-${base + i}%05d.tmp"
+      Files.move(Paths.get(s.file), Paths.get(path, hidden),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val (mn, mx, n) = s.stats.getOrElse(throw new IllegalStateException(
+        s"clustered shard ${s.file} lost its sidecar"))
+      (hidden, f"shard-${base + i}%05d.graftlog", s"$mn|$mx|$n")
+    }
+    commitSwap(path, olds.map(_.file), promotes)
+    rmdir(tmp)
+    (before, staged.size)
+  }
+
   /** A directory is a bucketed table iff it has shards and every
     * sidecar carries a bucket value — one manifest read, the same
     * cost planning already pays. An empty/new dir is decided by the
@@ -1811,20 +2186,28 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
   require(path != null, "graftlog source requires a path")
   override def name(): String = s"graftlog($path)"
 
-  /** SQL `DELETE FROM` (via [[GraftLogCatalog]]): accepted only when
-    * the condition folds to one event_id range — see
-    * [[GraftLog.deleteRange]] for why that restriction IS the scale
-    * contract. Anything else is rejected at analysis, steering the
-    * caller to the anti-join/compaction path. */
+  /** SQL `DELETE FROM` (via [[GraftLogCatalog]]): a condition folding
+    * to one event_id RANGE takes the sidecar-drop/CoW path
+    * ([[GraftLog.deleteRange]] — that restriction IS the scale
+    * contract), and an `event_id IN (…)` key SET takes the
+    * merge-on-read deletion-vector path ([[GraftLog.deleteVectors]] —
+    * scattered point deletes cost metadata, not rewrites). Anything
+    * else is rejected at analysis, steering the caller to the
+    * anti-join/compaction path. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    GraftLog.deleteRange(filters).isDefined
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    val (lo, hi) = GraftLog.deleteRange(filters).getOrElse(
-      throw new IllegalArgumentException(
-        s"unsupported delete condition: ${filters.mkString(", ")} " +
-          "(only event_id range conjunctions fold to shard pruning)"))
-    GraftLog.deleteWhere(path, lo, hi)
-  }
+    GraftLog.deleteRange(filters).isDefined ||
+      (!bucketed && GraftLog.deleteKeySet(filters).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftLog.deleteRange(filters) match {
+      case Some((lo, hi)) => GraftLog.deleteWhere(path, lo, hi)
+      case None => GraftLog.deleteKeySet(filters) match {
+        case Some(keys) if !bucketed => GraftLog.deleteVectors(path, keys)
+        case _ => throw new IllegalArgumentException(
+          s"unsupported delete condition: ${filters.mkString(", ")} " +
+            "(only event_id range conjunctions — shard pruning — or an " +
+            "event_id IN list — deletion vectors — fold)")
+      }
+    }
 
   /** SQL UPDATE / MERGE INTO (and the row-level DELETE fallback) via
     * the group-based copy-on-write rewrite — see
@@ -1906,6 +2289,15 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       if (got == baseWant) Nil else ext.map(_.dataType)
     val shards = Option(info.options().get("shards")).map(_.toInt)
     val buckets = Option(info.options().get("buckets")).map(_.toInt)
+    // the caller has already shaped the data (e.g. a z-order
+    // clustering rewrite range-partitioned by Morton value): keep its
+    // partitioning, only sort within partitions — see GraftLogWrite
+    val preserve =
+      Option(info.options().get("preservePartitioning")).exists(_.toBoolean)
+    require(!(preserve && (bucketed || buckets.isDefined)),
+      "preservePartitioning is for unbucketed writes only (a bucketed " +
+        "layout's whole-bucket-per-task contract needs the planned " +
+        "clustered distribution)")
     if (bucketed) {
       require(Option(info.options().get("bucketBy")).contains("user_id"),
         "bucketed graftlog writes support bucketBy=user_id only")
@@ -1924,7 +2316,8 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       override def build(): Write = {
         val b = if (bucketed) buckets else None
         if (doTruncate) new GraftLogTruncateWrite(path, shards, b, writeExt)
-        else new GraftLogWrite(path, shards, b, writeExt, Some(queryId))
+        else new GraftLogWrite(path, shards, b, writeExt, Some(queryId),
+          preserve)
       }
     }
   }
@@ -1941,7 +2334,8 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
 class GraftLogWrite(path: String, shards: Option[Int] = None,
     buckets: Option[Int] = None,
     ext: Seq[DataType] = Nil,
-    queryId: Option[String] = None)
+    queryId: Option[String] = None,
+    preservePartitioning: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   private val byEventId: Array[SortOrder] = Array(
     Expressions.sort(Expressions.column("event_id"),
@@ -1956,8 +2350,15 @@ class GraftLogWrite(path: String, shards: Option[Int] = None,
     Expressions.sort(Expressions.column("ub"), SortDirection.ASCENDING),
     Expressions.sort(Expressions.column("event_id"),
       SortDirection.ASCENDING))
+  // `preservePartitioning`: the caller's partitioning IS the layout
+  // (a clustering rewrite already range-partitioned by its own key,
+  // e.g. a Morton z value that is not a table column and so cannot be
+  // declared here); an unspecified distribution plans NO exchange,
+  // and the per-partition event_id sort keeps the format's
+  // within-shard order contract intact.
   override def requiredDistribution(): Distribution =
-    if (buckets.isDefined)
+    if (preservePartitioning) Distributions.unspecified()
+    else if (buckets.isDefined)
       Distributions.clustered(Array(Expressions.column("ub")))
     else Distributions.ordered(byEventId)
   override def requiredOrdering(): Array[SortOrder] =
@@ -1966,7 +2367,7 @@ class GraftLogWrite(path: String, shards: Option[Int] = None,
   // the planner (and AQE coalescing) size the exchange — a tiny
   // write legitimately lands in one shard, a 100 TB one in thousands
   override def requiredNumPartitions(): Int =
-    buckets.orElse(shards).getOrElse(0)
+    if (preservePartitioning) 0 else buckets.orElse(shards).getOrElse(0)
   override def toBatch: BatchWrite =
     new GraftLogBatchWrite(path, buckets, ext)
 
@@ -2417,6 +2818,24 @@ class GraftLogScanBuilder(path: String,
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Boolean, Int)] = None // (ascending, n)
 
+  /** A deletion vector governing ANY shard this read resolves
+    * disables every pushdown that prices shards by sidecar ROW
+    * COUNTS: counts are physical, visible rows may be fewer, so a
+    * count-based shard selection could under-read a LIMIT and a
+    * sidecar-served aggregate would overcount. Range pruning is
+    * unaffected (a vector only removes rows — the sidecar bounds
+    * stay conservative). Echo-validated against the read's exact
+    * shard set at its resolved generation, so a compacted table
+    * (vectors physically applied, files moved to the retired store)
+    * gets its fast paths back immediately — only reads that actually
+    * see a vector pay. One `_dv` listing per plan. */
+  private lazy val dvFree: Boolean = {
+    val shards = GraftLog.shardsBetween(path, sinceVersion, version)
+    val g = version.map(t => GraftLog.tokenOrd(t)._1)
+      .getOrElse(GraftLog.generation(path))
+    GraftLog.dvMap(path, shards, g).isEmpty
+  }
+
   // both parent defaults return true; Scala requires the diamond be
   // resolved explicitly. PARTIAL is the contract here: Spark keeps
   // its own GlobalLimit / TakeOrdered above the scan, so shard
@@ -2434,7 +2853,7 @@ class GraftLogScanBuilder(path: String,
     * never offers a limit while filters remain, and ours are always
     * residuals. */
   override def pushLimit(limit: Int): Boolean =
-    !changeFeed && pushedAgg.isEmpty && limit > 0 && {
+    !changeFeed && pushedAgg.isEmpty && limit > 0 && dvFree && {
       pushedLimit = Some(limit)
       true
     }
@@ -2450,7 +2869,8 @@ class GraftLogScanBuilder(path: String,
     * instead (partial pushdown: Spark's TakeOrderedAndProject above
     * the scan makes selection an I/O optimization, never semantics). */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
-    !changeFeed && pushedAgg.isEmpty && limit > 0 && orders.length == 1 && {
+    !changeFeed && pushedAgg.isEmpty && limit > 0 && dvFree &&
+      orders.length == 1 && {
       orders(0).expression() match {
         case n: NamedReference if n.fieldNames.sameElements(Array("event_id")) =>
           pushedTopN =
@@ -2508,7 +2928,8 @@ class GraftLogScanBuilder(path: String,
       }
       case _ => false
     }
-    !changeFeed && pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+    !changeFeed && pushed.isEmpty && dvFree &&
+      agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -2576,10 +2997,18 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Change-feed shard set, resolved ONCE at scan construction (the
-    * same plan-time listing every scan pays): (file, insert|delete)
-    * per touched shard — the feed opens only these, never the table. */
-  private lazy val changes: Seq[(String, String)] =
+    * same plan-time listing every scan pays): (file, insert|delete,
+    * dv) per touched shard — the feed opens only these, never the
+    * table. */
+  private lazy val changes: Seq[(String, String, Option[GraftLog.DvRef])] =
     GraftLog.changeSet(path, sinceVersion.get, version)
+
+  /** The generation this read resolves at — what deletion-vector
+    * visibility keys on (a token minted before a dv commit reads the
+    * suppressed rows; the head reads without them). */
+  private lazy val resolvedGen: Long = version
+    .map(t => GraftLog.tokenOrd(t)._1)
+    .getOrElse(GraftLog.generation(path))
 
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -2718,7 +3147,11 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     }
     val live = liveShards
     val rows: java.util.OptionalLong =
-      if (live.forall(_.stats.isDefined))
+      // sidecar counts are PHYSICAL rows; under deletion vectors the
+      // visible count is lower, so report bytes only (numRows is a
+      // planner estimate — unknown beats wrong)
+      if (live.forall(_.stats.isDefined) &&
+          GraftLog.dvMap(path, live, resolvedGen).isEmpty)
         java.util.OptionalLong.of(live.map(_.stats.get._3).sum)
       else java.util.OptionalLong.empty()
     val bytes = live.map(_.bytes).sum
@@ -2863,8 +3296,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     if (changeFeed) {
       onPlan(changes.map(_._1))
-      return changes.map { case (f, ct) =>
-        GraftLogPartition(f, None, None, None, Some(ct)): InputPartition
+      return changes.map { case (f, ct, dv) =>
+        GraftLogPartition(f, None, None, None, Some(ct), dv): InputPartition
       }.toArray
     }
     pushedAgg match {
@@ -2874,8 +3307,16 @@ class GraftLogScan(path: String, pushed: Array[Filter],
         // single final row from one empty-work partition — over the
         // SNAPSHOT's shard prefix when a version is pinned, so even
         // the metadata-only path time-travels
-        val stats =
-          GraftLog.shardsBetween(path, sinceVersion, version).flatMap(_.stats)
+        val shards = GraftLog.shardsBetween(path, sinceVersion, version)
+        // the builder only accepts aggregate pushdown on a dv-free
+        // shard set; re-verify at plan time so a vector committed
+        // between the two (outside the single-structural-writer
+        // contract) fails loudly instead of overcounting
+        if (GraftLog.dvMap(path, shards, resolvedGen).nonEmpty)
+          throw new IllegalStateException(
+            s"graftlog $path grew a deletion vector between aggregate " +
+              "pushdown acceptance and planning — re-run the query")
+        val stats = shards.flatMap(_.stats)
         val values: Array[Option[Long]] = aggs.map {
           case _: CountStar => Some(stats.map(_._3).sum)
           case _: Min =>
@@ -2895,10 +3336,17 @@ class GraftLogScan(path: String, pushed: Array[Filter],
           val cap = headCap
           val tailCap = topN.collect { case (false, n) => n }
           val sel = selectedShards
+          // deletion vectors of the planned shards, resolved at the
+          // read's generation (one _dv listing — sidecar cost class);
+          // suppress-mode: the reader subtracts the keys
+          val dvs = GraftLog.dvMap(path, sel, resolvedGen)
           onPlan(sel.map(_.file))
-          sel.map(s =>
-            GraftLogPartition(s.file, s.ub, cap, tailCap): InputPartition)
-            .toArray
+          sel.map { s =>
+            val name = Paths.get(s.file).getFileName.toString
+            GraftLogPartition(s.file, s.ub, cap, tailCap, None,
+              dvs.get(name).map(GraftLog.DvRef(_, keep = false)))
+              : InputPartition
+          }.toArray
       }
     }
   }
@@ -2917,10 +3365,14 @@ case class GraftLogAggPartition(values: Array[Option[Long]])
   * ascending top-n riding the format's within-shard event_id order);
   * `tailCap` keeps the LAST n rows (descending top-n) — mutually
   * exclusive by construction. `change` tags a change-feed partition:
-  * every row of the shard reads with that `_change_type`. */
+  * every row of the shard reads with that `_change_type`. `dv`
+  * applies the shard's deletion vector (suppress-mode on a scan,
+  * keep-mode for a change feed's dv delta — see [[GraftLog.DvRef]]).
+  */
 case class GraftLogPartition(file: String, ub: Option[Long] = None,
     headCap: Option[Int] = None, tailCap: Option[Int] = None,
-    change: Option[String] = None)
+    change: Option[String] = None,
+    dv: Option[GraftLog.DvRef] = None)
     extends InputPartition
 
 /** One whole bucket of a bucketed table — its partition key is what
@@ -3095,8 +3547,8 @@ class GraftLogChangeFeedStream(path: String, required: StructType,
     val s = start.asInstanceOf[GraftLogVersionOffset].token
     val e = end.asInstanceOf[GraftLogVersionOffset].token
     if (s == e) return Array.empty
-    GraftLog.changeSet(path, s, Some(e)).map { case (f, ct) =>
-      GraftLogPartition(f, None, None, None, Some(ct)): InputPartition
+    GraftLog.changeSet(path, s, Some(e)).map { case (f, ct, dv) =>
+      GraftLogPartition(f, None, None, None, Some(ct), dv): InputPartition
     }.toArray
   }
 
@@ -3127,8 +3579,9 @@ class GraftLogReaderFactory(requiredCols: Array[String],
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition match {
       // metadata-column and change-feed projections stay on the row
-      // reader
-      case GraftLogPartition(_, _, None, None, None) =>
+      // reader; a suppress-mode dv keeps the columnar path (the
+      // common post-delete scan shape must stay vectorized)
+      case GraftLogPartition(_, _, None, None, None, _) =>
         !refs.contains(GraftLog.ShardCol)
       case _ => false
     }
@@ -3136,8 +3589,8 @@ class GraftLogReaderFactory(requiredCols: Array[String],
   override def createColumnarReader(partition: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case GraftLogPartition(file, ub, None, None, None) =>
-        new GraftLogColumnarReader(file, refs, ub)
+      case GraftLogPartition(file, ub, None, None, None, dv) =>
+        new GraftLogColumnarReader(file, refs, ub, dv)
       case p => throw new IllegalStateException(
         s"no columnar reader for partition $p")
     }
@@ -3155,8 +3608,8 @@ class GraftLogReaderFactory(requiredCols: Array[String],
             values.map(v => (v.map(Long.box).orNull): Any))
         override def close(): Unit = ()
       }
-    case GraftLogPartition(file, ub, head, tail, change) =>
-      val base = new GraftLogReader(file, refs, ub, change)
+    case GraftLogPartition(file, ub, head, tail, change, dv) =>
+      val base = new GraftLogReader(file, refs, ub, change, dv)
       (head, tail) match {
         case (Some(n), _) => new GraftLogHeadReader(base, n)
         case (_, Some(n)) => new GraftLogTailReader(base, n)
@@ -3216,12 +3669,14 @@ class GraftLogTailReader(under: PartitionReader[InternalRow], n: Int)
   * format's ts_us column, no conversion. */
 class GraftLogColumnarReader(file: String,
     refs: Array[GraftLog.ColRef],
-    ub: Option[Long] = None)
+    ub: Option[Long] = None,
+    dv: Option[GraftLog.DvRef] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
   GraftLog.filesOpened.incrementAndGet()
+  private val dvf = new GraftLog.DvFilter(dv)
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
   private val capacity = 4096
@@ -3242,7 +3697,9 @@ class GraftLogColumnarReader(file: String,
     var n = 0
     while (n < capacity && it.hasNext) {
       val line = it.next()
-      if (!line.isEmpty) {
+      if (!line.isEmpty &&
+          (!dvf.active || dvf.visible(
+            line.substring(0, line.indexOf('|')).toLong))) {
         val parts = line.split('|')
         var c = 0
         while (c < refs.length) {
@@ -3294,11 +3751,14 @@ class GraftLogColumnarReader(file: String,
   * predates the ALTER (fewer fields) or carries the null token. */
 class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
     ub: Option[Long] = None,
-    change: Option[String] = None) extends PartitionReader[InternalRow] {
+    change: Option[String] = None,
+    dv: Option[GraftLog.DvRef] = None)
+    extends PartitionReader[InternalRow] {
   GraftLog.filesOpened.incrementAndGet()
 
   private val changeTag: UTF8String =
     change.map(UTF8String.fromString).orNull
+  private val dvf = new GraftLog.DvFilter(dv)
 
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -3311,36 +3771,45 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
     Paths.get(file).getFileName.toString)
 
   override def next(): Boolean = {
-    if (!it.hasNext) return false
-    val line = it.next()
-    if (line.isEmpty) return next()
-    val parts = line.split('|')
-    val values = new Array[Any](refs.length)
-    var i = 0
-    while (i < refs.length) {
-      values(i) = refs(i) match {
-        case GraftLog.LineCol(pos, dt) =>
-          if (pos >= parts.length ||
-              (pos >= 5 && parts(pos) == GraftLog.NullToken)) null
-          else dt match {
-            case LongType | TimestampType => parts(pos).toLong
-            case DoubleType => parts(pos).toDouble
-            case _ => UTF8String.fromString(parts(pos))
+    // loop (not recurse): a dv-delta partition may skip long runs of
+    // invisible lines
+    while (it.hasNext) {
+      val line = it.next()
+      if (!line.isEmpty) {
+        val parts = line.split('|')
+        if (!dvf.active || dvf.visible(parts(0).toLong)) {
+          val values = new Array[Any](refs.length)
+          var i = 0
+          while (i < refs.length) {
+            values(i) = refs(i) match {
+              case GraftLog.LineCol(pos, dt) =>
+                if (pos >= parts.length ||
+                    (pos >= 5 && parts(pos) == GraftLog.NullToken)) null
+                else dt match {
+                  case LongType | TimestampType => parts(pos).toLong
+                  case DoubleType => parts(pos).toDouble
+                  case _ => UTF8String.fromString(parts(pos))
+                }
+              case GraftLog.UbCol => ub.getOrElse(
+                throw new IllegalStateException(
+                  s"projection asked for ub but shard $file has no " +
+                    "bucket sidecar"))
+              case GraftLog.ShardCol => shardName
+              case GraftLog.ChangeTypeCol =>
+                if (changeTag == null) throw new IllegalStateException(
+                  s"projection asked for _change_type but the partition " +
+                    s"over $file carries no change tag (not a " +
+                    "change-feed read)")
+                else changeTag
+            }
+            i += 1
           }
-        case GraftLog.UbCol => ub.getOrElse(
-          throw new IllegalStateException(
-            s"projection asked for ub but shard $file has no bucket sidecar"))
-        case GraftLog.ShardCol => shardName
-        case GraftLog.ChangeTypeCol =>
-          if (changeTag == null) throw new IllegalStateException(
-            s"projection asked for _change_type but the partition over " +
-              s"$file carries no change tag (not a change-feed read)")
-          else changeTag
+          row = new GenericInternalRow(values)
+          return true
+        }
       }
-      i += 1
     }
-    row = new GenericInternalRow(values)
-    true
+    false
   }
 
   override def get(): InternalRow = row
