@@ -401,6 +401,29 @@ class GraftLogCatalog extends TableCatalog
     }
   }
 
+  /** `CALL glog.cluster('tbl', shards, 'col')` — the z-order
+    * clustering rewrite ([[GraftLog.clusterZ]]): re-shard so
+    * per-shard min/max get tight in BOTH event_id and `col`, making
+    * a secondary range index on `col` prune sharply. */
+  private def clusterProc: MaintenanceProc = new MaintenanceProc("cluster",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("shards", DataTypes.IntegerType).build(),
+      ProcedureParameter.in("dim", DataTypes.StringType)
+        .defaultValue("'user_id'").build()),
+    new StructType(Array(
+      StructField("shards_before", DataTypes.IntegerType, nullable = false),
+      StructField("shards_after", DataTypes.IntegerType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
+      val (before, after) = GraftLog.clusterZ(
+        org.apache.spark.sql.SparkSession.active,
+        tableDir(input.getUTF8String(0).toString), input.getInt(1),
+        input.getUTF8String(2).toString)
+      Array(InternalRow(before, after))
+    }
+  }
+
   private val procedures: Map[String, () => UnboundProcedure] = Map(
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
@@ -408,7 +431,8 @@ class GraftLogCatalog extends TableCatalog
     "history" -> (() => historyProc),
     "set_retention" -> (() => setRetentionProc),
     "analyze" -> (() => analyzeProc),
-    "index" -> (() => indexProc))
+    "index" -> (() => indexProc),
+    "cluster" -> (() => clusterProc))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().isEmpty)
