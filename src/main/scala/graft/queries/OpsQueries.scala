@@ -1995,6 +1995,68 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Bin-packing OPTIMIZE (`CALL glog.optimize`) — the streaming
+    // small-file answer, graded end-to-end: a settled single-shard
+    // table plus 8 micro-appends (the morning after a night of
+    // micro-batch epochs), then optimize with a target far above the
+    // micro shards. The contract, all in-row: the settled shard is
+    // BYTE-UNTOUCHED (same file, bytes, mtime — optimize is O(small
+    // bytes), never O(table), unlike compact); all 8 micro shards
+    // merge into fewer bins; the census before and after is
+    // value-identical (the hash gate — oracle replays feed + 8
+    // shifted slices); and the merged layout keeps exact sidecars +
+    // disjoint ranges, so the metadata-aggregate fast path serves
+    // the post-optimize count with ZERO shards opened (counter
+    // boolean). At 100 TB this is the nightly job that keeps a
+    // streamed table's shard count manifest-sized without ever
+    // rewriting the settled data.
+    "q345_optimize_small_files" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"opt${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 1), out)
+      val log = out.toString
+      val n = Tables.table(s, dir, "events").count()
+      (0 until 8).foreach { i =>
+        Tables.table(s, dir, "events").filter($"event_id" < 50)
+          .select(($"event_id" + n + i * 50).as("event_id"), $"ts",
+            $"user_id", $"event_type", $"value")
+          .write.format(fmt).mode("append").option("shards", 1).save(log)
+      }
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t1 = census()
+      val big = G.listShards(log).maxBy(_.bytes)
+      val bigMtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(big.file)).toMillis
+      val (mergedN, bins) = G.optimize(s, log, big.bytes / 2)
+      val after = G.listShards(log)
+      val bigAfter = after.maxBy(_.bytes)
+      val untouched = bigAfter.file == big.file &&
+        bigAfter.bytes == big.bytes &&
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(bigAfter.file)).toMillis == bigMtime
+      val t2 = census()
+      // census() opens shards only for the dsum leg; re-run the pure
+      // metadata aggregate alone for the zero-IO boolean
+      val o0 = G.filesOpened.get()
+      val metaCount = s.read.format(fmt).load(log)
+        .agg(count(lit(1))).as[Long].head()
+      val zeroIo = G.filesOpened.get() == o0 && metaCount == t2._1
+      Seq(("t1_pre_optimize", t1._1, t1._2, t1._3, t1._4),
+          ("t2_post_optimize", t2._1, t2._2, t2._3, t2._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("settled_shard_untouched", lit(untouched))
+        .withColumn("micros_merged",
+          lit(mergedN == 8 && bins >= 1 && bins < 8))
+        .withColumn("metadata_count_zero_io", lit(zeroIo))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -3849,6 +3911,29 @@ object OpsQueries {
                  TRUE AS band_read_all_shards_before,
                  TRUE AS cluster_halved_banded_io
           FROM legs ORDER BY leg""",
+
+    "q345_optimize_small_files" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          final AS (
+            SELECT event_id, value FROM events
+            UNION ALL
+            SELECT e.event_id + (SELECT c FROM n) + 50 * g.i, e.value
+            FROM events e
+            CROSS JOIN generate_series(0, 7) AS g(i)
+            WHERE e.event_id < 50),
+          census AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM final)
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS settled_shard_untouched,
+                 TRUE AS micros_merged,
+                 TRUE AS metadata_count_zero_io
+          FROM census
+          CROSS JOIN (SELECT 't1_pre_optimize' AS leg
+                      UNION ALL SELECT 't2_post_optimize') legs
+          ORDER BY leg""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

@@ -424,6 +424,26 @@ class GraftLogCatalog extends TableCatalog
     }
   }
 
+  /** `CALL glog.optimize('tbl', target_bytes)` — bin-pack only the
+    * shards smaller than the target ([[GraftLog.optimize]]): the
+    * streaming small-file answer, O(small bytes) instead of
+    * [[GraftLog.compact]]'s O(table). */
+  private def optimizeProc: MaintenanceProc = new MaintenanceProc("optimize",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("target_bytes", DataTypes.LongType).build()),
+    new StructType(Array(
+      StructField("shards_merged", DataTypes.IntegerType, nullable = false),
+      StructField("bins_written", DataTypes.IntegerType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[InternalRow] = {
+      val (m, b) = GraftLog.optimize(
+        org.apache.spark.sql.SparkSession.active,
+        tableDir(input.getUTF8String(0).toString), input.getLong(1))
+      Array(InternalRow(m, b))
+    }
+  }
+
   private val procedures: Map[String, () => UnboundProcedure] = Map(
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
@@ -432,7 +452,8 @@ class GraftLogCatalog extends TableCatalog
     "set_retention" -> (() => setRetentionProc),
     "analyze" -> (() => analyzeProc),
     "index" -> (() => indexProc),
-    "cluster" -> (() => clusterProc))
+    "cluster" -> (() => clusterProc),
+    "optimize" -> (() => optimizeProc))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().isEmpty)

@@ -2127,6 +2127,88 @@ object GraftLog {
     (before, staged.size)
   }
 
+  /** Bin-packing OPTIMIZE (Delta's small-file compaction, distinct
+    * from [[compact]]'s full rewrite): merge only the shards SMALLER
+    * than `targetBytes` into ≈`targetBytes` bins, leaving every
+    * well-sized shard byte-untouched — the answer to streaming
+    * ingest's small-file problem, where a day of micro-batch epochs
+    * mints thousands of KB-scale shards next to TB of settled data.
+    * A full compact would rewrite the TB; optimize rewrites only the
+    * small tail: cost is O(small bytes), not O(table).
+    *
+    * Mechanics: candidates (bytes < targetBytes) sort by sidecar
+    * min-id and bin greedily in that order, so merged shards cover
+    * near-contiguous id ranges and sidecar pruning stays sharp; each
+    * bin's lines merge-sort by event_id ON AN EXECUTOR (one Spark
+    * task per bin — the driver never holds data), applying any valid
+    * deletion vectors (a rewrite must not resurrect suppressed
+    * rows); bins land as hidden tmps with claimed indices and the
+    * whole optimize commits as ONE atomic swap — retired small
+    * shards (and their dvs) stay readable to pre-optimize tokens
+    * until VACUUM, racing appends survive (append-wins). Returns
+    * (shards merged, bins written). */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes")
+    require(!isBucketed(path),
+      s"$path is a bucketed graftlog table; per-bucket optimize is not " +
+        "supported — re-ingest instead")
+    val tok = currentVersion(path)
+    val all = shardsAt(path, Some(tok))
+    val small = all.filter(_.bytes < targetBytes)
+      .sortBy(_.stats.map(_._1).getOrElse(Long.MaxValue))
+    if (small.size < 2) return (0, 0)
+    // greedy contiguous binning over the min-id order
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[ShardInfo])
+    var acc = 0L
+    small.foreach { si =>
+      if (acc > 0 && acc + si.bytes > targetBytes) {
+        bins += scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
+        acc = 0L
+      }
+      bins.last += si
+      acc += si.bytes
+    }
+    val groups = bins.map(_.toSeq).toSeq
+    val gen = generation(path)
+    val dvs = dvMap(path, small, gen)
+    val base = claimShardIndices(path, groups.size)
+    // one task per bin: merge-sort lines by event_id, drop dv keys,
+    // write the hidden tmp + recomputed stats from the executor
+    val work = groups.zipWithIndex.map { case (g, i) =>
+      (g.map(si => (si.file,
+        dvs.get(Paths.get(si.file).getFileName.toString).orNull)),
+        f".optimize-${base + i}%05d.tmp")
+    }
+    val tableDir = path
+    val merged: Seq[(String, String)] = spark.sparkContext
+      .parallelize(work, work.size).map { case (files, hidden) =>
+        val lines = files.flatMap { case (f, dvFile) =>
+          val dv: Array[Long] =
+            if (dvFile == null) Array.empty else dvKeys(dvFile)
+          Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8)
+            .asScala.filter(_.nonEmpty)
+            .map(l => (l.substring(0, l.indexOf('|')).toLong, l))
+            .filter { case (id, _) =>
+              dv.isEmpty || java.util.Arrays.binarySearch(dv, id) < 0 }
+        }.sortBy(_._1)
+        if (lines.isEmpty) (hidden, null: String) // fully dv-suppressed bin
+        else {
+          Files.write(Paths.get(tableDir).resolve(hidden),
+            lines.map(_._2).mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8))
+          (hidden, s"${lines.head._1}|${lines.last._1}|${lines.size}")
+        }
+      }.collect().toSeq
+    val promotes = merged.zipWithIndex.collect {
+      case ((hidden, meta), i) if meta != null =>
+        (hidden, f"shard-${base + i}%05d.graftlog", meta)
+    }
+    commitSwap(path, small.map(_.file), promotes)
+    (small.size, promotes.size)
+  }
+
   /** A directory is a bucketed table iff it has shards and every
     * sidecar carries a bucket value — one manifest read, the same
     * cost planning already pays. An empty/new dir is decided by the
