@@ -2057,6 +2057,88 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Write-time CHECK constraints (`CALL glog.add_constraint`) —
+    // the data contract the lake enforces so downstream jobs don't
+    // have to re-validate: a named SQL predicate declared once
+    // (validated against the EXISTING rows first — Delta's rule: a
+    // constraint present means every committed row satisfies it) and
+    // enforced in every row-landing path. The lifecycle, all in-row:
+    // a valid declaration sticks; a declaration the current data
+    // violates is REJECTED (boolean); a clean append commits (t2,
+    // hash-gated); an append with one violating row among 50 aborts
+    // with NO partial commit (t3 must equal t2 — the atomicity the
+    // task-rename/manifest visibility protocol buys); and a CoW
+    // UPDATE that would break the contract aborts identically
+    // (boolean) — an update cannot do what an insert cannot.
+    // Enforcement is one compiled predicate call per row inside the
+    // writer (compiled once per job on the driver through the
+    // engine's own analyzer, so coercion matches SQL), zero extra
+    // passes — the 100 TB cost model of a write-side gate.
+    // ConstraintSpec pins tri-state NULL, evolved columns, streaming
+    // epochs and drop_constraint.
+    "q346_check_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"ck${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val n = Tables.table(s, dir, "events").count()
+      // the feed's values are positive: this declaration must stick
+      s.sql(s"CALL glog.add_constraint(table => '$tbl', " +
+        "name => 'value_pos', expr => 'value > 0')")
+      val declared = G.constraints(log) == Seq(("value_pos", "value > 0"))
+      // a bound the data already violates must be rejected
+      val tightRejected =
+        try { G.addConstraint(s, log, "too_tight", "value > 100"); false }
+        catch { case _: IllegalArgumentException => true }
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t1 = census()
+      // clean append passes the gate
+      Tables.table(s, dir, "events").filter($"event_id" < 50)
+        .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value")
+        .write.format(fmt).mode("append").option("shards", 1).save(log)
+      val t2 = census()
+      // one violating row among 50 aborts the whole batch
+      val badRejected =
+        try {
+          Tables.table(s, dir, "events").filter($"event_id" < 50)
+            .select(($"event_id" + n * 2).as("event_id"), $"ts",
+              $"user_id", $"event_type",
+              when($"event_id" === 25, lit(-1.0)).otherwise($"value")
+                .as("value"))
+            .write.format(fmt).mode("append").option("shards", 1)
+            .save(log)
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+      val t3 = census()
+      // a CoW UPDATE cannot break the contract either
+      val cowRejected =
+        try {
+          s.sql(s"UPDATE glog.$tbl SET value = value - 1000000 " +
+            "WHERE event_id < 10")
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+      val t4 = census()
+      Seq(("t1_baseline", t1._1, t1._2, t1._3, t1._4),
+          ("t2_clean_append", t2._1, t2._2, t2._3, t2._4),
+          ("t3_after_rejected_append", t3._1, t3._2, t3._3, t3._4),
+          ("t4_after_rejected_update", t4._1, t4._2, t4._3, t4._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("constraint_declared", lit(declared))
+        .withColumn("violating_declaration_rejected", lit(tightRejected))
+        .withColumn("violating_append_rejected", lit(badRejected))
+        .withColumn("violating_update_rejected", lit(cowRejected))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -3934,6 +4016,36 @@ object OpsQueries {
           CROSS JOIN (SELECT 't1_pre_optimize' AS leg
                       UNION ALL SELECT 't2_post_optimize') legs
           ORDER BY leg""",
+
+    "q346_check_constraints" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          base AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events),
+          appended AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM (SELECT event_id, value FROM events
+                  UNION ALL
+                  SELECT event_id + (SELECT c FROM n), value
+                  FROM events WHERE event_id < 50)),
+          legs AS (
+            SELECT 't1_baseline' AS leg, * FROM base
+            UNION ALL
+            SELECT 't2_clean_append', * FROM appended
+            UNION ALL
+            SELECT 't3_after_rejected_append', * FROM appended
+            UNION ALL
+            SELECT 't4_after_rejected_update', * FROM appended)
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 TRUE AS constraint_declared,
+                 TRUE AS violating_declaration_rejected,
+                 TRUE AS violating_append_rejected,
+                 TRUE AS violating_update_rejected
+          FROM legs ORDER BY leg""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

@@ -444,6 +444,40 @@ class GraftLogCatalog extends TableCatalog
     }
   }
 
+  /** `CALL glog.add_constraint('tbl', 'name', 'sql')` — declare a
+    * write-time CHECK constraint (validates existing rows first) —
+    * and its inverse. See [[GraftLog.addConstraint]]. */
+  private def addConstraintProc: MaintenanceProc =
+    new MaintenanceProc("add_constraint",
+      Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("name", DataTypes.StringType).build(),
+        ProcedureParameter.in("expr", DataTypes.StringType).build()),
+      new StructType(Array(
+        StructField("n_constraints", DataTypes.IntegerType,
+          nullable = false)))) {
+      override protected def run(input: InternalRow): Array[InternalRow] = {
+        val dir = tableDir(input.getUTF8String(0).toString)
+        GraftLog.addConstraint(org.apache.spark.sql.SparkSession.active,
+          dir, input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString)
+        Array(InternalRow(GraftLog.constraints(dir).size))
+      }
+    }
+
+  private def dropConstraintProc: MaintenanceProc =
+    new MaintenanceProc("drop_constraint",
+      Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("name", DataTypes.StringType).build()),
+      new StructType(Array(
+        StructField("dropped", DataTypes.BooleanType, nullable = false)))) {
+      override protected def run(input: InternalRow): Array[InternalRow] =
+        Array(InternalRow(GraftLog.dropConstraint(
+          tableDir(input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString)))
+    }
+
   private val procedures: Map[String, () => UnboundProcedure] = Map(
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
@@ -453,7 +487,9 @@ class GraftLogCatalog extends TableCatalog
     "analyze" -> (() => analyzeProc),
     "index" -> (() => indexProc),
     "cluster" -> (() => clusterProc),
-    "optimize" -> (() => optimizeProc))
+    "optimize" -> (() => optimizeProc),
+    "add_constraint" -> (() => addConstraintProc),
+    "drop_constraint" -> (() => dropConstraintProc))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().isEmpty)

@@ -1559,6 +1559,154 @@ object GraftLog {
     }
   }
 
+  /** ---- CHECK constraints (write-time data contracts) ----
+    *
+    * `ALTER TABLE ADD CONSTRAINT` for the format (Delta's CHECK
+    * constraint semantics): named SQL predicates stored in
+    * `_constraints` (one `name|sql` line, atomic rename on change)
+    * and enforced AT WRITE TIME in every path that lands rows —
+    * batch append, INSERT OVERWRITE, streaming epochs, and the
+    * copy-on-write UPDATE/MERGE rewrite (an update that breaks the
+    * contract must fail exactly like an insert). A violating row
+    * fails its task loudly, the job aborts, and the staged tmps are
+    * cleaned — NO partial commit, because visibility is the task
+    * rename / swap manifest, which a failed job never reaches.
+    *
+    * Adding a constraint validates the EXISTING data first (one scan;
+    * a constraint the table already violates is rejected — Delta's
+    * rule), so "constraint present" always means "every committed row
+    * satisfies it". SQL-standard CHECK tri-state: NULL evaluates as
+    * pass (only FALSE violates). Compilation happens once per write
+    * job on the driver (parse → analyze against the write schema, so
+    * type coercion is the engine's own → bind); executors evaluate a
+    * compiled predicate per row — the enforcement cost is one codegen
+    * predicate call in the writer's hot loop, zero extra passes. */
+  private[sources] val ConstraintsFile = "_constraints"
+
+  /** Declared constraints of a table, in declaration order. */
+  def constraints(path: String): Seq[(String, String)] = {
+    val f = Paths.get(path, ConstraintsFile)
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('|') // the sql may itself contain '|'
+        (line.substring(0, i), line.substring(i + 1))
+      }
+  }
+
+  private def writeConstraints(path: String,
+      cs: Seq[(String, String)]): Unit = {
+    val tmp = Paths.get(path, s".$ConstraintsFile.tmp")
+    Files.write(tmp, cs.map { case (n, s) => s"$n|$s" }
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, ConstraintsFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Declare a CHECK constraint. Validates the existing rows first
+    * (one distributed scan) and refuses if any violates — after this
+    * returns, every committed row of the table satisfies the
+    * predicate, and every future write is gated on it. */
+  def addConstraint(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String, sql: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!constraints(path).exists(_._1 == name),
+      s"constraint $name already exists on graftlog table $path")
+    // compile against the write schema NOW: an unparseable or
+    // unresolvable predicate must fail at declaration, not at the
+    // next write
+    compileConstraints(spark,
+      Seq((name, sql)), StructType(schema.fields ++ extSchema(path)))
+    if (listShards(path).nonEmpty) {
+      val bad = spark.read.format("graft.sources.GraftLogSource")
+        .load(path)
+        .filter(s"NOT (($sql) <=> TRUE) AND ($sql) IS NOT NULL")
+        .limit(1).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name: existing rows of $path " +
+          s"violate ($sql)")
+    }
+    writeConstraints(path, constraints(path) :+ (name, sql))
+  }
+
+  /** Drop a constraint; returns whether it existed. */
+  def dropConstraint(path: String, name: String): Boolean = {
+    val cs = constraints(path)
+    val kept = cs.filterNot(_._1 == name)
+    if (kept.size != cs.size) { writeConstraints(path, kept); true }
+    else false
+  }
+
+  /** Parse + analyze + bind the table's constraints against the
+    * write schema — driver-side, once per write job. The analyzer
+    * pass gives the engine's own type coercion; the NULL-passes
+    * wrapper implements SQL CHECK tri-state. Returns
+    * (name, sql, bound expression) — expressions serialize to the
+    * executors, where each writer compiles its predicate once. */
+  private[sources] def compileConstraints(
+      spark: org.apache.spark.sql.SparkSession,
+      cs: Seq[(String, String)],
+      writeSchema: StructType):
+      Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    if (cs.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Coalesce, Literal}
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(writeSchema)
+    cs.map { case (name, sql) =>
+      val plan = LFilter(CatalystSqlParser.parseExpression(sql),
+        LocalRelation(attrs))
+      val analyzed =
+        try spark.sessionState.analyzer.execute(plan)
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint $name does not resolve against " +
+              s"${writeSchema.simpleString}: ($sql)", e)
+        }
+      // RuntimeReplaceable forms (BETWEEN, nullif, …) only get their
+      // evaluable replacement in the OPTIMIZER, and the replacement
+      // may use With/CommonExpression nodes that need their own
+      // rewrite — run exactly those two rules
+      val f = org.apache.spark.sql.catalyst.optimizer
+        .RewriteWithExpression(org.apache.spark.sql.catalyst.optimizer
+          .ReplaceExpressions(analyzed))
+        .collectFirst { case lf: LFilter => lf }
+        .getOrElse(throw new IllegalStateException(
+          s"constraint $name analyzed to a non-Filter plan"))
+      require(f.condition.resolved,
+        s"CHECK constraint $name does not resolve against " +
+          s"${writeSchema.simpleString}: ($sql)")
+      val nullPasses = Coalesce(Seq(f.condition, Literal.TrueLiteral))
+      (name, sql, BindReferences.bindReference(nullPasses, f.child.output))
+    }
+  }
+
+  /** A compiled constraint as shipped to writers: (name, sql, bound
+    * expression). */
+  private[sources] type Constraint =
+    (String, String, org.apache.spark.sql.catalyst.expressions.Expression)
+
+  /** The constraints a write job must enforce, compiled against its
+    * write schema (bucketed rows carry ub at position 5; unbucketed
+    * rows carry the evolved columns there). Driver-side, once per
+    * job. */
+  private[sources] def writeConstraintsFor(path: String,
+      bucketed: Boolean, ext: Seq[DataType]): Seq[Constraint] = {
+    val cs = constraints(path)
+    if (cs.isEmpty) return Nil
+    val ws =
+      if (bucketed) bucketedSchema
+      else StructType(schema.fields ++ ext.zipWithIndex.map {
+        case (dt, i) => StructField(extSchema(path)
+          .lift(i).map(_.name).getOrElse(s"_ext$i"), dt, nullable = true)
+      })
+    compileConstraints(org.apache.spark.sql.SparkSession.active, cs, ws)
+  }
+
   /** ---- Deletion vectors (merge-on-read point deletes) ----
     *
     * A copy-on-write delete of k scattered keys rewrites every
@@ -2486,7 +2634,8 @@ class GraftLogStreamingWrite(path: String, queryId: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new GraftLogStreamingWriterFactory(path, ext)
+    new GraftLogStreamingWriterFactory(path, ext,
+      GraftLog.writeConstraintsFor(path, bucketed = false, ext))
   }
 
   override def commit(epochId: Long,
@@ -2499,13 +2648,14 @@ class GraftLogStreamingWrite(path: String, queryId: String,
     GraftLogSwapCommit.abort(path, messages)
 }
 
-class GraftLogStreamingWriterFactory(path: String, ext: Seq[DataType])
+class GraftLogStreamingWriterFactory(path: String, ext: Seq[DataType],
+    constraints: Seq[GraftLog.Constraint] = Nil)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftLogWriter(path, partitionId, taskId,
-      pending = true, ext = ext)
+      pending = true, ext = ext, constraints = constraints)
 }
 
 class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
@@ -2515,7 +2665,9 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     // tasks stage hidden tmps only; names are assigned at JOB commit
-    new GraftLogWriterFactory(path, buckets, 0, pending = true, ext = ext)
+    new GraftLogWriterFactory(path, buckets, 0, pending = true, ext = ext,
+      constraints =
+        GraftLog.writeConstraintsFor(path, buckets.isDefined, ext))
   }
   // JOB-commit publishing (r12): tasks stage hidden tmps (invisible
   // to every reader — they match neither *.graftlog nor the streaming
@@ -2642,7 +2794,9 @@ class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int],
     existing = GraftLog.listShards(path).map(_.file)
     new GraftLogWriterFactory(path, buckets,
       GraftLog.claimShardIndices(path, info.numPartitions()),
-      defer = true, ext = ext)
+      defer = true, ext = ext,
+      constraints =
+        GraftLog.writeConstraintsFor(path, buckets.isDefined, ext))
   }
   // atomic: new-generation shards are hidden tmps until the swap
   // manifest lands; a reader can never see old+new together or neither
@@ -2670,7 +2824,11 @@ class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
     new GraftLogWriterFactory(path, None,
       GraftLog.claimShardIndices(path, info.numPartitions()),
       markerOffset = true, defer = true,
-      ext = GraftLog.extSchema(path).map(_.dataType))
+      ext = GraftLog.extSchema(path).map(_.dataType),
+      // UPDATE/MERGE must not be able to break the contract an
+      // insert cannot: the CoW replacement rows are gated too
+      constraints = GraftLog.writeConstraintsFor(path, bucketed = false,
+        GraftLog.extSchema(path).map(_.dataType)))
   }
   // atomic: replacement shards stay hidden until the swap manifest
   // lands, which retires the scanned groups in the same commit
@@ -2689,16 +2847,18 @@ class GraftLogWriterFactory(path: String, buckets: Option[Int] = None,
     markerOffset: Boolean = false,
     defer: Boolean = false,
     pending: Boolean = false,
-    ext: Seq[DataType] = Nil) extends DataWriterFactory {
+    ext: Seq[DataType] = Nil,
+    constraints: Seq[GraftLog.Constraint] = Nil)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = buckets match {
     case Some(n) =>
       new GraftLogBucketedWriter(path, baseIndex + partitionId, taskId, n,
-        defer = defer, pending = pending)
+        defer = defer, pending = pending, constraints = constraints)
     case None =>
       new GraftLogWriter(path, baseIndex + partitionId, taskId,
         markerOffset = markerOffset, defer = defer, pending = pending,
-        ext = ext)
+        ext = ext, constraints = constraints)
   }
 }
 
@@ -2731,10 +2891,17 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     markerOffset: Boolean = false,
     defer: Boolean = false,
     pending: Boolean = false,
-    ext: Seq[DataType] = Nil)
+    ext: Seq[DataType] = Nil,
+    constraints: Seq[GraftLog.Constraint] = Nil)
     extends DataWriter[InternalRow] {
   private val extTypes = ext.toArray
   private val width = 5 + extTypes.length
+  // CHECK enforcement: compiled once per writer on first row (the
+  // replace-write's metadata-column offset is only known then —
+  // bound ordinals shift by it); one predicate call per row after
+  private var checks:
+    Array[(String, String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] = _
   // one shard per (partition, bucket) under a bucketed layout — the
   // bucket lands whole in one partition, so the name stays unique
   private val stem = shardUb.fold(f"shard-$pid%05d")(u =>
@@ -2764,6 +2931,27 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
           "layout of the row-level rewrite has changed; refusing to " +
           "write a corrupt shard")
       offsetChecked = true
+    }
+    if (constraints.nonEmpty) {
+      if (checks == null)
+        checks = constraints.map { case (nm, sql, e) =>
+          val shifted = if (o == 0) e else e.transform {
+            case b: org.apache.spark.sql.catalyst.expressions
+                .BoundReference => b.copy(ordinal = b.ordinal + o)
+          }
+          (nm, sql,
+            org.apache.spark.sql.catalyst.expressions.Predicate
+              .create(shifted))
+        }.toArray
+      var ci = 0
+      while (ci < checks.length) {
+        if (!checks(ci)._3.eval(r))
+          throw new IllegalArgumentException(
+            s"graftlog CHECK constraint '${checks(ci)._1}' violated " +
+              s"by row event_id=${r.getLong(o)}: (${checks(ci)._2}) " +
+              "is false — the write is aborted, nothing was committed")
+        ci += 1
+      }
     }
     val id = r.getLong(o)
     // TimestampType's internal representation IS micros-since-epoch —
@@ -2847,7 +3035,9 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
   * every storage-partitioned join over the table. */
 class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
     buckets: Int, defer: Boolean = false,
-    pending: Boolean = false) extends DataWriter[InternalRow] {
+    pending: Boolean = false,
+    constraints: Seq[GraftLog.Constraint] = Nil)
+    extends DataWriter[InternalRow] {
   private var cur: GraftLogWriter = _
   private var curUb: Long = -1L
   private val done = Seq.newBuilder[WriterCommitMessage]
@@ -2860,7 +3050,7 @@ class GraftLogBucketedWriter(dir: String, pid: Int, taskId: Long,
     if (cur == null || ub != curUb) {
       if (cur != null) done += cur.commit()
       cur = new GraftLogWriter(dir, pid, taskId, shardUb = Some(ub),
-        defer = defer, pending = pending)
+        defer = defer, pending = pending, constraints = constraints)
       curUb = ub
     }
     cur.write(r)
