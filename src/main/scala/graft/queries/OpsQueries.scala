@@ -2087,10 +2087,11 @@ object OpsQueries {
       s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
       s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
       val n = Tables.table(s, dir, "events").count()
-      // the feed's values are positive: this declaration must stick
+      // the feed's values are non-negative: this declaration must stick
       s.sql(s"CALL glog.add_constraint(table => '$tbl', " +
-        "name => 'value_pos', expr => 'value > 0')")
-      val declared = G.constraints(log) == Seq(("value_pos", "value > 0"))
+        "name => 'value_nonneg', expr => 'value >= 0')")
+      val declared =
+        G.constraints(log) == Seq(("value_nonneg", "value >= 0"))
       // a bound the data already violates must be rejected
       val tightRejected =
         try { G.addConstraint(s, log, "too_tight", "value > 100"); false }
