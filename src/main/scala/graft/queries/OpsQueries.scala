@@ -2050,6 +2050,7 @@ object OpsQueries {
           ("t2_post_optimize", t2._1, t2._2, t2._3, t2._4))
         .toDF("leg", "n_rows", "min_event_id", "max_event_id",
           "sum_value")
+        .withColumn("shards_merged", lit(mergedN.toLong))
         .withColumn("settled_shard_untouched", lit(untouched))
         .withColumn("micros_merged",
           lit(mergedN == 8 && bins >= 1 && bins < 8))
@@ -2133,6 +2134,7 @@ object OpsQueries {
           ("t4_after_rejected_update", t4._1, t4._2, t4._3, t4._4))
         .toDF("leg", "n_rows", "min_event_id", "max_event_id",
           "sum_value")
+        .withColumn("n_constraints", lit(G.constraints(log).size.toLong))
         .withColumn("constraint_declared", lit(declared))
         .withColumn("violating_declaration_rejected", lit(tightRejected))
         .withColumn("violating_append_rejected", lit(badRejected))
@@ -4010,6 +4012,7 @@ object OpsQueries {
                    ${Q.dsumSql("value")} AS sum_value
             FROM final)
           SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 CAST(8 AS BIGINT) AS shards_merged,
                  TRUE AS settled_shard_untouched,
                  TRUE AS micros_merged,
                  TRUE AS metadata_count_zero_io
@@ -4042,6 +4045,7 @@ object OpsQueries {
             UNION ALL
             SELECT 't4_after_rejected_update', * FROM appended)
           SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 CAST(1 AS BIGINT) AS n_constraints,
                  TRUE AS constraint_declared,
                  TRUE AS violating_declaration_rejected,
                  TRUE AS violating_append_rejected,

@@ -1891,7 +1891,15 @@ object GraftLog {
               if (i >= 0) i + 1 else -i - 1
             }
             java.util.Arrays.copyOfRange(ks, from, until)
-          case None => ks // unprunable shard: bind the full superset
+          case None =>
+            // a vector binds to shard content via the stats echo; a
+            // sidecar-less shard can't carry one — writing a blank
+            // echo would silently never apply (wrong rows). Refuse
+            // loudly; CALL glog.analyze rebuilds the sidecar.
+            throw new IllegalStateException(
+              s"graftlog shard $name of $path has no sidecar — a " +
+                "deletion vector cannot bind to it; run " +
+                "CALL glog.analyze(table) first")
         }
         if (hit.nonEmpty) {
           val prior = dvFileFor(path, name, si, g0)
@@ -2486,7 +2494,9 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       Option(options.get("sinceVersion")),
       changeFeed = changeFeed,
       maxCommitsPerTrigger =
-        Option(options.get("maxCommitsPerTrigger")).map(_.toInt))
+        Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
+      ignoreDeletes =
+        Option(options.get("ignoreDeletes")).exists(_.toBoolean))
 
   /** Batch write: `df.write.format("graft.sources.GraftLogSource")
     * .mode("append").save(dir)`. The arriving schema must BE the
@@ -3076,7 +3086,8 @@ class GraftLogScanBuilder(path: String,
     sinceVersion: Option[String] = None,
     onPlan: Seq[String] => Unit = _ => (),
     changeFeed: Boolean = false,
-    maxCommitsPerTrigger: Option[Int] = None) extends ScanBuilder
+    maxCommitsPerTrigger: Option[Int] = None,
+    ignoreDeletes: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -3226,7 +3237,7 @@ class GraftLogScanBuilder(path: String,
   override def build(): Scan =
     new GraftLogScan(path, pushed, required, maxShardsPerTrigger, pushedAgg,
       pushedLimit, pushedTopN, onPlan, version, sinceVersion, changeFeed,
-      maxCommitsPerTrigger)
+      maxCommitsPerTrigger, ignoreDeletes)
 }
 
 /** Observability at the DSv2 seam: per-task and driver-side custom
@@ -3263,7 +3274,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     version: Option[String] = None,
     sinceVersion: Option[String] = None,
     changeFeed: Boolean = false,
-    maxCommitsPerTrigger: Option[Int] = None)
+    maxCommitsPerTrigger: Option[Int] = None,
+    ignoreDeletes: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -3317,7 +3329,8 @@ class GraftLogScan(path: String, pushed: Array[Filter],
     if (changeFeed)
       new GraftLogChangeFeedStream(path, required, sinceVersion.get,
         maxCommitsPerTrigger)
-    else new GraftLogMicroBatchStream(path, required, maxShardsPerTrigger)
+    else new GraftLogMicroBatchStream(path, required, maxShardsPerTrigger,
+      ignoreDeletes)
   override def description(): String =
     s"graftlog $path pushed=[${pushed.mkString(",")}] " +
       s"cols=[${required.fieldNames.mkString(",")}]" +
@@ -3674,7 +3687,8 @@ case class GraftLogOffset(n: Int)
 }
 
 class GraftLogMicroBatchStream(path: String, required: StructType,
-    maxShardsPerTrigger: Option[Int])
+    maxShardsPerTrigger: Option[Int],
+    ignoreDeletes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -3725,7 +3739,24 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
     // micro-batches of a bucketed dir still read shard-by-shard (no
     // key grouping in a stream); the sidecar bucket rides along so a
     // projected ub column materializes correctly
-    val ubByFile = GraftLog.listShards(path).map(i => i.file -> i.ub).toMap
+    val shards = GraftLog.listShards(path)
+    // this stream IS the append log: its exactly-once story rests on
+    // a (start, end] slice replaying IDENTICAL rows, which deletion
+    // vectors would break (a replay after a later dv commit would
+    // read fewer rows than the original batch). Detect and fail
+    // loudly — the Delta rule — unless the consumer opts into
+    // physical-row semantics; delete-aware consumers belong on the
+    // change-feed stream (readChangeFeed).
+    if (!ignoreDeletes &&
+        GraftLog.dvMap(path, shards, GraftLog.generation(path)).nonEmpty)
+      throw new IllegalStateException(
+        s"graftlog stream over $path: the table carries deletion " +
+          "vectors, which a shard-offset stream cannot replay " +
+          "deterministically — read the change feed " +
+          "(.option(\"readChangeFeed\", true)) for delete-aware " +
+          "consumption, or .option(\"ignoreDeletes\", true) to stream " +
+          "the physical append log")
+    val ubByFile = shards.map(i => i.file -> i.ub).toMap
     shardFiles.slice(s, e)
       .map(f => GraftLogPartition(f, ubByFile.getOrElse(f, None))
         : InputPartition).toArray

@@ -246,6 +246,44 @@ class DeletionVectorSpec extends SparkSuite {
       "live _dv holds vectors only for live shard files")
   }
 
+  test("deleteVectors refuses a sidecar-less shard loudly") {
+    val dir = freshLog(100, 1)
+    // simulate a writer that crashed between shard rename and sidecar
+    Files.delete(Paths.get(dir, "shard-00000.meta"))
+    val e = intercept[IllegalStateException] {
+      GraftLog.deleteVectors(dir, Seq(5L))
+    }
+    assert(e.getMessage.contains("glog.analyze"),
+      "the error must point at the sidecar-rebuild procedure")
+    assert(liveDvFiles(dir).isEmpty, "no unusable blank-echo vector")
+  }
+
+  test("the plain stream fails loudly on vectors unless ignoreDeletes") {
+    val dir = freshLog(200, 2)
+    GraftLog.deleteVectors(dir, Seq(7L))
+    def drain(ignore: Boolean): Seq[Long] = {
+      val r = spark.readStream.format(fmt)
+      if (ignore) r.option("ignoreDeletes", "true")
+      val q = r.load(dir).writeStream.format("memory")
+        .queryName(s"dvstream$ignore")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("dv-cp").toString)
+        .start()
+      q.awaitTermination(60000)
+      spark.table(s"dvstream$ignore").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+    }
+    // replay determinism: a shard-offset stream cannot apply
+    // retroactive deletes — it must refuse (the Delta rule) …
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ignore = false)
+    }
+    assert(e.getCause.getMessage.contains("readChangeFeed"))
+    // … or stream the PHYSICAL append log when explicitly asked
+    assert(drain(ignore = true) === (0L until 200L),
+      "ignoreDeletes streams physical rows (replay-stable)")
+  }
+
   test("an echo-stale vector is inert") {
     val dir = freshLog(100, 1)
     // hand-write a vector with a wrong echo at the current generation
