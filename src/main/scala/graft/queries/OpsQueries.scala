@@ -2142,6 +2142,91 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Merge-on-read UPSERT (`GraftLog.mergeRows`) — the metadata-cost
+    // sibling of the CoW MERGE INTO (q197): point upserts land as ONE
+    // atomic swap commit carrying deletion-vector entries (suppress
+    // the old versions, O(#touched shards) tiny sidecars) plus one
+    // promoted shard (the new versions) — ZERO copy-on-write rewrites
+    // of settled data. At 100 TB, correcting k records costs k dv
+    // lines + one small shard instead of rewriting every touched
+    // multi-GB shard; the change feed reads the update as
+    // delete+insert for free (dv delta + promoted-shard images). The
+    // lifecycle: every 203rd row gets value+1000 (collected bounded:
+    // n/203 rows — the model-frame class), 20 new rows derived from
+    // the feed's head append; booleans pin zero-rewrite (listing
+    // unchanged but one new name, CoW counters still), single-commit
+    // atomicity (generation +1 for the whole op), and CDF ≡ snapshot
+    // diff; post-compact census (t3) proves the physical flatten
+    // preserves the merged state. Oracle replays both mutations as
+    // pure SQL over the feed.
+    "q347_merge_on_read_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"mru${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val n = Tables.table(s, dir, "events").count()
+      val tok0 = G.currentVersion(log)
+      def listing = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      val before = listing
+      val rw0 = G.shardsRewritten.get()
+      val gp0 = G.groupsReplaced.get()
+      // bounded collects (documented): n/203 updates + 20 inserts
+      val updates = Tables.table(s, dir, "events")
+        .filter($"event_id" % 203 === 0)
+        .select($"event_id", unix_micros($"ts"), $"user_id",
+          $"event_type", $"value" + 1000.0)
+        .as[(Long, Long, Long, String, Double)].collect().toSeq
+      val inserts = Tables.table(s, dir, "events")
+        .filter($"event_id" < 20)
+        .select($"event_id" + n, unix_micros($"ts"), $"user_id",
+          $"event_type", $"value")
+        .as[(Long, Long, Long, String, Double)].collect().toSeq
+      val (touched, newShard) = G.mergeRows(log, updates ++ inserts)
+      val tok1 = G.currentVersion(log)
+      val noRewrite = listing.filterNot(_._1.endsWith(newShard)) == before &&
+        G.shardsRewritten.get() == rw0 && G.groupsReplaced.get() == gp0
+      def gen(t: String) =
+        """g(\d+)\.""".r.findFirstMatchIn(t).get.group(1).toLong
+      val oneCommit = gen(tok1) == gen(tok0) + 1 && touched > 0
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t1 = s.read.format(fmt).option("version", tok0).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t2 = census()
+      // CDF across the upsert ≡ snapshot diff, row-exact
+      val cols = Seq($"event_id", $"ts", $"user_id", $"event_type",
+        $"value")
+      val cdf = s.read.format(fmt).option("readChangeFeed", "true")
+        .option("sinceVersion", tok0).load(log).localCheckpoint()
+      val dels = cdf.filter($"_change_type" === "delete").select(cols: _*)
+      val ins = cdf.filter($"_change_type" === "insert").select(cols: _*)
+      val snapA = s.read.format(fmt).option("version", tok0).load(log)
+      val snapB = s.read.format(fmt).load(log)
+      val reconciles =
+        dels.except(snapA.except(snapB)).isEmpty &&
+          snapA.except(snapB).except(dels).isEmpty &&
+          ins.except(snapB.except(snapA)).isEmpty &&
+          snapB.except(snapA).except(ins).isEmpty
+      G.compact(s, log, 4)
+      val t3 = census()
+      Seq(("t1_pre_upsert_snapshot", t1._1, t1._2, t1._3, t1._4),
+          ("t2_post_upsert", t2._1, t2._2, t2._3, t2._4),
+          ("t3_post_compact", t3._1, t3._2, t3._3, t3._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("dv_shards_touched", lit(touched.toLong))
+        .withColumn("upsert_wrote_no_shard", lit(noRewrite))
+        .withColumn("single_atomic_commit", lit(oneCommit))
+        .withColumn("cdf_matches_snapshot_diff", lit(reconciles))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -4050,6 +4135,39 @@ object OpsQueries {
                  TRUE AS violating_declaration_rejected,
                  TRUE AS violating_append_rejected,
                  TRUE AS violating_update_rejected
+          FROM legs ORDER BY leg""",
+
+    "q347_merge_on_read_upsert" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          final AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 203 = 0 THEN value + 1000
+                        ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + (SELECT c FROM n), value
+            FROM events WHERE event_id < 20),
+          base AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events),
+          merged AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM final),
+          legs AS (
+            SELECT 't1_pre_upsert_snapshot' AS leg, * FROM base
+            UNION ALL
+            SELECT 't2_post_upsert', * FROM merged
+            UNION ALL
+            SELECT 't3_post_compact', * FROM merged)
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 CAST(8 AS BIGINT) AS dv_shards_touched,
+                 TRUE AS upsert_wrote_no_shard,
+                 TRUE AS single_atomic_commit,
+                 TRUE AS cdf_matches_snapshot_diff
           FROM legs ORDER BY leg""",
 
     "q338_streaming_change_feed" ->

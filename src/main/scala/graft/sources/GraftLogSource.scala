@@ -1920,6 +1920,82 @@ object GraftLog {
       dvs.size
     }
 
+  /** Merge-on-read UPSERT: land `rows` (keyed by event_id, last
+    * occurrence wins) as ONE atomic commit that (a) suppresses any
+    * existing versions of the keys via deletion vectors and (b)
+    * promotes one new shard holding the incoming versions — the
+    * manifest applies both together, so readers see the old versions
+    * or the new ones, never neither/both. The point-upsert
+    * economics: O(#touched shards) dv sidecars + one small shard
+    * write, ZERO copy-on-write rewrites of settled data — the
+    * metadata-cost alternative to the CoW `MERGE INTO` (q197) for
+    * small keyed corrections, with identical read semantics. The
+    * change feed gets update-as-delete+insert for free: the dv delta
+    * emits the old versions as deletes, the promoted shard its rows
+    * as inserts. Unbucketed tables only; rows must carry base
+    * columns (evolved columns null-fill on read like any short
+    * line). Returns (#shards dv-touched, new shard name). */
+  def mergeRows(path: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): (Int, String) =
+    lockFor(path).synchronized {
+      require(rows.nonEmpty, "mergeRows needs at least one row")
+      require(!isBucketed(path),
+        s"$path is a bucketed graftlog table; use the copy-on-write " +
+          "MERGE INTO path instead")
+      applySwapIfPresent(path)
+      // last occurrence of a key wins (the MERGE matched-update rule)
+      val byKey = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Long, Long, Long, String, Double)]
+      rows.foreach(r => byKey(r._1) = r)
+      val up = byKey.values.toSeq.sortBy(_._1)
+      val ks = up.map(_._1).toArray
+      val g0 = generation(path)
+      // (a) suppress existing versions — same binding as deleteVectors
+      val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      listShards(path).foreach { si =>
+        val name = Paths.get(si.file).getFileName.toString
+        val hit: Array[Long] = si.stats match {
+          case Some((mn, mx, _)) =>
+            val from = {
+              val i = java.util.Arrays.binarySearch(ks, mn)
+              if (i >= 0) i else -i - 1
+            }
+            val until = {
+              val i = java.util.Arrays.binarySearch(ks, mx)
+              if (i >= 0) i + 1 else -i - 1
+            }
+            java.util.Arrays.copyOfRange(ks, from, until)
+          case None => throw new IllegalStateException(
+            s"graftlog shard $name of $path has no sidecar — a " +
+              "deletion vector cannot bind to it; run " +
+              "CALL glog.analyze(table) first")
+        }
+        if (hit.nonEmpty) {
+          val prior = dvFileFor(path, name, si, g0)
+            .map(dvKeys).getOrElse(Array.empty[Long])
+          val merged = (prior ++ hit).distinct.sorted
+          val body = (echoOf(si) +: merged.map(_.toString))
+            .mkString("", "\n", "\n")
+          val tmp = s".dv-$name.g${g0 + 1}.tmp"
+          Files.write(Paths.get(path, tmp),
+            body.getBytes(StandardCharsets.UTF_8))
+          dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
+        }
+      }
+      // (b) stage the new-version shard under a claimed index
+      val idx = claimShardIndices(path, 1)
+      val fin = f"shard-$idx%05d.graftlog"
+      val hidden = f".upsert-$idx%05d.tmp"
+      Files.write(Paths.get(path, hidden),
+        up.map { case (id, tsUs, uid, typ, v) =>
+          s"$id|$tsUs|$uid|$typ|$v"
+        }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      val meta = s"${up.head._1}|${up.last._1}|${up.size}"
+      commitSwap(path, Nil, Seq((hidden, fin, meta)), dvs.toSeq)
+      if (dvs.nonEmpty) dvFilesWritten.addAndGet(dvs.size.toLong)
+      (dvs.size, fin)
+    }
+
   /** Fold a pushed DELETE condition into a discrete key SET — the
     * merge-on-read routing: `DELETE … WHERE event_id IN (…)` lands
     * here (deletion vectors), while range/equality conjunctions keep

@@ -103,6 +103,65 @@ class GraftLogConcurrencySpec extends SparkSuite {
     }), "published claims reclaimed")
   }
 
+  test("appends racing optimize: bins cover exactly the listed tail; " +
+      "racing micro-appends survive") {
+    val dir = tmpDir("glog-conc").toString
+    feed(0, 1000).write.format(fmt).mode("append")
+      .option("shards", 1).save(dir) // one settled shard
+    (0 until 6).foreach { b => // the small tail to bin
+      append(dir, 5000L + b * 20, 5000L + (b + 1) * 20)
+    }
+    val appender = Future {
+      (0 until 8).foreach { b =>
+        append(dir, 9000L + b * 20, 9000L + (b + 1) * 20)
+      }
+    }
+    val optimizer = Future {
+      (0 until 3).foreach { _ =>
+        GraftLog.optimize(spark, dir,
+          GraftLog.listShards(dir).map(_.bytes).max / 2)
+      }
+    }
+    Await.result(Future.sequence(Seq(appender, optimizer)), 180.seconds)
+    val want = ((0L until 1000L) ++ (5000L until 5120L) ++
+      (9000L until 9160L)).sorted
+    assert(ids(dir) === want,
+      "optimize must retire exactly the tail it listed; racing " +
+        "micro-appends survive (append-wins)")
+    val shards = listNames(dir).filter(_.endsWith(".graftlog"))
+    assert(shards.size === shards.distinct.size)
+    assert(!listNames(dir).exists(n =>
+      n.startsWith(".") && n.endsWith(".tmp")), "no orphaned hidden tmps")
+  }
+
+  test("appends racing a deletion-vector commit: vectors bind the " +
+      "listed snapshot; appended rows unaffected") {
+    val dir = tmpDir("glog-conc").toString
+    feed(0, 1000).write.format(fmt).mode("append")
+      .option("shards", 10).save(dir)
+    val appender = Future {
+      (0 until 5).foreach { b =>
+        // windows INSIDE the deleted key RANGE but holding no key
+        // (start ≡ 1 mod 13, length 10): whether a window's shard is
+        // listed before or after the delete, the outcome is the same
+        // — range-overlap binding suppresses only PRESENT keys — so
+        // the assertion is interleaving-independent
+        append(dir, 2081L + b * 2080, 2091L + b * 2080)
+      }
+    }
+    val deleter = Future {
+      GraftLog.deleteVectors(dir, (0L until 21000L by 13).toSeq)
+    }
+    Await.result(Future.sequence(Seq(appender, deleter)), 120.seconds)
+    val fromAppends = (0 until 5).flatMap(b =>
+      2081L + b * 2080 until 2091L + b * 2080)
+    val want = ((0L until 1000L).filterNot(_ % 13 == 0) ++ fromAppends)
+      .sorted
+    assert(ids(dir).sorted === want,
+      "the dv delete suppresses exactly its present keys; racing " +
+        "appends survive under any interleaving")
+  }
+
   test("appends racing a range delete: the delete applies to the " +
       "snapshot it read; appended rows survive") {
     val dir = tmpDir("glog-conc").toString
