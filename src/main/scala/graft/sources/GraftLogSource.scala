@@ -1824,14 +1824,51 @@ object GraftLog {
     }.map(_.toString)
   }
 
-  /** Resolve the dv for every shard of a planned read — one `_dv`
-    * listing's worth of work per scan (the sidecar cost class). */
+  /** Resolve the dv for every shard of a planned read — ONE listing
+    * per distinct serving directory (live root, or a retired store
+    * for historical reads), not one per shard: O(#shards + #dv
+    * files) total, the sidecar cost class at any table size. */
   def dvMap(path: String, shards: Seq[ShardInfo],
-      gen: Long): Map[String, String] =
+      gen: Long): Map[String, String] = {
+    val tableRoot = Paths.get(path).toAbsolutePath.normalize
+    // candidates per (serving dir): shardName -> [(dvGen, fileName)]
+    val byDir = scala.collection.mutable.Map
+      .empty[java.nio.file.Path, Map[String, Seq[(Long, String)]]]
+    def candidates(servingDir: java.nio.file.Path)
+        : Map[String, Seq[(Long, String)]] =
+      byDir.getOrElseUpdate(servingDir, {
+        val d =
+          if (servingDir.toAbsolutePath.normalize == tableRoot)
+            Paths.get(path, DvDir)
+          else servingDir
+        if (!Files.isDirectory(d)) Map.empty
+        else withListing(d)(_.map(_.getFileName.toString).toSeq)
+          .collect { case n @ DvName(shard, g) => (shard, g.toLong, n) }
+          .groupBy(_._1)
+          .view.mapValues(_.map(t => (t._2, t._3))).toMap
+      })
     shards.flatMap { si =>
       val name = Paths.get(si.file).getFileName.toString
-      dvFileFor(path, name, si, gen).map(name -> _)
+      val servingDir = Paths.get(si.file).getParent
+      val d =
+        if (servingDir.toAbsolutePath.normalize == tableRoot)
+          Paths.get(path, DvDir)
+        else servingDir
+      val want = echoOf(si)
+      if (want.isEmpty) None
+      else candidates(servingDir).getOrElse(name, Nil)
+        .filter(_._1 <= gen).sortBy(-_._1).view
+        .map { case (_, f) => d.resolve(f) }
+        .find { f =>
+          try {
+            val first = Files.lines(f)
+            val echo =
+              try first.findFirst().orElse("") finally first.close()
+            echo == want
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }.map(f => name -> f.toString)
     }.toMap
+  }
 
   /** Rows a delete suppressed (observability twin of
     * [[shardsRewritten]]): dv files written by [[deleteVectors]]. */
@@ -1857,16 +1894,59 @@ object GraftLog {
         (only == null || java.util.Arrays.binarySearch(only, id) >= 0)
   }
 
-  /** Merge-on-read DELETE of scattered keys: for each live shard
-    * whose sidecar range intersects the key set, stage a cumulative
-    * dv (prior valid vector ∪ new keys bounded to the shard's range)
-    * and land them all in ONE swap commit — atomic, versioned, zero
-    * data I/O (membership is not probed: suppressing a key a shard
-    * never held is a no-op, so binding the range-overlap superset is
-    * correct and keeps the delete purely manifest-priced). Returns
-    * the number of dv files committed. Not defined for bucketed
-    * layouts (their per-bucket readers never consult dvs — use the
-    * CoW paths there). */
+  /** Stage cumulative dv tmps for every live shard whose sidecar
+    * range intersects `ks` (sorted), targeting generation g0+1 —
+    * shared by [[deleteVectors]] and [[mergeRows]]; caller commits
+    * via [[commitSwap]]'s dv entries. Membership is not probed:
+    * suppressing a key a shard never held is a no-op, so binding the
+    * range-overlap superset keeps the op purely manifest-priced. */
+  private def stageDvs(path: String, ks: Array[Long],
+      g0: Long): Seq[(String, String)] = {
+    val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    listShards(path).foreach { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      val hit: Array[Long] = si.stats match {
+        case Some((mn, mx, _)) =>
+          val from = {
+            val i = java.util.Arrays.binarySearch(ks, mn)
+            if (i >= 0) i else -i - 1
+          }
+          val until = {
+            val i = java.util.Arrays.binarySearch(ks, mx)
+            if (i >= 0) i + 1 else -i - 1
+          }
+          java.util.Arrays.copyOfRange(ks, from, until)
+        case None =>
+          // a vector binds to shard content via the stats echo; a
+          // sidecar-less shard can't carry one — writing a blank
+          // echo would silently never apply (wrong rows). Refuse
+          // loudly; CALL glog.analyze rebuilds the sidecar.
+          throw new IllegalStateException(
+            s"graftlog shard $name of $path has no sidecar — a " +
+              "deletion vector cannot bind to it; run " +
+              "CALL glog.analyze(table) first")
+      }
+      if (hit.nonEmpty) {
+        val prior = dvFileFor(path, name, si, g0)
+          .map(dvKeys).getOrElse(Array.empty[Long])
+        val merged = (prior ++ hit).distinct.sorted
+        val body = (echoOf(si) +: merged.map(_.toString))
+          .mkString("", "\n", "\n")
+        val tmp = s".dv-$name.g${g0 + 1}.tmp"
+        Files.write(Paths.get(path, tmp),
+          body.getBytes(StandardCharsets.UTF_8))
+        dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
+      }
+    }
+    dvs.toSeq
+  }
+
+  /** Merge-on-read DELETE of scattered keys: stage a cumulative dv
+    * per intersecting shard ([[stageDvs]]) and land them all in ONE
+    * swap commit — atomic, versioned, zero data I/O. Returns the
+    * number of dv files committed. Not defined for bucketed layouts
+    * (their per-bucket readers never consult dvs — use the CoW paths
+    * there). */
   def deleteVectors(path: String, keys: Seq[Long]): Int =
     lockFor(path).synchronized {
       require(keys.nonEmpty, "deleteVectors needs at least one key")
@@ -1875,46 +1955,10 @@ object GraftLog {
           "defined for the unbucketed layout — use the copy-on-write " +
           "DELETE/MERGE paths instead")
       applySwapIfPresent(path)
-      val ks = keys.distinct.sorted.toArray
-      val g0 = generation(path)
-      val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      listShards(path).foreach { si =>
-        val name = Paths.get(si.file).getFileName.toString
-        val hit: Array[Long] = si.stats match {
-          case Some((mn, mx, _)) =>
-            val from = {
-              val i = java.util.Arrays.binarySearch(ks, mn)
-              if (i >= 0) i else -i - 1
-            }
-            val until = {
-              val i = java.util.Arrays.binarySearch(ks, mx)
-              if (i >= 0) i + 1 else -i - 1
-            }
-            java.util.Arrays.copyOfRange(ks, from, until)
-          case None =>
-            // a vector binds to shard content via the stats echo; a
-            // sidecar-less shard can't carry one — writing a blank
-            // echo would silently never apply (wrong rows). Refuse
-            // loudly; CALL glog.analyze rebuilds the sidecar.
-            throw new IllegalStateException(
-              s"graftlog shard $name of $path has no sidecar — a " +
-                "deletion vector cannot bind to it; run " +
-                "CALL glog.analyze(table) first")
-        }
-        if (hit.nonEmpty) {
-          val prior = dvFileFor(path, name, si, g0)
-            .map(dvKeys).getOrElse(Array.empty[Long])
-          val merged = (prior ++ hit).distinct.sorted
-          val body = (echoOf(si) +: merged.map(_.toString))
-            .mkString("", "\n", "\n")
-          val tmp = s".dv-$name.g${g0 + 1}.tmp"
-          Files.write(Paths.get(path, tmp),
-            body.getBytes(StandardCharsets.UTF_8))
-          dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
-        }
-      }
+      val dvs = stageDvs(path, keys.distinct.sorted.toArray,
+        generation(path))
       if (dvs.nonEmpty) {
-        commitSwap(path, Nil, Nil, dvs.toSeq)
+        commitSwap(path, Nil, Nil, dvs)
         dvFilesWritten.addAndGet(dvs.size.toLong)
       }
       dvs.size
@@ -1948,40 +1992,37 @@ object GraftLog {
         .empty[Long, (Long, Long, Long, String, Double)]
       rows.foreach(r => byKey(r._1) = r)
       val up = byKey.values.toSeq.sortBy(_._1)
-      val ks = up.map(_._1).toArray
-      val g0 = generation(path)
-      // (a) suppress existing versions — same binding as deleteVectors
-      val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      listShards(path).foreach { si =>
-        val name = Paths.get(si.file).getFileName.toString
-        val hit: Array[Long] = si.stats match {
-          case Some((mn, mx, _)) =>
-            val from = {
-              val i = java.util.Arrays.binarySearch(ks, mn)
-              if (i >= 0) i else -i - 1
-            }
-            val until = {
-              val i = java.util.Arrays.binarySearch(ks, mx)
-              if (i >= 0) i + 1 else -i - 1
-            }
-            java.util.Arrays.copyOfRange(ks, from, until)
-          case None => throw new IllegalStateException(
-            s"graftlog shard $name of $path has no sidecar — a " +
-              "deletion vector cannot bind to it; run " +
-              "CALL glog.analyze(table) first")
+      // CHECK constraints gate this path exactly like every writer:
+      // an upsert must not land what an insert could not. Rows are
+      // evaluated against the write schema with evolved columns
+      // null-padded (the read-back semantics of a base-only line;
+      // NULL passes per SQL tri-state).
+      val cs = constraints(path)
+      if (cs.nonEmpty) {
+        val ext = extSchema(path)
+        val compiled = writeConstraintsFor(path, bucketed = false,
+          ext.map(_.dataType))
+        val preds = compiled.map { case (nm, sql, e) =>
+          (nm, sql,
+            org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
         }
-        if (hit.nonEmpty) {
-          val prior = dvFileFor(path, name, si, g0)
-            .map(dvKeys).getOrElse(Array.empty[Long])
-          val merged = (prior ++ hit).distinct.sorted
-          val body = (echoOf(si) +: merged.map(_.toString))
-            .mkString("", "\n", "\n")
-          val tmp = s".dv-$name.g${g0 + 1}.tmp"
-          Files.write(Paths.get(path, tmp),
-            body.getBytes(StandardCharsets.UTF_8))
-          dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
+        up.foreach { case (id, tsUs, uid, typ, v) =>
+          val row = new GenericInternalRow(
+            Array[Any](id, tsUs, uid, UTF8String.fromString(typ), v) ++
+              Array.fill[Any](ext.size)(null))
+          preds.foreach { case (nm, sql, p) =>
+            if (!p.eval(row))
+              throw new IllegalArgumentException(
+                s"graftlog CHECK constraint '$nm' violated by upsert " +
+                  s"row event_id=$id: ($sql) is false — nothing was " +
+                  "committed")
+          }
         }
       }
+      val ks = up.map(_._1).toArray
+      val g0 = generation(path)
+      // (a) suppress existing versions — same staging as deleteVectors
+      val dvs = stageDvs(path, ks, g0)
       // (b) stage the new-version shard under a claimed index
       val idx = claimShardIndices(path, 1)
       val fin = f"shard-$idx%05d.graftlog"
@@ -1991,7 +2032,7 @@ object GraftLog {
           s"$id|$tsUs|$uid|$typ|$v"
         }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       val meta = s"${up.head._1}|${up.last._1}|${up.size}"
-      commitSwap(path, Nil, Seq((hidden, fin, meta)), dvs.toSeq)
+      commitSwap(path, Nil, Seq((hidden, fin, meta)), dvs)
       if (dvs.nonEmpty) dvFilesWritten.addAndGet(dvs.size.toLong)
       (dvs.size, fin)
     }

@@ -78,6 +78,24 @@ class MergeRowsSpec extends SparkSuite {
         "no delete leg")
   }
 
+  test("a CHECK constraint gates the upsert path too") {
+    val dir = freshLog(100, 1)
+    GraftLog.addConstraint(spark, dir, "v_nonneg", "value >= 0")
+    val tok = GraftLog.currentVersion(dir)
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.mergeRows(dir, Seq(
+        (5L, TsUs, 1L, "ok", 1.0),
+        (6L, TsUs, 1L, "bad", -1.0)))
+    }
+    assert(e.getMessage.contains("v_nonneg"))
+    assert(GraftLog.currentVersion(dir) === tok,
+      "a rejected upsert commits nothing (no generation bump)")
+    assert(spark.read.format(fmt).load(dir).count() === 100L)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"event_id" === 5L).select($"value").as[Double].head()
+      === 5.0, "the valid row of the rejected batch did not land either")
+  }
+
   test("re-upserting a key chains versions; compact flattens them") {
     val dir = freshLog(100, 1)
     GraftLog.mergeRows(dir, Seq((5L, TsUs, 1L, "v1", 1.0)))
