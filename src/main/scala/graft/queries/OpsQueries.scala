@@ -2151,8 +2151,9 @@ object OpsQueries {
     // lines + one small shard instead of rewriting every touched
     // multi-GB shard; the change feed reads the update as
     // delete+insert for free (dv delta + promoted-shard images). The
-    // lifecycle: every 203rd row gets value+1000 (collected bounded:
-    // n/203 rows — the model-frame class), 20 new rows derived from
+    // lifecycle: every 203rd row under a FIXED id bound gets
+    // value+1000 (≤500 rows collected at any SF — point upserts are
+    // small by nature), 20 new rows derived from
     // the feed's head append; booleans pin zero-rewrite (listing
     // unchanged but one new name, CoW counters still), single-commit
     // atomicity (generation +1 for the whole op), and CDF ≡ snapshot
@@ -2174,9 +2175,12 @@ object OpsQueries {
       val before = listing
       val rw0 = G.shardsRewritten.get()
       val gp0 = G.groupsReplaced.get()
-      // bounded collects (documented): n/203 updates + 20 inserts
+      // bounded collects: the update set is capped by a FIXED id
+      // bound (≤ 500 rows at ANY scale — point upserts are small by
+      // nature; bulk corrections belong to the CoW MERGE), and the
+      // insert set is 20 rows
       val updates = Tables.table(s, dir, "events")
-        .filter($"event_id" % 203 === 0)
+        .filter($"event_id" % 203 === 0 && $"event_id" < 101500L)
         .select($"event_id", unix_micros($"ts"), $"user_id",
           $"event_type", $"value" + 1000.0)
         .as[(Long, Long, Long, String, Double)].collect().toSeq
@@ -4141,7 +4145,8 @@ object OpsQueries {
       s"""WITH n AS (SELECT count(*) AS c FROM events),
           final AS (
             SELECT event_id,
-                   CASE WHEN event_id % 203 = 0 THEN value + 1000
+                   CASE WHEN event_id % 203 = 0 AND event_id < 101500
+                        THEN value + 1000
                         ELSE value END AS value
             FROM events
             UNION ALL
