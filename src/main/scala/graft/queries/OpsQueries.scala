@@ -2231,6 +2231,63 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Column DEFAULTs on schema evolution (`ALTER TABLE … ADD COLUMN
+    // c T DEFAULT d` through the catalog's SUPPORT_COLUMN_DEFAULT_
+    // VALUE capability) — Delta's "exists default": rows written
+    // BEFORE the ALTER read the default (their stored lines simply
+    // lack the trailing field — the evolution costs ZERO rewrite at
+    // any table size, pinned by the listing boolean), rows written
+    // after carry explicit values, and an explicitly-written NULL
+    // stays NULL (the tri-state the NullToken encoding exists for).
+    // The census is pure arithmetic over the feed: sum(weight) =
+    // 7·n from the defaulted history + Σ(id%5 over the explicit
+    // slice), with the null slice contributing rows but no weight —
+    // all replayed by the oracle. DefaultValueSpec pins the
+    // compact/constraint/upsert interplay (defaults materialize
+    // physically on rewrite; constraint evaluation sees the
+    // read-back value).
+    "q348_column_defaults" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"dft${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val n = Tables.table(s, dir, "events").count()
+      def listing = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      val before = listing
+      s.sql(s"ALTER TABLE glog.$tbl ADD COLUMN weight BIGINT DEFAULT 7")
+      val alterRewroteNothing = listing == before
+      def census(tag: String) = {
+        val r = s.read.format(fmt).load(log)
+          .agg(count(lit(1)), sum($"weight"),
+            count(when($"weight" === 7L, 1)),
+            count(when($"weight".isNull, 1)))
+          .as[(Long, Long, Long, Long)].head()
+        (tag, r._1, r._2, r._3, r._4)
+      }
+      val t1 = census("t1_after_alter")
+      // explicit-value slice (weight = id % 5) + explicit-NULL slice
+      val src = Tables.table(s, dir, "events").filter($"event_id" < 50)
+      src.select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value", ($"event_id" % 5).as("weight"))
+        .write.format(fmt).mode("append").option("shards", 1).save(log)
+      src.select(($"event_id" + n + 50).as("event_id"), $"ts",
+          $"user_id", $"event_type", $"value",
+          lit(null).cast("long").as("weight"))
+        .write.format(fmt).mode("append").option("shards", 1).save(log)
+      val t2 = census("t2_after_appends")
+      Seq(t1, t2)
+        .toDF("leg", "n_rows", "sum_weight", "n_default_weight",
+          "n_null_weight")
+        .withColumn("alter_rewrote_nothing", lit(alterRewroteNothing))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -4173,6 +4230,27 @@ object OpsQueries {
                  TRUE AS upsert_wrote_no_shard,
                  TRUE AS single_atomic_commit,
                  TRUE AS cdf_matches_snapshot_diff
+          FROM legs ORDER BY leg""",
+
+    "q348_column_defaults" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          ex AS (SELECT CAST(sum(event_id % 5) AS BIGINT) AS s
+                 FROM events WHERE event_id < 50),
+          legs AS (
+            SELECT 't1_after_alter' AS leg,
+                   (SELECT c FROM n) AS n_rows,
+                   CAST(7 * (SELECT c FROM n) AS BIGINT) AS sum_weight,
+                   (SELECT c FROM n) AS n_default_weight,
+                   CAST(0 AS BIGINT) AS n_null_weight
+            UNION ALL
+            SELECT 't2_after_appends',
+                   (SELECT c FROM n) + 100,
+                   CAST(7 * (SELECT c FROM n) + (SELECT s FROM ex)
+                        AS BIGINT),
+                   (SELECT c FROM n),
+                   CAST(50 AS BIGINT))
+          SELECT leg, n_rows, sum_weight, n_default_weight,
+                 n_null_weight, TRUE AS alter_rewrote_nothing
           FROM legs ORDER BY leg""",
 
     "q338_streaming_change_feed" ->

@@ -150,6 +150,14 @@ class GraftLogCatalog extends TableCatalog
     * tables (their writer validates a fixed row shape that co-locates
     * every storage-partitioned join — evolution is not worth risking
     * that contract silently). */
+  /** Declares column-DEFAULT support so the SQL
+    * `ALTER TABLE … ADD COLUMN c T DEFAULT d` form reaches
+    * [[alterTable]] instead of failing at analysis. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -167,7 +175,19 @@ class GraftLogCatalog extends TableCatalog
         require(a.position() == null,
           "graftlog ADD COLUMN appends at the end; FIRST/AFTER are " +
             "not supported (base line positions are immutable)")
-        GraftLog.addColumn(dir, a.fieldNames()(0), a.dataType())
+        // DEFAULT d — the exists default (Delta semantics): rows
+        // written before the ALTER read d; the stored token is the
+        // literal rendered in the line format
+        val default = Option(a.defaultValue()).map { dv =>
+          val v = dv.getValue
+          require(v != null && v.value() != null,
+            "graftlog ADD COLUMN DEFAULT must be a non-null literal")
+          v.value() match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case other => other.toString
+          }
+        }
+        GraftLog.addColumn(dir, a.fieldNames()(0), a.dataType(), default)
       case c => throw new UnsupportedOperationException(
         s"graftlog ALTER TABLE supports ADD COLUMN only, got $c")
     }

@@ -137,29 +137,55 @@ object GraftLog {
     * must be distinguishable from an empty string). */
   private[sources] val NullToken = "\\N"
 
-  /** Added (evolved) columns of a table, in ALTER order. */
-  def extSchema(path: String): Seq[StructField] = {
+  /** Added (evolved) columns of a table, in ALTER order, each with
+    * its optional DEFAULT rendered in the line format (Delta's
+    * "exists default" semantics: a row written BEFORE the ALTER reads
+    * the default — its line simply lacks the trailing field — while
+    * an explicitly-written NULL stays NULL via [[NullToken]]). File
+    * format: `name|type[|default]`; 2-field lines (pre-default
+    * tables) read as no-default, so old tables need no migration. */
+  def extSchemaWithDefaults(path: String):
+      Seq[(StructField, Option[String])] = {
     val f = Paths.get(path, ExtSchemaFile)
     if (!Files.exists(f)) Nil
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(name, tpe) = line.split('|')
-        StructField(name, tpe match {
+        val parts = line.split('|')
+        require(parts.length == 2 || parts.length == 3,
+          s"corrupt $ExtSchemaFile in $path: $line")
+        val dt = parts(1) match {
           case "long" => LongType
           case "double" => DoubleType
           case "string" => StringType
           case other => throw new IllegalStateException(
             s"corrupt $ExtSchemaFile in $path: unknown type $other")
-        }, nullable = true)
+        }
+        (StructField(parts(0), dt, nullable = true),
+          if (parts.length == 3) Some(parts(2)) else None)
       }
   }
 
-  /** Append one evolved column (ALTER TABLE ADD COLUMN). The updated
-    * extension file lands by atomic rename — a reader sees the old or
-    * the new schema, never a torn file. Long/double/string only (the
-    * line format's scalar types); duplicates and base-column
-    * collisions are rejected. */
-  def addColumn(path: String, name: String, dt: DataType): Unit = {
+  /** Added (evolved) columns of a table, in ALTER order. */
+  def extSchema(path: String): Seq[StructField] =
+    extSchemaWithDefaults(path).map(_._1)
+
+  /** Parse a stored default token into the reader's internal
+    * representation (Long / Double / UTF8String). */
+  private[sources] def parseDefault(dt: DataType, tok: String): Any =
+    dt match {
+      case LongType => tok.toLong
+      case DoubleType => tok.toDouble
+      case _ => UTF8String.fromString(tok)
+    }
+
+  /** Append one evolved column (ALTER TABLE ADD COLUMN [DEFAULT d]).
+    * The updated extension file lands by atomic rename — a reader
+    * sees the old or the new schema, never a torn file.
+    * Long/double/string only (the line format's scalar types);
+    * duplicates and base-column collisions are rejected; a string
+    * default must not contain the format's separators. */
+  def addColumn(path: String, name: String, dt: DataType,
+      default: Option[String] = None): Unit = {
     val tpe = dt match {
       case LongType => "long"
       case DoubleType => "double"
@@ -167,15 +193,25 @@ object GraftLog {
       case other => throw new UnsupportedOperationException(
         s"graftlog ADD COLUMN supports BIGINT/DOUBLE/STRING, got $other")
     }
-    val taken = bucketedSchema.fieldNames ++ extSchema(path).map(_.name)
+    default.foreach { d =>
+      require(!d.contains('|') && !d.contains('\n'),
+        s"graftlog column default must not contain '|' or newline: $d")
+      parseDefault(dt, d) // must parse for the declared type — fail now
+    }
+    val existing = extSchemaWithDefaults(path)
+    val taken = bucketedSchema.fieldNames ++ existing.map(_._1.name)
     require(!taken.contains(name),
       s"column $name already exists on graftlog table $path")
-    val body = (extSchema(path).map(f =>
-        s"${f.name}|${f.dataType match {
-          case LongType => "long"
-          case DoubleType => "double"
-          case _ => "string"
-        }}") :+ s"$name|$tpe").mkString("", "\n", "\n")
+    def render(f: StructField, d: Option[String]): String = {
+      val t = f.dataType match {
+        case LongType => "long"
+        case DoubleType => "double"
+        case _ => "string"
+      }
+      s"${f.name}|$t" + d.fold("")(v => s"|$v")
+    }
+    val body = (existing.map { case (f, d) => render(f, d) } :+
+      render(StructField(name, dt), default)).mkString("", "\n", "\n")
     val tmp = Paths.get(path, s".$ExtSchemaFile.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path, ExtSchemaFile),
@@ -187,14 +223,20 @@ object GraftLog {
     * field (base positions 0-4; evolved columns appended from 5),
     * the sidecar-sourced bucket, or the shard-name metadata column. */
   sealed trait ColRef extends Serializable
-  case class LineCol(pos: Int, dt: DataType) extends ColRef
+  /** `default` (internal rep: Long/Double/UTF8String, null = none)
+    * materializes when a line PREDATES the column (fewer fields) —
+    * the exists-default contract; an explicit [[NullToken]] always
+    * reads as NULL. Base positions never carry one. */
+  case class LineCol(pos: Int, dt: DataType, default: Any = null)
+      extends ColRef
   case object UbCol extends ColRef
   case object ShardCol extends ColRef
   case object ChangeTypeCol extends ColRef
 
-  /** Resolve projected column names against base + evolved schema. */
+  /** Resolve projected column names against base + evolved schema
+    * (with each evolved column's parsed default, if declared). */
   def resolveCols(requiredCols: Array[String],
-      ext: Seq[StructField]): Array[ColRef] =
+      ext: Seq[(StructField, Option[String])]): Array[ColRef] =
     requiredCols.map {
       case "_shard" => ShardCol
       case "_change_type" => ChangeTypeCol
@@ -203,9 +245,11 @@ object GraftLog {
         val base = schema.fieldNames.indexOf(c)
         if (base >= 0) LineCol(base, schema.fields(base).dataType)
         else {
-          val j = ext.indexWhere(_.name == c)
+          val j = ext.indexWhere(_._1.name == c)
           require(j >= 0, s"unknown graftlog column $c")
-          LineCol(5 + j, ext(j).dataType)
+          val (f, d) = ext(j)
+          LineCol(5 + j, f.dataType,
+            d.map(parseDefault(f.dataType, _)).getOrElse(null))
         }
     }
 
@@ -1999,17 +2043,22 @@ object GraftLog {
       // NULL passes per SQL tri-state).
       val cs = constraints(path)
       if (cs.nonEmpty) {
-        val ext = extSchema(path)
+        val ext = extSchemaWithDefaults(path)
         val compiled = writeConstraintsFor(path, bucketed = false,
-          ext.map(_.dataType))
+          ext.map(_._1.dataType))
         val preds = compiled.map { case (nm, sql, e) =>
           (nm, sql,
             org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
         }
+        // evolved columns pad with what the row will READ BACK as:
+        // the declared default (short line), else NULL
+        val extPad: Array[Any] = ext.map { case (f, d) =>
+          d.map(parseDefault(f.dataType, _)).getOrElse(null: Any)
+        }.toArray
         up.foreach { case (id, tsUs, uid, typ, v) =>
           val row = new GenericInternalRow(
             Array[Any](id, tsUs, uid, UTF8String.fromString(typ), v) ++
-              Array.fill[Any](ext.size)(null))
+              extPad)
           preds.foreach { case (nm, sql, p) =>
             if (!p.eval(row))
               throw new IllegalArgumentException(
@@ -3755,7 +3804,7 @@ class GraftLogScan(path: String, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames,
-      GraftLog.extSchema(path))
+      GraftLog.extSchemaWithDefaults(path))
 }
 
 /** The one-row result of a completely-pushed aggregate (None = SQL
@@ -3881,7 +3930,7 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames,
-      GraftLog.extSchema(path))
+      GraftLog.extSchemaWithDefaults(path))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -3974,14 +4023,14 @@ class GraftLogChangeFeedStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames,
-      GraftLog.extSchema(path))
+      GraftLog.extSchemaWithDefaults(path))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 class GraftLogReaderFactory(requiredCols: Array[String],
-    ext: Seq[StructField] = Nil)
+    ext: Seq[(StructField, Option[String])] = Nil)
     extends PartitionReaderFactory {
 
   // resolved once on the driver, shipped to executors
@@ -4101,7 +4150,8 @@ class GraftLogColumnarReader(file: String,
   private val it = lines.iterator()
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] = refs.map {
-    case GraftLog.LineCol(_, dt) => new OnHeapColumnVector(capacity, dt)
+    case GraftLog.LineCol(_, dt, _) =>
+      new OnHeapColumnVector(capacity, dt)
     case GraftLog.UbCol => new OnHeapColumnVector(capacity, LongType)
     case GraftLog.ShardCol | GraftLog.ChangeTypeCol =>
       throw new IllegalStateException(
@@ -4124,8 +4174,18 @@ class GraftLogColumnarReader(file: String,
         var c = 0
         while (c < refs.length) {
           refs(c) match {
-            case GraftLog.LineCol(pos, dt) =>
-              if (pos >= parts.length ||
+            case GraftLog.LineCol(pos, dt, default) =>
+              // a line SHORTER than the position predates the column
+              // (ALTER ADD COLUMN): the declared default materializes;
+              // an explicitly-written NullToken is always NULL
+              if (pos >= parts.length && default != null) default match {
+                case l: Long => vectors(c).putLong(n, l)
+                case d: Double => vectors(c).putDouble(n, d)
+                case u: UTF8String =>
+                  val b = u.getBytes
+                  vectors(c).putByteArray(n, b, 0, b.length)
+              }
+              else if (pos >= parts.length ||
                   (pos >= 5 && parts(pos) == GraftLog.NullToken))
                 vectors(c).putNull(n)
               else dt match {
@@ -4202,9 +4262,12 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
           var i = 0
           while (i < refs.length) {
             values(i) = refs(i) match {
-              case GraftLog.LineCol(pos, dt) =>
-                if (pos >= parts.length ||
-                    (pos >= 5 && parts(pos) == GraftLog.NullToken)) null
+              case GraftLog.LineCol(pos, dt, default) =>
+                // short line = pre-ALTER row → the exists default;
+                // an explicit NullToken is always NULL
+                if (pos >= parts.length) default
+                else if (pos >= 5 && parts(pos) == GraftLog.NullToken)
+                  null
                 else dt match {
                   case LongType | TimestampType => parts(pos).toLong
                   case DoubleType => parts(pos).toDouble
