@@ -126,6 +126,36 @@ class ConstraintSpec extends SparkSuite {
     assert(count(dir) === 80L)
   }
 
+  test("streaming epochs are gated too; a violating batch commits nothing") {
+    val dir = freshLog(100)
+    GraftLog.addConstraint(spark, dir, "v_nonneg", "value >= 0")
+    val src = tmpDir("glog-ck-src").toString
+    // epoch 1 clean, epoch 2 carries one violating row
+    feed(100, 150).write.mode("append").parquet(src)
+    def drain(cp: String): Unit = {
+      val q = spark.readStream.schema(
+          spark.read.parquet(src).schema).parquet(src)
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .writeStream.format(fmt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start(dir)
+      q.awaitTermination(120000)
+    }
+    drain(tmpDir("glog-ck-cp1").toString)
+    assert(count(dir) === 150L, "the clean epoch lands")
+    feed(150, 200, when($"id" === 170, lit(-9.0)).otherwise(lit(1.0)))
+      .write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tmpDir("glog-ck-cp2").toString)
+    }
+    assert(e.toString.contains("v_nonneg") ||
+      Option(e.getCause).exists(_.toString.contains("v_nonneg")) ||
+      count(dir) === 150L)
+    assert(count(dir) === 150L,
+      "the violating epoch committed nothing (no partial shards)")
+  }
+
   test("drop_constraint lifts the gate; CALL surface works") {
     val base = tmpDir("glog-ck2-cat").toString
     spark.conf.set("spark.sql.catalog.glogck2",
