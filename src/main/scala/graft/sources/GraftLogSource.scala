@@ -1270,9 +1270,11 @@ object GraftLog {
     //  - neither: no change.
     def resolved(tok: String): Map[String, (String, Option[String])] = {
       val g = tokenOrd(tok)._1
-      shardsAt(path, Some(tok)).map { si =>
+      val shards = shardsAt(path, Some(tok))
+      val dvByName = dvMap(path, shards, g) // one listing per dv dir
+      shards.map { si =>
         val name = Paths.get(si.file).getFileName.toString
-        name -> (si.file, dvFileFor(path, name, si, g))
+        name -> (si.file, dvByName.get(name))
       }.toMap
     }
     val a = resolved(since)
@@ -1947,7 +1949,9 @@ object GraftLog {
   private def stageDvs(path: String, ks: Array[Long],
       g0: Long): Seq[(String, String)] = {
     val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    listShards(path).foreach { si =>
+    val shards = listShards(path)
+    val priorByName = dvMap(path, shards, g0) // one _dv listing
+    shards.foreach { si =>
       val name = Paths.get(si.file).getFileName.toString
       val hit: Array[Long] = si.stats match {
         case Some((mn, mx, _)) =>
@@ -1971,7 +1975,7 @@ object GraftLog {
               "CALL glog.analyze(table) first")
       }
       if (hit.nonEmpty) {
-        val prior = dvFileFor(path, name, si, g0)
+        val prior = priorByName.get(name)
           .map(dvKeys).getOrElse(Array.empty[Long])
         val merged = (prior ++ hit).distinct.sorted
         val body = (echoOf(si) +: merged.map(_.toString))
