@@ -2224,7 +2224,13 @@ object OpsQueries {
           ("t3_post_compact", t3._1, t3._2, t3._3, t3._4))
         .toDF("leg", "n_rows", "min_event_id", "max_event_id",
           "sum_value")
-        .withColumn("dv_shards_touched", lit(touched.toLong))
+        // scale-free: the raw touched-shard count depends on how the
+        // fixed id bound intersects the shard ranges at each SF (8 at
+        // sf0.01 where the bound spans the id space, fewer at larger
+        // SFs), so emit the oracle-replayable update-set size plus a
+        // bounded invariant instead of the raw count
+        .withColumn("n_point_updates", lit(updates.size.toLong))
+        .withColumn("dv_touched_bounded", lit(touched >= 1 && touched <= 8))
         .withColumn("upsert_wrote_no_shard", lit(noRewrite))
         .withColumn("single_atomic_commit", lit(oneCommit))
         .withColumn("cdf_matches_snapshot_diff", lit(reconciles))
@@ -4226,7 +4232,10 @@ object OpsQueries {
             UNION ALL
             SELECT 't3_post_compact', * FROM merged)
           SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
-                 CAST(8 AS BIGINT) AS dv_shards_touched,
+                 (SELECT count(*) FROM events
+                  WHERE event_id % 203 = 0 AND event_id < 101500)
+                   AS n_point_updates,
+                 TRUE AS dv_touched_bounded,
                  TRUE AS upsert_wrote_no_shard,
                  TRUE AS single_atomic_commit,
                  TRUE AS cdf_matches_snapshot_diff

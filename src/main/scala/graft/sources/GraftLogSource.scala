@@ -150,7 +150,9 @@ object GraftLog {
     if (!Files.exists(f)) Nil
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
-        val parts = line.split('|')
+        // limit -1 keeps trailing empties: an empty-string DEFAULT
+        // renders as `name|type|` and must read back as 3 parts
+        val parts = line.split("\\|", -1)
         require(parts.length == 2 || parts.length == 3,
           s"corrupt $ExtSchemaFile in $path: $line")
         val dt = parts(1) match {
@@ -1794,8 +1796,10 @@ object GraftLog {
     * DeletionVectorSpec):
     *  - sidecar-served aggregates, LIMIT and top-n shard selection
     *    all price shards by PHYSICAL row counts — every pushdown that
-    *    consumes counts self-disables while any dv exists
-    *    ([[hasDvFiles]] gates the ScanBuilder);
+    *    consumes counts self-disables while the read's exact shard
+    *    set carries a vector (the ScanBuilder's echo-validated
+    *    `dvFree` / [[dvMap]] check at acceptance, re-verified at
+    *    plan time);
     *  - range DELETE's partial-shard rewrite applies the shard's
     *    valid dv to the kept lines (a rewrite must not resurrect
     *    suppressed rows);
@@ -1824,20 +1828,6 @@ object GraftLog {
     }
     java.util.Arrays.sort(out)
     out
-  }
-
-  /** Any dv file anywhere on the table (live or retired)? One cheap
-    * listing; gates every count-priced pushdown. Conservative on
-    * purpose: even a stale (echo-dead) vector disables the fast
-    * paths — correctness never hinges on staleness detection here. */
-  def hasDvFiles(path: String): Boolean = {
-    def nonEmptyDir(d: java.nio.file.Path): Boolean =
-      Files.isDirectory(d) && withListing(d)(_.exists(p =>
-        p.getFileName.toString.endsWith(".dv")))
-    if (nonEmptyDir(Paths.get(path, DvDir))) return true
-    val rd = Paths.get(path, RetiredDir)
-    Files.isDirectory(rd) && withListing(rd)(_.exists(g =>
-      nonEmptyDir(g)))
   }
 
   private val DvName = """(.+\.graftlog)\.g(\d+)\.dv""".r
@@ -2026,11 +2016,27 @@ object GraftLog {
     * emits the old versions as deletes, the promoted shard its rows
     * as inserts. Unbucketed tables only; rows must carry base
     * columns (evolved columns null-fill on read like any short
-    * line). Returns (#shards dv-touched, new shard name). */
+    * line). Returns (#shards dv-touched, new shard name).
+    *
+    * SCOPE: point upserts ONLY. `rows` is a driver-side Seq — it was
+    * collected, it serializes into the commit, and it is bounded by
+    * `maxRows` (default [[MergeRowsMaxRows]]) so a caller cannot
+    * push a bulk correction through the driver; DataFrame-scale
+    * corrections belong to `MERGE INTO` (dv-backed when selective,
+    * CoW when dense). Raise `maxRows` explicitly only when the
+    * caller KNOWS the set is driver-sized. */
+  val MergeRowsMaxRows = 10000
+
   def mergeRows(path: String,
-      rows: Seq[(Long, Long, Long, String, Double)]): (Int, String) =
+      rows: Seq[(Long, Long, Long, String, Double)],
+      maxRows: Int = MergeRowsMaxRows): (Int, String) =
     lockFor(path).synchronized {
       require(rows.nonEmpty, "mergeRows needs at least one row")
+      require(rows.size <= maxRows,
+        s"mergeRows is the POINT-upsert path (driver-side rows): got " +
+          s"${rows.size} rows > cap $maxRows — bulk corrections " +
+          "belong to MERGE INTO; raise maxRows only for a " +
+          "known-driver-sized set")
       require(!isBucketed(path),
         s"$path is a bucketed graftlog table; use the copy-on-write " +
           "MERGE INTO path instead")
@@ -2417,18 +2423,30 @@ object GraftLog {
         finally w.close()
       }
     }
+    val df = spark.read.format("graft.sources.GraftLogSource")
+      .option("version", tok).load(path)
+    // dim + domain checks BEFORE any staging dir exists, so the early
+    // returns / failures below leave nothing on disk
+    df.schema(dim).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case t => throw new IllegalArgumentException(
+        s"z-order dim '$dim' is not numeric (it is $t) — cluster on a " +
+          "numeric column")
+    }
+    val dimL = col(dim).cast("long")
+    val dom = df.agg(fmin(col("event_id")), fmax(col("event_id")),
+      fmin(dimL), fmax(dimL)).head()
+    if (dom.isNullAt(0)) return (before, 0) // empty table: nothing to do
+    if (dom.isNullAt(2))
+      throw new IllegalArgumentException(
+        s"z-order dim '$dim' is NULL for every row — cluster on a " +
+          "populated numeric column")
     rmdir(tmp)
     if (Files.exists(Paths.get(path, ExtSchemaFile))) {
       Files.createDirectories(Paths.get(tmp))
       Files.copy(Paths.get(path, ExtSchemaFile),
         Paths.get(tmp, ExtSchemaFile))
     }
-    val df = spark.read.format("graft.sources.GraftLogSource")
-      .option("version", tok).load(path)
-    val dimL = col(dim).cast("long")
-    val dom = df.agg(fmin(col("event_id")), fmax(col("event_id")),
-      fmin(dimL), fmax(dimL)).head()
-    if (dom.isNullAt(0)) return (before, 0) // empty table: nothing to do
     val z = graft.functions.ZOrder.zvalue(
       graft.functions.ZOrder.scaled(col("event_id"),
         dom.getLong(0), dom.getLong(1)),
@@ -3795,6 +3813,16 @@ class GraftLogScan(path: String, pushed: Array[Filter],
           // read's generation (one _dv listing — sidecar cost class);
           // suppress-mode: the reader subtracts the keys
           val dvs = GraftLog.dvMap(path, sel, resolvedGen)
+          // limit/top-n were accepted on a dv-free shard set (shard
+          // selection prices coverage with PHYSICAL sidecar counts);
+          // re-verify at plan time — mirroring the aggregate path —
+          // so a vector committed between pushdown acceptance and
+          // planning fails loudly instead of under-reading
+          if ((cap.nonEmpty || tailCap.nonEmpty) && dvs.nonEmpty)
+            throw new IllegalStateException(
+              s"graftlog $path grew a deletion vector between " +
+                "limit/top-n pushdown acceptance and planning — " +
+                "re-run the query")
           onPlan(sel.map(_.file))
           sel.map { s =>
             val name = Paths.get(s.file).getFileName.toString
@@ -4174,7 +4202,9 @@ class GraftLogColumnarReader(file: String,
       if (!line.isEmpty &&
           (!dvf.active || dvf.visible(
             line.substring(0, line.indexOf('|')).toLong))) {
-        val parts = line.split('|')
+        // limit -1 keeps trailing empties: an evolved string column
+        // whose value is "" must not collapse into the exists-default
+        val parts = line.split("\\|", -1)
         var c = 0
         while (c < refs.length) {
           refs(c) match {
@@ -4260,7 +4290,8 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
     while (it.hasNext) {
       val line = it.next()
       if (!line.isEmpty) {
-        val parts = line.split('|')
+        // limit -1 keeps trailing empties (empty-string evolved value)
+        val parts = line.split("\\|", -1)
         if (!dvf.active || dvf.visible(parts(0).toLong)) {
           val values = new Array[Any](refs.length)
           var i = 0

@@ -92,4 +92,33 @@ class DefaultValueSpec extends SparkSuite {
       GraftLog.addColumn(dir, "bad2", StringType, Some("a|b"))
     }
   }
+
+  test("empty string at the last evolved position round-trips") {
+    // trailing-empty-field regression (split must keep trailing
+    // empties): an empty-string DEFAULT renders as `name|string|`
+    // and a data line whose LAST evolved string value is "" ends in
+    // '|' — both must read back as "", never as missing/NULL/default
+    val dir = tmpDir("glog-dft-empty").toString
+    feed(0, 40).write.format(fmt).mode("append")
+      .option("shards", 1).save(dir)
+    GraftLog.addColumn(dir, "tag", StringType, Some(""))
+    feed(40, 60)
+      .withColumn("tag",
+        when($"event_id" < 45, lit("x"))
+          .when($"event_id" < 50, lit(""))) // 10 explicit NULL
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    def censusOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"tag").count().as[(Option[String], Long)]
+      .collect().toMap
+    val want = Map(Some("") -> 45L, // 40 exists-default "" + 5 written ""
+      Some("x") -> 5L, None -> 10L)
+    assert(censusOf(spark.read.format(fmt).load(dir)) === want,
+      "columnar path: written '' stays '', default '' applies, NULL stays")
+    assert(censusOf(spark.read.format(fmt).load(dir)
+      .withColumn("_s", col("_shard")).drop("_s")) === want)
+    val viaRow = spark.read.format(fmt).load(dir)
+      .select($"tag", col("_shard")).groupBy($"tag").count()
+      .as[(Option[String], Long)].collect().toMap
+    assert(viaRow === want, "row path agrees")
+  }
 }

@@ -111,4 +111,22 @@ class MergeRowsSpec extends SparkSuite {
     assert(v5 === Seq(("v3", 3.0)))
     assert(spark.read.format(fmt).load(dir).count() === 100L)
   }
+
+  test("the point-upsert cap trips on a bulk-sized row set") {
+    val dir = freshLog(10, 1)
+    val tok = GraftLog.currentVersion(dir)
+    val bulk = (0L until (GraftLog.MergeRowsMaxRows + 1L))
+      .map(i => (i, TsUs, 1L, "bulk", 0.0))
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.mergeRows(dir, bulk)
+    }
+    assert(e.getMessage.contains("MERGE INTO"),
+      "the guard points bulk callers at the CoW/dv MERGE path")
+    assert(GraftLog.currentVersion(dir) === tok, "nothing committed")
+    // the cap is an explicit opt-in knob, not a hard wall
+    val (t, _) = GraftLog.mergeRows(dir,
+      bulk.take(11).map { case (i, ts, u, ty, v) => (i + 100, ts, u, ty, v) },
+      maxRows = 11)
+    assert(t === 0, "pure inserts touch no existing shard")
+  }
 }

@@ -139,4 +139,18 @@ class ZOrderClusterSpec extends SparkSuite {
       .select("procedure_name").as[String].collect().toSet
     assert(listed.contains("cluster"))
   }
+
+  test("a non-numeric dim fails actionably and leaves no staging dir") {
+    val dir = freshLog(200, 2)
+    val before = GraftLog.listShards(dir).map(_.file).sorted
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.clusterZ(spark, dir, 2, dim = "event_type")
+    }
+    assert(e.getMessage.contains("not numeric"),
+      "string dim → clear error, not an opaque NPE")
+    assert(!Files.exists(Paths.get(dir + "__cluster_tmp")),
+      "the failed run staged nothing on disk")
+    assert(GraftLog.listShards(dir).map(_.file).sorted === before,
+      "the table is untouched")
+  }
 }
