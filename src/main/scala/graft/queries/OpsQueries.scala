@@ -2294,6 +2294,110 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // DV-backed bulk MERGE — `MERGE INTO glog.t` routed through the
+    // delta-based merge-on-read operation (SupportsDelta → Spark
+    // plans WriteDelta, not the group-based ReplaceData): a SELECTIVE
+    // DataFrame-scale merge (~0.5% of rows matched, scattered across
+    // every shard, plus an insert leg — the reference's Redshift
+    // upsert-loop shape) commits as per-shard deletion-vector
+    // sidecars + promoted delta shards in ONE atomic swap, with ZERO
+    // copy-on-write rewrites of settled data. At 100 TB this is the
+    // difference between O(matched keys) metadata and rewriting every
+    // matched multi-GB shard group; shards whose suppressed fraction
+    // crosses the dense threshold rewrite in place instead
+    // (GraftLogDeltaMergeSpec pins both sides of the routing).
+    // Booleans gate the economics in-row: settled listing untouched
+    // (CoW counters quiet), dv sidecars bounded by the shard count,
+    // one generation bump, and CDF ≡ snapshot diff across the merge;
+    // post-compact census (t3) proves the physical flatten preserves
+    // the merged state. The oracle replays both merge legs as pure
+    // SQL over the feed.
+    "q349_dv_backed_merge" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val run = runId.incrementAndGet()
+      val tbl = s"dvm$run"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      val n = ev.count()
+      val tok0 = G.currentVersion(log)
+      def listing = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      val before = listing
+      val rw0 = G.shardsRewritten.get()
+      val gp0 = G.groupsReplaced.get()
+      // the source is a DATAFRAME (never collected): every 211th row
+      // updates, the sub-25 slice re-inserts under fresh ids
+      val updates = ev.filter($"event_id" % 211 === 0)
+        .withColumn("value", $"value" + 1000.0)
+      val inserts = ev.filter($"event_id" < 25)
+        .withColumn("event_id", $"event_id" + n)
+      updates.unionByName(inserts)
+        .createOrReplaceTempView(s"dv_merge_src_$run")
+      s.sql(
+        s"""MERGE INTO glog.$tbl t USING dv_merge_src_$run s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET value = s.value
+            WHEN NOT MATCHED THEN INSERT *""")
+      val tok1 = G.currentVersion(log)
+      val after = listing
+      val noRewrite = after.intersect(before) == before &&
+        G.shardsRewritten.get() == rw0 && G.groupsReplaced.get() == gp0
+      val dvDir = java.nio.file.Paths.get(log, "_dv")
+      val nDvs =
+        if (!java.nio.file.Files.isDirectory(dvDir)) 0
+        else {
+          import scala.jdk.CollectionConverters._
+          val l = java.nio.file.Files.list(dvDir)
+          try l.iterator().asScala.count(
+            _.getFileName.toString.endsWith(".dv"))
+          finally l.close()
+        }
+      def gen(t: String) =
+        """g(\d+)\.""".r.findFirstMatchIn(t).get.group(1).toLong
+      val oneCommit = gen(tok1) == gen(tok0) + 1
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t1 = s.read.format(fmt).option("version", tok0).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t2 = census()
+      val cols = Seq($"event_id", $"ts", $"user_id", $"event_type",
+        $"value")
+      val cdf = s.read.format(fmt).option("readChangeFeed", "true")
+        .option("sinceVersion", tok0).load(log).localCheckpoint()
+      val dels = cdf.filter($"_change_type" === "delete").select(cols: _*)
+      val ins = cdf.filter($"_change_type" === "insert").select(cols: _*)
+      val snapA = s.read.format(fmt).option("version", tok0).load(log)
+      val snapB = s.read.format(fmt).load(log)
+      val reconciles =
+        dels.except(snapA.except(snapB)).isEmpty &&
+          snapA.except(snapB).except(dels).isEmpty &&
+          ins.except(snapB.except(snapA)).isEmpty &&
+          snapB.except(snapA).except(ins).isEmpty
+      G.compact(s, log, 4)
+      val t3 = census()
+      Seq(("t1_pre_merge_snapshot", t1._1, t1._2, t1._3, t1._4),
+          ("t2_post_selective_merge", t2._1, t2._2, t2._3, t2._4),
+          ("t3_post_compact", t3._1, t3._2, t3._3, t3._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("n_merge_updates", lit(updates.count()))
+        .withColumn("n_merge_inserts", lit(inserts.count()))
+        .withColumn("merge_wrote_no_rewrite", lit(noRewrite))
+        .withColumn("dv_sidecars_bounded", lit(nDvs >= 1 && nDvs <= 8))
+        .withColumn("single_atomic_commit", lit(oneCommit))
+        .withColumn("cdf_matches_snapshot_diff", lit(reconciles))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -4260,6 +4364,43 @@ object OpsQueries {
                    CAST(50 AS BIGINT))
           SELECT leg, n_rows, sum_weight, n_default_weight,
                  n_null_weight, TRUE AS alter_rewrote_nothing
+          FROM legs ORDER BY leg""",
+
+    "q349_dv_backed_merge" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          final AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 211 = 0 THEN value + 1000
+                        ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + (SELECT c FROM n), value
+            FROM events WHERE event_id < 25),
+          base AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events),
+          merged AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM final),
+          legs AS (
+            SELECT 't1_pre_merge_snapshot' AS leg, * FROM base
+            UNION ALL
+            SELECT 't2_post_selective_merge', * FROM merged
+            UNION ALL
+            SELECT 't3_post_compact', * FROM merged)
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 (SELECT count(*) FROM events WHERE event_id % 211 = 0)
+                   AS n_merge_updates,
+                 (SELECT count(*) FROM events WHERE event_id < 25)
+                   AS n_merge_inserts,
+                 TRUE AS merge_wrote_no_rewrite,
+                 TRUE AS dv_sidecars_bounded,
+                 TRUE AS single_atomic_commit,
+                 TRUE AS cdf_matches_snapshot_diff
           FROM legs ORDER BY leg""",
 
     "q338_streaming_change_feed" ->

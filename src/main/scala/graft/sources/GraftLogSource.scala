@@ -2096,6 +2096,187 @@ object GraftLog {
       (dvs.size, fin)
     }
 
+  /** Render a row (whose format columns start at offset `o`) in the
+    * line format: five base positions, then evolved columns in ALTER
+    * order with written NULLs as [[NullToken]]. Shared by the append
+    * writer and the delta-merge writer so the two paths can never
+    * disagree on the encoding. */
+  private[sources] def renderLine(r: InternalRow, o: Int,
+      extTypes: Array[DataType]): String = {
+    val sb = new java.lang.StringBuilder
+    sb.append(r.getLong(o)).append('|').append(r.getLong(o + 1))
+      .append('|').append(r.getLong(o + 2)).append('|')
+      .append(r.getUTF8String(o + 3).toString).append('|')
+      .append(r.getDouble(o + 4))
+    var j = 0
+    while (j < extTypes.length) {
+      sb.append('|')
+      val idx = o + 5 + j
+      if (r.isNullAt(idx)) sb.append(NullToken)
+      else extTypes(j) match {
+        case LongType => sb.append(r.getLong(idx))
+        case DoubleType => sb.append(r.getDouble(idx))
+        case _ => sb.append(r.getUTF8String(idx).toString)
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Commit a delta-based (merge-on-read) MERGE
+    * ([[GraftLogDeltaOperation]]) — the bulk sibling of [[mergeRows]]:
+    * task-staged delta shards (the new/updated rows) plus task-staged
+    * suppression sets (`shardName|event_id` lines, pinned to the
+    * exact serving shard by the `_shard` metadata column) land as ONE
+    * atomic swap. Per touched shard, the routing is a RUNTIME density
+    * decision — the dense-fallback threshold the static CoW-vs-MoR
+    * table modes of other lakes can only approximate:
+    *
+    *  - SPARSE (cumulative suppressed fraction ≤
+    *    `spark.graft.merge.dv.maxSuppressedFraction`, default 0.5):
+    *    a merged deletion-vector sidecar — O(keys) metadata, ZERO
+    *    data I/O. A selective 0.1%-matched merge over a 100 TB table
+    *    costs its delta shards plus tiny sidecars, never a rewrite
+    *    of settled data.
+    *  - DENSE (fraction above the threshold): carrying a vector that
+    *    suppresses most of a shard is worse than rewriting it — the
+    *    shard is rewritten IN PLACE (kept lines only, prior dv
+    *    applied, fresh stats) by one executor task per dense shard,
+    *    retiring the old content in the same swap. Cost is O(dense
+    *    shard bytes), bounded by the write discipline's shard size.
+    *
+    * Driver work is strictly metadata-class: it streams the staged
+    * suppression lines once (grouping them into per-shard hit files),
+    * holds in memory only the key sets of SPARSE shards (each ≤
+    * threshold × shard rows by definition), and never touches row
+    * data — dense rewrites read their inputs on executors. Readers
+    * see the pre-merge or post-merge table, never between; the change
+    * feed gets update-as-delete+insert from the dv delta + delta
+    * shards exactly like [[mergeRows]]. Returns
+    * (#dv sidecars written, #dense shards rewritten). */
+  def commitDeltaMerge(path: String,
+      rowPromotes: Seq[(String, String, String)],
+      dvStages: Seq[String]): (Int, Int) =
+    lockFor(path).synchronized {
+      val threshold = org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.merge.dv.maxSuppressedFraction", "0.5").toDouble
+      applySwapIfPresent(path)
+      val g0 = generation(path)
+      val shards = listShards(path)
+      val byName = shards
+        .map(si => Paths.get(si.file).getFileName.toString -> si).toMap
+      def hitsTmp(name: String) = Paths.get(path, s".dvhits-$name.tmp")
+      // one streaming pass over the task stage files: group hits by
+      // shard into per-shard files, counting — the driver never holds
+      // the full suppression set
+      val hitCounts = scala.collection.mutable.Map.empty[String, Long]
+      val hitWriters =
+        scala.collection.mutable.Map.empty[String, java.io.BufferedWriter]
+      try dvStages.foreach { st =>
+        val s = Files.lines(Paths.get(path, st), StandardCharsets.UTF_8)
+        try s.iterator().asScala.filter(_.nonEmpty).foreach { line =>
+          val cut = line.indexOf('|')
+          val name = line.substring(0, cut)
+          if (!byName.contains(name))
+            throw new IllegalStateException(
+              s"graftlog $path changed under the delta merge: a " +
+                s"suppressed row cites shard $name, which the table " +
+                "no longer lists — re-run the merge")
+          hitWriters.getOrElseUpdate(name, Files.newBufferedWriter(
+            hitsTmp(name), StandardCharsets.UTF_8))
+            .append(line, cut + 1, line.length).append('\n')
+          hitCounts(name) = hitCounts.getOrElse(name, 0L) + 1L
+        } finally s.close()
+      } finally hitWriters.valuesIterator.foreach(_.close())
+      val prior = dvMap(path, shards, g0)
+      def readHits(name: String): Seq[Long] =
+        Files.readAllLines(hitsTmp(name), StandardCharsets.UTF_8)
+          .asScala.toSeq.filter(_.nonEmpty).map(_.toLong)
+      val dense = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
+      val dvs =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      hitCounts.keys.toSeq.sorted.foreach { name =>
+        val si = byName(name)
+        val physRows = si.stats.map(_._3).getOrElse(
+          throw new IllegalStateException(
+            s"graftlog shard $name of $path has no sidecar — a " +
+              "deletion vector cannot bind to it; run " +
+              "CALL glog.analyze(table) first"))
+        val priorKeys =
+          prior.get(name).map(dvKeys).getOrElse(Array.empty[Long])
+        // prior-suppressed rows are invisible to the merge scan, so
+        // the new hits are disjoint from priorKeys by construction
+        val suppressed = priorKeys.length + hitCounts(name)
+        if (physRows > 0L && suppressed.toDouble / physRows > threshold)
+          dense += si
+        else {
+          val merged = (priorKeys ++ readHits(name)).distinct.sorted
+          val body = (echoOf(si) +: merged.map(_.toString))
+            .mkString("", "\n", "\n")
+          val tmp = s".dv-$name.g${g0 + 1}.tmp"
+          Files.write(Paths.get(path, tmp),
+            body.getBytes(StandardCharsets.UTF_8))
+          dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
+        }
+      }
+      // dense fallback: one executor task per dense shard reads the
+      // shard + its hit file + prior dv and stages the kept lines as
+      // a hidden tmp; promoted IN PLACE (same name), so the swap
+      // retires the old content exactly like deleteWhere's boundary
+      // rewrite — this is the CoW arm of the runtime routing
+      val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+      val densePromotes =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      if (dense.nonEmpty) {
+        val work = dense.map { si =>
+          val name = Paths.get(si.file).getFileName.toString
+          (si.file, hitsTmp(name).toString, prior.get(name).orNull)
+        }.toSeq
+        val results = org.apache.spark.sql.SparkSession.active
+          .sparkContext.parallelize(work, work.size)
+          .map { case (file, hitsFile, priorDv) =>
+            val sup: Array[Long] = {
+              val hs = Files.readAllLines(Paths.get(hitsFile),
+                StandardCharsets.UTF_8).asScala
+                .filter(_.nonEmpty).map(_.toLong)
+              val ps =
+                if (priorDv == null) Nil else dvKeys(priorDv).toSeq
+              (hs ++ ps).distinct.sorted.toArray
+            }
+            val name = Paths.get(file).getFileName.toString
+            val kept = Files.readAllLines(Paths.get(file),
+              StandardCharsets.UTF_8).asScala
+              .filter(_.nonEmpty)
+              .map(l => (l.substring(0, l.indexOf('|')).toLong, l))
+              .filter { case (id, _) =>
+                java.util.Arrays.binarySearch(sup, id) < 0 }
+            if (kept.isEmpty) (name, null: String, null: String)
+            else {
+              val hidden = s".mor-$name.tmp"
+              Files.write(Paths.get(file).getParent.resolve(hidden),
+                kept.map(_._2).mkString("", "\n", "\n")
+                  .getBytes(StandardCharsets.UTF_8))
+              (name, hidden,
+                s"${kept.head._1}|${kept.last._1}|${kept.size}")
+            }
+          }.collect()
+        results.foreach {
+          case (name, null, _) => drops += byName(name).file
+          case (name, hidden, meta) =>
+            densePromotes += ((hidden, name, meta))
+        }
+        shardsRewritten.addAndGet(dense.size.toLong)
+      }
+      if (drops.nonEmpty || densePromotes.nonEmpty ||
+          rowPromotes.nonEmpty || dvs.nonEmpty)
+        commitSwap(path, drops.toSeq,
+          densePromotes.toSeq ++ rowPromotes, dvs.toSeq)
+      if (dvs.nonEmpty) dvFilesWritten.addAndGet(dvs.size.toLong)
+      dvStages.foreach(st => Files.deleteIfExists(Paths.get(path, st)))
+      hitCounts.keys.foreach(n => Files.deleteIfExists(hitsTmp(n)))
+      (dvs.size, dense.size)
+    }
+
   /** Fold a pushed DELETE condition into a discrete key SET — the
     * merge-on-read routing: `DELETE … WHERE event_id IN (…)` lands
     * here (deletion vectors), while range/equality conjunctions keep
@@ -2635,9 +2816,15 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       }
     }
 
-  /** SQL UPDATE / MERGE INTO (and the row-level DELETE fallback) via
-    * the group-based copy-on-write rewrite — see
-    * [[GraftLogRowLevelOperation]]. Bucketed layouts are refused: the
+  /** SQL UPDATE / MERGE INTO (and the row-level DELETE fallback).
+    * MERGE routes to the delta-based merge-on-read operation
+    * ([[GraftLogDeltaOperation]] — deletion vectors + delta shards,
+    * with a per-shard dense-fallback rewrite) unless
+    * `spark.graft.merge.mode=cow` forces the group-based
+    * copy-on-write rewrite; UPDATE and the DELETE fallback keep the
+    * group-based path ([[GraftLogRowLevelOperation]]), whose pruned
+    * single-group rewrites are already the right cost shape for
+    * range-predicated statements. Bucketed layouts are refused: the
     * replacement write would need the bucket count, which the layout
     * does not record (the [[GraftLog.compact]] rule). */
   override def newRowLevelOperationBuilder(
@@ -2645,7 +2832,13 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
     require(!bucketed,
       s"row-level operations on bucketed graftlog table $path are not " +
         "supported: the layout does not record its bucket count")
-    () => new GraftLogRowLevelOperation(path, info.command())
+    () => {
+      val mor = info.command() == RowLevelOperation.Command.MERGE &&
+        org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.graft.merge.mode", "mor") != "cow"
+      if (mor) new GraftLogDeltaOperation(path, info.command())
+      else new GraftLogRowLevelOperation(path, info.command())
+    }
   }
   /** Evolved columns (ALTER TABLE ADD COLUMN), resolved at table
     * load; bucketed layouts never evolve (the catalog refuses). */
@@ -2927,6 +3120,187 @@ class GraftLogReplaceWrite(path: String, writeSchema: StructType,
   override def description(): String = s"graftlog replace $path"
 }
 
+/** Delta-based (merge-on-read) MERGE INTO — the default route for
+  * `MERGE INTO glog.t` on unbucketed tables (Spark plans `WriteDelta`
+  * instead of the group-based `ReplaceData` whenever the operation
+  * implements `SupportsDelta`). Instead of rewriting every matched
+  * shard group, the write emits per-ROW deltas: updates split into
+  * delete+insert (`representUpdateAsDeleteAndInsert`), deletes carry
+  * the rowId (`event_id`) plus the `_shard` metadata column pinning
+  * the exact serving shard, and inserts are plain rows. Tasks stage
+  * the pieces; [[GraftLog.commitDeltaMerge]] lands everything as ONE
+  * atomic swap, routing each touched shard between a deletion-vector
+  * sidecar (sparse) and an in-place rewrite (dense) at the measured
+  * suppression fraction — see its scaladoc for the economics. Forced
+  * back to copy-on-write with `spark.graft.merge.mode=cow`. */
+class GraftLogDeltaOperation(path: String,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(path,
+      StructType(GraftLog.schema.fields ++ GraftLog.extSchema(path)))
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftLogDeltaWrite(path)
+    }
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("event_id"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_shard"))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def description(): String = s"graftlog delta $cmd $path"
+}
+
+class GraftLogDeltaWrite(path: String) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftLogDeltaBatchWrite(path)
+  override def description(): String = s"graftlog delta merge $path"
+}
+
+class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
+  private val ext = GraftLog.extSchema(path).map(_.dataType)
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    // delta shards get claimed indices past every existing shard —
+    // same discipline as the CoW replace write
+    new GraftLogDeltaWriterFactory(path,
+      GraftLog.claimShardIndices(path, info.numPartitions()), ext,
+      // a MERGE must not land what an insert could not
+      GraftLog.writeConstraintsFor(path, bucketed = false, ext))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: GraftLogDeltaCommitMessage => m }
+    GraftLog.commitDeltaMerge(path,
+      ms.flatMap(_.shard).toSeq, ms.flatMap(_.dvStage).toSeq)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogDeltaCommitMessage(shard, dv) =>
+        shard.foreach(s => Files.deleteIfExists(Paths.get(path, s._1)))
+        dv.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+      case _ => ()
+    }
+}
+
+class GraftLogDeltaWriterFactory(path: String, baseIndex: Int,
+    ext: Seq[DataType], constraints: Seq[GraftLog.Constraint])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftLogDeltaWriter(path, baseIndex + partitionId, taskId,
+      ext, constraints)
+}
+
+/** One task's staged delta-merge pieces: `shard` = (hidden tmp,
+  * claimed final name, sidecar meta) of the delta shard holding this
+  * task's inserted/updated rows (None if the task wrote none);
+  * `dvStage` = hidden tmp of this task's `shardName|event_id`
+  * suppression lines (None if it deleted none). */
+case class GraftLogDeltaCommitMessage(
+    shard: Option[(String, String, String)],
+    dvStage: Option[String]) extends WriterCommitMessage
+
+/** Task-side writer of the delta-based MERGE. Deletes stream straight
+  * to the dv-stage tmp (no buffering); inserts — and the insert half
+  * of split updates — buffer as rendered lines and land as ONE
+  * event_id-sorted delta shard at task commit, keeping the format's
+  * within-shard order contract without requiring a planned exchange.
+  * Memory bound: the buffer holds only this task's NEW rows — the
+  * selective-merge regime this path exists for. */
+class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
+    ext: Seq[DataType], constraints: Seq[GraftLog.Constraint])
+    extends DeltaWriter[InternalRow] {
+  private val extTypes = ext.toArray
+  private val stem = f"shard-$idx%05d"
+  private val rowTmp = Paths.get(dir, f".$stem-$taskId.tmp")
+  private val dvTmp = Paths.get(dir, f".dvstage-$idx%05d-$taskId.tmp")
+  private var dvOut: java.io.BufferedWriter = _
+  private val rows =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+  private var checks:
+    Array[(String, String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] = _
+  private var plausible = false
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (dvOut == null)
+      dvOut = Files.newBufferedWriter(dvTmp, StandardCharsets.UTF_8)
+    dvOut.write(meta.getUTF8String(0).toString)
+    dvOut.write('|')
+    dvOut.write(java.lang.Long.toString(id.getLong(0)))
+    dvOut.write('\n')
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "graftlog delta merge represents updates as delete+insert " +
+        "(representUpdateAsDeleteAndInsert) — update() must not be " +
+        "called")
+
+  override def insert(row: InternalRow): Unit = {
+    if (!plausible) {
+      // same loud guard as the CoW replace writer: a changed
+      // projection layout must fail, not write a corrupt shard
+      val ts = row.getLong(1)
+      require(row.getLong(0) >= 0L && ts >= 0L &&
+        ts < 4102444800000000L,
+        "delta-merge insert row reads implausible event_id/ts — the " +
+          "WriteDelta projection layout has changed; refusing to " +
+          "write a corrupt shard")
+      plausible = true
+    }
+    if (constraints.nonEmpty) {
+      if (checks == null)
+        checks = constraints.map { case (nm, sql, e) =>
+          (nm, sql,
+            org.apache.spark.sql.catalyst.expressions.Predicate
+              .create(e))
+        }.toArray
+      var ci = 0
+      while (ci < checks.length) {
+        if (!checks(ci)._3.eval(row))
+          throw new IllegalArgumentException(
+            s"graftlog CHECK constraint '${checks(ci)._1}' violated " +
+              s"by merged row event_id=${row.getLong(0)}: " +
+              s"(${checks(ci)._2}) is false — the merge is aborted, " +
+              "nothing was committed")
+        ci += 1
+      }
+    }
+    rows += ((row.getLong(0), GraftLog.renderLine(row, 0, extTypes)))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (dvOut != null) dvOut.close()
+    val shard =
+      if (rows.isEmpty) { Files.deleteIfExists(rowTmp); None }
+      else {
+        val sorted = rows.sortInPlaceBy(_._1)
+        val out = Files.newBufferedWriter(rowTmp, StandardCharsets.UTF_8)
+        try sorted.foreach { case (_, line) =>
+          out.write(line); out.write('\n')
+        } finally out.close()
+        Some((rowTmp.getFileName.toString, s"$stem.graftlog",
+          s"${sorted.head._1}|${sorted.last._1}|${sorted.size}"))
+      }
+    GraftLogDeltaCommitMessage(shard,
+      if (dvOut != null) Some(dvTmp.getFileName.toString) else None)
+  }
+
+  override def abort(): Unit = {
+    if (dvOut != null) dvOut.close()
+    Files.deleteIfExists(rowTmp)
+    Files.deleteIfExists(dvTmp)
+  }
+
+  override def close(): Unit = ()
+}
+
 /** Full-table overwrite: the new generation (shard indices past
   * every existing one) stays hidden until the swap manifest lands,
   * which retires the pre-existing snapshot in the same atomic
@@ -3157,26 +3531,8 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     // is NOT written per line: it is constant per shard and lives in
     // the sidecar; the reader re-materializes it. Evolved columns
     // append after the five base positions, nulls as the \N token.
-    val extSuffix =
-      if (extTypes.isEmpty) ""
-      else {
-        val sb = new StringBuilder
-        var j = 0
-        while (j < extTypes.length) {
-          sb.append('|')
-          val idx = o + 5 + j
-          if (r.isNullAt(idx)) sb.append(GraftLog.NullToken)
-          else extTypes(j) match {
-            case LongType => sb.append(r.getLong(idx))
-            case DoubleType => sb.append(r.getDouble(idx))
-            case _ => sb.append(r.getUTF8String(idx))
-          }
-          j += 1
-        }
-        sb.toString
-      }
-    out.write(s"$id|${r.getLong(o + 1)}|${r.getLong(o + 2)}|" +
-      s"${r.getUTF8String(o + 3)}|${r.getDouble(o + 4)}$extSuffix\n")
+    out.write(GraftLog.renderLine(r, o, extTypes))
+    out.write('\n')
     if (id < mn) mn = id
     if (id > mx) mx = id
     n += 1
