@@ -51,4 +51,40 @@ object ZOrder {
   /** The interleaved z value of two pre-scaled ([0, 2^30)) columns. */
   def zvalue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Bits per dimension for an n-dim key: the 2-dim spread keeps its
+    * 30; higher arities split the 62 positive bits evenly (3 dims →
+    * 20 bits → 2^20 cells per dimension, still far beyond any shard
+    * count — clustering needs locality, not exactness). */
+  def bitsFor(n: Int): Int = math.min(BitsPerDim, 62 / n)
+
+  /** Scale onto [0, 2^bits) with CLAMPING — out-of-domain values
+    * (an incremental clustering step scaling fresh rows by the
+    * RECORDED domain) pin to the curve's edge instead of corrupting
+    * the interleave. */
+  def scaledTo(c: Column, min: Long, max: Long, bits: Int): Column = {
+    val maxCode = (1L << bits) - 1
+    if (max <= min) lit(0L)
+    else least(lit(maxCode),
+      greatest(lit(0L),
+        ((c - lit(min)).cast("double") / lit((max - min).toDouble) *
+          lit(maxCode.toDouble)).cast("long")))
+  }
+
+  /** The interleaved z value of n pre-scaled ([0, 2^bitsFor(n)))
+    * columns — dimension d's bit i lands at position i*n + d. Two
+    * dims take the 5-round mask spread; n ≥ 3 builds per-bit (30–60
+    * shift/and/or ops per row, all inside whole-stage codegen — a
+    * pure projection, no UDF). */
+  def zvalueN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2, "z-order needs at least 2 dimensions")
+    if (cols.size == 2) return zvalue(cols(0), cols(1))
+    val n = cols.size
+    val bits = bitsFor(n)
+    cols.zipWithIndex.map { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
 }

@@ -2398,6 +2398,241 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Incremental secondary-index maintenance
+    // (`GraftLog.buildIndexIncremental` / `CALL glog.index(...,
+    // incremental => true)`): a steady-append table keeps its pruning
+    // payoff without the full-snapshot rebuild [[buildIndex]] costs —
+    // the delta pass (re)indexes ONLY missing/echo-stale shards,
+    // O(new data), and the streaming sink runs it per epoch commit.
+    // The lifecycle gated in-row: full build indexes all 8 fixture
+    // shards; an append degrades a window probe (the unindexed shard
+    // must open — correct, unpruned); the incremental pass indexes
+    // exactly the 2 appended shards with every settled index file
+    // byte-untouched; the probe then prunes the appended shards again
+    // (their shifted ts domain proves absence); a second delta pass
+    // is a no-op. Census replayed by the oracle over the feed + the
+    // derived append slice.
+    "q350_incremental_index" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"iix${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t1 = census()
+      val nFull = G.buildIndex(s, log, "ts", "range")
+      val idxDir = java.nio.file.Paths.get(log, "_index")
+      def idxFiles() = {
+        val l = java.nio.file.Files.list(idxDir)
+        try l.iterator().asScala.map(p => (p.getFileName.toString,
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+          .toMap
+        finally l.close()
+      }
+      val settled = idxFiles()
+      // a ts window inside the ORIGINAL domain, for the probe booleans
+      val tsDom = ev.agg(min($"ts"), max($"ts"))
+        .as[(java.time.LocalDateTime, java.time.LocalDateTime)].head()
+      def probe(): Long = {
+        G.filesOpened.set(0)
+        s.read.format(fmt).load(log)
+          .filter($"ts" >= lit(tsDom._1) && $"ts" <= lit(tsDom._2))
+          .agg(count(lit(1))).as[Long].head()
+        G.filesOpened.get()
+      }
+      val openedIndexed = probe()
+      // append 2 shards derived from the feed head, ts shifted OUT of
+      // the original domain so a restored index can prove absence
+      ev.filter($"event_id" < n / 10)
+        .withColumn("event_id", $"event_id" + n)
+        .withColumn("ts", $"ts" + expr("INTERVAL 3650 DAYS"))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .write.format(fmt).mode("append").option("shards", 2).save(log)
+      val openedDegraded = probe() // the 2 unindexed shards must open
+      val nInc = G.buildIndexIncremental(s, log, "ts", "range")
+      val openedRestored = probe()
+      val untouched = {
+        val now = idxFiles()
+        settled.forall { case (k, v) => now.get(k).contains(v) }
+      }
+      val nNoop = G.buildIndexIncremental(s, log, "ts", "range")
+      val t2 = census()
+      Seq(("t1_baseline", t1._1, t1._2, t1._3, t1._4),
+          ("t2_after_append", t2._1, t2._2, t2._3, t2._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("n_full_indexed", lit(nFull.toLong))
+        .withColumn("n_incremental_indexed", lit(nInc.toLong))
+        .withColumn("n_noop_indexed", lit(nNoop.toLong))
+        .withColumn("settled_index_untouched", lit(untouched))
+        .withColumn("degraded_before_maintenance",
+          lit(openedDegraded == openedIndexed + 2))
+        .withColumn("pruning_restored",
+          lit(openedRestored == openedIndexed))
+        .orderBy($"leg")
+    }),
+
+    // Schema-evolution lifecycle beyond ADD COLUMN (r13): RENAME
+    // COLUMN (metadata-only — the line position is the stable field
+    // id), BIGINT→DOUBLE widening (stored long tokens parse as the
+    // doubles they denote), and DROP COLUMN (tombstoned slot =
+    // projection mask) — each DDL a versioned commit costing ZERO
+    // data I/O at any table size, with the pre-change schema archived
+    // per generation so TIME TRAVEL reads each snapshot under its own
+    // schema (gated in-row: the pre-rename token still resolves `w`,
+    // the baseline token has no evolved column at all). The census
+    // walks add → append → rename → widen (+fractional append) →
+    // drop; every sum is replayed by the oracle from the feed.
+    "q351_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"sev${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      def listing = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      def census(col: Option[String]): (Long, Option[Double], Double) = {
+        val df = s.read.format(fmt).load(log)
+        col match {
+          case Some(c) =>
+            df.agg(count(lit(1)),
+              sum(org.apache.spark.sql.functions.col(c).cast("double")),
+              Q.dsum($"value"))
+              .as[(Long, Option[Double], Double)].head()
+          case None =>
+            val r = df.agg(count(lit(1)), Q.dsum($"value"))
+              .as[(Long, Double)].head()
+            (r._1, None, r._2)
+        }
+      }
+      val tokBase = G.currentVersion(log)
+      val t1 = census(None)
+      G.addColumn(log, "w", org.apache.spark.sql.types.LongType,
+        Some("7"))
+      val tokAdd = G.currentVersion(log)
+      val t2 = census(Some("w"))
+      ev.filter($"event_id" < n / 10)
+        .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value", ($"event_id" % 5).as("w"))
+        .write.format(fmt).mode("append").option("shards", 1).save(log)
+      val t3 = census(Some("w"))
+      val preDdl = listing
+      G.renameColumn(log, "w", "weight")
+      val t4 = census(Some("weight"))
+      G.widenColumn(log, "weight")
+      ev.filter($"event_id" < 50)
+        .select(($"event_id" + 2 * n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value", lit(0.5).as("weight"))
+        .write.format(fmt).mode("append").option("shards", 1).save(log)
+      val t5 = census(Some("weight"))
+      val postAppend = listing
+      G.dropColumn(log, "weight")
+      val t6 = census(None)
+      // DDLs never touch data: rename+widen left the pre-DDL listing
+      // intact; drop left the post-append listing intact
+      val ddlRewroteNothing = {
+        val mid = postAppend.filterNot(x => preDdl.contains(x))
+        mid.size == 1 && listing == postAppend
+      }
+      // each snapshot resolves ITS schema: baseline has no evolved
+      // column, the pre-rename token still reads `w` (long), and the
+      // widened current-era token read fractional doubles above
+      val snapshotSchemaResolves = {
+        val s0 = s.read.format(fmt).option("version", tokBase).load(log)
+        val s1 = s.read.format(fmt).option("version", tokAdd).load(log)
+        !s0.columns.contains("w") && !s0.columns.contains("weight") &&
+          s1.columns.contains("w") && !s1.columns.contains("weight") &&
+          s1.agg(sum($"w")).as[Long].head() == 7L * n
+      }
+      Seq(("t1_baseline", t1._1, t1._2, t1._3),
+          ("t2_after_add", t2._1, t2._2, t2._3),
+          ("t3_after_append", t3._1, t3._2, t3._3),
+          ("t4_after_rename", t4._1, t4._2, t4._3),
+          ("t5_after_widen", t5._1, t5._2, t5._3),
+          ("t6_after_drop", t6._1, t6._2, t6._3))
+        .toDF("leg", "n_rows", "sum_w", "sum_value")
+        .withColumn("ddl_rewrote_nothing", lit(ddlRewroteNothing))
+        .withColumn("snapshot_schema_resolves",
+          lit(snapshotSchemaResolves))
+        .orderBy($"leg")
+    }),
+
+    // n-dimensional + INCREMENTAL z-order clustering (r13 — the
+    // liquid-clustering step): `CALL glog.cluster` takes a dims CSV
+    // (event_id is the implicit first), so every shard gets a tight
+    // bounding box in THREE dimensions at once, and
+    // `incremental => true` folds ONLY shards appended since the
+    // last pass under the RECORDED domains — a steady-append table
+    // keeps its clustered layout at O(new data), never re-paying the
+    // full rewrite. Gated in-row: per-shard mean spread of BOTH
+    // extra dims (user_id, value) shrinks vs the id-clustered layout
+    // (the locality evidence index pruning cashes in), the
+    // incremental pass leaves every settled clustered shard
+    // byte-untouched and folds exactly the appended shards, and a
+    // second pass is a no-op. Census replayed by the oracle.
+    "q352_liquid_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      val tbl = s"liq${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      // per-shard mean (max-min) spread of a column — the bounding-box
+      // tightness the clustering exists to buy
+      def spread(c: String): Double = s.read.format(fmt).load(log)
+        .groupBy(col("_shard"))
+        .agg((max(col(c).cast("double")) - min(col(c).cast("double")))
+          .as("w"))
+        .agg(avg($"w")).as[Double].head()
+      val (uPre, vPre) = (spread("user_id"), spread("value"))
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      s.sql(s"CALL glog.cluster(table => '$tbl', shards => 8, " +
+        "dim => 'user_id,value')")
+      val (uPost, vPost) = (spread("user_id"), spread("value"))
+      val tightened = uPost < uPre && vPost < vPre
+      val settled = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      // two fresh unclustered shards derived from the feed head
+      ev.filter($"event_id" < n / 10)
+        .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value")
+        .write.format(fmt).mode("append").option("shards", 2).save(log)
+      val (folded, written) = G.clusterZIncremental(s, log)
+      val after = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      val settledUntouched = settled.forall(after.contains) &&
+        written >= 1
+      val noop = G.clusterZIncremental(s, log) == ((0, 0))
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val t = census()
+      Seq(("t1_final", t._1, t._2, t._3, t._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("n_fresh_folded", lit(folded.toLong))
+        .withColumn("zorder_tightened_both_dims", lit(tightened))
+        .withColumn("incremental_settled_untouched",
+          lit(settledUntouched))
+        .withColumn("second_pass_noop", lit(noop))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -4402,6 +4637,103 @@ object OpsQueries {
                  TRUE AS single_atomic_commit,
                  TRUE AS cdf_matches_snapshot_diff
           FROM legs ORDER BY leg""",
+
+    "q350_incremental_index" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          appended AS (
+            SELECT event_id, value FROM events
+            UNION ALL
+            SELECT event_id + (SELECT c FROM n), value
+            FROM events WHERE event_id < (SELECT c FROM n) / 10),
+          base AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events),
+          app AS (
+            SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM appended),
+          legs AS (
+            SELECT 't1_baseline' AS leg, * FROM base
+            UNION ALL
+            SELECT 't2_after_append', * FROM app)
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 CAST(8 AS BIGINT) AS n_full_indexed,
+                 CAST(2 AS BIGINT) AS n_incremental_indexed,
+                 CAST(0 AS BIGINT) AS n_noop_indexed,
+                 TRUE AS settled_index_untouched,
+                 TRUE AS degraded_before_maintenance,
+                 TRUE AS pruning_restored
+          FROM legs ORDER BY leg""",
+
+    "q351_schema_evolution" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          a AS (SELECT CAST(SUM(event_id % 5) AS DOUBLE) AS s,
+                       count(*) AS k
+                FROM events WHERE event_id < (SELECT c FROM n) // 10),
+          b AS (SELECT count(*) AS k FROM events WHERE event_id < 50),
+          s2 AS (SELECT value FROM events
+                 UNION ALL
+                 SELECT value FROM events
+                 WHERE event_id < (SELECT c FROM n) // 10),
+          s3 AS (SELECT value FROM s2
+                 UNION ALL
+                 SELECT value FROM events WHERE event_id < 50),
+          v1 AS (SELECT ${Q.dsumSql("value")} AS v FROM events),
+          v2 AS (SELECT ${Q.dsumSql("value")} AS v FROM s2),
+          v3 AS (SELECT ${Q.dsumSql("value")} AS v FROM s3),
+          legs AS (
+            SELECT 't1_baseline' AS leg, (SELECT c FROM n) AS n_rows,
+                   CAST(NULL AS DOUBLE) AS sum_w,
+                   (SELECT v FROM v1) AS sum_value
+            UNION ALL
+            SELECT 't2_after_add', (SELECT c FROM n),
+                   7.0 * (SELECT c FROM n), (SELECT v FROM v1)
+            UNION ALL
+            SELECT 't3_after_append',
+                   (SELECT c FROM n) + (SELECT k FROM a),
+                   7.0 * (SELECT c FROM n) + (SELECT s FROM a),
+                   (SELECT v FROM v2)
+            UNION ALL
+            SELECT 't4_after_rename',
+                   (SELECT c FROM n) + (SELECT k FROM a),
+                   7.0 * (SELECT c FROM n) + (SELECT s FROM a),
+                   (SELECT v FROM v2)
+            UNION ALL
+            SELECT 't5_after_widen',
+                   (SELECT c FROM n) + (SELECT k FROM a)
+                     + (SELECT k FROM b),
+                   7.0 * (SELECT c FROM n) + (SELECT s FROM a)
+                     + 0.5 * (SELECT k FROM b),
+                   (SELECT v FROM v3)
+            UNION ALL
+            SELECT 't6_after_drop',
+                   (SELECT c FROM n) + (SELECT k FROM a)
+                     + (SELECT k FROM b),
+                   CAST(NULL AS DOUBLE), (SELECT v FROM v3))
+          SELECT leg, n_rows, sum_w, sum_value,
+                 TRUE AS ddl_rewrote_nothing,
+                 TRUE AS snapshot_schema_resolves
+          FROM legs ORDER BY leg""",
+
+    "q352_liquid_cluster" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          final AS (
+            SELECT event_id, value FROM events
+            UNION ALL
+            SELECT event_id + (SELECT c FROM n), value
+            FROM events WHERE event_id < (SELECT c FROM n) // 10)
+          SELECT 't1_final' AS leg, count(*) AS n_rows,
+                 min(event_id) AS min_event_id,
+                 max(event_id) AS max_event_id,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 CAST(2 AS BIGINT) AS n_fresh_folded,
+                 TRUE AS zorder_tightened_both_dims,
+                 TRUE AS incremental_settled_untouched,
+                 TRUE AS second_pass_noop
+          FROM final""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

@@ -188,8 +188,25 @@ class GraftLogCatalog extends TableCatalog
           }
         }
         GraftLog.addColumn(dir, a.fieldNames()(0), a.dataType(), default)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graftlog RENAME COLUMN supports top-level columns only")
+        GraftLog.renameColumn(dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graftlog DROP COLUMN supports top-level columns only")
+        GraftLog.dropColumn(dir, d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "graftlog ALTER COLUMN TYPE supports top-level columns only")
+        require(u.newDataType() ==
+          org.apache.spark.sql.types.DoubleType,
+          s"graftlog type changes support widening BIGINT -> DOUBLE " +
+            s"only, got ${u.newDataType().sql}")
+        GraftLog.widenColumn(dir, u.fieldNames()(0))
       case c => throw new UnsupportedOperationException(
-        s"graftlog ALTER TABLE supports ADD COLUMN only, got $c")
+        "graftlog ALTER TABLE supports ADD COLUMN, RENAME COLUMN, " +
+          s"DROP COLUMN and ALTER COLUMN TYPE (widening) only, got $c")
     }
     loadTable(ident)
   }
@@ -407,16 +424,24 @@ class GraftLogCatalog extends TableCatalog
     Array(
       ProcedureParameter.in("table", DataTypes.StringType).build(),
       ProcedureParameter.in("column", DataTypes.StringType).build(),
-      ProcedureParameter.in("kind", DataTypes.StringType).build()),
+      ProcedureParameter.in("kind", DataTypes.StringType).build(),
+      // incremental => true: (re)index only missing/echo-stale shards
+      // (O(new data) — GraftLog.buildIndexIncremental); the default
+      // full pass rebuilds the whole snapshot
+      ProcedureParameter.in("incremental", DataTypes.BooleanType)
+        .defaultValue("false").build()),
     new StructType(Array(
       StructField("shards_indexed", DataTypes.IntegerType,
         nullable = false)))) {
     override protected def run(input: InternalRow): Array[InternalRow] = {
-      val n = GraftLog.buildIndex(
-        org.apache.spark.sql.SparkSession.active,
-        tableDir(input.getUTF8String(0).toString),
-        input.getUTF8String(1).toString,
-        input.getUTF8String(2).toString)
+      val inc = !input.isNullAt(3) && input.getBoolean(3)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dir = tableDir(input.getUTF8String(0).toString)
+      val col = input.getUTF8String(1).toString
+      val kind = input.getUTF8String(2).toString
+      val n =
+        if (inc) GraftLog.buildIndexIncremental(spark, dir, col, kind)
+        else GraftLog.buildIndex(spark, dir, col, kind)
       Array(InternalRow(n))
     }
   }
@@ -429,17 +454,28 @@ class GraftLogCatalog extends TableCatalog
     Array(
       ProcedureParameter.in("table", DataTypes.StringType).build(),
       ProcedureParameter.in("shards", DataTypes.IntegerType).build(),
+      // comma-separated list for an n-dimensional key (event_id is
+      // always the implicit first dimension)
       ProcedureParameter.in("dim", DataTypes.StringType)
-        .defaultValue("'user_id'").build()),
+        .defaultValue("'user_id'").build(),
+      // incremental => true: z-order only shards appended since the
+      // last clustering pass (GraftLog.clusterZIncremental — the
+      // liquid-clustering step); shards = 0 sizes the output from
+      // the settled layout
+      ProcedureParameter.in("incremental", DataTypes.BooleanType)
+        .defaultValue("false").build()),
     new StructType(Array(
       StructField("shards_before", DataTypes.IntegerType, nullable = false),
       StructField("shards_after", DataTypes.IntegerType,
         nullable = false)))) {
     override protected def run(input: InternalRow): Array[InternalRow] = {
-      val (before, after) = GraftLog.clusterZ(
-        org.apache.spark.sql.SparkSession.active,
-        tableDir(input.getUTF8String(0).toString), input.getInt(1),
-        input.getUTF8String(2).toString)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dir = tableDir(input.getUTF8String(0).toString)
+      val inc = !input.isNullAt(3) && input.getBoolean(3)
+      val (before, after) =
+        if (inc) GraftLog.clusterZIncremental(spark, dir, input.getInt(1))
+        else GraftLog.clusterZDims(spark, dir, input.getInt(1),
+          input.getUTF8String(2).toString.split(',').map(_.trim).toSeq)
       Array(InternalRow(before, after))
     }
   }

@@ -77,6 +77,17 @@ class GraftLogSource extends TableProvider {
     Option(new CaseInsensitiveStringMap(opts).get("readChangeFeed"))
       .exists(_.toBoolean)
 
+  /** A path-level read with `.option("version", tok)` /
+    * `.option("timestampAsOf", ms)` pins the TABLE too, so the
+    * reported schema is the snapshot's own (renames/drops/widenings
+    * resolve per generation — the same contract as the catalog's
+    * VERSION AS OF route). */
+  private def pinOf(path: String,
+      opts: CaseInsensitiveStringMap): Option[String] =
+    Option(opts.get("version"))
+      .orElse(Option(opts.get("timestampAsOf"))
+        .map(ts => GraftLog.timestampAsOf(path, ts.toLong)))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (bucketed(options.get("path"), options)) {
       require(!changeFeed(options),
@@ -85,21 +96,35 @@ class GraftLogSource extends TableProvider {
           "sinceVersion slice)")
       GraftLog.bucketedSchema
     } else {
+      val path = options.get("path")
       val base = StructType(GraftLog.schema.fields ++
-        GraftLog.extSchema(options.get("path")))
+        GraftLog.extColsAt(path, pinOf(path, options)).map(_.field))
       if (changeFeed(options))
         StructType(base.fields :+ GraftLog.ChangeTypeField)
       else base
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftLogTable(properties.get("path"),
-      bucketed(properties.get("path"), properties),
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    new GraftLogTable(path, bucketed(path, properties),
+      pinOf(path, new CaseInsensitiveStringMap(properties)),
       changeFeed = changeFeed(properties))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
+
+/** A structural rewrite (compact / OPTIMIZE / cluster / DELETE /
+  * CoW or delta MERGE commit) validated its read snapshot at publish
+  * and found the table's structural generation moved underneath it —
+  * the optimistic-concurrency loss signal. Driver-side maintenance
+  * ops catch it and retry against the fresh snapshot
+  * ([[GraftLog.retryOnConflict]]); V2 write jobs surface it loudly
+  * (their rows were computed against the stale snapshot and cannot be
+  * recomputed at commit). */
+class GraftLogConcurrentWriteException(msg: String)
+    extends IllegalStateException(msg)
 
 object GraftLog {
   val schema: StructType = StructType(Seq(
@@ -137,39 +162,141 @@ object GraftLog {
     * must be distinguishable from an empty string). */
   private[sources] val NullToken = "\\N"
 
-  /** Added (evolved) columns of a table, in ALTER order, each with
-    * its optional DEFAULT rendered in the line format (Delta's
-    * "exists default" semantics: a row written BEFORE the ALTER reads
-    * the default — its line simply lacks the trailing field — while
-    * an explicitly-written NULL stays NULL via [[NullToken]]). File
-    * format: `name|type[|default]`; 2-field lines (pre-default
-    * tables) read as no-default, so old tables need no migration. */
-  def extSchemaWithDefaults(path: String):
-      Seq[(StructField, Option[String])] = {
-    val f = Paths.get(path, ExtSchemaFile)
-    if (!Files.exists(f)) Nil
-    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+  /** One PHYSICAL slot of the extension schema file, in file order.
+    * `dropped = true` is a TOMBSTONE: the column is gone from the
+    * logical schema but its slot stays, so every later column keeps
+    * its line position — DROP COLUMN is a projection mask, zero data
+    * rewrite. */
+  private[sources] case class ExtEntry(field: StructField,
+      default: Option[String], dropped: Boolean)
+
+  /** A LIVE evolved column with its PHYSICAL line position (5 +
+    * slot index — tombstoned slots count). Everything that touches
+    * line fields resolves positions through this, never through a
+    * live-sequence index. */
+  case class ExtCol(field: StructField, default: Option[String],
+      pos: Int)
+
+  private def parseExtType(where: String, s: String): DataType =
+    s match {
+      case "long" => LongType
+      case "double" => DoubleType
+      case "string" => StringType
+      case other => throw new IllegalStateException(
+        s"corrupt extension schema in $where: unknown type $other")
+    }
+
+  private def renderExtType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case DoubleType => "double"
+    case _ => "string"
+  }
+
+  /** Parse one extension-schema file. Line formats (all accepted, so
+    * old tables need no migration):
+    *  - `name|type` — live, no default (pre-default tables)
+    *  - `name|type|default` — live with an exists default
+    *  - `name|type|defaultTok|flags` — the full form RENAME/DROP/
+    *    widen write: `defaultTok` is the default or [[NullToken]]
+    *    for none (so an empty-string default stays representable),
+    *    `flags` is "" (live) or "dropped" (tombstone). */
+  private[sources] def extEntriesOf(f: java.nio.file.Path,
+      where: String): Seq[ExtEntry] = {
+    if (!Files.exists(f)) return Nil
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
         // limit -1 keeps trailing empties: an empty-string DEFAULT
         // renders as `name|type|` and must read back as 3 parts
         val parts = line.split("\\|", -1)
-        require(parts.length == 2 || parts.length == 3,
-          s"corrupt $ExtSchemaFile in $path: $line")
-        val dt = parts(1) match {
-          case "long" => LongType
-          case "double" => DoubleType
-          case "string" => StringType
-          case other => throw new IllegalStateException(
-            s"corrupt $ExtSchemaFile in $path: unknown type $other")
+        require(parts.length >= 2 && parts.length <= 4,
+          s"corrupt extension schema in $where: $line")
+        val dt = parseExtType(where, parts(1))
+        val default = parts.length match {
+          case 2 => None
+          case 3 => Some(parts(2))
+          case _ => if (parts(2) == NullToken) None else Some(parts(2))
         }
-        (StructField(parts(0), dt, nullable = true),
-          if (parts.length == 3) Some(parts(2)) else None)
+        ExtEntry(StructField(parts(0), dt, nullable = true), default,
+          dropped = parts.length == 4 && parts(3) == "dropped")
       }
   }
 
-  /** Added (evolved) columns of a table, in ALTER order. */
+  /** All physical slots of the CURRENT extension schema (tombstones
+    * included), in file order. */
+  private[sources] def extEntries(path: String): Seq[ExtEntry] =
+    extEntriesOf(Paths.get(path, ExtSchemaFile), path)
+
+  /** Atomic rewrite of the extension schema file, full 4-field form. */
+  private def writeExtFile(path: String, entries: Seq[ExtEntry]): Unit = {
+    val body = entries.map { e =>
+      s"${e.field.name}|${renderExtType(e.field.dataType)}|" +
+        s"${e.default.getOrElse(NullToken)}|" +
+        (if (e.dropped) "dropped" else "")
+    }.mkString("", "\n", "\n")
+    val tmp = Paths.get(path, s".$ExtSchemaFile.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, ExtSchemaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** LIVE evolved columns of a table with their physical positions,
+    * in ALTER order (Delta's "exists default" semantics: a row
+    * written BEFORE the ALTER reads the default — its line simply
+    * lacks the trailing field — while an explicitly-written NULL
+    * stays NULL via [[NullToken]]). */
+  def extCols(path: String): Seq[ExtCol] =
+    extEntries(path).zipWithIndex.collect {
+      case (e, i) if !e.dropped => ExtCol(e.field, e.default, 5 + i)
+    }
+
+  /** The extension schema AS OF a snapshot: schema DDL archives the
+    * pre-change file under `_schema_history/g<gen>.ext` ("valid
+    * through generation gen") and bumps the structural generation,
+    * so a version/timestamp-travel read resolves the schema its
+    * snapshot was written under — renamed columns reappear under
+    * their old names, dropped columns reappear, widened columns read
+    * in their old type. No archive at-or-after the token's
+    * generation = the schema never changed since = current file. */
+  def extColsAt(path: String, version: Option[String]): Seq[ExtCol] =
+    version match {
+      case None => extCols(path)
+      case Some(tok) =>
+        val q = tokenOrd(tok)._1
+        val d = Paths.get(path, SchemaHistoryDir)
+        val archived: Seq[Long] =
+          if (!Files.isDirectory(d)) Nil
+          else withListing(d)(_.map(_.getFileName.toString)
+            .filter(n => n.startsWith("g") && n.endsWith(".ext"))
+            .flatMap(n => scala.util.Try(
+              n.stripPrefix("g").stripSuffix(".ext").toLong).toOption)
+            .toSeq).sorted
+        archived.find(_ >= q) match {
+          case Some(k) =>
+            extEntriesOf(d.resolve(s"g$k.ext"), s"$path@g$k")
+              .zipWithIndex.collect {
+                case (e, i) if !e.dropped =>
+                  ExtCol(e.field, e.default, 5 + i)
+              }
+          case None => extCols(path)
+        }
+    }
+
+  /** Evolved (field, default) pairs — live columns only. Positions
+    * NOT included: use [[extCols]] wherever line positions matter. */
+  def extSchemaWithDefaults(path: String):
+      Seq[(StructField, Option[String])] =
+    extCols(path).map(c => (c.field, c.default))
+
+  /** Added (evolved) columns of a table, in ALTER order (live). */
   def extSchema(path: String): Seq[StructField] =
-    extSchemaWithDefaults(path).map(_._1)
+    extCols(path).map(_.field)
+
+  /** The WRITER's physical slot layout: one entry per extension slot
+    * in line order, `null` for a tombstone (the writer emits
+    * [[NullToken]] there so later columns keep their positions). */
+  def extWriteSlots(path: String): Seq[DataType] =
+    extEntries(path).map(e => if (e.dropped) null else e.field.dataType)
 
   /** Parse a stored default token into the reader's internal
     * representation (Long / Double / UTF8String). */
@@ -188,37 +315,157 @@ object GraftLog {
     * default must not contain the format's separators. */
   def addColumn(path: String, name: String, dt: DataType,
       default: Option[String] = None): Unit = {
-    val tpe = dt match {
-      case LongType => "long"
-      case DoubleType => "double"
-      case StringType => "string"
+    dt match {
+      case LongType | DoubleType | StringType => ()
       case other => throw new UnsupportedOperationException(
         s"graftlog ADD COLUMN supports BIGINT/DOUBLE/STRING, got $other")
     }
     default.foreach { d =>
       require(!d.contains('|') && !d.contains('\n'),
         s"graftlog column default must not contain '|' or newline: $d")
+      require(d != NullToken,
+        s"graftlog column default must not be the NULL sentinel: $d")
       parseDefault(dt, d) // must parse for the declared type — fail now
     }
-    val existing = extSchemaWithDefaults(path)
-    val taken = bucketedSchema.fieldNames ++ existing.map(_._1.name)
-    require(!taken.contains(name),
-      s"column $name already exists on graftlog table $path")
-    def render(f: StructField, d: Option[String]): String = {
-      val t = f.dataType match {
-        case LongType => "long"
-        case DoubleType => "double"
-        case _ => "string"
-      }
-      s"${f.name}|$t" + d.fold("")(v => s"|$v")
+    schemaDdl(path, s"ADD COLUMN $name") { entries =>
+      val taken = bucketedSchema.fieldNames.toSeq ++
+        entries.filterNot(_.dropped).map(_.field.name)
+      require(!taken.contains(name),
+        s"column $name already exists on graftlog table $path")
+      entries :+ ExtEntry(StructField(name, dt, nullable = true),
+        default, dropped = false)
     }
-    val body = (existing.map { case (f, d) => render(f, d) } :+
-      render(StructField(name, dt), default)).mkString("", "\n", "\n")
-    val tmp = Paths.get(path, s".$ExtSchemaFile.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, ExtSchemaFile),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Name of the schema archive: `g<gen>.ext` = the extension schema
+    * valid THROUGH generation gen (see [[extColsAt]]). Tiny files,
+    * never vacuumed — a snapshot whose shard history was reclaimed
+    * fails loudly before its schema is ever consulted. */
+  private[sources] val SchemaHistoryDir = "_schema_history"
+
+  /** Run one schema DDL as a versioned commit: pin the current shard
+    * listing (pre-DDL tokens must stay resolvable), archive the
+    * pre-change schema under the current generation, apply `mutate`
+    * to the physical slot list, bump the structural generation, and
+    * record the commit marker — so every schema change is a snapshot
+    * boundary that time travel and the change feed can anchor to,
+    * while costing ZERO data I/O. */
+  private def schemaDdl(path: String, what: String)(
+      mutate: Seq[ExtEntry] => Seq[ExtEntry]): Unit =
+    lockFor(path).synchronized {
+      applySwapIfPresent(path)
+      val g = generation(path)
+      val entries = extEntries(path)
+      val mutated = mutate(entries)
+      recordHistory(path, g)
+      // archive the PRE-change schema (empty file = "no evolved
+      // columns through g"), first-writer-wins like recordHistory
+      val d = Paths.get(path, SchemaHistoryDir)
+      Files.createDirectories(d)
+      val arch = d.resolve(s"g$g.ext")
+      if (!Files.exists(arch)) {
+        val tmp = d.resolve(s".g$g.ext.tmp." +
+          java.util.UUID.randomUUID().toString.take(8))
+        val src = Paths.get(path, ExtSchemaFile)
+        if (Files.exists(src)) Files.copy(src, tmp)
+        else Files.write(tmp, Array.empty[Byte])
+        try Files.move(tmp, arch,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp) }
+      }
+      writeExtFile(path, mutated)
+      bumpGeneration(path)
+      recordCommit(path)
+    }
+
+  /** Refuse a DDL that would break a declared CHECK constraint:
+    * conservative word-boundary match of the column name inside the
+    * constraint SQL (a false positive costs a DROP CONSTRAINT first;
+    * a false negative would strand an uncompilable constraint). */
+  private def requireNoConstraintOn(path: String, col: String,
+      what: String): Unit = {
+    val hit = constraints(path).find { case (_, sql) =>
+      s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(col)}(?![A-Za-z0-9_])"
+        .r.findFirstIn(sql).isDefined
+    }
+    hit.foreach { case (nm, sql) =>
+      throw new IllegalArgumentException(
+        s"cannot $what: CHECK constraint '$nm' ($sql) references " +
+          s"column $col — drop the constraint first")
+    }
+  }
+
+  /** RENAME an evolved column — METADATA-ONLY (the line position is
+    * the stable field id, Iceberg-style; no data rewrite at any
+    * table size). Base columns are the format's physical contract
+    * and do not rename. Secondary index files are keyed by name, so
+    * an index on the renamed column degrades to unprunable until
+    * rebuilt under the new name — correct rows, never wrong ones. */
+  def renameColumn(path: String, from: String, to: String): Unit = {
+    require(!bucketedSchema.fieldNames.contains(from) &&
+      !schema.fieldNames.contains(from),
+      s"cannot rename base column $from — the five base positions " +
+        "are the format's physical contract")
+    require(!to.contains('|') && !to.contains('\n') && to.nonEmpty,
+      s"invalid column name: $to")
+    requireNoConstraintOn(path, from, s"RENAME COLUMN $from")
+    schemaDdl(path, s"RENAME COLUMN $from TO $to") { entries =>
+      val i = entries.indexWhere(e => !e.dropped && e.field.name == from)
+      require(i >= 0, s"column $from does not exist on graftlog " +
+        s"table $path")
+      val taken = bucketedSchema.fieldNames.toSeq ++
+        entries.filterNot(_.dropped).map(_.field.name)
+      require(!taken.contains(to),
+        s"column $to already exists on graftlog table $path")
+      entries.updated(i,
+        entries(i).copy(field = entries(i).field.copy(name = to)))
+    }
+  }
+
+  /** DROP an evolved column — METADATA-ONLY: the slot becomes a
+    * tombstone (a projection mask), stored values stay in the lines
+    * (invisible, reclaimed physically by the next compact/optimize
+    * rewrite, which writes [[NullToken]] in the slot), and every
+    * later column keeps its position. The name is reusable: a re-add
+    * appends a FRESH slot, so old values can never bleed into the
+    * new column. */
+  def dropColumn(path: String, name: String): Unit = {
+    require(!schema.fieldNames.contains(name) &&
+      !bucketedSchema.fieldNames.contains(name),
+      s"cannot drop base column $name — the five base positions are " +
+        "the format's physical contract")
+    requireNoConstraintOn(path, name, s"DROP COLUMN $name")
+    schemaDdl(path, s"DROP COLUMN $name") { entries =>
+      val i = entries.indexWhere(e => !e.dropped && e.field.name == name)
+      require(i >= 0, s"column $name does not exist on graftlog " +
+        s"table $path")
+      entries.updated(i, entries(i).copy(dropped = true))
+    }
+  }
+
+  /** WIDEN an evolved column's type, long → double only — the one
+    * widening the text line format makes exactly safe: every stored
+    * long token parses as the double it denotes, so old lines read
+    * back widened with zero rewrite and new writes carry doubles.
+    * Narrowing and any other conversion are refused (they would need
+    * a data rewrite to be honest). */
+  def widenColumn(path: String, name: String): Unit = {
+    require(!schema.fieldNames.contains(name) &&
+      !bucketedSchema.fieldNames.contains(name),
+      s"cannot widen base column $name — the five base positions are " +
+        "the format's physical contract")
+    requireNoConstraintOn(path, name, s"ALTER COLUMN $name TYPE")
+    schemaDdl(path, s"WIDEN COLUMN $name") { entries =>
+      val i = entries.indexWhere(e => !e.dropped && e.field.name == name)
+      require(i >= 0, s"column $name does not exist on graftlog " +
+        s"table $path")
+      require(entries(i).field.dataType == LongType,
+        s"graftlog type widening supports BIGINT -> DOUBLE only; " +
+          s"$name is ${entries(i).field.dataType.sql}")
+      entries.updated(i, entries(i)
+        .copy(field = entries(i).field.copy(dataType = DoubleType)))
+    }
   }
 
   /** How a projected column maps onto the storage: a parsed line
@@ -235,10 +482,11 @@ object GraftLog {
   case object ShardCol extends ColRef
   case object ChangeTypeCol extends ColRef
 
-  /** Resolve projected column names against base + evolved schema
-    * (with each evolved column's parsed default, if declared). */
+  /** Resolve projected column names against base + evolved schema —
+    * evolved positions come from [[ExtCol.pos]] (physical slots), so
+    * renames/drops/tombstones never shift a column's line field. */
   def resolveCols(requiredCols: Array[String],
-      ext: Seq[(StructField, Option[String])]): Array[ColRef] =
+      ext: Seq[ExtCol]): Array[ColRef] =
     requiredCols.map {
       case "_shard" => ShardCol
       case "_change_type" => ChangeTypeCol
@@ -247,11 +495,12 @@ object GraftLog {
         val base = schema.fieldNames.indexOf(c)
         if (base >= 0) LineCol(base, schema.fields(base).dataType)
         else {
-          val j = ext.indexWhere(_._1.name == c)
-          require(j >= 0, s"unknown graftlog column $c")
-          val (f, d) = ext(j)
-          LineCol(5 + j, f.dataType,
-            d.map(parseDefault(f.dataType, _)).getOrElse(null))
+          val col = ext.find(_.field.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"unknown graftlog column $c"))
+          LineCol(col.pos, col.field.dataType,
+            col.default.map(parseDefault(col.field.dataType, _))
+              .getOrElse(null))
         }
     }
 
@@ -309,7 +558,10 @@ object GraftLog {
     * outside are untouched; the ≤ 2 boundary shards (and any shard
     * missing its sidecar) are rewritten in place with fresh stats.
     * The rewrite preserves a bucketed shard's ub sidecar field. */
-  def deleteWhere(path: String, lo: Long, hi: Long): Unit = {
+  def deleteWhere(path: String, lo: Long, hi: Long): Unit =
+    retryOnConflict(s"deleteRange($path)")(deleteWhereOnce(path, lo, hi))
+
+  private def deleteWhereOnce(path: String, lo: Long, hi: Long): Unit = {
     // ONE swap commit for the whole delete (r11): per-shard commits
     // would bump the generation once per rewritten shard, minting
     // history-less intermediate generations AND letting a reader
@@ -318,15 +570,22 @@ object GraftLog {
     // delete atomic — readers see the table before it or after it,
     // never between — with exactly one generation bump and one pinned
     // history listing.
+    applySwapIfPresent(path) // settle any pending manifest first so
+    // the generation read below is the one the listing reflects
+    val g0 = generation(path)
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     val promotes =
       scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    // counters bump only after a SUCCESSFUL commit — a lost optimistic
+    // race retries the whole pass and must not double-count
+    var nDropped = 0L
+    var nRewritten = 0L
     listShards(path).foreach { si =>
       val covered = si.stats.map { case (mn, mx, _) => mn >= lo && mx <= hi }
       val disjoint = si.stats.exists { case (mn, mx, _) => mx < lo || mn > hi }
       if (covered.contains(true)) {
         drops += si.file // retired (retention) at the swap roll-forward
-        shardsDropped.incrementAndGet()
+        nDropped += 1
       } else if (!disjoint) { // partial overlap or no sidecar: rewrite
         // a rewrite must not resurrect rows a deletion vector already
         // suppressed: the shard's valid dv applies to the kept lines
@@ -356,11 +615,21 @@ object GraftLog {
           val ub = si.ub.map(u => s"|$u").getOrElse("")
           promotes += ((hidden, name, s"${ids.min}|${ids.max}|${ids.size}$ub"))
         }
-        shardsRewritten.incrementAndGet()
+        nRewritten += 1
       }
     }
-    if (drops.nonEmpty || promotes.nonEmpty)
-      commitSwap(path, drops.toSeq, promotes.toSeq)
+    if (drops.nonEmpty || promotes.nonEmpty) {
+      try commitSwap(path, drops.toSeq, promotes.toSeq,
+        expectGen = Some(g0))
+      catch {
+        case e: GraftLogConcurrentWriteException =>
+          promotes.foreach(p =>
+            Files.deleteIfExists(Paths.get(path, p._1)))
+          throw e
+      }
+      shardsDropped.addAndGet(nDropped)
+      shardsRewritten.addAndGet(nRewritten)
+    }
   }
 
   /** A shard plus its sidecar stats (None = sidecar missing: the
@@ -410,7 +679,8 @@ object GraftLog {
     * other) over ONE manifest converge — see the roll-forward. */
   def commitSwap(path: String, drops: Seq[String],
       promotes: Seq[(String, String, String)],
-      dvs: Seq[(String, String)] = Nil): Unit =
+      dvs: Seq[(String, String)] = Nil,
+      expectGen: Option[Long] = None): Unit =
     lockFor(path).synchronized {
       // the manifest NAME is shared with streaming-epoch commits: the
       // lock (in-JVM) plus completing any pending manifest first keeps
@@ -418,6 +688,25 @@ object GraftLog {
       // structural-vs-anything concurrency is the documented
       // single-structural-writer assumption)
       applySwapIfPresent(path)
+      // OPTIMISTIC structural-commit validation (r13): a rewrite that
+      // decided its drops/promotes against generation g must find the
+      // table STILL at g here, under the lock — otherwise another
+      // structural writer (compact ∥ delete, dv ∥ compact, …) landed
+      // in between and committing would retire the wrong content or
+      // resurrect suppressed rows. Pure appends never bump the
+      // structural generation, so the blind-append-commutes contract
+      // is unaffected. Callers retry (driver-side rewrites recompute
+      // cheaply) or abort loudly (V2 write jobs cannot recompute rows
+      // at commit).
+      expectGen.foreach { g =>
+        val now = generation(path)
+        if (now != g)
+          throw new GraftLogConcurrentWriteException(
+            s"graftlog $path: structural generation moved $g -> $now " +
+              "between this rewrite's read and its commit — another " +
+              "structural writer landed; the operation must re-read " +
+              "and retry")
+      }
       val body = (s"gen|${generation(path)}" +:
         (drops.map(f => s"drop|${Paths.get(f).getFileName}") ++
           promotes.map { case (tmp, fin, meta) =>
@@ -1607,6 +1896,138 @@ object GraftLog {
     }
   }
 
+  /** Distinct (column, kind) pairs with at least one index file — the
+    * maintenance set for [[buildIndexIncremental]]. One listing. */
+  def indexKinds(path: String): Seq[(String, String)] = {
+    val d = Paths.get(path, IndexDir)
+    if (!Files.isDirectory(d)) return Nil
+    val name = """.+\.graftlog\.([A-Za-z0-9_]+)\.(range|bloom)""".r
+    withListing(d)(_.map(_.getFileName.toString).toSeq)
+      .collect { case name(c, k) => (c, k) }.distinct.sorted
+  }
+
+  /** Is the index file current for this echo? Same validation slice
+    * [[loadIndexes]] applies at consult time. */
+  private def indexCurrent(f: java.nio.file.Path, kind: String,
+      want: String): Boolean =
+    Files.isRegularFile(f) && {
+      try {
+        val parts = new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8).trim.split("\\|", -1)
+        kind match {
+          case "range" => parts(0) == "range" && parts.length == 7 &&
+            parts.slice(3, 7).mkString("|") == want
+          case _ => parts(0) == "bloom" && parts.length == 6 &&
+            parts.slice(1, 5).mkString("|") == want
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  /** Incremental sibling of [[buildIndex]]: (re)index ONLY the shards
+    * whose (colName, kind) index file is missing or echo-stale —
+    * fresh appends since the last build, plus shards whose content a
+    * rewrite changed. Cost is O(stale shard bytes) — one executor
+    * task per stale shard parses its lines directly (dv-suppressed
+    * rows are included: a superset index is conservative, pruning
+    * only ever PROVES absence) — so a steady-append table keeps its
+    * pruning payoff at the price of indexing each new shard once,
+    * never the full-snapshot pass [[buildIndex]] costs. The streaming
+    * sink invokes this per epoch commit for every existing index
+    * (`spark.graft.index.maintainOnCommit`, default on). Returns the
+    * number of shards (re)indexed; 0 = already current. */
+  def buildIndexIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, kind: String,
+      fpp: Double = 0.01): Int = {
+    require(kind == "range" || kind == "bloom",
+      s"index kind must be range|bloom, got $kind")
+    require(colName != "event_id",
+      "event_id is the clustering axis — the sidecars already prune it")
+    val shards = listShards(path)
+    if (shards.isEmpty) return 0
+    // column → (line position, isString, exists-default token): the
+    // executor tasks parse lines directly, so resolution happens once
+    // on the driver against the same schema the reader uses
+    val ext = extCols(path)
+    val (pos, isString, default) = colName match {
+      case "ts" => (1, false, null: String) // stored as epoch micros
+      case "user_id" => (2, false, null: String)
+      case "event_type" => (3, true, null: String)
+      case other =>
+        val col = ext.find(_.field.name == other).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $other does not exist on graftlog table $path " +
+              "(or is not indexable)"))
+        val str = col.field.dataType match {
+          case LongType => false
+          case StringType => true
+          case dt => throw new IllegalArgumentException(
+            s"index on $other: unsupported type ${dt.sql}")
+        }
+        (col.pos, str, col.default.orNull)
+    }
+    require(kind == "bloom" || !isString,
+      s"range index needs an integral or timestamp column, $colName " +
+        "is a string")
+    val d = Paths.get(path, IndexDir)
+    val stale = shards.filter { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      val want = echoOf(si)
+      want.nonEmpty &&
+        !indexCurrent(d.resolve(s"$name.$colName.$kind"), kind, want)
+    }
+    if (stale.isEmpty) return 0
+    val work = stale.map(si => (si.file, echoOf(si),
+      si.stats.map(_._3).getOrElse(1L))).toSeq
+    val (p, c, k, fp) = (path, colName, kind, fpp)
+    val (ps, str, dflt) = (pos, isString, default)
+    spark.sparkContext.parallelize(work, work.size)
+      .map { case (file, e, rows) =>
+        val name = Paths.get(file).getFileName.toString
+        // null-skipping token stream: short line → exists default,
+        // explicit NullToken → null (blooms never index NULL; a
+        // range over none writes nothing — the shard stays
+        // unprunable, same as the full build)
+        val tokens = Files.readAllLines(Paths.get(file),
+          StandardCharsets.UTF_8).asScala.iterator
+          .filter(_.nonEmpty).map { line =>
+            val parts = line.split("\\|", -1)
+            if (ps >= parts.length) dflt
+            else if (ps >= 5 && parts(ps) == NullToken) null
+            else parts(ps)
+          }.filter(_ != null)
+        if (k == "range") {
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var any = false
+          tokens.foreach { t =>
+            val v = t.toLong
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+            any = true
+          }
+          if (any) {
+            writeIndexFile(p, name, c, "range", s"range|$lo|$hi|$e")
+            1
+          } else 0
+        } else {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(1L, rows), fp)
+          var any = false
+          tokens.foreach { t =>
+            if (str) bf.putString(t) else bf.putLong(t.toLong)
+            any = true
+          }
+          if (any) {
+            val o = new java.io.ByteArrayOutputStream()
+            bf.writeTo(o)
+            writeIndexFile(p, name, c, "bloom", s"bloom|$e|" +
+              java.util.Base64.getEncoder.encodeToString(o.toByteArray))
+            1
+          } else 0
+        }
+      }.sum().toInt
+  }
+
   /** ---- CHECK constraints (write-time data contracts) ----
     *
     * `ALTER TABLE ADD CONSTRAINT` for the format (Delta's CHECK
@@ -1742,16 +2163,16 @@ object GraftLog {
     * write schema (bucketed rows carry ub at position 5; unbucketed
     * rows carry the evolved columns there). Driver-side, once per
     * job. */
+  /** Compile the declared constraints against the LIVE write schema
+    * (base + live evolved columns — bound ordinals are ROW ordinals,
+    * which carry only live columns regardless of tombstoned slots). */
   private[sources] def writeConstraintsFor(path: String,
-      bucketed: Boolean, ext: Seq[DataType]): Seq[Constraint] = {
+      bucketed: Boolean): Seq[Constraint] = {
     val cs = constraints(path)
     if (cs.isEmpty) return Nil
     val ws =
       if (bucketed) bucketedSchema
-      else StructType(schema.fields ++ ext.zipWithIndex.map {
-        case (dt, i) => StructField(extSchema(path)
-          .lift(i).map(_.name).getOrElse(s"_ext$i"), dt, nullable = true)
-      })
+      else StructType(schema.fields ++ extSchema(path))
     compileConstraints(org.apache.spark.sql.SparkSession.active, cs, ws)
   }
 
@@ -1816,10 +2237,38 @@ object GraftLog {
   case class DvRef(file: String, keep: Boolean,
       minus: Option[String] = None) extends Serializable
 
+  /** Resolve a shard (or dv sidecar) path for reading, falling back
+    * to its RETIRED copy when a concurrent structural rewrite moved
+    * it between plan and task open: retired files are MOVED, never
+    * deleted (until VACUUM), and names are never reused, so the
+    * retired copy is bit-identical to what the plan targeted — scans
+    * stay snapshot-stable under structural writers without any read
+    * lock. A truly vacuumed file resolves to the original path and
+    * the open fails loudly. */
+  private[sources] def withRetiredFallback(file: String)
+      : java.nio.file.Path = {
+    val p = Paths.get(file)
+    if (Files.exists(p)) return p
+    val parent = p.getParent
+    // live shards sit in the table root; dv sidecars in <table>/_dv
+    val table =
+      if (parent != null && parent.getFileName != null &&
+          parent.getFileName.toString == DvDir) parent.getParent
+      else parent
+    if (table == null) return p
+    val rd = table.resolve(RetiredDir)
+    val name = p.getFileName.toString
+    if (!Files.isDirectory(rd)) return p
+    withListing(rd)(_.filter(Files.isDirectory(_))
+      .map(_.resolve(name)).find(Files.exists(_))).getOrElse(p)
+  }
+
   /** Suppressed keys of a dv file (sorted; the echo line skipped).
-    * Executor-side: a dv is a few KB, read once per task. */
+    * Executor-side: a dv is a few KB, read once per task; reads
+    * through the retired store if a rewrite raced the scan. */
   def dvKeys(file: String): Array[Long] = {
-    val lines = Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8)
+    val lines = Files.readAllLines(withRetiredFallback(file),
+      StandardCharsets.UTF_8)
     val out = new Array[Long](math.max(0, lines.size - 1))
     var i = 1
     while (i < lines.size) {
@@ -2054,8 +2503,7 @@ object GraftLog {
       val cs = constraints(path)
       if (cs.nonEmpty) {
         val ext = extSchemaWithDefaults(path)
-        val compiled = writeConstraintsFor(path, bucketed = false,
-          ext.map(_._1.dataType))
+        val compiled = writeConstraintsFor(path, bucketed = false)
         val preds = compiled.map { case (nm, sql, e) =>
           (nm, sql,
             org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
@@ -2097,26 +2545,34 @@ object GraftLog {
     }
 
   /** Render a row (whose format columns start at offset `o`) in the
-    * line format: five base positions, then evolved columns in ALTER
-    * order with written NULLs as [[NullToken]]. Shared by the append
-    * writer and the delta-merge writer so the two paths can never
-    * disagree on the encoding. */
+    * line format: five base positions, then one field per PHYSICAL
+    * extension slot (`extSlots`, null = tombstone → [[NullToken]],
+    * so dropped columns keep later positions stable); written NULLs
+    * also render as [[NullToken]]. Shared by the append writer and
+    * the delta-merge writer so the two paths can never disagree on
+    * the encoding. The row carries only LIVE evolved columns — the
+    * cursor `k` maps them onto their slots. */
   private[sources] def renderLine(r: InternalRow, o: Int,
-      extTypes: Array[DataType]): String = {
+      extSlots: Array[DataType]): String = {
     val sb = new java.lang.StringBuilder
     sb.append(r.getLong(o)).append('|').append(r.getLong(o + 1))
       .append('|').append(r.getLong(o + 2)).append('|')
       .append(r.getUTF8String(o + 3).toString).append('|')
       .append(r.getDouble(o + 4))
     var j = 0
-    while (j < extTypes.length) {
+    var k = 0
+    while (j < extSlots.length) {
       sb.append('|')
-      val idx = o + 5 + j
-      if (r.isNullAt(idx)) sb.append(NullToken)
-      else extTypes(j) match {
-        case LongType => sb.append(r.getLong(idx))
-        case DoubleType => sb.append(r.getDouble(idx))
-        case _ => sb.append(r.getUTF8String(idx).toString)
+      if (extSlots(j) == null) sb.append(NullToken) // tombstone slot
+      else {
+        val idx = o + 5 + k
+        if (r.isNullAt(idx)) sb.append(NullToken)
+        else extSlots(j) match {
+          case LongType => sb.append(r.getLong(idx))
+          case DoubleType => sb.append(r.getDouble(idx))
+          case _ => sb.append(r.getUTF8String(idx).toString)
+        }
+        k += 1
       }
       j += 1
     }
@@ -2156,12 +2612,27 @@ object GraftLog {
     * (#dv sidecars written, #dense shards rewritten). */
   def commitDeltaMerge(path: String,
       rowPromotes: Seq[(String, String, String)],
-      dvStages: Seq[String]): (Int, Int) =
+      dvStages: Seq[String],
+      expectGen: Option[Long] = None): (Int, Int) =
     lockFor(path).synchronized {
       val threshold = org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.merge.dv.maxSuppressedFraction", "0.5").toDouble
       applySwapIfPresent(path)
       val g0 = generation(path)
+      // optimistic validation against the merge's plan-time snapshot:
+      // the staged suppressions name row VERSIONS the scan saw; if a
+      // structural writer landed since, committing them could suppress
+      // rewritten content — abort loudly (the V2 write cannot
+      // recompute its rows here), cleaning the stage files
+      expectGen.filter(_ != g0).foreach { g =>
+        rowPromotes.foreach(p =>
+          Files.deleteIfExists(Paths.get(path, p._1)))
+        dvStages.foreach(st => Files.deleteIfExists(Paths.get(path, st)))
+        throw new GraftLogConcurrentWriteException(
+          s"graftlog $path: structural generation moved $g -> $g0 " +
+            "between the merge's read and its commit — another " +
+            "structural writer landed; re-run the MERGE")
+      }
       val shards = listShards(path)
       val byName = shards
         .map(si => Paths.get(si.file).getFileName.toString -> si).toMap
@@ -2317,12 +2788,22 @@ object GraftLog {
     *  - append ∥ range DELETE — SAFE, same shape: rows appended
     *    during the delete survive even if they match the range (the
     *    delete applies to the snapshot it read).
-    *  - rewrite ∥ rewrite (two compacts, compact ∥ delete, …) — OUT
-    *    OF SCOPE, single-structural-writer assumption (two different
-    *    swap manifests race for one path), as for any file-format
-    *    table without a catalog lock. Generation claims keep even
-    *    this from silently collapsing bumps, but the row-level
-    *    outcome is last-writer-wins.
+    *  - rewrite ∥ rewrite (two compacts, compact ∥ delete, compact ∥
+    *    dv-delete, …) — SAFE in-process via OPTIMISTIC commit
+    *    validation (r13): every structural commit carries the
+    *    generation its decision was read against, [[commitSwap]]
+    *    re-checks it under the per-path lock, and a loser gets
+    *    [[GraftLogConcurrentWriteException]] — driver-side
+    *    maintenance ops then retry against the fresh snapshot
+    *    ([[retryOnConflict]], so compact ∥ delete CONVERGES on the
+    *    combined outcome: no lost rows, no resurrections, no orphaned
+    *    shards), while V2 write jobs (CoW replace, delta merge) abort
+    *    loudly because their rows cannot be recomputed at commit.
+    *    CROSS-PROCESS, structural ∥ structural remains the documented
+    *    single-structural-writer assumption: the generation check
+    *    narrows but cannot close the window without a lock service a
+    *    bare filesystem does not provide (Delta needs the same from
+    *    its log store).
     *
     * A claim is an empty `_claim.shard-<idx>` marker; it outlives the
     * write (harmless — an index is never reused while its claim or
@@ -2360,6 +2841,32 @@ object GraftLog {
   private def lockFor(path: String): Object =
     pathLocks.computeIfAbsent(
       Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Bounded optimistic retry for driver-side structural rewrites:
+    * on a [[GraftLogConcurrentWriteException]] (the commit-time
+    * generation check lost to another structural writer) the body
+    * re-runs against the FRESH snapshot — each attempt re-lists, so
+    * retries converge on the combined outcome (compact ∥ delete ends
+    * compacted AND deleted, no lost rows, no resurrections). Gives up
+    * loudly after `attempts` losses: unbounded spinning under a
+    * structural-write storm would hide a deployment problem. */
+  private def retryOnConflict[A](what: String, attempts: Int = 3)(
+      body: => A): A = {
+    var lost = 0
+    while (true) {
+      try return body
+      catch {
+        case e: GraftLogConcurrentWriteException =>
+          lost += 1
+          if (lost > attempts)
+            throw new IllegalStateException(
+              s"$what lost the structural-commit race $lost times — " +
+                "a concurrent structural writer keeps landing; " +
+                "serialize maintenance ops or retry later", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Publish an append job's staged shards: claim the index range and
     * link the tmps in under their final names IN INDEX ORDER, then
@@ -2511,6 +3018,11 @@ object GraftLog {
     require(!isBucketed(path),
       s"$path is a bucketed graftlog table; compaction would need the " +
         "bucket count, which the layout does not record — re-ingest instead")
+    retryOnConflict(s"compact($path)")(compactOnce(spark, path, shards))
+  }
+
+  private def compactOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int): (Int, Int) = {
     // Pin the snapshot FIRST and read through its token: the rewrite
     // read otherwise plans its own (later) listing, so a shard
     // appended between this listing and the read would be folded into
@@ -2521,7 +3033,11 @@ object GraftLog {
     val tok = currentVersion(path)
     val olds = shardsAt(path, Some(tok))
     val before = olds.size
-    val tmp = path + "__compact_tmp"
+    // staging dir unique per ATTEMPT: concurrent structural writers
+    // (now legal — optimistic retry) must never clobber each other's
+    // staging; the loser's dir is removed on its own conflict path
+    val tmp = path + "__compact_tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
     def rmdir(d: String): Unit = {
       val p = Paths.get(d)
       if (Files.isDirectory(p)) { // recursive: staging carries _commits
@@ -2531,7 +3047,6 @@ object GraftLog {
         finally w.close()
       }
     }
-    rmdir(tmp)
     // an evolved table compacts with its added columns intact: the
     // staging dir carries the same extension file, so the V2 write
     // resolves (and serializes) the full schema
@@ -2558,7 +3073,16 @@ object GraftLog {
         s"compacted shard ${s.file} lost its sidecar"))
       (hidden, f"shard-${base + i}%05d.graftlog", s"$mn|$mx|$n")
     }
-    commitSwap(path, olds.map(_.file), promotes)
+    try commitSwap(path, olds.map(_.file), promotes,
+      expectGen = Some(tokenOrd(tok)._1))
+    catch {
+      case e: GraftLogConcurrentWriteException =>
+        // lost the optimistic race: drop this attempt's staging so
+        // the retry starts clean (claims stay — indices never reuse)
+        promotes.foreach(p => Files.deleteIfExists(Paths.get(path, p._1)))
+        rmdir(tmp)
+        throw e
+    }
     rmdir(tmp)
     (before, staged.size)
   }
@@ -2583,55 +3107,100 @@ object GraftLog {
     * engine; afterwards dim-selective reads open O(matching shards)
     * instead of O(all). */
   def clusterZ(spark: org.apache.spark.sql.SparkSession, path: String,
-      shards: Int, dim: String = "user_id"): (Int, Int) = {
+      shards: Int, dim: String = "user_id"): (Int, Int) =
+    clusterZDims(spark, path, shards, Seq(dim))
+
+  /** The clustering-state files an incremental step resolves against:
+    * `_cluster.meta` records the key (dims CSV incl. the implicit
+    * leading event_id, bits per dim, and each dim's RECORDED domain),
+    * `_cluster.names` the shard names written by clustering passes.
+    * Shard names are never reused (index claims), so name membership
+    * is a sound "already clustered" test — a compact that rewrites a
+    * clustered shard mints a new name, which correctly counts as
+    * unclustered again. */
+  private[sources] val ClusterMetaFile = "_cluster.meta"
+  private[sources] val ClusterNamesFile = "_cluster.names"
+
+  /** n-dimensional z-order clustering: the clustering key is
+    * `event_id +: dims` (2..n columns), interleaved by
+    * [[graft.functions.ZOrder.zvalueN]] — every shard gets a tight
+    * bounding box in EVERY key dimension at once, so range/bloom
+    * indexes on each dim prune sharply. Records the clustering state
+    * for [[clusterZIncremental]]. Full rewrite — the one any
+    * clustering op costs; steady-append tables take the incremental
+    * step afterwards instead of paying this again. */
+  def clusterZDims(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int, dims: Seq[String]): (Int, Int) = {
     require(shards >= 1, s"shards=$shards")
     require(!isBucketed(path),
       s"$path is a bucketed graftlog table; its layout is already " +
         "clustered by bucket — re-ingest to change it")
-    require(dim != "event_id",
-      "z-order needs a SECOND dimension; event_id is the first")
+    require(dims.nonEmpty && dims.distinct == dims &&
+      !dims.contains("event_id"),
+      "z-order needs 1+ DISTINCT dimensions beyond event_id (the " +
+        "implicit first)")
+    retryOnConflict(s"cluster($path)")(
+      clusterZOnce(spark, path, shards, dims))
+  }
+
+  private def rmStageDir(d: String): Unit = {
+    val p = Paths.get(d)
+    if (Files.isDirectory(p)) {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally w.close()
+    }
+  }
+
+  /** Validate the key columns and measure their domains over `df`.
+    * Returns (lo, hi) per key column (event_id first). */
+  private def zDomains(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): Option[Seq[(Long, Long)]] = {
     import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
-    val tok = currentVersion(path)
-    val olds = shardsAt(path, Some(tok))
-    val before = olds.size
-    val tmp = path + "__cluster_tmp"
-    def rmdir(d: String): Unit = {
-      val p = Paths.get(d)
-      if (Files.isDirectory(p)) {
-        val w = Files.walk(p)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-        finally w.close()
+    keys.foreach { k =>
+      df.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case t => throw new IllegalArgumentException(
+          s"z-order dim '$k' is not numeric (it is $t) — cluster on " +
+            "numeric columns")
       }
     }
-    val df = spark.read.format("graft.sources.GraftLogSource")
-      .option("version", tok).load(path)
-    // dim + domain checks BEFORE any staging dir exists, so the early
-    // returns / failures below leave nothing on disk
-    df.schema(dim).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case t => throw new IllegalArgumentException(
-        s"z-order dim '$dim' is not numeric (it is $t) — cluster on a " +
-          "numeric column")
+    val aggs = keys.flatMap(k => Seq(fmin(col(k).cast("long")),
+      fmax(col(k).cast("long"))))
+    val dom = df.agg(aggs.head, aggs.tail: _*).head()
+    if (dom.isNullAt(0)) return None // empty table
+    keys.indices.foreach { i =>
+      if (dom.isNullAt(2 * i))
+        throw new IllegalArgumentException(
+          s"z-order dim '${keys(i)}' is NULL for every row — cluster " +
+            "on populated numeric columns")
     }
-    val dimL = col(dim).cast("long")
-    val dom = df.agg(fmin(col("event_id")), fmax(col("event_id")),
-      fmin(dimL), fmax(dimL)).head()
-    if (dom.isNullAt(0)) return (before, 0) // empty table: nothing to do
-    if (dom.isNullAt(2))
-      throw new IllegalArgumentException(
-        s"z-order dim '$dim' is NULL for every row — cluster on a " +
-          "populated numeric column")
-    rmdir(tmp)
+    Some(keys.indices.map(i =>
+      (dom.getLong(2 * i), dom.getLong(2 * i + 1))))
+  }
+
+  private def zColumn(keys: Seq[String], doms: Seq[(Long, Long)],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    graft.functions.ZOrder.zvalueN(keys.zip(doms).map { case (k, (lo, hi)) =>
+      graft.functions.ZOrder.scaledTo(col(k).cast("long"), lo, hi, bits)
+    })
+  }
+
+  /** Stage `df` z-partitioned into `tmp`, move the outputs into the
+    * table dir as hidden tmps under claimed indices, and return the
+    * promote entries. */
+  private def stageZWrite(spark: org.apache.spark.sql.SparkSession,
+      path: String, tmp: String, df: org.apache.spark.sql.DataFrame,
+      z: org.apache.spark.sql.Column, shards: Int, tag: String)
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions.col
     if (Files.exists(Paths.get(path, ExtSchemaFile))) {
       Files.createDirectories(Paths.get(tmp))
       Files.copy(Paths.get(path, ExtSchemaFile),
         Paths.get(tmp, ExtSchemaFile))
     }
-    val z = graft.functions.ZOrder.zvalue(
-      graft.functions.ZOrder.scaled(col("event_id"),
-        dom.getLong(0), dom.getLong(1)),
-      graft.functions.ZOrder.scaled(dimL, dom.getLong(2), dom.getLong(3)))
     df.withColumn("__graft_z", z)
       .repartitionByRange(shards, col("__graft_z"))
       .drop("__graft_z")
@@ -2639,17 +3208,175 @@ object GraftLog {
       .mode("append").option("preservePartitioning", "true").save(tmp)
     val staged = listShards(tmp)
     val base = claimShardIndices(path, staged.size)
-    val promotes = staged.zipWithIndex.map { case (s, i) =>
-      val hidden = f".cluster-${base + i}%05d.tmp"
+    staged.zipWithIndex.map { case (s, i) =>
+      val hidden = f".$tag-${base + i}%05d.tmp"
       Files.move(Paths.get(s.file), Paths.get(path, hidden),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       val (mn, mx, n) = s.stats.getOrElse(throw new IllegalStateException(
         s"clustered shard ${s.file} lost its sidecar"))
       (hidden, f"shard-${base + i}%05d.graftlog", s"$mn|$mx|$n")
     }
-    commitSwap(path, olds.map(_.file), promotes)
-    rmdir(tmp)
-    (before, staged.size)
+  }
+
+  /** Persist the clustering state after a successful commit (meta is
+    * advisory for the incremental step; a crash before these lands
+    * just means the next incremental refuses and asks for a full
+    * cluster). */
+  private def recordClusterState(path: String, keys: Seq[String],
+      bits: Int, doms: Seq[(Long, Long)],
+      newNames: Seq[String], replace: Boolean): Unit = {
+    if (replace) {
+      val meta = (keys.mkString(",") +: bits.toString +:
+        doms.map { case (lo, hi) => s"$lo|$hi" }).mkString("|")
+      val t = Paths.get(path, s".$ClusterMetaFile.tmp")
+      Files.write(t, meta.getBytes(StandardCharsets.UTF_8))
+      Files.move(t, Paths.get(path, ClusterMetaFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val prior =
+      if (replace || !Files.exists(Paths.get(path, ClusterNamesFile))) Nil
+      else Files.readAllLines(Paths.get(path, ClusterNamesFile),
+        StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    val t2 = Paths.get(path, s".$ClusterNamesFile.tmp")
+    Files.write(t2, (prior ++ newNames).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(t2, Paths.get(path, ClusterNamesFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def clusterZOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int, dims: Seq[String]): (Int, Int) = {
+    val tok = currentVersion(path)
+    val olds = shardsAt(path, Some(tok))
+    val before = olds.size
+    // unique per attempt — see compactOnce
+    val tmp = path + "__cluster_tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val df = spark.read.format("graft.sources.GraftLogSource")
+      .option("version", tok).load(path)
+    val keys = "event_id" +: dims
+    // key + domain checks BEFORE any staging dir exists, so the early
+    // returns / failures below leave nothing on disk
+    val doms = zDomains(df, keys) match {
+      case None => return (before, 0) // empty table: nothing to do
+      case Some(d) => d
+    }
+    val bits = graft.functions.ZOrder.bitsFor(keys.size)
+    val promotes = stageZWrite(spark, path, tmp, df,
+      zColumn(keys, doms, bits), shards, "cluster")
+    try commitSwap(path, olds.map(_.file), promotes,
+      expectGen = Some(tokenOrd(tok)._1))
+    catch {
+      case e: GraftLogConcurrentWriteException =>
+        promotes.foreach(p => Files.deleteIfExists(Paths.get(path, p._1)))
+        rmStageDir(tmp)
+        throw e
+    }
+    rmStageDir(tmp)
+    recordClusterState(path, keys, bits, doms, promotes.map(_._2),
+      replace = true)
+    (before, promotes.size)
+  }
+
+  /** INCREMENTAL clustering (the liquid-clustering step): z-order
+    * ONLY the shards appended since the last clustering pass, under
+    * the RECORDED key/domains (out-of-domain values clamp to the
+    * curve edge), and swap exactly those — settled clustered shards
+    * are byte-untouched. Cost is O(new data); a steady-append table
+    * never pays [[clusterZDims]]' full rewrite twice. `shards = 0`
+    * sizes the output from the clustered layout's mean shard bytes.
+    * Unclustered shards are read via hardlink staging (their dv
+    * sidecars linked along, so suppressed rows stay suppressed).
+    * Returns (#unclustered shards folded, #shards written). */
+  def clusterZIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int = 0): (Int, Int) = {
+    require(Files.exists(Paths.get(path, ClusterMetaFile)),
+      s"$path has no clustering state — run the full " +
+        "CALL glog.cluster(...) first")
+    retryOnConflict(s"clusterIncremental($path)")(
+      clusterZIncrementalOnce(spark, path, shards))
+  }
+
+  private def clusterZIncrementalOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int): (Int, Int) = {
+    val meta = new String(Files.readAllBytes(
+      Paths.get(path, ClusterMetaFile)), StandardCharsets.UTF_8)
+      .trim.split("\\|", -1)
+    val keys = meta(0).split(',').toSeq
+    val bits = meta(1).toInt
+    val doms = (2 until meta.length by 2).map(i =>
+      (meta(i).toLong, meta(i + 1).toLong))
+    require(doms.size == keys.size,
+      s"corrupt $ClusterMetaFile in $path")
+    val clustered: Set[String] =
+      if (!Files.exists(Paths.get(path, ClusterNamesFile))) Set.empty
+      else Files.readAllLines(Paths.get(path, ClusterNamesFile),
+        StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).toSet
+    val tok = currentVersion(path)
+    val all = shardsAt(path, Some(tok))
+    val fresh = all.filterNot(si =>
+      clustered.contains(Paths.get(si.file).getFileName.toString))
+    if (fresh.isEmpty) return (0, 0)
+    val k =
+      if (shards > 0) shards
+      else {
+        val settled = all.filter(si =>
+          clustered.contains(Paths.get(si.file).getFileName.toString))
+        val target =
+          if (settled.isEmpty) fresh.map(_.bytes).sum
+          else math.max(1L, settled.map(_.bytes).sum / settled.size)
+        math.max(1, math.ceil(
+          fresh.map(_.bytes).sum.toDouble / target).toInt)
+      }
+    // hardlink the unclustered shards (+sidecars, +their dvs, +ext
+    // schema) into a staging READ dir: the z write then scans O(new
+    // data), never the settled clustered layout
+    val src = path + "__zinc_src-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + "__zinc_tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Files.createDirectories(Paths.get(src))
+    val g0 = tokenOrd(tok)._1
+    val dvs = dvMap(path, fresh, g0)
+    fresh.foreach { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      Files.createLink(Paths.get(src, name), Paths.get(si.file))
+      val m = Paths.get(si.file.stripSuffix(".graftlog") + ".meta")
+      if (Files.exists(m))
+        Files.createLink(Paths.get(src,
+          name.stripSuffix(".graftlog") + ".meta"), m)
+      dvs.get(name).foreach { dvf =>
+        Files.createDirectories(Paths.get(src, DvDir))
+        // re-keyed to g0: the staging dir has no generation marker,
+        // and a vector only applies when its dvGen ≤ the read's
+        // generation — the echo still binds it to the linked content
+        Files.createLink(Paths.get(src, DvDir, s"$name.g0.dv"),
+          Paths.get(dvf))
+      }
+    }
+    if (Files.exists(Paths.get(path, ExtSchemaFile)))
+      Files.copy(Paths.get(path, ExtSchemaFile),
+        Paths.get(src, ExtSchemaFile))
+    try {
+      val df = spark.read.format("graft.sources.GraftLogSource")
+        .load(src)
+      val promotes = stageZWrite(spark, path, tmp, df,
+        zColumn(keys, doms, bits), k, "zinc")
+      try commitSwap(path, fresh.map(_.file), promotes,
+        expectGen = Some(g0))
+      catch {
+        case e: GraftLogConcurrentWriteException =>
+          promotes.foreach(p =>
+            Files.deleteIfExists(Paths.get(path, p._1)))
+          throw e
+      }
+      recordClusterState(path, keys, bits, doms, promotes.map(_._2),
+        replace = false)
+      (fresh.size, promotes.size)
+    } finally { rmStageDir(tmp); rmStageDir(src) }
   }
 
   /** Bin-packing OPTIMIZE (Delta's small-file compaction, distinct
@@ -2678,6 +3405,12 @@ object GraftLog {
     require(!isBucketed(path),
       s"$path is a bucketed graftlog table; per-bucket optimize is not " +
         "supported — re-ingest instead")
+    retryOnConflict(s"optimize($path)")(
+      optimizeOnce(spark, path, targetBytes))
+  }
+
+  private def optimizeOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long): (Int, Int) = {
     val tok = currentVersion(path)
     val all = shardsAt(path, Some(tok))
     val small = all.filter(_.bytes < targetBytes)
@@ -2730,7 +3463,13 @@ object GraftLog {
       case ((hidden, meta), i) if meta != null =>
         (hidden, f"shard-${base + i}%05d.graftlog", meta)
     }
-    commitSwap(path, small.map(_.file), promotes)
+    try commitSwap(path, small.map(_.file), promotes,
+      expectGen = Some(tokenOrd(tok)._1))
+    catch {
+      case e: GraftLogConcurrentWriteException =>
+        promotes.foreach(p => Files.deleteIfExists(Paths.get(path, p._1)))
+        throw e
+    }
     (small.size, promotes.size)
   }
 
@@ -2840,10 +3579,13 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       else new GraftLogRowLevelOperation(path, info.command())
     }
   }
-  /** Evolved columns (ALTER TABLE ADD COLUMN), resolved at table
-    * load; bucketed layouts never evolve (the catalog refuses). */
+  /** Evolved columns resolved at table load — AT the pinned snapshot
+    * for a time-travel load (VERSION/TIMESTAMP AS OF reads its
+    * snapshot under the schema it was written with); bucketed
+    * layouts never evolve (the catalog refuses). */
   private val ext: Seq[StructField] =
-    if (bucketed) Nil else GraftLog.extSchema(path)
+    if (bucketed) Nil
+    else GraftLog.extColsAt(path, pinnedVersion).map(_.field)
   override def schema(): StructType = {
     val base =
       if (bucketed) GraftLog.bucketedSchema
@@ -2906,8 +3648,10 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
     require(got == want || got == baseWant,
       s"graftlog sink needs schema ${schema().simpleString}, " +
         s"got ${info.schema().simpleString}")
+    // the writer gets the PHYSICAL slot layout (tombstones render as
+    // the NULL sentinel so later columns keep their positions)
     val writeExt: Seq[DataType] =
-      if (got == baseWant) Nil else ext.map(_.dataType)
+      if (got == baseWant) Nil else GraftLog.extWriteSlots(path)
     val shards = Option(info.options().get("shards")).map(_.toInt)
     val buckets = Option(info.options().get("buckets")).map(_.toInt)
     // the caller has already shaped the data (e.g. a z-order
@@ -3026,13 +3770,25 @@ class GraftLogStreamingWrite(path: String, queryId: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     new GraftLogStreamingWriterFactory(path, ext,
-      GraftLog.writeConstraintsFor(path, bucketed = false, ext))
+      GraftLog.writeConstraintsFor(path, bucketed = false))
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+      messages: Array[WriterCommitMessage]): Unit = {
     GraftLog.commitStreamEpoch(path, queryId, epochId,
       GraftLogSwapCommit.pending(messages))
+    // keep existing secondary indexes current across the append
+    // stream: each epoch incrementally indexes ONLY its own new
+    // shards (O(epoch bytes) — see buildIndexIncremental), so a
+    // steady-append table never degrades to unprunable while waiting
+    // for a manual rebuild. Off-switch for latency-critical sinks.
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.conf.get("spark.graft.index.maintainOnCommit", "true")
+        .toBoolean)
+      GraftLog.indexKinds(path).foreach { case (col, kind) =>
+        GraftLog.buildIndexIncremental(spark, path, col, kind)
+      }
+  }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -3058,7 +3814,7 @@ class GraftLogBatchWrite(path: String, buckets: Option[Int] = None,
     // tasks stage hidden tmps only; names are assigned at JOB commit
     new GraftLogWriterFactory(path, buckets, 0, pending = true, ext = ext,
       constraints =
-        GraftLog.writeConstraintsFor(path, buckets.isDefined, ext))
+        GraftLog.writeConstraintsFor(path, buckets.isDefined))
   }
   // JOB-commit publishing (r12): tasks stage hidden tmps (invisible
   // to every reader — they match neither *.graftlog nor the streaming
@@ -3096,27 +3852,39 @@ class GraftLogRowLevelOperation(path: String,
     * Set at planInputPartitions (driver side, before any write task
     * runs); assignment (not append) tolerates AQE re-planning. */
   @volatile private[sources] var affected: Option[Seq[String]] = None
+  /** Structural generation at scan-builder creation — the optimistic
+    * read stamp the commit validates (a structural writer landing
+    * between this read and the swap would make the computed
+    * replacement rows stale; the commit then fails loudly instead of
+    * committing a lost update). Conservative: captured BEFORE the
+    * listing, so a racer in the plan window can only cause a spurious
+    * abort, never a silent stale commit. */
+  @volatile private[sources] var planGen: Option[Long] = None
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    planGen = Some(GraftLog.generation(path))
     new GraftLogScanBuilder(path,
       StructType(GraftLog.schema.fields ++ GraftLog.extSchema(path)),
       onPlan = files => affected = Some(files))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new GraftLogReplaceWrite(path,
         info.schema(),
         () => affected.getOrElse(throw new IllegalStateException(
-          "replace-write commit before the rewrite scan planned")))
+          "replace-write commit before the rewrite scan planned")),
+        () => planGen)
     }
   override def description(): String = s"graftlog $cmd $path"
 }
 
 class GraftLogReplaceWrite(path: String, writeSchema: StructType,
-    affected: () => Seq[String])
+    affected: () => Seq[String],
+    planGen: () => Option[Long] = () => None)
     extends GraftLogWrite(path) {
   override def toBatch: BatchWrite =
-    new GraftLogReplaceBatchWrite(path, writeSchema, affected)
+    new GraftLogReplaceBatchWrite(path, writeSchema, affected, planGen)
   override def description(): String = s"graftlog replace $path"
 }
 
@@ -3136,15 +3904,23 @@ class GraftLogReplaceWrite(path: String, writeSchema: StructType,
 class GraftLogDeltaOperation(path: String,
     cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
+  /** Optimistic read stamp (see [[GraftLogRowLevelOperation.planGen]]):
+    * captured before the merge scan lists, validated at the delta
+    * commit — a structural writer landing in between aborts the merge
+    * loudly instead of suppressing the wrong row versions. */
+  @volatile private[sources] var planGen: Option[Long] = None
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    planGen = Some(GraftLog.generation(path))
     new GraftLogScanBuilder(path,
       StructType(GraftLog.schema.fields ++ GraftLog.extSchema(path)))
+  }
   override def newWriteBuilder(
       info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftLogDeltaWrite(path)
+      override def build(): DeltaWrite =
+        new GraftLogDeltaWrite(path, () => planGen)
     }
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("event_id"))
@@ -3154,28 +3930,31 @@ class GraftLogDeltaOperation(path: String,
   override def description(): String = s"graftlog delta $cmd $path"
 }
 
-class GraftLogDeltaWrite(path: String) extends DeltaWrite {
+class GraftLogDeltaWrite(path: String,
+    planGen: () => Option[Long] = () => None) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
-    new GraftLogDeltaBatchWrite(path)
+    new GraftLogDeltaBatchWrite(path, planGen)
   override def description(): String = s"graftlog delta merge $path"
 }
 
-class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
-  private val ext = GraftLog.extSchema(path).map(_.dataType)
+class GraftLogDeltaBatchWrite(path: String,
+    planGen: () => Option[Long] = () => None) extends DeltaBatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     Files.createDirectories(Paths.get(path))
     // delta shards get claimed indices past every existing shard —
     // same discipline as the CoW replace write
     new GraftLogDeltaWriterFactory(path,
-      GraftLog.claimShardIndices(path, info.numPartitions()), ext,
+      GraftLog.claimShardIndices(path, info.numPartitions()),
+      GraftLog.extWriteSlots(path), // physical slots for line render
       // a MERGE must not land what an insert could not
-      GraftLog.writeConstraintsFor(path, bucketed = false, ext))
+      GraftLog.writeConstraintsFor(path, bucketed = false))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftLogDeltaCommitMessage => m }
     GraftLog.commitDeltaMerge(path,
-      ms.flatMap(_.shard).toSeq, ms.flatMap(_.dvStage).toSeq)
+      ms.flatMap(_.shard).toSeq, ms.flatMap(_.dvStage).toSeq,
+      expectGen = planGen())
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -3368,7 +4147,7 @@ class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int],
       GraftLog.claimShardIndices(path, info.numPartitions()),
       defer = true, ext = ext,
       constraints =
-        GraftLog.writeConstraintsFor(path, buckets.isDefined, ext))
+        GraftLog.writeConstraintsFor(path, buckets.isDefined))
   }
   // atomic: new-generation shards are hidden tmps until the swap
   // manifest lands; a reader can never see old+new together or neither
@@ -3380,7 +4159,8 @@ class GraftLogOverwriteBatchWrite(path: String, buckets: Option[Int],
 }
 
 class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
-    affected: () => Seq[String]) extends BatchWrite {
+    affected: () => Seq[String],
+    planGen: () => Option[Long] = () => None) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
@@ -3396,18 +4176,20 @@ class GraftLogReplaceBatchWrite(path: String, writeSchema: StructType,
     new GraftLogWriterFactory(path, None,
       GraftLog.claimShardIndices(path, info.numPartitions()),
       markerOffset = true, defer = true,
-      ext = GraftLog.extSchema(path).map(_.dataType),
+      ext = GraftLog.extWriteSlots(path), // physical slots
       // UPDATE/MERGE must not be able to break the contract an
       // insert cannot: the CoW replacement rows are gated too
-      constraints = GraftLog.writeConstraintsFor(path, bucketed = false,
-        GraftLog.extSchema(path).map(_.dataType)))
+      constraints = GraftLog.writeConstraintsFor(path, bucketed = false))
   }
   // atomic: replacement shards stay hidden until the swap manifest
   // lands, which retires the scanned groups in the same commit
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dropped = affected()
+    // validate the plan-time generation: replacement rows were
+    // computed against that snapshot and cannot be recomputed here —
+    // a concurrent structural writer means abort, not retry
     GraftLog.commitSwap(path, dropped,
-      GraftLogSwapCommit.promotes(messages))
+      GraftLogSwapCommit.promotes(messages), expectGen = planGen())
     dropped.foreach(_ => GraftLog.groupsReplaced.incrementAndGet())
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3466,8 +4248,10 @@ class GraftLogWriter(dir: String, pid: Int, taskId: Long,
     ext: Seq[DataType] = Nil,
     constraints: Seq[GraftLog.Constraint] = Nil)
     extends DataWriter[InternalRow] {
+  // `ext` is the PHYSICAL slot layout (null = tombstone); the arriving
+  // row carries only the live columns
   private val extTypes = ext.toArray
-  private val width = 5 + extTypes.length
+  private val width = 5 + extTypes.count(_ != null)
   // CHECK enforcement: compiled once per writer on first row (the
   // replace-write's metadata-column offset is only known then —
   // bound ordinals shift by it); one predicate call per row after
@@ -4191,8 +4975,11 @@ class GraftLogScan(path: String, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // snapshot-resolved schema: a version/timestamp-travel read
+    // parses its lines under the schema its snapshot was written
+    // under (renames/drops/widenings resolve per generation)
     new GraftLogReaderFactory(required.fieldNames,
-      GraftLog.extSchemaWithDefaults(path))
+      GraftLog.extColsAt(path, version))
 }
 
 /** The one-row result of a completely-pushed aggregate (None = SQL
@@ -4318,7 +5105,7 @@ class GraftLogMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames,
-      GraftLog.extSchemaWithDefaults(path))
+      GraftLog.extCols(path))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -4411,14 +5198,14 @@ class GraftLogChangeFeedStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames,
-      GraftLog.extSchemaWithDefaults(path))
+      GraftLog.extCols(path))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 class GraftLogReaderFactory(requiredCols: Array[String],
-    ext: Seq[(StructField, Option[String])] = Nil)
+    ext: Seq[GraftLog.ExtCol] = Nil)
     extends PartitionReaderFactory {
 
   // resolved once on the driver, shipped to executors
@@ -4534,7 +5321,10 @@ class GraftLogColumnarReader(file: String,
 
   GraftLog.filesOpened.incrementAndGet()
   private val dvf = new GraftLog.DvFilter(dv)
-  private val lines = Files.lines(Paths.get(file))
+  // retired-store fallback: a rewrite racing this scan moved the
+  // file, not deleted it — the copy is bit-identical (see
+  // GraftLog.withRetiredFallback)
+  private val lines = Files.lines(GraftLog.withRetiredFallback(file))
   private val it = lines.iterator()
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] = refs.map {
@@ -4633,7 +5423,8 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftLogMetrics.TaskMetric("shardsRead", 1L))
-  private val lines = Files.lines(Paths.get(file))
+  // retired-store fallback — see GraftLog.withRetiredFallback
+  private val lines = Files.lines(GraftLog.withRetiredFallback(file))
   private val it = lines.iterator()
   private var row: InternalRow = _
 

@@ -16,8 +16,12 @@ import graft.sources.GraftLog
   * publish make appends safe against each other and against a
   * staging rewrite, with append-wins semantics for rewrites — no
   * lost rows, no duplicated rows, no orphaned shards, under real
-  * thread races. Structural-rewrite ∥ structural-rewrite stays out
-  * of scope (single-structural-writer assumption).
+  * thread races. Structural ∥ structural (r13): every swap commit
+  * validates its read generation under the lock — driver-side
+  * rewrites RETRY on loss (compact ∥ delete converges on the
+  * combined outcome), V2 write jobs abort loudly (a re-run
+  * converges). Cross-process structural racing remains the
+  * documented single-structural-writer assumption.
   */
 class GraftLogConcurrencySpec extends SparkSuite {
   import spark.implicits._
@@ -176,5 +180,89 @@ class GraftLogConcurrencySpec extends SparkSuite {
     Await.result(Future.sequence(Seq(appender, deleter)), 120.seconds)
     val want = ((500L until 1000L) ++ (2000L until 2500L)).sorted
     assert(ids(dir) === want)
+  }
+
+  test("a structural commit against a stale generation fails loudly") {
+    val dir = tmpDir("glog-conc").toString
+    feed(0, 200).write.format(fmt).mode("append")
+      .option("shards", 2).save(dir)
+    val g0 = """g(\d+)\.""".r
+      .findFirstMatchIn(GraftLog.currentVersion(dir)).get.group(1).toLong
+    // another structural writer lands (dv delete bumps the generation)
+    GraftLog.deleteVectors(dir, Seq(5L))
+    val e = intercept[graft.sources.GraftLogConcurrentWriteException] {
+      GraftLog.commitSwap(dir, Nil, Nil, Nil, expectGen = Some(g0))
+    }
+    assert(e.getMessage.contains("structural generation moved"))
+  }
+
+  test("compact ∥ range delete CONVERGE: optimistic retry yields the " +
+      "combined outcome — no lost rows, no resurrections") {
+    (0 until 3).foreach { round =>
+      val dir = tmpDir("glog-conc").toString
+      feed(0, 1000).write.format(fmt).mode("append")
+        .option("shards", 10).save(dir)
+      val compactor = Future { GraftLog.compact(spark, dir, 3) }
+      val deleter = Future { GraftLog.deleteWhere(dir, 200L, 599L) }
+      Await.result(Future.sequence(Seq(compactor, deleter)), 120.seconds)
+      val want = ((0L until 200L) ++ (600L until 1000L)).sorted
+      assert(ids(dir) === want,
+        s"round $round: deleted rows stay deleted, kept rows stay — " +
+          "whatever the interleaving")
+      assert(!listNames(dir).exists(_.endsWith(".tmp")),
+        s"round $round: no orphaned staging tmps")
+      // the surviving layout still reads consistently via its token
+      val tok = GraftLog.currentVersion(dir)
+      assert(spark.read.format(fmt).option("version", tok).load(dir)
+        .count() === want.size.toLong)
+    }
+  }
+
+  test("compact ∥ compact converge: one retries, rows bit-stable") {
+    val dir = tmpDir("glog-conc").toString
+    feed(0, 1000).write.format(fmt).mode("append")
+      .option("shards", 10).save(dir)
+    val a = Future { GraftLog.compact(spark, dir, 2) }
+    val b = Future { GraftLog.compact(spark, dir, 4) }
+    Await.result(Future.sequence(Seq(a, b)), 120.seconds)
+    assert(ids(dir) === (0L until 1000L).sorted)
+    assert(!listNames(dir).exists(_.endsWith(".tmp")))
+  }
+
+  test("delta MERGE ∥ compact: the merge aborts loudly on loss and a " +
+      "re-run converges") {
+    def isConflict(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[
+        graft.sources.GraftLogConcurrentWriteException] ||
+        isConflict(t.getCause))
+    val base = tmpDir("glog-conc-m").toString
+    spark.conf.set("spark.sql.catalog.concm",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.concm.base", base)
+    val dir = s"$base/t"
+    feed(0, 1000).write.format(fmt).mode("append")
+      .option("shards", 10).save(dir)
+    feed(0, 1000).filter($"event_id" % 97 === 0)
+      .withColumn("value", lit(-1.0))
+      .createOrReplaceTempView("conc_merge_src")
+    def mergeOnce(): Unit = spark.sql(
+      """MERGE INTO concm.t t USING conc_merge_src s
+          ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET value = s.value""")
+    val merger = Future {
+      try mergeOnce()
+      catch { case e: Throwable if isConflict(e) => mergeOnce() }
+    }
+    val compactor = Future { GraftLog.compact(spark, dir, 3) }
+    Await.result(Future.sequence(Seq(merger, compactor)), 120.seconds)
+    val cur = spark.read.format(fmt).load(dir)
+    assert(cur.count() === 1000L)
+    assert(cur.filter($"value" === -1.0)
+      .select($"event_id").as[Long].collect().sorted.toSeq ===
+      (0L until 1000L).filter(_ % 97 == 0),
+      "the merge's updates all landed exactly once, compact preserved " +
+        "every row — whatever the interleaving")
+    assert(!listNames(dir).exists(_.endsWith(".tmp")),
+      "no orphaned staging/dv-stage tmps")
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.GraftLog
@@ -159,5 +161,133 @@ class GraftLogIndexSpec extends SparkSuite {
     val n = spark.read.format(fmt).load(dir)
       .filter($"user_id" === 25L).count()
     assert(n === 10L, "a malformed index file degrades to a scan")
+  }
+
+  test("incremental build touches ONLY the new shards of an append") {
+    val dir = writeShards() // 4 shards, users 0..39 shard-local
+    assert(GraftLog.buildIndex(spark, dir, "user_id", "bloom") === 4)
+    val before = Files.list(Paths.get(dir, "_index")).iterator()
+      .asScala.map(p => (p.getFileName.toString,
+        new String(Files.readAllBytes(p), "UTF-8"))).toMap
+    // append one new shard (users 40..49 — its own key space)
+    spark.range(400, 500)
+      .select($"id".as("event_id"),
+        to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+        (lit(40L) + $"id" % 10L).as("user_id"),
+        lit("t4").as("event_type"), ($"id" * 0.5).as("value"))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    // the appended shard is unindexed → a probe into its key space
+    // must open it (degrades to unprunable, never wrong)
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 45L).count() === 10L)
+    assert(GraftLog.filesOpened.get() >= 1)
+    // incremental: exactly the ONE new shard is indexed; the settled
+    // index files are byte-untouched
+    assert(GraftLog.buildIndexIncremental(
+      spark, dir, "user_id", "bloom") === 1)
+    val after = Files.list(Paths.get(dir, "_index")).iterator()
+      .asScala.map(p => (p.getFileName.toString,
+        new String(Files.readAllBytes(p), "UTF-8"))).toMap
+    assert(before.forall { case (k, v) => after.get(k).contains(v) },
+      "settled index files byte-identical")
+    assert(after.size === before.size + 1)
+    // pruning payoff restored across the whole table
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 9999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0,
+      "absent key opens zero shards after the incremental build")
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"user_id" === 45L).count() === 10L)
+    assert(GraftLog.filesOpened.get() === 1,
+      "the new shard's local key opens exactly that shard")
+    // already current → no-op
+    assert(GraftLog.buildIndexIncremental(
+      spark, dir, "user_id", "bloom") === 0)
+  }
+
+  test("incremental range build re-indexes an echo-stale rewrite") {
+    val dir = writeShards()
+    assert(GraftLog.buildIndex(spark, dir, "ts", "range") === 4)
+    // boundary delete rewrites shard 1 in place (echo changes) and
+    // drops shard 0 entirely
+    spark.sql(s"DELETE FROM ${catalogT(dir)} WHERE event_id < 150")
+    // exactly the rewritten shard is stale
+    assert(GraftLog.buildIndexIncremental(spark, dir, "ts", "range")
+      === 1)
+    GraftLog.filesOpened.set(0)
+    val lo = java.time.LocalDateTime.ofEpochSecond(
+      1700000150L, 0, java.time.ZoneOffset.UTC)
+    val hi = java.time.LocalDateTime.ofEpochSecond(
+      1700000250L, 0, java.time.ZoneOffset.UTC)
+    val got = spark.read.format(fmt).load(dir)
+      .filter($"ts" >= lit(lo) && $"ts" < lit(hi))
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(got === (150L until 250L).toSeq)
+    assert(GraftLog.filesOpened.get() === 2,
+      "the rebuilt index prunes the window to its two shards again")
+  }
+
+  test("CALL glog.index(incremental => true) runs the delta pass") {
+    val dir = writeShards()
+    val tbl = Paths.get(dir).getFileName.toString
+    val base = Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogidx2",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogidx2.base", base)
+    assert(spark.sql(
+      s"CALL glogidx2.index(table => '$tbl', `column` => 'user_id', " +
+        "kind => 'bloom', incremental => true)")
+      .collect().map(_.getInt(0)).toSeq === Seq(4),
+      "on an unindexed table the delta pass IS the full pass")
+    assert(spark.sql(
+      s"CALL glogidx2.index(table => '$tbl', `column` => 'user_id', " +
+        "kind => 'bloom', incremental => true)")
+      .collect().map(_.getInt(0)).toSeq === Seq(0), "then a no-op")
+  }
+
+  test("the streaming sink maintains existing indexes per epoch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("glog-idxs-src").toString
+    GraftLog.write((0L until 600L).map(i =>
+      (i, 1700000000000000L + i * 1000000L,
+        (i / 100L) * 10L + i % 10L, s"t${i / 100}", i * 0.5)),
+      src, rowsPerShard = 100)
+    val dst = tmpDir("glog-idxs-dst").toString
+    val cp = tmpDir("glog-idxs-cp").toString
+    // seed the destination + its index, then stream the rest in
+    spark.read.format(fmt).load(src).filter($"event_id" < 100)
+      .write.format(fmt).mode("append").option("shards", 1).save(dst)
+    assert(GraftLog.buildIndex(spark, dst, "user_id", "bloom") === 1)
+    val q = spark.readStream.format(fmt)
+      .option("maxShardsPerTrigger", 2)
+      .load(src)
+      .where($"event_id" >= 100)
+      .writeStream.format(fmt)
+      .option("path", dst)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.format(fmt).load(dst).count() === 600L)
+    // every epoch's shards were indexed as they landed: nothing stale
+    assert(GraftLog.buildIndexIncremental(
+      spark, dst, "user_id", "bloom") === 0,
+      "the sink kept the index current — no stale shards remain")
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dst)
+      .filter($"user_id" === 9999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0,
+      "absent-key probe launches zero reads on the streamed table")
+  }
+
+  private def catalogT(dir: String): String = {
+    val base = Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogidxd",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogidxd.base", base)
+    s"glogidxd.`${Paths.get(dir).getFileName}`"
   }
 }

@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.sources.GraftLog
+
+/** Schema evolution beyond ADD COLUMN (r13): RENAME COLUMN
+  * (metadata-only — the line position is the stable field id),
+  * DROP COLUMN (a tombstoned slot = projection mask, later columns
+  * keep their positions, physical reclaim rides the next rewrite),
+  * and BIGINT→DOUBLE widening (every stored long token parses as the
+  * double it denotes — zero rewrite). Every DDL is a versioned
+  * commit: the pre-change schema archives under its generation, so
+  * time travel reads each snapshot UNDER ITS OWN SCHEMA. */
+class GraftLogSchemaEvolutionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GraftLogSource"
+
+  private def feed(lo: Int, hi: Int) = spark.range(lo, hi)
+    .select($"id".as("event_id"),
+      to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+      ($"id" % 7).as("user_id"), lit("click").as("event_type"),
+      ($"id" % 100).cast("double").as("value"))
+
+  private var seq = 0
+  private def freshTable(n: Int, shards: Int): (String, String) = {
+    seq += 1
+    val base = tmpDir("glog-se").toString
+    spark.conf.set(s"spark.sql.catalog.se$seq",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set(s"spark.sql.catalog.se$seq.base", base)
+    feed(0, n).write.format(fmt).mode("append")
+      .option("shards", shards).save(s"$base/t")
+    (s"se$seq.t", s"$base/t")
+  }
+
+  private def listing(dir: String) = GraftLog.listShards(dir)
+    .map(s => (s.file, s.bytes)).sortBy(_._1)
+
+  test("RENAME COLUMN is metadata-only and resolves the same slot") {
+    val (tbl, dir) = freshTable(100, 2)
+    GraftLog.addColumn(dir, "score", LongType, Some("7"))
+    feed(100, 120).withColumn("score", $"event_id")
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    val before = listing(dir)
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN score TO points")
+    assert(listing(dir) === before, "zero data rewrite")
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.columns.contains("points") && !df.columns.contains("score"))
+    // the renamed column still reads the SAME stored field: 100 old
+    // rows read the default 7, 20 explicit rows their event_id
+    assert(df.agg(sum($"points")).as[Long].head() ===
+      100L * 7 + (100L until 120L).sum)
+    intercept[Exception] {
+      spark.sql(s"SELECT score FROM $tbl").collect()
+    }
+  }
+
+  test("DROP COLUMN masks the slot; later columns keep their positions") {
+    val (tbl, dir) = freshTable(50, 1)
+    GraftLog.addColumn(dir, "a", LongType, Some("1"))
+    GraftLog.addColumn(dir, "b", StringType, Some("keep"))
+    feed(50, 60).withColumn("a", $"event_id")
+      .withColumn("b", lit("x"))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    val before = listing(dir)
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN a")
+    assert(listing(dir) === before, "zero data rewrite")
+    val df = spark.read.format(fmt).load(dir)
+    assert(!df.columns.contains("a"))
+    // b (written AFTER a in the line) still reads correctly: the
+    // tombstoned slot keeps b's position
+    assert(df.groupBy($"b").count().as[(String, Long)].collect().toMap
+      === Map("keep" -> 50L, "x" -> 10L))
+    // writes after the drop keep working; a re-added `a` is a FRESH
+    // slot — old values can never bleed in
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN a BIGINT DEFAULT 0")
+    feed(60, 65).withColumn("b", lit("y")).withColumn("a", lit(99L))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    val re = spark.read.format(fmt).load(dir)
+    assert(re.groupBy($"a").count().as[(Option[Long], Long)]
+      .collect().toMap === Map(Some(0L) -> 60L, Some(99L) -> 5L),
+      "re-added column reads its default + new values, never the " +
+        "dropped slot's old longs")
+    // compact materializes the mask physically and preserves the rest
+    GraftLog.compact(spark, dir, 1)
+    val flat = spark.read.format(fmt).load(dir)
+    assert(flat.count() === 65L)
+    assert(flat.groupBy($"b").count().as[(String, Long)].collect().toMap
+      === Map("keep" -> 50L, "x" -> 10L, "y" -> 5L))
+  }
+
+  test("BIGINT -> DOUBLE widening reads old longs as doubles, no rewrite") {
+    val (tbl, dir) = freshTable(40, 1)
+    GraftLog.addColumn(dir, "w", LongType, Some("3"))
+    feed(40, 50).withColumn("w", $"event_id")
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    val before = listing(dir)
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN w TYPE DOUBLE")
+    assert(listing(dir) === before, "zero data rewrite")
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.schema("w").dataType === DoubleType)
+    assert(df.agg(sum($"w")).as[Double].head() ===
+      40 * 3.0 + (40 until 50).map(_.toDouble).sum)
+    // post-widen writes carry fractional values
+    feed(50, 52).withColumn("w", lit(0.5))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"w" === 0.5).count() === 2L)
+    // narrowing and non-long sources refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN w TYPE BIGINT")
+    }
+  }
+
+  test("time travel reads each snapshot under its OWN schema") {
+    val (tbl, dir) = freshTable(30, 1)
+    val tokBase = GraftLog.currentVersion(dir)
+    GraftLog.addColumn(dir, "c", LongType, Some("5"))
+    val tokAdded = GraftLog.currentVersion(dir)
+    GraftLog.renameColumn(dir, "c", "d")
+    val tokRenamed = GraftLog.currentVersion(dir)
+    GraftLog.widenColumn(dir, "d")
+    val tokWidened = GraftLog.currentVersion(dir)
+    GraftLog.dropColumn(dir, "d")
+    // current: the column is gone
+    assert(!spark.read.format(fmt).load(dir).columns.contains("d"))
+    // before the ADD: base schema only
+    val s0 = spark.read.format(fmt).option("version", tokBase).load(dir)
+    assert(s0.columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value"))
+    // after the ADD: `c` with its default
+    val s1 = spark.read.format(fmt).option("version", tokAdded).load(dir)
+    assert(s1.columns.contains("c") && !s1.columns.contains("d"))
+    assert(s1.agg(sum($"c")).as[Long].head() === 150L)
+    // after the RENAME: `d`, long
+    val s2 = spark.read.format(fmt).option("version", tokRenamed).load(dir)
+    assert(s2.columns.contains("d") && !s2.columns.contains("c"))
+    assert(s2.schema("d").dataType === LongType)
+    // after the WIDEN: `d`, double
+    val s3 = spark.read.format(fmt).option("version", tokWidened).load(dir)
+    assert(s3.schema("d").dataType === DoubleType)
+    assert(s3.agg(sum($"d")).as[Double].head() === 150.0)
+    // the catalog VERSION AS OF route resolves the same way
+    assert(spark.sql(
+      s"SELECT sum(c) FROM $tbl VERSION AS OF '$tokAdded'")
+      .as[Long].head() === 150L)
+  }
+
+  test("guards: base columns protected; constraints block rename/drop") {
+    val (_, dir) = freshTable(20, 1)
+    intercept[IllegalArgumentException] {
+      GraftLog.renameColumn(dir, "value", "v2")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.dropColumn(dir, "event_type")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.widenColumn(dir, "user_id")
+    }
+    GraftLog.addColumn(dir, "guarded", LongType, Some("1"))
+    GraftLog.addConstraint(spark, dir, "g_pos", "guarded > 0")
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.renameColumn(dir, "guarded", "g2")
+    }
+    assert(e.getMessage.contains("g_pos"))
+    intercept[IllegalArgumentException] {
+      GraftLog.dropColumn(dir, "guarded")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.widenColumn(dir, "guarded")
+    }
+    // renaming to a taken name refuses; unknown column refuses
+    GraftLog.addColumn(dir, "other", LongType)
+    intercept[IllegalArgumentException] {
+      GraftLog.renameColumn(dir, "other", "value")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.renameColumn(dir, "ghost", "x")
+    }
+  }
+
+  test("evolved writes + CoW UPDATE + delta MERGE survive the full " +
+      "rename/widen/drop lifecycle") {
+    val (tbl, dir) = freshTable(100, 2)
+    GraftLog.addColumn(dir, "m", LongType, Some("2"))
+    GraftLog.renameColumn(dir, "m", "metric")
+    GraftLog.widenColumn(dir, "metric")
+    feed(100, 110).withColumn("metric", lit(1.5))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    // CoW UPDATE round-trips the evolved column through the rewrite
+    spark.sql(s"UPDATE $tbl SET value = value + 1 WHERE event_id < 10")
+    // delta MERGE updates rows carrying the evolved column
+    Seq((105L, -1.0)).toDF("event_id", "value")
+      .createOrReplaceTempView("se_merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING se_merge_src s
+          ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET value = s.value""")
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.count() === 110L)
+    assert(df.filter($"event_id" === 105L)
+      .select($"value", $"metric").as[(Double, Double)].head()
+      === ((-1.0, 1.5)), "the merge preserved the evolved column")
+    assert(df.agg(sum($"metric")).as[Double].head() ===
+      100 * 2.0 + 10 * 1.5)
+    GraftLog.dropColumn(dir, "metric")
+    assert(spark.read.format(fmt).load(dir).count() === 110L)
+    assert(!spark.read.format(fmt).load(dir).columns.contains("metric"))
+  }
+}

@@ -557,11 +557,17 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(spark.read.format(fmt).load(dir)
       .filter($"event_id" === 137L).count() === 1)
     assert(GraftLog.filesOpened.get() === 1)
-    // no staging litter
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir + "__compact_tmp")))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir + "__compact_old")))
+    // no staging litter (staging dirs are per-attempt unique — scan
+    // the parent for any leftover with the prefix)
+    val parentDir = java.nio.file.Paths.get(dir).getParent
+    val l = java.nio.file.Files.list(parentDir)
+    val litter =
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .exists(_.startsWith(
+          java.nio.file.Paths.get(dir).getFileName.toString +
+            "__compact_"))
+      finally l.close()
+    assert(!litter)
   }
 
   test("forward compatibility: v2 shards with extra fields read cleanly") {
