@@ -162,6 +162,29 @@ object Bench {
       // storage pool until later queries measure memory pressure, not
       // their own plan (q49 measured 45 s mid-bench vs 10 s alone)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // drop MUTATING queries' fixture clones (freshCopyInto targets)
+      // the same way: ~25 glog lifecycle queries each clone the
+      // events fixture, and a run's accumulated clones are dirty
+      // pages the flusher drains over LATER queries' windows — the
+      // same attribution noise as leftover cached blocks, at the
+      // filesystem tier. shared_* read-only fixtures stay.
+      locally {
+        import scala.jdk.CollectionConverters._
+        val base = java.nio.file.Paths.get(
+          graft.queries.GlogFixtures.CatBase)
+        if (java.nio.file.Files.isDirectory(base)) {
+          val l = java.nio.file.Files.list(base)
+          try l.iterator().asScala.toSeq
+            .filterNot(_.getFileName.toString.startsWith("shared_"))
+            .foreach { d =>
+              val w = java.nio.file.Files.walk(d)
+              try w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally w.close()
+            }
+          finally l.close()
+        }
+      }
       // listener events are async, so the last few task-ends can bleed
       // into the next query's window — diagnostic precision, not
       // accounting precision

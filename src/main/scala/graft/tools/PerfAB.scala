@@ -96,6 +96,63 @@ object PerfAB {
         Seq(
           "A_mspt2" -> (() => drain(2)),
           "B_mspt4" -> (() => drain(4)))
+      case "graph" =>
+        // r12 brief #8: the r11 inline-vs-staged A/B for the
+        // ITERATIVE graph consumers predates GraphFixtures' fanout
+        // option — re-check PageRank (q100's weighted edges) and LPA
+        // (q227's distinct edges) against parquet-staged edges read
+        // back WITH a fanout repartition, in one JVM.
+        import org.apache.spark.sql.DataFrame
+        def weightedEdges(): DataFrame = {
+          val li = graft.Tables.table(spark, dir, "lineitem")
+            .select($"l_orderkey", $"l_suppkey")
+          val ords = graft.Tables.table(spark, dir, "orders")
+            .select($"o_orderkey", $"o_custkey")
+          val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+            .select($"o_custkey".as("cust"),
+              ($"l_suppkey" + 1000000L).as("supp"))
+          pairs.select($"cust".as("src"), $"supp".as("dst"))
+            .union(pairs.select($"supp".as("src"), $"cust".as("dst")))
+        }
+        def stagedFan(df: DataFrame, key: String): DataFrame = {
+          val p = s"/tmp/graft-perfab-$key"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            df.write.mode("overwrite").parquet(p)
+          graft.queries.Q.fanout(spark.read.parquet(p))
+        }
+        def pr(e: DataFrame): Long =
+          graft.operators.PageRank.run(e, "src", "dst", iters = 3)
+            .count()
+        def lpa(e0: DataFrame): Long = {
+          import org.apache.spark.sql.expressions.Window
+          val e = e0.localCheckpoint()
+          var lbl = e.select($"src".as("node")).distinct()
+            .select($"node", $"node".as("lbl"))
+          for (_ <- 1 to 3) {
+            val votes = e.toDF("vnode", "dst")
+              .join(lbl.toDF("dst", "nl"), "dst")
+              .select($"vnode".as("node"), $"nl".as("lbl"))
+              .union(lbl)
+            val counted = votes.groupBy($"node", $"lbl")
+              .agg(count(lit(1)).as("c"))
+            val w = Window.partitionBy($"node")
+              .orderBy($"c".desc, $"lbl".asc)
+            lbl = counted
+              .withColumn("rn", row_number().over(w))
+              .filter($"rn" === 1).select($"node", $"lbl")
+              .localCheckpoint()
+          }
+          lbl.count()
+        }
+        def distinctEdges(): DataFrame =
+          graft.queries.OperatorQueries.purchaseEdges(spark, dir)
+        Seq(
+          "A_pr_inline" -> (() => pr(weightedEdges())),
+          "B_pr_staged_fanout" -> (() =>
+            pr(stagedFan(weightedEdges(), "wedges"))),
+          "C_lpa_inline" -> (() => lpa(distinctEdges())),
+          "D_lpa_staged_fanout" -> (() =>
+            lpa(stagedFan(distinctEdges(), "dedges"))))
       case other => sys.error(s"unknown probe $other")
     }
 

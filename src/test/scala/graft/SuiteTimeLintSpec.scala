@@ -35,12 +35,12 @@ class SuiteTimeLintSpec extends AnyFunSuite {
       "iterations x (join + agg + checkpoint) on the sampled edges " +
       "is iteration-overhead bound and load-sensitive around the " +
       "threshold"),
-    "q342_cdc_replication" -> ("5.3-6.3 s: three standard-SQL MERGE " +
-      "applies (each a planned copy-on-write group rewrite — the " +
-      "statement cost q196/q197 price individually) + four netted " +
-      "CDF reads; the per-commit apply protocol IS the contract " +
-      "being gated, so the statement count cannot shrink without " +
-      "weakening it"))
+    "q342_cdc_replication" -> ("4.3-7.5 s across quiet runs: three " +
+      "standard-SQL MERGE applies (delta-based merge-on-read as of " +
+      "r13 — ×50 cost halved 29.6→15.9 s, but each is still a " +
+      "planned write job) + four netted CDF reads; the per-commit " +
+      "apply protocol IS the contract being gated, so the statement " +
+      "count cannot shrink without weakening it"))
 
   test("no undocumented query exceeds the time budget at sf0.1") {
     val p = Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json")
@@ -69,15 +69,25 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     // families); 1.15 still catches genuinely contended files (the
     // slow-day sweeps read 1.2–1.4) without disarming on a normal run.
     val mean = times.values.sum / times.size
-    assume(mean <= 1.15,
-      f"BENCH_LOCAL.json is from a contended run (${mean}%.2f s/query " +
-        "mean vs ~1.00 quiet) — re-run the bench on an idle machine " +
-        "before trusting per-query times")
-    // budget = max(5 s, 6× suite median): the absolute floor is the
-    // r9 brief's 5 s; the median factor tracks MACHINE speed within
-    // the quiet band
+    // r13 recalibration: the box's quiet-day speed itself drifts (the
+    // same suite measured mean 0.98 on r12's day and 1.18 on r13's,
+    // with cpu_sec FLAT — wall-clock box drift, not plans), so the
+    // absolute 1.15 disarm started rejecting honest quiet maps. The
+    // run's own MEDIAN is the machine-speed proxy (contention fattens
+    // the tail far more than the median): disarm when the mean runs
+    // hot RELATIVE to the median-implied speed, or above an absolute
+    // ceiling that catches uniformly-loaded runs (the driver's
+    // load-16 map read 1.40).
     val med = times.values.toSeq.sorted.apply(times.size / 2)
-    val budget = math.max(5.0, 6.0 * med)
+    val speed = med / 0.65 // r12 quiet calibration median
+    assume(mean <= 1.15 * speed && mean <= 1.35,
+      f"BENCH_LOCAL.json is from a contended run (${mean}%.2f s/query " +
+        f"mean vs ${1.15 * speed}%.2f expected for this map's median) " +
+        "— re-run the bench on an idle machine before trusting " +
+        "per-query times")
+    // budget = max(5 s × speed, 6× suite median): the absolute floor
+    // is the r9 brief's 5 s, scaled by the same machine-speed proxy
+    val budget = math.max(5.0 * speed, 6.0 * med)
     val offenders = times.filter(_._2 > budget).keySet -- whitelist.keySet
     assert(offenders.isEmpty,
       f"queries > budget ($budget%.1f s) at sf0.1 without a whitelist " +
@@ -92,11 +102,14 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     // q296's "expected to fall under 5 s" after it did — this check
     // then caught q224 the same way in r11). The 0.8× margin keeps
     // queries that HOVER at the threshold (q107/q227/q313 swing ±15%
-    // with host load) from flapping in and out.
+    // with host load) from flapping in and out. 0.65 (was 0.8, r13):
+    // the speed-scaled budget widens on slow box-days, so the hover
+    // band must widen with it or entries flap on box drift alone
+    // (q342 read 7.5 s and 4.3 s in two same-day quiet runs).
     val healed = whitelist.keySet
-      .filter(q => times.get(q).exists(_ < 0.8 * budget))
+      .filter(q => times.get(q).exists(_ < 0.65 * budget))
     assert(healed.isEmpty,
-      f"whitelisted but now under ${0.8 * budget}%.1f s — drop the " +
+      f"whitelisted but now under ${0.65 * budget}%.1f s — drop the " +
         "stale entries: " +
         healed.toSeq.sorted.map(q => s"$q=${times(q)}s").mkString(", "))
   }
