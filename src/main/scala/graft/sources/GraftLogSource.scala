@@ -594,7 +594,7 @@ object GraftLog {
             Paths.get(si.file).getFileName.toString, si,
             generation(path))
           .map(dvKeys).getOrElse(Array.empty[Long])
-        val kept = Files.readAllLines(Paths.get(si.file)).asScala
+        val kept = readShardLines(si.file)
           .filter(_.nonEmpty)
           .filter { line =>
             val id = line.substring(0, line.indexOf('|')).toLong
@@ -984,22 +984,28 @@ object GraftLog {
           s"generation $g held only ${names.size}")
     // retired generations ≥ g, ascending: first hit = content as of g
     val rd = Paths.get(path, RetiredDir)
-    val gens =
+    def retiredGens(): Seq[Long] =
       if (!Files.isDirectory(rd)) Seq.empty[Long]
       else withListing(rd)(_.map(_.getFileName.toString).toSeq)
         .collect { case s if s.startsWith("g") &&
           s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
         .filter(_ >= g).sorted
+    val gens = retiredGens()
+    def find(gs: Seq[Long], name: String): Option[java.nio.file.Path] =
+      (gs.iterator.map(r => Paths.get(path, RetiredDir, s"g$r", name)) ++
+        Iterator(Paths.get(path, name))).find(Files.exists(_))
     names.take(n).map { name =>
-      val candidates = gens.iterator
-        .map(r => Paths.get(path, RetiredDir, s"g$r", name))
-        .filter(Files.exists(_)) ++
-        Iterator(Paths.get(path, name)).filter(Files.exists(_))
-      if (!candidates.hasNext)
-        throw new IllegalArgumentException(
+      // second look re-lists the retired store: a structural commit
+      // racing this resolution can move the shard live → retired
+      // AFTER the gens listing above (its new g-dir did not exist
+      // yet) — the retry sees the completed move; only a truly
+      // reclaimed shard fails
+      find(gens, name).orElse(find(retiredGens(), name)) match {
+        case Some(p) => shardInfoOf(p.toString)
+        case None => throw new IllegalArgumentException(
           s"graftlog shard $name of generation $g of $path has been " +
             "vacuumed — the snapshot is no longer servable")
-      shardInfoOf(candidates.next().toString)
+      }
     }
   }
 
@@ -1132,8 +1138,7 @@ object GraftLog {
     val shards = listShards(path)
     val missing = shards.filter(_.stats.isEmpty)
     missing.foreach { si =>
-      val ids = Files.readAllLines(Paths.get(si.file),
-          StandardCharsets.UTF_8).asScala
+      val ids = readShardLines(si.file)
         .filter(_.nonEmpty)
         .map(l => l.substring(0, l.indexOf('|')).toLong)
       if (ids.nonEmpty) {
@@ -1987,8 +1992,7 @@ object GraftLog {
         // explicit NullToken → null (blooms never index NULL; a
         // range over none writes nothing — the shard stays
         // unprunable, same as the full build)
-        val tokens = Files.readAllLines(Paths.get(file),
-          StandardCharsets.UTF_8).asScala.iterator
+        val tokens = readShardLines(file).iterator
           .filter(_.nonEmpty).map { line =>
             val parts = line.split("\\|", -1)
             if (ps >= parts.length) dflt
@@ -2261,6 +2265,38 @@ object GraftLog {
     if (!Files.isDirectory(rd)) return p
     withListing(rd)(_.filter(Files.isDirectory(_))
       .map(_.resolve(name)).find(Files.exists(_))).getOrElse(p)
+  }
+
+  /** Open a shard's lines with the retired-store fallback AND a
+    * bounded retry: exists-check→open is not atomic, so a structural
+    * commit can move the file in the window — the retry re-resolves
+    * against the completed move. A truly vacuumed file still fails
+    * loudly on the last attempt. */
+  private[sources] def openShardLines(file: String)
+      : java.util.stream.Stream[String] = {
+    var attempt = 0
+    while (attempt < 2) {
+      try return Files.lines(withRetiredFallback(file))
+      catch { case _: java.nio.file.NoSuchFileException => attempt += 1 }
+    }
+    Files.lines(withRetiredFallback(file))
+  }
+
+  /** [[openShardLines]]' fully-materialized sibling for the
+    * maintenance tasks (optimize bins, dense-merge rewrites,
+    * incremental index builds) — they read whole bounded shards and
+    * must survive a racing rewrite the same way; their COMMIT then
+    * revalidates the generation and retries, so reading the retired
+    * (= listed-snapshot) content is exactly right. */
+  private[sources] def readShardLines(file: String): Seq[String] = {
+    var attempt = 0
+    while (attempt < 2) {
+      try return Files.readAllLines(withRetiredFallback(file),
+        StandardCharsets.UTF_8).asScala.toSeq
+      catch { case _: java.nio.file.NoSuchFileException => attempt += 1 }
+    }
+    Files.readAllLines(withRetiredFallback(file),
+      StandardCharsets.UTF_8).asScala.toSeq
   }
 
   /** Suppressed keys of a dv file (sorted; the echo line skipped).
@@ -2715,8 +2751,7 @@ object GraftLog {
               (hs ++ ps).distinct.sorted.toArray
             }
             val name = Paths.get(file).getFileName.toString
-            val kept = Files.readAllLines(Paths.get(file),
-              StandardCharsets.UTF_8).asScala
+            val kept = readShardLines(file)
               .filter(_.nonEmpty)
               .map(l => (l.substring(0, l.indexOf('|')).toLong, l))
               .filter { case (id, _) =>
@@ -3445,8 +3480,7 @@ object GraftLog {
         val lines = files.flatMap { case (f, dvFile) =>
           val dv: Array[Long] =
             if (dvFile == null) Array.empty else dvKeys(dvFile)
-          Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8)
-            .asScala.filter(_.nonEmpty)
+          readShardLines(f).filter(_.nonEmpty)
             .map(l => (l.substring(0, l.indexOf('|')).toLong, l))
             .filter { case (id, _) =>
               dv.isEmpty || java.util.Arrays.binarySearch(dv, id) < 0 }
@@ -3572,9 +3606,20 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
       s"row-level operations on bucketed graftlog table $path are not " +
         "supported: the layout does not record its bucket count")
     () => {
-      val mor = info.command() == RowLevelOperation.Command.MERGE &&
-        org.apache.spark.sql.SparkSession.active.conf
-          .get("spark.graft.merge.mode", "mor") != "cow"
+      val conf = org.apache.spark.sql.SparkSession.active.conf
+      val mor = info.command() match {
+        case RowLevelOperation.Command.MERGE =>
+          conf.get("spark.graft.merge.mode", "mor") != "cow"
+        case RowLevelOperation.Command.UPDATE =>
+          // OPT-IN for UPDATE: the default group rewrite is already
+          // the right cost shape for range-predicated statements
+          // (sidecar pruning confines it to the touched groups); a
+          // SCATTERED selective update (user_id % k, a keyed fix-up)
+          // flips to merge-on-read with this conf and pays dv
+          // sidecars + one delta shard instead of group rewrites
+          conf.get("spark.graft.update.mode", "cow") == "mor"
+        case _ => false
+      }
       if (mor) new GraftLogDeltaOperation(path, info.command())
       else new GraftLogRowLevelOperation(path, info.command())
     }
@@ -5323,8 +5368,8 @@ class GraftLogColumnarReader(file: String,
   private val dvf = new GraftLog.DvFilter(dv)
   // retired-store fallback: a rewrite racing this scan moved the
   // file, not deleted it — the copy is bit-identical (see
-  // GraftLog.withRetiredFallback)
-  private val lines = Files.lines(GraftLog.withRetiredFallback(file))
+  // GraftLog.openShardLines)
+  private val lines = GraftLog.openShardLines(file)
   private val it = lines.iterator()
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] = refs.map {
@@ -5423,8 +5468,8 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftLogMetrics.TaskMetric("shardsRead", 1L))
-  // retired-store fallback — see GraftLog.withRetiredFallback
-  private val lines = Files.lines(GraftLog.withRetiredFallback(file))
+  // retired-store fallback — see GraftLog.openShardLines
+  private val lines = GraftLog.openShardLines(file)
   private val it = lines.iterator()
   private var row: InternalRow = _
 

@@ -76,6 +76,50 @@ object ConcProbe {
       println(s"round $round ok")
     }
     println("no mismatch in 40 rounds")
+
+    // ---- structural ∥ structural stress (r13: optimistic commits) --
+    // compact ∥ range-delete ∥ dv-delete ∥ optimize all racing one
+    // appender: every structural loser must retry (driver ops) and
+    // the final state must be EXACT — deleted ranges gone, dv keys
+    // suppressed, appended rows present, no dupes, no orphans.
+    var r2 = 0
+    while (r2 < 20) {
+      r2 += 1
+      val dir = Files.createTempDirectory("concprobe-s").toString
+      feed(0, 1000).write.format(fmt).mode("append")
+        .option("shards", 10).save(dir)
+      val work = Seq(
+        Future { GraftLog.compact(spark, dir, 4) },
+        Future { GraftLog.deleteWhere(dir, 200L, 299L) },
+        Future { GraftLog.deleteVectors(dir, Seq(501L, 502L, 503L)) },
+        Future { GraftLog.optimize(spark, dir, 1L << 20) },
+        Future {
+          feed(5000L, 5100L).coalesce(1)
+            .write.format(fmt).mode("append").save(dir)
+        })
+      Await.result(Future.sequence(work), 180.seconds)
+      val got = spark.read.format(fmt).load(dir)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      val want = ((0L until 1000L)
+        .filterNot(i => i >= 200L && i <= 299L)
+        .filterNot(Set(501L, 502L, 503L)) ++ (5000L until 5100L)).sorted
+      if (got != want) {
+        println(s"=== STRUCTURAL ROUND $r2 MISMATCH ===")
+        val dupes = got.groupBy(identity).filter(_._2.size > 1).keys
+        println(s"dupes: ${dupes.toSeq.sorted.take(5)}; " +
+          s"missing: ${(want.toSet -- got.toSet).toSeq.sorted.take(5)}; " +
+          s"extra: ${(got.toSet -- want.toSet).toSeq.sorted.take(5)}")
+        sys.exit(1)
+      }
+      val litter = Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".tmp")).toSeq
+      if (litter.nonEmpty) {
+        println(s"=== STRUCTURAL ROUND $r2 ORPHANS: $litter ===")
+        sys.exit(1)
+      }
+      println(s"structural round $r2 ok")
+    }
+    println("no mismatch in 20 structural rounds")
     spark.stop()
   }
 }

@@ -239,6 +239,39 @@ class GraftLogDeltaMergeSpec extends SparkSuite {
       .cast("double") + 1.0).count() === 0L)
   }
 
+  test("spark.graft.update.mode=mor routes a scattered UPDATE " +
+      "through deletion vectors") {
+    val (tbl, dir) = freshTable(800, 8)
+    spark.conf.set("spark.graft.update.mode", "mor")
+    try {
+      val before = GraftLog.listShards(dir)
+        .map(s => (s.file, s.bytes)).sortBy(_._1)
+      val rw0 = GraftLog.shardsRewritten.get()
+      val gr0 = GraftLog.groupsReplaced.get()
+      // every 100th row — scattered across all 8 shards, 1% each
+      spark.sql(s"UPDATE $tbl SET value = -1 WHERE event_id % 100 = 0")
+      val after = GraftLog.listShards(dir)
+        .map(s => (s.file, s.bytes)).sortBy(_._1)
+      assert(after.intersect(before) === before,
+        "settled shards byte-untouched")
+      assert(GraftLog.shardsRewritten.get() === rw0 &&
+        GraftLog.groupsReplaced.get() === gr0,
+        "zero copy-on-write rewrites")
+      val cur = spark.read.format(fmt).load(dir)
+      assert(cur.count() === 800L)
+      assert(cur.filter($"value" === -1.0)
+        .select($"event_id").as[Long].collect().sorted.toSeq ===
+        (0L until 800L by 100L))
+    } finally spark.conf.unset("spark.graft.update.mode")
+    // default stays group-based CoW
+    val gr1 = GraftLog.groupsReplaced.get()
+    spark.sql(s"UPDATE $tbl SET value = -2 WHERE event_id = 5")
+    assert(GraftLog.groupsReplaced.get() > gr1,
+      "without the conf, UPDATE keeps the pruned group rewrite")
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"value" === -2.0).count() === 1L)
+  }
+
   test("CHECK constraints gate delta-merge inserts and updates") {
     val (tbl, dir) = freshTable(100, 1)
     GraftLog.addConstraint(spark, dir, "v_nonneg", "value >= 0")
