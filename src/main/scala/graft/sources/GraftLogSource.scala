@@ -681,12 +681,11 @@ object GraftLog {
       promotes: Seq[(String, String, String)],
       dvs: Seq[(String, String)] = Nil,
       expectGen: Option[Long] = None): Unit =
-    lockFor(path).synchronized {
+    lockFor(path).synchronized { withFsLock(path) {
       // the manifest NAME is shared with streaming-epoch commits: the
-      // lock (in-JVM) plus completing any pending manifest first keeps
-      // this rename from replacing an unapplied one (cross-process,
-      // structural-vs-anything concurrency is the documented
-      // single-structural-writer assumption)
+      // in-JVM lock + the cross-process advisory file lock
+      // ([[withFsLock]]) plus completing any pending manifest first
+      // keep this rename from replacing an unapplied one
       applySwapIfPresent(path)
       // OPTIMISTIC structural-commit validation (r13): a rewrite that
       // decided its drops/promotes against generation g must find the
@@ -725,7 +724,7 @@ object GraftLog {
       Files.move(mTmp, Paths.get(path, SwapManifest),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← the commit point
       applySwapIfPresent(path)
-    }
+    } }
 
   /** Publish a staged tmp under its final name with EXCLUSIVE
     * semantics: hardlink (link(2) fails atomically if the target
@@ -2834,11 +2833,14 @@ object GraftLog {
     *    combined outcome: no lost rows, no resurrections, no orphaned
     *    shards), while V2 write jobs (CoW replace, delta merge) abort
     *    loudly because their rows cannot be recomputed at commit.
-    *    CROSS-PROCESS, structural ∥ structural remains the documented
-    *    single-structural-writer assumption: the generation check
-    *    narrows but cannot close the window without a lock service a
-    *    bare filesystem does not provide (Delta needs the same from
-    *    its log store).
+    *    CROSS-PROCESS, structural committers serialize through the
+    *    advisory OS file lock ([[withFsLock]], POSIX flock on
+    *    `_structural.lock`) held around every manifest rename — a
+    *    losing process then sees the bumped generation and the same
+    *    optimistic validation applies. On stores without advisory
+    *    locks (object stores) this degrades back to the
+    *    single-structural-writer assumption — the boundary Delta
+    *    draws at its log store.
     *
     * A claim is an empty `_claim.shard-<idx>` marker; it outlives the
     * write (harmless — an index is never reused while its claim or
@@ -2876,6 +2878,42 @@ object GraftLog {
   private def lockFor(path: String): Object =
     pathLocks.computeIfAbsent(
       Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** CROSS-PROCESS structural mutex (r13): an advisory OS file lock
+    * (`_structural.lock`, POSIX flock via FileChannel.tryLock) held
+    * for the duration of every structural commit section — the
+    * cross-process arm of what [[lockFor]] provides in-JVM. On a
+    * filesystem that honors advisory locks this serializes two
+    * PROCESSES' swap-manifest renames, upgrading the conflict matrix
+    * from "single structural writer per table" to "structural
+    * committers serialize; losers see the bumped generation and the
+    * optimistic validation handles the rest". Object-store
+    * deployments (no flock) still need an external lock service —
+    * the same boundary Delta draws at its log store. Callers hold
+    * the in-JVM [[lockFor]] monitor first, so one JVM never
+    * double-acquires (FileLock is per-JVM). Bounded wait, loud
+    * failure: a lock held >60 s means a wedged peer, not contention. */
+  private def withFsLock[A](path: String)(body: => A): A = {
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path, "_structural.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var lock: java.nio.channels.FileLock = null
+      var waited = 0
+      while (lock == null) {
+        lock = ch.tryLock()
+        if (lock == null) {
+          waited += 1
+          if (waited > 600) throw new IllegalStateException(
+            s"structural lock on $path held > 60 s by another " +
+              "process — a peer committer is wedged")
+          Thread.sleep(100)
+        }
+      }
+      try body finally lock.release()
+    } finally ch.close()
+  }
 
   /** Bounded optimistic retry for driver-side structural rewrites:
     * on a [[GraftLogConcurrentWriteException]] (the commit-time
@@ -2973,7 +3011,10 @@ object GraftLog {
   def commitStreamEpoch(path: String, queryId: String, epochId: Long,
       pending: Seq[(String, String, Option[Long])]): Unit = {
     val marker = s"$queryId-$epochId"
-    lockFor(path).synchronized {
+    // fs lock: the epoch manifest shares the swap-manifest NAME with
+    // structural commits — cross-process serialization matters here
+    // exactly as in commitSwap
+    lockFor(path).synchronized { withFsLock(path) {
       if (Files.exists(Paths.get(path, EpochsDir, marker))) {
         // replayed epoch: already durably committed — drop the replay
         pending.foreach(p => Files.deleteIfExists(Paths.get(path, p._1)))
@@ -3001,7 +3042,7 @@ object GraftLog {
       Files.move(mTmp, Paths.get(path, SwapManifest),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← commit point
       applySwapIfPresent(path)
-    }
+    } }
   }
 
   /** Atomically claim `count` consecutive shard indices: the commit
