@@ -3659,6 +3659,12 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
           // flips to merge-on-read with this conf and pays dv
           // sidecars + one delta shard instead of group rewrites
           conf.get("spark.graft.update.mode", "cow") == "mor"
+        case RowLevelOperation.Command.DELETE =>
+          // same opt-in for the row-level DELETE FALLBACK (conditions
+          // that fold to neither an event_id range nor an IN-set):
+          // under mor a scattered predicate delete commits as pure
+          // deletion-vector sidecars — zero data writes of any kind
+          conf.get("spark.graft.delete.mode", "cow") == "mor"
         case _ => false
       }
       if (mor) new GraftLogDeltaOperation(path, info.command())

@@ -272,6 +272,35 @@ class GraftLogDeltaMergeSpec extends SparkSuite {
       .filter($"value" === -2.0).count() === 1L)
   }
 
+  test("spark.graft.delete.mode=mor: a scattered predicate DELETE " +
+      "commits as pure deletion vectors") {
+    val (tbl, dir) = freshTable(800, 8)
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try {
+      val before = GraftLog.listShards(dir)
+        .map(s => (s.file, s.bytes)).sortBy(_._1)
+      val rw0 = GraftLog.shardsRewritten.get()
+      val gr0 = GraftLog.groupsReplaced.get()
+      // % predicate: folds to neither a range nor an IN-set, so it
+      // takes the row-level fallback — under mor, dv sidecars only
+      spark.sql(s"DELETE FROM $tbl WHERE event_id % 160 = 7")
+      assert(GraftLog.listShards(dir)
+        .map(s => (s.file, s.bytes)).sortBy(_._1) === before,
+        "NO new shards and no rewrites — the delete is pure metadata")
+      assert(GraftLog.shardsRewritten.get() === rw0 &&
+        GraftLog.groupsReplaced.get() === gr0)
+      val cur = spark.read.format(fmt).load(dir)
+      assert(cur.count() === 795L)
+      assert(cur.filter($"event_id" % 160 === 7).count() === 0L)
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    // default stays the group-based CoW fallback
+    val gr1 = GraftLog.groupsReplaced.get()
+    spark.sql(s"DELETE FROM $tbl WHERE user_id % 19 = 3 AND " +
+      "event_id % 2 = 1")
+    assert(GraftLog.groupsReplaced.get() > gr1,
+      "without the conf, the fallback keeps the group rewrite")
+  }
+
   test("CHECK constraints gate delta-merge inserts and updates") {
     val (tbl, dir) = freshTable(100, 1)
     GraftLog.addConstraint(spark, dir, "v_nonneg", "value >= 0")
