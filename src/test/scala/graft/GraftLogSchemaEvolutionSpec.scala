@@ -214,4 +214,39 @@ class GraftLogSchemaEvolutionSpec extends SparkSuite {
     assert(spark.read.format(fmt).load(dir).count() === 110L)
     assert(!spark.read.format(fmt).load(dir).columns.contains("metric"))
   }
+
+  test("delta MERGE writes correctly THROUGH a tombstoned slot") {
+    val (tbl, dir) = freshTable(60, 1)
+    GraftLog.addColumn(dir, "a", LongType, Some("1"))
+    GraftLog.addColumn(dir, "b", StringType, Some("k"))
+    GraftLog.dropColumn(dir, "a") // tombstone BETWEEN base cols and b
+    // merge-insert rows must render the NULL sentinel in a's slot so
+    // b keeps its physical position
+    feed(100, 105).withColumn("b", lit("merged"))
+      .createOrReplaceTempView("se_tomb_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING se_tomb_src s
+          ON t.event_id = s.event_id
+          WHEN NOT MATCHED THEN INSERT *""")
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.count() === 65L)
+    assert(df.groupBy($"b").count().as[(String, Long)].collect().toMap
+      === Map("k" -> 60L, "merged" -> 5L),
+      "b reads its own slot on both old and merge-written lines")
+    // and a re-added `a` still never sees ghost values
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN a BIGINT DEFAULT 9")
+    assert(spark.read.format(fmt).load(dir)
+      .groupBy($"a").count().as[(Option[Long], Long)].collect().toMap
+      === Map(Some(9L) -> 65L))
+  }
+
+  test("a schema DDL commit emits NO change-feed rows") {
+    val (_, dir) = freshTable(50, 1)
+    val tok0 = GraftLog.currentVersion(dir)
+    GraftLog.addColumn(dir, "x", LongType, Some("2"))
+    GraftLog.renameColumn(dir, "x", "y")
+    assert(spark.read.format(fmt).option("readChangeFeed", "true")
+      .option("sinceVersion", tok0).load(dir).count() === 0L,
+      "metadata-only commits change no rows — the feed is empty")
+  }
 }
