@@ -168,23 +168,7 @@ object Bench {
       // pages the flusher drains over LATER queries' windows — the
       // same attribution noise as leftover cached blocks, at the
       // filesystem tier. shared_* read-only fixtures stay.
-      locally {
-        import scala.jdk.CollectionConverters._
-        val base = java.nio.file.Paths.get(
-          graft.queries.GlogFixtures.CatBase)
-        if (java.nio.file.Files.isDirectory(base)) {
-          val l = java.nio.file.Files.list(base)
-          try l.iterator().asScala.toSeq
-            .filterNot(_.getFileName.toString.startsWith("shared_"))
-            .foreach { d =>
-              val w = java.nio.file.Files.walk(d)
-              try w.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => java.nio.file.Files.deleteIfExists(f))
-              finally w.close()
-            }
-          finally l.close()
-        }
-      }
+      graft.queries.GlogFixtures.sweepClones()
       // listener events are async, so the last few task-ends can bleed
       // into the next query's window — diagnostic precision, not
       // accounting precision

@@ -154,4 +154,18 @@ object GlogFixtures {
         .forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  /** Remove every mutating-query fixture CLONE (the freshCopyInto
+    * targets), keeping the shared_* read-only fixtures. Bench calls
+    * this between queries: accumulated clones are dirty pages the
+    * flusher drains over later queries' timing windows. */
+  def sweepClones(): Unit = {
+    val base = Paths.get(CatBase)
+    if (!Files.isDirectory(base)) return
+    val l = Files.list(base)
+    try l.iterator().asScala.toSeq
+      .filterNot(_.getFileName.toString.startsWith("shared_"))
+      .foreach(rm)
+    finally l.close()
+  }
 }

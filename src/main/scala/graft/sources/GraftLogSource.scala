@@ -421,6 +421,7 @@ object GraftLog {
       entries.updated(i,
         entries(i).copy(field = entries(i).field.copy(name = to)))
     }
+    dropIndexFiles(path, from) // stale by name; rebuild under `to`
   }
 
   /** DROP an evolved column — METADATA-ONLY: the slot becomes a
@@ -442,6 +443,9 @@ object GraftLog {
         s"table $path")
       entries.updated(i, entries(i).copy(dropped = true))
     }
+    // a re-added same-name column must NEVER resolve these (the shard
+    // echoes still validate — the files would prune by ghost values)
+    dropIndexFiles(path, name)
   }
 
   /** WIDEN an evolved column's type, long → double only — the one
@@ -466,6 +470,7 @@ object GraftLog {
       entries.updated(i, entries(i)
         .copy(field = entries(i).field.copy(dataType = DoubleType)))
     }
+    dropIndexFiles(path, name) // long-typed entries never match doubles
   }
 
   /** How a projected column maps onto the storage: a parsed line
@@ -1153,6 +1158,32 @@ object GraftLog {
   /** `retainGenerations` / `minAgeMs` < 0 (the default) resolve to
     * the table's stored retention policy ([[setRetention]]); explicit
     * non-negative values override it. */
+  /** Remove ABANDONED staging directories (a killed compact/cluster/
+    * incremental-cluster leaves its per-attempt-unique dir behind —
+    * nothing else ever deletes it since staging names stopped being
+    * fixed). Age-gated at one hour so a CONCURRENT op's live staging
+    * is never touched: no graft staging phase legitimately runs that
+    * long. Called by [[vacuum]] — the reclaim op. */
+  private def sweepAbandonedStaging(path: String): Long = {
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    if (parent == null || !Files.isDirectory(parent)) return 0L
+    val prefix = Paths.get(path).getFileName.toString + "__"
+    val cutoff = System.currentTimeMillis() - 3600000L
+    var removed = 0L
+    withListing(parent)(_.filter { d =>
+      d.getFileName.toString.startsWith(prefix) &&
+        Files.isDirectory(d) &&
+        (try Files.getLastModifiedTime(d).toMillis < cutoff
+         catch { case _: java.io.IOException => false })
+    }.toSeq).foreach { d =>
+      val w = Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); removed += 1 })
+      finally w.close()
+    }
+    removed
+  }
+
   def vacuum(path: String, retainGenerations: Int = -1,
       minAgeMs: Long = -1L): (Long, Long) = {
     val stored = retentionPolicy(path)
@@ -1160,6 +1191,7 @@ object GraftLog {
       if (retainGenerations < 0) stored._1 else retainGenerations
     val minAge = if (minAgeMs < 0L) stored._2 else minAgeMs
     applySwapIfPresent(path) // complete any pending swap first
+    sweepAbandonedStaging(path)
     val g = generation(path)
     val keepFrom = g - retain
     val cutoff = System.currentTimeMillis() - minAge
@@ -1802,6 +1834,22 @@ object GraftLog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Delete every index file of `colName` — schema DDL must call
+    * this: a RENAMEd/DROPped column's files are keyed by the old
+    * name, and because index echoes bind to SHARD content (unchanged
+    * by metadata-only DDL) a column RE-ADDED under the same name
+    * would resolve the stale files and prune by the OLD values —
+    * silently wrong rows. Widening drops them too (the long-typed
+    * entries never match double probes — dead weight). */
+  private[sources] def dropIndexFiles(path: String, col: String): Unit = {
+    val d = Paths.get(path, IndexDir)
+    if (!Files.isDirectory(d)) return
+    val suffixes = Seq(s".$col.range", s".$col.bloom")
+    withListing(d)(_.filter(p =>
+        suffixes.exists(p.getFileName.toString.endsWith(_))).toSeq)
+      .foreach(Files.deleteIfExists(_))
+  }
+
   /** Build (or rebuild) the secondary index on `colName`. One
     * distributed pass over the pinned snapshot grouped by `_shard`;
     * per-shard results land as `_index` files written from the
@@ -1910,19 +1958,31 @@ object GraftLog {
       .collect { case name(c, k) => (c, k) }.distinct.sorted
   }
 
-  /** Is the index file current for this echo? Same validation slice
-    * [[loadIndexes]] applies at consult time. */
+  /** Is the index file current for this echo? Same echo slice
+    * [[loadIndexes]] validates at consult time — but read as a
+    * 512-byte HEADER, not the whole file: the staleness scan runs
+    * over EVERY shard per maintenance pass (the streaming sink calls
+    * it each epoch), and a bloom payload is multi-KB base64 the echo
+    * check never needs. A corrupt payload past the header still
+    * degrades safely: loadIndexes fully re-validates at consult. */
   private def indexCurrent(f: java.nio.file.Path, kind: String,
       want: String): Boolean =
     Files.isRegularFile(f) && {
       try {
-        val parts = new String(Files.readAllBytes(f),
-          StandardCharsets.UTF_8).trim.split("\\|", -1)
+        val ch = Files.newByteChannel(f)
+        val buf = java.nio.ByteBuffer.allocate(512)
+        try ch.read(buf) finally ch.close()
+        val head = new String(buf.array(), 0, buf.position(),
+          StandardCharsets.UTF_8)
         kind match {
-          case "range" => parts(0) == "range" && parts.length == 7 &&
-            parts.slice(3, 7).mkString("|") == want
-          case _ => parts(0) == "bloom" && parts.length == 6 &&
-            parts.slice(1, 5).mkString("|") == want
+          case "range" => // tiny file: the header IS the whole line
+            val parts = head.trim.split("\\|", -1)
+            parts(0) == "range" && parts.length == 7 &&
+              parts.slice(3, 7).mkString("|") == want
+          case _ =>
+            val parts = head.split("\\|", -1)
+            parts(0) == "bloom" && parts.length >= 6 &&
+              parts.slice(1, 5).mkString("|") == want
         }
       } catch { case scala.util.control.NonFatal(_) => false }
     }
@@ -2470,20 +2530,33 @@ object GraftLog {
     * (their per-bucket readers never consult dvs — use the CoW paths
     * there). */
   def deleteVectors(path: String, keys: Seq[Long]): Int =
-    lockFor(path).synchronized {
-      require(keys.nonEmpty, "deleteVectors needs at least one key")
-      require(!isBucketed(path),
-        s"$path is a bucketed graftlog table; deletion vectors are " +
-          "defined for the unbucketed layout — use the copy-on-write " +
-          "DELETE/MERGE paths instead")
-      applySwapIfPresent(path)
-      val dvs = stageDvs(path, keys.distinct.sorted.toArray,
-        generation(path))
-      if (dvs.nonEmpty) {
-        commitSwap(path, Nil, Nil, dvs)
-        dvFilesWritten.addAndGet(dvs.size.toLong)
+    retryOnConflict(s"deleteVectors($path)") {
+      lockFor(path).synchronized {
+        require(keys.nonEmpty, "deleteVectors needs at least one key")
+        require(!isBucketed(path),
+          s"$path is a bucketed graftlog table; deletion vectors are " +
+            "defined for the unbucketed layout — use the copy-on-write " +
+            "DELETE/MERGE paths instead")
+        applySwapIfPresent(path)
+        val g0 = generation(path)
+        val dvs = stageDvs(path, keys.distinct.sorted.toArray, g0)
+        if (dvs.nonEmpty) {
+          // expectGen: a CROSS-process structural commit between the
+          // listing stageDvs bound its echoes against and this rename
+          // would orphan the vectors (names/echoes of retired shards)
+          // — the flock-guarded recheck in commitSwap catches it and
+          // the retry re-stages against the fresh snapshot
+          try commitSwap(path, Nil, Nil, dvs, expectGen = Some(g0))
+          catch {
+            case e: GraftLogConcurrentWriteException =>
+              dvs.foreach(d =>
+                Files.deleteIfExists(Paths.get(path, d._1)))
+              throw e
+          }
+          dvFilesWritten.addAndGet(dvs.size.toLong)
+        }
+        dvs.size
       }
-      dvs.size
     }
 
   /** Merge-on-read UPSERT: land `rows` (keyed by event_id, last
@@ -2514,6 +2587,13 @@ object GraftLog {
   def mergeRows(path: String,
       rows: Seq[(Long, Long, Long, String, Double)],
       maxRows: Int = MergeRowsMaxRows): (Int, String) =
+    retryOnConflict(s"mergeRows($path)") {
+      mergeRowsOnce(path, rows, maxRows)
+    }
+
+  private def mergeRowsOnce(path: String,
+      rows: Seq[(Long, Long, Long, String, Double)],
+      maxRows: Int): (Int, String) =
     lockFor(path).synchronized {
       require(rows.nonEmpty, "mergeRows needs at least one row")
       require(rows.size <= maxRows,
@@ -2574,7 +2654,15 @@ object GraftLog {
           s"$id|$tsUs|$uid|$typ|$v"
         }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       val meta = s"${up.head._1}|${up.last._1}|${up.size}"
-      commitSwap(path, Nil, Seq((hidden, fin, meta)), dvs)
+      // expectGen + conflict cleanup — see deleteVectors
+      try commitSwap(path, Nil, Seq((hidden, fin, meta)), dvs,
+        expectGen = Some(g0))
+      catch {
+        case e: GraftLogConcurrentWriteException =>
+          Files.deleteIfExists(Paths.get(path, hidden))
+          dvs.foreach(d => Files.deleteIfExists(Paths.get(path, d._1)))
+          throw e
+      }
       if (dvs.nonEmpty) dvFilesWritten.addAndGet(dvs.size.toLong)
       (dvs.size, fin)
     }
@@ -2676,6 +2764,20 @@ object GraftLog {
       // shard into per-shard files, counting — the driver never holds
       // the full suppression set
       val hitCounts = scala.collection.mutable.Map.empty[String, Long]
+      // any failure from here on (unknown-shard abort, the
+      // flock-guarded generation recheck in commitSwap, an executor
+      // error in the dense rewrite) must leave NO staged litter: the
+      // task-staged inputs, the per-shard hit files, and everything
+      // this commit staged itself all clean up before the rethrow
+      val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+      def cleanupAll(): Unit = {
+        rowPromotes.foreach(pr =>
+          Files.deleteIfExists(Paths.get(path, pr._1)))
+        dvStages.foreach(st => Files.deleteIfExists(Paths.get(path, st)))
+        hitCounts.keys.foreach(n => Files.deleteIfExists(hitsTmp(n)))
+        staged.foreach(t => Files.deleteIfExists(Paths.get(path, t)))
+      }
+      try {
       val hitWriters =
         scala.collection.mutable.Map.empty[String, java.io.BufferedWriter]
       try dvStages.foreach { st =>
@@ -2722,6 +2824,7 @@ object GraftLog {
           val tmp = s".dv-$name.g${g0 + 1}.tmp"
           Files.write(Paths.get(path, tmp),
             body.getBytes(StandardCharsets.UTF_8))
+          staged += tmp
           dvs += ((tmp, s"$DvDir/$name.g${g0 + 1}.dv"))
         }
       }
@@ -2768,18 +2871,26 @@ object GraftLog {
         results.foreach {
           case (name, null, _) => drops += byName(name).file
           case (name, hidden, meta) =>
+            staged += hidden
             densePromotes += ((hidden, name, meta))
         }
         shardsRewritten.addAndGet(dense.size.toLong)
       }
       if (drops.nonEmpty || densePromotes.nonEmpty ||
           rowPromotes.nonEmpty || dvs.nonEmpty)
+        // re-pass the plan generation: commitSwap rechecks it UNDER
+        // the cross-process flock, closing the window between this
+        // method's entry check (in-JVM lock only) and the manifest
+        // rename — a racing process's compact aborts the merge here
+        // instead of landing vectors that cite retired shards
         commitSwap(path, drops.toSeq,
-          densePromotes.toSeq ++ rowPromotes, dvs.toSeq)
+          densePromotes.toSeq ++ rowPromotes, dvs.toSeq,
+          expectGen = expectGen.map(_ => g0))
       if (dvs.nonEmpty) dvFilesWritten.addAndGet(dvs.size.toLong)
       dvStages.foreach(st => Files.deleteIfExists(Paths.get(path, st)))
       hitCounts.keys.foreach(n => Files.deleteIfExists(hitsTmp(n)))
       (dvs.size, dense.size)
+      } catch { case e: Throwable => cleanupAll(); throw e }
     }
 
   /** Fold a pushed DELETE condition into a discrete key SET — the
@@ -3878,7 +3989,18 @@ class GraftLogStreamingWrite(path: String, queryId: String,
     if (spark.conf.get("spark.graft.index.maintainOnCommit", "true")
         .toBoolean)
       GraftLog.indexKinds(path).foreach { case (col, kind) =>
-        GraftLog.buildIndexIncremental(spark, path, col, kind)
+        // DEFENSIVE: maintenance must never wedge the stream — the
+        // epoch is already durably committed above, and a stale
+        // (col, kind) pair (index files predating a DDL, or any
+        // future invalidation this listing can race) merely skips;
+        // the table stays correct-but-unpruned until rebuilt
+        try GraftLog.buildIndexIncremental(spark, path, col, kind)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graftlog] per-epoch index " +
+              s"maintenance skipped for ($col, $kind) on $path: " +
+              s"${e.getMessage}")
+        }
       }
   }
 

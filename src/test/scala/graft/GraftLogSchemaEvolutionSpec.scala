@@ -240,6 +240,55 @@ class GraftLogSchemaEvolutionSpec extends SparkSuite {
       === Map(Some(9L) -> 65L))
   }
 
+  test("DDL invalidates the column's index files — a re-added name " +
+      "never prunes by ghost values") {
+    val (tbl, dir) = freshTable(100, 1)
+    GraftLog.addColumn(dir, "w", LongType)
+    feed(100, 200).withColumn("w", $"event_id") // values 100..199
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    assert(GraftLog.buildIndex(spark, dir, "w", "range") >= 1)
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN w")
+    // the index files are GONE — shard content is unchanged by the
+    // metadata-only DDL, so a same-name re-add would otherwise
+    // resolve them (echo still valid) and prune by the OLD values
+    assert(!GraftLog.indexedColumns(dir).contains("w"))
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT DEFAULT 500")
+    val got = spark.read.format(fmt).load(dir)
+      .filter($"w" === 500L).count()
+    assert(got === 200L,
+      "every row reads the new exists-default — a stale range index " +
+        "[100,199] would have pruned this probe to zero rows")
+    // rename drops them too (rebuild under the new name)
+    GraftLog.buildIndex(spark, dir, "w", "range")
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN w TO w2")
+    assert(!GraftLog.indexedColumns(dir).contains("w") &&
+      !GraftLog.indexedColumns(dir).contains("w2"))
+  }
+
+  test("the streaming sink survives index kinds staled by a DDL") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (tbl, dir) = freshTable(100, 1)
+    GraftLog.addColumn(dir, "w", LongType, Some("1"))
+    GraftLog.buildIndex(spark, dir, "w", "bloom")
+    // leave a STALE index listing behind the DDL's back (simulating
+    // any future invalidation race): re-create the file after drop
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN w")
+    val orphan = Paths.get(dir, "_index", "zz.graftlog.w.bloom")
+    Files.createDirectories(orphan.getParent)
+    Files.write(orphan, "bloom|junk".getBytes("UTF-8"))
+    val src = tmpDir("glog-se-ssrc").toString
+    feed(500, 560).write.format(fmt).mode("append")
+      .option("shards", 2).save(src)
+    val cp = tmpDir("glog-se-scp").toString
+    val q = spark.readStream.format(fmt).load(src)
+      .writeStream.format(fmt)
+      .option("path", dir).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.format(fmt).load(dir).count() === 160L,
+      "epoch commits land despite the unbuildable stale index kind")
+  }
+
   test("a schema DDL commit emits NO change-feed rows") {
     val (_, dir) = freshTable(50, 1)
     val tok0 = GraftLog.currentVersion(dir)

@@ -23,6 +23,31 @@ class RetentionPolicySpec extends SparkSuite {
       ($"id" % 7).as("user_id"), lit("click").as("event_type"),
       ($"id" % 100).cast("double").as("value"))
 
+  test("vacuum sweeps ABANDONED staging dirs (age-gated) and spares " +
+      "recent ones") {
+    val dir = tmpDir("glog-pol-sweep").toString
+    feed(0, 100).write.format(fmt).mode("append")
+      .option("shards", 2).save(dir)
+    val parent = java.nio.file.Paths.get(dir).getParent
+    val name = java.nio.file.Paths.get(dir).getFileName.toString
+    val old = parent.resolve(s"${name}__compact_tmp-dead1234")
+    java.nio.file.Files.createDirectories(old)
+    java.nio.file.Files.write(old.resolve("leak.tmp"),
+      "x".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L)) // 2 h ago: abandoned
+    val fresh = parent.resolve(s"${name}__cluster_tmp-live5678")
+    java.nio.file.Files.createDirectories(fresh) // now: a live racer
+    GraftLog.vacuum(dir, retainGenerations = 100)
+    assert(!java.nio.file.Files.exists(old),
+      "a crashed run's staging dir is reclaimed")
+    assert(java.nio.file.Files.exists(fresh),
+      "a concurrent op's staging dir is untouched (age gate)")
+    java.nio.file.Files.delete(fresh)
+    assert(spark.read.format(fmt).load(dir).count() === 100L)
+  }
+
   test("a stored policy drives argument-less vacuum; explicit knobs " +
       "override; the policy clones with the table") {
     val dir = tmpDir("glog-pol").toString
