@@ -162,6 +162,12 @@ object GraftLog {
     * must be distinguishable from an empty string). */
   private[sources] val NullToken = "\\N"
 
+  /** Default per-task in-heap row cap of the delta-merge writer
+    * before it spills sorted runs (~50 MB of rendered lines at the
+    * format's typical width — bounded however insert-heavy the
+    * merge; `spark.graft.merge.delta.spillRowsPerTask` overrides). */
+  private[sources] val DeltaSpillRowsDefault = 500000
+
   /** One PHYSICAL slot of the extension schema file, in file order.
     * `dropped = true` is a TOMBSTONE: the column is gone from the
     * logical schema but its slot stays, so every later column keeps
@@ -352,7 +358,13 @@ object GraftLog {
     * while costing ZERO data I/O. */
   private def schemaDdl(path: String, what: String)(
       mutate: Seq[ExtEntry] => Seq[ExtEntry]): Unit =
-    lockFor(path).synchronized {
+    lockFor(path).synchronized { withFsLock(path) {
+      // the flock matters here exactly as it does for commitSwap:
+      // DDL is a read-modify-write of _ext_schema plus a generation
+      // bump, so two PROCESSES running DDL concurrently would
+      // silently lose one mutation (and interleave the archive with
+      // a peer's swap apply) if only the in-JVM monitor were held.
+      // Generation and entries are read UNDER the flock.
       applySwapIfPresent(path)
       val g = generation(path)
       val entries = extEntries(path)
@@ -377,7 +389,7 @@ object GraftLog {
       writeExtFile(path, mutated)
       bumpGeneration(path)
       recordCommit(path)
-    }
+    } }
 
   /** Refuse a DDL that would break a declared CHECK constraint:
     * conservative word-boundary match of the column name inside the
@@ -1167,11 +1179,19 @@ object GraftLog {
   private def sweepAbandonedStaging(path: String): Long = {
     val parent = Paths.get(path).toAbsolutePath.getParent
     if (parent == null || !Files.isDirectory(parent)) return 0L
-    val prefix = Paths.get(path).getFileName.toString + "__"
+    // EXACT staging-name shapes only — '<table>__<op>_tmp-<uuid>'.
+    // A bare '<table>__' prefix match would also sweep an UNRELATED
+    // sibling table that merely shares the name prefix (a table
+    // named 'events__archive' next to 'events'): vacuum must never
+    // be able to destroy data it does not own.
+    val table = Paths.get(path).getFileName.toString
+    val staging = Seq("compact_tmp-", "cluster_tmp-", "zinc_src-",
+      "zinc_tmp-").map(op => s"${table}__$op")
     val cutoff = System.currentTimeMillis() - 3600000L
     var removed = 0L
     withListing(parent)(_.filter { d =>
-      d.getFileName.toString.startsWith(prefix) &&
+      val n = d.getFileName.toString
+      staging.exists(st => n.startsWith(st) && n.length > st.length) &&
         Files.isDirectory(d) &&
         (try Files.getLastModifiedTime(d).toMillis < cutoff
          catch { case _: java.io.IOException => false })
@@ -3005,6 +3025,7 @@ object GraftLog {
     * double-acquires (FileLock is per-JVM). Bounded wait, loud
     * failure: a lock held >60 s means a wedged peer, not contention. */
   private def withFsLock[A](path: String)(body: => A): A = {
+    Files.createDirectories(Paths.get(path)) // first-DDL-on-empty-table
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path, "_structural.lock"),
       java.nio.file.StandardOpenOption.CREATE,
@@ -3985,23 +4006,31 @@ class GraftLogStreamingWrite(path: String, queryId: String,
     // shards (O(epoch bytes) — see buildIndexIncremental), so a
     // steady-append table never degrades to unprunable while waiting
     // for a manual rebuild. Off-switch for latency-critical sinks.
-    val spark = org.apache.spark.sql.SparkSession.active
-    if (spark.conf.get("spark.graft.index.maintainOnCommit", "true")
-        .toBoolean)
-      GraftLog.indexKinds(path).foreach { case (col, kind) =>
-        // DEFENSIVE: maintenance must never wedge the stream — the
-        // epoch is already durably committed above, and a stale
-        // (col, kind) pair (index files predating a DDL, or any
-        // future invalidation this listing can race) merely skips;
-        // the table stays correct-but-unpruned until rebuilt
-        try GraftLog.buildIndexIncremental(spark, path, col, kind)
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[graftlog] per-epoch index " +
-              s"maintenance skipped for ($col, $kind) on $path: " +
-              s"${e.getMessage}")
+    // DEFENSIVE: maintenance must never fail the epoch — it is
+    // already durably committed above. That guard covers the session
+    // lookup itself too (a commit thread with no active session must
+    // skip maintenance, not kill the stream), any stale (col, kind)
+    // pair (index files predating a DDL, or any future invalidation
+    // this listing can race), and the incremental pass proper; the
+    // table stays correct-but-unpruned until rebuilt.
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (spark.conf.get("spark.graft.index.maintainOnCommit", "true")
+          .toBoolean)
+        GraftLog.indexKinds(path).foreach { case (col, kind) =>
+          try GraftLog.buildIndexIncremental(spark, path, col, kind)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graftlog] per-epoch index " +
+                s"maintenance skipped for ($col, $kind) on $path: " +
+                s"${e.getMessage}")
+          }
         }
-      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graftlog] per-epoch index maintenance " +
+          s"skipped on $path: ${e.getMessage}")
+    }
   }
 
   override def abort(epochId: Long,
@@ -4162,7 +4191,12 @@ class GraftLogDeltaBatchWrite(path: String,
       GraftLog.claimShardIndices(path, info.numPartitions()),
       GraftLog.extWriteSlots(path), // physical slots for line render
       // a MERGE must not land what an insert could not
-      GraftLog.writeConstraintsFor(path, bucketed = false))
+      GraftLog.writeConstraintsFor(path, bucketed = false),
+      // per-task in-heap insert cap before sorted-run spilling —
+      // resolved on the DRIVER (executors have no session)
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.merge.delta.spillRowsPerTask",
+          GraftLog.DeltaSpillRowsDefault.toString).toInt)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftLogDeltaCommitMessage => m }
@@ -4180,12 +4214,13 @@ class GraftLogDeltaBatchWrite(path: String,
 }
 
 class GraftLogDeltaWriterFactory(path: String, baseIndex: Int,
-    ext: Seq[DataType], constraints: Seq[GraftLog.Constraint])
+    ext: Seq[DataType], constraints: Seq[GraftLog.Constraint],
+    spillRows: Int = GraftLog.DeltaSpillRowsDefault)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftLogDeltaWriter(path, baseIndex + partitionId, taskId,
-      ext, constraints)
+      ext, constraints, spillRows)
 }
 
 /** One task's staged delta-merge pieces: `shard` = (hidden tmp,
@@ -4203,9 +4238,15 @@ case class GraftLogDeltaCommitMessage(
   * event_id-sorted delta shard at task commit, keeping the format's
   * within-shard order contract without requiring a planned exchange.
   * Memory bound: the buffer holds only this task's NEW rows — the
-  * selective-merge regime this path exists for. */
+  * selective-merge regime this path exists for — and is HARD-CAPPED
+  * at `spillRows`: an insert-heavy bulk merge (merge-on-read is the
+  * default route, so nothing stops one) spills event_id-sorted runs
+  * to hidden tmps and k-way-merges them into the final shard at task
+  * commit, so heap stays O(spillRows × line) however many rows the
+  * task inserts. */
 class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
-    ext: Seq[DataType], constraints: Seq[GraftLog.Constraint])
+    ext: Seq[DataType], constraints: Seq[GraftLog.Constraint],
+    spillRows: Int = GraftLog.DeltaSpillRowsDefault)
     extends DeltaWriter[InternalRow] {
   private val extTypes = ext.toArray
   private val stem = f"shard-$idx%05d"
@@ -4266,13 +4307,32 @@ class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
       }
     }
     rows += ((row.getLong(0), GraftLog.renderLine(row, 0, extTypes)))
+    if (rows.length >= spillRows) spillRun()
+  }
+
+  /** Sorted-run spill: the in-heap buffer lands as one event_id-
+    * sorted hidden run file and is released. Runs are merged at
+    * [[commit]]; a pure-heap task (the common selective merge)
+    * never spills and keeps the single-sort fast path. */
+  private val runFiles =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def spillRun(): Unit = {
+    val sorted = rows.sortInPlaceBy(_._1)
+    val run = Paths.get(dir, f".$stem-$taskId.run${runFiles.size}.tmp")
+    val out = Files.newBufferedWriter(run, StandardCharsets.UTF_8)
+    try sorted.foreach { case (_, line) =>
+      out.write(line); out.write('\n')
+    } finally out.close()
+    runFiles += run
+    rows.clear()
   }
 
   override def commit(): WriterCommitMessage = {
     if (dvOut != null) dvOut.close()
     val shard =
-      if (rows.isEmpty) { Files.deleteIfExists(rowTmp); None }
-      else {
+      if (rows.isEmpty && runFiles.isEmpty) {
+        Files.deleteIfExists(rowTmp); None
+      } else if (runFiles.isEmpty) {
         val sorted = rows.sortInPlaceBy(_._1)
         val out = Files.newBufferedWriter(rowTmp, StandardCharsets.UTF_8)
         try sorted.foreach { case (_, line) =>
@@ -4280,6 +4340,56 @@ class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
         } finally out.close()
         Some((rowTmp.getFileName.toString, s"$stem.graftlog",
           s"${sorted.head._1}|${sorted.last._1}|${sorted.size}"))
+      } else {
+        if (rows.nonEmpty) spillRun()
+        // k-way streaming merge of the sorted runs: heap holds one
+        // line per run, never the task's full insert set
+        val readers = runFiles.map(r =>
+          Files.newBufferedReader(r, StandardCharsets.UTF_8))
+        try {
+          val heads = new Array[String](readers.length)
+          def advance(i: Int): Unit = {
+            var l = readers(i).readLine()
+            while (l != null && l.isEmpty) l = readers(i).readLine()
+            heads(i) = l
+          }
+          readers.indices.foreach(advance)
+          def idOf(l: String): Long =
+            l.substring(0, l.indexOf('|')).toLong
+          val out = Files.newBufferedWriter(rowTmp, StandardCharsets.UTF_8)
+          var first = Long.MaxValue
+          var last = Long.MinValue
+          var count = 0L
+          try {
+            var more = true
+            while (more) {
+              var best = -1
+              var bestId = Long.MaxValue
+              var i = 0
+              while (i < heads.length) {
+                if (heads(i) != null) {
+                  val id = idOf(heads(i))
+                  if (best < 0 || id < bestId) { best = i; bestId = id }
+                }
+                i += 1
+              }
+              if (best < 0) more = false
+              else {
+                out.write(heads(best)); out.write('\n')
+                if (bestId < first) first = bestId
+                last = bestId
+                count += 1L
+                advance(best)
+              }
+            }
+          } finally out.close()
+          Some((rowTmp.getFileName.toString, s"$stem.graftlog",
+            s"$first|$last|$count"))
+        } finally {
+          readers.foreach(r =>
+            try r.close() catch { case _: java.io.IOException => () })
+          runFiles.foreach(Files.deleteIfExists(_))
+        }
       }
     GraftLogDeltaCommitMessage(shard,
       if (dvOut != null) Some(dvTmp.getFileName.toString) else None)
@@ -4289,6 +4399,7 @@ class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
     if (dvOut != null) dvOut.close()
     Files.deleteIfExists(rowTmp)
     Files.deleteIfExists(dvTmp)
+    runFiles.foreach(Files.deleteIfExists(_))
   }
 
   override def close(): Unit = ()

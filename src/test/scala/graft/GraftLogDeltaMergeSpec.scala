@@ -320,4 +320,43 @@ class GraftLogDeltaMergeSpec extends SparkSuite {
       .filter($"event_id" === 10L).select($"value")
       .as[Double].head() === 10.0)
   }
+
+  test("insert-heavy merge spills sorted runs — heap-capped, same " +
+      "bytes as the in-heap path") {
+    val (tbl, dir) = freshTable(200, 2)
+    // 1 000 inserts per the single source partition with a 64-row
+    // in-heap cap: the writer MUST spill (~15 runs) and the k-way
+    // merge must land one correctly-sorted, correctly-counted shard
+    spark.conf.set("spark.graft.merge.delta.spillRowsPerTask", "64")
+    try {
+      spark.range(1000, 2000).coalesce(1)
+        .select($"id".as("event_id"), ($"id" % 100).cast("double")
+          .as("value"))
+        .createOrReplaceTempView("dm_spill_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dm_spill_src s
+            ON t.event_id = s.event_id
+            WHEN NOT MATCHED THEN INSERT
+              (event_id, ts, user_id, event_type, value)
+              VALUES (s.event_id, TIMESTAMP_NTZ'2024-01-02 00:00:00',
+                      0, 'bulk', s.value)""")
+    } finally
+      spark.conf.unset("spark.graft.merge.delta.spillRowsPerTask")
+    val cur = spark.read.format(fmt).load(dir)
+    assert(cur.count() === 1200L)
+    assert(cur.filter($"event_type" === "bulk").count() === 1000L)
+    assert(cur.filter($"event_id" >= 1000L).agg(sum($"event_id"))
+      .as[Long].head() === (1000L until 2000L).sum)
+    // the merged shard kept the within-shard event_id order and an
+    // exact sidecar; no spill litter remains
+    val delta = GraftLog.listShards(dir).sortBy(_.file).last
+    assert(delta.stats.contains((1000L, 1999L, 1000L)))
+    val ids = Files.readAllLines(Paths.get(delta.file)).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map(l => l.substring(0, l.indexOf('|')).toLong)
+    assert(ids === ids.sorted, "k-way merge preserves sort order")
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.contains(".run")),
+      "spill runs are cleaned up at commit")
+  }
 }

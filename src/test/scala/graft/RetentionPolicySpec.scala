@@ -39,12 +39,34 @@ class RetentionPolicySpec extends SparkSuite {
         System.currentTimeMillis() - 7200000L)) // 2 h ago: abandoned
     val fresh = parent.resolve(s"${name}__cluster_tmp-live5678")
     java.nio.file.Files.createDirectories(fresh) // now: a live racer
+    // an UNRELATED sibling table that merely shares the name prefix
+    // (e.g. 'events__archive' next to 'events') must NEVER be swept,
+    // however old: the sweep matches exact staging shapes only
+    val sibling = parent.resolve(s"${name}__archive")
+    feed(500, 600).write.format(fmt).mode("append")
+      .option("shards", 1).save(sibling.toString)
+    java.nio.file.Files.setLastModifiedTime(sibling,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    // a bare-stem dir matching a staging prefix but with NO uuid
+    // suffix is not a graft staging dir either — spared
+    val bareStem = parent.resolve(s"${name}__compact_tmp-")
+    java.nio.file.Files.createDirectories(bareStem)
+    java.nio.file.Files.setLastModifiedTime(bareStem,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
     GraftLog.vacuum(dir, retainGenerations = 100)
     assert(!java.nio.file.Files.exists(old),
       "a crashed run's staging dir is reclaimed")
     assert(java.nio.file.Files.exists(fresh),
       "a concurrent op's staging dir is untouched (age gate)")
+    assert(java.nio.file.Files.exists(sibling) &&
+      spark.read.format(fmt).load(sibling.toString).count() === 100L,
+      "an unrelated prefix-sharing sibling TABLE survives vacuum intact")
+    assert(java.nio.file.Files.exists(bareStem),
+      "a suffix-less near-miss dir is not treated as staging")
     java.nio.file.Files.delete(fresh)
+    java.nio.file.Files.delete(bareStem)
     assert(spark.read.format(fmt).load(dir).count() === 100L)
   }
 
