@@ -2633,6 +2633,90 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Cost-routed row-level operations (r14): UPDATE and the
+    // row-level DELETE fallback default to the delta-based
+    // merge-on-read route — the SAME per-shard density decision the
+    // MERGE commit makes, so the engine (not a static conf) picks
+    // the plan. Gated in-row: a SCATTERED update (every 211th row)
+    // commits as dv sidecars + one delta shard with every settled
+    // shard byte-untouched and both CoW counters quiet; a scattered
+    // %-predicate DELETE commits as PURE deletion vectors (no data
+    // write of any kind); a RANGE-predicated update that blankets
+    // the first shard crosses the dense threshold and takes the
+    // in-place rewrite — group-shaped cost chosen at the MEASURED
+    // suppressed fraction; each statement is one atomic commit.
+    // Census replayed by the oracle from the feed.
+    "q353_cost_routed_row_ops" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"mru${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      def gen(t: String) =
+        """g(\d+)\.""".r.findFirstMatchIn(t).get.group(1).toLong
+      def listing = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1)
+      def census() = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id"),
+          Q.dsum($"value")).as[(Long, Long, Long, Double)].head()
+      val g0 = gen(G.currentVersion(log))
+      val t1 = census()
+      val before = listing
+      val rw0 = G.shardsRewritten.get()
+      val gp0 = G.groupsReplaced.get()
+      // scattered UPDATE — no conf anywhere: the default route
+      s.sql(s"UPDATE glog.$tbl SET value = value + 1000 " +
+        "WHERE event_id % 211 = 0")
+      val afterU = listing
+      val scatteredUpdatePureMor =
+        afterU.intersect(before) == before &&
+          G.shardsRewritten.get() == rw0 && G.groupsReplaced.get() == gp0
+      val t2 = census()
+      // scattered DELETE — %-predicate folds to neither an event_id
+      // range nor an IN-set, so it takes the row-level fallback:
+      // under the default route, pure dv sidecars, zero data writes
+      s.sql(s"DELETE FROM glog.$tbl WHERE event_id % 197 = 3")
+      val scatteredDeletePureDv = listing == afterU &&
+        G.shardsRewritten.get() == rw0 && G.groupsReplaced.get() == gp0
+      val t3 = census()
+      // range-predicated UPDATE blanketing the first shard: the
+      // commit-time density decision crosses the dense threshold and
+      // rewrites that shard IN PLACE — same route, group-shaped cost
+      s.sql(s"UPDATE glog.$tbl SET value = CAST(0 AS DOUBLE) " +
+        s"WHERE event_id < ${n / 8}")
+      val rangeUpdateDenseRewritten =
+        G.shardsRewritten.get() > rw0 && G.groupsReplaced.get() == gp0
+      val t4 = census()
+      val oneCommitEach = gen(G.currentVersion(log)) == g0 + 3
+      Seq(("t1_baseline", t1._1, t1._2, t1._3, t1._4),
+          ("t2_scattered_update", t2._1, t2._2, t2._3, t2._4),
+          ("t3_scattered_delete", t3._1, t3._2, t3._3, t3._4),
+          ("t4_dense_range_update", t4._1, t4._2, t4._3, t4._4))
+        .toDF("leg", "n_rows", "min_event_id", "max_event_id",
+          "sum_value")
+        .withColumn("n_rows_updated",
+          lit(ev.filter($"event_id" % 211 === 0).count()))
+        .withColumn("n_rows_deleted",
+          lit(ev.filter($"event_id" % 197 === 3).count()))
+        .withColumn("n_rows_zeroed",
+          lit(ev.filter($"event_id" < n / 8 &&
+            $"event_id" % 197 =!= 3).count()))
+        .withColumn("scattered_update_pure_mor",
+          lit(scatteredUpdatePureMor))
+        .withColumn("scattered_delete_pure_dv",
+          lit(scatteredDeletePureDv))
+        .withColumn("range_update_dense_rewritten",
+          lit(rangeUpdateDenseRewritten))
+        .withColumn("one_commit_each", lit(oneCommitEach))
+        .orderBy($"leg")
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -4734,6 +4818,51 @@ object OpsQueries {
                  TRUE AS incremental_settled_untouched,
                  TRUE AS second_pass_noop
           FROM final""",
+
+    "q353_cost_routed_row_ops" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          upd AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 211 = 0 THEN value + 1000
+                        ELSE value END AS value
+            FROM events),
+          del AS (SELECT * FROM upd WHERE event_id % 197 <> 3),
+          fin AS (
+            SELECT event_id,
+                   CASE WHEN event_id < (SELECT c FROM n) // 8
+                        THEN CAST(0 AS DOUBLE) ELSE value END AS value
+            FROM del),
+          legs AS (
+            SELECT 't1_baseline' AS leg, count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   ${Q.dsumSql("value")} AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 't2_scattered_update', count(*), min(event_id),
+                   max(event_id), ${Q.dsumSql("value")}
+            FROM upd
+            UNION ALL
+            SELECT 't3_scattered_delete', count(*), min(event_id),
+                   max(event_id), ${Q.dsumSql("value")}
+            FROM del
+            UNION ALL
+            SELECT 't4_dense_range_update', count(*), min(event_id),
+                   max(event_id), ${Q.dsumSql("value")}
+            FROM fin)
+          SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 (SELECT count(*) FROM events WHERE event_id % 211 = 0)
+                   AS n_rows_updated,
+                 (SELECT count(*) FROM events WHERE event_id % 197 = 3)
+                   AS n_rows_deleted,
+                 (SELECT count(*) FROM events
+                  WHERE event_id < (SELECT c FROM n) // 8
+                    AND event_id % 197 <> 3) AS n_rows_zeroed,
+                 TRUE AS scattered_update_pure_mor,
+                 TRUE AS scattered_delete_pure_dv,
+                 TRUE AS range_update_dense_rewritten,
+                 TRUE AS one_commit_each
+          FROM legs ORDER BY leg""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

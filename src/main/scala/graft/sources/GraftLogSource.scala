@@ -3763,16 +3763,22 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
     }
 
   /** SQL UPDATE / MERGE INTO (and the row-level DELETE fallback).
-    * MERGE routes to the delta-based merge-on-read operation
-    * ([[GraftLogDeltaOperation]] — deletion vectors + delta shards,
-    * with a per-shard dense-fallback rewrite) unless
-    * `spark.graft.merge.mode=cow` forces the group-based
-    * copy-on-write rewrite; UPDATE and the DELETE fallback keep the
-    * group-based path ([[GraftLogRowLevelOperation]]), whose pruned
-    * single-group rewrites are already the right cost shape for
-    * range-predicated statements. Bucketed layouts are refused: the
-    * replacement write would need the bucket count, which the layout
-    * does not record (the [[GraftLog.compact]] rule). */
+    * ALL THREE commands route to the delta-based merge-on-read
+    * operation ([[GraftLogDeltaOperation]] — deletion vectors +
+    * delta shards) by default: the per-shard DENSITY decision in
+    * [[GraftLog.commitDeltaMerge]] already rewrites any shard whose
+    * suppressed fraction crosses the threshold in place, so a
+    * range-predicated UPDATE (every row of the touched shards) still
+    * lands as the group-shaped rewrite while a SCATTERED one
+    * (`user_id % 1000 = 7`, a keyed fix-up) pays dv sidecars + one
+    * delta shard instead of whole-group rewrites — a static conf
+    * cannot beat the measured fraction, so the old cow defaults for
+    * UPDATE/DELETE were strictly dominated. Escape hatches per
+    * command: `spark.graft.{merge,update,delete}.mode=cow` force the
+    * group-based copy-on-write path ([[GraftLogRowLevelOperation]]).
+    * Bucketed layouts are refused: the replacement write would need
+    * the bucket count, which the layout does not record (the
+    * [[GraftLog.compact]] rule). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!bucketed,
@@ -3784,19 +3790,18 @@ class GraftLogTable(path: String, bucketed: Boolean = false,
         case RowLevelOperation.Command.MERGE =>
           conf.get("spark.graft.merge.mode", "mor") != "cow"
         case RowLevelOperation.Command.UPDATE =>
-          // OPT-IN for UPDATE: the default group rewrite is already
-          // the right cost shape for range-predicated statements
-          // (sidecar pruning confines it to the touched groups); a
-          // SCATTERED selective update (user_id % k, a keyed fix-up)
-          // flips to merge-on-read with this conf and pays dv
-          // sidecars + one delta shard instead of group rewrites
-          conf.get("spark.graft.update.mode", "cow") == "mor"
+          // default mor (r14): the commit-time density routing picks
+          // the group-shaped rewrite for range-predicated statements
+          // anyway, so the static cow default bought nothing and
+          // cost scattered updates whole-group rewrites
+          conf.get("spark.graft.update.mode", "mor") != "cow"
         case RowLevelOperation.Command.DELETE =>
-          // same opt-in for the row-level DELETE FALLBACK (conditions
-          // that fold to neither an event_id range nor an IN-set):
-          // under mor a scattered predicate delete commits as pure
-          // deletion-vector sidecars — zero data writes of any kind
-          conf.get("spark.graft.delete.mode", "cow") == "mor"
+          // same default for the row-level DELETE FALLBACK
+          // (conditions that fold to neither an event_id range nor
+          // an IN-set): under mor a scattered predicate delete
+          // commits as pure deletion-vector sidecars — zero data
+          // writes — and a dense one rewrites in place
+          conf.get("spark.graft.delete.mode", "mor") != "cow"
         case _ => false
       }
       if (mor) new GraftLogDeltaOperation(path, info.command())

@@ -239,66 +239,79 @@ class GraftLogDeltaMergeSpec extends SparkSuite {
       .cast("double") + 1.0).count() === 0L)
   }
 
-  test("spark.graft.update.mode=mor routes a scattered UPDATE " +
-      "through deletion vectors") {
+  test("scattered UPDATE routes through deletion vectors BY DEFAULT; " +
+      "a range-predicated one takes the dense in-place rewrite; " +
+      "update.mode=cow escapes to the group rewrite") {
     val (tbl, dir) = freshTable(800, 8)
-    spark.conf.set("spark.graft.update.mode", "mor")
-    try {
-      val before = GraftLog.listShards(dir)
-        .map(s => (s.file, s.bytes)).sortBy(_._1)
-      val rw0 = GraftLog.shardsRewritten.get()
-      val gr0 = GraftLog.groupsReplaced.get()
-      // every 100th row — scattered across all 8 shards, 1% each
-      spark.sql(s"UPDATE $tbl SET value = -1 WHERE event_id % 100 = 0")
-      val after = GraftLog.listShards(dir)
-        .map(s => (s.file, s.bytes)).sortBy(_._1)
-      assert(after.intersect(before) === before,
-        "settled shards byte-untouched")
-      assert(GraftLog.shardsRewritten.get() === rw0 &&
-        GraftLog.groupsReplaced.get() === gr0,
-        "zero copy-on-write rewrites")
-      val cur = spark.read.format(fmt).load(dir)
-      assert(cur.count() === 800L)
-      assert(cur.filter($"value" === -1.0)
-        .select($"event_id").as[Long].collect().sorted.toSeq ===
-        (0L until 800L by 100L))
-    } finally spark.conf.unset("spark.graft.update.mode")
-    // default stays group-based CoW
-    val gr1 = GraftLog.groupsReplaced.get()
-    spark.sql(s"UPDATE $tbl SET value = -2 WHERE event_id = 5")
-    assert(GraftLog.groupsReplaced.get() > gr1,
-      "without the conf, UPDATE keeps the pruned group rewrite")
+    val before = GraftLog.listShards(dir)
+      .map(s => (s.file, s.bytes)).sortBy(_._1)
+    val rw0 = GraftLog.shardsRewritten.get()
+    val gr0 = GraftLog.groupsReplaced.get()
+    // every 100th row — scattered across all 8 shards, 1% each: the
+    // density decision keeps every shard SPARSE → dv + delta shard,
+    // zero conf required (r14 default routing)
+    spark.sql(s"UPDATE $tbl SET value = -1 WHERE event_id % 100 = 0")
+    val after = GraftLog.listShards(dir)
+      .map(s => (s.file, s.bytes)).sortBy(_._1)
+    assert(after.intersect(before) === before,
+      "settled shards byte-untouched")
+    assert(GraftLog.shardsRewritten.get() === rw0 &&
+      GraftLog.groupsReplaced.get() === gr0,
+      "zero copy-on-write rewrites")
+    val cur = spark.read.format(fmt).load(dir)
+    assert(cur.count() === 800L)
+    assert(cur.filter($"value" === -1.0)
+      .select($"event_id").as[Long].collect().sorted.toSeq ===
+      (0L until 800L by 100L))
+    // a RANGE-predicated UPDATE (all 100 rows of the first shard)
+    // crosses the dense threshold: the SAME default route rewrites
+    // that shard in place — the group-shaped cost, chosen at the
+    // measured fraction, not by a static conf
+    val rw1 = GraftLog.shardsRewritten.get()
+    spark.sql(s"UPDATE $tbl SET value = -3 WHERE event_id < 100")
+    assert(GraftLog.shardsRewritten.get() > rw1,
+      "a whole-shard predicate takes the dense in-place rewrite")
+    assert(GraftLog.groupsReplaced.get() === gr0,
+      "still no group-based CoW commit")
     assert(spark.read.format(fmt).load(dir)
-      .filter($"value" === -2.0).count() === 1L)
+      .filter($"value" === -3.0).count() === 100L)
+    // escape hatch: =cow forces the group-based path
+    spark.conf.set("spark.graft.update.mode", "cow")
+    try {
+      spark.sql(s"UPDATE $tbl SET value = -2 WHERE event_id = 105")
+      assert(GraftLog.groupsReplaced.get() > gr0,
+        "update.mode=cow keeps the pruned group rewrite")
+      assert(spark.read.format(fmt).load(dir)
+        .filter($"value" === -2.0).count() === 1L)
+    } finally spark.conf.unset("spark.graft.update.mode")
   }
 
-  test("spark.graft.delete.mode=mor: a scattered predicate DELETE " +
-      "commits as pure deletion vectors") {
+  test("scattered predicate DELETE commits as pure deletion vectors " +
+      "BY DEFAULT; delete.mode=cow escapes to the group rewrite") {
     val (tbl, dir) = freshTable(800, 8)
-    spark.conf.set("spark.graft.delete.mode", "mor")
+    val before = GraftLog.listShards(dir)
+      .map(s => (s.file, s.bytes)).sortBy(_._1)
+    val rw0 = GraftLog.shardsRewritten.get()
+    val gr0 = GraftLog.groupsReplaced.get()
+    // % predicate: folds to neither a range nor an IN-set, so it
+    // takes the row-level fallback — dv sidecars only, no conf
+    spark.sql(s"DELETE FROM $tbl WHERE event_id % 160 = 7")
+    assert(GraftLog.listShards(dir)
+      .map(s => (s.file, s.bytes)).sortBy(_._1) === before,
+      "NO new shards and no rewrites — the delete is pure metadata")
+    assert(GraftLog.shardsRewritten.get() === rw0 &&
+      GraftLog.groupsReplaced.get() === gr0)
+    val cur = spark.read.format(fmt).load(dir)
+    assert(cur.count() === 795L)
+    assert(cur.filter($"event_id" % 160 === 7).count() === 0L)
+    // escape hatch: =cow restores the group-based CoW fallback
+    spark.conf.set("spark.graft.delete.mode", "cow")
     try {
-      val before = GraftLog.listShards(dir)
-        .map(s => (s.file, s.bytes)).sortBy(_._1)
-      val rw0 = GraftLog.shardsRewritten.get()
-      val gr0 = GraftLog.groupsReplaced.get()
-      // % predicate: folds to neither a range nor an IN-set, so it
-      // takes the row-level fallback — under mor, dv sidecars only
-      spark.sql(s"DELETE FROM $tbl WHERE event_id % 160 = 7")
-      assert(GraftLog.listShards(dir)
-        .map(s => (s.file, s.bytes)).sortBy(_._1) === before,
-        "NO new shards and no rewrites — the delete is pure metadata")
-      assert(GraftLog.shardsRewritten.get() === rw0 &&
-        GraftLog.groupsReplaced.get() === gr0)
-      val cur = spark.read.format(fmt).load(dir)
-      assert(cur.count() === 795L)
-      assert(cur.filter($"event_id" % 160 === 7).count() === 0L)
+      spark.sql(s"DELETE FROM $tbl WHERE user_id % 19 = 3 AND " +
+        "event_id % 2 = 1")
+      assert(GraftLog.groupsReplaced.get() > gr0,
+        "delete.mode=cow keeps the group rewrite")
     } finally spark.conf.unset("spark.graft.delete.mode")
-    // default stays the group-based CoW fallback
-    val gr1 = GraftLog.groupsReplaced.get()
-    spark.sql(s"DELETE FROM $tbl WHERE user_id % 19 = 3 AND " +
-      "event_id % 2 = 1")
-    assert(GraftLog.groupsReplaced.get() > gr1,
-      "without the conf, the fallback keeps the group rewrite")
   }
 
   test("CHECK constraints gate delta-merge inserts and updates") {
