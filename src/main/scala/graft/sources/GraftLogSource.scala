@@ -411,9 +411,10 @@ object GraftLog {
   /** RENAME an evolved column — METADATA-ONLY (the line position is
     * the stable field id, Iceberg-style; no data rewrite at any
     * table size). Base columns are the format's physical contract
-    * and do not rename. Secondary index files are keyed by name, so
-    * an index on the renamed column degrades to unprunable until
-    * rebuilt under the new name — correct rows, never wrong ones. */
+    * and do not rename. Secondary index files are keyed by name and
+    * CARRY OVER to the new name ([[renameIndexFiles]] — the echoes
+    * bind to shard content and the values are the column's own, so
+    * pruning continues across the DDL with zero rebuild). */
   def renameColumn(path: String, from: String, to: String): Unit = {
     require(!bucketedSchema.fieldNames.contains(from) &&
       !schema.fieldNames.contains(from),
@@ -433,7 +434,7 @@ object GraftLog {
       entries.updated(i,
         entries(i).copy(field = entries(i).field.copy(name = to)))
     }
-    dropIndexFiles(path, from) // stale by name; rebuild under `to`
+    renameIndexFiles(path, from, to) // pruning survives the rename
   }
 
   /** DROP an evolved column — METADATA-ONLY: the slot becomes a
@@ -1870,6 +1871,34 @@ object GraftLog {
       .foreach(Files.deleteIfExists(_))
   }
 
+  /** Carry every index file of a RENAMEd column to its new name —
+    * the heal that makes rename cost NO index rebuild at all: the
+    * echo binds each file to shard CONTENT (untouched by a
+    * metadata-only DDL) and the indexed VALUES are the column's own
+    * (unchanged by a rename), so the file under the new name is
+    * exactly the index a fresh build would produce. Each move is an
+    * atomic rename; a reader racing the loop sees some files under
+    * the old name (no longer consulted → that shard is unprunable,
+    * never wrong) and the rest already healed. DROP and widen have
+    * no such heal — their values/types genuinely change — so they
+    * keep [[dropIndexFiles]]. */
+  private[sources] def renameIndexFiles(path: String, from: String,
+      to: String): Unit = {
+    val d = Paths.get(path, IndexDir)
+    if (!Files.isDirectory(d)) return
+    Seq("range", "bloom").foreach { kind =>
+      val suf = s".$from.$kind"
+      withListing(d)(_.filter(
+          _.getFileName.toString.endsWith(suf)).toSeq)
+        .foreach { p =>
+          val stem = p.getFileName.toString.stripSuffix(suf)
+          Files.move(p, d.resolve(s"$stem.$to.$kind"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+  }
+
   /** Build (or rebuild) the secondary index on `colName`. One
     * distributed pass over the pinned snapshot grouped by `_shard`;
     * per-shard results land as `_index` files written from the
@@ -2942,7 +2971,11 @@ object GraftLog {
     *    losers retry past the winner's range, so no two writers ever
     *    target one name, and task publish is an exclusive hardlink
     *    that throws instead of clobbering if the invariant is somehow
-    *    broken.
+    *    broken. Cross-PROCESS, the whole claim+link section of
+    *    [[publishAppend]] additionally holds the [[withFsLock]]
+    *    flock (r14), so shard names become visible in ascending
+    *    order machine-wide: snapshot tokens are prefix-monotonic
+    *    under concurrent appender processes, not just threads.
     *  - append ∥ compact / INSERT OVERWRITE / CoW UPDATE/MERGE —
     *    SAFE with append-wins semantics: the rewrite's output names
     *    are claimed before staging, so a racing append can never take
@@ -3010,41 +3043,71 @@ object GraftLog {
     pathLocks.computeIfAbsent(
       Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
 
-  /** CROSS-PROCESS structural mutex (r13): an advisory OS file lock
-    * (`_structural.lock`, POSIX flock via FileChannel.tryLock) held
-    * for the duration of every structural commit section — the
-    * cross-process arm of what [[lockFor]] provides in-JVM. On a
-    * filesystem that honors advisory locks this serializes two
-    * PROCESSES' swap-manifest renames, upgrading the conflict matrix
-    * from "single structural writer per table" to "structural
-    * committers serialize; losers see the bumped generation and the
-    * optimistic validation handles the rest". Object-store
-    * deployments (no flock) still need an external lock service —
-    * the same boundary Delta draws at its log store. Callers hold
-    * the in-JVM [[lockFor]] monitor first, so one JVM never
-    * double-acquires (FileLock is per-JVM). Bounded wait, loud
-    * failure: a lock held >60 s means a wedged peer, not contention. */
-  private def withFsLock[A](path: String)(body: => A): A = {
-    Files.createDirectories(Paths.get(path)) // first-DDL-on-empty-table
-    val ch = java.nio.channels.FileChannel.open(
-      Paths.get(path, "_structural.lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      var lock: java.nio.channels.FileLock = null
-      var waited = 0
-      while (lock == null) {
-        lock = ch.tryLock()
-        if (lock == null) {
-          waited += 1
-          if (waited > 600) throw new IllegalStateException(
-            s"structural lock on $path held > 60 s by another " +
-              "process — a peer committer is wedged")
-          Thread.sleep(100)
+  /** Cross-process structural-lock SPI: the one implementation point
+    * an OBJECT-STORE deployment must replace — S3-class stores have
+    * no advisory file locks, so they plug a conditional-put commit
+    * object or an external lock service (DynamoDB-style, as Delta's
+    * S3 log store does) here. The contract: `acquire` returns ONLY
+    * while holding machine-wide mutual exclusion for the table, and
+    * the handle's `close()` releases it; a provider that cannot lock
+    * must THROW (never return a non-exclusive handle) — every
+    * structural commit, schema DDL, and append publish runs inside
+    * this lock, so a silent non-lock would reintroduce every race
+    * the flock closes. */
+  trait StructuralLockProvider {
+    def acquire(tablePath: String): AutoCloseable
+  }
+
+  /** Default provider: advisory POSIX flock on `_structural.lock`
+    * (local/NFS-style filesystems that honor advisory locks).
+    * Bounded wait, loud failure: a lock held >60 s means a wedged
+    * peer, not contention. */
+  object FlockStructuralLock extends StructuralLockProvider {
+    override def acquire(path: String): AutoCloseable = {
+      Files.createDirectories(Paths.get(path)) // first-DDL-on-empty-table
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path, "_structural.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var lock: java.nio.channels.FileLock = null
+        var waited = 0
+        while (lock == null) {
+          lock = ch.tryLock()
+          if (lock == null) {
+            waited += 1
+            if (waited > 600) throw new IllegalStateException(
+              s"structural lock on $path held > 60 s by another " +
+                "process — a peer committer is wedged")
+            Thread.sleep(100)
+          }
         }
+        val l = lock
+        new AutoCloseable {
+          override def close(): Unit =
+            try l.release() finally ch.close()
+        }
+      } catch {
+        case e: Throwable =>
+          try ch.close() catch { case _: java.io.IOException => () }
+          throw e
       }
-      try body finally lock.release()
-    } finally ch.close()
+    }
+  }
+
+  /** The active provider — swap for object-store deployments before
+    * any write. Callers always hold the in-JVM [[lockFor]] monitor
+    * first, so providers only need CROSS-process exclusion. */
+  @volatile var structuralLockProvider: StructuralLockProvider =
+    FlockStructuralLock
+
+  private def withFsLock[A](path: String)(body: => A): A = {
+    val handle = structuralLockProvider.acquire(path)
+    require(handle != null,
+      s"structural lock provider ${structuralLockProvider.getClass
+        .getName} returned a null handle for $path — refusing to " +
+        "run a structural section without mutual exclusion")
+    try body finally handle.close()
   }
 
   /** Bounded optimistic retry for driver-side structural rewrites:
@@ -3088,28 +3151,32 @@ object GraftLog {
     * (caught by GraftLogConcurrencySpec: a compaction reading such a
     * token duplicated the late shard and lost the last one). Claiming
     * and linking here, in order, under the per-path lock makes
-    * in-process visibility strictly prefix-monotonic. Cross-process
-    * appenders keep collision-freedom via the claim CAS and retain a
-    * microsecond-scale reordering window (the cost of a listing-based
-    * format without a central commit log — structural rewrites are
-    * immune: their visibility is one atomic manifest). Tmps sort by
-    * partition id, so the ordered distribution's event_id clustering
-    * maps onto ascending shard names and sidecar ranges stay
-    * disjoint. */
+    * in-process visibility strictly prefix-monotonic — and the
+    * cross-process flock ([[withFsLock]], r14) extends that to
+    * concurrent PROCESSES: two appenders' claim+link sections
+    * serialize, so names become visible in ascending order
+    * machine-wide and a snapshot token can never pin a prefix that a
+    * late-publishing peer later changes (structural rewrites were
+    * already immune: their visibility is one atomic manifest). Tmps
+    * sort by partition id, so the ordered distribution's event_id
+    * clustering maps onto ascending shard names and sidecar ranges
+    * stay disjoint. */
   def publishAppend(path: String,
       pending: Seq[(String, String, Option[Long])]): Unit = {
     if (pending.nonEmpty) lockFor(path).synchronized {
-      val base = claimShardIndices(path, pending.size)
-      pending.sortBy(_._1).zipWithIndex.foreach {
-        case ((tmp, meta, ub), i) =>
-          val stem = f"shard-${base + i}%05d" +
-            ub.fold("")(u => f"-b$u%05d")
-          // exclusive: a collision here is a broken claim invariant —
-          // fail loudly rather than clobber
-          Files.createLink(Paths.get(path, s"$stem.graftlog"),
-            Paths.get(path, tmp))
-          Files.deleteIfExists(Paths.get(path, tmp))
-          writeMetaAtomic(path, s"$stem.meta", meta)
+      withFsLock(path) {
+        val base = claimShardIndices(path, pending.size)
+        pending.sortBy(_._1).zipWithIndex.foreach {
+          case ((tmp, meta, ub), i) =>
+            val stem = f"shard-${base + i}%05d" +
+              ub.fold("")(u => f"-b$u%05d")
+            // exclusive: a collision here is a broken claim
+            // invariant — fail loudly rather than clobber
+            Files.createLink(Paths.get(path, s"$stem.graftlog"),
+              Paths.get(path, tmp))
+            Files.deleteIfExists(Paths.get(path, tmp))
+            writeMetaAtomic(path, s"$stem.meta", meta)
+        }
       }
     }
     recordCommit(path)

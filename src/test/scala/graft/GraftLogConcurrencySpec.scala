@@ -20,8 +20,11 @@ import graft.sources.GraftLog
   * validates its read generation under the lock — driver-side
   * rewrites RETRY on loss (compact ∥ delete converges on the
   * combined outcome), V2 write jobs abort loudly (a re-run
-  * converges). Cross-process structural racing remains the
-  * documented single-structural-writer assumption.
+  * converges). Cross-PROCESS (r13/r14): structural commits, schema
+  * DDL, and the append publish all serialize through the advisory
+  * flock — two real JVMs appending concurrently keep snapshot
+  * tokens prefix-monotonic (gated below with a forked child
+  * process running graft.tools.AppendProc).
   */
 class GraftLogConcurrencySpec extends SparkSuite {
   import spark.implicits._
@@ -264,5 +267,103 @@ class GraftLogConcurrencySpec extends SparkSuite {
         "every row — whatever the interleaving")
     assert(!listNames(dir).exists(_.endsWith(".tmp")),
       "no orphaned staging/dv-stage tmps")
+  }
+
+  test("two PROCESSES appending: snapshot tokens never observe a " +
+      "mutated prefix (flocked publish)") {
+    val dir = tmpDir("glog-xproc").toString
+    feed(0, 200).write.format(fmt).mode("append")
+      .option("shards", 2).save(dir)
+    // child JVM: 30 publishAppend batches from id 100000 — the same
+    // job-commit path this JVM uses, but across a process boundary
+    val javaBin = Paths.get(System.getProperty("java.home"),
+      "bin", "java").toString
+    val childOut = Files.createTempFile("xproc", ".log").toFile
+    val proc = new ProcessBuilder(javaBin,
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.AppendProc", dir, "100000", "30", "20")
+      .redirectErrorStream(true)
+      .redirectOutput(childOut)
+      .start()
+    // parent appends its own 30 batches from id 200000 concurrently
+    val parentDone = Future {
+      (0 until 30).foreach { b =>
+        append(dir, 200000L + b * 20L, 200000L + (b + 1) * 20L)
+      }
+    }
+    // sampler: mint tokens DURING the race and pin each one's shard
+    // resolution the moment it is minted
+    val seen = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Seq[String])]
+    while (proc.isAlive || !parentDone.isCompleted) {
+      val tok = GraftLog.currentVersion(dir)
+      seen += ((tok, GraftLog.shardsAt(dir, Some(tok)).map(_.file)))
+      Thread.sleep(5)
+    }
+    assert(proc.waitFor() === 0,
+      s"child appender failed: ${scala.io.Source.fromFile(childOut)
+        .mkString.takeRight(400)}")
+    Await.result(parentDone, 120.seconds)
+    // prefix monotonicity: AFTER quiescence every sampled token must
+    // resolve to exactly the shard set it pinned at mint time — a
+    // late cross-process publish reordering names would mutate some
+    // token's prefix (the pre-flock failure mode)
+    seen.foreach { case (tok, files) =>
+      assert(GraftLog.shardsAt(dir, Some(tok)).map(_.file) === files,
+        s"token $tok resolved a DIFFERENT shard set after the race")
+    }
+    assert(seen.size > 10, "the sampler actually raced the appends")
+    // and both processes' rows landed exactly once
+    val got = ids(dir)
+    val want = ((0L until 200L) ++
+      (100000L until 100600L) ++ (200000L until 200600L)).sorted
+    assert(got === want)
+    assert(!listNames(dir).exists(_.endsWith(".tmp")),
+      "no orphaned publish tmps from either process")
+  }
+
+  test("structural-lock SPI: default flock provider is active; a " +
+      "misbehaving provider fails structural sections LOUDLY") {
+    val dir = tmpDir("glog-lockspi").toString
+    feed(0, 100).write.format(fmt).mode("append")
+      .option("shards", 1).save(dir)
+    assert(GraftLog.structuralLockProvider eq
+      GraftLog.FlockStructuralLock)
+    // default provider: DDL round-trips and drops the lock file in
+    GraftLog.addColumn(dir, "w",
+      org.apache.spark.sql.types.LongType, Some("1"))
+    assert(Files.exists(Paths.get(dir, "_structural.lock")))
+    val schemaBefore = GraftLog.extSchema(dir).map(_.name)
+    // a provider that cannot lock must throw — and the structural
+    // section must then NOT run (no half-applied DDL, no commit)
+    GraftLog.structuralLockProvider =
+      new GraftLog.StructuralLockProvider {
+        override def acquire(p: String): AutoCloseable =
+          throw new IllegalStateException("lock service unreachable")
+      }
+    try {
+      val e = intercept[IllegalStateException] {
+        GraftLog.addColumn(dir, "x",
+          org.apache.spark.sql.types.LongType, None)
+      }
+      assert(e.getMessage.contains("lock service unreachable"))
+      assert(GraftLog.extSchema(dir).map(_.name) === schemaBefore,
+        "the failed acquire left the schema untouched")
+      // a null-handle provider (silent non-lock) is refused too
+      GraftLog.structuralLockProvider =
+        new GraftLog.StructuralLockProvider {
+          override def acquire(p: String): AutoCloseable = null
+        }
+      intercept[IllegalArgumentException] {
+        GraftLog.addColumn(dir, "x",
+          org.apache.spark.sql.types.LongType, None)
+      }
+      assert(GraftLog.extSchema(dir).map(_.name) === schemaBefore)
+    } finally
+      GraftLog.structuralLockProvider = GraftLog.FlockStructuralLock
+    // restored: the same DDL now lands
+    GraftLog.addColumn(dir, "x",
+      org.apache.spark.sql.types.LongType, None)
+    assert(GraftLog.extSchema(dir).map(_.name) === Seq("w", "x"))
   }
 }

@@ -283,6 +283,56 @@ class GraftLogIndexSpec extends SparkSuite {
       "absent-key probe launches zero reads on the streamed table")
   }
 
+  test("RENAME COLUMN carries index files to the new name: pruning " +
+      "survives the DDL with ZERO rebuild") {
+    val dir = writeShards()
+    GraftLog.addColumn(dir, "w", org.apache.spark.sql.types.LongType,
+      Some("5"))
+    // two appended shards with SHARD-LOCAL w (400s vs 500s), so a
+    // range index on w can prove absence per shard
+    spark.range(400, 600)
+      .select($"id".as("event_id"),
+        to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+        ($"id" % 7).as("user_id"), lit("x").as("event_type"),
+        lit(1.0).as("value"), expr("(id DIV 100) * 100").as("w"))
+      .write.format(fmt).mode("append").option("shards", 2).save(dir)
+    assert(GraftLog.buildIndex(spark, dir, "w", "range") === 6)
+    def idxListing() = {
+      val l = Files.list(Paths.get(dir, "_index"))
+      try l.iterator().asScala.map(p => (p.getFileName.toString,
+        new String(Files.readAllBytes(p), "UTF-8"))).toMap
+      finally l.close()
+    }
+    val before = idxListing()
+    def probe(col: String): Long = {
+      GraftLog.filesOpened.set(0)
+      spark.read.format(fmt).load(dir)
+        .filter(org.apache.spark.sql.functions.col(col) === 400L)
+        .agg(count(lit(1))).as[Long].head()
+      GraftLog.filesOpened.get()
+    }
+    assert(probe("w") === 1, "pre-DDL: the 400s shard alone opens")
+    GraftLog.renameColumn(dir, "w", "wt")
+    // the staled-by-DDL window is CLOSED: the very next probe under
+    // the new name prunes identically — no CALL glog.index anywhere
+    assert(probe("wt") === 1,
+      "post-rename probe opens the same single shard")
+    assert(GraftLog.indexedColumns(dir) === Set("wt"))
+    val after = idxListing()
+    assert(after.keySet ===
+      before.keySet.map(_.replace(".w.range", ".wt.range")))
+    assert(after.values.toSeq.sorted === before.values.toSeq.sorted,
+      "index BYTES are carried, not rebuilt")
+    assert(GraftLog.buildIndexIncremental(spark, dir, "wt", "range")
+      === 0, "nothing is stale under the new name")
+    // correctness unchanged: the renamed column serves its values
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"wt" === 400L).count() === 100L)
+    // DROP genuinely invalidates (values are gone): files removed
+    GraftLog.dropColumn(dir, "wt")
+    assert(GraftLog.indexedColumns(dir) === Set.empty)
+  }
+
   private def catalogT(dir: String): String = {
     val base = Paths.get(dir).getParent.toString
     spark.conf.set("spark.sql.catalog.glogidxd",

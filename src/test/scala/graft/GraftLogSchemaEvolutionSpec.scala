@@ -258,11 +258,19 @@ class GraftLogSchemaEvolutionSpec extends SparkSuite {
     assert(got === 200L,
       "every row reads the new exists-default — a stale range index " +
         "[100,199] would have pruned this probe to zero rows")
-    // rename drops them too (rebuild under the new name)
+    // rename CARRIES them (r14): the echo binds to shard content and
+    // the values are the column's own, so pruning survives the DDL
+    // under the new name with zero rebuild — and nothing remains
+    // under the old name for a re-add to ghost-resolve
     GraftLog.buildIndex(spark, dir, "w", "range")
     spark.sql(s"ALTER TABLE $tbl RENAME COLUMN w TO w2")
     assert(!GraftLog.indexedColumns(dir).contains("w") &&
-      !GraftLog.indexedColumns(dir).contains("w2"))
+      GraftLog.indexedColumns(dir).contains("w2"))
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"w2" === 999999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0,
+      "the carried index proves absence under the new name")
   }
 
   test("the streaming sink survives index kinds staled by a DDL") {

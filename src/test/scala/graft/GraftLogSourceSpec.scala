@@ -693,14 +693,19 @@ class GraftLogSourceSpec extends SparkSuite {
       "stale sidecar: pruning should skip every shard below the cut")
   }
 
-  test("non-range DELETE falls back to the copy-on-write rewrite") {
+  test("non-range DELETE falls back to the copy-on-write rewrite " +
+      "under delete.mode=cow (the escape hatch)") {
     // user_id % 2 = 0 folds to no event_id range → the metadata path
     // refuses and Spark rewrites via SupportsRowLevelOperations:
-    // every group is affected (nothing prunes), all four replace
+    // every group is affected (nothing prunes), all four replace.
+    // The DEFAULT route is merge-on-read (GraftLogDeltaMergeSpec);
+    // this pins the cow escape hatch's shape.
     val dir = writeShards()
     val tbl = catalogTable(dir)
     GraftLog.shardsDropped.set(0); GraftLog.groupsReplaced.set(0)
-    spark.sql(s"DELETE FROM $tbl WHERE user_id % 2 = 0")
+    spark.conf.set("spark.graft.delete.mode", "cow")
+    try spark.sql(s"DELETE FROM $tbl WHERE user_id % 2 = 0")
+    finally spark.conf.unset("spark.graft.delete.mode")
     assert(GraftLog.shardsDropped.get() == 0,
       "a non-range delete must not take the metadata path")
     assert(GraftLog.groupsReplaced.get() == 4)
@@ -712,12 +717,17 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(left.filter($"user_id" % 2 === 0).count() == 0)
   }
 
-  test("UPDATE rewrites ONLY the pruned group and keeps its shape") {
+  test("UPDATE under update.mode=cow rewrites ONLY the pruned group " +
+      "and keeps its shape") {
     val dir = writeShards() // shards [0,99] [100,199] [200,299] [300,399]
     val tbl = catalogTable(dir)
     GraftLog.groupsReplaced.set(0)
-    spark.sql(s"UPDATE $tbl SET value = value * 2 " +
+    // the DEFAULT route is merge-on-read with a per-shard density
+    // decision (GraftLogDeltaMergeSpec); this pins the cow hatch
+    spark.conf.set("spark.graft.update.mode", "cow")
+    try spark.sql(s"UPDATE $tbl SET value = value * 2 " +
       "WHERE event_id >= 100 AND event_id < 150")
+    finally spark.conf.unset("spark.graft.update.mode")
     // sidecar pruning confines the rewrite to the [100,199] group
     assert(GraftLog.groupsReplaced.get() == 1,
       s"expected 1 replaced group, got ${GraftLog.groupsReplaced.get()}")
