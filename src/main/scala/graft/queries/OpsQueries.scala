@@ -2717,6 +2717,145 @@ object OpsQueries {
         .orderBy($"leg")
     }),
 
+    // Typed evolved columns (r14): DATE (epoch-day int tokens),
+    // TIMESTAMP (epoch-micro long tokens — the base ts encoding) and
+    // BOOLEAN round-trip the full lifecycle — ADD COLUMN DEFAULT via
+    // SQL DDL, exists-defaults materializing on pre-ALTER rows, a
+    // typed append, RENAME (metadata-only; the timestamp RANGE INDEX
+    // built under the old name keeps pruning under the new one —
+    // the r14 carry), and TIME TRAVEL resolving the pre-rename name.
+    // All sums are tz-free micros/day arithmetic the oracle replays
+    // from the feed; booleans gate the metadata-only listing, the
+    // snapshot schema resolution, and the index carry in-row.
+    "q354_typed_evolved_columns" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"tec${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      // seconds past a fixed origin → Q.dsum stays exact and small
+      def census(tsCol: String) = s.read.format(fmt).load(log)
+        .agg(count(lit(1)),
+          Q.dsum(unix_micros(col(tsCol)).cast("double") / 1000000.0
+            - 1700000000.0),
+          sum(when($"flagged", 1L).otherwise(0L)),
+          max(datediff($"day", lit("2020-01-01").cast("date")))
+            .cast("long"))
+        .as[(Long, Double, Long, Long)].head()
+      s.sql(s"ALTER TABLE glog.$tbl ADD COLUMN seen_at TIMESTAMP " +
+        "DEFAULT TIMESTAMP'2024-06-01 12:00:00'")
+      s.sql(s"ALTER TABLE glog.$tbl ADD COLUMN flagged BOOLEAN " +
+        "DEFAULT false")
+      s.sql(s"ALTER TABLE glog.$tbl ADD COLUMN day DATE " +
+        "DEFAULT DATE'2024-06-01'")
+      val t1 = census("seen_at") // every row reads the 3 defaults
+      // typed append: values derived from event_id only (tz-free)
+      ev.filter($"event_id" < n / 10)
+        .select(($"event_id" + n).as("event_id"), $"ts", $"user_id",
+          $"event_type", $"value",
+          timestamp_micros(lit(1700000000000000L)
+            + ($"event_id" + n) * 1000000L).as("seen_at"),
+          (($"event_id" + n) % 2 === 0).as("flagged"),
+          date_add(lit("2020-01-01").cast("date"),
+            (($"event_id" + n) % 1000).cast("int")).as("day"))
+        .write.format(fmt).mode("append").option("shards", 2).save(log)
+      val t2 = census("seen_at")
+      // timestamp RANGE index under the OLD name, then rename: the
+      // carried files must keep pruning under the new name
+      G.buildIndex(s, log, "seen_at", "range")
+      def probe(c: String): Long = {
+        G.filesOpened.set(0)
+        s.read.format(fmt).load(log)
+          .filter(col(c) > lit("2030-01-01 00:00:00").cast("timestamp"))
+          .agg(count(lit(1))).as[Long].head()
+        G.filesOpened.get()
+      }
+      val openedBefore = probe("seen_at") // far-future: prunes to 0
+      val preDdl = G.listShards(log).map(si => (si.file, si.bytes))
+        .sortBy(_._1)
+      val tokPre = G.currentVersion(log)
+      s.sql(s"ALTER TABLE glog.$tbl RENAME COLUMN seen_at TO observed_at")
+      val openedAfter = probe("observed_at")
+      val indexCarried = openedAfter == openedBefore &&
+        G.buildIndexIncremental(s, log, "observed_at", "range") == 0
+      val renameMetadataOnly = G.listShards(log)
+        .map(si => (si.file, si.bytes)).sortBy(_._1) == preDdl
+      val snapshotResolves = {
+        val pre = s.read.format(fmt).option("version", tokPre).load(log)
+        pre.columns.contains("seen_at") &&
+          !pre.columns.contains("observed_at")
+      }
+      val t3 = census("observed_at")
+      Seq(("t1_defaults", t1._1, t1._2, t1._3, t1._4),
+          ("t2_typed_append", t2._1, t2._2, t2._3, t2._4),
+          ("t3_after_rename", t3._1, t3._2, t3._3, t3._4))
+        .toDF("leg", "n_rows", "sum_seen_s", "n_flagged", "max_day_off")
+        .withColumn("rename_metadata_only", lit(renameMetadataOnly))
+        .withColumn("snapshot_schema_resolves", lit(snapshotResolves))
+        .withColumn("ts_index_carried_across_rename", lit(indexCarried))
+        .orderBy($"leg")
+    }),
+
+    // Dv-lifecycle observability (r14): `CALL glog.dv_stats` is the
+    // operator-facing view of the runtime merge-on-read routing —
+    // per shard, physical rows, suppressed keys, suppressed
+    // fraction, dv sidecar bytes, and the headroom left before the
+    // dense-rewrite threshold flips the next touch to an in-place
+    // rewrite. Pure metadata at any table size (shard + dv listings,
+    // one key count per file — no row data). Gated in-row with
+    // EXACT replayable anchors: after a scattered UPDATE (%211) and
+    // a scattered DELETE (%197=3), Σ phys_rows = n + |updated|
+    // (originals keep their suppressed rows physically; the delta
+    // shards add the updated copies) and Σ suppressed =
+    // |updated| + |deleted| (a row hit by both is suppressed once in
+    // its original shard and once in its delta copy); fractions all
+    // live in [0, threshold], headroom ≡ threshold − fraction, and
+    // dv bytes track suppression exactly.
+    "q355_dv_observability" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"dvo${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      s.sql(s"UPDATE glog.$tbl SET value = value + 1000 " +
+        "WHERE event_id % 211 = 0")
+      s.sql(s"DELETE FROM glog.$tbl WHERE event_id % 197 = 3")
+      val stats = s.sql(s"CALL glog.dv_stats(table => '$tbl')")
+        .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+      val threshold = 0.5
+      val sumPhys = stats.map(_._2).sum
+      val sumSuppressed = stats.map(_._3).sum
+      val fracsBounded = stats.nonEmpty &&
+        stats.forall(t => t._4 >= 0.0 && t._4 <= threshold)
+      val headroomConsistent = stats.forall(t =>
+        math.abs(t._6 - (threshold - t._4)) < 1e-12 && t._6 >= 0.0)
+      val bytesTrackSuppression =
+        stats.forall(t => (t._3 > 0L) == (t._5 > 0L))
+      // 8 originals + one delta shard per update-writing task (≥1)
+      val trackedBounded = stats.size >= 9 && stats.size <= 16
+      val t = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), Q.dsum($"value")).as[(Long, Double)].head()
+      Seq(("t1_observed", t._1, t._2, sumPhys, sumSuppressed))
+        .toDF("leg", "n_rows", "sum_value", "sum_phys_rows",
+          "total_suppressed")
+        .withColumn("fractions_bounded", lit(fracsBounded))
+        .withColumn("headroom_consistent", lit(headroomConsistent))
+        .withColumn("dv_bytes_track_suppression",
+          lit(bytesTrackSuppression))
+        .withColumn("shards_tracked_bounded", lit(trackedBounded))
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -4863,6 +5002,70 @@ object OpsQueries {
                  TRUE AS range_update_dense_rewritten,
                  TRUE AS one_commit_each
           FROM legs ORDER BY leg""",
+
+    "q354_typed_evolved_columns" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          d AS (SELECT
+                  CAST(epoch(TIMESTAMP '2024-06-01 12:00:00')
+                       - 1700000000 AS DOUBLE) AS off,
+                  CAST(DATE '2024-06-01' - DATE '2020-01-01'
+                       AS BIGINT) AS doff),
+          app AS (
+            SELECT event_id + (SELECT c FROM n) AS eid FROM events
+            WHERE event_id < (SELECT c FROM n) // 10),
+          a AS (SELECT CAST(SUM(eid) AS DOUBLE) AS s, count(*) AS k,
+                       SUM(CASE WHEN eid % 2 = 0 THEN 1 ELSE 0 END) AS f,
+                       MAX(eid % 1000) AS m
+                FROM app),
+          legs AS (
+            SELECT 't1_defaults' AS leg,
+                   (SELECT c FROM n) AS n_rows,
+                   (SELECT c FROM n) * (SELECT off FROM d) AS sum_seen_s,
+                   CAST(0 AS BIGINT) AS n_flagged,
+                   (SELECT doff FROM d) AS max_day_off
+            UNION ALL
+            SELECT 't2_typed_append',
+                   (SELECT c FROM n) + (SELECT k FROM a),
+                   (SELECT c FROM n) * (SELECT off FROM d)
+                     + (SELECT s FROM a),
+                   CAST((SELECT f FROM a) AS BIGINT),
+                   GREATEST((SELECT doff FROM d),
+                     CAST((SELECT m FROM a) AS BIGINT))
+            UNION ALL
+            SELECT 't3_after_rename',
+                   (SELECT c FROM n) + (SELECT k FROM a),
+                   (SELECT c FROM n) * (SELECT off FROM d)
+                     + (SELECT s FROM a),
+                   CAST((SELECT f FROM a) AS BIGINT),
+                   GREATEST((SELECT doff FROM d),
+                     CAST((SELECT m FROM a) AS BIGINT)))
+          SELECT leg, n_rows, sum_seen_s, n_flagged, max_day_off,
+                 TRUE AS rename_metadata_only,
+                 TRUE AS snapshot_schema_resolves,
+                 TRUE AS ts_index_carried_across_rename
+          FROM legs ORDER BY leg""",
+
+    "q355_dv_observability" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events),
+          c211 AS (SELECT count(*) AS c FROM events
+                   WHERE event_id % 211 = 0),
+          c197 AS (SELECT count(*) AS c FROM events
+                   WHERE event_id % 197 = 3),
+          fin AS (
+            SELECT CASE WHEN event_id % 211 = 0 THEN value + 1000
+                        ELSE value END AS value
+            FROM events WHERE event_id % 197 <> 3)
+          SELECT 't1_observed' AS leg, count(*) AS n_rows,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 (SELECT c FROM n) + (SELECT c FROM c211)
+                   AS sum_phys_rows,
+                 (SELECT c FROM c211) + (SELECT c FROM c197)
+                   AS total_suppressed,
+                 TRUE AS fractions_bounded,
+                 TRUE AS headroom_consistent,
+                 TRUE AS dv_bytes_track_suppression,
+                 TRUE AS shards_tracked_bounded
+          FROM fin""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

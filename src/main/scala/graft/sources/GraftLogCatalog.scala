@@ -373,6 +373,34 @@ class GraftLogCatalog extends TableCatalog
           InternalRow(g, p, res, rf, rb, curr) }.toArray
   }
 
+  /** `CALL glog.dv_stats(table)` — the operator-facing view of the
+    * merge-on-read routing (r14): per live shard, physical rows,
+    * suppressed keys, suppressed fraction, dv sidecar bytes, and the
+    * headroom left before the dense-rewrite threshold would flip the
+    * next row-level touch to an in-place rewrite. Pure metadata
+    * (shard + dv listings, one key count per dv file) — never reads
+    * row data, so it costs the sidecar class at any table size. */
+  private def dvStatsProc: MaintenanceProc = new MaintenanceProc(
+    "dv_stats",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build()),
+    new StructType(Array(
+      StructField("shard", DataTypes.StringType, nullable = false),
+      StructField("phys_rows", DataTypes.LongType, nullable = false),
+      StructField("suppressed", DataTypes.LongType, nullable = false),
+      StructField("suppressed_fraction", DataTypes.DoubleType,
+        nullable = false),
+      StructField("dv_bytes", DataTypes.LongType, nullable = false),
+      StructField("headroom_to_dense", DataTypes.DoubleType,
+        nullable = false)))) {
+    override def isDeterministic: Boolean = false // reads live state
+    override protected def run(input: InternalRow): Array[InternalRow] =
+      GraftLog.dvStats(tableDir(input.getUTF8String(0).toString))
+        .map { case (s, p, k, f, b, h) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String
+            .fromString(s), p, k, f, b, h) }.toArray
+  }
+
   /** `CALL glog.set_retention(table, retain_generations, min_age_ms)`
     * — persist the vacuum defaults on the table, so retention becomes
     * a one-time declaration instead of a per-vacuum argument. */
@@ -538,6 +566,7 @@ class GraftLogCatalog extends TableCatalog
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
     "clone" -> (() => cloneProc),
+    "dv_stats" -> (() => dvStatsProc),
     "history" -> (() => historyProc),
     "set_retention" -> (() => setRetentionProc),
     "analyze" -> (() => analyzeProc),

@@ -188,6 +188,9 @@ object GraftLog {
       case "long" => LongType
       case "double" => DoubleType
       case "string" => StringType
+      case "date" => DateType
+      case "timestamp" => TimestampType
+      case "boolean" => BooleanType
       case other => throw new IllegalStateException(
         s"corrupt extension schema in $where: unknown type $other")
     }
@@ -195,6 +198,9 @@ object GraftLog {
   private def renderExtType(dt: DataType): String = dt match {
     case LongType => "long"
     case DoubleType => "double"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case BooleanType => "boolean"
     case _ => "string"
   }
 
@@ -305,26 +311,39 @@ object GraftLog {
     extEntries(path).map(e => if (e.dropped) null else e.field.dataType)
 
   /** Parse a stored default token into the reader's internal
-    * representation (Long / Double / UTF8String). */
+    * representation (Long / Double / UTF8String / Int days /
+    * Boolean — timestamps store epoch micros, dates epoch days:
+    * the same internal renderings Catalyst literals carry, which is
+    * what the catalog's DEFAULT extraction hands us). */
   private[sources] def parseDefault(dt: DataType, tok: String): Any =
     dt match {
-      case LongType => tok.toLong
+      case LongType | TimestampType => tok.toLong
       case DoubleType => tok.toDouble
+      case DateType => tok.toInt
+      case BooleanType => tok.toBoolean
       case _ => UTF8String.fromString(tok)
     }
 
   /** Append one evolved column (ALTER TABLE ADD COLUMN [DEFAULT d]).
     * The updated extension file lands by atomic rename — a reader
     * sees the old or the new schema, never a torn file.
-    * Long/double/string only (the line format's scalar types);
-    * duplicates and base-column collisions are rejected; a string
-    * default must not contain the format's separators. */
+    * BIGINT/DOUBLE/STRING plus DATE (epoch-day int tokens),
+    * TIMESTAMP (epoch-micro long tokens — the base `ts` encoding)
+    * and BOOLEAN (`true`/`false` tokens); duplicates and base-column
+    * collisions are rejected; a string default must not contain the
+    * format's separators. Other types stay refused on purpose: the
+    * line format renders one token per slot, and every supported
+    * type has a total, order-preserving token form — nested/binary/
+    * decimal types would need an escaping layer the format does not
+    * have, so refusing them loudly beats encoding them wrong. */
   def addColumn(path: String, name: String, dt: DataType,
       default: Option[String] = None): Unit = {
     dt match {
-      case LongType | DoubleType | StringType => ()
+      case LongType | DoubleType | StringType
+           | DateType | TimestampType | BooleanType => ()
       case other => throw new UnsupportedOperationException(
-        s"graftlog ADD COLUMN supports BIGINT/DOUBLE/STRING, got $other")
+        "graftlog ADD COLUMN supports BIGINT/DOUBLE/STRING/DATE/" +
+          s"TIMESTAMP/BOOLEAN, got $other")
     }
     default.foreach { d =>
       require(!d.contains('|') && !d.contains('\n'),
@@ -2071,7 +2090,7 @@ object GraftLog {
             s"column $other does not exist on graftlog table $path " +
               "(or is not indexable)"))
         val str = col.field.dataType match {
-          case LongType => false
+          case LongType | TimestampType => false // micros = long tokens
           case StringType => true
           case dt => throw new IllegalArgumentException(
             s"index on $other: unsupported type ${dt.sql}")
@@ -2740,8 +2759,10 @@ object GraftLog {
         val idx = o + 5 + k
         if (r.isNullAt(idx)) sb.append(NullToken)
         else extSlots(j) match {
-          case LongType => sb.append(r.getLong(idx))
+          case LongType | TimestampType => sb.append(r.getLong(idx))
           case DoubleType => sb.append(r.getDouble(idx))
+          case DateType => sb.append(r.getInt(idx))
+          case BooleanType => sb.append(r.getBoolean(idx))
           case _ => sb.append(r.getUTF8String(idx).toString)
         }
         k += 1
@@ -2941,6 +2962,42 @@ object GraftLog {
       (dvs.size, dense.size)
       } catch { case e: Throwable => cleanupAll(); throw e }
     }
+
+  /** Dv-lifecycle observability (`CALL glog.dv_stats`): per live
+    * shard, the suppression state an operator needs to SEE the
+    * runtime density routing — physical rows (sidecar), suppressed
+    * key count, suppressed fraction, dv sidecar bytes, and the
+    * remaining headroom to the dense-rewrite threshold (negative
+    * would mean "the next touch rewrites this shard in place").
+    * Metadata-class at any table size: one shard listing + one dv
+    * listing + one key count per dv file — no row data is read.
+    * Returns (shardName, physRows, suppressed, fraction, dvBytes,
+    * headroomToDense) for every live shard; shards without a
+    * sidecar report physRows = -1 (run CALL glog.analyze). */
+  def dvStats(path: String): Seq[(String, Long, Long, Double, Long,
+      Double)] = {
+    val threshold =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.merge.dv.maxSuppressedFraction", "0.5").toDouble
+      catch { case scala.util.control.NonFatal(_) => 0.5 }
+    val shards = listShards(path)
+    val dvs = dvMap(path, shards, generation(path))
+    shards.map { si =>
+      val name = Paths.get(si.file).getFileName.toString
+      val phys = si.stats.map(_._3).getOrElse(-1L)
+      dvs.get(name) match {
+        case Some(f) =>
+          val keys = dvKeys(f).length.toLong
+          val frac =
+            if (phys > 0L) keys.toDouble / phys else 0.0
+          (name, phys, keys, frac,
+            try Files.size(Paths.get(f))
+            catch { case _: java.io.IOException => 0L },
+            threshold - frac)
+        case None => (name, phys, 0L, 0.0, 0L, threshold)
+      }
+    }.sortBy(_._1)
+  }
 
   /** Fold a pushed DELETE condition into a discrete key SET — the
     * merge-on-read routing: `DELETE … WHERE event_id IN (…)` lands
@@ -5758,6 +5815,8 @@ class GraftLogColumnarReader(file: String,
               if (pos >= parts.length && default != null) default match {
                 case l: Long => vectors(c).putLong(n, l)
                 case d: Double => vectors(c).putDouble(n, d)
+                case i: Int => vectors(c).putInt(n, i) // DATE days
+                case b: Boolean => vectors(c).putBoolean(n, b)
                 case u: UTF8String =>
                   val b = u.getBytes
                   vectors(c).putByteArray(n, b, 0, b.length)
@@ -5770,6 +5829,10 @@ class GraftLogColumnarReader(file: String,
                   vectors(c).putLong(n, parts(pos).toLong)
                 case DoubleType =>
                   vectors(c).putDouble(n, parts(pos).toDouble)
+                case DateType =>
+                  vectors(c).putInt(n, parts(pos).toInt)
+                case BooleanType =>
+                  vectors(c).putBoolean(n, parts(pos).toBoolean)
                 case _ =>
                   val b = parts(pos).getBytes(StandardCharsets.UTF_8)
                   vectors(c).putByteArray(n, b, 0, b.length)
@@ -5850,6 +5913,8 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
                 else dt match {
                   case LongType | TimestampType => parts(pos).toLong
                   case DoubleType => parts(pos).toDouble
+                  case DateType => parts(pos).toInt
+                  case BooleanType => parts(pos).toBoolean
                   case _ => UTF8String.fromString(parts(pos))
                 }
               case GraftLog.UbCol => ub.getOrElse(

@@ -293,4 +293,35 @@ class DeletionVectorSpec extends SparkSuite {
     assert(ids(dir) === (0L until 100L),
       "a vector whose echo mismatches the serving file never applies")
   }
+
+  test("CALL glog.dv_stats reports per-shard suppression, fraction, " +
+      "bytes and dense-threshold headroom — pure metadata") {
+    val base = tmpDir("glog-dvstats").toString
+    spark.conf.set("spark.sql.catalog.glogdvs",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogdvs.base", base)
+    val dir = s"$base/t"
+    feed(0, 300).write.format(fmt).mode("append")
+      .option("shards", 3).save(dir)
+    def stats() = spark.sql("CALL glogdvs.dv_stats(table => 't')")
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .toSeq.sortBy(_._1)
+    // clean table: zero suppression everywhere, full headroom
+    val s0 = stats()
+    assert(s0.size === 3 &&
+      s0.forall(t => t._2 === 100L && t._3 === 0L && t._4 === 0.0 &&
+        t._5 === 0L && t._6 === 0.5))
+    GraftLog.deleteVectors(dir, Seq(5L, 6L, 105L))
+    GraftLog.filesOpened.set(0)
+    val s1 = stats()
+    assert(GraftLog.filesOpened.get() === 0,
+      "dv_stats reads NO row data — sidecar/dv listings only")
+    assert(s1.map(_._3) === Seq(2L, 1L, 0L),
+      "per-shard suppressed key counts are exact")
+    assert(s1.map(t => math.round(t._4 * 100)) === Seq(2L, 1L, 0L))
+    assert(s1.forall(t => math.abs(t._6 - (0.5 - t._4)) < 1e-12))
+    assert(s1.count(_._5 > 0L) === 2, "dv bytes track the sidecars")
+    // phys_rows is the PHYSICAL sidecar count (suppressed included)
+    assert(s1.map(_._2).sum === 300L)
+  }
 }

@@ -306,4 +306,63 @@ class GraftLogSchemaEvolutionSpec extends SparkSuite {
       .option("sinceVersion", tok0).load(dir).count() === 0L,
       "metadata-only commits change no rows — the feed is empty")
   }
+
+  test("DATE/TIMESTAMP/BOOLEAN evolved columns: typed defaults, " +
+      "typed appends, explicit NULLs, and time travel") {
+    import org.apache.spark.sql.types.{BooleanType, DateType,
+      TimestampType}
+    val (tbl, dir) = freshTable(100, 2)
+    val tok0 = GraftLog.currentVersion(dir)
+    // internal-token defaults: epoch-day int, epoch-micro long, bool
+    val day0 = java.time.LocalDate.parse("2024-06-01").toEpochDay
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN d DATE " +
+      "DEFAULT DATE'2024-06-01'")
+    GraftLog.addColumn(dir, "t", TimestampType,
+      Some("1700000000000000"))
+    GraftLog.addColumn(dir, "b", BooleanType, Some("true"))
+    val df0 = spark.read.format(fmt).load(dir)
+    assert(df0.schema("d").dataType === DateType)
+    assert(df0.schema("t").dataType === TimestampType)
+    assert(df0.schema("b").dataType === BooleanType)
+    // exists-defaults materialize on every pre-ALTER row
+    assert(df0.filter($"d" === lit("2024-06-01").cast("date") &&
+      unix_micros($"t") === 1700000000000000L && $"b").count() === 100L)
+    // typed append with explicit values AND explicit NULLs
+    feed(100, 110)
+      .withColumn("d", when($"event_id" % 2 === 0,
+        date_add(lit("2024-06-01").cast("date"), 1)))
+      .withColumn("t", when($"event_id" % 2 === 0,
+        timestamp_micros(lit(1700000000000001L))))
+      .withColumn("b", when($"event_id" % 2 === 0, lit(false)))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    val app = spark.read.format(fmt).load(dir)
+      .filter($"event_id" >= 100)
+    assert(app.filter($"d".isNull).count() === 5,
+      "explicit NULLs round-trip (NullToken, not the default)")
+    assert(app.filter($"b" === false).count() === 5)
+    assert(app.filter(unix_micros($"t") === 1700000000000001L)
+      .count() === 5)
+    assert(app.filter($"d" === date_add(
+      lit("2024-06-01").cast("date"), 1)).count() === 5)
+    assert(day0 === 19875L, "epoch-day sanity for the stored token")
+    // widen stays BIGINT→DOUBLE only — the typed columns refuse
+    Seq("d", "t", "b").foreach { c =>
+      intercept[IllegalArgumentException] {
+        GraftLog.widenColumn(dir, c)
+      }
+    }
+    // rename + time travel: each snapshot reads its own schema
+    GraftLog.renameColumn(dir, "t", "t2")
+    assert(spark.read.format(fmt).load(dir).columns.contains("t2"))
+    val pre = spark.read.format(fmt).option("version", tok0).load(dir)
+    assert(!pre.columns.contains("d") && !pre.columns.contains("t") &&
+      !pre.columns.contains("b") && !pre.columns.contains("t2"),
+      "the baseline token predates every typed column")
+    // catalog DDL refuses non-tokenizable types loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN z DECIMAL(10,2)")
+    }
+    assert(e.getMessage.contains("BIGINT/DOUBLE/STRING/DATE/" +
+      "TIMESTAMP/BOOLEAN") || e.getCause != null)
+  }
 }
