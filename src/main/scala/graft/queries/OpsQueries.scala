@@ -4883,6 +4883,12 @@ object OpsQueries {
             UNION ALL
             SELECT 't2_after_append', * FROM app)
           SELECT leg, n_rows, min_event_id, max_event_id, sum_value,
+                 -- 8/2/0 are pinned by the query's own FIXTURE shape
+                 -- (eventsLog(_, _, 8) seeds 8 shards; the append is
+                 -- option("shards", 2); the no-op pass is 0 by the
+                 -- incremental contract) — NOT by data distribution,
+                 -- so they hold at any SF (the q349-boolean rule:
+                 -- scale-free anchors only)
                  CAST(8 AS BIGINT) AS n_full_indexed,
                  CAST(2 AS BIGINT) AS n_incremental_indexed,
                  CAST(0 AS BIGINT) AS n_noop_indexed,

@@ -1004,9 +1004,11 @@ class GraftLogSourceSpec extends SparkSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl DROP COLUMN value")
     }
-    // unsupported added type (timestamps would need tz/encoding rules)
+    // unsupported added type (nested/decimal/binary would need an
+    // escaping layer the line format does not have — r14 widened the
+    // supported set to DATE/TIMESTAMP/BOOLEAN, so probe past it)
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMN t2 TIMESTAMP")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN t2 DECIMAL(10,2)")
     }
     // duplicate name
     spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
