@@ -1807,7 +1807,10 @@ object GraftLog {
   }
 
   /** External filter value → the index's long domain. Timestamps
-    * compare as epoch micros (the format's stored representation). */
+    * compare as epoch micros, dates as epoch DAYS — each matching
+    * the format's stored token for its column type, so a probe value
+    * and an index body always share a unit (a date column only ever
+    * receives date probes). */
   private[sources] def idxLong(v: Any): Option[Long] = v match {
     case l: java.lang.Long => Some(l)
     case i: java.lang.Integer => Some(i.toLong)
@@ -1821,6 +1824,10 @@ object GraftLog {
     case i: java.time.Instant =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
         .instantToMicros(i))
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toLong)
     case _ => None
   }
 
@@ -1941,9 +1948,10 @@ object GraftLog {
     kind match {
       case "range" =>
         require(dt == LongType || dt == IntegerType ||
-            dt == TimestampType || dt == TimestampNTZType,
-          s"range index needs an integral or timestamp column, " +
-            s"$colName is ${dt.sql}")
+            dt == TimestampType || dt == TimestampNTZType ||
+            dt == DateType,
+          s"range index needs an integral, timestamp or date " +
+            s"column, $colName is ${dt.sql}")
         // metadata-scale result (#shards rows): driver write is fine
         val rows = df.groupBy("_shard")
           .agg(org.apache.spark.sql.functions.min(colName).as("lo"),
@@ -2090,7 +2098,8 @@ object GraftLog {
             s"column $other does not exist on graftlog table $path " +
               "(or is not indexable)"))
         val str = col.field.dataType match {
-          case LongType | TimestampType => false // micros = long tokens
+          // micros / epoch-day tokens are both long-parsable
+          case LongType | TimestampType | DateType => false
           case StringType => true
           case dt => throw new IllegalArgumentException(
             s"index on $other: unsupported type ${dt.sql}")

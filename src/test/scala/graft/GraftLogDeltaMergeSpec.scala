@@ -334,6 +334,41 @@ class GraftLogDeltaMergeSpec extends SparkSuite {
       .as[Double].head() === 10.0)
   }
 
+  test("merge-on-read UPDATE round-trips evolved columns (typed " +
+      "slots render through the delta writer)") {
+    val (tbl, dir) = freshTable(400, 4)
+    GraftLog.addColumn(dir, "w",
+      org.apache.spark.sql.types.LongType, Some("7"))
+    GraftLog.addColumn(dir, "ok",
+      org.apache.spark.sql.types.BooleanType, Some("true"))
+    // rows 400-449 carry explicit w/ok; earlier rows read defaults
+    feed(400, 450)
+      .withColumn("w", $"event_id" * 2L)
+      .withColumn("ok", $"event_id" % 2 === 0)
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    val rw0 = GraftLog.shardsRewritten.get()
+    val gr0 = GraftLog.groupsReplaced.get()
+    // scattered: updates rows in BOTH the default-era shards and the
+    // typed shard — the delta writer must re-render every slot
+    spark.sql(s"UPDATE $tbl SET w = w + 1, ok = NOT ok " +
+      "WHERE event_id % 50 = 2")
+    assert(GraftLog.shardsRewritten.get() === rw0 &&
+      GraftLog.groupsReplaced.get() === gr0, "pure merge-on-read")
+    val cur = spark.read.format(fmt).load(dir)
+    assert(cur.count() === 450L)
+    // default-era row 2: w 7→8, ok true→false
+    assert(cur.filter($"event_id" === 2L)
+      .select($"w", $"ok").as[(Long, Boolean)].head() === ((8L, false)))
+    // typed row 402 (402 % 50 = 2): w 804→805, ok true→false
+    assert(cur.filter($"event_id" === 402L)
+      .select($"w", $"ok").as[(Long, Boolean)].head() === ((805L, false)))
+    // untouched rows keep their values/defaults
+    assert(cur.filter($"event_id" === 6L)
+      .select($"w", $"ok").as[(Long, Boolean)].head() === ((7L, true)))
+    assert(cur.filter($"event_id" === 440L)
+      .select($"w", $"ok").as[(Long, Boolean)].head() === ((880L, true)))
+  }
+
   test("insert-heavy merge spills sorted runs — heap-capped, same " +
       "bytes as the in-heap path") {
     val (tbl, dir) = freshTable(200, 2)

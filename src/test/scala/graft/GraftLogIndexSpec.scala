@@ -333,6 +333,48 @@ class GraftLogIndexSpec extends SparkSuite {
     assert(GraftLog.indexedColumns(dir) === Set.empty)
   }
 
+  test("range index on an evolved DATE column prunes by epoch-day " +
+      "tokens") {
+    val dir = writeShards()
+    GraftLog.addColumn(dir, "day",
+      org.apache.spark.sql.types.DateType)
+    // two appended shards with disjoint month-local day domains
+    spark.range(400, 600)
+      .select($"id".as("event_id"),
+        to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+        ($"id" % 7).as("user_id"), lit("x").as("event_type"),
+        lit(1.0).as("value"),
+        date_add(lit("2024-01-01").cast("date"),
+          when($"id" < 500, ($"id" % 20).cast("int"))
+            .otherwise(lit(40) + ($"id" % 20).cast("int"))).as("day"))
+      .write.format(fmt).mode("append").option("shards", 2).save(dir)
+    // base shards have NULL day (no default) → range writes nothing
+    // for them: they stay unprunable for day probes — correct rows
+    assert(GraftLog.buildIndex(spark, dir, "day", "range") === 6)
+    def probe(d: String): Long = {
+      GraftLog.filesOpened.set(0)
+      spark.read.format(fmt).load(dir)
+        .filter($"day" === lit(d).cast("date"))
+        .agg(count(lit(1))).as[Long].head()
+      GraftLog.filesOpened.get()
+    }
+    // '2024-01-05' lives only in the first appended shard; the 4
+    // base shards have NO index entry (all-NULL day) so they open
+    assert(probe("2024-01-05") === 5,
+      "the second appended shard (days 40-59) proves absence")
+    assert(probe("2024-02-15") === 5,
+      "day 45 lives only in the second appended shard")
+    assert(probe("2030-01-01") === 4,
+      "a far-future day opens only the unindexable base shards")
+    // results stay exact under pruning
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"day" === lit("2024-01-05").cast("date")).count() ===
+      spark.range(400, 500).filter(expr("id % 20 = 4")).count())
+    // incremental maintenance handles the date tokens too
+    assert(GraftLog.buildIndexIncremental(spark, dir, "day", "range")
+      === 0)
+  }
+
   private def catalogT(dir: String): String = {
     val base = Paths.get(dir).getParent.toString
     spark.conf.set("spark.sql.catalog.glogidxd",
