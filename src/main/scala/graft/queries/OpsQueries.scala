@@ -2856,6 +2856,56 @@ object OpsQueries {
         .withColumn("shards_tracked_bounded", lit(trackedBounded))
     }),
 
+    // `CALL glog.describe` (r14) — the DESCRIBE DETAIL of the
+    // format: one metadata row (generation, shard/row/byte totals
+    // from sidecars, dv census, evolved-column census incl.
+    // tombstones, constraint/index counts, retention, layout) with
+    // ZERO row reads at any table size. The counts below are pinned
+    // by the query's own FIXTURE shape (8-shard seed, one live +
+    // one tombstoned evolved column, one constraint, one index, one
+    // IN-list dv delete, retention 5) — not by data distribution,
+    // so they hold at any SF; n_rows is the PHYSICAL sidecar sum
+    // (dv-suppressed rows still occupy lines), and the visible
+    // census is replayed by the oracle.
+    "q356_describe_detail" -> ((s, dir) => {
+      import s.implicits._
+      val fmt = "graft.sources.GraftLogSource"
+      val G = graft.sources.GraftLog
+      s.conf.set("spark.sql.catalog.glog", "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.glog.base", GlogFixtures.CatBase)
+      val tbl = s"dsc${runId.incrementAndGet()}"
+      val out = java.nio.file.Paths.get(s"${GlogFixtures.CatBase}/$tbl")
+      GlogFixtures.freshCopyInto(GlogFixtures.eventsLog(s, dir, 8), out)
+      val log = out.toString
+      val ev = Tables.table(s, dir, "events")
+      val n = ev.count()
+      G.addColumn(log, "w", org.apache.spark.sql.types.LongType,
+        Some("1"))
+      G.addColumn(log, "x", org.apache.spark.sql.types.StringType)
+      G.dropColumn(log, "x")
+      G.addConstraint(s, log, "v_known", "value IS NOT NULL")
+      G.buildIndex(s, log, "ts", "range")
+      s.sql(s"DELETE FROM glog.$tbl WHERE event_id IN (3, 5, 8)")
+      G.setRetention(log, retainGenerations = 5, minAgeMs = 0L)
+      G.filesOpened.set(0)
+      val d = s.sql(s"CALL glog.describe(table => '$tbl')")
+        .as[(Long, Int, Long, Long, Long, Int, Int, Int, Int, Int,
+          Long, Boolean)].head()
+      val zeroRowReads = G.filesOpened.get() == 0L
+      val t = s.read.format(fmt).load(log)
+        .agg(count(lit(1)), Q.dsum($"value")).as[(Long, Double)].head()
+      Seq(("t1_described", t._1, t._2, d._3, d._2.toLong, d._5,
+          d._6.toLong, d._7.toLong, d._8.toLong, d._9.toLong,
+          d._10.toLong))
+        .toDF("leg", "n_visible", "sum_value", "n_phys_rows",
+          "n_shards", "n_dv_files", "n_evolved_cols",
+          "n_dropped_slots", "n_constraints", "n_indexed_cols",
+          "retain_generations")
+        .withColumn("zero_row_reads", lit(zeroRowReads))
+        .withColumn("unbucketed", lit(!d._12))
+        .withColumn("bytes_positive", lit(d._4 > 0L))
+    }),
+
     // Column-level encryption round-trip — the data-at-rest
     // governance surface (PII columns encrypted in the lake, decrypted
     // only inside the job): aes_encrypt/aes_decrypt in ECB/PKCS7
@@ -5072,6 +5122,30 @@ object OpsQueries {
                  TRUE AS dv_bytes_track_suppression,
                  TRUE AS shards_tracked_bounded
           FROM fin""",
+
+    "q356_describe_detail" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM events)
+          SELECT 't1_described' AS leg,
+                 count(*) AS n_visible,
+                 ${Q.dsumSql("value")} AS sum_value,
+                 -- physical rows: dv-suppressed lines still occupy
+                 -- their shards
+                 (SELECT c FROM n) AS n_phys_rows,
+                 -- fixture-pinned (q350 rule): 8-shard seed, one dv
+                 -- commit, one live + one tombstoned evolved column,
+                 -- one constraint, one indexed column, retention 5 —
+                 -- all set by the query itself, scale-free
+                 CAST(8 AS BIGINT) AS n_shards,
+                 CAST(1 AS BIGINT) AS n_dv_files,
+                 CAST(1 AS BIGINT) AS n_evolved_cols,
+                 CAST(1 AS BIGINT) AS n_dropped_slots,
+                 CAST(1 AS BIGINT) AS n_constraints,
+                 CAST(1 AS BIGINT) AS n_indexed_cols,
+                 CAST(5 AS BIGINT) AS retain_generations,
+                 TRUE AS zero_row_reads,
+                 TRUE AS unbucketed,
+                 TRUE AS bytes_positive
+          FROM events WHERE event_id NOT IN (3, 5, 8)""",
 
     "q338_streaming_change_feed" ->
       s"""WITH n AS (SELECT count(*) AS c FROM events),

@@ -373,6 +373,41 @@ class GraftLogCatalog extends TableCatalog
           InternalRow(g, p, res, rf, rb, curr) }.toArray
   }
 
+  /** `CALL glog.describe(table)` — one-row table summary (r14): the
+    * DESCRIBE DETAIL of the format. Listings only; n_rows is -1 when
+    * any sidecar is missing (CALL glog.analyze restores it) rather
+    * than a silently wrong count. */
+  private def describeProc: MaintenanceProc = new MaintenanceProc(
+    "describe",
+    Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build()),
+    new StructType(Array(
+      StructField("generation", DataTypes.LongType, nullable = false),
+      StructField("n_shards", DataTypes.IntegerType, nullable = false),
+      StructField("n_rows", DataTypes.LongType, nullable = false),
+      StructField("total_bytes", DataTypes.LongType, nullable = false),
+      StructField("n_dv_files", DataTypes.LongType, nullable = false),
+      StructField("n_evolved_cols", DataTypes.IntegerType,
+        nullable = false),
+      StructField("n_dropped_slots", DataTypes.IntegerType,
+        nullable = false),
+      StructField("n_constraints", DataTypes.IntegerType,
+        nullable = false),
+      StructField("n_indexed_cols", DataTypes.IntegerType,
+        nullable = false),
+      StructField("retain_generations", DataTypes.IntegerType,
+        nullable = false),
+      StructField("min_age_ms", DataTypes.LongType, nullable = false),
+      StructField("bucketed", DataTypes.BooleanType,
+        nullable = false)))) {
+    override def isDeterministic: Boolean = false // reads live state
+    override protected def run(input: InternalRow): Array[InternalRow] = {
+      val (g, ns, nr, tb, dv, ev, dr, cs, ix, rg, ma, bk) =
+        GraftLog.describe(tableDir(input.getUTF8String(0).toString))
+      Array(InternalRow(g, ns, nr, tb, dv, ev, dr, cs, ix, rg, ma, bk))
+    }
+  }
+
   /** `CALL glog.dv_stats(table)` — the operator-facing view of the
     * merge-on-read routing (r14): per live shard, physical rows,
     * suppressed keys, suppressed fraction, dv sidecar bytes, and the
@@ -566,6 +601,7 @@ class GraftLogCatalog extends TableCatalog
     "vacuum" -> (() => vacuumProc),
     "compact" -> (() => compactProc),
     "clone" -> (() => cloneProc),
+    "describe" -> (() => describeProc),
     "dv_stats" -> (() => dvStatsProc),
     "history" -> (() => historyProc),
     "set_retention" -> (() => setRetentionProc),

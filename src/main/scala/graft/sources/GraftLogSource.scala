@@ -190,6 +190,7 @@ object GraftLog {
       case "string" => StringType
       case "date" => DateType
       case "timestamp" => TimestampType
+      case "timestamp_ntz" => TimestampNTZType
       case "boolean" => BooleanType
       case other => throw new IllegalStateException(
         s"corrupt extension schema in $where: unknown type $other")
@@ -200,6 +201,7 @@ object GraftLog {
     case DoubleType => "double"
     case DateType => "date"
     case TimestampType => "timestamp"
+    case TimestampNTZType => "timestamp_ntz"
     case BooleanType => "boolean"
     case _ => "string"
   }
@@ -317,7 +319,7 @@ object GraftLog {
     * what the catalog's DEFAULT extraction hands us). */
   private[sources] def parseDefault(dt: DataType, tok: String): Any =
     dt match {
-      case LongType | TimestampType => tok.toLong
+      case LongType | TimestampType | TimestampNTZType => tok.toLong
       case DoubleType => tok.toDouble
       case DateType => tok.toInt
       case BooleanType => tok.toBoolean
@@ -340,10 +342,11 @@ object GraftLog {
       default: Option[String] = None): Unit = {
     dt match {
       case LongType | DoubleType | StringType
-           | DateType | TimestampType | BooleanType => ()
+           | DateType | TimestampType | TimestampNTZType
+           | BooleanType => ()
       case other => throw new UnsupportedOperationException(
         "graftlog ADD COLUMN supports BIGINT/DOUBLE/STRING/DATE/" +
-          s"TIMESTAMP/BOOLEAN, got $other")
+          s"TIMESTAMP/TIMESTAMP_NTZ/BOOLEAN, got $other")
     }
     default.foreach { d =>
       require(!d.contains('|') && !d.contains('\n'),
@@ -2099,7 +2102,8 @@ object GraftLog {
               "(or is not indexable)"))
         val str = col.field.dataType match {
           // micros / epoch-day tokens are both long-parsable
-          case LongType | TimestampType | DateType => false
+          case LongType | TimestampType | TimestampNTZType
+               | DateType => false
           case StringType => true
           case dt => throw new IllegalArgumentException(
             s"index on $other: unsupported type ${dt.sql}")
@@ -2768,7 +2772,8 @@ object GraftLog {
         val idx = o + 5 + k
         if (r.isNullAt(idx)) sb.append(NullToken)
         else extSlots(j) match {
-          case LongType | TimestampType => sb.append(r.getLong(idx))
+          case LongType | TimestampType | TimestampNTZType =>
+            sb.append(r.getLong(idx))
           case DoubleType => sb.append(r.getDouble(idx))
           case DateType => sb.append(r.getInt(idx))
           case BooleanType => sb.append(r.getBoolean(idx))
@@ -3006,6 +3011,33 @@ object GraftLog {
         case None => (name, phys, 0L, 0.0, 0L, threshold)
       }
     }.sortBy(_._1)
+  }
+
+  /** Table-level summary (`CALL glog.describe`): one metadata pass —
+    * generation, shard/row/byte totals from sidecars (rows = -1 when
+    * any sidecar is missing: run CALL glog.analyze rather than lie),
+    * dv sidecar count, evolved-column census (live + tombstoned
+    * slots), constraint and indexed-column counts, the stored
+    * retention policy, and the layout flavor. Listings only — zero
+    * row reads at any table size. */
+  def describe(path: String): (Long, Int, Long, Long, Long, Int, Int,
+      Int, Int, Int, Long, Boolean) = {
+    val shards = listShards(path)
+    val rows =
+      if (shards.forall(_.stats.isDefined))
+        shards.flatMap(_.stats).map(_._3).sum
+      else -1L
+    val dvd = Paths.get(path, DvDir)
+    val nDv =
+      if (!Files.isDirectory(dvd)) 0L
+      else withListing(dvd)(_.count(
+        _.getFileName.toString.endsWith(".dv")).toLong)
+    val entries = extEntries(path)
+    val (retain, minAge) = retentionPolicy(path)
+    (generation(path), shards.size, rows, shards.map(_.bytes).sum,
+      nDv, entries.count(!_.dropped), entries.count(_.dropped),
+      constraints(path).size, indexedColumns(path).size,
+      retain, minAge, isBucketed(path))
   }
 
   /** Fold a pushed DELETE condition into a discrete key SET — the
@@ -5834,7 +5866,7 @@ class GraftLogColumnarReader(file: String,
                   (pos >= 5 && parts(pos) == GraftLog.NullToken))
                 vectors(c).putNull(n)
               else dt match {
-                case LongType | TimestampType =>
+                case LongType | TimestampType | TimestampNTZType =>
                   vectors(c).putLong(n, parts(pos).toLong)
                 case DoubleType =>
                   vectors(c).putDouble(n, parts(pos).toDouble)
@@ -5920,7 +5952,8 @@ class GraftLogReader(file: String, refs: Array[GraftLog.ColRef],
                 else if (pos >= 5 && parts(pos) == GraftLog.NullToken)
                   null
                 else dt match {
-                  case LongType | TimestampType => parts(pos).toLong
+                  case LongType | TimestampType | TimestampNTZType =>
+                    parts(pos).toLong
                   case DoubleType => parts(pos).toDouble
                   case DateType => parts(pos).toInt
                   case BooleanType => parts(pos).toBoolean

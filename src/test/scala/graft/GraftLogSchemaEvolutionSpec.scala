@@ -358,11 +358,23 @@ class GraftLogSchemaEvolutionSpec extends SparkSuite {
     assert(!pre.columns.contains("d") && !pre.columns.contains("t") &&
       !pre.columns.contains("b") && !pre.columns.contains("t2"),
       "the baseline token predates every typed column")
+    // TIMESTAMP_NTZ rides the same epoch-micro tokens
+    GraftLog.addColumn(dir, "tn",
+      org.apache.spark.sql.types.TimestampNTZType,
+      Some("1700000000000000"))
+    val ntz = spark.read.format(fmt).load(dir)
+    assert(ntz.schema("tn").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    // 1700000000000000 µs = 2023-11-14T22:13:20 wall time (NTZ has
+    // no zone by definition)
+    assert(ntz.filter($"tn" === lit("2023-11-14 22:13:20")
+      .cast("timestamp_ntz")).count() === 110L,
+      "NTZ default materializes on every row")
     // catalog DDL refuses non-tokenizable types loudly
     val e = intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMN z DECIMAL(10,2)")
     }
     assert(e.getMessage.contains("BIGINT/DOUBLE/STRING/DATE/" +
-      "TIMESTAMP/BOOLEAN") || e.getCause != null)
+      "TIMESTAMP/TIMESTAMP_NTZ/BOOLEAN") || e.getCause != null)
   }
 }

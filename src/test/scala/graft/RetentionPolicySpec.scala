@@ -94,6 +94,42 @@ class RetentionPolicySpec extends SparkSuite {
     }
   }
 
+  test("CALL glog.describe: one-row metadata summary, zero row reads") {
+    val dir = tmpDir("glog-desc").toString
+    feed(0, 200).write.format(fmt).mode("append")
+      .option("shards", 2).save(dir)
+    GraftLog.addColumn(dir, "w",
+      org.apache.spark.sql.types.LongType, Some("1"))
+    GraftLog.addColumn(dir, "x",
+      org.apache.spark.sql.types.StringType, None)
+    GraftLog.dropColumn(dir, "x")
+    GraftLog.addConstraint(spark, dir, "v_pos", "value >= 0")
+    GraftLog.buildIndex(spark, dir, "user_id", "bloom")
+    GraftLog.deleteVectors(dir, Seq(7L))
+    GraftLog.setRetention(dir, retainGenerations = 3, minAgeMs = 100L)
+    val base = Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.glogdsc",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.glogdsc.base", base)
+    GraftLog.filesOpened.set(0)
+    val r = spark.sql(s"CALL glogdsc.describe(table => " +
+        s"'${Paths.get(dir).getFileName}')")
+      .as[(Long, Int, Long, Long, Long, Int, Int, Int, Int, Int,
+        Long, Boolean)].head()
+    assert(GraftLog.filesOpened.get() === 0, "listings only")
+    assert(r._2 === 2 && r._3 === 200L && r._4 > 0L)
+    assert(r._5 === 1L, "one dv file")
+    assert(r._6 === 1 && r._7 === 1, "one live evolved col, one tombstone")
+    assert(r._8 === 1 && r._9 === 1)
+    assert(r._10 === 3 && r._11 === 100L && !r._12)
+    // n_rows refuses to lie: strip a sidecar, describe reports -1
+    Files.delete(Paths.get(dir, "shard-00000.meta"))
+    val r2 = spark.sql(s"CALL glogdsc.describe(table => " +
+        s"'${Paths.get(dir).getFileName}')")
+      .select("n_rows").as[Long].head()
+    assert(r2 === -1L, "missing sidecar => unknown, not wrong")
+  }
+
   test("SQL: set_retention persists, vacuum() honors it, analyze " +
       "rebuilds a lost sidecar") {
     val dir = tmpDir("glog-pol").toString
