@@ -1891,12 +1891,25 @@ object GraftLog {
     * would resolve the stale files and prune by the OLD values —
     * silently wrong rows. Widening drops them too (the long-typed
     * entries never match double probes — dead weight). */
+  /** Is `name` an index file of exactly column `col`? A bare
+    * endsWith(".$col.$kind") would also capture columns whose name
+    * merely ENDS with `col` (renaming/dropping `w` must not touch
+    * `kw`'s files) — the shard stem always ends in `.graftlog`, so
+    * requiring that pins the column segment exactly. */
+  private def isIndexOf(name: String, col: String,
+      kind: String): Boolean = {
+    val suf = s".$col.$kind"
+    name.endsWith(suf) &&
+      name.stripSuffix(suf).endsWith(".graftlog")
+  }
+
   private[sources] def dropIndexFiles(path: String, col: String): Unit = {
     val d = Paths.get(path, IndexDir)
     if (!Files.isDirectory(d)) return
-    val suffixes = Seq(s".$col.range", s".$col.bloom")
-    withListing(d)(_.filter(p =>
-        suffixes.exists(p.getFileName.toString.endsWith(_))).toSeq)
+    withListing(d)(_.filter { p =>
+        val n = p.getFileName.toString
+        isIndexOf(n, col, "range") || isIndexOf(n, col, "bloom")
+      }.toSeq)
       .foreach(Files.deleteIfExists(_))
   }
 
@@ -1917,8 +1930,8 @@ object GraftLog {
     if (!Files.isDirectory(d)) return
     Seq("range", "bloom").foreach { kind =>
       val suf = s".$from.$kind"
-      withListing(d)(_.filter(
-          _.getFileName.toString.endsWith(suf)).toSeq)
+      withListing(d)(_.filter(p =>
+          isIndexOf(p.getFileName.toString, from, kind)).toSeq)
         .foreach { p =>
           val stem = p.getFileName.toString.stripSuffix(suf)
           Files.move(p, d.resolve(s"$stem.$to.$kind"),

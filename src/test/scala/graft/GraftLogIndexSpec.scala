@@ -333,6 +333,36 @@ class GraftLogIndexSpec extends SparkSuite {
     assert(GraftLog.indexedColumns(dir) === Set.empty)
   }
 
+  test("index DDL maintenance matches column names EXACTLY — " +
+      "renaming/dropping `w` never touches `kw`'s files") {
+    val dir = writeShards()
+    GraftLog.addColumn(dir, "w", org.apache.spark.sql.types.LongType,
+      Some("1"))
+    GraftLog.addColumn(dir, "kw", org.apache.spark.sql.types.LongType,
+      Some("2"))
+    spark.range(400, 500)
+      .select($"id".as("event_id"),
+        to_timestamp_ntz(lit("2024-01-01 00:00:00")).as("ts"),
+        ($"id" % 7).as("user_id"), lit("x").as("event_type"),
+        lit(1.0).as("value"), $"id".as("w"), ($"id" * 10L).as("kw"))
+      .write.format(fmt).mode("append").option("shards", 1).save(dir)
+    GraftLog.buildIndex(spark, dir, "w", "range")
+    GraftLog.buildIndex(spark, dir, "kw", "range")
+    assert(GraftLog.indexedColumns(dir) === Set("w", "kw"))
+    // rename w → w2: kw's files must be untouched (a bare suffix
+    // match on ".w.range" would also capture "...graftlog.kw.range")
+    GraftLog.renameColumn(dir, "w", "w2")
+    assert(GraftLog.indexedColumns(dir) === Set("w2", "kw"))
+    GraftLog.filesOpened.set(0)
+    assert(spark.read.format(fmt).load(dir)
+      .filter($"kw" === 99999999L).count() === 0L)
+    assert(GraftLog.filesOpened.get() === 0,
+      "kw's carried-nothing index still proves absence")
+    // drop w2: kw still indexed
+    GraftLog.dropColumn(dir, "w2")
+    assert(GraftLog.indexedColumns(dir) === Set("kw"))
+  }
+
   test("range index on an evolved DATE column prunes by epoch-day " +
       "tokens") {
     val dir = writeShards()
