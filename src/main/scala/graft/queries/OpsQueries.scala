@@ -2833,7 +2833,8 @@ object OpsQueries {
       s.sql(s"DELETE FROM glog.$tbl WHERE event_id % 197 = 3")
       val stats = s.sql(s"CALL glog.dv_stats(table => '$tbl')")
         .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
-      val threshold = 0.5
+      // the SAME definition the routing uses — reporting can't drift
+      val threshold = graft.sources.GraftLog.dvDenseThreshold
       val sumPhys = stats.map(_._2).sum
       val sumSuppressed = stats.map(_._3).sum
       val fracsBounded = stats.nonEmpty &&

@@ -456,7 +456,14 @@ object GraftLog {
       entries.updated(i,
         entries(i).copy(field = entries(i).field.copy(name = to)))
     }
-    renameIndexFiles(path, from, to) // pruning survives the rename
+    // carry under the DDL locks: narrows (does not fully close — the
+    // executor-side index writers take no lock) the window where
+    // per-epoch maintenance re-writes an old-name file after the
+    // carry; any residue is inert for pruning and reclaimed by
+    // vacuum's orphan-index sweep
+    lockFor(path).synchronized { withFsLock(path) {
+      renameIndexFiles(path, from, to) // pruning survives the rename
+    } }
   }
 
   /** DROP an evolved column — METADATA-ONLY: the slot becomes a
@@ -1227,6 +1234,31 @@ object GraftLog {
     removed
   }
 
+  /** Remove ABANDONED in-table hidden stage files (a hard-killed
+    * task — OOM-killer, preemption — leaves its `.…tmp` litter
+    * behind: delta/append row tmps, spill runs, dv stage/hit files;
+    * `abort()` never ran, and nothing else ever deletes them). Same
+    * age gate as the staging-dir sweep: every live stage file is
+    * seconds old, so >1h = abandoned. Hidden `.tmp`-suffixed files
+    * only — shards, sidecars, manifests, `_structural.lock` are
+    * never hidden or never `.tmp`. */
+  private def sweepAbandonedStageTmps(path: String): Long = {
+    val d = Paths.get(path)
+    if (!Files.isDirectory(d)) return 0L
+    val cutoff = System.currentTimeMillis() - 3600000L
+    var removed = 0L
+    withListing(d)(_.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith(".") && n.endsWith(".tmp") &&
+        Files.isRegularFile(p) &&
+        (try Files.getLastModifiedTime(p).toMillis < cutoff
+         catch { case _: java.io.IOException => false })
+    }.toSeq).foreach { p =>
+      if (Files.deleteIfExists(p)) removed += 1
+    }
+    removed
+  }
+
   def vacuum(path: String, retainGenerations: Int = -1,
       minAgeMs: Long = -1L): (Long, Long) = {
     val stored = retentionPolicy(path)
@@ -1235,6 +1267,8 @@ object GraftLog {
     val minAge = if (minAgeMs < 0L) stored._2 else minAgeMs
     applySwapIfPresent(path) // complete any pending swap first
     sweepAbandonedStaging(path)
+    sweepAbandonedStageTmps(path)
+    sweepOrphanIndexFiles(path)
     val g = generation(path)
     val keepFrom = g - retain
     val cutoff = System.currentTimeMillis() - minAge
@@ -1924,6 +1958,31 @@ object GraftLog {
     * never wrong) and the rest already healed. DROP and widen have
     * no such heal — their values/types genuinely change — so they
     * keep [[dropIndexFiles]]. */
+  /** Remove index files whose COLUMN no longer exists (base or
+    * live evolved): per-epoch maintenance racing a DDL can re-write
+    * a just-carried/just-dropped column's files after the DDL's
+    * cleanup ran — the stale files are inert for pruning (the
+    * column is gone from every plan) but would sit forever and keep
+    * `indexKinds` feeding the sink a column that now throws. Vacuum
+    * — the reclaim op — is where they die. */
+  private def sweepOrphanIndexFiles(path: String): Long = {
+    val d = Paths.get(path, IndexDir)
+    if (!Files.isDirectory(d)) return 0L
+    val live: Set[String] = schema.fieldNames.toSet ++
+      bucketedSchema.fieldNames ++ extSchema(path).map(_.name)
+    val name = """.+\.graftlog\.([A-Za-z0-9_]+)\.(range|bloom)""".r
+    var removed = 0L
+    withListing(d)(_.filter { p =>
+      p.getFileName.toString match {
+        case name(c, _) => !live.contains(c)
+        case _ => false
+      }
+    }.toSeq).foreach { p =>
+      if (Files.deleteIfExists(p)) removed += 1
+    }
+    removed
+  }
+
   private[sources] def renameIndexFiles(path: String, from: String,
       to: String): Unit = {
     val d = Paths.get(path, IndexDir)
@@ -2255,16 +2314,26 @@ object GraftLog {
         s"cannot add CHECK constraint $name: existing rows of $path " +
           s"violate ($sql)")
     }
-    writeConstraints(path, constraints(path) :+ (name, sql))
+    // the RMW of _constraints takes the same locks as every schema
+    // DDL (two concurrent declarations must not lose one); the
+    // validation SCAN stays outside — holding the table's structural
+    // flock across a distributed job would block every committer
+    lockFor(path).synchronized { withFsLock(path) {
+      require(!constraints(path).exists(_._1 == name),
+        s"constraint $name already exists on graftlog table $path")
+      writeConstraints(path, constraints(path) :+ (name, sql))
+    } }
   }
 
-  /** Drop a constraint; returns whether it existed. */
-  def dropConstraint(path: String, name: String): Boolean = {
-    val cs = constraints(path)
-    val kept = cs.filterNot(_._1 == name)
-    if (kept.size != cs.size) { writeConstraints(path, kept); true }
-    else false
-  }
+  /** Drop a constraint; returns whether it existed. Locked like
+    * every schema DDL — a concurrent add must survive the drop. */
+  def dropConstraint(path: String, name: String): Boolean =
+    lockFor(path).synchronized { withFsLock(path) {
+      val cs = constraints(path)
+      val kept = cs.filterNot(_._1 == name)
+      if (kept.size != cs.size) { writeConstraints(path, kept); true }
+      else false
+    } }
 
   /** Parse + analyze + bind the table's constraints against the
     * write schema — driver-side, once per write job. The analyzer
@@ -2835,8 +2904,7 @@ object GraftLog {
       dvStages: Seq[String],
       expectGen: Option[Long] = None): (Int, Int) =
     lockFor(path).synchronized {
-      val threshold = org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.merge.dv.maxSuppressedFraction", "0.5").toDouble
+      val threshold = dvDenseThreshold
       applySwapIfPresent(path)
       val g0 = generation(path)
       // optimistic validation against the merge's plan-time snapshot:
@@ -3001,12 +3069,18 @@ object GraftLog {
     * Returns (shardName, physRows, suppressed, fraction, dvBytes,
     * headroomToDense) for every live shard; shards without a
     * sidecar report physRows = -1 (run CALL glog.analyze). */
+  /** The dense-rewrite threshold the routing actually uses — ONE
+    * definition shared by [[commitDeltaMerge]]'s decision and
+    * [[dvStats]]' reporting (and readable by observability queries),
+    * so the operator view can never drift from the plan choice. */
+  def dvDenseThreshold: Double =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.merge.dv.maxSuppressedFraction", "0.5").toDouble
+    catch { case scala.util.control.NonFatal(_) => 0.5 }
+
   def dvStats(path: String): Seq[(String, Long, Long, Double, Long,
       Double)] = {
-    val threshold =
-      try org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.merge.dv.maxSuppressedFraction", "0.5").toDouble
-      catch { case scala.util.control.NonFatal(_) => 0.5 }
+    val threshold = dvDenseThreshold
     val shards = listShards(path)
     val dvs = dvMap(path, shards, generation(path))
     shards.map { si =>
@@ -3015,13 +3089,19 @@ object GraftLog {
       dvs.get(name) match {
         case Some(f) =>
           val keys = dvKeys(f).length.toLong
+          // a sidecar-less shard has UNKNOWN density: report the
+          // -1 convention for fraction/headroom too — the next
+          // row-level touch on it THROWS ("run CALL glog.analyze"),
+          // so showing full headroom would be the worst possible lie
           val frac =
-            if (phys > 0L) keys.toDouble / phys else 0.0
+            if (phys > 0L) keys.toDouble / phys else -1.0
           (name, phys, keys, frac,
             try Files.size(Paths.get(f))
             catch { case _: java.io.IOException => 0L },
-            threshold - frac)
-        case None => (name, phys, 0L, 0.0, 0L, threshold)
+            if (phys > 0L) threshold - frac else -1.0)
+        case None if phys >= 0L =>
+          (name, phys, 0L, 0.0, 0L, threshold)
+        case None => (name, phys, 0L, -1.0, 0L, -1.0)
       }
     }.sortBy(_._1)
   }
@@ -4376,10 +4456,18 @@ class GraftLogDeltaBatchWrite(path: String,
       // a MERGE must not land what an insert could not
       GraftLog.writeConstraintsFor(path, bucketed = false),
       // per-task in-heap insert cap before sorted-run spilling —
-      // resolved on the DRIVER (executors have no session)
-      org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.merge.delta.spillRowsPerTask",
-          GraftLog.DeltaSpillRowsDefault.toString).toInt)
+      // resolved on the DRIVER (executors have no session), and
+      // validated HERE so a bad conf fails the job loudly instead
+      // of spilling one run per row on every executor
+      {
+        val n = org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.graft.merge.delta.spillRowsPerTask",
+            GraftLog.DeltaSpillRowsDefault.toString).toInt
+        require(n > 0,
+          "spark.graft.merge.delta.spillRowsPerTask must be positive" +
+            s", got $n")
+        n
+      })
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftLogDeltaCommitMessage => m }
@@ -4496,18 +4584,80 @@ class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
   /** Sorted-run spill: the in-heap buffer lands as one event_id-
     * sorted hidden run file and is released. Runs are merged at
     * [[commit]]; a pure-heap task (the common selective merge)
-    * never spills and keeps the single-sort fast path. */
+    * never spills and keeps the single-sort fast path. Open-file
+    * bound: once [[MaxOpenRuns]] runs accumulate they collapse into
+    * ONE merged run, so the k-way merge never holds more than that
+    * many readers however small `spillRows` is — a tiny conf value
+    * costs extra merge passes, never file descriptors. */
+  private val MaxOpenRuns = 64
+  private var runSeq = 0
   private val runFiles =
     scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
   private def spillRun(): Unit = {
     val sorted = rows.sortInPlaceBy(_._1)
-    val run = Paths.get(dir, f".$stem-$taskId.run${runFiles.size}.tmp")
+    runSeq += 1
+    val run = Paths.get(dir, f".$stem-$taskId.run$runSeq.tmp")
     val out = Files.newBufferedWriter(run, StandardCharsets.UTF_8)
     try sorted.foreach { case (_, line) =>
       out.write(line); out.write('\n')
     } finally out.close()
     runFiles += run
     rows.clear()
+    if (runFiles.size >= MaxOpenRuns) {
+      runSeq += 1
+      val merged = Paths.get(dir, f".$stem-$taskId.run$runSeq.tmp")
+      mergeRuns(runFiles.toSeq, merged)
+      runFiles.foreach(Files.deleteIfExists(_))
+      runFiles.clear()
+      runFiles += merged
+    }
+  }
+
+  /** K-way streaming merge of event_id-sorted line files into `out`;
+    * heap holds one line per source. Returns (first, last, count). */
+  private def mergeRuns(sources: Seq[java.nio.file.Path],
+      out: java.nio.file.Path): (Long, Long, Long) = {
+    val readers = sources.map(r =>
+      Files.newBufferedReader(r, StandardCharsets.UTF_8))
+    try {
+      val heads = new Array[String](readers.length)
+      def advance(i: Int): Unit = {
+        var l = readers(i).readLine()
+        while (l != null && l.isEmpty) l = readers(i).readLine()
+        heads(i) = l
+      }
+      readers.indices.foreach(advance)
+      def idOf(l: String): Long = l.substring(0, l.indexOf('|')).toLong
+      val w = Files.newBufferedWriter(out, StandardCharsets.UTF_8)
+      var first = Long.MaxValue
+      var last = Long.MinValue
+      var count = 0L
+      try {
+        var more = true
+        while (more) {
+          var best = -1
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < heads.length) {
+            if (heads(i) != null) {
+              val id = idOf(heads(i))
+              if (best < 0 || id < bestId) { best = i; bestId = id }
+            }
+            i += 1
+          }
+          if (best < 0) more = false
+          else {
+            w.write(heads(best)); w.write('\n')
+            if (bestId < first) first = bestId
+            last = bestId
+            count += 1L
+            advance(best)
+          }
+        }
+      } finally w.close()
+      (first, last, count)
+    } finally readers.foreach(r =>
+      try r.close() catch { case _: java.io.IOException => () })
   }
 
   override def commit(): WriterCommitMessage = {
@@ -4525,54 +4675,13 @@ class GraftLogDeltaWriter(dir: String, idx: Int, taskId: Long,
           s"${sorted.head._1}|${sorted.last._1}|${sorted.size}"))
       } else {
         if (rows.nonEmpty) spillRun()
-        // k-way streaming merge of the sorted runs: heap holds one
-        // line per run, never the task's full insert set
-        val readers = runFiles.map(r =>
-          Files.newBufferedReader(r, StandardCharsets.UTF_8))
+        // final k-way merge of the (bounded-count) sorted runs into
+        // the staged shard; heap holds one line per run
         try {
-          val heads = new Array[String](readers.length)
-          def advance(i: Int): Unit = {
-            var l = readers(i).readLine()
-            while (l != null && l.isEmpty) l = readers(i).readLine()
-            heads(i) = l
-          }
-          readers.indices.foreach(advance)
-          def idOf(l: String): Long =
-            l.substring(0, l.indexOf('|')).toLong
-          val out = Files.newBufferedWriter(rowTmp, StandardCharsets.UTF_8)
-          var first = Long.MaxValue
-          var last = Long.MinValue
-          var count = 0L
-          try {
-            var more = true
-            while (more) {
-              var best = -1
-              var bestId = Long.MaxValue
-              var i = 0
-              while (i < heads.length) {
-                if (heads(i) != null) {
-                  val id = idOf(heads(i))
-                  if (best < 0 || id < bestId) { best = i; bestId = id }
-                }
-                i += 1
-              }
-              if (best < 0) more = false
-              else {
-                out.write(heads(best)); out.write('\n')
-                if (bestId < first) first = bestId
-                last = bestId
-                count += 1L
-                advance(best)
-              }
-            }
-          } finally out.close()
+          val (first, last, count) = mergeRuns(runFiles.toSeq, rowTmp)
           Some((rowTmp.getFileName.toString, s"$stem.graftlog",
             s"$first|$last|$count"))
-        } finally {
-          readers.foreach(r =>
-            try r.close() catch { case _: java.io.IOException => () })
-          runFiles.foreach(Files.deleteIfExists(_))
-        }
+        } finally runFiles.foreach(Files.deleteIfExists(_))
       }
     GraftLogDeltaCommitMessage(shard,
       if (dvOut != null) Some(dvTmp.getFileName.toString) else None)

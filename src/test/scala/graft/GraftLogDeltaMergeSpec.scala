@@ -372,10 +372,12 @@ class GraftLogDeltaMergeSpec extends SparkSuite {
   test("insert-heavy merge spills sorted runs — heap-capped, same " +
       "bytes as the in-heap path") {
     val (tbl, dir) = freshTable(200, 2)
-    // 1 000 inserts per the single source partition with a 64-row
-    // in-heap cap: the writer MUST spill (~15 runs) and the k-way
-    // merge must land one correctly-sorted, correctly-counted shard
-    spark.conf.set("spark.graft.merge.delta.spillRowsPerTask", "64")
+    // 1 000 inserts per the single source partition with a 4-row
+    // in-heap cap: the writer MUST spill (~250 runs), CROSS the
+    // 64-open-runs collapse threshold (multi-pass merge), and the
+    // final k-way merge must land one correctly-sorted,
+    // correctly-counted shard
+    spark.conf.set("spark.graft.merge.delta.spillRowsPerTask", "4")
     try {
       spark.range(1000, 2000).coalesce(1)
         .select($"id".as("event_id"), ($"id" % 100).cast("double")

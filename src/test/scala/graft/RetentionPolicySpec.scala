@@ -70,6 +70,49 @@ class RetentionPolicySpec extends SparkSuite {
     assert(spark.read.format(fmt).load(dir).count() === 100L)
   }
 
+  test("vacuum reclaims crashed-task stage tmps (age-gated) and " +
+      "orphan index files of vanished columns") {
+    val dir = tmpDir("glog-pol-tmps").toString
+    feed(0, 100).write.format(fmt).mode("append")
+      .option("shards", 1).save(dir)
+    val old = java.time.Instant.now().minusSeconds(7200)
+    // a SIGKILLed merge task's litter: spill run + row tmp + dv stage
+    Seq(".shard-00042-7.run3.tmp", ".shard-00042-7.tmp",
+        ".dvstage-00042-7.tmp").foreach { n =>
+      val p = Paths.get(dir, n)
+      Files.write(p, "999|1|1|x|0.5\n".getBytes("UTF-8"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.from(old))
+    }
+    // a LIVE stage tmp (fresh mtime) must survive
+    Files.write(Paths.get(dir, ".shard-00043-9.tmp"),
+      "1000|1|1|x|0.5\n".getBytes("UTF-8"))
+    // index files of a column that no longer exists (a DDL raced
+    // per-epoch maintenance): inert but permanent without the sweep
+    Files.createDirectories(Paths.get(dir, "_index"))
+    Files.write(
+      Paths.get(dir, "_index", "shard-00000.graftlog.ghost.range"),
+      "range|0|9|junk".getBytes("UTF-8"))
+    Files.write(
+      Paths.get(dir, "_index", "shard-00000.graftlog.ts.range"),
+      "range|0|9|junk".getBytes("UTF-8")) // ts EXISTS: kept
+    GraftLog.vacuum(dir, retainGenerations = 100)
+    assert(!Files.exists(Paths.get(dir, ".shard-00042-7.run3.tmp")) &&
+      !Files.exists(Paths.get(dir, ".shard-00042-7.tmp")) &&
+      !Files.exists(Paths.get(dir, ".dvstage-00042-7.tmp")),
+      "abandoned stage litter reclaimed")
+    assert(Files.exists(Paths.get(dir, ".shard-00043-9.tmp")),
+      "a live (fresh) stage tmp is never touched")
+    assert(!Files.exists(
+      Paths.get(dir, "_index", "shard-00000.graftlog.ghost.range")),
+      "orphan-column index files die with vacuum")
+    assert(Files.exists(
+      Paths.get(dir, "_index", "shard-00000.graftlog.ts.range")),
+      "live-column index files survive (even if echo-stale)")
+    Files.delete(Paths.get(dir, ".shard-00043-9.tmp"))
+    assert(spark.read.format(fmt).load(dir).count() === 100L)
+  }
+
   test("a stored policy drives argument-less vacuum; explicit knobs " +
       "override; the policy clones with the table") {
     val dir = tmpDir("glog-pol").toString
