@@ -4279,16 +4279,24 @@ class GraftLogStreamingWrite(path: String, queryId: String,
     try {
       val spark = org.apache.spark.sql.SparkSession.active
       if (spark.conf.get("spark.graft.index.maintainOnCommit", "true")
-          .toBoolean)
-        GraftLog.indexKinds(path).foreach { case (col, kind) =>
-          try GraftLog.buildIndexIncremental(spark, path, col, kind)
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[graftlog] per-epoch index " +
-                s"maintenance skipped for ($col, $kind) on $path: " +
-                s"${e.getMessage}")
+          .toBoolean) {
+        // skip columns a DDL has since removed/renamed: their files
+        // are vacuum-reclaimed orphans — maintaining them would just
+        // throw-and-log EVERY epoch until then
+        val live = GraftLog.schema.fieldNames.toSet ++
+          GraftLog.extSchema(path).map(_.name)
+        GraftLog.indexKinds(path)
+          .filter { case (col, _) => live.contains(col) }
+          .foreach { case (col, kind) =>
+            try GraftLog.buildIndexIncremental(spark, path, col, kind)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[graftlog] per-epoch index " +
+                  s"maintenance skipped for ($col, $kind) on $path: " +
+                  s"${e.getMessage}")
+            }
           }
-        }
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graftlog] per-epoch index maintenance " +
