@@ -825,6 +825,36 @@ object GraftLog {
     *    generations — and the bump lands BEFORE the manifest delete,
     *    so a crash between them re-enters with every entry already
     *    idempotent and the claim already taken. */
+  /** Guard a manifest publish entry against SILENT shard loss: if
+    * both the staged tmp and the final name are missing, the entry
+    * can never complete — publishExclusive would no-op (its
+    * NoSuchFileException swallow exists for lost RACES, where the
+    * winner's fin survives) and the sidecar write would then declare
+    * a shard that does not exist: committed inserts vanish, retired
+    * deletes resurrect, and sidecar-served aggregates count phantom
+    * rows. That state means the staged tmp was destroyed before its
+    * promote (e.g. an over-eager external cleanup) — fail the
+    * roll-forward LOUDLY instead. Returns false (skip the entry,
+    * no throw) only when the swap demonstrably completed without us:
+    * the manifest file is gone, or the structural generation already
+    * moved past the manifest's pinned g0 — a straggler thread
+    * re-walking a finished manifest must not spuriously kill a
+    * reader. */
+  private def requirePublishable(path: String, m: java.nio.file.Path,
+      g0: Long, tmp: java.nio.file.Path, fin: java.nio.file.Path,
+      what: String): Boolean = {
+    if (Files.exists(tmp) || Files.exists(fin)) return true
+    if (!Files.exists(m) || generation(path) != g0) return false
+    throw new IllegalStateException(
+      s"graftlog $path: swap-manifest $what entry " +
+        s"${tmp.getFileName} -> ${fin.getFileName} has NEITHER its " +
+        "staged tmp nor its published file — the staged artifact " +
+        "was destroyed before commit (external cleanup racing a " +
+        "live job?). Refusing to roll the commit forward without " +
+        "it: completing would silently drop the shard. Remove the " +
+        s"manifest ${m.getFileName} to abandon the whole operation.")
+  }
+
   def applySwapIfPresent(path: String): Unit = {
     val m = Paths.get(path, SwapManifest)
     if (!Files.exists(m)) return
@@ -873,25 +903,35 @@ object GraftLog {
           // staged tmp in under the freed name
           val tmp = Paths.get(path, p(1))
           val fin = Paths.get(path, p(2))
-          if (Files.exists(tmp) && Files.exists(fin))
-            retire(path, fin.toString, g0)
-          publishExclusive(tmp, fin)
-          writeMetaAtomic(path,
-            p(2).stripSuffix(".graftlog") + ".meta",
-            p.drop(3).mkString("|"))
+          if (requirePublishable(path, m, g0, tmp, fin, "rewrite")) {
+            if (Files.exists(tmp) && Files.exists(fin))
+              retire(path, fin.toString, g0)
+            publishExclusive(tmp, fin)
+            writeMetaAtomic(path,
+              p(2).stripSuffix(".graftlog") + ".meta",
+              p.drop(3).mkString("|"))
+          }
         case "promote" =>
           // fresh name: nothing to retire, ever — the exclusive link
           // is the whole promote
-          publishExclusive(Paths.get(path, p(1)), Paths.get(path, p(2)))
-          writeMetaAtomic(path,
-            p(2).stripSuffix(".graftlog") + ".meta",
-            p.drop(3).mkString("|"))
+          val tmp = Paths.get(path, p(1))
+          val fin = Paths.get(path, p(2))
+          if (requirePublishable(path, m, g0, tmp, fin, "promote")) {
+            publishExclusive(tmp, fin)
+            writeMetaAtomic(path,
+              p(2).stripSuffix(".graftlog") + ".meta",
+              p.drop(3).mkString("|"))
+          }
         case "dv" =>
           // deletion-vector publish: like a promote, nothing is ever
           // retired (the vector is ADDITIVE metadata); the generation
           // tag in its name keeps it invisible until the bump below
-          Files.createDirectories(Paths.get(path, DvDir))
-          publishExclusive(Paths.get(path, p(1)), Paths.get(path, p(2)))
+          val tmp = Paths.get(path, p(1))
+          val fin = Paths.get(path, p(2))
+          if (requirePublishable(path, m, g0, tmp, fin, "dv")) {
+            Files.createDirectories(Paths.get(path, DvDir))
+            publishExclusive(tmp, fin)
+          }
         case other =>
           throw new IllegalStateException(
             s"corrupt swap manifest entry in $path: $other")
@@ -1203,10 +1243,30 @@ object GraftLog {
   /** Remove ABANDONED staging directories (a killed compact/cluster/
     * incremental-cluster leaves its per-attempt-unique dir behind —
     * nothing else ever deletes it since staging names stopped being
-    * fixed). Age-gated at one hour so a CONCURRENT op's live staging
-    * is never touched: no graft staging phase legitimately runs that
-    * long. Called by [[vacuum]] — the reclaim op. */
-  private def sweepAbandonedStaging(path: String): Long = {
+    * fixed). Age-gated ([[stageSweepCutoff]]) so a CONCURRENT op's
+    * live staging is never touched — a full compact of a huge table
+    * can legitimately stage for hours, so the gate is a day, not the
+    * old hour. Called by [[vacuum]] — the reclaim op. */
+  /** Age gate for the abandoned-stage sweeps. 24 h default — NOT the
+    * old 1 h: staged artifacts legitimately live for the whole
+    * task-commit→job-commit window (a straggler-heavy distributed
+    * merge) or a whole driver-side rewrite (a full compact of a huge
+    * table), both of which can exceed an hour. Sweeping a LIVE staged
+    * tmp is silent data loss at the later promote, so the gate errs
+    * long: litter surviving a day costs bytes, a swept live stage
+    * costs rows. Floor-ed by the vacuum call's minAge so a
+    * conservative retention policy automatically protects staging
+    * too; conf-overridable for tests and aggressive cleanups. */
+  private def stageSweepCutoff(minAgeMs: Long): Long = {
+    val conf =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.vacuum.stageSweepAgeMs", "86400000").toLong
+      catch { case scala.util.control.NonFatal(_) => 86400000L }
+    System.currentTimeMillis() - math.max(conf, minAgeMs)
+  }
+
+  private def sweepAbandonedStaging(path: String,
+      minAgeMs: Long): Long = {
     val parent = Paths.get(path).toAbsolutePath.getParent
     if (parent == null || !Files.isDirectory(parent)) return 0L
     // EXACT staging-name shapes only — '<table>__<op>_tmp-<uuid>'.
@@ -1217,7 +1277,7 @@ object GraftLog {
     val table = Paths.get(path).getFileName.toString
     val staging = Seq("compact_tmp-", "cluster_tmp-", "zinc_src-",
       "zinc_tmp-").map(op => s"${table}__$op")
-    val cutoff = System.currentTimeMillis() - 3600000L
+    val cutoff = stageSweepCutoff(minAgeMs)
     var removed = 0L
     withListing(parent)(_.filter { d =>
       val n = d.getFileName.toString
@@ -1238,14 +1298,19 @@ object GraftLog {
     * task — OOM-killer, preemption — leaves its `.…tmp` litter
     * behind: delta/append row tmps, spill runs, dv stage/hit files;
     * `abort()` never ran, and nothing else ever deletes them). Same
-    * age gate as the staging-dir sweep: every live stage file is
-    * seconds old, so >1h = abandoned. Hidden `.tmp`-suffixed files
-    * only — shards, sidecars, manifests, `_structural.lock` are
-    * never hidden or never `.tmp`. */
-  private def sweepAbandonedStageTmps(path: String): Long = {
+    * age gate as the staging-dir sweep ([[stageSweepCutoff]]): a
+    * live stage file is NOT always seconds old — task-staged tmps
+    * (delta-writer row tmps, dv stages, CoW rewrite tmps) live from
+    * task commit until JOB commit, which stragglers can stretch past
+    * an hour — so the gate is a day, floor-ed by vacuum's minAge.
+    * Hidden `.tmp`-suffixed files only — shards, sidecars,
+    * manifests, `_structural.lock` are never hidden or never
+    * `.tmp`. */
+  private def sweepAbandonedStageTmps(path: String,
+      minAgeMs: Long): Long = {
     val d = Paths.get(path)
     if (!Files.isDirectory(d)) return 0L
-    val cutoff = System.currentTimeMillis() - 3600000L
+    val cutoff = stageSweepCutoff(minAgeMs)
     var removed = 0L
     withListing(d)(_.filter { p =>
       val n = p.getFileName.toString
@@ -1266,8 +1331,8 @@ object GraftLog {
       if (retainGenerations < 0) stored._1 else retainGenerations
     val minAge = if (minAgeMs < 0L) stored._2 else minAgeMs
     applySwapIfPresent(path) // complete any pending swap first
-    sweepAbandonedStaging(path)
-    sweepAbandonedStageTmps(path)
+    sweepAbandonedStaging(path, minAge)
+    sweepAbandonedStageTmps(path, minAge)
     sweepOrphanIndexFiles(path)
     val g = generation(path)
     val keepFrom = g - retain
@@ -1968,17 +2033,27 @@ object GraftLog {
   private def sweepOrphanIndexFiles(path: String): Long = {
     val d = Paths.get(path, IndexDir)
     if (!Files.isDirectory(d)) return 0L
-    val live: Set[String] = schema.fieldNames.toSet ++
-      bucketedSchema.fieldNames ++ extSchema(path).map(_.name)
     val name = """.+\.graftlog\.([A-Za-z0-9_]+)\.(range|bloom)""".r
+    def liveCols: Set[String] = schema.fieldNames.toSet ++
+      bucketedSchema.fieldNames ++ extSchema(path).map(_.name)
+    val live = liveCols
     var removed = 0L
-    withListing(d)(_.filter { p =>
+    val candidates = withListing(d)(_.flatMap { p =>
       p.getFileName.toString match {
-        case name(c, _) => !live.contains(c)
-        case _ => false
+        case name(c, _) if !live.contains(c) => Some((p, c))
+        case _ => None
       }
-    }.toSeq).foreach { p =>
-      if (Files.deleteIfExists(p)) removed += 1
+    }.toSeq)
+    if (candidates.isEmpty) return 0L
+    // the sweep takes no lock, so an ADD COLUMN + buildIndex landing
+    // between the live-set snapshot above and the deletes below could
+    // lose its freshly built files (correct-but-unpruned, never wrong
+    // rows — but silently slower). Re-reading the schema HERE shrinks
+    // that window from "the whole listing" to a few syscalls: a
+    // column re-added during the listing is spared.
+    val live2 = liveCols
+    candidates.foreach { case (p, c) =>
+      if (!live2.contains(c) && Files.deleteIfExists(p)) removed += 1
     }
     removed
   }
@@ -1993,9 +2068,17 @@ object GraftLog {
           isIndexOf(p.getFileName.toString, from, kind)).toSeq)
         .foreach { p =>
           val stem = p.getFileName.toString.stripSuffix(suf)
-          Files.move(p, d.resolve(s"$stem.$to.$kind"),
+          // a concurrent vacuum's orphan sweep (which takes no lock)
+          // may delete an old-name file between our listing and this
+          // move — after the schema rename committed, the old column
+          // is no longer "live" to the sweep. Losing the file is an
+          // acceptable outcome (that shard's index just rebuilds on
+          // the next incremental pass); failing the RENAME here would
+          // be spurious — the DDL itself already committed.
+          try Files.move(p, d.resolve(s"$stem.$to.$kind"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: java.nio.file.NoSuchFileException => () }
         }
     }
   }
@@ -4283,7 +4366,13 @@ class GraftLogStreamingWrite(path: String, queryId: String,
         // skip columns a DDL has since removed/renamed: their files
         // are vacuum-reclaimed orphans — maintaining them would just
         // throw-and-log EVERY epoch until then
+        // bucket columns included: the live-set definition must agree
+        // with sweepOrphanIndexFiles' (vacuum keeps these files as
+        // live, so skipping them here would silently stop maintaining
+        // an index on the bucket column of a streaming-written
+        // bucketed table — correct-but-unpruned every epoch)
         val live = GraftLog.schema.fieldNames.toSet ++
+          GraftLog.bucketedSchema.fieldNames ++
           GraftLog.extSchema(path).map(_.name)
         GraftLog.indexKinds(path)
           .filter { case (col, _) => live.contains(col) }

@@ -199,6 +199,37 @@ class GraftLogConcurrencySpec extends SparkSuite {
     assert(e.getMessage.contains("structural generation moved"))
   }
 
+  test("roll-forward REFUSES a manifest whose staged tmp was " +
+      "destroyed — no silent shard loss") {
+    val dir = tmpDir("glog-conc").toString
+    feed(0, 100).write.format(fmt).mode("append")
+      .option("shards", 1).save(dir)
+    val g = GraftLog.generation(dir)
+    // a committed manifest whose staged tmp an external cleanup has
+    // already destroyed: neither .gone.tmp nor shard-00099 exists.
+    // Completing it silently would write a sidecar for a shard with
+    // no bytes — lost inserts + phantom sidecar-served aggregates.
+    Files.write(Paths.get(dir, "_swap.manifest"),
+      (s"gen|$g\npromote|.gone.tmp|shard-00099.graftlog|0|0|1\n")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      GraftLog.applySwapIfPresent(dir)
+    }
+    assert(e.getMessage.contains("NEITHER"), e.getMessage)
+    assert(!Files.exists(Paths.get(dir, "shard-00099.meta")),
+      "the phantom sidecar must NOT be written")
+    // operator abandons the broken operation explicitly; reads heal
+    Files.delete(Paths.get(dir, "_swap.manifest"))
+    assert(ids(dir) === (0L until 100L))
+    // a COMPLETED entry (fin exists, tmp consumed) still replays as a
+    // no-op — crash-replay idempotence is untouched
+    Files.write(Paths.get(dir, "_swap.manifest"),
+      (s"gen|$g\npromote|.gone2.tmp|shard-00000.graftlog|0|99|100\n")
+        .getBytes("UTF-8"))
+    GraftLog.applySwapIfPresent(dir)
+    assert(ids(dir) === (0L until 100L))
+  }
+
   test("compact ∥ range delete CONVERGE: optimistic retry yields the " +
       "combined outcome — no lost rows, no resurrections") {
     (0 until 3).foreach { round =>

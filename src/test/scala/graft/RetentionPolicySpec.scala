@@ -36,7 +36,7 @@ class RetentionPolicySpec extends SparkSuite {
       "x".getBytes("UTF-8"))
     java.nio.file.Files.setLastModifiedTime(old,
       java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 7200000L)) // 2 h ago: abandoned
+        System.currentTimeMillis() - 90000000L)) // 25 h ago: abandoned
     val fresh = parent.resolve(s"${name}__cluster_tmp-live5678")
     java.nio.file.Files.createDirectories(fresh) // now: a live racer
     // an UNRELATED sibling table that merely shares the name prefix
@@ -47,14 +47,14 @@ class RetentionPolicySpec extends SparkSuite {
       .option("shards", 1).save(sibling.toString)
     java.nio.file.Files.setLastModifiedTime(sibling,
       java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 7200000L))
+        System.currentTimeMillis() - 90000000L))
     // a bare-stem dir matching a staging prefix but with NO uuid
     // suffix is not a graft staging dir either — spared
     val bareStem = parent.resolve(s"${name}__compact_tmp-")
     java.nio.file.Files.createDirectories(bareStem)
     java.nio.file.Files.setLastModifiedTime(bareStem,
       java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 7200000L))
+        System.currentTimeMillis() - 90000000L))
     GraftLog.vacuum(dir, retainGenerations = 100)
     assert(!java.nio.file.Files.exists(old),
       "a crashed run's staging dir is reclaimed")
@@ -75,7 +75,7 @@ class RetentionPolicySpec extends SparkSuite {
     val dir = tmpDir("glog-pol-tmps").toString
     feed(0, 100).write.format(fmt).mode("append")
       .option("shards", 1).save(dir)
-    val old = java.time.Instant.now().minusSeconds(7200)
+    val old = java.time.Instant.now().minusSeconds(90000)
     // a SIGKILLed merge task's litter: spill run + row tmp + dv stage
     Seq(".shard-00042-7.run3.tmp", ".shard-00042-7.tmp",
         ".dvstage-00042-7.tmp").foreach { n =>
