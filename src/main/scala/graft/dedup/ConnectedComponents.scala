@@ -201,8 +201,18 @@ object ConnectedComponents {
     * doc id of the component — the canonical survivor a dedup pass
     * keeps. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val edges = Dedup.minhashNearDupPairs(docs, idCol, textCol, threshold)
+      threshold: Double): DataFrame =
+    clustersFromPairs(
+      Dedup.minhashNearDupPairs(docs, idCol, textCol, threshold), idCol)
+
+  /** The closure+census half of [[nearDupClusters]], split out so a
+    * caller sweeping several thresholds (q296) can compute the
+    * verified pair list ONCE at the loosest threshold and re-cluster
+    * each tighter cut as a filter — banding does not depend on the
+    * threshold, so pairs(t') ≡ pairs(t).filter(jaccard ≥ t') for any
+    * t' ≥ t (the final verify filter is the only place the threshold
+    * appears). `edges` must carry (id_a, id_b). */
+  def clustersFromPairs(edges: DataFrame, idCol: String): DataFrame = {
     val labeled = label(edges)
     val sizes = labeled.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

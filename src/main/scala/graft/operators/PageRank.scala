@@ -43,16 +43,29 @@ object PageRank {
     val n = nodes.count()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint()
+    // r15: the rank vector and the contribution aggregate are both
+    // |V| rows (≪ |E|) — broadcast them into the per-iteration joins
+    // under a MEASURED size gate (n is already counted above; the
+    // triangle-kernel discipline). A checkpointed frame carries no
+    // stats, so Catalyst planned every iteration's rank join as a
+    // full two-sided exchange of the EDGE list + sort; the broadcast
+    // keeps each iteration at ONE exchange (the dst aggregate). Past
+    // the cutoff (a 100 TB web graph's rank vector) the joins shuffle
+    // exactly as before — same contributions, and the DECIMAL
+    // cross-edge sum is order-independent either way, so the result
+    // is bit-identical on both paths.
+    val vSmall = n <= 2000000L
+    def vSide(d: DataFrame) = if (vSmall) broadcast(d) else d
     var ranks = nodes.withColumn("rank", lit(1.0) / n)
     for (_ <- 0 until iters) {
       val contribs = eDeg
-        .join(ranks, eDeg("src") === ranks("node"))
+        .join(vSide(ranks), eDeg("src") === ranks("node"))
         // divide in double (correctly rounded), SUM in decimal (exact)
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast("decimal(28,15)").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).cast("double").as("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(vSide(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))

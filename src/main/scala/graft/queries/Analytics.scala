@@ -2280,13 +2280,16 @@ object Analytics {
           .agg(max($"n_days").as("n_days"), min($"day").as("cp_day"),
             max($"c_abs_max").as("cmax"))
       }
-      val l1 = level(daily, Seq("event_type"))
-        .select($"event_type", $"cp_day".as("cp1"))
+      // r15: the level-1 CUSUM pass was computed TWICE (once for the
+      // split point, once for the "all" output row) — one checkpointed
+      // pass (≤ #event_type rows) now feeds both. Same rows.
+      val lAll = level(daily, Seq("event_type")).localCheckpoint()
+      val l1 = lAll.select($"event_type", $"cp_day".as("cp1"))
       val seg = daily.join(broadcast(l1), "event_type")
         .withColumn("segment",
           when($"day" <= $"cp1", "pre").otherwise("post"))
       val l2 = level(seg, Seq("event_type", "segment"))
-      val out1 = level(daily, Seq("event_type"))
+      val out1 = lAll
         .withColumn("segment", lit("all"))
       (out1.select($"event_type", $"segment", $"n_days", $"cp_day",
           round($"cmax".cast("double") /

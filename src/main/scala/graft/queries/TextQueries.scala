@@ -2265,10 +2265,19 @@ object TextQueries {
       val sample = docs.filter(hash60(
         concat($"doc_id".cast("string"), lit("_q296"))) <
         lit((1L << 60) / p))
-      def sweep(d: org.apache.spark.sql.DataFrame, sfx: String) =
+      // r15: the MinHash pipeline (shingles → signatures → banding →
+      // verify join) is threshold-INDEPENDENT up to the final jaccard
+      // filter, so the sweep computes the verified pair list once at
+      // the loosest cut (0.70) and re-clusters each tighter threshold
+      // as a filter over the pinned pairs — pairs(t) for t ≥ 0.70 is
+      // exactly pairs(0.70).filter(jaccard ≥ t), same double literal
+      // (pct/100.0) on both paths. Was 3 full pipelines per leg.
+      def sweep(d: org.apache.spark.sql.DataFrame, sfx: String) = {
+        val pairs = graft.dedup.Dedup.minhashNearDupPairs(
+          d, "doc_id", "text", 70 / 100.0).localCheckpoint()
         Seq(70, 90, 95).map { pct =>
-          val cl = graft.dedup.ConnectedComponents.nearDupClusters(
-            d, "doc_id", "text", pct / 100.0)
+          val cl = graft.dedup.ConnectedComponents.clustersFromPairs(
+            pairs.filter($"jaccard" >= pct / 100.0), "doc_id")
           cl.agg(count(lit(1)).as(s"n_dup_docs$sfx"),
               countDistinct($"cluster_id").as(s"n_clusters$sfx"),
               max($"cluster_size").as(s"max_cluster_size$sfx"))
@@ -2278,6 +2287,7 @@ object TextQueries {
                 .as(s"docs_removed$sfx"),
               col(s"max_cluster_size$sfx"))
         }.reduce(_ unionByName _)
+      }
       val sampled = sweep(sample, "_s")
         .withColumn("est_dup_docs", $"n_dup_docs_s" * p)
       if (!audit) sampled.orderBy($"threshold_pct")
