@@ -218,11 +218,32 @@ object Bench {
     // replaced the sf0.1 numbers)
     val fileOfRecord = only.isEmpty &&
       sfDir.stripSuffix("/") == "/root/testdata/sf0.1"
-    if (fileOfRecord)
+    // r16 (r15 verdict #1): the round-15 close overwrote a quiet
+    // file of record with a contended sweep and redded the suite-time
+    // lint. The lint's own contended-run test (mean hot RELATIVE to
+    // the median-implied machine speed — contention fattens the tail
+    // far more than the median) now runs at WRITE time: a contended
+    // full sweep lands in BENCH_LOCAL_contended.json, loudly, and the
+    // quiet record survives. Same formula as SuiteTimeLintSpec so the
+    // two can never disagree about a map already written.
+    val okTimes = results.collect { case (_, v, _, _) if v >= 0 => v }
+    val contended = okTimes.nonEmpty && {
+      val mean = okTimes.sum / okTimes.size
+      val med = okTimes.sorted.apply(okTimes.size / 2)
+      mean > 1.15 * (med / 0.65)
+    }
+    if (fileOfRecord) {
+      val name =
+        if (contended) "BENCH_LOCAL_contended.json" else "BENCH_LOCAL.json"
+      if (contended)
+        System.err.println("[bench] mean-vs-median says this sweep ran " +
+          "CONTENDED — writing BENCH_LOCAL_contended.json and keeping " +
+          "the existing quiet file of record")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(sys.props("user.dir"), name),
         jsonLine(qmap(identity), total, identity, memMaps) + "\n")
       catch { case _: Throwable => () }
+    }
     // stdout → the driver's tail-window parser. r8 proved the full
     // per-query map can NEVER ride this line: at 218 queries even bare
     // ids (~2.6 kB) overflowed the window and truncated the front of

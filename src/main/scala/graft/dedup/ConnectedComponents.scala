@@ -39,17 +39,28 @@ object ConnectedComponents {
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint()
+    // r16: the label vector and the per-round neighbourhood-min are
+    // both |V| rows (≪ |E| on any graph with edges) — broadcast them
+    // into the two per-round joins under ONE measured gate (counting
+    // the just-checkpointed label vector is a cached-block scan).
+    // Checkpointed frames carry no stats, so Catalyst planned every
+    // round as two two-sided exchanges+sorts (edge list shuffled per
+    // round!); with the hints each round pays ONE exchange (the
+    // groupBy-min). Past the gate everything shuffles as before —
+    // min-label propagation is join-strategy invariant.
+    val vSmall = labels.count() <= 2000000L
+    def vSide(d: DataFrame) = if (vSmall) broadcast(d) else d
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym
-        .join(labels.select($"id".as("dst"), $"label"), "dst")
+        .join(vSide(labels.select($"id".as("dst"), $"label")), "dst")
         .groupBy($"src").agg(min($"label").as("nbr_label"))
         .select($"src".as("id"), $"nbr_label")
       // carry the previous label through the update so convergence is
       // a filter+count on `next` itself, not a second join per round —
       // near-dup graphs are tiny and fixed per-round job overhead is
       // what the loop actually pays
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(vSide(nbrMin), Seq("id"), "left")
         .select($"id", $"label".as("__old"),
           least($"label", coalesce($"nbr_label", $"label")).as("label"))
         .localCheckpoint()
@@ -100,22 +111,35 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    def largeStar(e: DataFrame): DataFrame = {
+    // r16: the per-node min table `m` is ≤ |V| rows (one per distinct
+    // u) — broadcast it into each star's relink join under a MEASURED
+    // gate on the edge count (counted once before the loop for the
+    // adaptive width; contraction keeps the working set within a
+    // small multiple of it). Checkpointed frames carry no stats, so
+    // Catalyst planned every relink as a two-sided exchange+sort of
+    // the EDGE list — with the broadcast each star pays ONE edge
+    // exchange (its own groupBy-min) instead of two-plus-sorts. Past
+    // the gate (a 100 TB graph) the joins shuffle exactly as before;
+    // the contracted edge set is identical either way.
+    def mSide(small: Boolean)(m: DataFrame): DataFrame =
+      if (small) broadcast(m) else m
+
+    def largeStar(e: DataFrame, small: Boolean): DataFrame = {
       val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
       val m = sym.groupBy($"u")
         .agg(least(min($"v"), first($"u")).as("m"))
-      sym.join(m, "u")
+      sym.join(mSide(small)(m), "u")
         .filter($"v" > $"u")
         .select($"v".as("u"), $"m".as("v"))
         .filter($"u" =!= $"v")
         .distinct()
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, small: Boolean): DataFrame = {
       // orient every edge (bigger -> smaller); group by the bigger end
       val dir = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       val m = dir.groupBy($"u").agg(min($"v").as("m"))
-      val relink = dir.join(m, "u")
+      val relink = dir.join(mSide(small)(m), "u")
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
       val self = m.select($"u", $"m".as("v"))
@@ -144,10 +168,11 @@ object ConnectedComponents {
     val parts = math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       math.max(4L, sig._1 / 100000L)).toInt
+    val mSmall = sig._1 <= 1000000L
     cur = cur.repartition(parts, $"u").localCheckpoint()
     if (rounds > 0) {
       for (_ <- 1 to rounds)
-        cur = smallStar(largeStar(cur))
+        cur = smallStar(largeStar(cur, mSmall), mSmall)
           .repartition(parts, $"u").localCheckpoint()
       // Fixpoint-shape guard: converged ⟺ the edge set is a star
       // forest rooted at component minima — (a) every edge points
@@ -181,7 +206,7 @@ object ConnectedComponents {
     } else {
       var done = false
       while (!done) {
-        val next = smallStar(largeStar(cur))
+        val next = smallStar(largeStar(cur, mSmall), mSmall)
           .repartition(parts, $"u").localCheckpoint()
         val nextSig = signature(next)
         done = nextSig == sig

@@ -94,16 +94,23 @@ object Dedup {
     // materialize the shingle sets once: they feed the signature
     // computation and both sides of the verify join (3 uses); fanout
     // first so shingling isn't serialized onto a small scan's single
-    // partition (see Q.fanout)
+    // partition (see Q.fanout). SORTED (r16): the verify step then
+    // uses the codegen merge-scan intersection (jaccardSorted — the
+    // form incrementalNearDupPairs always used) instead of building a
+    // per-pair hash set; identical jaccard on the same distinct
+    // element sets (sorting changes representation, not the set), and
+    // the signature fold below explodes the array, so element order
+    // never reaches it.
     val sets = graft.queries.Q.fanout(docs)
-      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol),
+        sort_array(shingles(col(textCol), shingleN)).as("sh"))
       .localCheckpoint()
     val sigs = minhashSignatures(sets, idCol, col("sh"), numHashes)
     val cands = lshCandidates(sigs, idCol, "sig", bands, numHashes / bands)
     cands
       .join(sets.toDF("id_a", "sh_a"), "id_a")
       .join(sets.toDF("id_b", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

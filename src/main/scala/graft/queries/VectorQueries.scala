@@ -804,17 +804,45 @@ object VectorQueries {
         emb.withColumnRenamed("vec_id", "neighbor_id"), k = 5)
         .select($"query_id", $"neighbor_id").localCheckpoint()
       val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
+      // r16: the four probe legs used to run FOUR full candidate
+      // joins + cosine passes (searchAssigned per nprobe), but the
+      // probe-cell ranking is a fixed total order (score desc, larger
+      // id on ties — IvfTopCells.selectTop), so probeCells(v, np) is
+      // EXACTLY the first np entries of probeCells(v, 8): score every
+      // (query, candidate) pair ONCE at the widest probe with its
+      // cell rank attached, pin that bounded frame, and each leg is a
+      // rank filter + the same per-query top-5 window over pinned
+      // blocks. Candidate counts reuse the ranked probe list the same
+      // way. Per-leg winners are identical: filtering cpos < np
+      // reproduces the leg's exact candidate set, and the window
+      // ranks by the same (cosine desc, neighbor_id) order.
+      val q8 = queries.select($"vec_id".as("query_id"),
+          $"embedding".as("q_vec"),
+          sqrt(VectorFunctions.dotExact($"embedding", $"embedding"))
+            .as("q_norm"),
+          posexplode(Ivf.probeCells($"embedding", model, 8))
+            .as(Seq("cpos", "cell")))
+        .localCheckpoint() // 20 queries × 8 cells
+      // broadcast: bounded at 20 queries × 8 probes by construction,
+      // so the corpus assignment never exchanges for the join
+      val scored = broadcast(q8).join(assigned, "cell")
+        .filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"cpos", $"neighbor_id",
+          (VectorFunctions.dotExact($"q_vec", $"c_vec") /
+            ($"q_norm" * $"c_norm")).as("cosine"))
+        .localCheckpoint()
+      val probedSizes = q8.select($"query_id", $"cpos", $"cell")
+        .join(cellSizes, "cell").localCheckpoint() // ≤ 20×8 rows
+      val w5 = Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id")
       val legs = Seq(1, 2, 4, 8).map { np =>
-        val hits = Ivf.searchAssigned(
-          queries.withColumnRenamed("vec_id", "query_id"),
-          assigned, model, k = 5, nprobe = np)
+        val hits = scored.filter($"cpos" < np)
+          .withColumn("rank", row_number().over(w5))
+          .filter($"rank" <= 5)
           .select($"query_id", $"neighbor_id")
           .join(exact, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("n_hits"))
-        val cands = Ivf.assignMulti(
-          queries.withColumnRenamed("vec_id", "query_id"),
-          model, probes = np, corpusId = "query_id")
-          .select($"cell").join(cellSizes, "cell")
+        val cands = probedSizes.filter($"cpos" < np)
           .agg(sum($"csz").as("n_candidates"))
         // 1-row × 1-row products: the q111/q153 scalar-stats pattern
         hits.crossJoin(cands)

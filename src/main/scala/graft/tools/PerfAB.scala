@@ -96,6 +96,29 @@ object PerfAB {
         Seq(
           "A_mspt2" -> (() => drain(2)),
           "B_mspt4" -> (() => drain(4)))
+      case "q100b" =>
+        // r16 (r15 verdict #2/#3): is the per-iteration rank-vector
+        // broadcast a local pessimization? Three join strategies for
+        // the SAME iterations — results bit-identical by construction.
+        import org.apache.spark.sql.DataFrame
+        def edges(): DataFrame = {
+          val li = graft.Tables.table(spark, dir, "lineitem")
+            .select($"l_orderkey", $"l_suppkey")
+          val ords = graft.Tables.table(spark, dir, "orders")
+            .select($"o_orderkey", $"o_custkey")
+          val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+            .select($"o_custkey".as("cust"),
+              ($"l_suppkey" + 1000000L).as("supp"))
+          pairs.select($"cust".as("src"), $"supp".as("dst"))
+            .union(pairs.select($"supp".as("src"), $"cust".as("dst")))
+        }
+        def pr(br: Boolean, bc: Boolean): Long =
+          graft.operators.PageRank.run(edges(), "src", "dst", iters = 3,
+            bcastRanks = br, bcastContribs = bc).count()
+        Seq(
+          "A_bcast_both" -> (() => pr(true, true)),
+          "B_bcast_contribs_only" -> (() => pr(false, true)),
+          "C_bcast_none" -> (() => pr(false, false)))
       case "graph" =>
         // r12 brief #8: the r11 inline-vs-staged A/B for the
         // ITERATIVE graph consumers predates GraphFixtures' fanout
