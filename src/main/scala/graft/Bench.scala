@@ -63,6 +63,16 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // hypervisor steal (ticks, USER_HZ=100): the co-tenant signal
+    // loadavg can NOT see — this box's r16 crater (q210-q217 reading
+    // 5-10× their quiet times in one alphabetical window) left
+    // loadavg quiet but burned ~1900 steal-seconds. Sampled over the
+    // timed loop and recorded in the artifact so a contaminated sweep
+    // is self-identifying.
+    def stealTicks(): Long =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")(8).toLong
+      catch { case _: Throwable => -1L }
     def processCpuSec(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
         case os: com.sun.management.OperatingSystemMXBean =>
@@ -134,6 +144,7 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
     val loopWall0 = System.nanoTime()
     val loopCpu0 = processCpuSec()
+    val loopSteal0 = stealTicks()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       // collect BEFORE the clock starts: in a 140+-query single-JVM
@@ -180,6 +191,10 @@ object Bench {
     val wallSec = (System.nanoTime() - loopWall0) / 1e9
     val cpuSec = processCpuSec() - loopCpu0
     val load1End = load1()
+    val stealSec = {
+      val s1 = stealTicks()
+      if (loopSteal0 < 0 || s1 < 0) -1.0 else (s1 - loopSteal0) / 100.0
+    }
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v, _, _) if v < 0 => k }
@@ -193,6 +208,7 @@ object Bench {
         extra +
         s""","load1_start":${r3(load1Start)},"load1_end":${r3(load1End)}""" +
         s""","cpu_sec":${r3(cpuSec)},"wall_sec":${r3(wallSec)}""" +
+        s""","steal_sec":${r3(stealSec)}""" +
         s""","sketch_audit":$sketchAudit}"""
     def qmap(f: String => String): String = results
       .map { case (k, v, _, _) => "\"" + f(k) + "\":" + r3(v) }
@@ -226,12 +242,25 @@ object Bench {
     // full sweep lands in BENCH_LOCAL_contended.json, loudly, and the
     // quiet record survives. Same formula as SuiteTimeLintSpec so the
     // two can never disagree about a map already written.
+    // Two independent signals, either quarantines the sweep:
+    // (a) mean hot relative to the median-implied machine speed (the
+    //     lint's formula — catches sustained co-tenancy that fattens
+    //     the tail), and
+    // (b) hypervisor steal over the timed loop (catches the BURST
+    //     shape (a) misses: this box's r16 crater inflated ~15
+    //     alphabetically-adjacent queries 5-10× while the suite
+    //     median never moved — mean passed (a), but the loop burned
+    //     ~8% of machine capacity in steal; quiet runs read < 1%).
     val okTimes = results.collect { case (_, v, _, _) if v >= 0 => v }
-    val contended = okTimes.nonEmpty && {
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val stealFrac =
+      if (stealSec < 0 || wallSec <= 0) 0.0
+      else stealSec / (wallSec * nCores)
+    val contended = (okTimes.nonEmpty && {
       val mean = okTimes.sum / okTimes.size
       val med = okTimes.sorted.apply(okTimes.size / 2)
       mean > 1.15 * (med / 0.65)
-    }
+    }) || stealFrac > 0.03
     if (fileOfRecord) {
       val name =
         if (contended) "BENCH_LOCAL_contended.json" else "BENCH_LOCAL.json"

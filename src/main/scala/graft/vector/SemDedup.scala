@@ -56,15 +56,20 @@ object SemDedup {
   def keep(df: DataFrame, idCol: String, vecCol: String, cells: Int,
       threshold: Double, probes: Int = 2): DataFrame = {
     val model = Ivf.fit(df, idCol, vecCol, cells, iters = 1)
-    // two passes read the assignment (pair join build+probe, final
-    // anti-join): materialize it once
-    val assigned = Ivf.assignMulti(df, model, probes,
-      corpusId = idCol, vecCol = vecCol).localCheckpoint()
+    // ONE assignment scan serves both the pair join and the final
+    // manifest (r16): the multi-probe explode carries its probe rank,
+    // and rank 0 IS the argmax cell (IvfTopCells.selectTop is a fixed
+    // total order, so topCells(probes)[0] ≡ assignCell) — the old
+    // second Ivf.assign pass re-ran the cells×dims argmax over the
+    // whole corpus just to recover a column this frame already had.
+    val assigned = df.select(col(idCol), col(vecCol).as("c_vec"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("c_norm"),
+        posexplode(Ivf.probeCells(col(vecCol), model, probes))
+          .as(Seq("cpos", "cell")))
+      .localCheckpoint()
     val dropped = pairs(assigned, idCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    // primary cell = best cell (assignMulti's first probe). assigned
-    // carries one row per probe; the manifest keeps one per id.
-    Ivf.assign(df, model, corpusId = idCol, vecCol = vecCol)
+    assigned.filter(col("cpos") === 0)
       .join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }

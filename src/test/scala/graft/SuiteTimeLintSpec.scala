@@ -190,10 +190,15 @@ class SuiteTimeLintSpec extends AnyFunSuite {
     // the speed-scaled budget widens on slow box-days, so the hover
     // band must widen with it or entries flap on box drift alone
     // (q342 read 7.5 s and 4.3 s in two same-day quiet runs).
+    // 0.60 (was 0.65, r16): q342 measured 4.73 and 6.90 in the SAME
+    // round's two quiet sweeps — a 1.46× swing that straddled the
+    // 0.65 floor exactly as the r13 note predicted; the band must
+    // cover a whitelisted query's own measured swing or the entry
+    // flaps on noise alone.
     val healed = whitelist.keySet
-      .filter(q => effective.get(q).exists(_ < 0.65 * budget))
+      .filter(q => effective.get(q).exists(_ < 0.60 * budget))
     assert(healed.isEmpty,
-      f"whitelisted but now under ${0.65 * budget}%.1f s — drop the " +
+      f"whitelisted but now under ${0.60 * budget}%.1f s — drop the " +
         "stale entries: " +
         healed.toSeq.sorted.map(q => s"$q=${effective(q)}s")
           .mkString(", "))
