@@ -232,6 +232,13 @@ object Bench {
     // sf0.1 exactly: an sf0.001 full run is still the wrong scale for
     // the file of record (it happened post-r8-line and silently
     // replaced the sf0.1 numbers)
+    // …and the run must use the FULL machine: the r15 round-close
+    // committed the driver's 8-core scaling sweep as the file of
+    // record (q71 read 11.3 s there purely from the width) and the
+    // lint redded on it. A reduced-width full run lands in its own
+    // BENCH_LOCAL_c<n>.json instead.
+    val fullWidth = (try cpus.toInt catch { case _: Throwable => 0 }) >=
+      Runtime.getRuntime.availableProcessors()
     val fileOfRecord = only.isEmpty &&
       sfDir.stripSuffix("/") == "/root/testdata/sf0.1"
     // r16 (r15 verdict #1): the round-15 close overwrote a quiet
@@ -263,11 +270,17 @@ object Bench {
     }) || stealFrac > 0.03
     if (fileOfRecord) {
       val name =
-        if (contended) "BENCH_LOCAL_contended.json" else "BENCH_LOCAL.json"
+        if (contended) "BENCH_LOCAL_contended.json"
+        else if (!fullWidth) s"BENCH_LOCAL_c$cpus.json"
+        else "BENCH_LOCAL.json"
       if (contended)
-        System.err.println("[bench] mean-vs-median says this sweep ran " +
-          "CONTENDED — writing BENCH_LOCAL_contended.json and keeping " +
-          "the existing quiet file of record")
+        System.err.println("[bench] contention detected (mean-vs-median " +
+          f"or steal ${100 * stealFrac}%.1f%%) — writing " +
+          "BENCH_LOCAL_contended.json and keeping the existing quiet " +
+          "file of record")
+      else if (!fullWidth)
+        System.err.println(s"[bench] reduced-width run (cpus=$cpus) — " +
+          s"writing BENCH_LOCAL_c$cpus.json, not the file of record")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.props("user.dir"), name),
         jsonLine(qmap(identity), total, identity, memMaps) + "\n")
